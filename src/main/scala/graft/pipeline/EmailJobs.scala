@@ -21,7 +21,7 @@ object EmailJobs {
     when(totalMatches >= 10, 0).otherwise(5) // index.js:599
 
   def dedupId(eventId: Column, email: Column): Column =
-    concat(eventId, lit("-"), lower(email)) // index.js:572
+    concat(eventId, lit("-"), graft.rules.Rules.asciiLower(email)) // index.js:572
 
   def galleryUrl(eventId: Column, guestId: Column): Column =
     concat(lit(GalleryPrefix), eventId, lit("/"), guestId)
@@ -145,7 +145,7 @@ object EmailJobs {
       lit("photo_match_notification").as("attr_message_type"),
       col("event_id").as("attr_event_id"),
       col("guest_id").as("attr_guest_id"),
-      lower(col("guest_email")).as("attr_guest_email"),
+      graft.rules.Rules.asciiLower(col("guest_email")).as("attr_guest_email"),
       priority(col("total_matches")).as("attr_priority"),
       col("total_matches").cast("string").as("attr_total_matches"),
       delaySeconds(col("total_matches")).cast("int").as("delay_seconds"),

@@ -54,17 +54,18 @@ object MatchPipeline {
       .withColumn("s_hit", lit(true))
     dec.join(st,
         col("event_id") === col("s_event_id") &&
-          col("s_guest_email") === lower(col("guest_email")),
+          col("s_guest_email") === Rules.asciiLower(col("guest_email")),
         "left")
       .withColumn("dup_hit", coalesce(col("s_hit"), lit(false)))
       .drop("s_event_id", "s_guest_email", "s_hit")
   }
 
   /** Decode + dedup join + full rule cascade → decoded frame with
-    * (action, reason) attached. */
+    * (action, reason) attached. The cascade is one struct-valued CaseWhen
+    * evaluated behind a projection boundary — see Rules.decisionStruct. */
   def decide(envelope: DataFrame, minMatches: Int = 1): DataFrame = {
     val d = withDupHit(decoded(envelope))
-    val (action, reason) = Rules.actionReason(
+    val decision = Rules.decisionStruct(
       eventName = col("event_name"),
       hasNewImage = col("has_new_image"),
       eventId = col("event_id"),
@@ -82,27 +83,31 @@ object MatchPipeline {
       oldTotalMatches = col("old_total_matches"),
       dupHit = col("dup_hit"),
       minMatches = minMatches)
-    d.withColumn("action", action).withColumn("reason", reason)
+    d.withColumn("decision", decision)
+      .withColumn("action", col("decision").getField("action"))
+      .withColumn("reason", col("decision").getField("reason"))
+      .drop("decision")
   }
 
   /** Per-record outcome — the reference's handler result rows
-    * (index.js:63-68, 148-315). */
-  def actions(envelope: DataFrame): DataFrame =
-    decide(envelope).select(col("record_id"), col("action"), col("reason"))
+    * (index.js:63-68, 148-315). Takes a decide()d frame so callers can
+    * share one materialization across the sibling queries. */
+  def actions(decided: DataFrame): DataFrame =
+    decided.select(col("record_id"), col("action"), col("reason"))
 
   /** O13/O14 — enriched email jobs for the triggered records. */
-  def emailJobs(envelope: DataFrame): DataFrame =
-    EmailJobs.enrich(decide(envelope).filter(col("action") === "email_triggered"))
+  def emailJobs(decided: DataFrame): DataFrame =
+    EmailJobs.enrich(decided.filter(col("action") === "email_triggered"))
 
   /** O13's top-K slice, exploded to one row per kept match. */
-  def topMatches(envelope: DataFrame): DataFrame =
-    EmailJobs.topMatches(decide(envelope).filter(col("action") === "email_triggered"))
+  def topMatches(decided: DataFrame): DataFrame =
+    EmailJobs.topMatches(decided.filter(col("action") === "email_triggered"))
 
   /** O8 + O11 — the status writes the batch would issue: duplicates are
     * marked delivered (index.js:324-344), triggered records transition to
     * processing (index.js:448-497). */
-  def statusUpdates(envelope: DataFrame): DataFrame =
-    decide(envelope)
+  def statusUpdates(decided: DataFrame): DataFrame =
+    decided
       .filter(col("action").isin("duplicate_prevented", "email_triggered"))
       .select(
         col("record_id"),
@@ -114,16 +119,19 @@ object MatchPipeline {
           .otherwise("email_triggered_at").as("touch_field"))
 
   /** O15 — the per-batch metrics record (index.js:42-49). A single
-    * partial+final aggregation; no keyed shuffle. */
-  def metrics(envelope: DataFrame): DataFrame =
-    actions(envelope).agg(
+    * partial+final aggregation; no keyed shuffle. Error records do not
+    * count as processed (index.js:61-71). */
+  def metrics(decided: DataFrame): DataFrame =
+    decided.agg(
       count(lit(1)).as("total_records"),
-      count(lit(1)).as("processed_records"),
+      sum(when(col("action") =!= "error", 1L).otherwise(0L))
+        .as("processed_records"),
       sum(when(col("action") === "email_triggered", 1L).otherwise(0L))
         .as("emails_triggered"),
       sum(when(col("action") === "skipped", 1L).otherwise(0L))
         .as("skipped_records"),
       sum(when(col("action") === "duplicate_prevented", 1L).otherwise(0L))
         .as("duplicates_prevented"),
-      sum(lit(0L)).as("error_records"))
+      sum(when(col("action") === "error", 1L).otherwise(0L))
+        .as("error_records"))
 }

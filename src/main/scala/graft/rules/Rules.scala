@@ -18,6 +18,17 @@ object Rules {
 
   val EmailRegex = "^[^\\s@]+@[^\\s@]+\\.[^\\s@]+$" // index.js:401
 
+  /** ASCII-only lowercase. Spark 4's `lower()` routes through the ICU
+    * collation case-mapping (CollationSupport.Lower.execBinaryICU), whose
+    * class initialization loads ICU break dictionaries and measurably
+    * dominated pipeline runtime (thread dumps showed the hot task inside
+    * com.ibm.icu.impl.CaseMapImpl). The reference lowercases email
+    * addresses only (index.js:117, 572, 592), which are ASCII here, so a
+    * 26-char translate — a plain codegen'd byte map — is semantically
+    * identical and orders of magnitude cheaper. */
+  def asciiLower(c: Column): Column =
+    translate(c, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
+
   /** O9 — isValidEmail (index.js:400-403). */
   def isValidEmail(email: Column): Column =
     email.isNotNull && email.rlike(EmailRegex)
@@ -31,14 +42,15 @@ object Rules {
     email.contains("example.com") || email.contains("test.com") ||
       email.startsWith("unknown@")
 
-  /** Full per-record decision. Inputs are the decoded columns plus
-    * `dupHit` (O7 lookup result — whether any row for
-    * (event_id, lower(guest_email)) is already processing/delivered/sent).
-    *
-    * Returns the (action, reason) pair with
-    * action ∈ {email_triggered, skipped, duplicate_prevented}.
-    */
-  def actionReason(
+  /** Full per-record decision cascade, evaluated once as a single
+    * struct-valued CaseWhen. Two separate (action, reason) cascades double
+    * the generated code for what is one chain of predicates — and Janino
+    * compile time of the fused stage, not row throughput, is what dominates
+    * this pipeline's latency (thread dumps showed every task parked on
+    * CodeGenerator.compile's KeyLock). Callers extract `.getField("action")`
+    * / `.getField("reason")` behind a projection boundary, which Catalyst
+    * keeps un-inlined because the producing expression is non-cheap. */
+  def decisionStruct(
       eventName: Column,
       hasNewImage: Column,
       eventId: Column,
@@ -55,59 +67,53 @@ object Rules {
       oldDeliveryStatus: Column,
       oldTotalMatches: Column,
       dupHit: Column,
-      minMatches: Int = 1): (Column, Column) = {
+      minMatches: Int = 1): Column = {
 
     val isModify = eventName === "MODIFY"
+    def out(action: String, reason: Column): Column =
+      struct(lit(action).as("action"), reason.as("reason"))
+    def outL(action: String, reason: String): Column =
+      out(action, lit(reason))
 
-    val skip    = lit("skipped")
-    val dup     = lit("duplicate_prevented")
-    val trigger = lit("email_triggered")
-
-    // Each branch: (predicate, action, reason) in reference order.
-    val branches: Seq[(Column, Column, Column)] = Seq(
+    val branches: Seq[(Column, Column)] = Seq(
       // O2 — event-type filter (index.js:146-153)
-      (!eventName.isin("INSERT", "MODIFY"), skip,
-        concat(lit("Event type "), eventName, lit(" not relevant"))),
+      (!eventName.isin("INSERT", "MODIFY"),
+        out("skipped", concat(lit("Event type "), eventName, lit(" not relevant")))),
       // O3 — null-image filter (index.js:155-162)
-      (!hasNewImage, skip, lit("No NewImage data")),
+      (!hasNewImage, outL("skipped", "No NewImage data")),
       // O5 — sent/delivered in current image (index.js:167-184)
-      (alreadySentNew(emailStatus, emailSent), skip,
-        lit("Email already sent - found in current record")),
-      (deliveryStatus === "delivered", skip,
-        lit("Email already delivered - delivery_status check")),
+      (alreadySentNew(emailStatus, emailSent),
+        outL("skipped", "Email already sent - found in current record")),
+      (deliveryStatus === "delivered",
+        outL("skipped", "Email already delivered - delivery_status check")),
       // O6 — old-image CDC rules, MODIFY only (index.js:187-221)
-      (isModify && alreadySentNew(oldEmailStatus, oldEmailSent), skip,
-        lit("Email already sent - found in old record")),
-      (isModify && oldDeliveryStatus === "delivered", skip,
-        lit("Email already delivered - old record check")),
-      (isModify && newMatches === 0 && oldTotalMatches > 0, skip,
-        lit("Pool expansion update with no new matches - email already sent for existing matches")),
+      (isModify && alreadySentNew(oldEmailStatus, oldEmailSent),
+        outL("skipped", "Email already sent - found in old record")),
+      (isModify && oldDeliveryStatus === "delivered",
+        outL("skipped", "Email already delivered - old record check")),
+      (isModify && newMatches === 0 && oldTotalMatches > 0,
+        outL("skipped", "Pool expansion update with no new matches - email already sent for existing matches")),
       // O7 — dedup lookup (index.js:228-244)
-      (dupHit, dup, lit("Email job already exists for this address")),
+      (dupHit, outL("duplicate_prevented", "Email job already exists for this address")),
       // O9 — validation, in reference field order (index.js:387-398)
-      (eventId.isNull, skip, lit("Missing eventId")),
-      (guestId.isNull, skip, lit("Missing guestId")),
-      (!isValidEmail(guestEmail), skip, lit("Missing or invalid guest email")),
-      (guestName.isNull, skip, lit("Missing guest name")),
-      // O10 — business rules (index.js:409-442). The sent re-check is
-      // unreachable here (O5 already skipped those) but kept for fidelity.
-      (alreadySentNew(emailStatus, emailSent), skip,
-        lit("Email already sent (email_status check)")),
-      (totalMatches < minMatches, skip,
-        concat(lit("Insufficient matches: "), totalMatches.cast("string"),
-          lit(s" < $minMatches"))),
-      (deliveryStatus === "delivered", skip,
-        lit("Email already delivered (delivery_status)")),
-      (deliveryStatus === "processing", skip,
-        lit("Email delivery already in progress")),
-      (denyListed(guestEmail), skip, lit("Test or invalid email address")))
+      (eventId.isNull, outL("skipped", "Missing eventId")),
+      (guestId.isNull, outL("skipped", "Missing guestId")),
+      (!isValidEmail(guestEmail), outL("skipped", "Missing or invalid guest email")),
+      (guestName.isNull, outL("skipped", "Missing guest name")),
+      // O10 — business rules (index.js:409-442)
+      (alreadySentNew(emailStatus, emailSent),
+        outL("skipped", "Email already sent (email_status check)")),
+      (totalMatches < minMatches,
+        out("skipped", concat(lit("Insufficient matches: "),
+          totalMatches.cast("string"), lit(s" < $minMatches")))),
+      (deliveryStatus === "delivered",
+        outL("skipped", "Email already delivered (delivery_status)")),
+      (deliveryStatus === "processing",
+        outL("skipped", "Email delivery already in progress")),
+      (denyListed(guestEmail), outL("skipped", "Test or invalid email address")))
 
-    val action = branches.foldRight(trigger) { case ((p, a, _), acc) =>
-      when(p, a).otherwise(acc)
+    branches.foldRight(outL("email_triggered", "All criteria met")) {
+      case ((p, o), acc) => when(p, o).otherwise(acc)
     }
-    val reason = branches.foldRight(lit("All criteria met"): Column) {
-      case ((p, _, r), acc) => when(p, r).otherwise(acc)
-    }
-    (action, reason)
   }
 }
