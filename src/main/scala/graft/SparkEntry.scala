@@ -55,6 +55,7 @@ object SparkEntry {
     "pipe_email_jobs" -> ((s, d) => MatchPipeline.emailJobs(decided(s, d))),
     "pipe_top_matches" -> ((s, d) => MatchPipeline.topMatches(decided(s, d))),
     "pipe_status_updates" -> ((s, d) => MatchPipeline.statusUpdates(decided(s, d))),
+    "pipe_batch_failures" -> ((s, d) => MatchPipeline.batchFailures(decided(s, d))),
     "pipe_metrics" -> ((s, d) => MatchPipeline.metrics(decided(s, d)))
   )
 
@@ -65,6 +66,7 @@ object SparkEntry {
     "pipe_email_jobs" -> OracleSql.pipeEmailJobs,
     "pipe_top_matches" -> OracleSql.pipeTopMatches,
     "pipe_status_updates" -> OracleSql.pipeStatusUpdates,
+    "pipe_batch_failures" -> OracleSql.pipeBatchFailures,
     "pipe_metrics" -> OracleSql.pipeMetrics
   )
 }

@@ -56,9 +56,16 @@ object DynamoDecode {
       from_json(s(img, "matched_images"), ArrayType(Model.matchedImageSchema)),
       array().cast(ArrayType(Model.matchedImageSchema)))
       .as(prefix + "matched_images"),
+    // JSON.parse is the one thing the reference's decode can throw on
+    // (index.js:378-384): a present-but-malformed matched_images string.
+    // PERMISSIVE from_json maps malformed → null, so null-out-of-non-null
+    // is exactly the reference's throw condition.
+    (s(img, "matched_images").isNotNull &&
+      from_json(s(img, "matched_images"), ArrayType(Model.matchedImageSchema)).isNull)
+      .as(prefix + "parse_error"),
     s(img, "match_statistics").as(prefix + "match_statistics"))
 
-  /** Old-image fields needed by the CDC compare (O6): only the three the
+  /** Old-image fields needed by the CDC compare (O6): only the four the
     * reference reads from OldImage (index.js:191-212). */
   def decodeOldImage(img: Column): Seq[Column] = Seq(
     s(img, "email_status").as("old_email_status"),

@@ -8,19 +8,28 @@ package graft.oracle
   */
 object OracleSql {
 
-  /** Decoded-fixture CTE: `f` = flat decoded record (post-O4 semantics:
-    * image-less rows have NULL strings and 0 numerics), `p` = f + dup_hit
-    * (O7), `d` = p + (action, reason) (the O2..O10 cascade in reference
-    * order). */
+  /** Decoded-fixture CTE chain:
+    *   `f`  = flat decoded record (post-O4 semantics: image-less rows have
+    *          NULL strings and 0 numerics, parse_error marks corrupt
+    *          embedded JSON);
+    *   `p1` = f + snapshot dup lookup (O7 layer 1) + the blocker flag
+    *          (would this record write a status row the reference's later
+    *          records can see);
+    *   `p`  = p1 + intra-batch dup (O7 layer 2: windowed count of earlier
+    *          blockers on (event_id, lower(email)) in sequence order);
+    *   `d`  = p + (action, reason) — the O2..O10 cascade in reference
+    *          order. */
   val fixtureCte: String = """
 WITH f AS (
   SELECT
     c_custkey AS k,
+    c_custkey AS seq,
     'r' || CAST(c_custkey AS VARCHAR) AS record_id,
     CASE WHEN c_custkey % 10 = 9 THEN 'REMOVE'
          WHEN c_custkey % 3 = 0 THEN 'MODIFY'
          ELSE 'INSERT' END AS event_name,
     c_custkey % 17 <> 3 AS has_new_image,
+    (c_custkey % 17 <> 3 AND c_custkey % 53 = 17) AS parse_error,
     CASE WHEN c_custkey % 17 <> 3 AND c_custkey % 43 <> 21
          THEN 'ev' || CAST(c_custkey % 50 AS VARCHAR) END AS event_id,
     CASE WHEN c_custkey % 17 <> 3 AND c_custkey % 47 <> 22
@@ -31,8 +40,8 @@ WITH f AS (
       CASE WHEN c_custkey % 23 = 11 THEN NULL
            WHEN c_custkey % 23 = 12 THEN 'bad email' || CAST(c_custkey AS VARCHAR)
            ELSE (CASE WHEN c_custkey % 19 = 5 THEN 'unknown'
-                      WHEN c_custkey % 5 = 0 THEN 'Guest' || CAST(c_custkey % 97 AS VARCHAR)
-                      ELSE 'guest' || CAST(c_custkey % 97 AS VARCHAR) END)
+                      WHEN c_custkey % 5 = 0 THEN 'Guest' || CAST(c_custkey % 11 AS VARCHAR)
+                      ELSE 'guest' || CAST(c_custkey % 11 AS VARCHAR) END)
                 || '@' ||
                 (CASE WHEN c_custkey % 13 = 0 THEN 'example.com'
                       WHEN c_custkey % 13 = 1 THEN 'test.com'
@@ -60,24 +69,58 @@ WITH f AS (
     CASE WHEN c_custkey % 3 = 0 THEN false END AS old_email_sent,
     CASE WHEN c_custkey % 3 = 0 AND c_custkey % 41 = 3 THEN 'delivered' END AS old_delivery_status,
     CASE WHEN c_custkey % 3 = 0 THEN CAST((c_custkey*5) % 10 AS INT) ELSE 0 END AS old_total_matches,
-    CAST(least((c_custkey*7) % 25, 12) AS INT) AS n_img
+    CAST(CASE WHEN c_custkey % 53 = 17 THEN 0
+              ELSE least((c_custkey*7) % 25, 12) END AS INT) AS n_img
   FROM customer
 ),
 status AS (
   SELECT DISTINCT event_id, guest_email FROM f
   WHERE delivery_status IN ('processing','delivered') OR email_status = 'sent'
 ),
+p1 AS (
+  SELECT f.*,
+    EXISTS (
+      SELECT 1 FROM status s
+      WHERE s.event_id = f.event_id AND s.guest_email = lower(f.guest_email)
+    ) AS snap_dup,
+    (event_name IN ('INSERT','MODIFY') AND has_new_image AND NOT parse_error
+     AND NOT (
+       COALESCE(email_status = 'sent' OR email_sent = true, false)
+       OR COALESCE(delivery_status = 'delivered', false)
+       OR (event_name = 'MODIFY' AND (
+            COALESCE(old_email_status = 'sent' OR old_email_sent = true, false)
+            OR COALESCE(old_delivery_status = 'delivered', false)
+            OR (new_matches = 0 AND old_total_matches > 0)))
+     )) AS reaches_dup_check,
+    (event_id IS NOT NULL AND guest_id IS NOT NULL
+     AND guest_email IS NOT NULL
+     AND regexp_matches(guest_email, '^[^\s@]+@[^\s@]+\.[^\s@]+$')
+     AND guest_name IS NOT NULL AND total_matches >= 1
+     AND NOT COALESCE(delivery_status = 'processing', false)
+     AND NOT (contains(guest_email, 'example.com')
+              OR contains(guest_email, 'test.com')
+              OR starts_with(guest_email, 'unknown@'))) AS would_pass
+  FROM f
+),
 p AS (
-  SELECT f.*, EXISTS (
-    SELECT 1 FROM status s
-    WHERE s.event_id = f.event_id AND s.guest_email = lower(f.guest_email)
-  ) AS dup_hit FROM f
+  SELECT p1.*,
+    (snap_dup OR (
+      event_id IS NOT NULL AND guest_email IS NOT NULL
+      AND COALESCE(SUM(CASE WHEN reaches_dup_check AND (snap_dup OR would_pass)
+                                 AND guest_email = lower(guest_email)
+                            THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY event_id, lower(guest_email)
+                         ORDER BY seq
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) > 0
+    )) AS dup_hit
+  FROM p1
 ),
 d AS (
   SELECT p.*,
     CASE
       WHEN event_name NOT IN ('INSERT','MODIFY') THEN 'skipped'
       WHEN NOT has_new_image THEN 'skipped'
+      WHEN parse_error THEN 'error'
       WHEN email_status = 'sent' OR email_sent = true THEN 'skipped'
       WHEN delivery_status = 'delivered' THEN 'skipped'
       WHEN event_name = 'MODIFY' AND (old_email_status = 'sent' OR old_email_sent = true) THEN 'skipped'
@@ -98,6 +141,7 @@ d AS (
     CASE
       WHEN event_name NOT IN ('INSERT','MODIFY') THEN 'Event type ' || event_name || ' not relevant'
       WHEN NOT has_new_image THEN 'No NewImage data'
+      WHEN parse_error THEN 'Failed to parse DynamoDB record'
       WHEN email_status = 'sent' OR email_sent = true THEN 'Email already sent - found in current record'
       WHEN delivery_status = 'delivered' THEN 'Email already delivered - delivery_status check'
       WHEN event_name = 'MODIFY' AND (old_email_status = 'sent' OR old_email_sent = true) THEN 'Email already sent - found in old record'
@@ -151,12 +195,15 @@ SELECT record_id, event_id, guest_id,
        CASE WHEN action = 'duplicate_prevented' THEN 'duplicate_detected_at' ELSE 'email_triggered_at' END AS touch_field
 FROM d WHERE action IN ('duplicate_prevented','email_triggered')"""
 
+  val pipeBatchFailures: String = fixtureCte + """
+SELECT record_id AS item_identifier FROM d WHERE action = 'error'"""
+
   val pipeMetrics: String = fixtureCte + """
 SELECT CAST(count(*) AS BIGINT) AS total_records,
-       CAST(count(*) AS BIGINT) AS processed_records,
+       CAST(SUM(CASE WHEN action <> 'error' THEN 1 ELSE 0 END) AS BIGINT) AS processed_records,
        CAST(SUM(CASE WHEN action = 'email_triggered' THEN 1 ELSE 0 END) AS BIGINT) AS emails_triggered,
        CAST(SUM(CASE WHEN action = 'skipped' THEN 1 ELSE 0 END) AS BIGINT) AS skipped_records,
        CAST(SUM(CASE WHEN action = 'duplicate_prevented' THEN 1 ELSE 0 END) AS BIGINT) AS duplicates_prevented,
-       CAST(0 AS BIGINT) AS error_records
+       CAST(SUM(CASE WHEN action = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_records
 FROM d"""
 }

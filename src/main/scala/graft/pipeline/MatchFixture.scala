@@ -44,9 +44,15 @@ object MatchFixture {
     val guestName = when(k % 29 === 7, lit(null).cast("string"))
       .otherwise(col("c_name"))
 
+    // Local part mod 11 (not 97): with event_id mod 50 this makes
+    // same-(event_id, email) pairs actually occur within one batch at
+    // the tested scales (lcm(50,11)=550 < sf0.01's 1500 customers), so
+    // the intra-batch duplicate-prevention layer is exercised by the
+    // correctness gate. The capitalized 'Guest' branch exercises the
+    // raw-vs-lowercased probe quirk (those rows never match a probe).
     val local = when(k % 19 === 5, lit("unknown"))
-      .when(k % 5 === 0, concat(lit("Guest"), (k % 97).cast("string")))
-      .otherwise(concat(lit("guest"), (k % 97).cast("string")))
+      .when(k % 5 === 0, concat(lit("Guest"), (k % 11).cast("string")))
+      .otherwise(concat(lit("guest"), (k % 11).cast("string")))
     val domain = when(k % 13 === 0, "example.com")
       .when(k % 13 === 1, "test.com")
       .otherwise("hapzea.com")
@@ -70,7 +76,10 @@ object MatchFixture {
     val overall  = (k % 90).cast("double") / 100
 
     val nImg = least(totalMatches, lit(12)).cast("int")
-    val matchedImagesJson = when(nImg >= 1,
+    // k%53==17 rows carry malformed embedded JSON — the one condition the
+    // reference's decode throws on (index.js:378-384) → action 'error'.
+    val matchedImagesJson = when(k % 53 === 17, lit("{corrupt"))
+      .when(nImg >= 1,
       to_json(transform(sequence(lit(1), nImg), i => struct(
         concat(lit("https://pool/"), k.cast("string"), lit("/"),
           i.cast("string"), lit(".jpg")).as("pool_url"),
@@ -149,6 +158,7 @@ object MatchFixture {
       lit("arn:aws:dynamodb:local:000000000000:table/face_match_results/stream/2024")
         .as("eventSourceARN"),
       struct(
+        k.cast("string").as("SequenceNumber"),
         when(hasImage, newImage).otherwise(lit(null).cast(Model.imageSchema))
           .as("NewImage"),
         when(eventName === "MODIFY", oldImage)

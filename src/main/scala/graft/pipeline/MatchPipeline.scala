@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.decode.DynamoDecode
@@ -29,6 +30,10 @@ object MatchPipeline {
       Seq(
         col("eventID").as("record_id"),
         col("eventName").as("event_name"),
+        // DynamoDB Streams order records per shard by SequenceNumber;
+        // the reference's in-order batch loop (index.js:53) makes that
+        // the intra-batch processing order.
+        col("dynamodb").getField("SequenceNumber").cast("long").as("seq"),
         img.isNotNull.as("has_new_image")) ++
         DynamoDecode.decodeImage(img) ++
         DynamoDecode.decodeOldImage(old): _*)
@@ -43,21 +48,75 @@ object MatchPipeline {
       .select(col("event_id"), col("guest_email"))
       .distinct()
 
-  /** O7 — dedup lookup as an equi-join. The probe email is lowercased, the
-    * stored one compared raw, exactly like the reference's
-    * `guest_email = :email` with `:email = email.toLowerCase()`
-    * (index.js:114-117) — the case-quirk is preserved deliberately. */
+  /** O7 — dedup lookup, two layers exactly like the reference:
+    *
+    * 1. **Snapshot lookup** (equi-join): does any row of the state table
+    *    already show (event_id, guest_email=lower(probe)) as
+    *    processing/delivered/sent (index.js:107-141)? The probe email is
+    *    lowercased, the stored one compared raw — the reference's
+    *    case-quirk, preserved deliberately.
+    * 2. **Intra-batch writes** (window): the reference processes records
+    *    sequentially and writes delivery_status='processing' (triggered,
+    *    index.js:448-497) or 'delivered' (duplicate, index.js:324-344)
+    *    back to the table before the next record, so a later record in
+    *    the same batch probing the same (event_id, lower(email)) finds
+    *    the earlier write. A record blocks later probes iff it reaches
+    *    the dedup check and is either a duplicate itself or passes the
+    *    remaining validation/business rules (otherwise it writes
+    *    nothing); its stored email only matches a lowercased probe when
+    *    it is itself all-lowercase. A windowed conditional count over
+    *    (event_id, lower(email)) ordered by stream sequence reproduces
+    *    that chain exactly — blocked blockers add no new keys, since a
+    *    lowercase blocker's key equals its own group key (already
+    *    blocked by the same earlier writer) and an uppercase blocker's
+    *    key can never equal any lowercased probe.
+    *
+    * Scale: both layers hash-partition on (event_id, lower(email)) —
+    * the same exchange serves the join build and the window sort. */
   def withDupHit(dec: DataFrame): DataFrame = {
     val st = statusKeys(dec)
       .withColumnRenamed("event_id", "s_event_id")
       .withColumnRenamed("guest_email", "s_guest_email")
       .withColumn("s_hit", lit(true))
-    dec.join(st,
+    val lowerEmail = Rules.asciiLower(col("guest_email"))
+    val snap = dec.join(st,
         col("event_id") === col("s_event_id") &&
-          col("s_guest_email") === Rules.asciiLower(col("guest_email")),
+          col("s_guest_email") === lowerEmail,
         "left")
-      .withColumn("dup_hit", coalesce(col("s_hit"), lit(false)))
+      .withColumn("snap_dup", coalesce(col("s_hit"), lit(false)))
       .drop("s_event_id", "s_guest_email", "s_hit")
+
+    val reaches = Rules.reachesDupCheck(
+      eventName = col("event_name"),
+      hasNewImage = col("has_new_image"),
+      parseError = col("parse_error"),
+      emailStatus = col("email_status"),
+      emailSent = col("email_sent"),
+      deliveryStatus = col("delivery_status"),
+      newMatches = col("new_matches"),
+      oldEmailStatus = col("old_email_status"),
+      oldEmailSent = col("old_email_sent"),
+      oldDeliveryStatus = col("old_delivery_status"),
+      oldTotalMatches = col("old_total_matches"))
+    val wouldWrite = col("snap_dup") || Rules.passesValidationAndRules(
+      eventId = col("event_id"),
+      guestId = col("guest_id"),
+      guestName = col("guest_name"),
+      guestEmail = col("guest_email"),
+      deliveryStatus = col("delivery_status"),
+      totalMatches = col("total_matches"))
+    val blocker = reaches && wouldWrite &&
+      col("guest_email") === lowerEmail
+    val w = Window
+      .partitionBy(col("event_id"), lowerEmail)
+      .orderBy(col("seq"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    snap
+      .withColumn("in_batch_dup",
+        col("event_id").isNotNull && col("guest_email").isNotNull &&
+          coalesce(sum(when(blocker, 1).otherwise(0)).over(w), lit(0)) > 0)
+      .withColumn("dup_hit", col("snap_dup") || col("in_batch_dup"))
+      .drop("snap_dup", "in_batch_dup")
   }
 
   /** Decode + dedup join + full rule cascade → decoded frame with
@@ -68,6 +127,7 @@ object MatchPipeline {
     val decision = Rules.decisionStruct(
       eventName = col("event_name"),
       hasNewImage = col("has_new_image"),
+      parseError = col("parse_error"),
       eventId = col("event_id"),
       guestId = col("guest_id"),
       guestName = col("guest_name"),
@@ -117,6 +177,13 @@ object MatchPipeline {
           .otherwise("processing").as("new_delivery_status"),
         when(col("action") === "duplicate_prevented", "duplicate_detected_at")
           .otherwise("email_triggered_at").as("touch_field"))
+
+  /** O1's partial-batch-failure contract: the record ids of error rows,
+    * returned to the stream source for redelivery
+    * (batchItemFailures, index.js:94-97). */
+  def batchFailures(decided: DataFrame): DataFrame =
+    decided.filter(col("action") === "error")
+      .select(col("record_id").as("item_identifier"))
 
   /** O15 — the per-batch metrics record (index.js:42-49). A single
     * partial+final aggregation; no keyed shuffle. Error records do not

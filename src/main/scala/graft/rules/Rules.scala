@@ -42,6 +42,52 @@ object Rules {
     email.contains("example.com") || email.contains("test.com") ||
       email.startsWith("unknown@")
 
+  private def isTrue(c: Column): Column = coalesce(c, lit(false))
+
+  /** Whether a record survives O2..O6 and the parse (index.js:146-221) and
+    * therefore reaches the dedup lookup (index.js:228). Null-safe: absent
+    * statuses mean "not skipped", exactly like the reference's
+    * optional-chained comparisons. */
+  def reachesDupCheck(
+      eventName: Column,
+      hasNewImage: Column,
+      parseError: Column,
+      emailStatus: Column,
+      emailSent: Column,
+      deliveryStatus: Column,
+      newMatches: Column,
+      oldEmailStatus: Column,
+      oldEmailSent: Column,
+      oldDeliveryStatus: Column,
+      oldTotalMatches: Column): Column = {
+    val isModify = eventName === "MODIFY"
+    val skippedBefore =
+      isTrue(alreadySentNew(emailStatus, emailSent)) ||
+        isTrue(deliveryStatus === "delivered") ||
+        (isModify && (
+          isTrue(alreadySentNew(oldEmailStatus, oldEmailSent)) ||
+            isTrue(oldDeliveryStatus === "delivered") ||
+            (newMatches === 0 && oldTotalMatches > 0)))
+    eventName.isin("INSERT", "MODIFY") && hasNewImage && !parseError &&
+      !skippedBefore
+  }
+
+  /** Whether a record that reaches the dedup lookup would pass validation
+    * (O9) and the business rules (O10) — i.e. trigger an email if no
+    * duplicate exists. Used to decide which records write a status row
+    * visible to later records of the same batch. */
+  def passesValidationAndRules(
+      eventId: Column,
+      guestId: Column,
+      guestName: Column,
+      guestEmail: Column,
+      deliveryStatus: Column,
+      totalMatches: Column,
+      minMatches: Int = 1): Column =
+    eventId.isNotNull && guestId.isNotNull && isValidEmail(guestEmail) &&
+      guestName.isNotNull && totalMatches >= minMatches &&
+      !isTrue(deliveryStatus === "processing") && !denyListed(guestEmail)
+
   /** Full per-record decision cascade, evaluated once as a single
     * struct-valued CaseWhen. Two separate (action, reason) cascades double
     * the generated code for what is one chain of predicates — and Janino
@@ -53,6 +99,7 @@ object Rules {
   def decisionStruct(
       eventName: Column,
       hasNewImage: Column,
+      parseError: Column,
       eventId: Column,
       guestId: Column,
       guestName: Column,
@@ -81,6 +128,12 @@ object Rules {
         out("skipped", concat(lit("Event type "), eventName, lit(" not relevant")))),
       // O3 — null-image filter (index.js:155-162)
       (!hasNewImage, outL("skipped", "No NewImage data")),
+      // O4 — parse failure: corrupt embedded JSON throws
+      // (index.js:378-384), caught by the handler loop → action 'error'
+      // and a batchItemFailures entry (index.js:70-79, 94-97). The
+      // reference's reason carries the engine-specific JSON.parse
+      // message; we keep the stable prefix only.
+      (parseError, outL("error", "Failed to parse DynamoDB record")),
       // O5 — sent/delivered in current image (index.js:167-184)
       (alreadySentNew(emailStatus, emailSent),
         outL("skipped", "Email already sent - found in current record")),

@@ -68,8 +68,9 @@ def main():
             failures.append(name)
             print(f"FAIL {name}: row count spark={len(spark_df)} duck={len(duck_df)}")
             continue
-        sc = spark_df.map(cell)
-        dc = duck_df.map(cell)
+        # DataFrame.map needs pandas >= 2.1; fall back to applymap on older
+        sc = getattr(spark_df, "map", spark_df.applymap)(cell)
+        dc = getattr(duck_df, "map", duck_df.applymap)(cell)
         neq = (sc != dc)
         if neq.any().any():
             failures.append(name)
