@@ -9,6 +9,7 @@ object Scratch {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.codegen.wholeStage", sys.env.getOrElse("SCRATCH_WSCG", "true"))
       .config("spark.sql.codegen.factoryMode", sys.env.getOrElse("SCRATCH_FACTORY", "FALLBACK"))
       .config("spark.sql.session.timeZone", "UTC")

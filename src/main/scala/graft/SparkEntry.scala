@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.oracle.OracleSql
+import graft.ext.{Analytics, DedupOps, EmbedOps, EventOps, TextOps}
+import graft.oracle.{OracleSql, OracleSqlExt}
 import graft.pipeline.{MatchFixture, MatchPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -56,8 +57,56 @@ object SparkEntry {
     "pipe_top_matches" -> ((s, d) => MatchPipeline.topMatches(decided(s, d))),
     "pipe_status_updates" -> ((s, d) => MatchPipeline.statusUpdates(decided(s, d))),
     "pipe_batch_failures" -> ((s, d) => MatchPipeline.batchFailures(decided(s, d))),
-    "pipe_metrics" -> ((s, d) => MatchPipeline.metrics(decided(s, d)))
+    "pipe_metrics" -> ((s, d) => MatchPipeline.metrics(decided(s, d))),
+
+    // ---- TPC-H-style analytics: joins/aggs/windows/set-ops/sort-limit --
+    "q1_pricing" -> ((s, d) => Analytics.pricingSummary(Tables.lineitem(s, d))),
+    "q3_shipping" -> ((s, d) => Analytics.shippingPriority(
+      Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q5_region_volume" -> ((s, d) => Analytics.regionVolume(
+      Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
+      Tables.supplier(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "window_top_orders" -> ((s, d) => Analytics.topOrdersPerCustomer(Tables.orders(s, d))),
+    "window_running_spend" -> ((s, d) => Analytics.runningSpend(Tables.orders(s, d))),
+    "rollup_revenue" -> ((s, d) => Analytics.revenueRollup(
+      Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
+      Tables.orders(s, d))),
+    "setop_segments" -> ((s, d) => Analytics.segmentSetOps(
+      Tables.customer(s, d), Tables.orders(s, d))),
+
+    // ---- event-time windowing over `events` ---------------------------
+    "events_tumbling" -> ((s, d) => EventOps.tumbling(Tables.events(s, d))),
+    "events_sliding" -> ((s, d) => EventOps.sliding(Tables.events(s, d))),
+    "events_session" -> ((s, d) => EventOps.sessions(Tables.events(s, d))),
+    "events_first" -> ((s, d) => EventOps.firstEventPerUserType(Tables.events(s, d))),
+
+    // ---- text analysis over `documents` -------------------------------
+    // The testdata tables are single parquet files → a single input
+    // partition; without an exchange, broadcast-join-only plans (the
+    // dedup pair pipelines especially) would execute as ONE task no
+    // matter how many rows they fan out to. Spreading the scan first
+    // models the many-shard layout a real corpus has.
+    "text_stats" -> ((s, d) => TextOps.stats(docs(s, d))),
+    "text_quality" -> ((s, d) => TextOps.qualityScore(docs(s, d))),
+    "text_langid" -> ((s, d) => TextOps.langId(docs(s, d))),
+    "text_fingerprint" -> ((s, d) => TextOps.fingerprints(docs(s, d))),
+
+    // ---- deduplication over `documents` -------------------------------
+    "dedup_exact" -> ((s, d) => DedupOps.exactDups(docs(s, d))),
+    "dedup_minhash" -> ((s, d) => DedupOps.minhashNearDups(docs(s, d))),
+    "dedup_simhash" -> ((s, d) => DedupOps.simhashDups(docs(s, d))),
+    "dedup_ngram" -> ((s, d) => DedupOps.ngramJaccardPairs(docs(s, d))),
+
+    // ---- similarity search over `embeddings` --------------------------
+    "embed_topk" -> ((s, d) => EmbedOps.bruteForceTopK(emb(s, d))),
+    "embed_lsh_neardup" -> ((s, d) => EmbedOps.lshNearDups(emb(s, d))),
+    "embed_ivf_topk" -> ((s, d) => EmbedOps.ivfTopK(emb(s, d)))
   )
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).repartition(32)
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).repartition(32)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -67,6 +116,33 @@ object SparkEntry {
     "pipe_top_matches" -> OracleSql.pipeTopMatches,
     "pipe_status_updates" -> OracleSql.pipeStatusUpdates,
     "pipe_batch_failures" -> OracleSql.pipeBatchFailures,
-    "pipe_metrics" -> OracleSql.pipeMetrics
+    "pipe_metrics" -> OracleSql.pipeMetrics,
+
+    "q1_pricing" -> OracleSqlExt.q1Pricing,
+    "q3_shipping" -> OracleSqlExt.q3Shipping,
+    "q5_region_volume" -> OracleSqlExt.q5RegionVolume,
+    "window_top_orders" -> OracleSqlExt.windowTopOrders,
+    "window_running_spend" -> OracleSqlExt.windowRunningSpend,
+    "rollup_revenue" -> OracleSqlExt.rollupRevenue,
+    "setop_segments" -> OracleSqlExt.setopSegments,
+
+    "events_tumbling" -> OracleSqlExt.eventsTumbling,
+    "events_sliding" -> OracleSqlExt.eventsSliding,
+    "events_session" -> OracleSqlExt.eventsSession,
+    "events_first" -> OracleSqlExt.eventsFirst,
+
+    "text_stats" -> OracleSqlExt.textStats,
+    "text_quality" -> OracleSqlExt.textQuality,
+    "text_langid" -> OracleSqlExt.textLangId,
+    "text_fingerprint" -> OracleSqlExt.textFingerprint,
+
+    "dedup_exact" -> OracleSqlExt.dedupExact,
+    "dedup_minhash" -> OracleSqlExt.dedupMinhash,
+    "dedup_simhash" -> OracleSqlExt.dedupSimhash,
+    "dedup_ngram" -> OracleSqlExt.dedupNgram,
+
+    "embed_topk" -> OracleSqlExt.embedTopK,
+    "embed_lsh_neardup" -> OracleSqlExt.embedLshNearDups,
+    "embed_ivf_topk" -> OracleSqlExt.embedIvfTopK
   )
 }

@@ -1,0 +1,157 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch analytics over the TPC-H-ish driver tables: the join / aggregate
+  * / window / set-op / sort-limit operator families the reference lacks
+  * (SURVEY.md §2.2 "absent in reference" rows), expressed Spark-first.
+  *
+  * Determinism discipline (the driver hash-compares against DuckDB):
+  * money columns are cast to DECIMAL before aggregation — decimal sums are
+  * exact and therefore independent of Spark's shuffle/partial-agg order —
+  * and averages are derived from exact sums with a single IEEE double
+  * division. Top-K queries always carry a unique tie-break key.
+  *
+  * Scale posture: fact-to-fact joins (orders⋈lineitem) shuffle on the
+  * join key; dimension joins (region/nation/customer) are broadcast.
+  * Aggregations are partial+final (map-side combine) by construction.
+  */
+object Analytics {
+
+  private def dec(c: String, p: Int = 18, s: Int = 2) =
+    col(c).cast(s"decimal($p,$s)")
+
+  /** TPC-H Q1-shaped pricing summary: scan + filter + wide aggregate.
+    * The parquet scan should show PushedFilters on l_shipdate and a
+    * 7-column ReadSchema. */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec("l_quantity")).as("sum_qty"),
+        sum(dec("l_extendedprice")).as("sum_base_price"),
+        sum(dec("l_extendedprice") * (lit(1).cast("decimal(3,2)") - dec("l_discount", 4)))
+          .as("sum_disc_price"),
+        sum(dec("l_extendedprice") * (lit(1).cast("decimal(3,2)") - dec("l_discount", 4))
+          * (lit(1).cast("decimal(3,2)") + dec("l_tax", 4))).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty",
+        col("sum_qty").cast("double") / col("count_order"))
+      .withColumn("avg_price",
+        col("sum_base_price").cast("double") / col("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q3-shaped shipping priority: broadcast dim filter + two-fact
+    * shuffle join + grouped sum + deterministic top-10. */
+  def shippingPriority(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    val cut = lit("1995-03-15").cast("timestamp")
+    val cust = customer.filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    orders.filter(col("o_orderdate") < cut)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(lineitem.filter(col("l_shipdate") > cut),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec("l_extendedprice") *
+        (lit(1).cast("decimal(3,2)") - dec("l_discount", 4))).as("revenue"))
+      .select(
+        col("o_orderkey"),
+        col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_orderpriority").as("order_priority"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped regional volume: a chain of broadcast dimension
+    * joins (region→nation→{customer,supplier}) around the
+    * orders⋈lineitem fact join, grouped by nation. The reference has
+    * exactly one join (the dedup lookup); this supplies the multi-way
+    * equi-join coverage. */
+  def regionVolume(region: DataFrame, nation: DataFrame, customer: DataFrame,
+      supplier: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val dims = broadcast(
+      nation.join(broadcast(region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name")))
+    val cust = broadcast(
+      customer.join(dims, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_nationkey").as("c_nk"), col("n_name").as("c_nation")))
+    val supp = broadcast(
+      supplier.join(dims, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey").as("s_nk")))
+    orders
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      // TPC-H Q5 requires the supplier and customer to share a nation
+      .join(supp, col("l_suppkey") === col("s_suppkey") && col("s_nk") === col("c_nk"))
+      .groupBy(col("c_nation").as("nation"))
+      .agg(sum(dec("l_extendedprice") *
+        (lit(1).cast("decimal(3,2)") - dec("l_discount", 4))).as("revenue"))
+      .orderBy(col("revenue").desc, col("nation"))
+  }
+
+  /** Ranking window: top-3 orders per customer by value — row_number over
+    * a per-key window (shuffles once on o_custkey). */
+  def topOrdersPerCustomer(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        dec("o_totalprice").as("total_price"),
+        row_number().over(w).as("rank"))
+      .filter(col("rank") <= 3)
+  }
+
+  /** Analytic window: running spend per customer in order-date order —
+    * an unbounded-preceding frame over exact decimals. */
+  def runningSpend(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.select(
+      col("o_custkey"), col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+      dec("o_totalprice").as("total_price"),
+      sum(dec("o_totalprice")).over(w).as("running_spend"))
+  }
+
+  /** Hierarchical aggregate: revenue by region → nation with ROLLUP
+    * subtotals (grouping-sets coverage; grand-total row included). */
+  def revenueRollup(region: DataFrame, nation: DataFrame, customer: DataFrame,
+      orders: DataFrame): DataFrame = {
+    val dims = broadcast(
+      nation.join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name")))
+    orders
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(dims, col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("r_name").as("region_name"), col("n_name").as("nation_name"))
+      .agg(sum(dec("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  /** Set operations: customers with BUILDING-segment accounts EXCEPT those
+    * who placed an open ('O') order, plus the INTERSECT of high-balance
+    * customers with order placers. The anti-join shape the reference has;
+    * the set-op surface it lacks. */
+  def segmentSetOps(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val building = customer.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val openCust = orders.filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("c_custkey"))
+    val highBal = customer.filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey"))
+    building.except(openCust).withColumn("set_kind", lit("building_no_open"))
+      .unionAll(highBal.intersect(openCust)
+        .withColumn("set_kind", lit("highbal_open")))
+  }
+}

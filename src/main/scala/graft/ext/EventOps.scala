@@ -1,0 +1,65 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing over the `events` table — the watermark/window
+  * operator family absent from the reference (SURVEY.md §2.2). Written as
+  * batch queries (the driver's oracle is batch SQL); the same expressions
+  * run under Structured Streaming with `withWatermark` — see
+  * graft.streaming for the streaming assembly.
+  *
+  * Determinism: `value` is cast to DECIMAL before summing; window starts
+  * are rendered as formatted strings so both engines compare wall-clock
+  * labels, not engine-specific timestamp encodings.
+  */
+object EventOps {
+
+  private val fmt = "yyyy-MM-dd HH:mm:ss"
+  private def decValue = col("value").cast("decimal(18,2)")
+
+  /** Tumbling 1-hour windows per event type: count + exact sum. */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(decValue).as("sum_value"))
+      .select(
+        date_format(col("w.start"), fmt).as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Sliding 1-hour windows every 30 minutes: each event lands in two
+    * overlapping windows. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        date_format(col("w.start"), fmt).as("window_start"),
+        col("event_type"), col("n_events"))
+
+  /** Session windows per user with a 30-minute inactivity gap. In batch
+    * Spark, session_window() computes the same gaps-and-islands grouping
+    * the oracle derives with lag + a cumulative sum. */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(decValue).as("sum_value"))
+      .select(
+        col("user_id"),
+        date_format(col("w.start"), fmt).as("session_start"),
+        col("n_events"),
+        col("sum_value"))
+
+  /** Deduplication to the first event per (user, type) — the
+    * deterministic form of dropDuplicates (min-by instead of
+    * arbitrary-row-wins, so the oracle can reproduce it). */
+  def firstEventPerUserType(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        min(col("event_id")).as("first_event_id"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_ts"),
+        count(lit(1)).as("n_total"))
+}

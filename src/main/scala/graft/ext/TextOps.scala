@@ -1,0 +1,114 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis over the `documents` table: token counting, quality
+  * scoring, language-ID heuristics, and content fingerprinting — the
+  * text-side half of a training-data pipeline (BASELINE north star).
+  *
+  * Everything is built-in Column expressions (codegen'd, no UDFs), and
+  * every formula is reproducible in ANSI SQL for the DuckDB oracle:
+  * occurrence counts via length-difference, ratios via a single IEEE
+  * double division, fingerprints via md5.
+  *
+  * Scale posture: all queries are embarrassingly parallel scans — no
+  * shuffle except the explicit aggregates.
+  */
+object TextOps {
+
+  /** Number of non-overlapping occurrences of `needle`, via the
+    * length-difference trick (portable to any SQL dialect). */
+  def occurrences(text: Column, needle: String): Column =
+    ((length(text) - length(replace(text, lit(needle), lit(""))))
+      / needle.length).cast("int")
+
+  /** Whitespace tokenization — documents are single-space separated. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Per-document statistics + a quality score in [0,1]: long-enough,
+    * not-too-repetitive documents with a healthy stopword rate score
+    * high (the usual pre-training heuristics, deterministic form). */
+  def stats(documents: DataFrame): DataFrame = {
+    val toks = tokenCount(col("text"))
+    val stop = (occurrences(col("text"), "the ") +
+      occurrences(col("text"), "a ")).cast("int")
+    documents.select(
+      col("doc_id"),
+      col("lang"),
+      length(col("text")).as("n_chars"),
+      toks.as("n_tokens"),
+      stop.as("n_stopwords"),
+      size(array_distinct(tokens(col("text")))).as("n_distinct_tokens"),
+      (length(col("text")).cast("double") / toks).as("avg_token_len"),
+      (stop.cast("double") / toks).as("stopword_ratio"),
+      (size(array_distinct(tokens(col("text")))).cast("double") / toks)
+        .as("distinct_ratio"),
+      least(lit(1.0), toks.cast("double") / 100).as("length_score"))
+  }
+
+  /** Composite quality score: 0.4·length + 0.4·lexical-diversity +
+    * 0.2·stopword-presence. Fixed evaluation order → bit-identical in
+    * both engines. */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val toks = tokenCount(col("text"))
+    val lengthScore = least(lit(1.0), toks.cast("double") / 100)
+    val diversity = size(array_distinct(tokens(col("text")))).cast("double") / toks
+    val stop = (occurrences(col("text"), "the ") + occurrences(col("text"), "a "))
+    val stopScore = least(lit(1.0), stop.cast("double") / 5)
+    documents.select(
+      col("doc_id"),
+      (lengthScore * 0.4 + diversity * 0.4 + stopScore * 0.2)
+        .as("quality_score"))
+  }
+
+  /** Language-ID by stopword-profile scoring: count hits of a tiny
+    * per-language marker lexicon, predict the argmax (deterministic
+    * first-wins tie-break in a fixed language order). The driver corpus
+    * is synthetic ASCII, so this demonstrates the operator shape — a
+    * real deployment swaps the lexicons. */
+  def langId(documents: DataFrame): DataFrame = {
+    val scores = Seq(
+      "en" -> (occurrences(col("text"), "the ") + occurrences(col("text"), "a ")
+        + occurrences(col("text"), "and ")),
+      "de" -> (occurrences(col("text"), "der ") + occurrences(col("text"), "und ")
+        + occurrences(col("text"), "die ")),
+      "fr" -> (occurrences(col("text"), "le ") + occurrences(col("text"), "la ")
+        + occurrences(col("text"), "et ")),
+      "es" -> (occurrences(col("text"), "el ") + occurrences(col("text"), "los ")
+        + occurrences(col("text"), "y ")))
+    // argmax with first-wins tie-break, expressed as a when-cascade
+    val Seq(en, de, fr, es) = scores.map(_._2)
+    val pred = when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+    documents.select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      en.as("score_en"), de.as("score_de"), fr.as("score_fr"), es.as("score_es"),
+      pred.as("predicted_lang"))
+  }
+
+  /** Canonical-form fingerprint (md5 of the normalized text) plus a
+    * shingle fingerprint: the minimum md5 over all 3-token shingles —
+    * the min-hash form of a rolling-window content signature, robust to
+    * local edits in a way the whole-document hash is not. */
+  def fingerprints(documents: DataFrame): DataFrame = {
+    // materialize the token array first — an inline split() inside the
+    // shingle lambda re-tokenizes the text per shingle index (O(n²))
+    val withToks = documents.select(col("doc_id"), col("text"),
+      tokens(col("text")).as("toks"))
+    val n = size(col("toks"))
+    val shingles = transform(
+      sequence(lit(1), greatest(n - 2, lit(1))),
+      i => concat_ws(" ", slice(col("toks"), i, lit(3))))
+    withToks.select(
+      col("doc_id"),
+      md5(col("text").cast("binary")).as("content_md5"),
+      array_min(transform(shingles, s => md5(s.cast("binary"))))
+        .as("min_shingle_md5"),
+      n.as("n_tokens"))
+  }
+}

@@ -1,0 +1,347 @@
+package graft.oracle
+
+/** DuckDB oracle SQL for the extension operator families (graft.ext.*).
+  *
+  * Cross-engine determinism rules (see the ext Scaladoc): DECIMAL sums,
+  * integer-quantized vector arithmetic, md5-based hashing, single IEEE
+  * double divisions, explicit tie-breaks on every rank/limit.
+  */
+object OracleSqlExt {
+
+  // ---------------------------------------------------------------- TPC-H
+
+  val q1Pricing: String = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS sum_disc_price,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS sum_charge,
+       count(*) AS count_order,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus"""
+
+  val q3Shipping: String = """
+SELECT o.o_orderkey,
+       SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+       o.o_orderpriority AS order_priority
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 10"""
+
+  val q5RegionVolume: String = """
+SELECT n.n_name AS nation,
+       SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name"""
+
+  val windowTopOrders: String = """
+SELECT o_custkey, o_orderkey,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS total_price, rank
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders)
+WHERE rank <= 3"""
+
+  val windowRunningSpend: String = """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS total_price,
+       SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+FROM orders"""
+
+  val rollupRevenue: String = """
+SELECT r.r_name AS region_name, n.n_name AS nation_name,
+       SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP(r.r_name, n.n_name)"""
+
+  val setopSegments: String = """
+SELECT c_custkey, 'building_no_open' AS set_kind FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+UNION ALL
+SELECT c_custkey, 'highbal_open' AS set_kind FROM (
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')"""
+
+  // --------------------------------------------------------------- events
+
+  val eventsTumbling: String = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+FROM events
+GROUP BY 1, 2"""
+
+  val eventsSliding: String = """
+SELECT strftime(time_bucket(INTERVAL '30 minutes', ts) - i * INTERVAL '30 minutes',
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events
+FROM events, (VALUES (0), (1)) t(i)
+GROUP BY 1, 2"""
+
+  val eventsSession: String = """
+WITH marks AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+grp AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marks)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+FROM grp GROUP BY user_id, sid"""
+
+  val eventsFirst: String = """
+SELECT user_id, event_type,
+       min(event_id) AS first_event_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+       count(*) AS n_total
+FROM events GROUP BY user_id, event_type"""
+
+  // ----------------------------------------------------------------- text
+
+  private val occ =
+    (needle: String, len: Int) =>
+      s"CAST((length(text) - length(replace(text, '$needle', ''))) / $len AS INT)"
+
+  val textStats: String = s"""
+SELECT doc_id, lang,
+       length(text) AS n_chars,
+       len(string_split(text, ' ')) AS n_tokens,
+       ${occ("the ", 4)} + ${occ("a ", 2)} AS n_stopwords,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+       CAST(${occ("the ", 4)} + ${occ("a ", 2)} AS DOUBLE)
+         / len(string_split(text, ' ')) AS stopword_ratio,
+       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         / len(string_split(text, ' ')) AS distinct_ratio,
+       least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100) AS length_score
+FROM documents"""
+
+  val textQuality: String = s"""
+SELECT doc_id,
+       least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100) * 0.4
+       + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) * 0.4
+       + least(1.0, CAST(${occ("the ", 4)} + ${occ("a ", 2)} AS DOUBLE) / 5) * 0.2
+         AS quality_score
+FROM documents"""
+
+  val textLangId: String = s"""
+WITH s AS (
+  SELECT doc_id, lang,
+         ${occ("the ", 4)} + ${occ("a ", 2)} + ${occ("and ", 4)} AS score_en,
+         ${occ("der ", 4)} + ${occ("und ", 4)} + ${occ("die ", 4)} AS score_de,
+         ${occ("le ", 3)} + ${occ("la ", 3)} + ${occ("et ", 3)} AS score_fr,
+         ${occ("el ", 3)} + ${occ("los ", 4)} + ${occ("y ", 2)} AS score_es
+  FROM documents)
+SELECT doc_id, lang AS labeled_lang, score_en, score_de, score_fr, score_es,
+       CASE WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+            WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+            WHEN score_fr >= score_es THEN 'fr'
+            ELSE 'es' END AS predicted_lang
+FROM s"""
+
+  val textFingerprint: String = """
+WITH toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         array_to_string(t[i:i+2], ' ') AS s
+  FROM toks, UNNEST(range(1, greatest(n - 2, 1) + 1)) u(i))
+SELECT k.doc_id,
+       md5(k.text) AS content_md5,
+       (SELECT min(md5(s)) FROM sh WHERE sh.doc_id = k.doc_id) AS min_shingle_md5,
+       k.n AS n_tokens
+FROM toks k"""
+
+  // ---------------------------------------------------------------- dedup
+
+  val dedupExact: String = """
+SELECT doc_id, md5(text) AS content_md5,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_doc_id,
+       count(*) OVER (PARTITION BY md5(text)) AS group_size,
+       doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+FROM documents"""
+
+  /** Shared shingle CTEs for the minhash / ngram oracles. */
+  private val shingleCtes: String = """
+WITH toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+sh AS (
+  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
+  FROM toks, UNNEST(range(1, greatest(n - 2, 1) + 1)) u(i)),
+dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+dsz AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id)"""
+
+  val dedupMinhash: String = shingleCtes + """,
+hashes AS (
+  SELECT doc_id, s,
+         ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
+         ('0x' || substr(md5(s), 9, 8))::BIGINT AS h2
+  FROM sh),
+sig AS (
+  SELECT doc_id, j,
+         min((h1 + j * h2) % 4294967311) AS mh
+  FROM hashes, UNNEST(range(0, 8)) t(j)
+  GROUP BY doc_id, j),
+bands AS (
+  SELECT doc_id, j // 2 AS b,
+         string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j) AS band
+  FROM sig GROUP BY doc_id, j // 2),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS ni
+  FROM cand c
+  JOIN dsh x ON x.doc_id = c.doc_a
+  JOIN dsh y ON y.doc_id = c.doc_b AND y.s = x.s
+  GROUP BY c.doc_a, c.doc_b)
+SELECT i.doc_a, i.doc_b,
+       CAST(ni AS DOUBLE) / CAST(za.n + zb.n - ni AS DOUBLE) AS jaccard
+FROM inter i
+JOIN dsz za ON za.doc_id = i.doc_a
+JOIN dsz zb ON zb.doc_id = i.doc_b
+WHERE CAST(ni AS DOUBLE) / CAST(za.n + zb.n - ni AS DOUBLE) >= 0.5"""
+
+  val dedupSimhash: String = """
+WITH dtok AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM dtok),
+bitsum AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS contrib
+  FROM th, UNNEST(range(0, 32)) t(b)
+  GROUP BY doc_id, b),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN contrib > 0 THEN (1::BIGINT << b) ELSE 0 END)
+              AS BIGINT) AS simhash32
+  FROM bitsum GROUP BY doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash32
+FROM sig a JOIN sig b ON a.simhash32 = b.simhash32 AND a.doc_id < b.doc_id"""
+
+  val dedupNgram: String = shingleCtes + """,
+keyed AS (
+  SELECT doc_id, t[1] AS block_key FROM toks),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM keyed a JOIN keyed b ON a.block_key = b.block_key AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS ni
+  FROM cand c
+  JOIN dsh x ON x.doc_id = c.doc_a
+  JOIN dsh y ON y.doc_id = c.doc_b AND y.s = x.s
+  GROUP BY c.doc_a, c.doc_b)
+SELECT i.doc_a, i.doc_b,
+       CAST(ni AS DOUBLE) / CAST(za.n + zb.n - ni AS DOUBLE) AS jaccard
+FROM inter i
+JOIN dsz za ON za.doc_id = i.doc_a
+JOIN dsz zb ON zb.doc_id = i.doc_b
+WHERE CAST(ni AS DOUBLE) / CAST(za.n + zb.n - ni AS DOUBLE) >= 0.3"""
+
+  // ----------------------------------------------------------- embeddings
+
+  private val quantCte: String = """
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings)"""
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
+
+  private def norm2Sql(a: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i]))"
+
+  private def cosineSql(a: String, b: String): String =
+    s"CAST(${dotSql(a, b)} AS DOUBLE) / sqrt(CAST(${norm2Sql(a)} * ${norm2Sql(b)} AS DOUBLE))"
+
+  val embedTopK: String = quantCte + s""",
+qs AS (SELECT vec_id AS query_id, qv AS qq FROM q WHERE vec_id % 97 = 0),
+scored AS (
+  SELECT qs.query_id, q.vec_id, ${cosineSql("qs.qq", "q.qv")} AS cosine
+  FROM q, qs WHERE q.vec_id <> qs.query_id),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, rank, vec_id AS neighbor_id, cosine FROM ranked WHERE rank <= 5"""
+
+  val embedLshNearDups: String = quantCte + s""",
+dots AS (
+  SELECT vec_id, j,
+         list_sum(list_transform(range(0, 64),
+           i -> CASE WHEN (((1103515245 * (j * 64 + i) + 12345) % 2147483648) >> 16) % 2 = 0
+                     THEN qv[i + 1] ELSE -qv[i + 1] END)) AS dotj
+  FROM q, UNNEST(range(0, 12)) t(j)),
+sig AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN dotj > 0 THEN (1::BIGINT << j) ELSE 0 END)
+              AS BIGINT) AS sig
+  FROM dots GROUP BY vec_id),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.sig
+  FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+SELECT p.vec_a, p.vec_b, p.sig, ${cosineSql("qa.qv", "qb.qv")} AS cosine
+FROM pairs p
+JOIN q qa ON qa.vec_id = p.vec_a
+JOIN q qb ON qb.vec_id = p.vec_b"""
+
+  val embedIvfTopK: String = quantCte + s""",
+qs AS (SELECT vec_id AS query_id, label, qv AS qq FROM q WHERE vec_id % 97 = 0),
+scored AS (
+  SELECT qs.query_id, q.label, q.vec_id, ${cosineSql("qs.qq", "q.qv")} AS cosine
+  FROM q JOIN qs ON q.label = qs.label AND q.vec_id <> qs.query_id),
+ranked AS (
+  SELECT query_id, label, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, label, rank, vec_id AS neighbor_id, cosine FROM ranked WHERE rank <= 5"""
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Analytics, DedupOps, EmbedOps, TextOps}
+
+/** Behavior tests of the extension operators on tiny controlled frames. */
+class ExtOpsSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup maps duplicates to the minimum doc_id") {
+    val d = DedupOps.exactDups(docs(
+      1L -> "alpha beta gamma", 2L -> "alpha beta gamma", 3L -> "other text here"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("canonical_doc_id"), r.getAs[Boolean]("is_duplicate"))).toMap
+    assert(d(1L) == (1L, false))
+    assert(d(2L) == (1L, true))
+    assert(d(3L) == (3L, false))
+  }
+
+  test("minhash finds near-duplicates and skips unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val far = "completely different content about database engines and query plans"
+    val pairs = DedupOps.minhashNearDups(
+      docs(1L -> base, 2L -> near, 3L -> far), threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash is identical for identical token multisets") {
+    val s = DedupOps.simhash(docs(
+      1L -> "a b c d e f g h", 2L -> "a b c d e f g h", 3L -> "x y z w v u t s"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash32")).toMap
+    assert(s(1L) == s(2L))
+    assert(s(1L) != s(3L))
+  }
+
+  test("cosine of identical vectors is 1.0 and tops the ranking") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 2.0f), 0),
+      (97L, Array(1.0f, 0.0f, 2.0f), 0),   // query — 97 % 97 == 0
+      (5L, Array(-1.0f, 0.5f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val top = EmbedOps.bruteForceTopK(emb, k = 2).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toMap
+    val (bestId, bestCos) = top((97L, 1))
+    assert(bestId == 0L)
+    assert(math.abs(bestCos - 1.0) < 1e-12)
+  }
+
+  test("token stats and quality score are sane") {
+    val r = TextOps.stats(docs(1L -> "the cat sat on a mat")
+      .withColumn("lang", lit("en"))).head
+    assert(r.getAs[Int]("n_tokens") == 6)
+    assert(r.getAs[Int]("n_stopwords") == 2) // "the " + "a "
+    val q = TextOps.qualityScore(docs(1L -> "the cat sat on a mat")).head
+    val score = q.getAs[Double]("quality_score")
+    assert(score > 0.0 && score <= 1.0)
+  }
+
+  test("q1 pricing aggregates one group correctly") {
+    import spark.implicits._
+    val li = Seq(
+      ("A", "F", 10.0, 100.0, 0.10, 0.05, java.sql.Timestamp.valueOf("1995-01-01 00:00:00")),
+      ("A", "F", 20.0, 200.0, 0.00, 0.00, java.sql.Timestamp.valueOf("1995-01-02 00:00:00")))
+      .toDF("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate")
+    val r = Analytics.pricingSummary(li).head
+    assert(r.getAs[java.math.BigDecimal]("sum_qty").doubleValue() == 30.0)
+    assert(r.getAs[java.math.BigDecimal]("sum_base_price").doubleValue() == 300.0)
+    // disc_price = 100*0.9 + 200*1.0 = 290; charge = 90*1.05 + 200 = 294.5
+    assert(r.getAs[java.math.BigDecimal]("sum_disc_price").doubleValue() == 290.0)
+    assert(r.getAs[java.math.BigDecimal]("sum_charge").doubleValue() == 294.5)
+    assert(r.getAs[Long]("count_order") == 2L)
+  }
+}
