@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.{Analytics, DedupOps, EmbedOps, EventOps, TextOps}
+import graft.ext.{Analytics, DedupOps, EmbedOps, EventOps, MultiModal, TextOps}
 import graft.oracle.{OracleSql, OracleSqlExt}
 import graft.pipeline.{MatchFixture, MatchPipeline}
 
@@ -58,6 +58,10 @@ object SparkEntry {
     "pipe_status_updates" -> ((s, d) => MatchPipeline.statusUpdates(decided(s, d))),
     "pipe_batch_failures" -> ((s, d) => MatchPipeline.batchFailures(decided(s, d))),
     "pipe_metrics" -> ((s, d) => MatchPipeline.metrics(decided(s, d))),
+    "pipe_sqs_attrs" -> ((s, d) => pipeline.EmailJobs.sqsEnvelope(
+      decided(s, d).filter(org.apache.spark.sql.functions.col("action") === "email_triggered"),
+      org.apache.spark.sql.functions.lit("2024-01-20T00:00:00.000Z"),
+      org.apache.spark.sql.functions.lit(1705708800000L)).drop("body")),
 
     // ---- TPC-H-style analytics: joins/aggs/windows/set-ops/sort-limit --
     "q1_pricing" -> ((s, d) => Analytics.pricingSummary(Tables.lineitem(s, d))),
@@ -100,7 +104,12 @@ object SparkEntry {
     // ---- similarity search over `embeddings` --------------------------
     "embed_topk" -> ((s, d) => EmbedOps.bruteForceTopK(emb(s, d))),
     "embed_lsh_neardup" -> ((s, d) => EmbedOps.lshNearDups(emb(s, d))),
-    "embed_ivf_topk" -> ((s, d) => EmbedOps.ivfTopK(emb(s, d)))
+    "embed_ivf_topk" -> ((s, d) => EmbedOps.ivfTopK(emb(s, d))),
+
+    // ---- multimodal binary-column plumbing (stubbed decode) -----------
+    "mm_features" -> ((s, d) => MultiModal.features(docs(s, d))),
+    "mm_resize" -> ((s, d) => MultiModal.resizePlan(docs(s, d))),
+    "mm_frames" -> ((s, d) => MultiModal.frameSamplePlan(docs(s, d)))
   )
 
   private def docs(s: SparkSession, d: String): DataFrame =
@@ -117,6 +126,7 @@ object SparkEntry {
     "pipe_status_updates" -> OracleSql.pipeStatusUpdates,
     "pipe_batch_failures" -> OracleSql.pipeBatchFailures,
     "pipe_metrics" -> OracleSql.pipeMetrics,
+    "pipe_sqs_attrs" -> OracleSql.pipeSqsAttrs,
 
     "q1_pricing" -> OracleSqlExt.q1Pricing,
     "q3_shipping" -> OracleSqlExt.q3Shipping,
@@ -143,6 +153,10 @@ object SparkEntry {
 
     "embed_topk" -> OracleSqlExt.embedTopK,
     "embed_lsh_neardup" -> OracleSqlExt.embedLshNearDups,
-    "embed_ivf_topk" -> OracleSqlExt.embedIvfTopK
+    "embed_ivf_topk" -> OracleSqlExt.embedIvfTopK,
+
+    "mm_features" -> OracleSqlExt.mmFeatures,
+    "mm_resize" -> OracleSqlExt.mmResize,
+    "mm_frames" -> OracleSqlExt.mmFrames
   )
 }

@@ -198,6 +198,22 @@ FROM d WHERE action IN ('duplicate_prevented','email_triggered')"""
   val pipeBatchFailures: String = fixtureCte + """
 SELECT record_id AS item_identifier FROM d WHERE action = 'error'"""
 
+  /** O14's envelope minus the JSON body (JSON text formatting is
+    * engine-specific; the body shape is asserted by EmailJobsSpec).
+    * Timestamps are injected constants — SURVEY.md §7.4 determinism. */
+  val pipeSqsAttrs: String = fixtureCte + """
+SELECT 'email_' || event_id || '_' || guest_id || '_1705708800000' AS id,
+       'photo_match_notification' AS type,
+       'photo_match_notification' AS attr_message_type,
+       event_id AS attr_event_id,
+       guest_id AS attr_guest_id,
+       lower(guest_email) AS attr_guest_email,
+       CASE WHEN total_matches >= 10 THEN 'high' ELSE 'normal' END AS attr_priority,
+       CAST(total_matches AS VARCHAR) AS attr_total_matches,
+       CAST(CASE WHEN total_matches >= 10 THEN 0 ELSE 5 END AS INT) AS delay_seconds,
+       event_id || '-' || lower(guest_email) AS dedup_id
+FROM d WHERE action = 'email_triggered'"""
+
   val pipeMetrics: String = fixtureCte + """
 SELECT CAST(count(*) AS BIGINT) AS total_records,
        CAST(SUM(CASE WHEN action <> 'error' THEN 1 ELSE 0 END) AS BIGINT) AS processed_records,

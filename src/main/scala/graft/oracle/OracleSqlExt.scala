@@ -285,6 +285,47 @@ JOIN dsz za ON za.doc_id = i.doc_a
 JOIN dsz zb ON zb.doc_id = i.doc_b
 WHERE CAST(ni AS DOUBLE) / CAST(za.n + zb.n - ni AS DOUBLE) >= 0.3"""
 
+  // ----------------------------------------------------------- multimodal
+
+  /** Mirror of MultiModal.mediaTable + decodeStub over ASCII payloads:
+    * byte values are code points, md5 of the text equals md5 of its
+    * UTF-8 bytes. */
+  val mmFeatures: String = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg'
+            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS media_type,
+       CAST(length(text) AS INT) AS byte_len,
+       md5(text) AS content_hash,
+       CAST(list_sum(list_transform(range(1, 17), i -> ascii(substr(text, i, 1))))
+            AS DOUBLE) / 16 AS brightness,
+       ascii(substr(text, 1, 1)) / 255.0 AS f0,
+       ascii(substr(text, 2, 1)) / 255.0 AS f1,
+       ascii(substr(text, 3, 1)) / 255.0 AS f2,
+       ascii(substr(text, 4, 1)) / 255.0 AS f3
+FROM documents"""
+
+  val mmResize: String = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg'
+            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS media_type,
+       CAST(n_chars % 640 + 64 AS INT) AS width,
+       CAST(n_chars % 480 + 48 AS INT) AS height,
+       CAST(CASE WHEN (n_chars % 640 + 64) >= (n_chars % 480 + 48) THEN 224
+                 ELSE ((n_chars % 640 + 64) * 224) // (n_chars % 480 + 48)
+            END AS INT) AS target_w,
+       CAST(CASE WHEN (n_chars % 640 + 64) >= (n_chars % 480 + 48)
+                 THEN ((n_chars % 480 + 48) * 224) // (n_chars % 640 + 64)
+                 ELSE 224 END AS INT) AS target_h
+FROM documents"""
+
+  val mmFrames: String = """
+SELECT doc_id, CAST(length(text) AS INT) AS n_frames,
+       CAST(i AS INT) AS frame_idx
+FROM documents, UNNEST(range(0, length(text), 10)) t(i)
+WHERE doc_id % 3 = 2"""
+
   // ----------------------------------------------------------- embeddings
 
   private val quantCte: String = """
