@@ -105,6 +105,9 @@ object SparkEntry {
     "embed_topk" -> ((s, d) => EmbedOps.bruteForceTopK(emb(s, d))),
     "embed_lsh_neardup" -> ((s, d) => EmbedOps.lshNearDups(emb(s, d))),
     "embed_ivf_topk" -> ((s, d) => EmbedOps.ivfTopK(emb(s, d))),
+    // native codegen'd cosine expression — no SQL oracle (float-sum
+    // order is engine-specific), driver records a rows-only check
+    "embed_topk_native" -> ((s, d) => EmbedOps.bruteForceTopKNative(emb(s, d))),
 
     // ---- multimodal binary-column plumbing (stubbed decode) -----------
     "mm_features" -> ((s, d) => MultiModal.features(docs(s, d))),

@@ -92,6 +92,26 @@ object EmbedOps {
       .select(col("vec_a"), col("vec_b"), col("sig"), col("cosine"))
   }
 
+  /** Brute-force top-k on the RAW float vectors via the native codegen'd
+    * cosine_sim expression (graft.functions.CosineSimilarity) — the
+    * performance path when cross-engine bit-exactness isn't required
+    * (float accumulation order differs between engines, so this variant
+    * gets a rows-only gate, not a hash oracle). */
+  def bruteForceTopKNative(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    graft.functions.CosineSimilarity.register(embeddings.sparkSession)
+    val base = embeddings.select(col("vec_id"), col("embedding"))
+    val queries = base.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    base.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", expr("cosine_sim(qe, embedding)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cosine"))
+  }
+
   /** IVF-style top-k: the coarse quantizer is the `label` column — each
     * query searches only its own partition (1/10th of the corpus here;
     * 1/nlist in general). The exact analog of probing one inverted
