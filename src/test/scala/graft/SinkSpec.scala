@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{MatchFixture, MatchPipeline}
+import graft.sink.EmailJobSink
+
+/** Idempotent sink behavior: replay cannot double-send; status merge is
+  * last-write-wins. */
+class SinkSpec extends SparkSpec {
+
+  private def decidedFor(ks: Long*) = {
+    import spark.implicits._
+    MatchPipeline.decide(MatchFixture.envelope(
+      ks.map(k => (k, s"Customer#$k")).toDF("c_custkey", "c_name")))
+  }
+
+  test("appendJobs is idempotent under batch replay") {
+    val dir = Files.createTempDirectory("graft-jobs").toString + "/jobs"
+    val jobs = MatchPipeline.emailJobs(decidedFor(18L, 32L))
+    assert(EmailJobSink.appendJobs(jobs, dir) == 2L)
+    // replay the same batch: nothing new lands
+    assert(EmailJobSink.appendJobs(jobs, dir) == 0L)
+    assert(spark.read.parquet(dir).count() == 2L)
+    // a later batch with one overlapping dedup key writes only the new row
+    val jobs2 = MatchPipeline.emailJobs(decidedFor(32L, 42L))
+    assert(EmailJobSink.appendJobs(jobs2, dir) == 1L)
+    assert(spark.read.parquet(dir).select("dedup_id").distinct().count() == 3L)
+  }
+
+  test("mergeStatus is last-write-wins by (event_id, guest_id)") {
+    val dir = Files.createTempDirectory("graft-status").toString + "/status"
+    EmailJobSink.mergeStatus(
+      MatchPipeline.statusUpdates(decidedFor(18L)), dir)
+    val first = spark.read.parquet(dir).collect()
+    assert(first.length == 1 &&
+      first.head.getAs[String]("delivery_status") == "processing")
+    // same key reappears as a duplicate in a later batch → delivered wins
+    import spark.implicits._
+    val manual = Seq(("ev18", "g18", "delivered"))
+      .toDF("event_id", "guest_id", "new_delivery_status")
+    EmailJobSink.mergeStatus(manual, dir)
+    val after = spark.read.parquet(dir).collect()
+    assert(after.length == 1 &&
+      after.head.getAs[String]("delivery_status") == "delivered")
+  }
+}
