@@ -1,0 +1,35 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump formatted physical plans for the flagship queries to a
+  * file (PLANS.md source material). Run:
+  *   runMain graft.tools.PlanDump <outFile> [query,query,...]
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/plans.txt")
+    val only = args.drop(1).headOption.map(_.split(",").toSet)
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sb = new StringBuilder
+    graft.SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .toSeq.sortBy(_._1)
+      .foreach { case (name, fn) =>
+        val df = fn(spark, "/root/testdata/sf0.001")
+        sb.append(s"===== $name =====\n")
+        sb.append(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+        sb.append("\n")
+      }
+    Files.writeString(Paths.get(out), sb.toString)
+    spark.stop()
+  }
+}
