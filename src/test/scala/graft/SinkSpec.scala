@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.pipeline.{MatchFixture, MatchPipeline}
 import graft.sink.EmailJobSink
+import graft.streaming.StreamPipeline
 
 /** Idempotent sink behavior: replay cannot double-send; status merge is
   * last-write-wins. */
@@ -45,5 +46,34 @@ class SinkSpec extends SparkSpec {
     val after = spark.read.parquet(dir).collect()
     assert(after.length == 1 &&
       after.head.getAs[String]("delivery_status") == "delivered")
+  }
+
+  test("streaming foreachBatch sink: triggered jobs land once, status merges") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-stream-sink").toString
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val envelope = MatchFixture.envelope(
+      input.toDF().toDF("c_custkey", "c_name"))
+    val q = StreamPipeline.startWithSink(envelope, s"$base/ck",
+      s"$base/jobs", s"$base/status")
+    try {
+      input.addData((28L, "Customer#28"), (578L, "Customer#578"))
+      q.processAllAvailable()
+      // same email key again in a later batch: no new job, status stays
+      input.addData((1128L, "Customer#1128"))
+      q.processAllAvailable()
+      val jobs = spark.read.parquet(s"$base/jobs")
+      assert(jobs.count() == 1L)
+      assert(jobs.head.getAs[String]("dedup_id").startsWith("ev28-"))
+      val status = spark.read.parquet(s"$base/status").collect()
+      // g28 processing (triggered); g578 & g1128 delivered (duplicates)
+      val byGuest = status.map(r => r.getAs[String]("guest_id") ->
+        r.getAs[String]("delivery_status")).toMap
+      assert(byGuest("g28") == "processing")
+      assert(byGuest("g578") == "delivered")
+      assert(byGuest("g1128") == "delivered")
+    } finally q.stop()
   }
 }
