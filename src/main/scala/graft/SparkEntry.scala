@@ -94,6 +94,7 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextOps.qualityScore(docs(s, d))),
     "text_langid" -> ((s, d) => TextOps.langId(docs(s, d))),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprints(docs(s, d))),
+    "text_tokens" -> ((s, d) => TextOps.tokenCounts(docs(s, d))),
 
     // ---- deduplication over `documents` -------------------------------
     "dedup_exact" -> ((s, d) => DedupOps.exactDups(docs(s, d))),
@@ -148,6 +149,7 @@ object SparkEntry {
     "text_quality" -> OracleSqlExt.textQuality,
     "text_langid" -> OracleSqlExt.textLangId,
     "text_fingerprint" -> OracleSqlExt.textFingerprint,
+    "text_tokens" -> OracleSqlExt.textTokens,
 
     "dedup_exact" -> OracleSqlExt.dedupExact,
     "dedup_minhash" -> OracleSqlExt.dedupMinhash,

@@ -91,6 +91,22 @@ object TextOps {
       pred.as("predicted_lang"))
   }
 
+  /** Token counting two ways: whitespace words, and a BPE-ish subword
+    * estimate — each word contributes ceil(len/4) pieces, the regex-free
+    * arithmetic equivalent of counting matches of `[a-z0-9]{1,4}` within
+    * words — plus the resulting chars-per-token ratio (the usual
+    * tokenizer-budget planning statistic). */
+  def tokenCounts(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val bpe = aggregate(toks, lit(0L),
+      (acc, w) => acc + floor((length(w) + 3) / 4).cast("long"))
+    documents.select(
+      col("doc_id"),
+      size(toks).as("ws_tokens"),
+      bpe.cast("int").as("bpe_tokens"),
+      (length(col("text")).cast("double") / bpe).as("chars_per_bpe_token"))
+  }
+
   /** Canonical-form fingerprint (md5 of the normalized text) plus a
     * shingle fingerprint: the minimum md5 over all 3-token shingles —
     * the min-hash form of a rolling-window content signature, robust to

@@ -63,6 +63,7 @@ object Model {
     StructField("eventName", StringType), // INSERT | MODIFY | REMOVE
     StructField("eventSourceARN", StringType),
     StructField("dynamodb", StructType(Seq(
+      StructField("SequenceNumber", StringType), // per-shard order
       StructField("NewImage", imageSchema),
       StructField("OldImage", imageSchema))))))
 

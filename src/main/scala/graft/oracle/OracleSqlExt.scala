@@ -180,6 +180,16 @@ SELECT doc_id, lang AS labeled_lang, score_en, score_de, score_fr, score_es,
             ELSE 'es' END AS predicted_lang
 FROM s"""
 
+  val textTokens: String = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       CAST(list_sum(list_transform(string_split(text, ' '),
+                                    w -> (length(w) + 3) // 4)) AS INT) AS bpe_tokens,
+       CAST(length(text) AS DOUBLE)
+         / list_sum(list_transform(string_split(text, ' '),
+                                   w -> (length(w) + 3) // 4)) AS chars_per_bpe_token
+FROM documents"""
+
   val textFingerprint: String = """
 WITH toks AS (
   SELECT doc_id, text, string_split(text, ' ') AS t,
