@@ -1,0 +1,24 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions installer for the library's native functions —
+  * the build-time registration path (`spark.sql.extensions=
+  * graft.functions.GraftExtensions` or
+  * `SparkSession.builder.withExtensions(new GraftExtensions)`);
+  * CosineSimilarity.register is the equivalent runtime form. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(
+        classOf[CosineSimilarity].getName, "cosine_sim",
+        "cosine_sim(a, b) - cosine similarity of two float vectors"),
+      { children: Seq[Expression] =>
+        require(children.length == 2, "cosine_sim takes exactly 2 arguments")
+        CosineSimilarity(children.head, children(1))
+      }))
+  }
+}

@@ -58,4 +58,18 @@ class CosineSimilaritySpec extends SparkSpec {
       .eval(null).asInstanceOf[Double]
     assert(math.abs(viaExpr - ev) < 1e-15)
   }
+
+  test("GraftExtensions installs the cosine_sim builder and SQL resolves it") {
+    // applying the installer to a fresh extensions object must register
+    // the function builder without error
+    new graft.functions.GraftExtensions()(
+      new org.apache.spark.sql.SparkSessionExtensions)
+    // and the same builder, registered in the live session, resolves in SQL
+    CosineSimilarity.register(spark)
+    import spark.implicits._
+    Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+      .createOrReplaceTempView("vv")
+    val r = spark.sql("select cosine_sim(a, b) c from vv").head.getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
 }
