@@ -38,18 +38,29 @@ object EmbedOps {
     qdot(qa, qb).cast("double") /
       sqrt(qnorm2(qa).cast("double") * qnorm2(qb).cast("double"))
 
+  /** Cosine from a per-pair dot and per-VECTOR precomputed squared norms
+    * (the norms are attributes from below the join — recomputing them
+    * inside the pair stage triples the interpreted per-pair HOF work).
+    * Arithmetic identical to the oracle: integer product, one cast, one
+    * sqrt, one division. */
+  private def cosineFromParts(dot: Column, n2a: Column, n2b: Column): Column =
+    dot.cast("double") / sqrt((n2a * n2b).cast("double"))
+
   /** Brute-force top-k cosine neighbors for the query subset
     * (vec_id % 97 == 0): broadcast the quantized queries against the
     * full table, rank per query with a deterministic tie-break. */
   def bruteForceTopK(embeddings: DataFrame, k: Int = 5): DataFrame = {
     val base = embeddings.select(
       col("vec_id"), quantized(col("embedding")).as("q"))
+      .withColumn("n2", qnorm2(col("q")))
     val queries = base.filter(col("vec_id") % 97 === 0)
-      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("n2").as("n2q"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     base.join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("qq"), col("q")))
+      .withColumn("cosine",
+        cosineFromParts(qdot(col("qq"), col("q")), col("n2q"), col("n2")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
@@ -84,11 +95,15 @@ object EmbedOps {
     val sigs = embeddings.select(
       col("vec_id"), quantized(col("embedding")).as("q"))
       .withColumn("sig", lshSignature(col("q")))
-    val a = sigs.select(col("sig"), col("vec_id").as("vec_a"), col("q").as("qa"))
-    val b = sigs.select(col("sig"), col("vec_id").as("vec_b"), col("q").as("qb"))
+      .withColumn("n2", qnorm2(col("q")))
+    val a = sigs.select(col("sig"), col("vec_id").as("vec_a"),
+      col("q").as("qa"), col("n2").as("n2a"))
+    val b = sigs.select(col("sig"), col("vec_id").as("vec_b"),
+      col("q").as("qb"), col("n2").as("n2b"))
     a.join(b, Seq("sig"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cosine", cosine(col("qa"), col("qb")))
+      .withColumn("cosine",
+        cosineFromParts(qdot(col("qa"), col("qb")), col("n2a"), col("n2b")))
       .select(col("vec_a"), col("vec_b"), col("sig"), col("cosine"))
   }
 
@@ -119,14 +134,16 @@ object EmbedOps {
   def ivfTopK(embeddings: DataFrame, k: Int = 5): DataFrame = {
     val base = embeddings.select(
       col("vec_id"), col("label"), quantized(col("embedding")).as("q"))
+      .withColumn("n2", qnorm2(col("q")))
     val queries = base.filter(col("vec_id") % 97 === 0)
       .select(col("vec_id").as("query_id"), col("label"),
-        col("q").as("qq"))
+        col("q").as("qq"), col("n2").as("n2q"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     base.join(broadcast(queries), Seq("label"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("qq"), col("q")))
+      .withColumn("cosine",
+        cosineFromParts(qdot(col("qq"), col("q")), col("n2q"), col("n2")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("label"), col("rank"),
