@@ -14,6 +14,14 @@ import org.apache.spark.sql.functions._
   * and averages are derived from exact sums with a single IEEE double
   * division. Top-K queries always carry a unique tie-break key.
   *
+  * Output rendering: aggregated DECIMAL results are emitted as canonical
+  * STRINGS (`cast(... as string)`, full scale, e.g. "138014.00"), never as
+  * DECIMAL columns. A decimal column read back with scale preserved renders
+  * trailing zeros ("138014.00") while a float64 path renders the shortest
+  * repr ("138014.0"); emitting the exact decimal digits as a string makes
+  * the value representation-independent across engines. Raw double columns
+  * pass through untouched (bit-identical on both sides).
+  *
   * Scale posture: fact-to-fact joins (orders⋈lineitem) shuffle on the
   * join key; dimension joins (region/nation/customer) are broadcast.
   * Aggregations are partial+final (map-side combine) by construction.
@@ -31,17 +39,22 @@ object Analytics {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec("l_quantity")).as("sum_qty"),
-        sum(dec("l_extendedprice")).as("sum_base_price"),
+        sum(dec("l_quantity")).as("sum_qty_d"),
+        sum(dec("l_extendedprice")).as("sum_base_price_d"),
         sum(dec("l_extendedprice") * (lit(1).cast("decimal(3,2)") - dec("l_discount", 4)))
-          .as("sum_disc_price"),
+          .as("sum_disc_price_d"),
         sum(dec("l_extendedprice") * (lit(1).cast("decimal(3,2)") - dec("l_discount", 4))
-          * (lit(1).cast("decimal(3,2)") + dec("l_tax", 4))).as("sum_charge"),
+          * (lit(1).cast("decimal(3,2)") + dec("l_tax", 4))).as("sum_charge_d"),
         count(lit(1)).as("count_order"))
-      .withColumn("avg_qty",
-        col("sum_qty").cast("double") / col("count_order"))
-      .withColumn("avg_price",
-        col("sum_base_price").cast("double") / col("count_order"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        col("sum_qty_d").cast("string").as("sum_qty"),
+        col("sum_base_price_d").cast("string").as("sum_base_price"),
+        col("sum_disc_price_d").cast("string").as("sum_disc_price"),
+        col("sum_charge_d").cast("string").as("sum_charge"),
+        col("count_order"),
+        (col("sum_qty_d").cast("double") / col("count_order")).as("avg_qty"),
+        (col("sum_base_price_d").cast("double") / col("count_order")).as("avg_price"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   /** TPC-H Q3-shaped shipping priority: broadcast dim filter + two-fact
@@ -58,13 +71,13 @@ object Analytics {
       .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(dec("l_extendedprice") *
         (lit(1).cast("decimal(3,2)") - dec("l_discount", 4))).as("revenue"))
-      .select(
-        col("o_orderkey"),
-        col("revenue"),
-        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
-        col("o_orderpriority").as("order_priority"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
+      .select(
+        col("o_orderkey"),
+        col("revenue").cast("string").as("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_orderpriority").as("order_priority"))
   }
 
   /** TPC-H Q5-shaped regional volume: a chain of broadcast dimension
@@ -93,8 +106,9 @@ object Analytics {
       .join(supp, col("l_suppkey") === col("s_suppkey") && col("s_nk") === col("c_nk"))
       .groupBy(col("c_nation").as("nation"))
       .agg(sum(dec("l_extendedprice") *
-        (lit(1).cast("decimal(3,2)") - dec("l_discount", 4))).as("revenue"))
-      .orderBy(col("revenue").desc, col("nation"))
+        (lit(1).cast("decimal(3,2)") - dec("l_discount", 4))).as("revenue_d"))
+      .orderBy(col("revenue_d").desc, col("nation"))
+      .select(col("nation"), col("revenue_d").cast("string").as("revenue"))
   }
 
   /** Ranking window: top-3 orders per customer by value — row_number over
@@ -105,7 +119,7 @@ object Analytics {
     orders
       .select(
         col("o_custkey"), col("o_orderkey"),
-        dec("o_totalprice").as("total_price"),
+        col("o_totalprice").as("total_price"),
         row_number().over(w).as("rank"))
       .filter(col("rank") <= 3)
   }
@@ -119,8 +133,8 @@ object Analytics {
     orders.select(
       col("o_custkey"), col("o_orderkey"),
       date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
-      dec("o_totalprice").as("total_price"),
-      sum(dec("o_totalprice")).over(w).as("running_spend"))
+      col("o_totalprice").as("total_price"),
+      sum(dec("o_totalprice")).over(w).cast("string").as("running_spend"))
   }
 
   /** Hierarchical aggregate: revenue by region → nation with ROLLUP
@@ -135,7 +149,7 @@ object Analytics {
         col("o_custkey") === col("c_custkey"))
       .join(dims, col("c_nationkey") === col("n_nationkey"))
       .rollup(col("r_name").as("region_name"), col("n_name").as("nation_name"))
-      .agg(sum(dec("o_totalprice")).as("revenue"),
+      .agg(sum(dec("o_totalprice")).cast("string").as("revenue"),
         count(lit(1)).as("n_orders"))
   }
 

@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   * run under Structured Streaming with `withWatermark` — see
   * graft.streaming for the streaming assembly.
   *
-  * Determinism: `value` is cast to DECIMAL before summing; window starts
-  * are rendered as formatted strings so both engines compare wall-clock
-  * labels, not engine-specific timestamp encodings.
+  * Determinism: `value` is cast to DECIMAL before summing and the exact
+  * decimal sum is emitted as a canonical string (decimal output columns
+  * render trailing zeros differently across readers — see Analytics);
+  * window starts are rendered as formatted strings so both engines compare
+  * wall-clock labels, not engine-specific timestamp encodings.
   */
 object EventOps {
 
@@ -26,7 +28,8 @@ object EventOps {
       .agg(count(lit(1)).as("n_events"), sum(decValue).as("sum_value"))
       .select(
         date_format(col("w.start"), fmt).as("window_start"),
-        col("event_type"), col("n_events"), col("sum_value"))
+        col("event_type"), col("n_events"),
+        col("sum_value").cast("string").as("sum_value"))
 
   /** Sliding 1-hour windows every 30 minutes: each event lands in two
     * overlapping windows. */
@@ -50,7 +53,7 @@ object EventOps {
         col("user_id"),
         date_format(col("w.start"), fmt).as("session_start"),
         col("n_events"),
-        col("sum_value"))
+        col("sum_value").cast("string").as("sum_value"))
 
   /** Deduplication to the first event per (user, type) — the
     * deterministic form of dropDuplicates (min-by instead of

@@ -12,10 +12,10 @@ object OracleSqlExt {
 
   val q1Pricing: String = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS sum_disc_price,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS VARCHAR) AS sum_charge,
        count(*) AS count_order,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
@@ -24,23 +24,25 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus"""
 
   val q3Shipping: String = """
-SELECT o.o_orderkey,
-       SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS revenue,
-       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
-       o.o_orderpriority AS order_priority
-FROM customer c
-JOIN orders o ON o.o_custkey = c.c_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-WHERE c.c_mktsegment = 'BUILDING'
-  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
-  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
-GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
-ORDER BY revenue DESC, o.o_orderkey
-LIMIT 10"""
+SELECT o_orderkey, CAST(revenue AS VARCHAR) AS revenue, order_date, order_priority
+FROM (
+  SELECT o.o_orderkey,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS revenue,
+         strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+         o.o_orderpriority AS order_priority
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+    AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+  GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+  ORDER BY revenue DESC, o.o_orderkey
+  LIMIT 10)"""
 
   val q5RegionVolume: String = """
 SELECT n.n_name AS nation,
-       SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS revenue
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS revenue
 FROM region r
 JOIN nation n ON n.n_regionkey = r.r_regionkey
 JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -54,7 +56,7 @@ GROUP BY n.n_name"""
 
   val windowTopOrders: String = """
 SELECT o_custkey, o_orderkey,
-       CAST(o_totalprice AS DECIMAL(18,2)) AS total_price, rank
+       o_totalprice AS total_price, rank
 FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
          row_number() OVER (PARTITION BY o_custkey
@@ -65,15 +67,15 @@ WHERE rank <= 3"""
   val windowRunningSpend: String = """
 SELECT o_custkey, o_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-       CAST(o_totalprice AS DECIMAL(18,2)) AS total_price,
-       SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+       o_totalprice AS total_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS running_spend
 FROM orders"""
 
   val rollupRevenue: String = """
 SELECT r.r_name AS region_name, n.n_name AS nation_name,
-       SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS revenue,
        count(*) AS n_orders
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -98,7 +100,7 @@ SELECT c_custkey, 'highbal_open' AS set_kind FROM (
 SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        count(*) AS n_events,
-       SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS sum_value
 FROM events
 GROUP BY 1, 2"""
 
@@ -126,7 +128,7 @@ grp AS (
 SELECT user_id,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        count(*) AS n_events,
-       SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS sum_value
 FROM grp GROUP BY user_id, sid"""
 
   val eventsFirst: String = """

@@ -74,11 +74,12 @@ class ExtOpsSpec extends SparkSpec {
       .toDF("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
         "l_discount", "l_tax", "l_shipdate")
     val r = Analytics.pricingSummary(li).head
-    assert(r.getAs[java.math.BigDecimal]("sum_qty").doubleValue() == 30.0)
-    assert(r.getAs[java.math.BigDecimal]("sum_base_price").doubleValue() == 300.0)
+    // money sums are rendered as canonical full-scale decimal strings
+    assert(r.getAs[String]("sum_qty") == "30.00")
+    assert(r.getAs[String]("sum_base_price") == "300.00")
     // disc_price = 100*0.9 + 200*1.0 = 290; charge = 90*1.05 + 200 = 294.5
-    assert(r.getAs[java.math.BigDecimal]("sum_disc_price").doubleValue() == 290.0)
-    assert(r.getAs[java.math.BigDecimal]("sum_charge").doubleValue() == 294.5)
+    assert(r.getAs[String]("sum_disc_price") == "290.0000")
+    assert(r.getAs[String]("sum_charge") == "294.500000")
     assert(r.getAs[Long]("count_order") == 2L)
   }
 }
