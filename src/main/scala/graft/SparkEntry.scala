@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.{Analytics, DedupOps, EmbedOps, EventOps, MultiModal, TextOps}
+import graft.ext.{Analytics, DedupOps, EmbedOps, EventOps, MultiModal, TemporalJoins, TextOps}
 import graft.oracle.{OracleSql, OracleSqlExt}
 import graft.pipeline.{MatchFixture, MatchPipeline}
 
@@ -84,6 +84,10 @@ object SparkEntry {
     "events_session" -> ((s, d) => EventOps.sessions(Tables.events(s, d))),
     "events_first" -> ((s, d) => EventOps.firstEventPerUserType(Tables.events(s, d))),
 
+    // ---- temporal joins (as-of / range) over `events` -----------------
+    "events_asof" -> ((s, d) => TemporalJoins.clickAsOfPurchase(Tables.events(s, d))),
+    "events_range" -> ((s, d) => TemporalJoins.clicksAfterPurchase(Tables.events(s, d))),
+
     // ---- text analysis over `documents` -------------------------------
     // The testdata tables are single parquet files → a single input
     // partition; without an exchange, broadcast-join-only plans (the
@@ -106,6 +110,7 @@ object SparkEntry {
     "embed_topk" -> ((s, d) => EmbedOps.bruteForceTopK(emb(s, d))),
     "embed_lsh_neardup" -> ((s, d) => EmbedOps.lshNearDups(emb(s, d))),
     "embed_ivf_topk" -> ((s, d) => EmbedOps.ivfTopK(emb(s, d))),
+    "embed_neardup_exact" -> ((s, d) => EmbedOps.exactNearDups(emb(s, d))),
     // native codegen'd cosine expression — no SQL oracle (float-sum
     // order is engine-specific), driver records a rows-only check
     "embed_topk_native" -> ((s, d) => EmbedOps.bruteForceTopKNative(emb(s, d))),
@@ -144,6 +149,8 @@ object SparkEntry {
     "events_sliding" -> OracleSqlExt.eventsSliding,
     "events_session" -> OracleSqlExt.eventsSession,
     "events_first" -> OracleSqlExt.eventsFirst,
+    "events_asof" -> OracleSqlExt.eventsAsof,
+    "events_range" -> OracleSqlExt.eventsRange,
 
     "text_stats" -> OracleSqlExt.textStats,
     "text_quality" -> OracleSqlExt.textQuality,
@@ -159,6 +166,7 @@ object SparkEntry {
     "embed_topk" -> OracleSqlExt.embedTopK,
     "embed_lsh_neardup" -> OracleSqlExt.embedLshNearDups,
     "embed_ivf_topk" -> OracleSqlExt.embedIvfTopK,
+    "embed_neardup_exact" -> OracleSqlExt.embedNearDupExact,
 
     "mm_features" -> OracleSqlExt.mmFeatures,
     "mm_resize" -> OracleSqlExt.mmResize,

@@ -107,6 +107,30 @@ object EmbedOps {
       .select(col("vec_a"), col("vec_b"), col("sig"), col("cosine"))
   }
 
+  /** Exact cosine near-duplicate pairs within a coarse partition: every
+    * same-label pair with cosine ≥ threshold, brute force inside the
+    * partition. The exact complement of [[lshNearDups]] — LSH trades
+    * recall for an equi-join; this trades quadratic-in-partition cost
+    * for exactness, which is the right trade when a coarse key (label,
+    * cluster id, shard) already bounds partition size. At 100 TB the
+    * partitioner IS the index: pair count is Σ n_p² over partitions,
+    * never N². */
+  def exactNearDups(embeddings: DataFrame, threshold: Double = 0.35): DataFrame = {
+    val base = embeddings.select(
+      col("label"), col("vec_id"), quantized(col("embedding")).as("q"))
+      .withColumn("n2", qnorm2(col("q")))
+    val a = base.select(col("label"), col("vec_id").as("vec_a"),
+      col("q").as("qa"), col("n2").as("n2a"))
+    val b = base.select(col("label"), col("vec_id").as("vec_b"),
+      col("q").as("qb"), col("n2").as("n2b"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        cosineFromParts(qdot(col("qa"), col("qb")), col("n2a"), col("n2b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("label"), col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
   /** Brute-force top-k on the RAW float vectors via the native codegen'd
     * cosine_sim expression (graft.functions.CosineSimilarity) — the
     * performance path when cross-engine bit-exactness isn't required

@@ -131,6 +131,35 @@ SELECT user_id,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS sum_value
 FROM grp GROUP BY user_id, sid"""
 
+  val eventsAsof: String = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id, 0 AS side, ts AS c_ts, event_id AS c_eid
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, event_id, 1 AS side, NULL, NULL
+  FROM events WHERE event_type = 'purchase'),
+filled AS (
+  SELECT user_id, ts, event_id, side,
+         last_value(c_ts IGNORE NULLS) OVER w AS click_ts_t,
+         last_value(c_eid IGNORE NULLS) OVER w AS click_event_id
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT user_id, event_id AS purchase_event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       click_event_id,
+       strftime(click_ts_t, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       epoch_us(ts) - epoch_us(click_ts_t) AS gap_us
+FROM filled WHERE side = 1"""
+
+  val eventsRange: String = """
+SELECT p.user_id, p.event_id AS purchase_event_id, c.event_id AS click_event_id,
+       epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
+FROM events p
+JOIN events c ON c.user_id = p.user_id
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+  AND c.ts > p.ts AND c.ts <= p.ts + INTERVAL 60 MINUTE"""
+
   val eventsFirst: String = """
 SELECT user_id, event_type,
        min(event_id) AS first_event_id,
@@ -386,6 +415,12 @@ SELECT p.vec_a, p.vec_b, p.sig, ${cosineSql("qa.qv", "qb.qv")} AS cosine
 FROM pairs p
 JOIN q qa ON qa.vec_id = p.vec_a
 JOIN q qb ON qb.vec_id = p.vec_b"""
+
+  val embedNearDupExact: String = quantCte + s"""
+SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ${cosineSql("a.qv", "b.qv")} AS cosine
+FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ${cosineSql("a.qv", "b.qv")} >= 0.35"""
 
   val embedIvfTopK: String = quantCte + s""",
 qs AS (SELECT vec_id AS query_id, label, qv AS qq FROM q WHERE vec_id % 97 = 0),

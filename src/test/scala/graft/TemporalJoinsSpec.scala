@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ext.{EmbedOps, TemporalJoins}
+
+/** Semantics of the as-of / range temporal joins and the exact cosine
+  * near-dup on tiny controlled frames. */
+class TemporalJoinsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def events(rows: (Long, String, Long, String)*) = {
+    import spark.implicits._
+    rows.map { case (id, t, u, typ) => (id, ts(t), u, typ) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+  }
+
+  test("as-of join picks the latest click at-or-before each purchase") {
+    val r = TemporalJoins.clickAsOfPurchase(events(
+      (1L, "2024-01-01 10:00:00", 7L, "click"),
+      (2L, "2024-01-01 10:05:00", 7L, "click"),
+      (3L, "2024-01-01 10:07:00", 7L, "purchase"),
+      (4L, "2024-01-01 10:09:00", 7L, "click"),     // after: must not attach
+      (5L, "2024-01-01 09:00:00", 8L, "purchase"))) // no prior click
+      .collect().map(r => r.getAs[Long]("purchase_event_id") ->
+        Option(r.getAs[java.lang.Long]("click_event_id"))).toMap
+    assert(r(3L).contains(2L))
+    assert(r(5L).isEmpty)
+  }
+
+  test("as-of join sees a click at exactly the purchase timestamp and breaks ts ties on max event_id") {
+    val r = TemporalJoins.clickAsOfPurchase(events(
+      (1L, "2024-01-01 10:00:00", 7L, "click"),
+      (6L, "2024-01-01 10:00:00", 7L, "click"),     // same ts, higher id wins
+      (9L, "2024-01-01 10:00:00", 7L, "purchase"))).head
+    assert(r.getAs[Long]("click_event_id") == 6L)
+    assert(r.getAs[Long]("gap_us") == 0L)
+  }
+
+  test("range join keeps only clicks strictly inside the band after the purchase") {
+    val r = TemporalJoins.clicksAfterPurchase(events(
+      (1L, "2024-01-01 10:00:00", 7L, "purchase"),
+      (2L, "2024-01-01 10:00:00", 7L, "click"),  // not strictly after
+      (3L, "2024-01-01 10:03:00", 7L, "click"),  // in band
+      (4L, "2024-01-01 10:05:00", 7L, "click"),  // inclusive upper edge
+      (5L, "2024-01-01 10:06:00", 7L, "click"),  // past band
+      (6L, "2024-01-01 10:03:00", 8L, "click")), // other user
+      bandMinutes = 5)
+      .collect().map(_.getAs[Long]("click_event_id")).toSet
+    assert(r == Set(3L, 4L))
+  }
+
+  test("exact near-dup emits same-label pairs above the cosine threshold") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, 0, Array(1.0f, 0.0f, 0.0f)),
+      (2L, 0, Array(1.0f, 0.001f, 0.0f)),  // ~identical to 1
+      (3L, 0, Array(0.0f, 1.0f, 0.0f)),    // orthogonal
+      (4L, 1, Array(1.0f, 0.0f, 0.0f)))    // same direction, other label
+      .toDF("vec_id", "label", "embedding")
+    val pairs = EmbedOps.exactNearDups(e, threshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+    assert(pairs.toSet == Set((1L, 2L)))
+  }
+}
