@@ -77,6 +77,10 @@ object SparkEntry {
       Tables.orders(s, d))),
     "setop_segments" -> ((s, d) => Analytics.segmentSetOps(
       Tables.customer(s, d), Tables.orders(s, d))),
+    "cube_status_priority" -> ((s, d) => Analytics.statusPriorityCube(Tables.orders(s, d))),
+    // HLL++ sketch values are engine-specific → rows-only driver gate;
+    // the relative-error bound is asserted in ExtOpsSpec instead
+    "agg_approx_distinct" -> ((s, d) => Analytics.approxDistinctCustomers(Tables.orders(s, d))),
 
     // ---- event-time windowing over `events` ---------------------------
     "events_tumbling" -> ((s, d) => EventOps.tumbling(Tables.events(s, d))),
@@ -144,6 +148,7 @@ object SparkEntry {
     "window_running_spend" -> OracleSqlExt.windowRunningSpend,
     "rollup_revenue" -> OracleSqlExt.rollupRevenue,
     "setop_segments" -> OracleSqlExt.setopSegments,
+    "cube_status_priority" -> OracleSqlExt.cubeStatusPriority,
 
     "events_tumbling" -> OracleSqlExt.eventsTumbling,
     "events_sliding" -> OracleSqlExt.eventsSliding,

@@ -153,6 +153,31 @@ object Analytics {
         count(lit(1)).as("n_orders"))
   }
 
+  /** CUBE aggregate: revenue and order counts by (status, priority) with
+    * every subtotal combination — the full grouping-sets lattice
+    * ([[revenueRollup]] covers the hierarchical slice). */
+  def statusPriorityCube(orders: DataFrame): DataFrame =
+    orders
+      .cube(col("o_orderstatus").as("order_status"),
+        col("o_orderpriority").as("order_priority"))
+      .agg(sum(dec("o_totalprice")).cast("string").as("revenue"),
+        count(lit(1)).as("n_orders"))
+
+  /** Approximate distinct customers per priority (HLL++) next to the
+    * exact count — the approximate-aggregate family for 100 TB counting,
+    * where exact distinct means a full shuffle of the key universe and
+    * the sketch is a fixed few KB per group. HLL register merge is a
+    * max() — order-insensitive — so the estimate is deterministic for a
+    * given dataset and rsd; it IS engine-specific, so this query gets a
+    * rows-only driver gate and the unit spec asserts the relative error
+    * bound instead. */
+  def approxDistinctCustomers(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderpriority").as("order_priority"))
+      .agg(approx_count_distinct(col("o_custkey")).as("approx_customers"),
+        countDistinct(col("o_custkey")).as("exact_customers"))
+      .orderBy(col("order_priority"))
+
   /** Set operations: customers with BUILDING-segment accounts EXCEPT those
     * who placed an open ('O') order, plus the INTERSECT of high-balance
     * customers with order placers. The anti-join shape the reference has;

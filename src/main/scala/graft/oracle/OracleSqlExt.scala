@@ -83,6 +83,13 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY ROLLUP(r.r_name, n.n_name)"""
 
+  val cubeStatusPriority: String = """
+SELECT o_orderstatus AS order_status, o_orderpriority AS order_priority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS revenue,
+       count(*) AS n_orders
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)"""
+
   val setopSegments: String = """
 SELECT c_custkey, 'building_no_open' AS set_kind FROM (
   SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'

@@ -82,4 +82,26 @@ class ExtOpsSpec extends SparkSpec {
     assert(r.getAs[String]("sum_charge") == "294.500000")
     assert(r.getAs[Long]("count_order") == 2L)
   }
+
+  test("cube emits the full grouping lattice incl. grand total") {
+    import spark.implicits._
+    val o = Seq(("O", "1-URGENT", 10.0), ("O", "2-HIGH", 20.0), ("F", "1-URGENT", 30.0))
+      .toDF("o_orderstatus", "o_orderpriority", "o_totalprice")
+    val r = Analytics.statusPriorityCube(o).collect()
+    assert(r.length == 3 + 2 + 2 + 1) // cells + per-status + per-priority + total
+    val total = r.find(x => x.isNullAt(0) && x.isNullAt(1)).get
+    assert(total.getAs[String]("revenue") == "60.00")
+    assert(total.getAs[Long]("n_orders") == 3L)
+  }
+
+  test("approx distinct customers stays within 5% of exact") {
+    import spark.implicits._
+    val o = (1 to 5000).map(i => (s"P${i % 3}", (i % 700).toLong))
+      .toDF("o_orderpriority", "o_custkey")
+    Analytics.approxDistinctCustomers(o).collect().foreach { r =>
+      val approx = r.getAs[Long]("approx_customers").toDouble
+      val exact = r.getAs[Long]("exact_customers").toDouble
+      assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
+    }
+  }
 }
