@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL entry point: the library's tables and native functions exposed to
+  * `spark.sql(...)`. A user of the reference's data can point this at a
+  * parquet directory and query every table by name in ANSI SQL, with the
+  * library's native functions (cosine_sim) available in expressions.
+  *
+  * `attach` registers temp views for one session+dir; views are plain
+  * scans, so everything Catalyst does for the DataFrame API (pushdown,
+  * pruning, join planning) applies identically to SQL text. */
+object GraftSql {
+
+  /** Register every driver table under its canonical name plus the
+    * library's SQL functions. Idempotent per session. */
+  def attach(spark: SparkSession, dir: String): Unit = {
+    Tables.names.foreach { n =>
+      Tables.load(spark, dir, n).createOrReplaceTempView(n)
+    }
+    // events.ts needs the nanos→µs normalization the typed accessor does
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+    graft.functions.CosineSimilarity.register(spark)
+  }
+
+  /** Convenience: attach + run one statement. */
+  def sql(spark: SparkSession, dir: String, statement: String): DataFrame = {
+    attach(spark, dir)
+    spark.sql(statement)
+  }
+}

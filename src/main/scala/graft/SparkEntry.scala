@@ -91,6 +91,21 @@ object SparkEntry {
     // ---- temporal joins (as-of / range) over `events` -----------------
     "events_asof" -> ((s, d) => TemporalJoins.clickAsOfPurchase(Tables.events(s, d))),
     "events_range" -> ((s, d) => TemporalJoins.clicksAfterPurchase(Tables.events(s, d))),
+    // explicit two-phase salted aggregation (result ≡ plain groupBy)
+    "events_salted_counts" -> ((s, d) => ext.Skew.saltedTypeCounts(Tables.events(s, d))),
+
+    // ---- SQL surface: ANSI SQL text through GraftSql ------------------
+    "sql_q6_forecast" -> ((s, d) => GraftSql.sql(s, d, """
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(4,2))) AS STRING) AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+        AND l_discount BETWEEN 0.04 AND 0.06
+        AND l_quantity < 24
+      GROUP BY l_returnflag""")),
 
     // ---- text analysis over `documents` -------------------------------
     // The testdata tables are single parquet files → a single input
@@ -156,6 +171,18 @@ object SparkEntry {
     "events_first" -> OracleSqlExt.eventsFirst,
     "events_asof" -> OracleSqlExt.eventsAsof,
     "events_range" -> OracleSqlExt.eventsRange,
+    "events_salted_counts" -> OracleSqlExt.eventsSaltedCounts,
+    "sql_q6_forecast" -> """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(l_discount AS DECIMAL(4,2))) AS VARCHAR) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+  AND l_discount BETWEEN 0.04 AND 0.06
+  AND l_quantity < 24
+GROUP BY l_returnflag""",
 
     "text_stats" -> OracleSqlExt.textStats,
     "text_quality" -> OracleSqlExt.textQuality,

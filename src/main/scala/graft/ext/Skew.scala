@@ -1,0 +1,40 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation operators: explicit two-phase (salted) aggregation.
+  *
+  * Motivation at 100 TB: `events.groupBy(event_type)` has FIVE distinct
+  * keys — on a 1000-executor cluster the unsalted plan funnels the whole
+  * table through five reducers no matter how many cores exist. Salting
+  * fans each hot key out over `salts` sub-keys for the partial phase,
+  * then combines the sub-aggregates in a second (tiny) exchange keyed by
+  * the real key. Spark's map-side partial aggregation already does this
+  * implicitly when the upstream partitioning is uniform; the explicit
+  * salt is the form that also survives a pre-partitioned-by-key layout
+  * (e.g. reading a table bucketed by the hot key) and composes with
+  * aggregates that are not algebraic per-partition (e.g. a per-salt
+  * top-K before a global merge). AQE's skew-join split covers the join
+  * case; this covers the aggregation case deterministically.
+  *
+  * The salt must be deterministic per row (not rand()) so retries and
+  * the oracle agree: here pmod(event_id, salts).
+  */
+object Skew {
+
+  /** Count + exact value sum per event_type via salted two-phase
+    * aggregation. Result is identical to the single-phase groupBy — the
+    * oracle runs the plain form — but the first exchange spreads each
+    * key over `salts` reducers. */
+  def saltedTypeCounts(events: DataFrame, salts: Int = 32): DataFrame =
+    events
+      .withColumn("salt", pmod(col("event_id"), lit(salts)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("n_part"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_part"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n_part")).as("n_events"),
+        sum(col("sum_part")).cast("string").as("sum_value"))
+      .orderBy(col("event_type"))
+}

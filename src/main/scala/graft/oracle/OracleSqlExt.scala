@@ -167,6 +167,13 @@ JOIN events c ON c.user_id = p.user_id
 WHERE p.event_type = 'purchase' AND c.event_type = 'click'
   AND c.ts > p.ts AND c.ts <= p.ts + INTERVAL 60 MINUTE"""
 
+  /** Oracle for the salted two-phase aggregation: the PLAIN single-phase
+    * form — the salt is a physical detail, the result must be identical. */
+  val eventsSaltedCounts: String = """
+SELECT event_type, count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS sum_value
+FROM events GROUP BY event_type"""
+
   val eventsFirst: String = """
 SELECT user_id, event_type,
        min(event_id) AS first_event_id,

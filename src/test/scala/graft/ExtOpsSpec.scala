@@ -94,6 +94,31 @@ class ExtOpsSpec extends SparkSpec {
     assert(total.getAs[Long]("n_orders") == 3L)
   }
 
+  test("salted two-phase aggregation equals the single-phase groupBy") {
+    import spark.implicits._
+    val e = (1L to 1000L).map(i => (i, s"type${i % 3}", (i % 7).toDouble / 2))
+      .toDF("event_id", "event_type", "value")
+    val salted = graft.ext.Skew.saltedTypeCounts(e, salts = 8).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val plain = e.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("string").as("s"))
+      .orderBy($"event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("GraftSql serves registered tables and native functions to SQL text") {
+    val dir = "/root/testdata/sf0.001"
+    val n = GraftSql.sql(spark, dir,
+      "SELECT count(*) AS n FROM lineitem").head.getLong(0)
+    assert(n > 0)
+    val c = GraftSql.sql(spark, dir, """
+      SELECT cosine_sim(embedding, embedding) AS c FROM embeddings LIMIT 1""")
+      .head.getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-6)
+  }
+
   test("approx distinct customers stays within 5% of exact") {
     import spark.implicits._
     val o = (1 to 5000).map(i => (s"P${i % 3}", (i % 700).toLong))
