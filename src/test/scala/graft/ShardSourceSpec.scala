@@ -66,4 +66,40 @@ class ShardSourceSpec extends SparkSpec {
       assert(out("r1128") == "duplicate_prevented")  // state across batches
     } finally q.stop()
   }
+
+  test("restart from checkpoint: offsets and dedup state both survive") {
+    val dir = Files.createTempDirectory("graft-shards3").toString
+    val base = Files.createTempDirectory("graft-restart").toString
+    def start() = {
+      val raw = spark.readStream.format(classOf[ShardStreamSource].getName)
+        .option("path", dir).load()
+      val envelope = raw.select(
+        from_json(col("value"), Model.envelopeSchema).as("r")).select("r.*")
+      // the durable foreachBatch delivery path (memory sink can't recover)
+      StreamPipeline.startWithSink(envelope, s"$base/ck",
+        s"$base/jobs", s"$base/status")
+    }
+    // run 1: k=28 triggers its email key, then the process "dies"
+    writeShard(dir, "shard-000.json", Seq(28L))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // run 2, same checkpoint: a new shard with the same email key
+    // (1128 ≡ 28 mod 550) plus a fresh key (18)
+    writeShard(dir, "shard-001.json", Seq(1128L, 18L))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val jobs = spark.read.parquet(s"$base/jobs").collect()
+        .map(_.getAs[String]("record_id")).toSet
+      // 28's job from run 1 not duplicated; 1128 blocked by RESTORED state
+      assert(jobs == Set("r28", "r18"), s"jobs: $jobs")
+      val status = spark.read.parquet(s"$base/status").collect()
+        .map(r => r.getAs[String]("guest_id") ->
+          r.getAs[String]("delivery_status")).toMap
+      assert(status("g28") == "processing")
+      assert(status("g1128") == "delivered") // duplicate ⇒ marked delivered
+      assert(status("g18") == "processing")
+    } finally q2.stop()
+  }
 }
