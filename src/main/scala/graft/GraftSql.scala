@@ -21,6 +21,7 @@ object GraftSql {
     // events.ts needs the nanos→µs normalization the typed accessor does
     Tables.events(spark, dir).createOrReplaceTempView("events")
     graft.functions.CosineSimilarity.register(spark)
+    graft.functions.RollingMinHash.register(spark)
   }
 
   /** Convenience: attach + run one statement. */

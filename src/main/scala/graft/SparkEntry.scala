@@ -117,6 +117,7 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextOps.qualityScore(docs(s, d))),
     "text_langid" -> ((s, d) => TextOps.langId(docs(s, d))),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprints(docs(s, d))),
+    "text_rolling_fingerprint" -> ((s, d) => TextOps.rollingFingerprints(docs(s, d))),
     "text_tokens" -> ((s, d) => TextOps.tokenCounts(docs(s, d))),
 
     // ---- deduplication over `documents` -------------------------------
@@ -188,6 +189,7 @@ GROUP BY l_returnflag""",
     "text_quality" -> OracleSqlExt.textQuality,
     "text_langid" -> OracleSqlExt.textLangId,
     "text_fingerprint" -> OracleSqlExt.textFingerprint,
+    "text_rolling_fingerprint" -> OracleSqlExt.textRollingFingerprint,
     "text_tokens" -> OracleSqlExt.textTokens,
 
     "dedup_exact" -> OracleSqlExt.dedupExact,

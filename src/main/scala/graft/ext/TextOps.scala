@@ -111,6 +111,19 @@ object TextOps {
     * shingle fingerprint: the minimum md5 over all 3-token shingles —
     * the min-hash form of a rolling-window content signature, robust to
     * local edits in a way the whole-document hash is not. */
+  /** Content-defined fingerprint via the native codegen'd Rabin-Karp
+    * rolling hash (graft.functions.RollingMinHash): min 16-byte-window
+    * polynomial hash per document — one O(n) pass per doc, O(1) rolling
+    * update, pure 64-bit integer math (engine-independent, SQL oracle
+    * recomputes each window's polynomial independently). */
+  def rollingFingerprints(documents: DataFrame): DataFrame = {
+    graft.functions.RollingMinHash.register(documents.sparkSession)
+    documents.select(
+      col("doc_id"),
+      expr("rolling_min_hash(text)").as("min_rolling_hash"),
+      (length(col("text")) - 15).as("n_windows"))
+  }
+
   def fingerprints(documents: DataFrame): DataFrame = {
     // materialize the token array first — an inline split() inside the
     // shingle lambda re-tokenizes the text per shingle index (O(n²))

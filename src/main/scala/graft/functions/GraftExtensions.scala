@@ -20,5 +20,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "cosine_sim takes exactly 2 arguments")
         CosineSimilarity(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_min_hash"),
+      new ExpressionInfo(
+        classOf[RollingMinHash].getName, "rolling_min_hash",
+        "rolling_min_hash(s) - min Rabin-Karp hash over 16-byte windows"),
+      { children: Seq[Expression] =>
+        require(children.length == 1, "rolling_min_hash takes exactly 1 argument")
+        RollingMinHash(children.head)
+      }))
   }
 }

@@ -250,6 +250,23 @@ SELECT k.doc_id,
        k.n AS n_tokens
 FROM toks k"""
 
+  /** Mirror of functions.RollingMinHash: each 16-byte window's polynomial
+    * hash recomputed independently (the Spark side rolls in O(1) per
+    * byte; the modular arithmetic makes both forms identical). Power
+    * table = 257^(15-j) mod 1e9+7. Documents are ASCII (verified:
+    * length == octet_length), so ascii(substr) = the UTF-8 byte. */
+  val textRollingFingerprint: String = """
+WITH w AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, 16),
+           j -> CAST(ascii(substr(text, CAST(i AS INT) + CAST(j AS INT), 1)) AS BIGINT) *
+                [771861642,469929426,13501671,326900787,966252539,108818104,447894237,383065739,13163680,805498697,154885210,362470373,16974593,66049,257,1][CAST(j AS INT) + 1]))
+           % 1000000007 AS BIGINT) AS h
+  FROM documents, UNNEST(range(1, length(text) - 16 + 2)) t(i))
+SELECT doc_id, min(h) AS min_rolling_hash,
+       CAST(count(*) AS INT) AS n_windows
+FROM w GROUP BY doc_id"""
+
   // ---------------------------------------------------------------- dedup
 
   val dedupExact: String = """
