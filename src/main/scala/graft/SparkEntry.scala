@@ -72,6 +72,9 @@ object SparkEntry {
       Tables.supplier(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "window_top_orders" -> ((s, d) => Analytics.topOrdersPerCustomer(Tables.orders(s, d))),
     "window_running_spend" -> ((s, d) => Analytics.runningSpend(Tables.orders(s, d))),
+    "window_range_frame" -> ((s, d) => Analytics.rangeFrameSpend(Tables.orders(s, d))),
+    "window_order_gaps" -> ((s, d) => Analytics.orderGaps(Tables.orders(s, d))),
+    "pivot_status" -> ((s, d) => Analytics.statusPivot(Tables.orders(s, d))),
     "rollup_revenue" -> ((s, d) => Analytics.revenueRollup(
       Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
       Tables.orders(s, d))),
@@ -162,6 +165,9 @@ object SparkEntry {
     "q5_region_volume" -> OracleSqlExt.q5RegionVolume,
     "window_top_orders" -> OracleSqlExt.windowTopOrders,
     "window_running_spend" -> OracleSqlExt.windowRunningSpend,
+    "window_range_frame" -> OracleSqlExt.windowRangeFrame,
+    "window_order_gaps" -> OracleSqlExt.windowOrderGaps,
+    "pivot_status" -> OracleSqlExt.pivotStatus,
     "rollup_revenue" -> OracleSqlExt.rollupRevenue,
     "setop_segments" -> OracleSqlExt.setopSegments,
     "cube_status_priority" -> OracleSqlExt.cubeStatusPriority,

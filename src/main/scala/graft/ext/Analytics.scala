@@ -137,6 +137,49 @@ object Analytics {
       sum(dec("o_totalprice")).over(w).cast("string").as("running_spend"))
   }
 
+  /** RANGE-frame window: rolling 16-day spend per customer — the frame
+    * is value-based (all orders within 15 days before the current row's
+    * date, ties included as peers), not row-count-based; complements the
+    * ROWS frame in [[runningSpend]]. */
+  def rangeFrameSpend(orders: DataFrame): DataFrame = {
+    val epochDay = datediff(col("o_orderdate").cast("date"),
+      lit("1992-01-01").cast("date")).cast("long")
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("epoch_day"))
+      .rangeBetween(-15, Window.currentRow)
+    orders
+      .withColumn("epoch_day", epochDay)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("epoch_day"),
+        count(lit(1)).over(w).as("n_orders_16d"),
+        sum(dec("o_totalprice")).over(w).cast("string").as("spend_16d"))
+  }
+
+  /** Analytic functions: lag/lead/ntile over the per-customer order
+    * timeline — days since the previous order, the next order's key, and
+    * the order-date quartile within the customer. */
+  def orderGaps(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders.select(
+      col("o_custkey"), col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+      datediff(col("o_orderdate").cast("date"),
+        lag(col("o_orderdate"), 1).over(w).cast("date")).as("days_since_prev"),
+      lead(col("o_orderkey"), 1).over(w).as("next_orderkey"),
+      ntile(4).over(w).as("date_quartile"))
+  }
+
+  /** Pivot: order counts per priority with one column per order status —
+    * groupBy().pivot() on the Spark side, conditional aggregation in the
+    * oracle (the relational form a pivot plans to). */
+  def statusPivot(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_orderpriority").as("order_priority"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("order_priority"), col("O").as("n_open"),
+        col("F").as("n_finished"), col("P").as("n_pending"))
+
   /** Hierarchical aggregate: revenue by region → nation with ROLLUP
     * subtotals (grouping-sets coverage; grand-total row included). */
   def revenueRollup(region: DataFrame, nation: DataFrame, customer: DataFrame,

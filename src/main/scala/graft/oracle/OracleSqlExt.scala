@@ -73,6 +73,33 @@ SELECT o_custkey, o_orderkey,
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS running_spend
 FROM orders"""
 
+  val windowRangeFrame: String = """
+SELECT o_custkey, o_orderkey,
+       datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS epoch_day,
+       count(*) OVER w AS n_orders_16d,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS VARCHAR) AS spend_16d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+             RANGE BETWEEN 15 PRECEDING AND CURRENT ROW)"""
+
+  val windowOrderGaps: String = """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       datediff('day', CAST(lag(o_orderdate, 1) OVER w AS DATE),
+                CAST(o_orderdate AS DATE)) AS days_since_prev,
+       lead(o_orderkey, 1) OVER w AS next_orderkey,
+       ntile(4) OVER w AS date_quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
+
+  val pivotStatus: String = """
+SELECT o_orderpriority AS order_priority,
+       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+       count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending
+FROM orders GROUP BY o_orderpriority"""
+
   val rollupRevenue: String = """
 SELECT r.r_name AS region_name, n.n_name AS nation_name,
        CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS revenue,
