@@ -12,16 +12,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * pruning, join planning) applies identically to SQL text. */
 object GraftSql {
 
+  private val lastAttached =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, String]
+
   /** Register every driver table under its canonical name plus the
-    * library's SQL functions. Idempotent per session. */
-  def attach(spark: SparkSession, dir: String): Unit = {
-    Tables.names.foreach { n =>
-      Tables.load(spark, dir, n).createOrReplaceTempView(n)
+    * library's SQL functions. Skipped when this session's views already
+    * point at `dir` (repeated SQL calls shouldn't pay re-registration);
+    * switching dirs re-registers. */
+  def attach(spark: SparkSession, dir: String): Unit = synchronized {
+    if (!lastAttached.get(spark).contains(dir)) {
+      Tables.names.foreach { n =>
+        Tables.load(spark, dir, n).createOrReplaceTempView(n)
+      }
+      // events.ts needs the nanos→µs normalization the typed accessor does
+      Tables.events(spark, dir).createOrReplaceTempView("events")
+      graft.functions.CosineSimilarity.register(spark)
+      graft.functions.RollingMinHash.register(spark)
+      lastAttached(spark) = dir
     }
-    // events.ts needs the nanos→µs normalization the typed accessor does
-    Tables.events(spark, dir).createOrReplaceTempView("events")
-    graft.functions.CosineSimilarity.register(spark)
-    graft.functions.RollingMinHash.register(spark)
   }
 
   /** Convenience: attach + run one statement. */
