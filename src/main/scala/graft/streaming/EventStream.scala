@@ -39,4 +39,28 @@ object EventStream {
     events
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Stream-stream interval join: clicks within `bandMinutes` after each
+    * purchase of the same user — the streaming form of
+    * graft.ext.TemporalJoins.clicksAfterPurchase. Both sides carry
+    * watermarks and the join condition bounds the time distance in BOTH
+    * directions, so each side's buffered state is evicted once the other
+    * side's watermark passes the band — the state-boundedness contract
+    * that makes a stream-stream join runnable indefinitely. */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame,
+      bandMinutes: Int = 60, lateness: String = "1 hour"): DataFrame = {
+    val p = purchases.withWatermark("ts", lateness)
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_event_id"),
+        col("ts").as("p_ts"))
+    val c = clicks.withWatermark("ts", lateness)
+      .select(col("user_id").as("c_user"), col("event_id").as("click_event_id"),
+        col("ts").as("c_ts"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") > col("p_ts") &&
+        col("c_ts") <= col("p_ts") + expr(s"INTERVAL $bandMinutes MINUTES"))
+      .select(col("p_user").as("user_id"), col("purchase_event_id"),
+        col("click_event_id"),
+        (unix_micros(col("c_ts")) - unix_micros(col("p_ts"))).as("gap_us"))
+  }
 }

@@ -71,6 +71,41 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join emits in-band pairs and evicts state") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val purchases = MemoryStream[(Timestamp, Long, Long)]
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val pdf = purchases.toDF().toDF("ts", "user_id", "event_id")
+    val cdf = clicks.toDF().toDF("ts", "user_id", "event_id")
+    val q = EventStream.purchaseClickJoin(pdf, cdf).writeStream
+      .outputMode(OutputMode.Append).format("memory").queryName("ss_join_test")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    try {
+      purchases.addData((ts("2024-01-01 10:00:00"), 7L, 100L))
+      clicks.addData(
+        (ts("2024-01-01 10:30:00"), 7L, 200L),  // in band
+        (ts("2024-01-01 12:00:00"), 7L, 201L),  // past band
+        (ts("2024-01-01 10:15:00"), 8L, 202L))  // other user
+      q.processAllAvailable()
+      // advance both watermarks so the joined window closes and emits
+      purchases.addData((ts("2024-01-01 15:00:00"), 9L, 101L))
+      clicks.addData((ts("2024-01-01 15:00:00"), 9L, 203L))
+      q.processAllAvailable()
+      purchases.addData((ts("2024-01-01 18:00:00"), 9L, 102L))
+      clicks.addData((ts("2024-01-01 18:00:00"), 9L, 204L))
+      q.processAllAvailable()
+      val pairs = spark.table("ss_join_test")
+        .select("purchase_event_id", "click_event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((100L, 200L)))
+      assert(!pairs.exists(_._2 == 201L)) // out of band never joins
+      assert(!pairs.exists(_._2 == 202L)) // wrong user never joins
+    } finally q.stop()
+  }
+
   test("typed top-K aggregator keeps K best with deterministic ties") {
     import spark.implicits._
     val ds = Seq(
