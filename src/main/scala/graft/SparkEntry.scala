@@ -128,6 +128,7 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => DedupOps.minhashNearDups(docs(s, d))),
     "dedup_simhash" -> ((s, d) => DedupOps.simhashDups(docs(s, d))),
     "dedup_ngram" -> ((s, d) => DedupOps.ngramJaccardPairs(docs(s, d))),
+    "dedup_clusters" -> ((s, d) => DedupOps.nearDupClusters(docs(s, d))),
 
     // ---- similarity search over `embeddings` --------------------------
     "embed_topk" -> ((s, d) => EmbedOps.bruteForceTopK(emb(s, d))),
@@ -202,6 +203,7 @@ GROUP BY l_returnflag""",
     "dedup_minhash" -> OracleSqlExt.dedupMinhash,
     "dedup_simhash" -> OracleSqlExt.dedupSimhash,
     "dedup_ngram" -> OracleSqlExt.dedupNgram,
+    "dedup_clusters" -> OracleSqlExt.dedupClusters,
 
     "embed_topk" -> OracleSqlExt.embedTopK,
     "embed_lsh_neardup" -> OracleSqlExt.embedLshNearDups,

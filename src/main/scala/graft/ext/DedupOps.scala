@@ -152,6 +152,51 @@ object DedupOps {
     jaccardVerify(cand, sets, threshold)
   }
 
+  /** Near-duplicate CLUSTERS: connected components over the MinHash pair
+    * graph via iterative min-label propagation — the step a real dedup
+    * pipeline runs on top of pair output (keep one canonical doc per
+    * component, drop the rest). Each iteration is one distributed
+    * join+groupBy propagating the smallest doc_id seen so far along
+    * edges; the driver only checks the converged flag (no data is
+    * collected). Converges in ≤ graph-diameter iterations — near-dup
+    * components are shallow (pairs share content, so components are
+    * near-cliques); for adversarially long chains the large-star/
+    * small-star variant halves path lengths per round — same join
+    * shape, documented trade-off.
+    *
+    * Deterministic: component id = min doc_id of the component. */
+  def nearDupClusters(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashNearDups(documents, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
+    var labels = documents.select(col("doc_id"),
+      col("doc_id").as("label")).cache()
+    var converged = false
+    var iters = 0
+    while (!converged && iters < 50) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .cache()
+      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
+        .filter(col("label") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      iters += 1
+    }
+    val sizes = labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+      .join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+  }
+
   /** 32-bit SimHash from token hashes: bit b of the signature is the
     * sign of Σ_tokens (±1), + when token-hash bit b is set. Token hash =
     * first 8 hex digits of md5 → BIGINT (identical in both engines). */

@@ -346,6 +346,56 @@ JOIN dsz za ON za.doc_id = i.doc_a
 JOIN dsz zb ON zb.doc_id = i.doc_b
 WHERE CAST(ni AS DOUBLE) / CAST(za.n + zb.n - ni AS DOUBLE) >= 0.5"""
 
+  /** Connected components over the minhash pair graph: recursive
+    * transitive closure (tiny graph — pairs above threshold), component
+    * id = min reachable doc_id, singletons via the documents left join.
+    * Mirrors DedupOps.nearDupClusters' converged label propagation. */
+  val dedupClusters: String = shingleCtes.replaceFirst("WITH toks", "WITH RECURSIVE toks") + """,
+hashes AS (
+  SELECT doc_id, s,
+         ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
+         ('0x' || substr(md5(s), 9, 8))::BIGINT AS h2
+  FROM sh),
+sig AS (
+  SELECT doc_id, j,
+         min((h1 + j * h2) % 4294967311) AS mh
+  FROM hashes, UNNEST(range(0, 8)) t(j)
+  GROUP BY doc_id, j),
+bands AS (
+  SELECT doc_id, j // 2 AS b,
+         string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j) AS band
+  FROM sig GROUP BY doc_id, j // 2),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS ni
+  FROM cand c
+  JOIN dsh x ON x.doc_id = c.doc_a
+  JOIN dsh y ON y.doc_id = c.doc_b AND y.s = x.s
+  GROUP BY c.doc_a, c.doc_b),
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN dsz za ON za.doc_id = i.doc_a
+  JOIN dsz zb ON zb.doc_id = i.doc_b
+  WHERE CAST(ni AS DOUBLE) / CAST(za.n + zb.n - ni AS DOUBLE) >= 0.5),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach AS (
+  SELECT a AS src, a AS dst FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+comp AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+lab AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM lab"""
+
   val dedupSimhash: String = """
 WITH dtok AS (
   SELECT DISTINCT doc_id, tok

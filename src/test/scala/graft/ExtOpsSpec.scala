@@ -94,6 +94,24 @@ class ExtOpsSpec extends SparkSpec {
     assert(total.getAs[Long]("n_orders") == 3L)
   }
 
+  test("near-dup clusters merge transitive pairs to the min doc_id") {
+    // 1~2 and 2~3 are near-dups (one-token edits), 1~3 may or may not
+    // pair directly — the component must still merge all three; 4 is far
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val d = DedupOps.nearDupClusters(docs(
+      1L -> base,
+      2L -> base.replace("today", "tonight"),
+      3L -> base.replace("quick", "slow"),
+      4L -> "completely different content about database engines and query plans"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"),
+          r.getAs[Boolean]("is_canonical")))).toMap
+    assert(d(1L) == ((1L, 3L, true)))
+    assert(d(2L) == ((1L, 3L, false)))
+    assert(d(3L) == ((1L, 3L, false)))
+    assert(d(4L) == ((4L, 1L, true)))
+  }
+
   test("salted two-phase aggregation equals the single-phase groupBy") {
     import spark.implicits._
     val e = (1L to 1000L).map(i => (i, s"type${i % 3}", (i % 7).toDouble / 2))
