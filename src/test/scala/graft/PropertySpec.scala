@@ -26,6 +26,38 @@ class PropertySpec extends SparkSpec {
       ks.map(k => (k, s"Customer#$k")).toDF("c_custkey", "c_name"))
   }
 
+  test("as-of join equals the brute-force definition on random timelines") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val r = new Random(seed)
+      // small ts domain (0..49s) forces same-user and same-ts collisions
+      val rows = (1L to 300L).map { id =>
+        (id,
+          java.sql.Timestamp.valueOf(s"2024-01-01 00:00:${
+            f"${r.nextInt(50)}%02d"}"),
+          r.nextInt(8).toLong,
+          if (r.nextBoolean()) "click" else "purchase")
+      }
+      val df = rows.toDF("event_id", "ts", "user_id", "event_type")
+      val got = graft.ext.TemporalJoins.clickAsOfPurchase(df)
+        .select("purchase_event_id", "click_event_id").collect()
+        .map(x => x.getLong(0) ->
+          Option(x.getAs[java.lang.Long]("click_event_id")).map(_.toLong)).toMap
+      // brute force: for each purchase, max-event_id click among those
+      // with the latest ts ≤ purchase ts, same user
+      val clicks = rows.filter(_._4 == "click")
+      val expected = rows.filter(_._4 == "purchase").map { p =>
+        val cands = clicks.filter(c => c._3 == p._3 && !c._2.after(p._2))
+        p._1 -> (if (cands.isEmpty) None
+                 else {
+                   val maxTs = cands.map(_._2.getTime).max
+                   Some(cands.filter(_._2.getTime == maxTs).map(_._1).max)
+                 })
+      }.toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
   test("totality: every record gets a valid (action, reason), no throws") {
     for (seed <- 1 to 3) {
       val ks = randomKeys(seed, 400)
