@@ -90,6 +90,7 @@ object SparkEntry {
     "events_sliding" -> ((s, d) => EventOps.sliding(Tables.events(s, d))),
     "events_session" -> ((s, d) => EventOps.sessions(Tables.events(s, d))),
     "events_first" -> ((s, d) => EventOps.firstEventPerUserType(Tables.events(s, d))),
+    "events_props_json" -> ((s, d) => EventOps.propsStats(Tables.events(s, d))),
 
     // ---- temporal joins (as-of / range) over `events` -----------------
     "events_asof" -> ((s, d) => TemporalJoins.clickAsOfPurchase(Tables.events(s, d))),
@@ -122,6 +123,7 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextOps.fingerprints(docs(s, d))),
     "text_rolling_fingerprint" -> ((s, d) => TextOps.rollingFingerprints(docs(s, d))),
     "text_tokens" -> ((s, d) => TextOps.tokenCounts(docs(s, d))),
+    "text_top_terms" -> ((s, d) => TextOps.topTerms(docs(s, d))),
 
     // ---- deduplication over `documents` -------------------------------
     "dedup_exact" -> ((s, d) => DedupOps.exactDups(docs(s, d))),
@@ -177,6 +179,7 @@ object SparkEntry {
     "events_sliding" -> OracleSqlExt.eventsSliding,
     "events_session" -> OracleSqlExt.eventsSession,
     "events_first" -> OracleSqlExt.eventsFirst,
+    "events_props_json" -> OracleSqlExt.eventsPropsJson,
     "events_asof" -> OracleSqlExt.eventsAsof,
     "events_range" -> OracleSqlExt.eventsRange,
     "events_salted_counts" -> OracleSqlExt.eventsSaltedCounts,
@@ -198,6 +201,7 @@ GROUP BY l_returnflag""",
     "text_fingerprint" -> OracleSqlExt.textFingerprint,
     "text_rolling_fingerprint" -> OracleSqlExt.textRollingFingerprint,
     "text_tokens" -> OracleSqlExt.textTokens,
+    "text_top_terms" -> OracleSqlExt.textTopTerms,
 
     "dedup_exact" -> OracleSqlExt.dedupExact,
     "dedup_minhash" -> OracleSqlExt.dedupMinhash,

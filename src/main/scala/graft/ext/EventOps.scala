@@ -55,6 +55,18 @@ object EventOps {
         col("n_events"),
         col("sum_value").cast("string").as("sum_value"))
 
+  /** JSON path extraction from the props payload column (the decode
+    * shape of O4's embedded-JSON fields, applied to the events table):
+    * get_json_object → typed cast → integer aggregates per type. */
+  def propsStats(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        sum(col("k")).as("sum_k"))
+
   /** Deduplication to the first event per (user, type) — the
     * deterministic form of dropDuplicates (min-by instead of
     * arbitrary-row-wins, so the oracle can reproduce it). */

@@ -140,4 +140,24 @@ object TextOps {
         .as("min_shingle_md5"),
       n.as("n_tokens"))
   }
+
+  /** Top-K terms per document by term frequency — explode → tf groupBy →
+    * df join → per-doc ranking; the canonical term-statistics shuffle.
+    * Ranking is fully tie-broken (tf desc, df asc, term asc) and all
+    * outputs are integers/strings, so the oracle hashes exactly. The df
+    * side is a modest-vocabulary dimension — broadcastable at scale. */
+  def topTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term"))
+    tf.join(df, Seq("term"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
+  }
 }

@@ -208,6 +208,26 @@ SELECT user_id, event_type,
        count(*) AS n_total
 FROM events GROUP BY user_id, event_type"""
 
+  val eventsPropsJson: String = """
+SELECT event_type, count(*) AS n_events,
+       min(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+       max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+FROM events GROUP BY event_type"""
+
+  val textTopTerms: String = """
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rank
+  FROM tf JOIN df USING (term))
+SELECT doc_id, rank, term, tf, df FROM ranked WHERE rank <= 3"""
+
   // ----------------------------------------------------------------- text
 
   private val occ =
