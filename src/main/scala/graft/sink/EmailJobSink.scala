@@ -70,4 +70,29 @@ object EmailJobSink {
   private def deleteRecursively(p: Path): Unit =
     Files.walk(p).sorted(Comparator.reverseOrder[Path]())
       .forEach(f => Files.delete(f))
+
+  /** Batch-commit log: the exactly-once foreachBatch pattern. A batch id
+    * is committed by creating a marker file AFTER its writes complete;
+    * `runOnce` skips batches whose marker already exists, so a replay
+    * after a crash between sink-write and checkpoint-commit does nothing
+    * (the data-level idempotence above already makes the replay safe —
+    * the log makes it also FREE, and gives downstream readers a watermark
+    * of fully-committed batches). Marker creation is atomic at the
+    * filesystem level (create-new); object stores replace this with a
+    * conditional PUT — same protocol. */
+  object TxnLog {
+    def committed(logDir: String, batchId: Long): Boolean =
+      Files.exists(Paths.get(logDir, s"batch-$batchId"))
+
+    /** Run `write` iff `batchId` is not yet committed, then commit it.
+      * Returns true when the batch executed, false when skipped. */
+    def runOnce(logDir: String, batchId: Long)(write: => Unit): Boolean =
+      if (committed(logDir, batchId)) false
+      else {
+        write
+        Files.createDirectories(Paths.get(logDir))
+        Files.createFile(Paths.get(logDir, s"batch-$batchId"))
+        true
+      }
+  }
 }

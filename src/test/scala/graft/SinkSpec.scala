@@ -48,6 +48,23 @@ class SinkSpec extends SparkSpec {
       after.head.getAs[String]("delivery_status") == "delivered")
   }
 
+  test("txn log runs a batch once and skips its replay") {
+    val log = Files.createTempDirectory("graft-txn").toString
+    var runs = 0
+    assert(graft.sink.EmailJobSink.TxnLog.runOnce(log, 7L) { runs += 1 })
+    assert(!graft.sink.EmailJobSink.TxnLog.runOnce(log, 7L) { runs += 1 })
+    assert(graft.sink.EmailJobSink.TxnLog.runOnce(log, 8L) { runs += 1 })
+    assert(runs == 2)
+    // a write that THROWS must not commit - the retry executes it
+    intercept[RuntimeException] {
+      graft.sink.EmailJobSink.TxnLog.runOnce(log, 9L) {
+        throw new RuntimeException("sink down")
+      }
+    }
+    assert(graft.sink.EmailJobSink.TxnLog.runOnce(log, 9L) { runs += 1 })
+    assert(runs == 3)
+  }
+
   test("streaming foreachBatch sink: triggered jobs land once, status merges") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
