@@ -66,6 +66,44 @@ class StreamPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time TTL evicts dedup state; the key can trigger again after expiry") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val envelope = MatchFixture.envelope(
+      input.toDF().toDF("c_custkey", "c_name"))
+    // synthetic event time = seq = customer key, 1s per unit; ttl 60s
+    val q = graft.streaming.StreamPipeline
+      .outcomesWithTtl(envelope, ttlMs = 60000L).writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("ttl_test")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    try {
+      // batch 0: k=28 triggers; its timer is set to evt(28s) + 60s = 88s
+      input.addData((28L, "Customer#28"))
+      q.processAllAvailable()
+      // batch 1: future key; after this batch the watermark is 2000s
+      input.addData((2000L, "Customer#2000"))
+      q.processAllAvailable()
+      // batch 2: executes with watermark 2000s > 88s → 28's due timer
+      // fires (its key has no data in the batch) → state evicted
+      input.addData((2001L, "Customer#2001"))
+      q.processAllAvailable()
+      // batch 3: same email key as 28 (3878 ≡ 28 mod 550), event time
+      // ahead of the watermark (not late) → state is gone, so it
+      // triggers AGAIN instead of duplicate_prevented
+      input.addData((3878L, "Customer#3878"))
+      q.processAllAvailable()
+      val out = spark.table("ttl_test")
+        .select("recordId", "action").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(out("r28") == "email_triggered")
+      assert(out("r3878") == "email_triggered")
+    } finally q.stop()
+  }
+
   test("batch mode gives the same outcomes as the batch pipeline") {
     val env = envelopeFor(Seq(18L, 568L, 17L, 19L))
     val streamed = StreamPipeline.outcomes(env)
