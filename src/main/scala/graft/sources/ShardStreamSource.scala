@@ -8,8 +8,9 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.{EqualTo, Filter, In, StringStartsWith}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -59,18 +60,55 @@ private class ShardTable(path: String) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new ShardScan(path)
-    }
+    new ShardScanBuilder(path)
 }
 
-private class ShardScan(path: String) extends Scan {
+/** Filter pushdown on the provenance column: predicates on `shard_file`
+  * (equality, IN, prefix) prune which files are planned at all — the
+  * same server-side split the reference makes between its
+  * KeyConditionExpression (applied at the partition/index level) and its
+  * residual FilterExpression (applied per item after the read,
+  * index.js:113-114). Anything else is returned to Spark as a residual
+  * and evaluated post-scan. */
+private[graft] class ShardScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownFilters {
+  private var pushed: Array[Filter] = Array.empty
+
+  private def supported(f: Filter): Boolean = f match {
+    case EqualTo("shard_file", _: String) => true
+    case In("shard_file", _)              => true
+    case StringStartsWith("shard_file", _) => true
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, rest) = filters.partition(supported)
+    pushed = sup
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new ShardScan(path, pushed)
+}
+
+private[graft] class ShardScan(path: String,
+    pushed: Array[Filter] = Array.empty) extends Scan {
   override def readSchema(): StructType = ShardStreamSource.schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new ShardMicroBatchStream(path)
+
+  private def keep(file: String): Boolean = pushed.forall {
+    case EqualTo("shard_file", v: String)   => file == v
+    case In("shard_file", vs)               => vs.contains(file)
+    case StringStartsWith("shard_file", p)  => file.startsWith(p)
+    case _ => true
+  }
+
+  private[graft] def prunedFiles: Seq[String] =
+    ShardStreamSource.sortedShards(path).filter(keep)
+
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      ShardStreamSource.sortedShards(path).map(ShardPartition).toArray
+      prunedFiles.map(ShardPartition).toArray
     override def createReaderFactory(): PartitionReaderFactory =
       new ShardReaderFactory
   }
@@ -98,7 +136,7 @@ private class ShardMicroBatchStream(path: String) extends MicroBatchStream {
     new ShardReaderFactory
 }
 
-private case class ShardPartition(file: String) extends InputPartition
+private[sources] case class ShardPartition(file: String) extends InputPartition
 
 private class ShardReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {

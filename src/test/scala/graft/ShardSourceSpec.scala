@@ -40,6 +40,31 @@ class ShardSourceSpec extends SparkSpec {
     assert(parsed == Set("r18", "r19", "r20"))
   }
 
+  test("batch read pushes shard_file filters down to file pruning") {
+    val dir = Files.createTempDirectory("graft-shards-pd").toString
+    writeShard(dir, "shard-000.json", Seq(18L, 19L))
+    writeShard(dir, "shard-001.json", Seq(20L))
+    writeShard(dir, "other-000.json", Seq(21L))
+
+    // unit level: the ScanBuilder prunes planned partitions
+    val b = new graft.sources.ShardScanBuilder(dir)
+    val residual = b.pushFilters(Array(
+      org.apache.spark.sql.sources.StringStartsWith("shard_file", s"$dir/shard-"),
+      org.apache.spark.sql.sources.EqualTo("line_no", 0L))) // unsupported → residual
+    assert(residual.toSeq == Seq(org.apache.spark.sql.sources.EqualTo("line_no", 0L)))
+    assert(b.pushedFilters().length == 1)
+    val planned = b.build().asInstanceOf[graft.sources.ShardScan].prunedFiles
+    assert(planned == Seq(s"$dir/shard-000.json", s"$dir/shard-001.json"))
+
+    // end to end: the filtered query returns exactly the pruned files' rows
+    val rows = spark.read.format(classOf[ShardStreamSource].getName)
+      .option("path", dir).load()
+      .filter(col("shard_file").startsWith(s"$dir/shard-"))
+      .select(from_json(col("value"), Model.envelopeSchema).as("r"))
+      .select(col("r.eventID")).collect().map(_.getString(0)).toSet
+    assert(rows == Set("r18", "r19", "r20"))
+  }
+
   test("micro-batch stream: files appended later arrive as later batches") {
     val dir = Files.createTempDirectory("graft-shards2").toString
     writeShard(dir, "shard-000.json", Seq(28L, 578L))
