@@ -21,6 +21,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       // AQE re-optimizes per runtime stage and regenerates whole-stage
       // code each time; on this corpus Janino compilation — serialized
       // behind CodeGenerator's per-source lock — dominates latency, so
