@@ -45,4 +45,20 @@ object Observability {
     override def onFailure(funcName: String, qe: QueryExecution,
         exception: Exception): Unit = ()
   }
+
+  /** Streaming listener: the same counters arrive once per micro-batch
+    * in the progress event — the direct analog of the reference's
+    * one-PutMetricData-per-Lambda-batch cadence (index.js:83). Register
+    * with `spark.streams.addListener`. */
+  class StreamingMetricsListener(publish: (String, Row) => Unit,
+      name: String = MetricName)
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(event: QueryProgressEvent): Unit = {
+      val om = event.progress.observedMetrics
+      if (om.containsKey(name)) publish(name, om.get(name))
+    }
+  }
 }

@@ -104,6 +104,44 @@ class StreamPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming metrics: observed counters arrive once per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val listener = new graft.metrics.Observability.StreamingMetricsListener(
+      (_, row) => rows.add(row), name = "stream_metrics")
+    spark.streams.addListener(listener)
+    val input = MemoryStream[(Long, String)]
+    val envelope = MatchFixture.envelope(
+      input.toDF().toDF("c_custkey", "c_name"))
+    val q = graft.metrics.Observability.observed(
+      StreamPipeline.outcomes(envelope).toDF(), "stream_metrics")
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("metrics_test")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    try {
+      // 28 triggers, 19 skips, 17 errors → one observed row for the batch
+      input.addData((28L, "Customer#28"), (19L, "Customer#19"),
+        (17L, "Customer#17"))
+      q.processAllAvailable()
+      // listener events are delivered async — wait for the row
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (rows.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(!rows.isEmpty, "no observed metrics row arrived")
+      val m = rows.peek()
+      assert(m.getAs[Long]("total_records") == 3L)
+      assert(m.getAs[Long]("emails_triggered") == 1L)
+      assert(m.getAs[Long]("skipped_records") == 1L)
+      assert(m.getAs[Long]("error_records") == 1L)
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("batch mode gives the same outcomes as the batch pipeline") {
     val env = envelopeFor(Seq(18L, 568L, 17L, 19L))
     val streamed = StreamPipeline.outcomes(env)
