@@ -179,9 +179,19 @@ object DedupOps {
         .join(labels.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
         .groupBy(col("doc_a").as("doc_id"))
         .agg(min(col("label")).as("nlabel"))
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+      val stepped = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // pointer jump: label(x) := min(label(x), label(label(x))) — halves
+      // remaining path lengths each round, so convergence is O(log
+      // diameter) instead of O(diameter); near-dup components are usually
+      // near-cliques, but a chain of pairwise-similar docs must not cost
+      // a linear number of distributed rounds
+      val next = stepped.join(
+          stepped.select(col("doc_id").as("label"), col("label").as("jump")),
+          Seq("label"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("jump"), col("label"))).as("label"))
         .cache()
       converged = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
         .filter(col("label") =!= col("old")).isEmpty

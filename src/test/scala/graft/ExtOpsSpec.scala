@@ -112,6 +112,18 @@ class ExtOpsSpec extends SparkSpec {
     assert(d(4L) == ((4L, 1L, true)))
   }
 
+  test("cluster propagation closes a pairwise-similar chain (multi-hop)") {
+    // doc_i shares 14 of 15 tokens with doc_{i+1} only — a pure chain:
+    // 1-2-3-4-5; closing it requires transitive propagation, not one hop
+    val words = (0 until 20).map(i => s"w$i")
+    val chain = (1L to 5L).map { i =>
+      i -> words.slice(i.toInt - 1, i.toInt + 14).mkString(" ")
+    }
+    val d = DedupOps.nearDupClusters(docs(chain: _*))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(d.values.toSet == Set(1L), s"chain not fully merged: $d")
+  }
+
   test("salted two-phase aggregation equals the single-phase groupBy") {
     import spark.implicits._
     val e = (1L to 1000L).map(i => (i, s"type${i % 3}", (i % 7).toDouble / 2))
