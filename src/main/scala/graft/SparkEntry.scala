@@ -124,6 +124,7 @@ object SparkEntry {
     "text_rolling_fingerprint" -> ((s, d) => TextOps.rollingFingerprints(docs(s, d))),
     "text_tokens" -> ((s, d) => TextOps.tokenCounts(docs(s, d))),
     "text_top_terms" -> ((s, d) => TextOps.topTerms(docs(s, d))),
+    "sample_hash" -> ((s, d) => TextOps.hashSample(docs(s, d))),
 
     // ---- deduplication over `documents` -------------------------------
     "dedup_exact" -> ((s, d) => DedupOps.exactDups(docs(s, d))),
@@ -202,6 +203,7 @@ GROUP BY l_returnflag""",
     "text_rolling_fingerprint" -> OracleSqlExt.textRollingFingerprint,
     "text_tokens" -> OracleSqlExt.textTokens,
     "text_top_terms" -> OracleSqlExt.textTopTerms,
+    "sample_hash" -> OracleSqlExt.textHashSample,
 
     "dedup_exact" -> OracleSqlExt.dedupExact,
     "dedup_minhash" -> OracleSqlExt.dedupMinhash,

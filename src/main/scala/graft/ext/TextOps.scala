@@ -28,6 +28,19 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Deterministic hash-based sampling: keep a doc iff
+    * md5(doc_id) mod 100 < pct. Unlike rand()-based `sample`, the
+    * decision is a pure function of the KEY — reproducible across runs,
+    * engines, partitionings and retries, and composable (a 10% sample is
+    * a superset-invariant of a 5% one with the same hash). This is how a
+    * training pipeline takes a stable corpus slice at 100 TB. */
+  def hashSample(documents: DataFrame, pct: Int = 10): DataFrame =
+    documents
+      .filter(
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+          16, 10).cast("bigint") % 100 < pct)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
   /** Per-document statistics + a quality score in [0,1]: long-enough,
     * not-too-repetitive documents with a healthy stopword rate score
     * high (the usual pre-training heuristics, deterministic form). */

@@ -215,6 +215,11 @@ SELECT event_type, count(*) AS n_events,
        CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
 FROM events GROUP BY event_type"""
 
+  val textHashSample: String = """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10"""
+
   val textTopTerms: String = """
 WITH tf AS (
   SELECT doc_id, term, count(*) AS tf
