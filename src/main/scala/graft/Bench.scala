@@ -42,17 +42,32 @@ object Bench {
     }
     val warmupSec = (System.nanoTime() - tw0) / 1e9
 
-    // best of two timed iterations per query: the host exhibits sporadic
-    // ~20x slow phases unrelated to the plans (threads runnable but
-    // descheduled); the min is the reproducible steady-state number
+    // Robust timing: the host exhibits sporadic ~20x slow phases
+    // unrelated to the plans (threads runnable but descheduled), and a
+    // slow phase can span minutes. Per-query back-to-back repeats land
+    // both samples of one query inside the same slow phase, so instead
+    // the iterations are INTERLEAVED — full passes over the whole query
+    // set — and each query reports the MEDIAN of its three samples:
+    // a slow phase poisons at most one pass, and the median rejects
+    // that outlier. Two back-to-back runs of identical code should now
+    // agree per-query to within normal jitter.
     def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(timed(fn), timed(fn))
+    val names = SparkEntry.queries.keys.toVector
+    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val samples = collection.mutable.Map.empty[String, List[Double]]
+    for (_ <- 0 until iterations; name <- names) {
+      val t = timed(SparkEntry.queries(name))
+      samples(name) = t :: samples.getOrElse(name, Nil)
     }
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val results = names.map(n => n -> median(samples(n))).toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The reference's ENV-driven CONFIG block (index.js:11-23) surfaced as
+  * Spark session confs: a deployment tunes the pipeline with `--conf`
+  * (or `spark.conf.set` at runtime) instead of rebuilding, exactly as
+  * the Lambda is tuned with environment variables.
+  *
+  * Conf reads happen at PLAN-BUILD time (the values become literals in
+  * the compiled plan), so a `spark.conf.set` applies to queries built
+  * after it — the same visibility env vars have across Lambda cold
+  * starts.
+  */
+object GraftConf {
+
+  /** MIN_MATCHES_FOR_EMAIL (index.js:18): minimum total_matches before
+    * an email job is triggered. */
+  val MinMatchesKey = "spark.graft.minMatches"
+
+  /** Deny-listed email domains (index.js:433-436), comma-separated. */
+  val DenyDomainsKey = "spark.graft.denyList.domains"
+
+  /** Deny-listed email prefixes (index.js:437-438), comma-separated. */
+  val DenyPrefixesKey = "spark.graft.denyList.prefixes"
+
+  def minMatches(spark: SparkSession): Int =
+    spark.conf.get(MinMatchesKey, "1").toInt
+
+  def denyDomains(spark: SparkSession): Seq[String] =
+    csv(spark.conf.get(DenyDomainsKey, graft.rules.Rules.DefaultDenyDomains.mkString(",")))
+
+  def denyPrefixes(spark: SparkSession): Seq[String] =
+    csv(spark.conf.get(DenyPrefixesKey, graft.rules.Rules.DefaultDenyPrefixes.mkString(",")))
+
+  private def csv(s: String): Seq[String] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+}

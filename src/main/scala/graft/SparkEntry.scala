@@ -41,9 +41,19 @@ object SparkEntry {
     * canonical plan matching. */
   private val decidedMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def decided(s: SparkSession, dir: String): DataFrame =
+  private def decided(s: SparkSession, dir: String): DataFrame = {
+    // Bounded: Verify/Bench touch ≤3 (session, dir) pairs; a long-lived
+    // session cycling many dirs would otherwise pin every cached frame.
+    // The memo is purely a perf memo, so wholesale eviction is safe —
+    // unpersist releases the executor-memory blocks with the entries.
+    if (decidedMemo.size > 8) {
+      decidedMemo.foreach { case (k, df) =>
+        scala.util.Try(df.unpersist()); decidedMemo.remove(k)
+      }
+    }
     decidedMemo.getOrElseUpdate((s, dir),
       MatchPipeline.decide(envelope(s, dir)).cache())
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -130,6 +140,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => DedupOps.exactDups(docs(s, d))),
     "dedup_minhash" -> ((s, d) => DedupOps.minhashNearDups(docs(s, d))),
     "dedup_simhash" -> ((s, d) => DedupOps.simhashDups(docs(s, d))),
+    "dedup_simhash_k" -> ((s, d) => DedupOps.simhashHammingPairs(docs(s, d))),
     "dedup_ngram" -> ((s, d) => DedupOps.ngramJaccardPairs(docs(s, d))),
     "dedup_clusters" -> ((s, d) => DedupOps.nearDupClusters(docs(s, d))),
 
@@ -208,6 +219,7 @@ GROUP BY l_returnflag""",
     "dedup_exact" -> OracleSqlExt.dedupExact,
     "dedup_minhash" -> OracleSqlExt.dedupMinhash,
     "dedup_simhash" -> OracleSqlExt.dedupSimhash,
+    "dedup_simhash_k" -> OracleSqlExt.dedupSimhashK,
     "dedup_ngram" -> OracleSqlExt.dedupNgram,
     "dedup_clusters" -> OracleSqlExt.dedupClusters,
 

@@ -23,8 +23,11 @@ import org.apache.spark.sql.functions._
   * pass through untouched (bit-identical on both sides).
   *
   * Scale posture: fact-to-fact joins (orders⋈lineitem) shuffle on the
-  * join key; dimension joins (region/nation/customer) are broadcast.
-  * Aggregations are partial+final (map-side combine) by construction.
+  * join key; only fixed-cardinality dimensions (region/nation) carry
+  * broadcast hints — scale-growing tables (customer/supplier) are left
+  * to size estimation / AQE, which broadcasts them while small and
+  * shuffles them once they outgrow the threshold. Aggregations are
+  * partial+final (map-side combine) by construction.
   */
 object Analytics {
 
@@ -80,23 +83,30 @@ object Analytics {
         col("o_orderpriority").as("order_priority"))
   }
 
-  /** TPC-H Q5-shaped regional volume: a chain of broadcast dimension
-    * joins (region→nation→{customer,supplier}) around the
+  /** TPC-H Q5-shaped regional volume: broadcast joins against the true
+    * dimensions (region→nation, fixed cardinality) around the
     * orders⋈lineitem fact join, grouped by nation. The reference has
     * exactly one join (the dedup lookup); this supplies the multi-way
-    * equi-join coverage. */
+    * equi-join coverage.
+    *
+    * Broadcast hints are deliberately ONLY on region/nation: customer
+    * and supplier grow linearly with scale factor, so a forced
+    * broadcast of them OOMs executors at 100×. Left unhinted, the
+    * planner's size estimation (and AQE on a real cluster) broadcasts
+    * them while they fit under the threshold and shuffles them once
+    * they don't — the plan that survives the scale-up. */
   def regionVolume(region: DataFrame, nation: DataFrame, customer: DataFrame,
       supplier: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val dims = broadcast(
       nation.join(broadcast(region.filter(col("r_name") === "ASIA")),
         col("n_regionkey") === col("r_regionkey"))
         .select(col("n_nationkey"), col("n_name")))
-    val cust = broadcast(
+    val cust =
       customer.join(dims, col("c_nationkey") === col("n_nationkey"))
-        .select(col("c_custkey"), col("n_nationkey").as("c_nk"), col("n_name").as("c_nation")))
-    val supp = broadcast(
+        .select(col("c_custkey"), col("n_nationkey").as("c_nk"), col("n_name").as("c_nation"))
+    val supp =
       supplier.join(dims, col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey"), col("s_nationkey").as("s_nk")))
+        .select(col("s_suppkey"), col("s_nationkey").as("s_nk"))
     orders
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
@@ -181,14 +191,17 @@ object Analytics {
         col("F").as("n_finished"), col("P").as("n_pending"))
 
   /** Hierarchical aggregate: revenue by region → nation with ROLLUP
-    * subtotals (grouping-sets coverage; grand-total row included). */
+    * subtotals (grouping-sets coverage; grand-total row included).
+    * Customer is NOT broadcast-hinted — it grows with scale factor;
+    * only the fixed-cardinality region/nation dims are (see
+    * [[regionVolume]]). */
   def revenueRollup(region: DataFrame, nation: DataFrame, customer: DataFrame,
       orders: DataFrame): DataFrame = {
     val dims = broadcast(
       nation.join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
         .select(col("n_nationkey"), col("n_name"), col("r_name")))
     orders
-      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+      .join(customer.select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
       .join(dims, col("c_nationkey") === col("n_nationkey"))
       .rollup(col("r_name").as("region_name"), col("n_name").as("nation_name"))

@@ -15,11 +15,50 @@ import org.apache.spark.sql.functions._
   *
   * Scale posture: the only shuffles are groupBys on hash/band keys and
   * the candidate-pair self-join on band buckets — never an all-pairs
-  * cross join. Bucket sizes are bounded by the band-key entropy, so the
-  * pair blowup is O(Σ bucket²) ≪ O(n²); skewed buckets would be the
-  * thing to salt at 100 TB.
+  * cross join. The bucket self-joins are triangle-salted
+  * ([[saltedSelfPairs]]): a Zipf-hot bucket ("the …" as a block key,
+  * a popular band signature) is split into SaltBuckets² join cells, so
+  * the largest single task holds (bucket/S)² pairs instead of bucket²
+  * — the pair SET is provably identical, only its partitioning changes.
   */
 object DedupOps {
+
+  /** Salt fan-out for hot candidate buckets. 8 caps the biggest task at
+    * 1/64 of the unsalted bucket's pair count for ~4.5× row replication
+    * of the (key, id) index frame — index rows are two columns, so the
+    * replication is noise next to the shuffle it de-skews. */
+  val SaltBuckets = 8
+
+  /** All unordered intra-bucket pairs (id_a < id_b) of a (bucket, id)
+    * frame, as an equi self-join that stays balanced under bucket skew.
+    *
+    * Triangle salting: each id gets a deterministic salt s =
+    * pmod(hash(id), S). The left side replicates to join cells (s, j)
+    * for j ∈ [s, S); the right side to (i, s) for i ∈ [0, s]. A pair
+    * with salts (sa, sb), sa ≤ sb, meets in EXACTLY the cell (sa, sb)
+    * — once in one direction when sa ≠ sb, once in each direction when
+    * sa = sb (collapsed by the least/greatest projection + distinct).
+    * Every cell holds ≤ ⌈bucket/S⌉² pairs, so one hot bucket spreads
+    * over S² tasks instead of serializing on one. The output pair set
+    * is byte-identical to the naive self-join — the salt never reaches
+    * the result, so oracles are unaffected. */
+  private def saltedSelfPairs(keyed: DataFrame, bucketCol: String,
+      idCol: String): DataFrame = {
+    val s = SaltBuckets
+    val salted = keyed.select(col(bucketCol).as("bk"), col(idCol).as("id"),
+      pmod(hash(col(idCol)), lit(s)).as("salt"))
+    val left = salted
+      .select(col("bk"), col("id").as("ida"), col("salt").as("i"),
+        explode(sequence(col("salt"), lit(s - 1))).as("j"))
+    val right = salted
+      .select(col("bk"), col("id").as("idb"), col("salt").as("j"),
+        explode(sequence(lit(0), col("salt"))).as("i"))
+    left.join(right, Seq("bk", "i", "j"))
+      .filter(col("ida") =!= col("idb"))
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"))
+      .distinct()
+  }
 
   /** Exact dedup by content hash: every document mapped to the canonical
     * survivor of its hash group — the minimum doc_id (deterministic,
@@ -130,8 +169,12 @@ object DedupOps {
 
   /** MinHash/LSH near-duplicate pairs: docs sharing any band bucket,
     * verified with exact shingle Jaccard ≥ threshold. The band join is
-    * an equi self-join on the band key (hash-partitioned, no cross
-    * product); distinct collapses pairs colliding in several bands. */
+    * a triangle-salted equi self-join on the band key
+    * ([[saltedSelfPairs]] — hash-partitioned, skew-bounded, no cross
+    * product); band indices are prefixed onto the bucket key so equal
+    * signature strings in different bands stay separate buckets, and
+    * the distinct inside the pair join collapses pairs colliding in
+    * several bands. */
   def minhashNearDups(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
     // cache: the band self-join and the verify stage reference these
     // frames from several subtrees, and Spark's broadcast-subtree jobs
@@ -141,14 +184,11 @@ object DedupOps {
     val sigs = minhashSignatures(documents).cache()
     val bandCols = (0 until NumHashes / BandSize).map(b => s"band$b")
     val sets = withShingleSets(documents).cache()
-    val exploded = sigs.select(col("doc_id").as("doc_a"),
-      explode(array(bandCols.map(col): _*)).as("band"))
-    val explodedR = sigs.select(col("doc_id").as("doc_b"),
-      explode(array(bandCols.map(col): _*)).as("band"))
-    val cand = exploded.join(explodedR, Seq("band"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
+    val keyed = sigs.select(col("doc_id"),
+      explode(array(bandCols.zipWithIndex.map { case (c, i) =>
+        concat_ws("#", lit(i), col(c))
+      }: _*)).as("band"))
+    val cand = saltedSelfPairs(keyed, "band", "doc_id")
     jaccardVerify(cand, sets, threshold)
   }
 
@@ -226,9 +266,42 @@ object DedupOps {
       bits.reduce(_ + _).as("simhash32"))
   }
 
+  /** SimHash near-duplicate pairs within hamming distance k, via a
+    * banded multi-probe: the 32-bit signature splits into 4 byte
+    * bands; candidates are pairs sharing ANY (band_index, byte) key —
+    * an equi join, never all-pairs — then verified with an exact
+    * popcount(xor) ≤ k.
+    *
+    * By pigeonhole the probe is EXACT for k ≤ 3: at most k of the 32
+    * bits differ, so at most k of the 4 bands are touched and at least
+    * one band is identical — every qualifying pair IS a candidate.
+    * For k > 3 recall drops (a pair may differ in all 4 bands); callers
+    * wanting larger k re-band with ⌈k⌉+1 wider bands — same shape.
+    * The band self-join is triangle-salted ([[saltedSelfPairs]]) like
+    * every other bucket join here: popular signatures (boilerplate
+    * docs) would otherwise pile one band bucket onto one reducer. */
+  def simhashHammingPairs(documents: DataFrame, k: Int = 3): DataFrame = {
+    require(k <= 3, s"4-byte banding is exact only for k <= 3, got $k")
+    val s = simhash(documents).cache()
+    val banded = s.select(col("doc_id"),
+      explode(array((0 until 4).map(b =>
+        concat_ws("#", lit(b),
+          shiftright(col("simhash32"), b * 8) % 256)): _*)).as("band"))
+    val cand = saltedSelfPairs(banded, "band", "doc_id")
+    cand
+      .join(s.select(col("doc_id").as("doc_a"), col("simhash32").as("sig_a")),
+        Seq("doc_a"))
+      .join(s.select(col("doc_id").as("doc_b"), col("simhash32").as("sig_b")),
+        Seq("doc_b"))
+      .withColumn("hamming",
+        expr("cast(bit_count(sig_a ^ sig_b) as bigint)"))
+      .filter(col("hamming") <= k)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** SimHash near-duplicate candidates: identical 32-bit signatures.
-    * (A banded multi-probe over signature halves generalizes this to
-    * hamming-distance-k; identical-signature is the k=0 case.) */
+    * ([[simhashHammingPairs]] generalizes this to hamming-distance-k;
+    * identical-signature is the k=0 case.) */
   def simhashDups(documents: DataFrame): DataFrame = {
     val s = simhash(documents)
     val a = s.select(col("doc_id").as("doc_a"), col("simhash32"))
@@ -241,16 +314,21 @@ object DedupOps {
   /** n-gram Jaccard over a cheap candidate generation: shared first
     * token as the blocking key, then exact 3-gram Jaccard ≥ threshold.
     * Demonstrates the verify stage standalone; minhashNearDups is the
-    * scalable candidate generator. */
+    * scalable candidate generator.
+    *
+    * The first token is Zipf-distributed — a real corpus puts a large
+    * fraction of documents in one block ("The …") — so the block
+    * self-join goes through [[saltedSelfPairs]]: the hot block's pairs
+    * spread over SaltBuckets² tasks instead of serializing on one
+    * reducer, and the pair set (hence the oracle) is unchanged. Total
+    * pair COUNT in a hot block is still quadratic — that is inherent
+    * to first-token blocking and why minhash banding is the candidate
+    * generator of record at corpus scale. */
   def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.3): DataFrame = {
     val sets = withShingleSets(documents).cache()
     val keyed = documents.select(
       split(col("text"), " ").getItem(0).as("block_key"), col("doc_id"))
-    val cand = keyed.select(col("block_key"), col("doc_id").as("doc_a"))
-      .join(keyed.select(col("block_key"), col("doc_id").as("doc_b")),
-        Seq("block_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
+    val cand = saltedSelfPairs(keyed, "block_key", "doc_id")
     jaccardVerify(cand, sets, threshold)
   }
 }

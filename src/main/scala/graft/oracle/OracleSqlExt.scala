@@ -421,7 +421,7 @@ SELECT doc_id, cluster_id,
        doc_id = cluster_id AS is_canonical
 FROM lab"""
 
-  val dedupSimhash: String = """
+  private val simhashCtes: String = """
 WITH dtok AS (
   SELECT DISTINCT doc_id, tok
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
@@ -436,9 +436,20 @@ sig AS (
   SELECT doc_id,
          CAST(SUM(CASE WHEN contrib > 0 THEN (1::BIGINT << b) ELSE 0 END)
               AS BIGINT) AS simhash32
-  FROM bitsum GROUP BY doc_id)
+  FROM bitsum GROUP BY doc_id)"""
+
+  val dedupSimhash: String = simhashCtes + """
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash32
 FROM sig a JOIN sig b ON a.simhash32 = b.simhash32 AND a.doc_id < b.doc_id"""
+
+  /** Brute-force all-pairs hamming join — independent of the Spark
+    * side's banded probe, which is exact for k ≤ 3 by pigeonhole, so
+    * the two must agree row-for-row. Quadratic is fine at oracle SF. */
+  val dedupSimhashK: String = simhashCtes + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash32, b.simhash32)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 3"""
 
   val dedupNgram: String = shingleCtes + """,
 keyed AS (

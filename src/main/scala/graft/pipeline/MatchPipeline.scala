@@ -73,7 +73,11 @@ object MatchPipeline {
     *
     * Scale: both layers hash-partition on (event_id, lower(email)) —
     * the same exchange serves the join build and the window sort. */
-  def withDupHit(dec: DataFrame): DataFrame = {
+  def withDupHit(dec: DataFrame): DataFrame =
+    withDupHit(dec, 1, Rules.DefaultDenyDomains, Rules.DefaultDenyPrefixes)
+
+  def withDupHit(dec: DataFrame, minMatches: Int,
+      denyDomains: Seq[String], denyPrefixes: Seq[String]): DataFrame = {
     val st = statusKeys(dec)
       .withColumnRenamed("event_id", "s_event_id")
       .withColumnRenamed("guest_email", "s_guest_email")
@@ -104,7 +108,10 @@ object MatchPipeline {
       guestName = col("guest_name"),
       guestEmail = col("guest_email"),
       deliveryStatus = col("delivery_status"),
-      totalMatches = col("total_matches"))
+      totalMatches = col("total_matches"),
+      minMatches = minMatches,
+      denyDomains = denyDomains,
+      denyPrefixes = denyPrefixes)
     val blocker = reaches && wouldWrite &&
       col("guest_email") === lowerEmail
     val w = Window
@@ -119,11 +126,26 @@ object MatchPipeline {
       .drop("snap_dup", "in_batch_dup")
   }
 
+  /** Decode + dedup join + full rule cascade with thresholds read from
+    * the session conf (graft.GraftConf — the reference's ENV CONFIG
+    * block, index.js:11-23): `spark.graft.minMatches`,
+    * `spark.graft.denyList.{domains,prefixes}`. */
+  def decide(envelope: DataFrame): DataFrame = {
+    val s = envelope.sparkSession
+    decide(envelope, graft.GraftConf.minMatches(s),
+      graft.GraftConf.denyDomains(s), graft.GraftConf.denyPrefixes(s))
+  }
+
   /** Decode + dedup join + full rule cascade → decoded frame with
     * (action, reason) attached. The cascade is one struct-valued CaseWhen
-    * evaluated behind a projection boundary — see Rules.decisionStruct. */
-  def decide(envelope: DataFrame, minMatches: Int = 1): DataFrame = {
-    val d = withDupHit(decoded(envelope))
+    * evaluated behind a projection boundary — see Rules.decisionStruct.
+    * The threshold/deny-list also feed the in-batch blocker (withDupHit):
+    * in the reference's sequential model a record that fails them writes
+    * no status row, so it cannot block later records. */
+  def decide(envelope: DataFrame, minMatches: Int,
+      denyDomains: Seq[String] = Rules.DefaultDenyDomains,
+      denyPrefixes: Seq[String] = Rules.DefaultDenyPrefixes): DataFrame = {
+    val d = withDupHit(decoded(envelope), minMatches, denyDomains, denyPrefixes)
     val decision = Rules.decisionStruct(
       eventName = col("event_name"),
       hasNewImage = col("has_new_image"),
@@ -142,7 +164,9 @@ object MatchPipeline {
       oldDeliveryStatus = col("old_delivery_status"),
       oldTotalMatches = col("old_total_matches"),
       dupHit = col("dup_hit"),
-      minMatches = minMatches)
+      minMatches = minMatches,
+      denyDomains = denyDomains,
+      denyPrefixes = denyPrefixes)
     d.withColumn("decision", decision)
       .withColumn("action", col("decision").getField("action"))
       .withColumn("reason", col("decision").getField("reason"))

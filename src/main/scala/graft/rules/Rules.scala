@@ -37,10 +37,22 @@ object Rules {
   def alreadySentNew(emailStatus: Column, emailSent: Column): Column =
     emailStatus === "sent" || emailSent === true
 
+  /** The reference's deny-list constants (index.js:433-439) — the
+    * defaults for the conf-driven lists in graft.GraftConf. */
+  val DefaultDenyDomains: Seq[String] = Seq("example.com", "test.com")
+  val DefaultDenyPrefixes: Seq[String] = Seq("unknown@")
+
   /** O10 — deny-listed addresses (index.js:433-439). */
   def denyListed(email: Column): Column =
-    email.contains("example.com") || email.contains("test.com") ||
-      email.startsWith("unknown@")
+    denyListed(email, DefaultDenyDomains, DefaultDenyPrefixes)
+
+  /** O10 with configurable lists: containment per domain, startsWith
+    * per prefix — the same substring semantics the reference uses. */
+  def denyListed(email: Column, domains: Seq[String],
+      prefixes: Seq[String]): Column =
+    (domains.map(d => email.contains(d)) ++
+      prefixes.map(p => email.startsWith(p)))
+      .reduceOption(_ || _).getOrElse(lit(false))
 
   private def isTrue(c: Column): Column = coalesce(c, lit(false))
 
@@ -83,10 +95,13 @@ object Rules {
       guestEmail: Column,
       deliveryStatus: Column,
       totalMatches: Column,
-      minMatches: Int = 1): Column =
+      minMatches: Int = 1,
+      denyDomains: Seq[String] = DefaultDenyDomains,
+      denyPrefixes: Seq[String] = DefaultDenyPrefixes): Column =
     eventId.isNotNull && guestId.isNotNull && isValidEmail(guestEmail) &&
       guestName.isNotNull && totalMatches >= minMatches &&
-      !isTrue(deliveryStatus === "processing") && !denyListed(guestEmail)
+      !isTrue(deliveryStatus === "processing") &&
+      !denyListed(guestEmail, denyDomains, denyPrefixes)
 
   /** Full per-record decision cascade, evaluated once as a single
     * struct-valued CaseWhen. Two separate (action, reason) cascades double
@@ -114,7 +129,9 @@ object Rules {
       oldDeliveryStatus: Column,
       oldTotalMatches: Column,
       dupHit: Column,
-      minMatches: Int = 1): Column = {
+      minMatches: Int = 1,
+      denyDomains: Seq[String] = DefaultDenyDomains,
+      denyPrefixes: Seq[String] = DefaultDenyPrefixes): Column = {
 
     val isModify = eventName === "MODIFY"
     def out(action: String, reason: Column): Column =
@@ -163,7 +180,8 @@ object Rules {
         outL("skipped", "Email already delivered (delivery_status)")),
       (deliveryStatus === "processing",
         outL("skipped", "Email delivery already in progress")),
-      (denyListed(guestEmail), outL("skipped", "Test or invalid email address")))
+      (denyListed(guestEmail, denyDomains, denyPrefixes),
+        outL("skipped", "Test or invalid email address")))
 
     branches.foldRight(outL("email_triggered", "All criteria met")) {
       case ((p, o), acc) => when(p, o).otherwise(acc)

@@ -46,6 +46,28 @@ class PipelineSpec extends SparkSpec {
       ("duplicate_prevented", "Email job already exists for this address"))
   }
 
+  test("spark.graft.minMatches raises the trigger threshold (ENV CONFIG, index.js:18)") {
+    // k=18 triggers under the default threshold (previous test); with
+    // the conf raised its match count is insufficient and the cascade
+    // reports the configured bound in the reason string
+    spark.conf.set(GraftConf.MinMatchesKey, "999")
+    try {
+      val d = decidedFor(18)
+      assert(d("r18")._1 == "skipped")
+      assert(d("r18")._2.startsWith("Insufficient matches: "))
+      assert(d("r18")._2.endsWith(" < 999"))
+    } finally spark.conf.unset(GraftConf.MinMatchesKey)
+    assert(decidedFor(18)("r18")._1 == "email_triggered") // default restored
+  }
+
+  test("spark.graft.denyList.domains extends the deny list at runtime") {
+    spark.conf.set(GraftConf.DenyDomainsKey, "example.com,test.com,hapzea.com")
+    try {
+      val d = decidedFor(18)
+      assert(d("r18") == ("skipped", "Test or invalid email address"))
+    } finally spark.conf.unset(GraftConf.DenyDomainsKey)
+  }
+
   test("metrics count all four action classes") {
     val m = MatchPipeline.metrics(
       MatchPipeline.decide(MatchFixture.envelope(cust(18, 568, 17, 19, 20))))
