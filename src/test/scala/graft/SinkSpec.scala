@@ -65,6 +65,140 @@ class SinkSpec extends SparkSpec {
     assert(runs == 3)
   }
 
+  // ---- cross-process CCAS (StatusStore) ------------------------------
+
+  private def casUpdate(ev: String, g: String, expected: Option[String],
+      next: String, errorAt: Option[String] = None) = {
+    import spark.implicits._
+    Seq((ev, g, expected.orNull, next, errorAt.orNull))
+      .toDF("event_id", "guest_id", "expected_status", "new_status", "error_at")
+  }
+
+  test("casMerge applies only when the current status matches the expectation") {
+    import graft.sink.StatusStore
+    val dir = Files.createTempDirectory("graft-cas").toString + "/status"
+    // absent key reads as 'pending' (attribute_not_exists semantics)
+    val r1 = StatusStore.casMerge(casUpdate("e1", "g1", Some("pending"), "processing"), dir)
+    assert(r1.applied == 1L && r1.rejected == 0L && r1.version == 1L)
+    // same transition again: current is now 'processing' → condition fails
+    val r2 = StatusStore.casMerge(casUpdate("e1", "g1", Some("pending"), "processing"), dir)
+    assert(r2.applied == 0L && r2.rejected == 1L)
+    // NULL expectation is unconditional (the duplicate→delivered marker)
+    val r3 = StatusStore.casMerge(casUpdate("e1", "g1", None, "delivered"), dir)
+    assert(r3.applied == 1L)
+    val row = StatusStore.read(spark, dir).get.collect()
+    assert(row.length == 1 && row.head.getAs[String]("delivery_status") == "delivered")
+  }
+
+  test("two concurrent writers race one key: exactly one CAS wins") {
+    import graft.sink.StatusStore
+    val dir = Files.createTempDirectory("graft-cas-race").toString + "/status"
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[StatusStore.CasResult]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = (1 to 2).map { _ =>
+      new Thread(() => {
+        try {
+          gate.await()
+          results.add(StatusStore.casMerge(
+            casUpdate("e1", "g1", Some("pending"), "processing"), dir))
+        } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join(120000))
+    assert(errors.isEmpty, s"writer threw: ${errors.peek()}")
+    val rs = results.toArray(Array.empty[StatusStore.CasResult])
+    assert(rs.length == 2)
+    // exactly one winner — the loser's retry re-read the winner's commit
+    // and saw 'processing' ≠ 'pending', the lost conditional write
+    assert(rs.map(_.applied).sum == 1L)
+    assert(rs.map(_.rejected).sum == 1L)
+    val st = StatusStore.read(spark, dir).get.collect()
+    assert(st.length == 1 && st.head.getAs[String]("delivery_status") == "processing")
+  }
+
+  test("revert path: processing → pending + email_error_at, only while owned") {
+    import graft.sink.StatusStore
+    val dir = Files.createTempDirectory("graft-cas-revert").toString + "/status"
+    import spark.implicits._
+    val keys = Seq(("e1", "g1")).toDF("event_id", "guest_id")
+    assert(StatusStore.casMerge(StatusStore.markProcessing(keys), dir).applied == 1L)
+    // the send fails → compensate (index.js:509-522)
+    val rv = StatusStore.casMerge(
+      StatusStore.revertToPending(keys, "1970-01-01T00:00:00Z"), dir)
+    assert(rv.applied == 1L)
+    val row = StatusStore.read(spark, dir).get.collect().head
+    assert(row.getAs[String]("delivery_status") == "pending")
+    assert(row.getAs[String]("email_error_at") == "1970-01-01T00:00:00Z")
+    // a second revert finds 'pending', not 'processing' → rejected
+    assert(StatusStore.casMerge(
+      StatusStore.revertToPending(keys, "x"), dir).applied == 0L)
+    // and the key can be re-acquired (the retry after a revert converges)
+    assert(StatusStore.casMerge(StatusStore.markProcessing(keys), dir).applied == 1L)
+  }
+
+  test("batch replay through the CAS store produces no duplicate email intent") {
+    import graft.sink.StatusStore
+    val base = Files.createTempDirectory("graft-cas-replay").toString
+    val statusDir = s"$base/status"
+    val jobsDir = s"$base/jobs"
+    import spark.implicits._
+    val triggered = Seq(("r1", "e1", "g1", "e1-a@b.co"))
+      .toDF("record_id", "event_id", "guest_id", "dedup_id")
+
+    def runBatch(): Long = {
+      val cas = StatusStore.casMerge(
+        StatusStore.markProcessing(triggered.select("event_id", "guest_id")), statusDir)
+      val winners = triggered.join(cas.appliedKeys,
+        Seq("event_id", "guest_id"), "left_semi")
+      EmailJobSink.appendJobs(winners, jobsDir)
+    }
+    assert(runBatch() == 1L) // first delivery: job written
+    // replay of the same batch by a recovered worker WITHOUT a txn log:
+    // the CAS rejects (key already 'processing') → zero winners → no job
+    assert(runBatch() == 0L)
+    assert(spark.read.parquet(jobsDir).count() == 1L)
+    val st = StatusStore.read(spark, statusDir).get.collect()
+    assert(st.length == 1 && st.head.getAs[String]("delivery_status") == "processing")
+  }
+
+  test("streaming CAS sink: injected send failure reverts, restart converges") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-cas-stream").toString
+    val fail = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val envelope = MatchFixture.envelope(input.toDF().toDF("c_custkey", "c_name"))
+    val q1 = StreamPipeline.startWithCasSink(envelope, s"$base/ck",
+      s"$base/jobs", s"$base/status", failSend = () => fail.get())
+    input.addData((28L, "Customer#28"))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    q1.stop()
+    // the failed send compensated: status back to 'pending' with the
+    // error timestamp, and NO email intent landed
+    val reverted = graft.sink.StatusStore.read(spark, s"$base/status").get.collect()
+    assert(reverted.length == 1)
+    assert(reverted.head.getAs[String]("delivery_status") == "pending")
+    assert(reverted.head.getAs[String]("email_error_at") != null)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$base/jobs"))
+      || spark.read.parquet(s"$base/jobs").count() == 0L)
+
+    // restart: offsets were never committed, the batch replays, the CAS
+    // re-acquires the reverted key, the send succeeds exactly once
+    fail.set(false)
+    val q2 = StreamPipeline.startWithCasSink(envelope, s"$base/ck",
+      s"$base/jobs", s"$base/status")
+    try {
+      q2.processAllAvailable()
+      assert(spark.read.parquet(s"$base/jobs").count() == 1L)
+      val st = graft.sink.StatusStore.read(spark, s"$base/status").get.collect()
+      assert(st.length == 1 && st.head.getAs[String]("delivery_status") == "processing")
+    } finally q2.stop()
+  }
+
   test("streaming foreachBatch sink: triggered jobs land once, status merges") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
