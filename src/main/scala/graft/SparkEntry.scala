@@ -94,6 +94,9 @@ object SparkEntry {
     // HLL++ sketch values are engine-specific → rows-only driver gate;
     // the relative-error bound is asserted in ExtOpsSpec instead
     "agg_approx_distinct" -> ((s, d) => Analytics.approxDistinctCustomers(Tables.orders(s, d))),
+    // exact percentile_disc via rank arithmetic (hash-safe, unlike
+    // interpolated double percentiles)
+    "agg_percentiles" -> ((s, d) => Analytics.statusPercentiles(Tables.orders(s, d))),
 
     // ---- event-time windowing over `events` ---------------------------
     "events_tumbling" -> ((s, d) => EventOps.tumbling(Tables.events(s, d))),
@@ -107,6 +110,8 @@ object SparkEntry {
     "events_range" -> ((s, d) => TemporalJoins.clicksAfterPurchase(Tables.events(s, d))),
     // explicit two-phase salted aggregation (result ≡ plain groupBy)
     "events_salted_counts" -> ((s, d) => ext.Skew.saltedTypeCounts(Tables.events(s, d))),
+    // typed bounded-heap TopKAggregator as an oracle-gated query
+    "events_top_types" -> ((s, d) => EventOps.topEventTypes(Tables.events(s, d))),
 
     // ---- SQL surface: ANSI SQL text through GraftSql ------------------
     "sql_q6_forecast" -> ((s, d) => GraftSql.sql(s, d, """
@@ -134,7 +139,9 @@ object SparkEntry {
     "text_rolling_fingerprint" -> ((s, d) => TextOps.rollingFingerprints(docs(s, d))),
     "text_tokens" -> ((s, d) => TextOps.tokenCounts(docs(s, d))),
     "text_top_terms" -> ((s, d) => TextOps.topTerms(docs(s, d))),
+    "text_normalize" -> ((s, d) => TextOps.normalize(docs(s, d))),
     "sample_hash" -> ((s, d) => TextOps.hashSample(docs(s, d))),
+    "sample_stratified" -> ((s, d) => TextOps.stratifiedSample(docs(s, d))),
 
     // ---- deduplication over `documents` -------------------------------
     "dedup_exact" -> ((s, d) => DedupOps.exactDups(docs(s, d))),
@@ -143,12 +150,17 @@ object SparkEntry {
     "dedup_simhash_k" -> ((s, d) => DedupOps.simhashHammingPairs(docs(s, d))),
     "dedup_ngram" -> ((s, d) => DedupOps.ngramJaccardPairs(docs(s, d))),
     "dedup_clusters" -> ((s, d) => DedupOps.nearDupClusters(docs(s, d))),
+    "dedup_incremental" -> ((s, d) => DedupOps.incrementalNewDocs(docs(s, d))),
+    // full curation composite: exact dup → near dup → quality → keep
+    "corpus_clean" -> ((s, d) => ext.Corpus.cleanDecisions(docs(s, d))),
 
     // ---- similarity search over `embeddings` --------------------------
     "embed_topk" -> ((s, d) => EmbedOps.bruteForceTopK(emb(s, d))),
     "embed_lsh_neardup" -> ((s, d) => EmbedOps.lshNearDups(emb(s, d))),
     "embed_ivf_topk" -> ((s, d) => EmbedOps.ivfTopK(emb(s, d))),
     "embed_neardup_exact" -> ((s, d) => EmbedOps.exactNearDups(emb(s, d))),
+    // semantic dedup: connected components over verified LSH pairs
+    "embed_clusters" -> ((s, d) => EmbedOps.nearDupClusters(emb(s, d))),
     // native codegen'd cosine expression — no SQL oracle (float-sum
     // order is engine-specific), driver records a rows-only check
     "embed_topk_native" -> ((s, d) => EmbedOps.bruteForceTopKNative(emb(s, d))),
@@ -195,6 +207,8 @@ object SparkEntry {
     "events_asof" -> OracleSqlExt.eventsAsof,
     "events_range" -> OracleSqlExt.eventsRange,
     "events_salted_counts" -> OracleSqlExt.eventsSaltedCounts,
+    "events_top_types" -> OracleSqlExt.eventsTopTypes,
+    "agg_percentiles" -> OracleSqlExt.aggPercentiles,
     "sql_q6_forecast" -> """
 SELECT l_returnflag,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -214,7 +228,9 @@ GROUP BY l_returnflag""",
     "text_rolling_fingerprint" -> OracleSqlExt.textRollingFingerprint,
     "text_tokens" -> OracleSqlExt.textTokens,
     "text_top_terms" -> OracleSqlExt.textTopTerms,
+    "text_normalize" -> OracleSqlExt.textNormalize,
     "sample_hash" -> OracleSqlExt.textHashSample,
+    "sample_stratified" -> OracleSqlExt.sampleStratified,
 
     "dedup_exact" -> OracleSqlExt.dedupExact,
     "dedup_minhash" -> OracleSqlExt.dedupMinhash,
@@ -222,11 +238,14 @@ GROUP BY l_returnflag""",
     "dedup_simhash_k" -> OracleSqlExt.dedupSimhashK,
     "dedup_ngram" -> OracleSqlExt.dedupNgram,
     "dedup_clusters" -> OracleSqlExt.dedupClusters,
+    "dedup_incremental" -> OracleSqlExt.dedupIncremental,
+    "corpus_clean" -> OracleSqlExt.corpusClean,
 
     "embed_topk" -> OracleSqlExt.embedTopK,
     "embed_lsh_neardup" -> OracleSqlExt.embedLshNearDups,
     "embed_ivf_topk" -> OracleSqlExt.embedIvfTopK,
     "embed_neardup_exact" -> OracleSqlExt.embedNearDupExact,
+    "embed_clusters" -> OracleSqlExt.embedClusters,
 
     "mm_features" -> OracleSqlExt.mmFeatures,
     "mm_resize" -> OracleSqlExt.mmResize,

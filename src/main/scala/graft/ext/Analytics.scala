@@ -234,6 +234,36 @@ object Analytics {
         countDistinct(col("o_custkey")).as("exact_customers"))
       .orderBy(col("order_priority"))
 
+  /** Exact discrete percentiles (p50/p90/p99 of order value per status)
+    * via rank arithmetic: the pN is the value at row ⌈N·n⌉ of the
+    * per-group sort — percentile_disc semantics, no interpolation, so
+    * the result is an actual data value (an exact DECIMAL) and the
+    * cross-engine hash is safe where interpolated double percentiles
+    * would not be.
+    *
+    * Scale posture: one shuffle on the group key for the window sort,
+    * then a partial+final aggregate. For quantiles over 100 TB where a
+    * full per-group sort is too hot, the approximate companion is
+    * percentile_approx (t-digest, mergeable, fixed size) — same shape
+    * as [[approxDistinctCustomers]]'s exact/approx pairing. */
+  def statusPercentiles(orders: DataFrame): DataFrame = {
+    val byStatus = Window.partitionBy(col("o_orderstatus"))
+    val w = byStatus.orderBy(col("o_totalprice"), col("o_orderkey"))
+    val ranked = orders.select(
+      col("o_orderstatus"),
+      dec("o_totalprice").as("price"),
+      row_number().over(w).as("rn"),
+      count(lit(1)).over(byStatus).as("n"))
+    def pick(p: Double) =
+      max(when(col("rn") === ceil(col("n") * p), col("price")))
+    ranked.groupBy(col("o_orderstatus").as("order_status"))
+      .agg(
+        max(col("n")).as("n_orders"),
+        pick(0.5).cast("string").as("p50_price"),
+        pick(0.9).cast("string").as("p90_price"),
+        pick(0.99).cast("string").as("p99_price"))
+  }
+
   /** Set operations: customers with BUILDING-segment accounts EXCEPT those
     * who placed an open ('O') order, plus the INTERSECT of high-balance
     * customers with order placers. The anti-join shape the reference has;

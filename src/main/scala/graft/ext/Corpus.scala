@@ -1,0 +1,79 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation: the composition a training-data pipeline
+  * actually ships — exact dedup, near-dup clustering, and quality
+  * scoring fused into one keep/drop decision per document — plus the
+  * partitioned, sorted, size-bounded writer that lays the cleaned
+  * corpus out for downstream training jobs.
+  *
+  * The individual stages are the oracle-gated operators in
+  * [[DedupOps]] / [[TextOps]]; this module is their production
+  * composition, itself oracle-gated (`corpus_clean`).
+  */
+object Corpus {
+
+  /** Per-document curation decision with an explainable reason, the
+    * cascade ordered like the reference's rule chain (Rules.scala —
+    * first matching reason wins):
+    *   1. exact_duplicate — not the canonical doc of its content-hash
+    *      group (after [[TextOps.normalize]]-style canonicalization a
+    *      real pipeline would hash the normal form; here the raw text,
+    *      matching `dedup_exact`);
+    *   2. near_duplicate — a non-canonical member of a MinHash
+    *      near-dup cluster (subsumes exact dups; the cascade names the
+    *      cheaper reason first, as a pipeline that short-circuits
+    *      stages would);
+    *   3. low_quality — composite quality score below threshold;
+    *   4. keep.
+    *
+    * Scale posture: three equi joins on doc_id (uniform key, no skew);
+    * the dedup inputs are the bucketed/salted candidate generators, so
+    * the whole decision is shuffle-bounded by the dedup passes it
+    * reuses. */
+  def cleanDecisions(documents: DataFrame,
+      qualityThreshold: Double = 0.5,
+      nearDupThreshold: Double = 0.5): DataFrame = {
+    val exact = DedupOps.exactDups(documents)
+      .select(col("doc_id"), col("is_duplicate").as("is_exact_dup"))
+    val nearDup = DedupOps.nearDupClusters(documents, nearDupThreshold)
+      .select(col("doc_id"), col("cluster_id"),
+        (!col("is_canonical")).as("is_near_dup"))
+    val quality = TextOps.qualityScore(documents)
+    documents.select(col("doc_id"), col("lang"))
+      .join(exact, Seq("doc_id"))
+      .join(nearDup, Seq("doc_id"))
+      .join(quality, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("cluster_id"),
+        when(col("is_exact_dup"), "exact_duplicate")
+          .when(col("is_near_dup"), "near_duplicate")
+          .when(col("quality_score") < qualityThreshold, "low_quality")
+          .otherwise("keep").as("reason"))
+      .withColumn("keep", col("reason") === "keep")
+  }
+
+  /** Write a corpus partitioned by a categorical column (lang), sorted
+    * within partitions by doc_id, with bounded file sizes — the layout
+    * that makes the NEXT job's scans cheap: partition pruning on the
+    * directory column, min/max row-group pruning on the sorted key,
+    * and no small-file explosion (maxRecordsPerFile caps the other
+    * direction — one giant task output).
+    *
+    * `repartition(partition cols)` before `partitionBy` matters at
+    * scale: without it every task writes a file into every partition
+    * directory — tasks × partitions small files; with it each
+    * partition's rows coalesce into one task's stream. Skewed
+    * partition values (one dominant lang) would re-introduce a hot
+    * task; the fix is repartitioning by (lang, doc_id % k) — stated
+    * trade, not needed at test SF. */
+  def writePartitioned(df: DataFrame, path: String,
+      maxRecordsPerFile: Long = 1000000L): Unit =
+    df.repartition(col("lang"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("lang")
+      .parquet(path)
+}

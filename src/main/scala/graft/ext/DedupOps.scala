@@ -193,58 +193,17 @@ object DedupOps {
   }
 
   /** Near-duplicate CLUSTERS: connected components over the MinHash pair
-    * graph via iterative min-label propagation — the step a real dedup
-    * pipeline runs on top of pair output (keep one canonical doc per
-    * component, drop the rest). Each iteration is one distributed
-    * join+groupBy propagating the smallest doc_id seen so far along
-    * edges; the driver only checks the converged flag (no data is
-    * collected). Converges in ≤ graph-diameter iterations — near-dup
-    * components are shallow (pairs share content, so components are
-    * near-cliques); for adversarially long chains the large-star/
-    * small-star variant halves path lengths per round — same join
-    * shape, documented trade-off.
+    * graph ([[Graph.connectedComponents]] — min-label propagation with
+    * pointer jumping, O(log diameter) distributed rounds) — the step a
+    * real dedup pipeline runs on top of pair output (keep one canonical
+    * doc per component, drop the rest).
     *
     * Deterministic: component id = min doc_id of the component. */
   def nearDupClusters(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
     val pairs = minhashNearDups(documents, threshold)
       .select(col("doc_a"), col("doc_b"))
-    val edges = pairs.unionByName(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
-    var labels = documents.select(col("doc_id"),
-      col("doc_id").as("label")).cache()
-    var converged = false
-    var iters = 0
-    while (!converged && iters < 50) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
-        .groupBy(col("doc_a").as("doc_id"))
-        .agg(min(col("label")).as("nlabel"))
-      val stepped = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-      // pointer jump: label(x) := min(label(x), label(label(x))) — halves
-      // remaining path lengths each round, so convergence is O(log
-      // diameter) instead of O(diameter); near-dup components are usually
-      // near-cliques, but a chain of pairwise-similar docs must not cost
-      // a linear number of distributed rounds
-      val next = stepped.join(
-          stepped.select(col("doc_id").as("label"), col("label").as("jump")),
-          Seq("label"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("jump"), col("label"))).as("label"))
-        .cache()
-      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
-        .filter(col("label") =!= col("old")).isEmpty
-      labels.unpersist()
-      labels = next
-      iters += 1
-    }
-    val sizes = labels.groupBy(col("label").as("cluster_id"))
-      .agg(count(lit(1)).as("cluster_size"))
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
-      .join(sizes, Seq("cluster_id"))
-      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
-        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+    val labels = Graph.connectedComponents(documents.select(col("doc_id")), pairs)
+    Graph.clusterSummary(labels, "doc_id")
   }
 
   /** 32-bit SimHash from token hashes: bit b of the signature is the
@@ -330,5 +289,29 @@ object DedupOps {
       split(col("text"), " ").getItem(0).as("block_key"), col("doc_id"))
     val cand = saltedSelfPairs(keyed, "block_key", "doc_id")
     jaccardVerify(cand, sets, threshold)
+  }
+
+  /** Incremental dedup: the ingestion-time complement of the batch
+    * passes above. An existing corpus is represented only by its
+    * content-hash SNAPSHOT (here: the even doc_ids, standing in for
+    * yesterday's fingerprint table); incoming documents (odd doc_ids)
+    * keep only content the snapshot has never seen — one left-anti
+    * equi join on the hash.
+    *
+    * Scale posture: this is THE join shape for continuous corpus
+    * ingestion at 100 TB — the snapshot side is a narrow one-column
+    * frame (16-byte hash per historical doc), orders of magnitude
+    * smaller than the corpus it summarizes; the anti join
+    * hash-partitions on the digest (uniform by construction, no skew),
+    * and AQE broadcasts the snapshot while it fits. The same shape
+    * extends to minhash-band fingerprints for incremental NEAR-dup. */
+  def incrementalNewDocs(documents: DataFrame): DataFrame = {
+    val digest = md5(col("text").cast("binary"))
+    val snapshot = documents.filter(col("doc_id") % 2 === 0)
+      .select(digest.as("content_md5")).distinct()
+    documents.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), digest.as("content_md5"))
+      .join(snapshot, Seq("content_md5"), "left_anti")
+      .select(col("doc_id"), col("content_md5"))
   }
 }

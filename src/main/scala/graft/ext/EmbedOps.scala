@@ -151,6 +151,27 @@ object EmbedOps {
         col("cosine"))
   }
 
+  /** Embedding near-duplicate CLUSTERS: connected components over the
+    * LSH candidate pairs that verify at cosine ≥ threshold — the
+    * embedding-space analog of [[DedupOps.nearDupClusters]], sharing
+    * [[Graph.connectedComponents]] (min-label propagation + pointer
+    * jumping, O(log diameter) rounds). This is the semantic-dedup pass
+    * of a training pipeline: keep one canonical vector per cluster of
+    * mutually-near embeddings, drop the rest.
+    *
+    * Candidate generation stays the equi self-join on the 12-plane
+    * signature — never all-pairs — so cluster recall equals LSH pair
+    * recall (same-bucket collisions), the documented trade of the
+    * scale path. */
+  def nearDupClusters(embeddings: DataFrame, threshold: Double = 0.35): DataFrame = {
+    val pairs = lshNearDups(embeddings)
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"))
+    val labels = Graph.connectedComponents(
+      embeddings.select(col("vec_id")), pairs)
+    Graph.clusterSummary(labels, "vec_id")
+  }
+
   /** IVF-style top-k: the coarse quantizer is the `label` column — each
     * query searches only its own partition (1/10th of the corpus here;
     * 1/nlist in general). The exact analog of probing one inverted

@@ -77,4 +77,23 @@ object EventOps {
         min(col("event_id")).as("first_event_id"),
         date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_ts"),
         count(lit(1)).as("n_total"))
+
+  /** Global top-K event types by volume through the typed
+    * [[TopKAggregator]] — the bounded-heap Aggregator as a production
+    * query (elsewhere it is only spec-driven). The aggregate counts
+    * shrink the input to one row per type BEFORE the heap, so the
+    * Aggregator's map-side combine carries ≤ K tuples per partition —
+    * the shape that makes global top-K a near-free reduction at 100 TB.
+    * Ordering contract (score desc, item asc tie-break) matches the
+    * windowed row_number form, so a plain SQL oracle reproduces it. */
+  def topEventTypes(events: DataFrame, k: Int = 3): DataFrame = {
+    import events.sparkSession.implicits._
+    val counts = events.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val scored = counts.select(
+      lit("all").as("key"), col("event_type").as("item"),
+      col("n").cast("double").as("score")).as[Scored]
+    TopK.topKPerKey(scored, k).toDF("key", "top")
+      .select(posexplode(col("top")).as(Seq("pos", "event_type")))
+      .select((col("pos") + 1).as("rank"), col("event_type"))
+  }
 }

@@ -1,0 +1,81 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an undirected pair graph —
+  * the clustering step every near-duplicate pipeline runs on top of
+  * pair output (minhash pairs, embedding-cosine pairs), shared by
+  * [[DedupOps.nearDupClusters]] and [[EmbedOps.nearDupClusters]].
+  *
+  * Algorithm: iterative min-label propagation with pointer jumping.
+  * Each round is two distributed join+aggregate steps:
+  *   1. label(x) := min(label(x), min over neighbors y of label(y))
+  *   2. pointer jump: label(x) := min(label(x), label(label(x))) —
+  *      halves remaining path lengths, so convergence is O(log
+  *      diameter) distributed rounds instead of O(diameter).
+  * Near-dup components are near-cliques (pairs share content), so
+  * typical convergence is 2-3 rounds; the jump bounds the adversarial
+  * chain case.
+  *
+  * Scale posture: every step is an equi join + groupBy on the vertex
+  * id — hash-partitioned, no driver-side data. The driver checks only
+  * a converged flag (`isEmpty` on the changed-label frame). State per
+  * round is one (id, label) frame, cached and explicitly unpersisted
+  * when superseded.
+  *
+  * Deterministic: component id = min vertex id of the component.
+  */
+object Graph {
+
+  /** Connected components of the graph over `vertices` (first column =
+    * vertex id) with undirected edges given by `pairs` (first two
+    * columns = endpoints). Returns (id, label) with label = min id
+    * reachable; isolated vertices keep their own id. */
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame,
+      maxIters: Int = 50): DataFrame = {
+    val p = pairs.select(col(pairs.columns(0)).as("src"),
+      col(pairs.columns(1)).as("dst"))
+    val edges = p.unionByName(
+      p.select(col("dst").as("src"), col("src").as("dst"))).cache()
+    var labels = vertices.select(col(vertices.columns(0)).as("id"))
+      .withColumn("label", col("id")).cache()
+    var converged = false
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nlabel"))
+      val stepped = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      val next = stepped.join(
+          stepped.select(col("id").as("label"), col("label").as("jump")),
+          Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("jump"), col("label"))).as("label"))
+        .cache()
+      converged = next
+        .join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      iters += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** (id, cluster_id, cluster_size, is_canonical) from a components
+    * labeling — the presentation both near-dup cluster queries share.
+    * `idName` renames the generic vertex column for the caller. */
+  def clusterSummary(labels: DataFrame, idName: String): DataFrame = {
+    val sizes = labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.select(col("id").as(idName), col("label").as("cluster_id"))
+      .join(sizes, Seq("cluster_id"))
+      .select(col(idName), col("cluster_id"), col("cluster_size"),
+        (col(idName) === col("cluster_id")).as("is_canonical"))
+  }
+}

@@ -41,6 +41,43 @@ object TextOps {
           16, 10).cast("bigint") % 100 < pct)
       .select(col("doc_id"), col("lang"), col("n_chars"))
 
+  /** Stratified deterministic sampling: a per-language keep rate (the
+    * usual rebalancing move when one language dominates a crawl),
+    * decided by the same key-pure hash as [[hashSample]] — so each
+    * stratum's sample is reproducible, composable across rates, and
+    * independent of partitioning/retries. The rate table is a literal
+    * `when` cascade (a handful of strata → codegen'd branch, no join);
+    * a thousand-stratum table would become a broadcast-joined dim
+    * instead — same semantics, stated trade. */
+  def stratifiedSample(documents: DataFrame,
+      rates: Seq[(String, Int)] = Seq("en" -> 10, "de" -> 50, "fr" -> 100, "es" -> 25),
+      defaultPct: Int = 0): DataFrame = {
+    val pct = rates.foldLeft(lit(defaultPct)) { case (acc, (l, p)) =>
+      when(col("lang") === l, lit(p)).otherwise(acc)
+    }
+    documents
+      .filter(
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+          16, 10).cast("bigint") % 100 < pct)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
+  /** Canonical text normalization — the pass that runs before exact
+    * dedup so trivially-different bytes (case, punctuation, whitespace)
+    * hash identically: lowercase → non-alphanumerics to spaces →
+    * collapse runs → trim, plus the md5 of the canonical form. Pure
+    * codegen'd scan, no shuffle; at 100 TB this is the cheapest stage
+    * of the pipeline and the one that most increases dedup recall. */
+  def normalize(documents: DataFrame): DataFrame = {
+    val canon = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    documents.select(
+      col("doc_id"),
+      canon.as("norm_text"),
+      md5(canon.cast("binary")).as("norm_md5"),
+      length(canon).as("n_chars_norm"))
+  }
+
   /** Per-document statistics + a quality score in [0,1]: long-enough,
     * not-too-repetitive documents with a healthy stopword rate score
     * high (the usual pre-training heuristics, deterministic form). */

@@ -117,6 +117,23 @@ SELECT o_orderstatus AS order_status, o_orderpriority AS order_priority,
 FROM orders
 GROUP BY CUBE(o_orderstatus, o_orderpriority)"""
 
+  /** Mirror of Analytics.statusPercentiles: percentile_disc by rank
+    * arithmetic — value at row ⌈p·n⌉ of the per-group sort. */
+  val aggPercentiles: String = """
+WITH ranked AS (
+  SELECT o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM orders)
+SELECT o_orderstatus AS order_status,
+       max(n) AS n_orders,
+       CAST(max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN price END) AS VARCHAR) AS p50_price,
+       CAST(max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN price END) AS VARCHAR) AS p90_price,
+       CAST(max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN price END) AS VARCHAR) AS p99_price
+FROM ranked GROUP BY o_orderstatus"""
+
   val setopSegments: String = """
 SELECT c_custkey, 'building_no_open' AS set_kind FROM (
   SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
@@ -219,6 +236,24 @@ FROM events GROUP BY event_type"""
 SELECT doc_id, lang, n_chars
 FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10"""
+
+  /** Mirror of TextOps.stratifiedSample's per-language rate cascade. */
+  val sampleStratified: String = """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 <
+      CASE WHEN lang = 'en' THEN 10 WHEN lang = 'de' THEN 50
+           WHEN lang = 'fr' THEN 100 WHEN lang = 'es' THEN 25 ELSE 0 END"""
+
+  val textNormalize: String = """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS norm_text
+  FROM documents)
+SELECT doc_id, norm_text, md5(norm_text) AS norm_md5,
+       length(norm_text) AS n_chars_norm
+FROM n"""
 
   val textTopTerms: String = """
 WITH tf AS (
@@ -374,8 +409,10 @@ WHERE CAST(ni AS DOUBLE) / CAST(za.n + zb.n - ni AS DOUBLE) >= 0.5"""
   /** Connected components over the minhash pair graph: recursive
     * transitive closure (tiny graph — pairs above threshold), component
     * id = min reachable doc_id, singletons via the documents left join.
-    * Mirrors DedupOps.nearDupClusters' converged label propagation. */
-  val dedupClusters: String = shingleCtes.replaceFirst("WITH toks", "WITH RECURSIVE toks") + """,
+    * Mirrors DedupOps.nearDupClusters' converged label propagation.
+    * The CTE chain through `lab` (doc_id → cluster_id) is shared with
+    * the corpus_clean composite below. */
+  private val clusterLabCtes: String = shingleCtes.replaceFirst("WITH toks", "WITH RECURSIVE toks") + """,
 hashes AS (
   SELECT doc_id, s,
          ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
@@ -415,11 +452,41 @@ reach AS (
 comp AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
 lab AS (
   SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
-  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)"""
+
+  val dedupClusters: String = clusterLabCtes + """
 SELECT doc_id, cluster_id,
        count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
        doc_id = cluster_id AS is_canonical
 FROM lab"""
+
+  /** Mirror of ext.Corpus.cleanDecisions: the dedup-cluster labeling
+    * (shared CTE chain), exact-dup flag, and quality score fused into
+    * the first-matching-reason cascade. */
+  val corpusClean: String = clusterLabCtes + s""",
+exact AS (
+  SELECT doc_id,
+         doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_exact_dup
+  FROM documents),
+qual AS (
+  SELECT doc_id,
+         least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100) * 0.4
+         + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) * 0.4
+         + least(1.0, CAST(${occ("the ", 4)} + ${occ("a ", 2)} AS DOUBLE) / 5) * 0.2
+           AS quality_score
+  FROM documents)
+SELECT doc_id, lang, cluster_id, reason, reason = 'keep' AS keep
+FROM (
+  SELECT d.doc_id, d.lang, l.cluster_id,
+         CASE WHEN e.is_exact_dup THEN 'exact_duplicate'
+              WHEN l.doc_id <> l.cluster_id THEN 'near_duplicate'
+              WHEN q.quality_score < 0.5 THEN 'low_quality'
+              ELSE 'keep' END AS reason
+  FROM documents d
+  JOIN exact e ON e.doc_id = d.doc_id
+  JOIN lab l ON l.doc_id = d.doc_id
+  JOIN qual q ON q.doc_id = d.doc_id)"""
 
   private val simhashCtes: String = """
 WITH dtok AS (
@@ -469,6 +536,25 @@ FROM inter i
 JOIN dsz za ON za.doc_id = i.doc_a
 JOIN dsz zb ON zb.doc_id = i.doc_b
 WHERE CAST(ni AS DOUBLE) / CAST(za.n + zb.n - ni AS DOUBLE) >= 0.3"""
+
+  /** Mirror of DedupOps.incrementalNewDocs: odd-doc_id incoming docs
+    * whose content hash is absent from the even-doc_id snapshot. */
+  val dedupIncremental: String = """
+SELECT d.doc_id, md5(d.text) AS content_md5
+FROM documents d
+WHERE d.doc_id % 2 = 1
+  AND NOT EXISTS (
+    SELECT 1 FROM documents s
+    WHERE s.doc_id % 2 = 0 AND md5(s.text) = md5(d.text))"""
+
+  /** Mirror of EventOps.topEventTypes (typed TopKAggregator): the
+    * row_number form of the same (count desc, type asc) contract. */
+  val eventsTopTypes: String = """
+SELECT rank, event_type FROM (
+  SELECT event_type,
+         row_number() OVER (ORDER BY count(*) DESC, event_type) AS rank
+  FROM events GROUP BY event_type)
+WHERE rank <= 3"""
 
   // ----------------------------------------------------------- multimodal
 
@@ -540,7 +626,9 @@ ranked AS (
   FROM scored)
 SELECT query_id, rank, vec_id AS neighbor_id, cosine FROM ranked WHERE rank <= 5"""
 
-  val embedLshNearDups: String = quantCte + s""",
+  /** Hyperplane-signature CTEs (dots → sig), shared by the LSH pair
+    * and cluster oracles. */
+  private val lshSigCtes: String = """,
 dots AS (
   SELECT vec_id, j,
          list_sum(list_transform(range(0, 64),
@@ -551,7 +639,9 @@ sig AS (
   SELECT vec_id,
          CAST(SUM(CASE WHEN dotj > 0 THEN (1::BIGINT << j) ELSE 0 END)
               AS BIGINT) AS sig
-  FROM dots GROUP BY vec_id),
+  FROM dots GROUP BY vec_id)"""
+
+  val embedLshNearDups: String = quantCte + lshSigCtes + s""",
 pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.sig
   FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id)
@@ -559,6 +649,34 @@ SELECT p.vec_a, p.vec_b, p.sig, ${cosineSql("qa.qv", "qb.qv")} AS cosine
 FROM pairs p
 JOIN q qa ON qa.vec_id = p.vec_a
 JOIN q qb ON qb.vec_id = p.vec_b"""
+
+  /** Mirror of EmbedOps.nearDupClusters: recursive transitive closure
+    * over the LSH pairs verifying at cosine ≥ 0.35, component id = min
+    * reachable vec_id, singletons via the embeddings left join. */
+  val embedClusters: String =
+    quantCte.replaceFirst("WITH q", "WITH RECURSIVE q") + lshSigCtes + s""",
+vpairs AS (
+  SELECT p.vec_a, p.vec_b
+  FROM (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id) p
+  JOIN q qa ON qa.vec_id = p.vec_a
+  JOIN q qb ON qb.vec_id = p.vec_b
+  WHERE ${cosineSql("qa.qv", "qb.qv")} >= 0.35),
+edges AS (
+  SELECT vec_a AS a, vec_b AS b FROM vpairs
+  UNION ALL SELECT vec_b, vec_a FROM vpairs),
+reach AS (
+  SELECT a AS src, a AS dst FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+comp AS (SELECT src AS vec_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+lab AS (
+  SELECT v.vec_id, COALESCE(c.cluster_id, v.vec_id) AS cluster_id
+  FROM embeddings v LEFT JOIN comp c ON c.vec_id = v.vec_id)
+SELECT vec_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       vec_id = cluster_id AS is_canonical
+FROM lab"""
 
   val embedNearDupExact: String = quantCte + s"""
 SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -1,4 +1,4 @@
-package graft
+package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
@@ -25,7 +25,7 @@ object Scratch {
     }
 
     val only = sys.env.get("SCRATCH_ONLY")
-    SparkEntry.queries
+    graft.SparkEntry.queries
       .filter { case (n, _) => only.forall(_.split(",").contains(n)) }
       .foreach { case (name, fn) =>
         time(name)(println("rows=" + fn(spark, sfDir).count()))

@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Corpus, DedupOps, EventOps, Graph, TextOps, Analytics}
+
+/** Round-6 curation surface: shared connected components, the
+  * corpus-clean decision cascade, incremental dedup, stratified
+  * sampling, normalization, exact percentiles, the oracle-gated
+  * TopKAggregator query, and the partitioned corpus writer. */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents labels a chain with its min id and leaves singletons alone") {
+    val vertices = (1L to 7L).toDF("id")
+    // chain 1-2-3-4-5 (diameter 4 → exercises pointer jumping), pair 6-7 absent → singletons
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (5L, 4L)).toDF("a", "b")
+    val got = Graph.connectedComponents(vertices, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(got(_) == 1L))
+    assert(got(6L) == 6L && got(7L) == 7L)
+  }
+
+  test("connectedComponents keeps disjoint components separate") {
+    val vertices = (1L to 6L).toDF("id")
+    val pairs = Seq((1L, 2L), (5L, 4L), (6L, 5L)).toDF("a", "b")
+    val got = Graph.connectedComponents(vertices, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 3L)
+    assert(got(4L) == 4L && got(5L) == 4L && got(6L) == 4L)
+  }
+
+  // corpus fixture: 20+ distinct filler docs keep minhash band collisions
+  // honest; the interesting docs are crafted per-case
+  private def fillerDocs(n: Int): Seq[(Long, String, String)] =
+    (100L until (100L + n)).map { i =>
+      (i, "en", s"filler document number $i speaks about topic $i in unique terms ${i * 7} and ${i * 13}")
+    }
+
+  test("cleanDecisions cascade: exact dup, near dup, low quality, keep") {
+    val rich = "the quick brown fox jumps over a lazy dog and then " +
+      "the fox runs far away to a quiet den where it rests until dawn " +
+      "and a new day begins with the sun rising over a calm valley"
+    val nearRich = rich.replace("calm valley", "calm meadow")
+    val docs = (Seq(
+      (1L, "en", rich),            // canonical of its near-dup cluster → keep
+      (2L, "en", rich),            // byte-identical → exact_duplicate
+      (3L, "en", nearRich),        // same cluster, not canonical → near_duplicate
+      (4L, "en", "tiny doc")       // poor score → low_quality
+    ) ++ fillerDocs(20)).toDF("doc_id", "lang", "text")
+    val got = Corpus.cleanDecisions(docs)
+      .select("doc_id", "reason", "keep")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    assert(got(1L) == ("keep", true))
+    assert(got(2L) == ("exact_duplicate", false))
+    assert(got(3L) == ("near_duplicate", false))
+    assert(got(4L) == ("low_quality", false))
+  }
+
+  test("incrementalNewDocs keeps only odd-id content absent from the even-id snapshot") {
+    val docs = Seq(
+      (0L, "en", "shared content alpha"),  // snapshot
+      (1L, "en", "shared content alpha"),  // incoming, seen → dropped
+      (2L, "en", "snapshot only beta"),    // snapshot
+      (3L, "en", "genuinely new gamma"),   // incoming, new → kept
+      (5L, "en", "genuinely new gamma")    // incoming dup of incoming → still new vs snapshot
+    ).toDF("doc_id", "lang", "text")
+    val got = DedupOps.incrementalNewDocs(docs).select("doc_id")
+      .as[Long].collect().sorted
+    assert(got.toSeq == Seq(3L, 5L))
+  }
+
+  test("stratifiedSample applies per-language rates; zero-rate strata vanish") {
+    val docs = (1L to 400L).map { i =>
+      val lang = Seq("en", "fr", "xx")((i % 3).toInt)
+      (i, lang, s"doc $i", i.toInt)
+    }.toDF("doc_id", "lang", "text", "n_chars")
+    val got = TextOps.stratifiedSample(docs,
+      rates = Seq("en" -> 100, "fr" -> 30), defaultPct = 0)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enTotal = docs.filter($"lang" === "en").count()
+    assert(got("en") == enTotal)                 // 100% stratum complete
+    assert(got.get("xx").isEmpty)                // 0% stratum absent
+    val fr = got.getOrElse("fr", 0L).toDouble /
+      docs.filter($"lang" === "fr").count()
+    assert(fr > 0.1 && fr < 0.5, s"fr rate $fr not near 0.3")
+  }
+
+  test("stratifiedSample is a deterministic subset of the matching hashSample") {
+    val docs = (1L to 200L).map(i => (i, "en", s"d$i", 1)).toDF("doc_id", "lang", "text", "n_chars")
+    val strat = TextOps.stratifiedSample(docs, rates = Seq("en" -> 10))
+      .select("doc_id").as[Long].collect().toSet
+    val flat = TextOps.hashSample(docs, 10).select("doc_id").as[Long].collect().toSet
+    assert(strat == flat)
+  }
+
+  test("normalize lowercases, strips punctuation, collapses whitespace") {
+    val docs = Seq((1L, "en", "Hello,   World! It's 42°C &  RISING."))
+      .toDF("doc_id", "lang", "text")
+    val r = TextOps.normalize(docs).head()
+    assert(r.getAs[String]("norm_text") == "hello world it s 42 c rising")
+    assert(r.getAs[Int]("n_chars_norm") == 28)
+  }
+
+  test("statusPercentiles picks exact order-statistic values (disc semantics)") {
+    // 10 orders in one group: p50 = 5th value, p90 = 9th, p99 = ceil(9.9) = 10th
+    val orders = (1L to 10L).map(i => (i, "O", i * 10.0)).toDF(
+      "o_orderkey", "o_orderstatus", "o_totalprice")
+    val r = Analytics.statusPercentiles(orders).head()
+    assert(r.getAs[String]("p50_price") == "50.00")
+    assert(r.getAs[String]("p90_price") == "90.00")
+    assert(r.getAs[String]("p99_price") == "100.00")
+    assert(r.getAs[Long]("n_orders") == 10L)
+  }
+
+  test("topEventTypes matches the row_number formulation with ties broken by type") {
+    val events = (Seq.fill(5)("click") ++ Seq.fill(5)("view") ++
+      Seq.fill(3)("purchase") ++ Seq.fill(1)("refund"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("event_id", "event_type")
+    val got = EventOps.topEventTypes(events, 3)
+      .orderBy("rank").collect().map(r => (r.getInt(0), r.getString(1)))
+    // tie on 5: click before view (item asc); purchase third
+    assert(got.toSeq == Seq((1, "click"), (2, "view"), (3, "purchase")))
+  }
+
+  test("writePartitioned lays out lang partitions and read-back prunes them") {
+    val dir = Files.createTempDirectory("graft-corpus-write").toString
+    val docs = (1L to 90L).map { i =>
+      (i, Seq("en", "de", "fr")((i % 3).toInt), s"text $i")
+    }.toDF("doc_id", "lang", "text")
+    Corpus.writePartitioned(docs, dir)
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs == Set("lang=en", "lang=de", "lang=fr"))
+    val back = spark.read.parquet(dir).filter($"lang" === "de")
+    assert(back.count() == 30L)
+    // partition pruning: the scan's partition filters mention lang, and
+    // only the lang=de directory's files are read
+    val scan = back.queryExecution.executedPlan.collectLeaves().head
+    val scanStr = scan.toString
+    assert(scanStr.contains("PartitionFilters") && scanStr.contains("lang"))
+    // rows within each file arrive sorted by doc_id (sortWithinPartitions)
+    val perFile = spark.read.parquet(s"$dir/lang=de")
+      .select(input_file_name().as("f"), $"doc_id")
+      .collect().groupBy(_.getString(0))
+    perFile.values.foreach { rows =>
+      val ids = rows.map(_.getLong(1)).toSeq
+      assert(ids == ids.sorted)
+    }
+  }
+}
