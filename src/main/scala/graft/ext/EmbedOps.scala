@@ -70,17 +70,21 @@ object EmbedOps {
   /** Hyperplane-sign signature (12 planes → 4096 buckets). Hyperplane
     * j's weight for dim i is ±1 from bit 16 of an LCG mix of (64j + i) —
     * a fixed deterministic pseudo-random matrix both engines rebuild
-    * from the same integer formula (no float, no library RNG). */
+    * from the same integer formula (no float, no library RNG).
+    *
+    * The weight matrix is data-independent, so it is evaluated HERE, at
+    * plan-build time, and embedded as literal ±1 arrays: the previous
+    * form recomputed the LCG mix inside the lambda — 768 interpreted
+    * multiply/mod/shift ops and 12 sequence() allocations per ROW —
+    * which profiling showed dominated every lsh-path query. The
+    * signature values are unchanged (same formula, same integers). */
   def lshSignature(q: Column, dims: Int = 64, planes: Int = 12): Column = {
     val bits = (0 until planes).map { j =>
-      val dot = aggregate(
-        zip_with(q, sequence(lit(0), lit(dims - 1)),
-          (x, i) => {
-            val mix = shiftright(
-              (lit(1103515245L) * (lit(j * 64L) + i) + 12345L) % 2147483648L,
-              16) % 2
-            when(mix === 0, x).otherwise(-x)
-          }),
+      val weights: Seq[Long] = (0 until dims).map { i =>
+        val mix = (((1103515245L * (j * 64L + i) + 12345L) % 2147483648L) >> 16) % 2
+        if (mix == 0) 1L else -1L
+      }
+      val dot = aggregate(zip_with(q, typedlit(weights), (x, w) => x * w),
         lit(0L), (acc, x) => acc + x)
       when(dot > 0, lit(1L << j)).otherwise(0L)
     }
@@ -92,10 +96,17 @@ object EmbedOps {
     * threshold (none here so the small-SF gate exercises the path). */
 
   def lshNearDups(embeddings: DataFrame): DataFrame = {
+    // cache: both sides of the bucket self-join (and the CC pass in
+    // nearDupClusters) reference this frame — uncached, the whole
+    // interpreted quantize+signature pipeline runs once per reference
+    // (2× measured). At corpus scale the cached projection is
+    // (id, 64 longs, 2 longs) per row — far smaller than the source —
+    // and spills to disk gracefully if it outgrows executor memory.
     val sigs = embeddings.select(
       col("vec_id"), quantized(col("embedding")).as("q"))
       .withColumn("sig", lshSignature(col("q")))
       .withColumn("n2", qnorm2(col("q")))
+      .cache()
     val a = sigs.select(col("sig"), col("vec_id").as("vec_a"),
       col("q").as("qa"), col("n2").as("n2a"))
     val b = sigs.select(col("sig"), col("vec_id").as("vec_b"),

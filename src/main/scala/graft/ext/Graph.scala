@@ -47,24 +47,39 @@ object Graph {
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nlabel"))
-      val stepped = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // the pre-round label rides along as `old`, so the convergence
+      // check below is a filter on the already-materialized frame, not
+      // an extra per-round join
+      val stepped = labels.select(col("id"), col("label").as("old"))
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("old"),
+          least(col("old"), coalesce(col("nlabel"), col("old"))).as("label"))
+      // localCheckpoint (eager) materializes the round AND truncates
+      // lineage. Truncation is load-bearing, not cosmetic: the
+      // pointer-jump self-join doubles the logical plan per round, and
+      // anything that renders the plan (AQE's per-stage explain
+      // updates, the UI) goes exponential in round count without it —
+      // measured as a multi-minute explainString hang at ~10 rounds.
+      // On a cluster, swap for reliable checkpoint()s on a fault-
+      // tolerant dir every few rounds (localCheckpoint trades
+      // executor-loss recomputability for speed — the standard
+      // iterative-graph trade).
       val next = stepped.join(
           stepped.select(col("id").as("label"), col("label").as("jump")),
           Seq("label"), "left")
-        .select(col("id"),
+        .select(col("id"), col("old"),
           least(col("label"), coalesce(col("jump"), col("label"))).as("label"))
-        .cache()
-      converged = next
-        .join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).isEmpty
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      converged = next.filter(col("label") =!= col("old")).isEmpty
+      if (sys.env.contains("GRAFT_CC_LOG"))
+        println(f"[graft.cc] round $iters%d converged=$converged ${(System.nanoTime() - t0) / 1e9}%.2fs")
       labels.unpersist()
       labels = next
       iters += 1
     }
     edges.unpersist()
-    labels
+    labels.select(col("id"), col("label"))
   }
 
   /** (id, cluster_id, cluster_size, is_canonical) from a components

@@ -99,4 +99,27 @@ class PropertySpec extends SparkSpec {
       out.foreach(r => assert(r.getLong(1) == 1L, r.toString))
     }
   }
+
+  test("connected components equal a driver-side union-find on random graphs") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val r = new Random(seed)
+      val n = 120
+      val edges = Seq.fill(100)((r.nextInt(n).toLong, r.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: union-find with min-id representative
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
+      }
+      val expect = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val got = graft.ext.Graph.connectedComponents(
+          (0L until n.toLong).toDF("id"), edges.toDF("a", "b"))
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(got == expect, s"seed=$seed")
+    }
+  }
 }
