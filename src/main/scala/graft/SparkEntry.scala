@@ -151,6 +151,7 @@ object SparkEntry {
     "dedup_ngram" -> ((s, d) => DedupOps.ngramJaccardPairs(docs(s, d))),
     "dedup_clusters" -> ((s, d) => DedupOps.nearDupClusters(docs(s, d))),
     "dedup_incremental" -> ((s, d) => DedupOps.incrementalNewDocs(docs(s, d))),
+    "dedup_incremental_near" -> ((s, d) => DedupOps.incrementalNewNearDocs(docs(s, d))),
     // full curation composite: exact dup → near dup → quality → keep
     "corpus_clean" -> ((s, d) => ext.Corpus.cleanDecisions(docs(s, d))),
 
@@ -239,6 +240,7 @@ GROUP BY l_returnflag""",
     "dedup_ngram" -> OracleSqlExt.dedupNgram,
     "dedup_clusters" -> OracleSqlExt.dedupClusters,
     "dedup_incremental" -> OracleSqlExt.dedupIncremental,
+    "dedup_incremental_near" -> OracleSqlExt.dedupIncrementalNear,
     "corpus_clean" -> OracleSqlExt.corpusClean,
 
     "embed_topk" -> OracleSqlExt.embedTopK,

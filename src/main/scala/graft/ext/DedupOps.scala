@@ -314,4 +314,36 @@ object DedupOps {
       .join(snapshot, Seq("content_md5"), "left_anti")
       .select(col("doc_id"), col("content_md5"))
   }
+
+  /** Incremental NEAR-dup: [[incrementalNewDocs]] generalized from
+    * exact content hashes to minhash bands — incoming documents (odd
+    * doc_ids) that have NO near-duplicate (Jaccard ≥ threshold) in the
+    * snapshot corpus (even doc_ids). Candidates come from a BIPARTITE
+    * band join (incoming band keys ⋈ snapshot band keys — the
+    * snapshot side of a real pipeline is a stored band-key index, one
+    * row per (band, doc)); candidates verify with the shared relational
+    * Jaccard stage, and verified duplicates anti-join away.
+    *
+    * Scale posture: incoming is a micro-batch, snapshot keys a stored
+    * index — the join probes |batch| × band-collisions, never corpus²;
+    * band keys are minhash outputs (uniform, no skew). */
+  def incrementalNewNearDocs(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sigs = minhashSignatures(documents).cache()
+    val sets = withShingleSets(documents).cache()
+    val bandCols = (0 until NumHashes / BandSize).map(b => s"band$b")
+    val keyed = sigs.select(col("doc_id"),
+      explode(array(bandCols.zipWithIndex.map { case (c, i) =>
+        concat_ws("#", lit(i), col(c))
+      }: _*)).as("band"))
+    val incoming = keyed.filter(col("doc_id") % 2 === 1)
+      .select(col("band"), col("doc_id").as("doc_a"))
+    val snapshot = keyed.filter(col("doc_id") % 2 === 0)
+      .select(col("band"), col("doc_id").as("doc_b"))
+    val cand = incoming.join(snapshot, Seq("band"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val dupIncoming = jaccardVerify(cand, sets, threshold)
+      .select(col("doc_a").as("doc_id")).distinct()
+    documents.filter(col("doc_id") % 2 === 1).select(col("doc_id"))
+      .join(dupIncoming, Seq("doc_id"), "left_anti")
+  }
 }

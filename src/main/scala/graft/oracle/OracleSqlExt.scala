@@ -547,6 +547,45 @@ WHERE d.doc_id % 2 = 1
     SELECT 1 FROM documents s
     WHERE s.doc_id % 2 = 0 AND md5(s.text) = md5(d.text))"""
 
+  /** Mirror of DedupOps.incrementalNewNearDocs: incoming (odd) docs
+    * with no verified minhash near-dup among the snapshot (even) docs.
+    * Bipartite band join for candidates, exact Jaccard verify. */
+  val dedupIncrementalNear: String = shingleCtes + """,
+hashes AS (
+  SELECT doc_id, s,
+         ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
+         ('0x' || substr(md5(s), 9, 8))::BIGINT AS h2
+  FROM sh),
+sig AS (
+  SELECT doc_id, j,
+         min((h1 + j * h2) % 4294967311) AS mh
+  FROM hashes, UNNEST(range(0, 8)) t(j)
+  GROUP BY doc_id, j),
+bands AS (
+  SELECT doc_id, j // 2 AS b,
+         string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j) AS band
+  FROM sig GROUP BY doc_id, j // 2),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.b = b.b
+  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS ni
+  FROM cand c
+  JOIN dsh x ON x.doc_id = c.doc_a
+  JOIN dsh y ON y.doc_id = c.doc_b AND y.s = x.s
+  GROUP BY c.doc_a, c.doc_b),
+dup AS (
+  SELECT DISTINCT i.doc_a AS doc_id
+  FROM inter i
+  JOIN dsz za ON za.doc_id = i.doc_a
+  JOIN dsz zb ON zb.doc_id = i.doc_b
+  WHERE CAST(ni AS DOUBLE) / CAST(za.n + zb.n - ni AS DOUBLE) >= 0.5)
+SELECT d.doc_id
+FROM documents d
+WHERE d.doc_id % 2 = 1
+  AND NOT EXISTS (SELECT 1 FROM dup WHERE dup.doc_id = d.doc_id)"""
+
   /** Mirror of EventOps.topEventTypes (typed TopKAggregator): the
     * row_number form of the same (count desc, type asc) contract. */
   val eventsTopTypes: String = """

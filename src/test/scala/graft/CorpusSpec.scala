@@ -71,6 +71,25 @@ class CorpusSpec extends SparkSpec {
     assert(got.toSeq == Seq(3L, 5L))
   }
 
+  test("incrementalNewNearDocs drops incoming docs with a near-dup in the snapshot") {
+    val rich = "the quick brown fox jumps over a lazy dog and then " +
+      "the fox runs far away to a quiet den where it rests until dawn " +
+      "and a new day begins with the sun rising over a calm valley"
+    val docs = (Seq(
+      (2L, "en", rich),                                   // snapshot
+      (3L, "en", rich.replace("calm valley", "calm meadow")), // incoming, near-dup → dropped
+      (5L, "en", "an entirely different story about winter mountains " +
+        "and the snow that falls there every single year without fail " +
+        "covering peaks and valleys in deep white silence until spring")
+    ) ++ fillerDocs(20)).toDF("doc_id", "lang", "text")
+    val kept = DedupOps.incrementalNewNearDocs(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(3L))
+    assert(kept.contains(5L))
+    // odd filler ids have no snapshot twin → kept
+    assert(kept.contains(101L))
+  }
+
   test("stratifiedSample applies per-language rates; zero-rate strata vanish") {
     val docs = (1L to 400L).map { i =>
       val lang = Seq("en", "fr", "xx")((i % 3).toInt)
