@@ -28,6 +28,7 @@ object GraftSql {
       Tables.events(spark, dir).createOrReplaceTempView("events")
       graft.functions.CosineSimilarity.register(spark)
       graft.functions.RollingMinHash.register(spark)
+      graft.functions.SimHash32.register(spark)
       lastAttached(spark) = dir
     }
   }

@@ -208,8 +208,22 @@ object DedupOps {
 
   /** 32-bit SimHash from token hashes: bit b of the signature is the
     * sign of Σ_tokens (±1), + when token-hash bit b is set. Token hash =
-    * first 8 hex digits of md5 → BIGINT (identical in both engines). */
+    * first 8 hex digits of md5 → BIGINT (identical in both engines).
+    *
+    * Computed by the native codegen'd [[graft.functions.SimHash32]]
+    * expression — one compiled pass per document. The declarative form
+    * ([[simhashDeclarative]]) pays 32 interpreted `aggregate` passes
+    * per document (lambdas don't codegen); the spec pins the two
+    * bit-equal. */
   def simhash(documents: DataFrame): DataFrame = {
+    graft.functions.SimHash32.register(documents.sparkSession)
+    documents.select(col("doc_id"), expr("simhash32(text)").as("simhash32"))
+  }
+
+  /** Built-ins-only SimHash (the pre-round-6 form), kept as the
+    * reference implementation the native expression is verified
+    * against. */
+  def simhashDeclarative(documents: DataFrame): DataFrame = {
     val toks = array_distinct(split(col("text"), " "))
     // hash each distinct token once, then fold the 32 bit-planes
     val hashes = transform(toks,

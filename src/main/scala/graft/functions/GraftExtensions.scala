@@ -29,5 +29,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "rolling_min_hash takes exactly 1 argument")
         RollingMinHash(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash32"),
+      new ExpressionInfo(
+        classOf[SimHash32].getName, "simhash32",
+        "simhash32(s) - 32-bit SimHash over distinct space-separated tokens"),
+      { children: Seq[Expression] =>
+        require(children.length == 1, "simhash32 takes exactly 1 argument")
+        SimHash32(children.head)
+      }))
   }
 }
