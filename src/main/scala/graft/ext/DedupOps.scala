@@ -175,19 +175,36 @@ object DedupOps {
     * signature strings in different bands stay separate buckets, and
     * the distinct inside the pair join collapses pairs colliding in
     * several bands. */
+  /** (doc_id, band) LSH index rows — one row per (doc, band index),
+    * the key format every band join here shares and the stored band
+    * index of streaming ingestion ([[graft.streaming.CorpusIngest]]).
+    * Band indices are prefixed onto the bucket key so equal signature
+    * strings in different bands stay separate buckets. */
+  def bandKeys(documents: DataFrame): DataFrame = {
+    val sigs = minhashSignatures(documents)
+    val bandCols = (0 until NumHashes / BandSize).map(b => s"band$b")
+    sigs.select(col("doc_id"),
+      explode(array(bandCols.zipWithIndex.map { case (c, i) =>
+        concat_ws("#", lit(i), col(c))
+      }: _*)).as("band"))
+  }
+
+  /** Exact-Jaccard verification of externally generated candidate
+    * pairs (doc_a, doc_b) against the docs frame — the public bipartite
+    * face of the relational verify stage. `docs` must contain every id
+    * the pairs reference. */
+  def verifyJaccardPairs(cand: DataFrame, docs: DataFrame,
+      threshold: Double): DataFrame =
+    jaccardVerify(cand, withShingleSets(docs).cache(), threshold)
+
   def minhashNearDups(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
     // cache: the band self-join and the verify stage reference these
     // frames from several subtrees, and Spark's broadcast-subtree jobs
     // would otherwise recompute the whole interpreted shingle+hash
     // pipeline once per reference (3× measured). The cached plan is also
     // shared with dedup_ngram / text_fingerprint in the same session.
-    val sigs = minhashSignatures(documents).cache()
-    val bandCols = (0 until NumHashes / BandSize).map(b => s"band$b")
     val sets = withShingleSets(documents).cache()
-    val keyed = sigs.select(col("doc_id"),
-      explode(array(bandCols.zipWithIndex.map { case (c, i) =>
-        concat_ws("#", lit(i), col(c))
-      }: _*)).as("band"))
+    val keyed = bandKeys(documents).cache()
     val cand = saltedSelfPairs(keyed, "band", "doc_id")
     jaccardVerify(cand, sets, threshold)
   }
@@ -342,13 +359,8 @@ object DedupOps {
     * index — the join probes |batch| × band-collisions, never corpus²;
     * band keys are minhash outputs (uniform, no skew). */
   def incrementalNewNearDocs(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sigs = minhashSignatures(documents).cache()
     val sets = withShingleSets(documents).cache()
-    val bandCols = (0 until NumHashes / BandSize).map(b => s"band$b")
-    val keyed = sigs.select(col("doc_id"),
-      explode(array(bandCols.zipWithIndex.map { case (c, i) =>
-        concat_ws("#", lit(i), col(c))
-      }: _*)).as("band"))
+    val keyed = bandKeys(documents).cache()
     val incoming = keyed.filter(col("doc_id") % 2 === 1)
       .select(col("band"), col("doc_id").as("doc_a"))
     val snapshot = keyed.filter(col("doc_id") % 2 === 0)

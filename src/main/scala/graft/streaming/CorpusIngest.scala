@@ -46,11 +46,13 @@ object CorpusIngest {
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("content_md5")).orderBy(col("doc_id"))))
         .filter(col("rn") === 1).drop("rn")
-      val fresh = seenDigests(spark, dataDir) match {
+      // pinned before writing, like ingestBatchNear: the count and the
+      // append must act on ONE evaluation of the lazy decision
+      val fresh = (seenDigests(spark, dataDir) match {
         case Some(seen) =>
           firstPerDigest.join(seen, Seq("content_md5"), "left_anti")
         case None => firstPerDigest
-      }
+      }).localCheckpoint()
       appended = fresh.count()
       if (appended > 0) fresh.write.mode(SaveMode.Append).parquet(dataDir)
     }
@@ -58,10 +60,90 @@ object CorpusIngest {
   }
 
   private def seenDigests(spark: SparkSession, dataDir: String): Option[DataFrame] =
-    if (Files.exists(Paths.get(dataDir)) &&
-        Files.list(Paths.get(dataDir)).findFirst().isPresent)
-      Some(spark.read.parquet(dataDir).select(col("content_md5")).distinct())
+    readIfAny(spark, dataDir).map(_.select(col("content_md5")).distinct())
+
+  private def readIfAny(spark: SparkSession, dir: String): Option[DataFrame] =
+    if (Files.exists(Paths.get(dir)) &&
+        Files.list(Paths.get(dir)).findFirst().isPresent)
+      Some(spark.read.parquet(dir))
     else None
+
+  /** [[ingestBatch]] plus a NEAR-dup layer: after exact suppression,
+    * the batch dedups against ITSELF at the near level (one canonical
+    * doc per in-batch minhash cluster), then probes the corpus's
+    * STORED band index ([[graft.ext.DedupOps.bandKeys]], appended at
+    * every ingest) for collision candidates; only candidate corpus
+    * docs are re-read for exact-Jaccard verification — the band index
+    * prunes the read, the verify is the shared relational stage.
+    * Incoming docs with a verified near-dup in the corpus are dropped;
+    * survivors append to data/ and their band keys to bands/.
+    *
+    * Scale posture: per batch, work is |batch| band probes against an
+    * indexed (band → doc) table plus shingling of |batch| + |candidate
+    * hits| docs — never a corpus rescan. The band index is the same
+    * artifact the batch `dedup_incremental_near` query derives on the
+    * fly; the stream materializes it once and appends. */
+  def ingestBatchNear(batch: DataFrame, batchId: Long, corpusDir: String,
+      threshold: Double = 0.5): Long = {
+    val spark = batch.sparkSession
+    val dataDir = s"$corpusDir/data"
+    val bandsDir = s"$corpusDir/bands"
+    val logDir = s"$corpusDir/_txn"
+    var appended = 0L
+    TxnLog.runOnce(logDir, batchId) {
+      val withDigest = batch
+        .withColumn("content_md5", md5(col("text").cast("binary")))
+      val firstPerDigest = withDigest
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("content_md5")).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1).drop("rn")
+      val exactNew = seenDigests(spark, dataDir) match {
+        case Some(seen) =>
+          firstPerDigest.join(seen, Seq("content_md5"), "left_anti")
+        case None => firstPerDigest
+      }
+      // in-batch near dedup: keep each cluster's canonical (min doc_id)
+      val canon = exactNew.join(
+        graft.ext.DedupOps.nearDupClusters(exactNew, threshold)
+          .filter(col("is_canonical")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi").cache()
+      // localCheckpoint PINS the decision before any write: `fresh` is
+      // lazy and its plan READS dataDir, so the second write (band
+      // keys) would otherwise re-evaluate it after the first append —
+      // at which point the just-written docs fail their own digest
+      // anti-join and their band keys are silently never indexed
+      // (read-your-own-write hazard; caught by the spec's band-index
+      // assertion).
+      val fresh = (readIfAny(spark, bandsDir) match {
+        case Some(storedBands) =>
+          val cand = graft.ext.DedupOps.bandKeys(canon)
+            .select(col("band"), col("doc_id").as("doc_a"))
+            .join(storedBands.select(col("band"), col("doc_id").as("doc_b")),
+              Seq("band"))
+            .select(col("doc_a"), col("doc_b")).distinct()
+          // only corpus docs that collide on a band get re-read+shingled
+          val corpusCand = spark.read.parquet(dataDir)
+            .join(cand.select(col("doc_b").as("doc_id")).distinct(),
+              Seq("doc_id"), "left_semi")
+          val dupIds = graft.ext.DedupOps.verifyJaccardPairs(
+              cand,
+              canon.select(col("doc_id"), col("text"))
+                .unionByName(corpusCand.select(col("doc_id"), col("text"))),
+              threshold)
+            .select(col("doc_a").as("doc_id")).distinct()
+          canon.join(dupIds, Seq("doc_id"), "left_anti")
+        case None => canon
+      }).localCheckpoint()
+      appended = fresh.count()
+      if (appended > 0) {
+        fresh.write.mode(SaveMode.Append).parquet(dataDir)
+        graft.ext.DedupOps.bandKeys(fresh)
+          .write.mode(SaveMode.Append).parquet(bandsDir)
+      }
+      canon.unpersist()
+    }
+    appended
+  }
 
   /** Streaming entry: docs stream → per-batch incremental dedup append. */
   def start(docs: DataFrame, corpusDir: String,
@@ -70,6 +152,16 @@ object CorpusIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(batch, batchId, corpusDir); ()
+      }
+      .start()
+
+  /** Streaming entry with the near-dup layer. */
+  def startNear(docs: DataFrame, corpusDir: String, checkpointDir: String,
+      threshold: Double = 0.5): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatchNear(batch, batchId, corpusDir, threshold); ()
       }
       .start()
 }

@@ -37,6 +37,44 @@ class CorpusIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup ingestion suppresses in-batch and cross-batch near duplicates") {
+    val corpusDir = Files.createTempDirectory("graft-corpus-near").toString
+    val rich = "the quick brown fox jumps over a lazy dog and then " +
+      "the fox runs far away to a quiet den where it rests until dawn " +
+      "and a new day begins with the sun rising over a calm valley"
+    val other = "an entirely different story about winter mountains " +
+      "and the snow that falls there every single year without fail " +
+      "covering peaks and valleys in deep white silence until spring"
+    // batch 0: rich + its near-dup (in-batch) + one unrelated doc
+    val b0 = Seq(
+      (1L, rich),
+      (2L, rich.replace("calm valley", "calm meadow")),
+      (3L, other)).toDF("doc_id", "text")
+    assert(CorpusIngest.ingestBatchNear(b0, 0L, corpusDir) == 2L) // 1 & 3
+    val after0 = spark.read.parquet(s"$corpusDir/data")
+      .select("doc_id").as[Long].collect().toSet
+    assert(after0 == Set(1L, 3L))
+    // batch 1: near-dup of stored doc 1 (dropped via the band index),
+    // exact dup of stored doc 3 (dropped via digest), one genuinely new
+    val b1 = Seq(
+      (4L, rich.replace("quiet den", "cozy den")),
+      (5L, other),
+      (6L, "completely novel content about gardens and the many plants " +
+        "that grow there through summer heat and autumn rain alike " +
+        "yielding fruit and seed for every season that follows after")
+    ).toDF("doc_id", "text")
+    assert(CorpusIngest.ingestBatchNear(b1, 1L, corpusDir) == 1L) // only 6
+    val after1 = spark.read.parquet(s"$corpusDir/data")
+      .select("doc_id").as[Long].collect().toSet
+    assert(after1 == Set(1L, 3L, 6L))
+    // band index grew with the survivors only
+    val bandDocs = spark.read.parquet(s"$corpusDir/bands")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(bandDocs == Set(1L, 3L, 6L))
+    // replay of batch 1 is a txn-log no-op
+    assert(CorpusIngest.ingestBatchNear(b1, 1L, corpusDir) == 0L)
+  }
+
   test("a replayed micro-batch is skipped by the txn log and changes nothing") {
     val corpusDir = Files.createTempDirectory("graft-corpus-replay").toString
     val batch = Seq((1L, "doc one"), (2L, "doc two")).toDF("doc_id", "text")
