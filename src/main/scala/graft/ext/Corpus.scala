@@ -54,6 +54,22 @@ object Corpus {
       .withColumn("keep", col("reason") === "keep")
   }
 
+  /** End-to-end curation: decide, keep survivors, lay them out for
+    * training ([[cleanDecisions]] ∘ [[writePartitioned]]). Returns the
+    * number of kept documents. The keep filter joins decisions back to
+    * the full rows by doc_id so the written corpus carries every source
+    * column, not just the decision projection. */
+  def writeClean(documents: DataFrame, path: String,
+      qualityThreshold: Double = 0.5,
+      nearDupThreshold: Double = 0.5): Long = {
+    val keep = cleanDecisions(documents, qualityThreshold, nearDupThreshold)
+      .filter(col("keep")).select(col("doc_id"))
+    val kept = documents.join(keep, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    writePartitioned(kept, path)
+    kept.count()
+  }
+
   /** Write a corpus partitioned by a categorical column (lang), sorted
     * within partitions by doc_id, with bounded file sizes — the layout
     * that makes the NEXT job's scans cheap: partition pruning on the

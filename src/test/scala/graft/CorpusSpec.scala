@@ -145,6 +145,25 @@ class CorpusSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, "click"), (2, "view"), (3, "purchase")))
   }
 
+  test("writeClean writes only kept docs, partitioned and complete") {
+    val dir = Files.createTempDirectory("graft-clean-write").toString
+    val rich = "the quick brown fox jumps over a lazy dog and then " +
+      "the fox runs far away to a quiet den where it rests until dawn " +
+      "and a new day begins with the sun rising over a calm valley"
+    val docs = (Seq(
+      (1L, "en", rich),
+      (2L, "en", rich),        // exact dup → dropped
+      (4L, "de", "tiny doc")   // low quality → dropped
+    ) ++ fillerDocs(20)).toDF("doc_id", "lang", "text")
+    val kept = Corpus.writeClean(docs, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == kept)
+    val ids = back.select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(1L) && !ids.contains(2L) && !ids.contains(4L))
+    // source columns survive the round trip (not just the decision cols)
+    assert(back.columns.toSet == Set("doc_id", "lang", "text"))
+  }
+
   test("writePartitioned lays out lang partitions and read-back prunes them") {
     val dir = Files.createTempDirectory("graft-corpus-write").toString
     val docs = (1L to 90L).map { i =>
