@@ -24,8 +24,20 @@ object GraftConf {
   /** Deny-listed email prefixes (index.js:437-438), comma-separated. */
   val DenyPrefixesKey = "spark.graft.denyList.prefixes"
 
+  /** Corpus curation knobs (ext.Corpus): quality floor and near-dup
+    * Jaccard threshold of the keep/drop cascade — the curation analog
+    * of the pipeline's threshold envs. */
+  val QualityThresholdKey = "spark.graft.corpus.qualityThreshold"
+  val NearDupThresholdKey = "spark.graft.corpus.nearDupThreshold"
+
   def minMatches(spark: SparkSession): Int =
     spark.conf.get(MinMatchesKey, "1").toInt
+
+  def qualityThreshold(spark: SparkSession): Double =
+    spark.conf.get(QualityThresholdKey, "0.5").toDouble
+
+  def nearDupThreshold(spark: SparkSession): Double =
+    spark.conf.get(NearDupThresholdKey, "0.5").toDouble
 
   def denyDomains(spark: SparkSession): Seq[String] =
     csv(spark.conf.get(DenyDomainsKey, graft.rules.Rules.DefaultDenyDomains.mkString(",")))

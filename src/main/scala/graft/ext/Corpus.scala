@@ -34,11 +34,19 @@ object Corpus {
     * the whole decision is shuffle-bounded by the dedup passes it
     * reuses. */
   def cleanDecisions(documents: DataFrame,
-      qualityThreshold: Double = 0.5,
-      nearDupThreshold: Double = 0.5): DataFrame = {
+      qualityThreshold: Double = Double.NaN,
+      nearDupThreshold: Double = Double.NaN): DataFrame = {
+    // parameter wins; unset (NaN) falls back to the session conf
+    // (spark.graft.corpus.*), defaults 0.5/0.5 — the curation analog of
+    // the pipeline's MIN_MATCHES_FOR_EMAIL conf
+    val spark = documents.sparkSession
+    val qThr = if (qualityThreshold.isNaN)
+      graft.GraftConf.qualityThreshold(spark) else qualityThreshold
+    val nThr = if (nearDupThreshold.isNaN)
+      graft.GraftConf.nearDupThreshold(spark) else nearDupThreshold
     val exact = DedupOps.exactDups(documents)
       .select(col("doc_id"), col("is_duplicate").as("is_exact_dup"))
-    val nearDup = DedupOps.nearDupClusters(documents, nearDupThreshold)
+    val nearDup = DedupOps.nearDupClusters(documents, nThr)
       .select(col("doc_id"), col("cluster_id"),
         (!col("is_canonical")).as("is_near_dup"))
     val quality = TextOps.qualityScore(documents)
@@ -49,7 +57,7 @@ object Corpus {
       .select(col("doc_id"), col("lang"), col("cluster_id"),
         when(col("is_exact_dup"), "exact_duplicate")
           .when(col("is_near_dup"), "near_duplicate")
-          .when(col("quality_score") < qualityThreshold, "low_quality")
+          .when(col("quality_score") < qThr, "low_quality")
           .otherwise("keep").as("reason"))
       .withColumn("keep", col("reason") === "keep")
   }
@@ -60,8 +68,8 @@ object Corpus {
     * the full rows by doc_id so the written corpus carries every source
     * column, not just the decision projection. */
   def writeClean(documents: DataFrame, path: String,
-      qualityThreshold: Double = 0.5,
-      nearDupThreshold: Double = 0.5): Long = {
+      qualityThreshold: Double = Double.NaN,
+      nearDupThreshold: Double = Double.NaN): Long = {
     val keep = cleanDecisions(documents, qualityThreshold, nearDupThreshold)
       .filter(col("keep")).select(col("doc_id"))
     val kept = documents.join(keep, Seq("doc_id"), "left_semi")

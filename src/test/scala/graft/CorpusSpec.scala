@@ -71,6 +71,21 @@ class CorpusSpec extends SparkSpec {
     assert(got.toSeq == Seq(3L, 5L))
   }
 
+  test("cleanDecisions thresholds are session-conf tunable (spark.graft.corpus.*)") {
+    val docs = (Seq((4L, "en", "tiny doc")) ++ fillerDocs(20))
+      .toDF("doc_id", "lang", "text")
+    // default floor 0.5 → "tiny doc" is low_quality
+    val before = Corpus.cleanDecisions(docs)
+      .filter($"doc_id" === 4L).head.getAs[String]("reason")
+    assert(before == "low_quality")
+    spark.conf.set(GraftConf.QualityThresholdKey, "0.0")
+    try {
+      val after = Corpus.cleanDecisions(docs)
+        .filter($"doc_id" === 4L).head.getAs[String]("reason")
+      assert(after == "keep")
+    } finally spark.conf.unset(GraftConf.QualityThresholdKey)
+  }
+
   test("incrementalNewNearDocs drops incoming docs with a near-dup in the snapshot") {
     val rich = "the quick brown fox jumps over a lazy dog and then " +
       "the fox runs far away to a quiet den where it rests until dawn " +
