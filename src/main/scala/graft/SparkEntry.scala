@@ -140,6 +140,9 @@ object SparkEntry {
     "text_tokens" -> ((s, d) => TextOps.tokenCounts(docs(s, d))),
     "text_top_terms" -> ((s, d) => TextOps.topTerms(docs(s, d))),
     "text_normalize" -> ((s, d) => TextOps.normalize(docs(s, d))),
+    // training-shard packing + benchmark decontamination
+    "corpus_shards" -> ((s, d) => TextOps.tokenShards(docs(s, d))),
+    "corpus_contamination" -> ((s, d) => TextOps.benchmarkContamination(docs(s, d))),
     "sample_hash" -> ((s, d) => TextOps.hashSample(docs(s, d))),
     "sample_stratified" -> ((s, d) => TextOps.stratifiedSample(docs(s, d))),
 
@@ -230,6 +233,8 @@ GROUP BY l_returnflag""",
     "text_tokens" -> OracleSqlExt.textTokens,
     "text_top_terms" -> OracleSqlExt.textTopTerms,
     "text_normalize" -> OracleSqlExt.textNormalize,
+    "corpus_shards" -> OracleSqlExt.corpusShards,
+    "corpus_contamination" -> OracleSqlExt.corpusContamination,
     "sample_hash" -> OracleSqlExt.textHashSample,
     "sample_stratified" -> OracleSqlExt.sampleStratified,
 

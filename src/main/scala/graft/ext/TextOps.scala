@@ -157,6 +157,53 @@ object TextOps {
       (length(col("text")).cast("double") / bpe).as("chars_per_bpe_token"))
   }
 
+  /** Token-budget shard packing: assign each document to a training
+    * shard so every shard holds ≈`budget` BPE-estimated tokens, packed
+    * in deterministic doc_id order WITHIN each language — shard_id =
+    * (running token total before this doc) div budget. This is the
+    * step that turns a cleaned corpus into fixed-size training inputs.
+    *
+    * Scale posture: the running sum windows per lang, so strata pack
+    * in parallel and one reducer never sees the whole corpus. A
+    * single GLOBAL packing order would need repartitionByRange +
+    * per-partition offsets (two-phase prefix sum) — stated trade; the
+    * per-stratum form is what multilingual pipelines shard by anyway. */
+  def tokenShards(documents: DataFrame, budget: Long = 2048L): DataFrame = {
+    val toks = tokens(col("text"))
+    val bpe = aggregate(toks, lit(0L),
+      (acc, w) => acc + floor((length(w) + 3) / 4).cast("long"))
+    documents
+      .select(col("doc_id"), col("lang"), bpe.as("n_tokens"))
+      .withColumn("shard_id",
+        expr(s"(sum(n_tokens) over (partition by lang order by doc_id " +
+          s"rows between unbounded preceding and current row) - n_tokens) div $budget"))
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing any
+    * 6-token shingle with the benchmark set (here: doc_id % 11 = 0,
+    * standing in for an eval suite), with the count of distinct shared
+    * shingles as the contamination strength. The n-gram-overlap
+    * decontamination pass every serious pre-training pipeline runs.
+    *
+    * Scale posture: benchmark shingles are a small distinct set (eval
+    * suites are tiny next to the corpus) — broadcastable, or a bloom
+    * filter feeding the scan at 100 TB; the join is equi on the
+    * shingle string, and per-doc distinct shingles bound the fan-out. */
+  def benchmarkContamination(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val sh = transform(
+      sequence(lit(1), greatest(size(toks) - 5, lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(6))))
+    val exploded = documents.select(col("doc_id"),
+      explode(array_distinct(sh)).as("s"))
+    val bench = exploded.filter(col("doc_id") % 11 === 0)
+      .select(col("s")).distinct()
+    exploded.filter(col("doc_id") % 11 =!= 0)
+      .join(bench, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_benchmark_shingles"))
+  }
+
   /** Canonical-form fingerprint (md5 of the normalized text) plus a
     * shingle fingerprint: the minimum md5 over all 3-token shingles —
     * the min-hash form of a rolling-window content signature, robust to

@@ -245,6 +245,35 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 <
       CASE WHEN lang = 'en' THEN 10 WHEN lang = 'de' THEN 50
            WHEN lang = 'fr' THEN 100 WHEN lang = 'es' THEN 25 ELSE 0 END"""
 
+  /** Mirror of TextOps.tokenShards (budget 2048, per-lang packing). */
+  val corpusShards: String = """
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(list_sum(list_transform(string_split(text, ' '),
+                                      w -> (length(w) + 3) // 4)) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT doc_id, lang, n_tokens,
+       CAST((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 2048
+         AS BIGINT) AS shard_id
+FROM t"""
+
+  /** Mirror of TextOps.benchmarkContamination: corpus docs sharing an
+    * 8-token shingle with the doc_id%97=0 benchmark set. */
+  val corpusContamination: String = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+5], ' ') AS s
+  FROM toks, UNNEST(range(1, greatest(n - 5, 1) + 1)) u(i)),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 11 = 0)
+SELECT doc_id, count(*) AS n_benchmark_shingles
+FROM sh JOIN bench USING (s)
+WHERE doc_id % 11 <> 0
+GROUP BY doc_id"""
+
   val textNormalize: String = """
 WITH n AS (
   SELECT doc_id,

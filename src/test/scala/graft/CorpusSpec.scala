@@ -160,6 +160,32 @@ class CorpusSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, "click"), (2, "view"), (3, "purchase")))
   }
 
+  test("tokenShards packs docs into budget-bounded shards in doc_id order") {
+    // each doc: 25 words of 4 chars → 25 BPE tokens (ceil(4/4)=1 per word);
+    // budget 50 → cum-starts 0,25,50,75,100,125 → shards 0,0,1,1,2,2
+    val docs = (1L to 6L).map(i => (i, "en", Seq.fill(25)("abcd").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val got = TextOps.tokenShards(docs, budget = 50L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(got.forall(_._2 == 25L))
+    assert(got.map(_._3).toSeq == Seq(0L, 0L, 1L, 1L, 2L, 2L))
+  }
+
+  test("benchmarkContamination flags docs sharing a 6-token shingle with the benchmark set") {
+    val shared = "one two three four five six"
+    val docs = Seq(
+      (11L, "en", s"benchmark doc holds $shared inside it"),      // benchmark (11%11=0)
+      (1L, "en", s"clean doc with nothing relevant at all here"),
+      (2L, "en", s"contaminated because $shared appears here too")
+    ).toDF("doc_id", "lang", "text")
+    val got = TextOps.benchmarkContamination(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.contains(2L) && got(2L) >= 1L)
+    assert(!got.contains(1L))
+    assert(!got.contains(11L)) // benchmark docs are not self-flagged
+  }
+
   test("writeClean writes only kept docs, partitioned and complete") {
     val dir = Files.createTempDirectory("graft-clean-write").toString
     val rich = "the quick brown fox jumps over a lazy dog and then " +
