@@ -75,6 +75,35 @@ class CorpusIngestSpec extends SparkSpec {
     assert(CorpusIngest.ingestBatchNear(b1, 1L, corpusDir) == 0L)
   }
 
+  test("near ingestion survives a stream restart from checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpusDir = Files.createTempDirectory("graft-near-restart").toString
+    val checkpoint = Files.createTempDirectory("graft-near-restart-ck").toString
+    val rich = "the quick brown fox jumps over a lazy dog and then " +
+      "the fox runs far away to a quiet den where it rests until dawn " +
+      "and a new day begins with the sun rising over a calm valley"
+    val input = MemoryStream[(Long, String)]
+    val q1 = CorpusIngest.startNear(
+      input.toDF().toDF("doc_id", "text"), corpusDir, checkpoint)
+    try {
+      input.addData((1L, rich))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart: same checkpoint; the offsets of batch 0 are committed,
+    // the band index persists, near-dups of doc 1 keep being suppressed
+    val input2 = MemoryStream[(Long, String)]
+    input2.addData((1L, rich)) // source replays from its own start
+    val q2 = CorpusIngest.startNear(
+      input2.toDF().toDF("doc_id", "text"), corpusDir, checkpoint)
+    try {
+      input2.addData((2L, rich.replace("calm valley", "calm meadow")))
+      q2.processAllAvailable()
+      val ids = spark.read.parquet(s"$corpusDir/data")
+        .select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L))
+    } finally q2.stop()
+  }
+
   test("a replayed micro-batch is skipped by the txn log and changes nothing") {
     val corpusDir = Files.createTempDirectory("graft-corpus-replay").toString
     val batch = Seq((1L, "doc one"), (2L, "doc two")).toDF("doc_id", "text")
