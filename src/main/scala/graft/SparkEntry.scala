@@ -165,6 +165,8 @@ object SparkEntry {
     "embed_neardup_exact" -> ((s, d) => EmbedOps.exactNearDups(emb(s, d))),
     // semantic dedup: connected components over verified LSH pairs
     "embed_clusters" -> ((s, d) => EmbedOps.nearDupClusters(emb(s, d))),
+    // distributed Lloyd's k-means, all-integer arithmetic → full oracle
+    "embed_kmeans" -> ((s, d) => EmbedOps.kmeansAssignments(emb(s, d))),
     // native codegen'd cosine expression — no SQL oracle (float-sum
     // order is engine-specific), driver records a rows-only check
     "embed_topk_native" -> ((s, d) => EmbedOps.bruteForceTopKNative(emb(s, d))),
@@ -253,6 +255,7 @@ GROUP BY l_returnflag""",
     "embed_ivf_topk" -> OracleSqlExt.embedIvfTopK,
     "embed_neardup_exact" -> OracleSqlExt.embedNearDupExact,
     "embed_clusters" -> OracleSqlExt.embedClusters,
+    "embed_kmeans" -> OracleSqlExt.embedKmeans,
 
     "mm_features" -> OracleSqlExt.mmFeatures,
     "mm_resize" -> OracleSqlExt.mmResize,

@@ -183,6 +183,74 @@ object EmbedOps {
     Graph.clusterSummary(labels, "vec_id")
   }
 
+  /** Distributed k-means (Lloyd's) over the quantized embeddings — the
+    * clustering pass a training pipeline uses for semantic data mixing
+    * and for TRAINING the coarse quantizer that [[ivfTopK]] probes
+    * (there the `label` column stands in for a fitted one).
+    *
+    * Fully deterministic and cross-engine exact, so the whole fit is
+    * hash-oracle-able in SQL: seeds are the k lowest vec_ids; distances
+    * are 64-bit integer Σ(x−c)²; argmin ties break on lowest centroid
+    * id; and the centroid update is FLOOR division of integer per-dim
+    * sums (s − pmod(s, n)) / n — no float accumulation anywhere.
+    *
+    * Scale posture per step: assignment is a broadcast of k tiny
+    * centroid rows against the streaming corpus, and the argmin is
+    * `groupBy(vec).agg(min(struct(d2, cid, …)))` — a map-side-combinable
+    * aggregate, NOT a window sort over N×k rows. The update is
+    * posexplode → partial per-(centroid, dim) sums, so the shuffle
+    * carries k×64 rows per partition regardless of corpus size.
+    * Centroids are localCheckpoint'ed each round (k rows) — the same
+    * iterative-lineage control as [[Graph.connectedComponents]]; swap
+    * for reliable checkpoint() on a cluster. */
+  def kmeansAssignments(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val base = embeddings.select(
+      col("vec_id"), quantized(col("embedding")).as("q")).cache()
+    var cents = base.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("centroid_id"), col("q").as("cv"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters)
+      cents = lloydUpdate(assignStep(base, cents), cents).localCheckpoint(true)
+    assignStep(base, cents).select(col("vec_id"), col("centroid_id"), col("d2"))
+  }
+
+  /** Nearest centroid per vector: broadcast-cross-join the k centroids,
+    * integer squared L2, argmin via min(struct(d2, cid, q)) — (d2, cid)
+    * is unique per vector so q never decides the order; it just rides
+    * along for the update step without a re-join. */
+  private def assignStep(base: DataFrame, centroids: DataFrame): DataFrame = {
+    val d2 = aggregate(
+      zip_with(col("q"), col("cv"), (x, c) => (x - c) * (x - c)),
+      lit(0L), (acc, x) => acc + x)
+    base.crossJoin(broadcast(centroids))
+      .withColumn("d2", d2)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("centroid_id"), col("q"))).as("m"))
+      .select(col("vec_id"), col("m.centroid_id").as("centroid_id"),
+        col("m.d2").as("d2"), col("m.q").as("q"))
+  }
+
+  /** One Lloyd update: per-(centroid, dim) integer sums via posexplode
+    * (map-side combine bounds the shuffle at k×64 rows per partition),
+    * floor-divide, re-pack ordered arrays (64 rows per centroid), and
+    * keep the old centroid where a cluster emptied out. */
+  private def lloydUpdate(assigned: DataFrame, centroids: DataFrame): DataFrame = {
+    val sums = assigned
+      .select(col("centroid_id"), posexplode(col("q")).as(Seq("i", "x")))
+      .groupBy(col("centroid_id"), col("i"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+    val packed = sums
+      .withColumn("c",
+        ((col("s") - pmod(col("s"), col("n"))) / col("n")).cast("long"))
+      .groupBy(col("centroid_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("i"), col("c")))),
+        e => e.getField("c")).as("cv_new"))
+    centroids.join(packed, Seq("centroid_id"), "left")
+      .select(col("centroid_id"),
+        coalesce(col("cv_new"), col("cv")).as("cv"))
+  }
+
   /** IVF-style top-k: the coarse quantizer is the `label` column — each
     * query searches only its own partition (1/10th of the corpus here;
     * 1/nlist in general). The exact analog of probing one inverted

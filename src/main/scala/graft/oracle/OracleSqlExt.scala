@@ -752,6 +752,44 @@ SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE ${cosineSql("a.qv", "b.qv")} >= 0.35"""
 
+  /** Assignment CTE body: nearest of the centroids in `cents` for every
+    * vector, integer squared L2, ties to the lowest centroid id. */
+  private def kmeansAssignSql(cents: String): String = s"""
+  SELECT vec_id, centroid_id, d2 FROM (
+    SELECT vec_id, centroid_id, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
+    FROM (SELECT q.vec_id, c.centroid_id,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS BIGINT) AS d2
+          FROM q, $cents c))
+  WHERE rn = 1"""
+
+  /** Lloyd update CTEs: per-(centroid, dim) integer sums from the
+    * assignment `a`, floor division (s − ((s%n)+n)%n)/n — exact, the
+    * dividend is made divisible — and COALESCE keeps the previous
+    * centroid for emptied clusters. */
+  private def kmeansUpdateSql(a: String, prev: String, out: String): String = s"""
+s_$out AS (
+  SELECT a.centroid_id, t.i, SUM(q.qv[t.i]) AS s, COUNT(*) AS n
+  FROM $a a JOIN q ON q.vec_id = a.vec_id, UNNEST(range(1, 65)) t(i)
+  GROUP BY a.centroid_id, t.i),
+p_$out AS (
+  SELECT centroid_id,
+         list(CAST((s - ((s % n) + n) % n) / n AS BIGINT) ORDER BY i) AS cv
+  FROM s_$out GROUP BY centroid_id),
+$out AS (
+  SELECT c.centroid_id, COALESCE(p.cv, c.cv) AS cv
+  FROM $prev c LEFT JOIN p_$out p USING (centroid_id))"""
+
+  /** Mirror of EmbedOps.kmeansAssignments(k=8, iters=2): seeds = the 8
+    * lowest vec_ids, two Lloyd rounds, output = the final assignment.
+    * Every value is a 64-bit integer — no float enters the plan. */
+  val embedKmeans: String = quantCte + s""",
+c0 AS (SELECT vec_id AS centroid_id, qv AS cv FROM q ORDER BY vec_id LIMIT 8),
+a0 AS (${kmeansAssignSql("c0")}),${kmeansUpdateSql("a0", "c0", "c1")},
+a1 AS (${kmeansAssignSql("c1")}),${kmeansUpdateSql("a1", "c1", "c2")}
+${kmeansAssignSql("c2")}"""
+
   val embedIvfTopK: String = quantCte + s""",
 qs AS (SELECT vec_id AS query_id, label, qv AS qq FROM q WHERE vec_id % 97 = 0),
 scored AS (

@@ -1,0 +1,90 @@
+package graft
+
+import graft.ext.EmbedOps
+
+/** Behavior tests of the distributed Lloyd's k-means:
+  * cluster recovery, exact parity with a driver-side reference
+  * implementation of the same integer arithmetic, empty-cluster
+  * survival, and the broadcast plan shape. */
+class KMeansSpec extends SparkSpec {
+
+  private def emb(rows: (Long, Array[Float])*) = {
+    import spark.implicits._
+    rows.map { case (id, v) => (id, v, 0) }.toDF("vec_id", "embedding", "label")
+  }
+
+  test("well-separated groups land on separate centroids") {
+    // Two tight groups; seeds (two lowest vec_ids) start one in each.
+    val out = EmbedOps.kmeansAssignments(emb(
+      1L -> Array(1.0f, 1.0f, 0.0f), 2L -> Array(-1.0f, -1.0f, 0.0f),
+      3L -> Array(0.9f, 1.1f, 0.0f), 4L -> Array(-1.1f, -0.9f, 0.0f),
+      5L -> Array(1.1f, 0.9f, 0.1f), 6L -> Array(-0.9f, -1.1f, -0.1f)),
+      k = 2, iters = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("centroid_id")).toMap
+    assert(out(1L) == out(3L) && out(3L) == out(5L))
+    assert(out(2L) == out(4L) && out(4L) == out(6L))
+    assert(out(1L) != out(2L))
+  }
+
+  /** Driver-side reference: the same quantize / integer-L2 / floor-div
+    * Lloyd rounds, written imperatively. */
+  private def referenceKmeans(
+      vecs: Seq[(Long, Array[Float])], k: Int, iters: Int): Map[Long, (Long, Long)] = {
+    val q = vecs.map { case (id, v) =>
+      id -> v.map(x => math.round(x.toDouble * 1000)) }.toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, c) => (x - c) * (x - c) }.sum
+    def assign(cents: Seq[(Long, Array[Long])]): Map[Long, (Long, Long)] =
+      q.map { case (id, v) =>
+        val (cid, dd) = cents.map { case (c, cv) => (c, d2(v, cv)) }
+          .minBy { case (c, dist) => (dist, c) }
+        id -> (cid, dd)
+      }
+    var cents = vecs.map(_._1).sorted.take(k).map(id => id -> q(id))
+    for (_ <- 1 to iters) {
+      val a = assign(cents)
+      cents = cents.map { case (cid, old) =>
+        val members = a.collect { case (id, (c, _)) if c == cid => q(id) }.toSeq
+        if (members.isEmpty) cid -> old
+        else cid -> old.indices.map { i =>
+          val s = members.map(_(i)).sum
+          val n = members.size.toLong
+          (s - (((s % n) + n) % n)) / n
+        }.toArray
+      }
+    }
+    assign(cents)
+  }
+
+  test("distributed fit matches the driver-side reference exactly") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map { id =>
+      val center = if (id % 3 == 0) 1.0f else if (id % 3 == 1) -1.0f else 0.0f
+      id -> Array.fill(4)(center + rnd.nextFloat() * 0.4f - 0.2f)
+    }
+    val expected = referenceKmeans(vecs, k = 3, iters = 2)
+    val got = EmbedOps.kmeansAssignments(emb(vecs: _*), k = 3, iters = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("centroid_id"), r.getAs[Long]("d2"))).toMap
+    assert(got == expected)
+  }
+
+  test("an emptied cluster keeps its previous centroid and every vector stays assigned") {
+    // Seeds 1,2,3; all points hug (1,1) so clusters 2/3 drain after one
+    // update — the fit must not divide by zero and must stay total.
+    val out = EmbedOps.kmeansAssignments(emb(
+      1L -> Array(1.0f, 1.0f), 2L -> Array(0.98f, 1.02f), 3L -> Array(1.02f, 0.98f),
+      4L -> Array(0.99f, 1.01f), 5L -> Array(1.01f, 0.99f)),
+      k = 3, iters = 2).collect()
+    assert(out.length == 5)
+    assert(out.map(_.getAs[Long]("vec_id")).toSet == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("assignment plan broadcasts the centroids and argmins via aggregate, not a window sort") {
+    val plan = EmbedOps.kmeansAssignments(emb(
+      1L -> Array(1.0f, 0.0f), 2L -> Array(0.0f, 1.0f)), k = 2, iters = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("Window"))
+  }
+}
