@@ -112,6 +112,8 @@ object SparkEntry {
     "events_salted_counts" -> ((s, d) => ext.Skew.saltedTypeCounts(Tables.events(s, d))),
     // typed bounded-heap TopKAggregator as an oracle-gated query
     "events_top_types" -> ((s, d) => EventOps.topEventTypes(Tables.events(s, d))),
+    // Morton (Z-order) interleave for two-sided file-stat pruning
+    "layout_zorder" -> ((s, d) => ext.Layout.eventZValues(Tables.events(s, d))),
 
     // ---- SQL surface: ANSI SQL text through GraftSql ------------------
     "sql_q6_forecast" -> ((s, d) => GraftSql.sql(s, d, """
@@ -214,6 +216,7 @@ object SparkEntry {
     "events_range" -> OracleSqlExt.eventsRange,
     "events_salted_counts" -> OracleSqlExt.eventsSaltedCounts,
     "events_top_types" -> OracleSqlExt.eventsTopTypes,
+    "layout_zorder" -> OracleSqlExt.layoutZorder,
     "agg_percentiles" -> OracleSqlExt.aggPercentiles,
     "sql_q6_forecast" -> """
 SELECT l_returnflag,

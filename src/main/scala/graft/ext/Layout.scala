@@ -1,0 +1,62 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout: Morton (Z-order) interleaving of two
+  * integer keys, and a writer that range-partitions + sorts the corpus
+  * by the interleaved value.
+  *
+  * Why it matters at 100 TB: a single-column sort gives min/max
+  * file/row-group skipping on ONE predicate column and none on any
+  * other; the Z-curve bounds every file's span on BOTH dimensions, so
+  * scans filtering either key (user, time window, shard, …) prune
+  * files from parquet footer stats alone — no index service needed.
+  * This is the same layout trick Delta/Iceberg expose as OPTIMIZE
+  * ZORDER BY, built here from first principles on open Spark APIs.
+  *
+  * Everything is integer shift/mask arithmetic on the low 16 bits of
+  * each key (classic Morton magic numbers), entirely built-in
+  * expressions → whole-stage codegen, and exactly reproducible in SQL
+  * for the `layout_zorder` oracle.
+  */
+object Layout {
+
+  /** Spread the low 16 bits of x to the even bit positions (0, 2, …,
+    * 30): the standard mask-and-shift Morton spread. */
+  private def spread16(x: Column): Column = {
+    var v = x.bitwiseAND(lit(0xFFFFL))
+    v = (v.bitwiseOR(shiftleft(v, 8))).bitwiseAND(lit(0x00FF00FFL))
+    v = (v.bitwiseOR(shiftleft(v, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    v = (v.bitwiseOR(shiftleft(v, 2))).bitwiseAND(lit(0x33333333L))
+    v = (v.bitwiseOR(shiftleft(v, 1))).bitwiseAND(lit(0x55555555L))
+    v
+  }
+
+  /** 32-bit Z-value interleaving the low 16 bits of two non-negative
+    * keys: bit i of `a` lands at position 2i, bit i of `b` at 2i+1. */
+  def zvalue2(a: Column, b: Column): Column =
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+
+  /** The oracle-gated projection: each event's Z-value over
+    * (user_id, ts minute bucket), both masked to 16 bits. */
+  def eventZValues(events: DataFrame): DataFrame =
+    events.select(col("event_id"),
+      zvalue2(col("user_id"),
+        expr("unix_micros(ts) div 60000000")).as("zval"))
+
+  /** Lay a frame out along the Z-curve of two keys: range-partition by
+    * the interleaved value (each output file owns one curve segment),
+    * sort within partitions so parquet row-group stats are tight, and
+    * bound file sizes. The curve segment property is what delivers the
+    * two-sided pruning documented above; `numFiles` tunes segment
+    * granularity (more files → tighter spans → more skipping, versus
+    * small-file pressure — at cluster scale size this to ~1 GB files). */
+  def writeZOrdered(df: DataFrame, path: String, a: Column, b: Column,
+      numFiles: Int = 32, maxRecordsPerFile: Long = 1000000L): Unit =
+    df.repartitionByRange(numFiles, zvalue2(a, b))
+      .sortWithinPartitions(zvalue2(a, b))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+}

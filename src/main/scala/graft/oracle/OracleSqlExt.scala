@@ -665,6 +665,25 @@ SELECT doc_id, CAST(length(text) AS INT) AS n_frames,
 FROM documents, UNNEST(range(0, length(text), 10)) t(i)
 WHERE doc_id % 3 = 2"""
 
+  /** Mirror of Layout.eventZValues: Morton interleave of (user_id, ts
+    * minute bucket), the magic-number spread unrolled as a CTE chain so
+    * each step's result is named once (textual substitution would copy
+    * the base expression 2^4 times). */
+  val layoutZorder: String = """
+WITH z0 AS (
+  SELECT event_id, user_id & 65535 AS va,
+         (epoch_us(ts) // 60000000) & 65535 AS vb
+  FROM events),
+z1 AS (SELECT event_id, (va | (va << 8)) & 16711935 AS va,
+              (vb | (vb << 8)) & 16711935 AS vb FROM z0),
+z2 AS (SELECT event_id, (va | (va << 4)) & 252645135 AS va,
+              (vb | (vb << 4)) & 252645135 AS vb FROM z1),
+z3 AS (SELECT event_id, (va | (va << 2)) & 858993459 AS va,
+              (vb | (vb << 2)) & 858993459 AS vb FROM z2),
+z4 AS (SELECT event_id, (va | (va << 1)) & 1431655765 AS va,
+              (vb | (vb << 1)) & 1431655765 AS vb FROM z3)
+SELECT event_id, CAST(va | (vb << 1) AS BIGINT) AS zval FROM z4"""
+
   // ----------------------------------------------------------- embeddings
 
   private val quantCte: String = """
