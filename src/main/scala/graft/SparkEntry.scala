@@ -145,6 +145,8 @@ object SparkEntry {
     // training-shard packing + benchmark decontamination
     "corpus_shards" -> ((s, d) => TextOps.tokenShards(docs(s, d))),
     "corpus_contamination" -> ((s, d) => TextOps.benchmarkContamination(docs(s, d))),
+    // temperature-scaled per-source mixing weights (α = 0.5)
+    "corpus_mixture" -> ((s, d) => TextOps.mixtureWeights(docs(s, d))),
     "sample_hash" -> ((s, d) => TextOps.hashSample(docs(s, d))),
     "sample_stratified" -> ((s, d) => TextOps.stratifiedSample(docs(s, d))),
 
@@ -169,6 +171,8 @@ object SparkEntry {
     "embed_clusters" -> ((s, d) => EmbedOps.nearDupClusters(emb(s, d))),
     // distributed Lloyd's k-means, all-integer arithmetic → full oracle
     "embed_kmeans" -> ((s, d) => EmbedOps.kmeansAssignments(emb(s, d))),
+    // product quantization: per-subspace codebooks → codes → ADC top-k
+    "embed_pq_topk" -> ((s, d) => EmbedOps.pqTopK(emb(s, d))),
     // native codegen'd cosine expression — no SQL oracle (float-sum
     // order is engine-specific), driver records a rows-only check
     "embed_topk_native" -> ((s, d) => EmbedOps.bruteForceTopKNative(emb(s, d))),
@@ -240,6 +244,7 @@ GROUP BY l_returnflag""",
     "text_normalize" -> OracleSqlExt.textNormalize,
     "corpus_shards" -> OracleSqlExt.corpusShards,
     "corpus_contamination" -> OracleSqlExt.corpusContamination,
+    "corpus_mixture" -> OracleSqlExt.corpusMixture,
     "sample_hash" -> OracleSqlExt.textHashSample,
     "sample_stratified" -> OracleSqlExt.sampleStratified,
 
@@ -259,6 +264,7 @@ GROUP BY l_returnflag""",
     "embed_neardup_exact" -> OracleSqlExt.embedNearDupExact,
     "embed_clusters" -> OracleSqlExt.embedClusters,
     "embed_kmeans" -> OracleSqlExt.embedKmeans,
+    "embed_pq_topk" -> OracleSqlExt.embedPqTopK,
 
     "mm_features" -> OracleSqlExt.mmFeatures,
     "mm_resize" -> OracleSqlExt.mmResize,

@@ -214,41 +214,102 @@ object EmbedOps {
     assignStep(base, cents).select(col("vec_id"), col("centroid_id"), col("d2"))
   }
 
-  /** Nearest centroid per vector: broadcast-cross-join the k centroids,
-    * integer squared L2, argmin via min(struct(d2, cid, q)) — (d2, cid)
-    * is unique per vector so q never decides the order; it just rides
-    * along for the update step without a re-join. */
-  private def assignStep(base: DataFrame, centroids: DataFrame): DataFrame = {
+  /** Nearest centroid per vector: broadcast-join the centroid rows
+    * (equi on `keys` — empty for plain k-means, the subspace id for
+    * PQ), integer squared L2, argmin via min(struct(d2, cid, q)) —
+    * (d2, cid) is unique per (vector, keys) so q never decides the
+    * order; it just rides along for the update step without a
+    * re-join. */
+  private def assignStep(base: DataFrame, centroids: DataFrame,
+      keys: Seq[String] = Nil): DataFrame = {
     val d2 = aggregate(
       zip_with(col("q"), col("cv"), (x, c) => (x - c) * (x - c)),
       lit(0L), (acc, x) => acc + x)
-    base.crossJoin(broadcast(centroids))
+    val joined =
+      if (keys.isEmpty) base.crossJoin(broadcast(centroids))
+      else base.join(broadcast(centroids), keys)
+    joined
       .withColumn("d2", d2)
-      .groupBy(col("vec_id"))
+      .groupBy(col("vec_id") +: keys.map(col): _*)
       .agg(min(struct(col("d2"), col("centroid_id"), col("q"))).as("m"))
-      .select(col("vec_id"), col("m.centroid_id").as("centroid_id"),
-        col("m.d2").as("d2"), col("m.q").as("q"))
+      .select((col("vec_id") +: keys.map(col)) ++ Seq(
+        col("m.centroid_id").as("centroid_id"),
+        col("m.d2").as("d2"), col("m.q").as("q")): _*)
   }
 
-  /** One Lloyd update: per-(centroid, dim) integer sums via posexplode
-    * (map-side combine bounds the shuffle at k×64 rows per partition),
-    * floor-divide, re-pack ordered arrays (64 rows per centroid), and
+  /** One Lloyd update: per-(keys, centroid, dim) integer sums via
+    * posexplode (map-side combine bounds the shuffle at |centroids|×dims
+    * rows per partition), floor-divide, re-pack ordered arrays, and
     * keep the old centroid where a cluster emptied out. */
-  private def lloydUpdate(assigned: DataFrame, centroids: DataFrame): DataFrame = {
+  private def lloydUpdate(assigned: DataFrame, centroids: DataFrame,
+      keys: Seq[String] = Nil): DataFrame = {
+    val cid = keys.map(col) :+ col("centroid_id")
     val sums = assigned
-      .select(col("centroid_id"), posexplode(col("q")).as(Seq("i", "x")))
-      .groupBy(col("centroid_id"), col("i"))
+      .select(cid :+ posexplode(col("q")).as(Seq("i", "x")): _*)
+      .groupBy(cid :+ col("i"): _*)
       .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
     val packed = sums
       .withColumn("c",
         ((col("s") - pmod(col("s"), col("n"))) / col("n")).cast("long"))
-      .groupBy(col("centroid_id"))
+      .groupBy(cid: _*)
       .agg(transform(
         array_sort(collect_list(struct(col("i"), col("c")))),
         e => e.getField("c")).as("cv_new"))
-    centroids.join(packed, Seq("centroid_id"), "left")
-      .select(col("centroid_id"),
-        coalesce(col("cv_new"), col("cv")).as("cv"))
+    centroids.join(packed, keys :+ "centroid_id", "left")
+      .select(cid :+ coalesce(col("cv_new"), col("cv")).as("cv"): _*)
+  }
+
+  /** Product-quantization top-k (IVF-PQ's compression half): split each
+    * vector into `m` subvectors, train a per-subspace codebook with one
+    * Lloyd round (reusing the subspace-keyed [[assignStep]]/
+    * [[lloydUpdate]]), encode the corpus as m small codes, and answer
+    * queries by asymmetric distance — the query's exact distance to
+    * each centroid, summed over the corpus codes via a lookup join.
+    *
+    * Scale posture: the codebook is m×ksub tiny rows (broadcast twice:
+    * encode + distance tables); the corpus is touched twice, both times
+    * streaming (encode scan, then the codes⋈tables lookup join whose
+    * probe side is |queries|×m×ksub rows). At 100 TB the codes frame is
+    * the persisted artifact — 4 bytes/vector here vs 256 — and ADC
+    * reads ONLY codes, never raw vectors: that compression is the whole
+    * point of PQ. Same integer arithmetic as [[kmeansAssignments]], so
+    * the full fit→encode→search pipeline hash-matches a SQL oracle. */
+  def pqTopK(embeddings: DataFrame, m: Int = 4, dsub: Int = 16,
+      ksub: Int = 8, k: Int = 5): DataFrame = {
+    val base = embeddings.select(
+      col("vec_id"), quantized(col("embedding")).as("q"))
+    val subs = base.select(col("vec_id"), explode(array((0 until m).map(s =>
+      struct(lit(s).as("sub"), slice(col("q"), s * dsub + 1, dsub).as("q"))): _*)).as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.q").as("q"))
+      .cache()
+    val seedIds = base.orderBy(col("vec_id")).limit(ksub)
+      .select(col("vec_id").as("centroid_id"))
+    val seeds = subs.join(broadcast(seedIds),
+      subs("vec_id") === seedIds("centroid_id"))
+      .select(col("sub"), col("centroid_id"), col("q").as("cv"))
+      .localCheckpoint(true)
+    val cents = lloydUpdate(assignStep(subs, seeds, Seq("sub")), seeds, Seq("sub"))
+      .localCheckpoint(true)
+    val codes = assignStep(subs, cents, Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("centroid_id"))
+    val d2 = aggregate(
+      zip_with(col("q"), col("cv"), (x, c) => (x - c) * (x - c)),
+      lit(0L), (acc, x) => acc + x)
+    val tables = subs.filter(col("vec_id") % 97 === 0)
+      .join(broadcast(cents), Seq("sub"))
+      .withColumn("dt", d2)
+      .select(col("vec_id").as("query_id"), col("sub"),
+        col("centroid_id"), col("dt"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("vec_id"))
+    codes.join(broadcast(tables), Seq("sub", "centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dt")).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("adist"))
   }
 
   /** IVF-style top-k: the coarse quantizer is the `label` column — each

@@ -351,6 +351,22 @@ SELECT doc_id,
                                    w -> (length(w) + 3) // 4)) AS chars_per_bpe_token
 FROM documents"""
 
+  /** Mirror of TextOps.mixtureWeights: α = 0.5 temperature mixing;
+    * the normalizing total is list_reduce over the source-ORDERED
+    * weight list — a left fold matching Spark's aggregate() — so the
+    * double total is bit-identical, never an unordered SUM. */
+  val corpusMixture: String = """
+WITH t AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(list_sum(list_transform(string_split(text, ' '),
+           w -> (length(w) + 3) // 4))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+w AS (SELECT source, n_docs, n_tokens,
+             sqrt(CAST(n_tokens AS DOUBLE)) AS w FROM t),
+tot AS (SELECT list_reduce(list(w ORDER BY source), (a, b) -> a + b) AS total FROM w)
+SELECT w.source, w.n_docs, w.n_tokens, w.w / tot.total AS weight
+FROM w, tot"""
+
   val textFingerprint: String = """
 WITH toks AS (
   SELECT doc_id, text, string_split(text, ' ') AS t,
@@ -808,6 +824,58 @@ c0 AS (SELECT vec_id AS centroid_id, qv AS cv FROM q ORDER BY vec_id LIMIT 8),
 a0 AS (${kmeansAssignSql("c0")}),${kmeansUpdateSql("a0", "c0", "c1")},
 a1 AS (${kmeansAssignSql("c1")}),${kmeansUpdateSql("a1", "c1", "c2")}
 ${kmeansAssignSql("c2")}"""
+
+  /** 16-dim integer squared L2 between two subvector lists. */
+  private def pqD2Sql(s: String, c: String): String =
+    s"CAST(list_sum(list_transform(range(1, 17), i -> ($s[i] - $c[i]) * ($s[i] - $c[i]))) AS BIGINT)"
+
+  /** Nearest-centroid-per-(vector, subspace) CTE body against `cents`. */
+  private def pqAssignSql(cents: String): String = s"""
+  SELECT vec_id, sub, centroid_id FROM (
+    SELECT vec_id, sub, centroid_id,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, centroid_id) AS rn
+    FROM (SELECT s.vec_id, s.sub, c.centroid_id, ${pqD2Sql("s.sq", "c.cv")} AS d2
+          FROM subs s JOIN $cents c ON c.sub = s.sub))
+  WHERE rn = 1"""
+
+  /** Mirror of EmbedOps.pqTopK(m=4, dsub=16, ksub=8, k=5): slice into 4
+    * subspaces, one Lloyd round per subspace codebook, encode, then
+    * asymmetric-distance top-5 — every value 64-bit integer. */
+  val embedPqTopK: String = quantCte + s""",
+subs AS (
+  SELECT vec_id, t.sub, list_slice(qv, t.sub * 16 + 1, t.sub * 16 + 16) AS sq
+  FROM q, UNNEST(range(0, 4)) t(sub)),
+seeds AS (
+  SELECT s.sub, s.vec_id AS centroid_id, s.sq AS cv
+  FROM subs s WHERE s.vec_id IN (SELECT vec_id FROM q ORDER BY vec_id LIMIT 8)),
+a0 AS (${pqAssignSql("seeds")}),
+s_c1 AS (
+  SELECT a.sub, a.centroid_id, t.i, SUM(s.sq[t.i]) AS s, COUNT(*) AS n
+  FROM a0 a JOIN subs s ON s.vec_id = a.vec_id AND s.sub = a.sub,
+       UNNEST(range(1, 17)) t(i)
+  GROUP BY a.sub, a.centroid_id, t.i),
+p_c1 AS (
+  SELECT sub, centroid_id,
+         list(CAST((s - ((s % n) + n) % n) / n AS BIGINT) ORDER BY i) AS cv
+  FROM s_c1 GROUP BY sub, centroid_id),
+c1 AS (
+  SELECT c.sub, c.centroid_id, COALESCE(p.cv, c.cv) AS cv
+  FROM seeds c LEFT JOIN p_c1 p ON p.sub = c.sub AND p.centroid_id = c.centroid_id),
+codes AS (${pqAssignSql("c1")}),
+dt AS (
+  SELECT s.vec_id AS query_id, s.sub, c.centroid_id, ${pqD2Sql("s.sq", "c.cv")} AS dt
+  FROM subs s JOIN c1 c ON c.sub = s.sub
+  WHERE s.vec_id % 97 = 0),
+ad AS (
+  SELECT d.query_id, co.vec_id, CAST(SUM(d.dt) AS BIGINT) AS adist
+  FROM codes co JOIN dt d ON d.sub = co.sub AND d.centroid_id = co.centroid_id
+  WHERE co.vec_id <> d.query_id
+  GROUP BY d.query_id, co.vec_id)
+SELECT query_id, rank, vec_id AS neighbor_id, adist FROM (
+  SELECT query_id, vec_id, adist,
+         row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rank
+  FROM ad)
+WHERE rank <= 5"""
 
   val embedIvfTopK: String = quantCte + s""",
 qs AS (SELECT vec_id AS query_id, label, qv AS qq FROM q WHERE vec_id % 97 = 0),

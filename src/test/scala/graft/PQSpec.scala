@@ -1,0 +1,89 @@
+package graft
+
+import graft.ext.EmbedOps
+
+/** Product-quantization top-k: exact parity with a driver-side
+  * reference of the same integer arithmetic, code-table shape, and the
+  * broadcast-only join plan. */
+class PQSpec extends SparkSpec {
+
+  private def emb(rows: (Long, Array[Float])*) = {
+    import spark.implicits._
+    rows.map { case (id, v) => (id, v, 0) }.toDF("vec_id", "embedding", "label")
+  }
+
+  /** Driver-side PQ: quantize, slice, per-subspace seeds = lowest ksub
+    * vec_ids, one Lloyd round (floor-div update), encode, ADC top-k. */
+  private def referencePq(vecs: Seq[(Long, Array[Float])], m: Int, dsub: Int,
+      ksub: Int, k: Int): Set[(Long, Int, Long, Long)] = {
+    val q = vecs.map { case (id, v) =>
+      id -> v.map(x => math.round(x.toDouble * 1000)) }.toMap
+    val subs = q.flatMap { case (id, v) =>
+      (0 until m).map(s => (id, s) -> v.slice(s * dsub, s * dsub + dsub)) }
+    val seedIds = vecs.map(_._1).sorted.take(ksub)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, c) => (x - c) * (x - c) }.sum
+    def nearest(cents: Map[(Int, Long), Array[Long]], s: Int, v: Array[Long]): Long =
+      seedIds.map(cid => (cid, d2(v, cents((s, cid)))))
+        .minBy { case (c, dd) => (dd, c) }._1
+    var cents = (for (s <- 0 until m; cid <- seedIds)
+      yield (s, cid) -> subs((cid, s))).toMap
+    val a0 = subs.map { case ((id, s), v) => (id, s) -> nearest(cents, s, v) }
+    cents = cents.map { case ((s, cid), old) =>
+      val members = a0.collect {
+        case ((id, ss), c) if ss == s && c == cid => subs((id, s)) }.toSeq
+      if (members.isEmpty) (s, cid) -> old
+      else (s, cid) -> old.indices.map { i =>
+        val sum = members.map(_(i)).sum
+        val n = members.size.toLong
+        (sum - (((sum % n) + n) % n)) / n
+      }.toArray
+    }
+    val codes = subs.map { case ((id, s), v) => (id, s) -> nearest(cents, s, v) }
+    vecs.map(_._1).filter(_ % 97 == 0).flatMap { qid =>
+      vecs.map(_._1).filter(_ != qid).map { vid =>
+        vid -> (0 until m).map(s =>
+          d2(subs((qid, s)), cents((s, codes((vid, s)))))).sum
+      }.sortBy { case (vid, ad) => (ad, vid) }.take(k)
+        .zipWithIndex.map { case ((vid, ad), r) => (qid, r + 1, vid, ad) }
+    }.toSet
+  }
+
+  test("distributed PQ matches the driver-side reference exactly") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 40L).map { id =>
+      val center = (id % 4).toInt
+      id -> Array.tabulate(4)(d =>
+        (if (d == center) 1.0f else 0.0f) + rnd.nextFloat() * 0.3f - 0.15f)
+    }
+    val want = referencePq(vecs, m = 2, dsub = 2, ksub = 4, k = 3)
+    val got = EmbedOps.pqTopK(emb(vecs: _*), m = 2, dsub = 2, ksub = 4, k = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("adist"))).toSet
+    assert(got == want)
+  }
+
+  test("ADC ranks a same-cluster vector first for a clustered query") {
+    // query 0 sits in a tight cluster with 1 and 2; 3..6 are far away
+    val out = EmbedOps.pqTopK(emb(
+      0L -> Array(1.0f, 1.0f, 0.0f, 0.0f), 1L -> Array(0.98f, 1.01f, 0.0f, 0.0f),
+      2L -> Array(1.02f, 0.99f, 0.0f, 0.0f), 3L -> Array(-1.0f, -1.0f, 5.0f, 5.0f),
+      4L -> Array(-1.1f, -0.9f, 5.0f, 5.0f), 5L -> Array(-0.9f, -1.0f, 5.1f, 4.9f),
+      6L -> Array(-1.0f, -1.1f, 4.9f, 5.1f)),
+      m = 2, dsub = 2, ksub = 2, k = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id")))
+    val top1 = out.find(t => t._1 == 0L && t._2 == 1).map(_._3)
+    assert(top1.exists(Set(1L, 2L)), s"top1 was $top1")
+  }
+
+  test("PQ plan is broadcast-only: no shuffle join, no cartesian product") {
+    val plan = EmbedOps.pqTopK(emb(
+      0L -> Array(1.0f, 0.0f), 1L -> Array(0.0f, 1.0f), 2L -> Array(1.0f, 1.0f)),
+      m = 1, dsub = 2, ksub = 2, k = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+}
