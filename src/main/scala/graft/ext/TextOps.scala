@@ -179,6 +179,40 @@ object TextOps {
           s"rows between unbounded preceding and current row) - n_tokens) div $budget"))
   }
 
+  /** Temperature-scaled data-mixing weights per corpus source: the
+    * sampling proportions a training run draws each domain with,
+    * w_s = n_s^α / Σ n^α over BPE-estimated token counts, α = 0.5
+    * (τ = 2 temperature — upweights small domains relative to raw
+    * proportional sampling, the standard multilingual/multi-domain
+    * mixing move).
+    *
+    * Cross-engine determinism: n^0.5 is a single correctly-rounded
+    * IEEE sqrt per group, and the normalizing total is a LEFT FOLD
+    * over the source-sorted list of weights — not an unordered double
+    * SUM — so the total (and each quotient) is bit-identical in Spark
+    * and the SQL oracle. General α would need pow(), whose rounding is
+    * not guaranteed identical across engines — stated trade.
+    *
+    * Scale posture: one map-side-combinable aggregation over the
+    * corpus; the per-source frame is a handful of rows, so the ordered
+    * fold and the broadcast of the total are free. */
+  def mixtureWeights(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val bpe = aggregate(toks, lit(0L),
+      (acc, w) => acc + floor((length(w) + 3) / 4).cast("long"))
+    val bySource = documents.select(col("source"), bpe.as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+      .withColumn("w", sqrt(col("n_tokens").cast("double")))
+    val total = bySource.agg(aggregate(
+      transform(array_sort(collect_list(struct(col("source"), col("w")))),
+        e => e.getField("w")),
+      lit(0.0), (acc, x) => acc + x).as("total"))
+    bySource.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("w") / col("total")).as("weight"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any
     * 6-token shingle with the benchmark set (here: doc_id % 11 = 0,
     * standing in for an eval suite), with the count of distinct shared

@@ -130,6 +130,23 @@ class CorpusSpec extends SparkSpec {
     assert(strat == flat)
   }
 
+  test("mixtureWeights: sums to 1, ordered by size, flatter than proportional") {
+    val docs = (
+      (1L to 80L).map(i => (i, "en", s"web page $i with plenty of words here", "web")) ++
+      (81L to 100L).map(i => (i, "en", s"book excerpt $i with plenty of words", "books")) ++
+      (101L to 105L).map(i => (i, "en", s"wiki article $i words", "wiki"))
+    ).toDF("doc_id", "lang", "text", "source")
+    val w = TextOps.mixtureWeights(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(math.abs(w.values.map(_._2).sum - 1.0) < 1e-12)
+    assert(w("web")._2 > w("books")._2 && w("books")._2 > w("wiki")._2)
+    // temperature flattening: weight ratio is the SQRT of the token
+    // ratio, strictly smaller than raw proportional sampling
+    val tokRatio = w("web")._1.toDouble / w("books")._1
+    val wRatio = w("web")._2 / w("books")._2
+    assert(wRatio < tokRatio && math.abs(wRatio - math.sqrt(tokRatio)) < 1e-9)
+  }
+
   test("normalize lowercases, strips punctuation, collapses whitespace") {
     val docs = Seq((1L, "en", "Hello,   World! It's 42°C &  RISING."))
       .toDF("doc_id", "lang", "text")
