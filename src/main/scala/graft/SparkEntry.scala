@@ -142,6 +142,8 @@ object SparkEntry {
     "text_tokens" -> ((s, d) => TextOps.tokenCounts(docs(s, d))),
     "text_top_terms" -> ((s, d) => TextOps.topTerms(docs(s, d))),
     "text_normalize" -> ((s, d) => TextOps.normalize(docs(s, d))),
+    // Gopher-style within-doc 3-gram repetition signals
+    "text_repetition" -> ((s, d) => TextOps.repetition(docs(s, d))),
     // training-shard packing + benchmark decontamination
     "corpus_shards" -> ((s, d) => TextOps.tokenShards(docs(s, d))),
     "corpus_contamination" -> ((s, d) => TextOps.benchmarkContamination(docs(s, d))),
@@ -242,6 +244,7 @@ GROUP BY l_returnflag""",
     "text_tokens" -> OracleSqlExt.textTokens,
     "text_top_terms" -> OracleSqlExt.textTopTerms,
     "text_normalize" -> OracleSqlExt.textNormalize,
+    "text_repetition" -> OracleSqlExt.textRepetition,
     "corpus_shards" -> OracleSqlExt.corpusShards,
     "corpus_contamination" -> OracleSqlExt.corpusContamination,
     "corpus_mixture" -> OracleSqlExt.corpusMixture,

@@ -213,6 +213,34 @@ object TextOps {
         (col("w") / col("total")).as("weight"))
   }
 
+  /** Within-document repetition signals (the Gopher-rules family):
+    * 3-gram total/distinct counts, the hottest 3-gram's count, and the
+    * duplicate-3-gram fraction — the filters that catch boilerplate,
+    * keyword stuffing, and degenerate generated text that plain
+    * length/stopword scores miss.
+    *
+    * Scale posture: relational, not per-row O(n²) array scans —
+    * explode 3-grams, count per (doc, gram) with map-side combine,
+    * then re-aggregate per doc; both exchanges hash on keys whose
+    * cardinality is bounded by document length, so the shape survives
+    * arbitrarily many documents. */
+  def repetition(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val grams = transform(
+      sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(3))))
+    documents.select(col("doc_id"), explode(grams).as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_count"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"), col("top_count"),
+        ((col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"))
+          .as("dup_ratio"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any
     * 6-token shingle with the benchmark set (here: doc_id % 11 = 0,
     * standing in for an eval suite), with the count of distinct shared

@@ -351,6 +351,25 @@ SELECT doc_id,
                                    w -> (length(w) + 3) // 4)) AS chars_per_bpe_token
 FROM documents"""
 
+  /** Mirror of TextOps.repetition: per-(doc, 3-gram) counts, then
+    * per-doc totals; 1-based truncating slice matches Spark's. */
+  val textRepetition: String = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+  FROM toks, UNNEST(range(1, greatest(n - 2, 1) + 1)) u(i)),
+gc AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_grams,
+       COUNT(*) AS n_distinct,
+       CAST(MAX(c) AS BIGINT) AS top_count,
+       CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c) AS dup_ratio
+FROM gc GROUP BY doc_id"""
+
   /** Mirror of TextOps.mixtureWeights: α = 0.5 temperature mixing;
     * the normalizing total is list_reduce over the source-ORDERED
     * weight list — a left fold matching Spark's aggregate() — so the

@@ -33,6 +33,19 @@ class ExtOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("repetition flags degenerate 3-gram loops and clears diverse text") {
+    import spark.implicits._
+    val r = graft.ext.TextOps.repetition(Seq(
+      (1L, "spam spam spam spam spam"),   // 3 grams, all identical
+      (2L, "a b c d e"))                  // 3 grams, all distinct
+      .toDF("doc_id", "text"))
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_grams"), x.getAs[Long]("n_distinct"),
+         x.getAs[Long]("top_count"), x.getAs[Double]("dup_ratio"))).toMap
+    assert(r(1L) == (3L, 1L, 3L, 2.0 / 3.0))
+    assert(r(2L) == (3L, 3L, 1L, 0.0))
+  }
+
   test("simhash is identical for identical token multisets") {
     val s = DedupOps.simhash(docs(
       1L -> "a b c d e f g h", 2L -> "a b c d e f g h", 3L -> "x y z w v u t s"))
