@@ -163,6 +163,9 @@ object SparkEntry {
     "dedup_incremental_near" -> ((s, d) => DedupOps.incrementalNewNearDocs(docs(s, d))),
     // full curation composite: exact dup → near dup → quality → keep
     "corpus_clean" -> ((s, d) => ext.Corpus.cleanDecisions(docs(s, d))),
+    // lexical ⊗ semantic near-dup fusion with per-signal flags
+    "corpus_cross_signal" -> ((s, d) =>
+      ext.Corpus.crossSignalNearDups(docs(s, d), emb(s, d))),
 
     // ---- similarity search over `embeddings` --------------------------
     "embed_topk" -> ((s, d) => EmbedOps.bruteForceTopK(emb(s, d))),
@@ -260,6 +263,7 @@ GROUP BY l_returnflag""",
     "dedup_incremental" -> OracleSqlExt.dedupIncremental,
     "dedup_incremental_near" -> OracleSqlExt.dedupIncrementalNear,
     "corpus_clean" -> OracleSqlExt.corpusClean,
+    "corpus_cross_signal" -> OracleSqlExt.corpusCrossSignal,
 
     "embed_topk" -> OracleSqlExt.embedTopK,
     "embed_lsh_neardup" -> OracleSqlExt.embedLshNearDups,

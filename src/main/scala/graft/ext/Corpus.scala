@@ -78,6 +78,32 @@ object Corpus {
     kept.count()
   }
 
+  /** Multi-signal near-duplicate fusion: the full outer join of the
+    * lexical pair set (MinHash-LSH + Jaccard verify over `documents`)
+    * and the semantic pair set (hyperplane-LSH + cosine verify over
+    * the aligned `embeddings`), with per-signal flags. Precision-
+    * focused pipelines drop only pairs BOTH signals agree on
+    * (lexical AND semantic); recall-focused ones take the union —
+    * this emits the evidence and leaves the policy to the caller.
+    *
+    * Scale posture: both inputs are the bucketed equi-join candidate
+    * generators (never all-pairs); the fusion itself is one equi join
+    * on the pair key, whose cardinality is the (small) verified pair
+    * sets, not the corpus. */
+  def crossSignalNearDups(documents: DataFrame, embeddings: DataFrame,
+      cosineThreshold: Double = 0.35): DataFrame = {
+    val lex = DedupOps.minhashNearDups(documents)
+      .select(col("doc_a"), col("doc_b"), lit(true).as("lexical"))
+    val sem = EmbedOps.lshNearDups(embeddings)
+      .filter(col("cosine") >= cosineThreshold)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"),
+        lit(true).as("semantic"))
+    lex.join(sem, Seq("doc_a", "doc_b"), "full_outer")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("lexical"), lit(false)).as("lexical"),
+        coalesce(col("semantic"), lit(false)).as("semantic"))
+  }
+
   /** Write a corpus partitioned by a categorical column (lang), sorted
     * within partitions by doc_id, with bounded file sizes — the layout
     * that makes the NEXT job's scans cheap: partition pruning on the

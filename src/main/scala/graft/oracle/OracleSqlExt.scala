@@ -806,6 +806,18 @@ SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE ${cosineSql("a.qv", "b.qv")} >= 0.35"""
 
+  /** Mirror of Corpus.crossSignalNearDups: full outer join of the two
+    * verified pair sets (each nested with its own CTE chain — DuckDB
+    * accepts WITH inside derived tables), flags coalesced to false. */
+  def corpusCrossSignal: String = s"""
+SELECT COALESCE(l.doc_a, s.vec_a) AS doc_a,
+       COALESCE(l.doc_b, s.vec_b) AS doc_b,
+       l.doc_a IS NOT NULL AS lexical,
+       s.vec_a IS NOT NULL AS semantic
+FROM ($dedupMinhash) l
+FULL JOIN (SELECT vec_a, vec_b FROM ($embedLshNearDups) WHERE cosine >= 0.35) s
+  ON s.vec_a = l.doc_a AND s.vec_b = l.doc_b"""
+
   /** Assignment CTE body: nearest of the centroids in `cents` for every
     * vector, integer squared L2, ties to the lowest centroid id. */
   private def kmeansAssignSql(cents: String): String = s"""

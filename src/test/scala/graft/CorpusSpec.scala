@@ -130,6 +130,31 @@ class CorpusSpec extends SparkSpec {
     assert(strat == flat)
   }
 
+  test("crossSignalNearDups flags lexical-only, semantic-only, and agreeing pairs") {
+    val rich = "the quick brown fox jumps over a lazy dog and then " +
+      "the fox runs far away to a quiet den where it rests until dawn " +
+      "and a new day begins with the sun rising over a calm valley"
+    // docs: (1,2) lexical near-dups; 3,4 unrelated text
+    val docs = (Seq(
+      (1L, "en", rich),
+      (2L, "en", rich.replace("calm valley", "calm meadow")),
+      (3L, "en", "an entirely different story about winter mountains and snow"),
+      (4L, "en", "a third unrelated text on database engines and query planners")
+    ) ++ fillerDocs(20)).toDF("doc_id", "lang", "text")
+    // embeddings: (3,4) identical vectors → semantic pair; 1,2 orthogonal
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f), 0),
+      (3L, Array(0.0f, 0.0f, 1.0f, 1.0f), 0),
+      (4L, Array(0.0f, 0.0f, 1.0f, 1.0f), 0)).toDF("vec_id", "embedding", "label")
+    val got = Corpus.crossSignalNearDups(docs, emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(got((1L, 2L)) == (true, false))
+    assert(got((3L, 4L)) == (false, true))
+    assert(!got.contains((1L, 3L)))
+  }
+
   test("mixtureWeights: sums to 1, ordered by size, flatter than proportional") {
     val docs = (
       (1L to 80L).map(i => (i, "en", s"web page $i with plenty of words here", "web")) ++
