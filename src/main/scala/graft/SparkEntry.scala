@@ -178,6 +178,8 @@ object SparkEntry {
     "embed_kmeans" -> ((s, d) => EmbedOps.kmeansAssignments(emb(s, d))),
     // product quantization: per-subspace codebooks → codes → ADC top-k
     "embed_pq_topk" -> ((s, d) => EmbedOps.pqTopK(emb(s, d))),
+    // IVF-PQ: coarse-partition pruning + compressed-code ADC
+    "embed_ivfpq_topk" -> ((s, d) => EmbedOps.ivfPqTopK(emb(s, d))),
     // native codegen'd cosine expression — no SQL oracle (float-sum
     // order is engine-specific), driver records a rows-only check
     "embed_topk_native" -> ((s, d) => EmbedOps.bruteForceTopKNative(emb(s, d))),
@@ -272,6 +274,7 @@ GROUP BY l_returnflag""",
     "embed_clusters" -> OracleSqlExt.embedClusters,
     "embed_kmeans" -> OracleSqlExt.embedKmeans,
     "embed_pq_topk" -> OracleSqlExt.embedPqTopK,
+    "embed_ivfpq_topk" -> OracleSqlExt.embedIvfPqTopK,
 
     "mm_features" -> OracleSqlExt.mmFeatures,
     "mm_resize" -> OracleSqlExt.mmResize,

@@ -221,18 +221,20 @@ object EmbedOps {
     * order; it just rides along for the update step without a
     * re-join. */
   private def assignStep(base: DataFrame, centroids: DataFrame,
-      keys: Seq[String] = Nil): DataFrame = {
+      keys: Seq[String] = Nil, passthrough: Seq[String] = Nil): DataFrame = {
     val d2 = aggregate(
       zip_with(col("q"), col("cv"), (x, c) => (x - c) * (x - c)),
       lit(0L), (acc, x) => acc + x)
     val joined =
       if (keys.isEmpty) base.crossJoin(broadcast(centroids))
       else base.join(broadcast(centroids), keys)
+    // passthrough columns are functionally dependent on vec_id, so
+    // adding them to the grouping changes nothing but keeps them around
     joined
       .withColumn("d2", d2)
-      .groupBy(col("vec_id") +: keys.map(col): _*)
+      .groupBy(col("vec_id") +: (keys ++ passthrough).map(col): _*)
       .agg(min(struct(col("d2"), col("centroid_id"), col("q"))).as("m"))
-      .select((col("vec_id") +: keys.map(col)) ++ Seq(
+      .select((col("vec_id") +: (keys ++ passthrough).map(col)) ++ Seq(
         col("m.centroid_id").as("centroid_id"),
         col("m.d2").as("d2"), col("m.q").as("q")): _*)
   }
@@ -309,6 +311,57 @@ object EmbedOps {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("adist"))
+  }
+
+  /** IVF-PQ: the production ANN shape at corpus scale — the coarse
+    * partition (`label`, standing in for a fitted quantizer as in
+    * [[ivfTopK]]) prunes the search to one inverted list, and within
+    * it distances come from the PQ codes, never the raw vectors. The
+    * codebook is shared across partitions (trained on the full corpus,
+    * the standard IVF-PQ design); the ADC lookup join simply gains the
+    * partition as a third equi key, so each query only ever meets its
+    * own list's codes. Cost per query: |list|·m code lookups vs
+    * |corpus|·d multiplications for brute force. */
+  def ivfPqTopK(embeddings: DataFrame, m: Int = 4, dsub: Int = 16,
+      ksub: Int = 8, k: Int = 5): DataFrame = {
+    val base = embeddings.select(
+      col("vec_id"), col("label"), quantized(col("embedding")).as("q"))
+    val subs = base.select(col("vec_id"), col("label"),
+      explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"), slice(col("q"), s * dsub + 1, dsub).as("q"))): _*)).as("e"))
+      .select(col("vec_id"), col("label"), col("e.sub").as("sub"), col("e.q").as("q"))
+      .cache()
+    val seedIds = base.orderBy(col("vec_id")).limit(ksub)
+      .select(col("vec_id").as("centroid_id"))
+    val seeds = subs.join(broadcast(seedIds),
+      subs("vec_id") === seedIds("centroid_id"))
+      .select(col("sub"), col("centroid_id"), col("q").as("cv"))
+      .localCheckpoint(true)
+    val cents = lloydUpdate(assignStep(subs, seeds, Seq("sub")), seeds, Seq("sub"))
+      .localCheckpoint(true)
+    val codes = assignStep(subs, cents, Seq("sub"), Seq("label"))
+      .select(col("vec_id"), col("label"), col("sub"), col("centroid_id"))
+    val d2 = aggregate(
+      zip_with(col("q"), col("cv"), (x, c) => (x - c) * (x - c)),
+      lit(0L), (acc, x) => acc + x)
+    val tables = subs.filter(col("vec_id") % 97 === 0)
+      .join(broadcast(cents), Seq("sub"))
+      .withColumn("dt", d2)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("sub").as("qsub"), col("centroid_id").as("qcid"), col("dt"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("vec_id"))
+    codes.join(broadcast(tables),
+      codes("sub") === tables("qsub") &&
+        codes("centroid_id") === tables("qcid") &&
+        codes("label") === tables("qlabel"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("qlabel"), col("vec_id"))
+      .agg(sum(col("dt")).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("qlabel").as("label"), col("rank"),
         col("vec_id").as("neighbor_id"), col("adist"))
   }
 

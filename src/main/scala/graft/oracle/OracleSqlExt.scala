@@ -869,12 +869,11 @@ ${kmeansAssignSql("c2")}"""
           FROM subs s JOIN $cents c ON c.sub = s.sub))
   WHERE rn = 1"""
 
-  /** Mirror of EmbedOps.pqTopK(m=4, dsub=16, ksub=8, k=5): slice into 4
-    * subspaces, one Lloyd round per subspace codebook, encode, then
-    * asymmetric-distance top-5 — every value 64-bit integer. */
-  val embedPqTopK: String = quantCte + s""",
+  /** Shared PQ codebook CTEs: slice into 4 subspaces, one Lloyd round
+    * per subspace, encode the corpus (`codes`). */
+  private def pqTrainCtes: String = s""",
 subs AS (
-  SELECT vec_id, t.sub, list_slice(qv, t.sub * 16 + 1, t.sub * 16 + 16) AS sq
+  SELECT vec_id, label, t.sub, list_slice(qv, t.sub * 16 + 1, t.sub * 16 + 16) AS sq
   FROM q, UNNEST(range(0, 4)) t(sub)),
 seeds AS (
   SELECT s.sub, s.vec_id AS centroid_id, s.sq AS cv
@@ -892,7 +891,12 @@ p_c1 AS (
 c1 AS (
   SELECT c.sub, c.centroid_id, COALESCE(p.cv, c.cv) AS cv
   FROM seeds c LEFT JOIN p_c1 p ON p.sub = c.sub AND p.centroid_id = c.centroid_id),
-codes AS (${pqAssignSql("c1")}),
+codes AS (${pqAssignSql("c1")})"""
+
+  /** Mirror of EmbedOps.pqTopK(m=4, dsub=16, ksub=8, k=5): shared
+    * codebook train/encode, then asymmetric-distance top-5 — every
+    * value 64-bit integer. */
+  val embedPqTopK: String = quantCte + pqTrainCtes + s""",
 dt AS (
   SELECT s.vec_id AS query_id, s.sub, c.centroid_id, ${pqD2Sql("s.sq", "c.cv")} AS dt
   FROM subs s JOIN c1 c ON c.sub = s.sub
@@ -904,6 +908,29 @@ ad AS (
   GROUP BY d.query_id, co.vec_id)
 SELECT query_id, rank, vec_id AS neighbor_id, adist FROM (
   SELECT query_id, vec_id, adist,
+         row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rank
+  FROM ad)
+WHERE rank <= 5"""
+
+  /** Mirror of EmbedOps.ivfPqTopK: same shared codebook + codes; the
+    * ADC join gains the coarse partition (query's label, via the q
+    * lookup on the code's vec_id) as a third equi key. */
+  val embedIvfPqTopK: String = quantCte + pqTrainCtes + s""",
+dt AS (
+  SELECT s.vec_id AS query_id, s.label AS qlabel, s.sub, c.centroid_id,
+         ${pqD2Sql("s.sq", "c.cv")} AS dt
+  FROM subs s JOIN c1 c ON c.sub = s.sub
+  WHERE s.vec_id % 97 = 0),
+ad AS (
+  SELECT d.query_id, d.qlabel, co.vec_id, CAST(SUM(d.dt) AS BIGINT) AS adist
+  FROM codes co
+  JOIN q ql ON ql.vec_id = co.vec_id
+  JOIN dt d ON d.sub = co.sub AND d.centroid_id = co.centroid_id
+            AND d.qlabel = ql.label
+  WHERE co.vec_id <> d.query_id
+  GROUP BY d.query_id, d.qlabel, co.vec_id)
+SELECT query_id, qlabel AS label, rank, vec_id AS neighbor_id, adist FROM (
+  SELECT query_id, qlabel, vec_id, adist,
          row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rank
   FROM ad)
 WHERE rank <= 5"""

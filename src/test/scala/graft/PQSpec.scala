@@ -77,6 +77,37 @@ class PQSpec extends SparkSpec {
     assert(top1.exists(Set(1L, 2L)), s"top1 was $top1")
   }
 
+  test("IVF-PQ searches only the query's coarse partition") {
+    import spark.implicits._
+    // label 0: query 0 + near 1, far 2; label 1: 3 (even nearer to 0
+    // geometrically, but in the other inverted list → must not appear)
+    val emb = Seq(
+      (0L, Array(1.0f, 1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 1.1f, 0.0f, 0.0f), 0),
+      (2L, Array(-5.0f, 3.0f, 2.0f, 2.0f), 0),
+      (3L, Array(1.0f, 1.0f, 0.01f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = EmbedOps.ivfPqTopK(emb, m = 2, dsub = 2, ksub = 2, k = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("label"),
+        r.getAs[Long]("neighbor_id")))
+    assert(out.nonEmpty)
+    assert(out.forall(_._2 == 0), s"neighbor outside query partition: ${out.toSeq}")
+    assert(!out.exists(_._3 == 3L))
+  }
+
+  test("IVF-PQ equals plain PQ when every vector shares one label") {
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 30L).map(id =>
+      id -> Array.fill(4)(rnd.nextFloat() * 2f - 1f))
+    val pq = EmbedOps.pqTopK(emb(vecs: _*), m = 2, dsub = 2, ksub = 4, k = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("adist"))).toSet
+    val ivfpq = EmbedOps.ivfPqTopK(emb(vecs: _*), m = 2, dsub = 2, ksub = 4, k = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("adist"))).toSet
+    assert(ivfpq == pq)
+  }
+
   test("PQ plan is broadcast-only: no shuffle join, no cartesian product") {
     val plan = EmbedOps.pqTopK(emb(
       0L -> Array(1.0f, 0.0f), 1L -> Array(0.0f, 1.0f), 2L -> Array(1.0f, 1.0f)),
