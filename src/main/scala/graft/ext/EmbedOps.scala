@@ -118,6 +118,35 @@ object EmbedOps {
       .select(col("vec_a"), col("vec_b"), col("sig"), col("cosine"))
   }
 
+  /** (vec_id, sig) — the hyperplane-signature keys a stored LSH index
+    * persists; streaming ingestion probes new vectors' keys against it
+    * ([[graft.streaming.CorpusIngest.ingestBatchSemantic]]), the exact
+    * analog of [[DedupOps.bandKeys]] for the embedding space. */
+  def signatureKeys(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), quantized(col("embedding")).as("q"))
+      .select(col("vec_id"), lshSignature(col("q")).as("sig"))
+
+  /** Exact-cosine verification of candidate (vec_a, vec_b) pairs
+    * against the given vectors — the shared verify stage for any
+    * candidate generator (stored-index probe, band join). Only
+    * candidate pairs pay the arithmetic; norms are computed once per
+    * vector below the joins. */
+  def verifyCosinePairs(pairs: DataFrame, vectors: DataFrame,
+      threshold: Double): DataFrame = {
+    val base = vectors.select(
+      col("vec_id"), quantized(col("embedding")).as("q"))
+      .withColumn("n2", qnorm2(col("q")))
+    val a = base.select(col("vec_id").as("vec_a"),
+      col("q").as("qa"), col("n2").as("n2a"))
+    val b = base.select(col("vec_id").as("vec_b"),
+      col("q").as("qb"), col("n2").as("n2b"))
+    pairs.join(a, Seq("vec_a")).join(b, Seq("vec_b"))
+      .withColumn("cosine",
+        cosineFromParts(qdot(col("qa"), col("qb")), col("n2a"), col("n2b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
   /** Exact cosine near-duplicate pairs within a coarse partition: every
     * same-label pair with cosine ≥ threshold, brute force inside the
     * partition. The exact complement of [[lshNearDups]] — LSH trades

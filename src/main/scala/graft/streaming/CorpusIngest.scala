@@ -145,6 +145,77 @@ object CorpusIngest {
     appended
   }
 
+  /** Semantic (embedding-space) ingestion: the NEAR layer of
+    * [[ingestBatchNear]] transplanted to vectors. Per micro-batch:
+    * in-batch semantic dedup (one canonical vector per LSH-candidate +
+    * cosine-verified cluster), then a probe of the corpus's STORED
+    * hyperplane-signature index ([[graft.ext.EmbedOps.signatureKeys]],
+    * appended at every ingest) — only corpus vectors colliding on a
+    * signature are re-read for exact cosine verification. Incoming
+    * vectors with a verified corpus near-dup are dropped; survivors
+    * append to data/ and their signature keys to sigs/.
+    *
+    * Same effectively-once layering as the lexical path: TxnLog batch
+    * marker for replay skip, and the stored-index probe re-suppresses
+    * previously appended content even without it.
+    *
+    * Scale posture: |batch| signature probes against an indexed
+    * (sig → vec) table; candidate re-reads bounded by collisions;
+    * never a corpus rescan. */
+  def ingestBatchSemantic(batch: DataFrame, batchId: Long, indexDir: String,
+      threshold: Double = 0.35): Long = {
+    val spark = batch.sparkSession
+    val dataDir = s"$indexDir/data"
+    val sigsDir = s"$indexDir/sigs"
+    val logDir = s"$indexDir/_txn"
+    var appended = 0L
+    TxnLog.runOnce(logDir, batchId) {
+      val canon = batch.join(
+        graft.ext.EmbedOps.nearDupClusters(batch, threshold)
+          .filter(col("is_canonical")).select(col("vec_id")),
+        Seq("vec_id"), "left_semi").cache()
+      // localCheckpoint pins the decision before the two appends (the
+      // same read-your-own-write hazard as ingestBatchNear)
+      val fresh = (readIfAny(spark, sigsDir) match {
+        case Some(storedSigs) =>
+          val cand = graft.ext.EmbedOps.signatureKeys(canon)
+            .select(col("sig"), col("vec_id").as("vec_a"))
+            .join(storedSigs.select(col("sig"), col("vec_id").as("vec_b")),
+              Seq("sig"))
+            .select(col("vec_a"), col("vec_b")).distinct()
+          val corpusCand = spark.read.parquet(dataDir)
+            .join(cand.select(col("vec_b").as("vec_id")).distinct(),
+              Seq("vec_id"), "left_semi")
+          val dupIds = graft.ext.EmbedOps.verifyCosinePairs(
+              cand,
+              canon.select(col("vec_id"), col("embedding"))
+                .unionByName(corpusCand.select(col("vec_id"), col("embedding"))),
+              threshold)
+            .select(col("vec_a").as("vec_id")).distinct()
+          canon.join(dupIds, Seq("vec_id"), "left_anti")
+        case None => canon
+      }).localCheckpoint()
+      appended = fresh.count()
+      if (appended > 0) {
+        fresh.write.mode(SaveMode.Append).parquet(dataDir)
+        graft.ext.EmbedOps.signatureKeys(fresh)
+          .write.mode(SaveMode.Append).parquet(sigsDir)
+      }
+      canon.unpersist()
+    }
+    appended
+  }
+
+  /** Streaming entry for the semantic path. */
+  def startSemantic(vectors: DataFrame, indexDir: String, checkpointDir: String,
+      threshold: Double = 0.35): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatchSemantic(batch, batchId, indexDir, threshold); ()
+      }
+      .start()
+
   /** Streaming entry: docs stream → per-batch incremental dedup append. */
   def start(docs: DataFrame, corpusDir: String,
       checkpointDir: String): StreamingQuery =

@@ -75,6 +75,31 @@ class CorpusIngestSpec extends SparkSpec {
     assert(CorpusIngest.ingestBatchNear(b1, 1L, corpusDir) == 0L)
   }
 
+  test("semantic ingestion suppresses embedding near-dups in-batch and cross-batch") {
+    val indexDir = Files.createTempDirectory("graft-sem-ingest").toString
+    // batch 0: v1 ≈ v2 (in-batch near-dup), v3 orthogonal
+    val b0 = Seq(
+      (1L, Array(1.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 1.01f, 0.0f, 0.0f)),
+      (3L, Array(-1.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(CorpusIngest.ingestBatchSemantic(b0, 0L, indexDir) == 2L)
+    assert(spark.read.parquet(s"$indexDir/data")
+      .select("vec_id").as[Long].collect().toSet == Set(1L, 3L))
+    // batch 1: v4 ≈ stored v1 (dropped via the signature index probe),
+    // v5 genuinely new
+    val b1 = Seq(
+      (4L, Array(1.0f, 0.98f, 0.0f, 0.0f)),
+      (5L, Array(0.0f, 0.0f, 1.0f, -1.0f))).toDF("vec_id", "embedding")
+    assert(CorpusIngest.ingestBatchSemantic(b1, 1L, indexDir) == 1L)
+    assert(spark.read.parquet(s"$indexDir/data")
+      .select("vec_id").as[Long].collect().toSet == Set(1L, 3L, 5L))
+    // signature index grew with survivors only
+    assert(spark.read.parquet(s"$indexDir/sigs")
+      .select("vec_id").distinct().as[Long].collect().toSet == Set(1L, 3L, 5L))
+    // replay of batch 1 is a txn-log no-op
+    assert(CorpusIngest.ingestBatchSemantic(b1, 1L, indexDir) == 0L)
+  }
+
   test("near ingestion survives a stream restart from checkpoint") {
     implicit val sqlCtx = spark.sqlContext
     val corpusDir = Files.createTempDirectory("graft-near-restart").toString
