@@ -30,6 +30,10 @@ object GraftConf {
   val QualityThresholdKey = "spark.graft.corpus.qualityThreshold"
   val NearDupThresholdKey = "spark.graft.corpus.nearDupThreshold"
 
+  /** Embedding-space near-dup cosine threshold (ext.EmbedOps semantic
+    * dedup / streaming semantic ingestion). */
+  val CosineThresholdKey = "spark.graft.embed.cosineThreshold"
+
   def minMatches(spark: SparkSession): Int =
     spark.conf.get(MinMatchesKey, "1").toInt
 
@@ -38,6 +42,9 @@ object GraftConf {
 
   def nearDupThreshold(spark: SparkSession): Double =
     spark.conf.get(NearDupThresholdKey, "0.5").toDouble
+
+  def cosineThreshold(spark: SparkSession): Double =
+    spark.conf.get(CosineThresholdKey, "0.35").toDouble
 
   def denyDomains(spark: SparkSession): Seq[String] =
     csv(spark.conf.get(DenyDomainsKey, graft.rules.Rules.DefaultDenyDomains.mkString(",")))

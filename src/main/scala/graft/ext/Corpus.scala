@@ -91,11 +91,13 @@ object Corpus {
     * on the pair key, whose cardinality is the (small) verified pair
     * sets, not the corpus. */
   def crossSignalNearDups(documents: DataFrame, embeddings: DataFrame,
-      cosineThreshold: Double = 0.35): DataFrame = {
+      cosineThreshold: Double = Double.NaN): DataFrame = {
+    val cosThr = if (cosineThreshold.isNaN)
+      graft.GraftConf.cosineThreshold(documents.sparkSession) else cosineThreshold
     val lex = DedupOps.minhashNearDups(documents)
       .select(col("doc_a"), col("doc_b"), lit(true).as("lexical"))
     val sem = EmbedOps.lshNearDups(embeddings)
-      .filter(col("cosine") >= cosineThreshold)
+      .filter(col("cosine") >= cosThr)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"),
         lit(true).as("semantic"))
     lex.join(sem, Seq("doc_a", "doc_b"), "full_outer")

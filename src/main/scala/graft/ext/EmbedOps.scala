@@ -155,7 +155,8 @@ object EmbedOps {
     * cluster id, shard) already bounds partition size. At 100 TB the
     * partitioner IS the index: pair count is Σ n_p² over partitions,
     * never N². */
-  def exactNearDups(embeddings: DataFrame, threshold: Double = 0.35): DataFrame = {
+  def exactNearDups(embeddings: DataFrame, threshold: Double = Double.NaN): DataFrame = {
+    val thr = resolvedThreshold(embeddings, threshold)
     val base = embeddings.select(
       col("label"), col("vec_id"), quantized(col("embedding")).as("q"))
       .withColumn("n2", qnorm2(col("q")))
@@ -167,9 +168,16 @@ object EmbedOps {
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cosine",
         cosineFromParts(qdot(col("qa"), col("qb")), col("n2a"), col("n2b")))
-      .filter(col("cosine") >= threshold)
+      .filter(col("cosine") >= thr)
       .select(col("label"), col("vec_a"), col("vec_b"), col("cosine"))
   }
+
+  /** Parameter wins; unset (NaN) falls back to the session conf
+    * (spark.graft.embed.cosineThreshold, default 0.35) — the embedding
+    * analog of the curation thresholds in [[Corpus.cleanDecisions]]. */
+  private def resolvedThreshold(df: DataFrame, threshold: Double): Double =
+    if (threshold.isNaN) graft.GraftConf.cosineThreshold(df.sparkSession)
+    else threshold
 
   /** Brute-force top-k on the RAW float vectors via the native codegen'd
     * cosine_sim expression (graft.functions.CosineSimilarity) — the
@@ -203,9 +211,9 @@ object EmbedOps {
     * signature — never all-pairs — so cluster recall equals LSH pair
     * recall (same-bucket collisions), the documented trade of the
     * scale path. */
-  def nearDupClusters(embeddings: DataFrame, threshold: Double = 0.35): DataFrame = {
+  def nearDupClusters(embeddings: DataFrame, threshold: Double = Double.NaN): DataFrame = {
     val pairs = lshNearDups(embeddings)
-      .filter(col("cosine") >= threshold)
+      .filter(col("cosine") >= resolvedThreshold(embeddings, threshold))
       .select(col("vec_a"), col("vec_b"))
     val labels = Graph.connectedComponents(
       embeddings.select(col("vec_id")), pairs)

@@ -163,15 +163,17 @@ object CorpusIngest {
     * (sig → vec) table; candidate re-reads bounded by collisions;
     * never a corpus rescan. */
   def ingestBatchSemantic(batch: DataFrame, batchId: Long, indexDir: String,
-      threshold: Double = 0.35): Long = {
+      threshold: Double = Double.NaN): Long = {
     val spark = batch.sparkSession
+    val thr = if (threshold.isNaN)
+      graft.GraftConf.cosineThreshold(spark) else threshold
     val dataDir = s"$indexDir/data"
     val sigsDir = s"$indexDir/sigs"
     val logDir = s"$indexDir/_txn"
     var appended = 0L
     TxnLog.runOnce(logDir, batchId) {
       val canon = batch.join(
-        graft.ext.EmbedOps.nearDupClusters(batch, threshold)
+        graft.ext.EmbedOps.nearDupClusters(batch, thr)
           .filter(col("is_canonical")).select(col("vec_id")),
         Seq("vec_id"), "left_semi").cache()
       // localCheckpoint pins the decision before the two appends (the
@@ -190,7 +192,7 @@ object CorpusIngest {
               cand,
               canon.select(col("vec_id"), col("embedding"))
                 .unionByName(corpusCand.select(col("vec_id"), col("embedding"))),
-              threshold)
+              thr)
             .select(col("vec_a").as("vec_id")).distinct()
           canon.join(dupIds, Seq("vec_id"), "left_anti")
         case None => canon
@@ -208,7 +210,7 @@ object CorpusIngest {
 
   /** Streaming entry for the semantic path. */
   def startSemantic(vectors: DataFrame, indexDir: String, checkpointDir: String,
-      threshold: Double = 0.35): StreamingQuery =
+      threshold: Double = Double.NaN): StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -80,6 +80,26 @@ class KMeansSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("vec_id")).toSet == Set(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("embedding cosine threshold is session-conf tunable (spark.graft.embed.*)") {
+    val frame = emb(
+      1L -> Array(1.0f, 1.0f, 0.0f, 0.0f),
+      2L -> Array(0.99f, 1.01f, 0.0f, 0.0f),
+      3L -> Array(-1.0f, 1.0f, 0.0f, 0.0f))
+    // default 0.35: 1 and 2 cluster together
+    val before = EmbedOps.nearDupClusters(frame)
+      .filter(org.apache.spark.sql.functions.col("vec_id") === 2L)
+      .head.getAs[Long]("cluster_id")
+    assert(before == 1L)
+    // impossible threshold: everything is a singleton
+    spark.conf.set(GraftConf.CosineThresholdKey, "1.1")
+    try {
+      val after = EmbedOps.nearDupClusters(frame)
+        .filter(org.apache.spark.sql.functions.col("vec_id") === 2L)
+        .head.getAs[Long]("cluster_id")
+      assert(after == 2L)
+    } finally spark.conf.unset(GraftConf.CosineThresholdKey)
+  }
+
   test("assignment plan broadcasts the centroids and argmins via aggregate, not a window sort") {
     val plan = EmbedOps.kmeansAssignments(emb(
       1L -> Array(1.0f, 0.0f), 2L -> Array(0.0f, 1.0f)), k = 2, iters = 1)
