@@ -180,6 +180,8 @@ object SparkEntry {
     "embed_pq_topk" -> ((s, d) => EmbedOps.pqTopK(emb(s, d))),
     // IVF-PQ: coarse-partition pruning + compressed-code ADC
     "embed_ivfpq_topk" -> ((s, d) => EmbedOps.ivfPqTopK(emb(s, d))),
+    // approximation-quality eval: PQ recall vs the exact top-k
+    "embed_pq_recall" -> ((s, d) => EmbedOps.pqRecall(emb(s, d))),
     // native codegen'd cosine expression — no SQL oracle (float-sum
     // order is engine-specific), driver records a rows-only check
     "embed_topk_native" -> ((s, d) => EmbedOps.bruteForceTopKNative(emb(s, d))),
@@ -275,6 +277,7 @@ GROUP BY l_returnflag""",
     "embed_kmeans" -> OracleSqlExt.embedKmeans,
     "embed_pq_topk" -> OracleSqlExt.embedPqTopK,
     "embed_ivfpq_topk" -> OracleSqlExt.embedIvfPqTopK,
+    "embed_pq_recall" -> OracleSqlExt.embedPqRecall,
 
     "mm_features" -> OracleSqlExt.mmFeatures,
     "mm_resize" -> OracleSqlExt.mmResize,

@@ -402,6 +402,33 @@ object EmbedOps {
         col("vec_id").as("neighbor_id"), col("adist"))
   }
 
+  /** PQ recall against the exact baseline: per query, how many of the
+    * exact cosine top-k survive in the PQ ADC top-k — the approximation-
+    * quality eval every ANN deployment tracks before trading exactness
+    * for 64× compression. Both sides are deterministic, so even this
+    * eval hash-matches a SQL oracle. The join is on the (query,
+    * neighbor) pair key of two k-row-per-query frames — negligible next
+    * to the searches themselves.
+    *
+    * On the synthetic near-random test corpus with the default tiny
+    * codebook (ksub=8, one Lloyd round) recall@5 ≈ 0.2 — random
+    * directions are PQ's adversarial case, and surfacing that number
+    * is the eval's job; a production fit raises ksub/m/iters until
+    * this query clears its recall budget. */
+  def pqRecall(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val exact = bruteForceTopK(embeddings, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val pq = pqTopK(embeddings, k = k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(pq, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall"))
+  }
+
   /** IVF-style top-k: the coarse quantizer is the `label` column — each
     * query searches only its own partition (1/10th of the corpus here;
     * 1/nlist in general). The exact analog of probing one inverted

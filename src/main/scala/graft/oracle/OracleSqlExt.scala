@@ -935,6 +935,25 @@ SELECT query_id, qlabel AS label, rank, vec_id AS neighbor_id, adist FROM (
   FROM ad)
 WHERE rank <= 5"""
 
+  /** Mirror of EmbedOps.pqRecall(k=5): both searches nested as derived
+    * tables (each with its own CTE chain), hits counted on the (query,
+    * neighbor) pair key, recall = hits / 5. */
+  val embedPqRecall: String = s"""
+WITH exact AS (
+  SELECT query_id, neighbor_id FROM ($embedTopK)),
+pq AS (
+  SELECT query_id, neighbor_id FROM ($embedPqTopK)),
+hits AS (
+  SELECT e.query_id, COUNT(*) AS n_hits
+  FROM exact e JOIN pq p
+    ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id)
+SELECT q.query_id,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 5 AS recall
+FROM (SELECT DISTINCT query_id FROM exact) q
+LEFT JOIN hits h ON h.query_id = q.query_id"""
+
   val embedIvfTopK: String = quantCte + s""",
 qs AS (SELECT vec_id AS query_id, label, qv AS qq FROM q WHERE vec_id % 97 = 0),
 scored AS (

@@ -108,6 +108,20 @@ class PQSpec extends SparkSpec {
     assert(ivfpq == pq)
   }
 
+  test("pqRecall is bounded, total over queries, and deterministic") {
+    val rnd = new scala.util.Random(17)
+    val vecs = (0L until 40L).map(id =>
+      id -> Array.fill(4)(rnd.nextFloat() * 2f - 1f))
+    def run() = EmbedOps.pqRecall(emb(vecs: _*), k = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("n_hits"),
+        r.getAs[Double]("recall"))).toSet
+    val got = run()
+    assert(got.map(_._1) == Set(0L))               // one query (0 % 97 == 0)
+    assert(got.forall { case (_, h, r) =>
+      h >= 0 && h <= 3 && r >= 0.0 && r <= 1.0 && r == h / 3.0 })
+    assert(run() == got)
+  }
+
   test("PQ plan is broadcast-only: no shuffle join, no cartesian product") {
     val plan = EmbedOps.pqTopK(emb(
       0L -> Array(1.0f, 0.0f), 1L -> Array(0.0f, 1.0f), 2L -> Array(1.0f, 1.0f)),
