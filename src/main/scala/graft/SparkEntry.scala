@@ -97,6 +97,8 @@ object SparkEntry {
     // exact percentile_disc via rank arithmetic (hash-safe, unlike
     // interpolated double percentiles)
     "agg_percentiles" -> ((s, d) => Analytics.statusPercentiles(Tables.orders(s, d))),
+    // mean/variance/correlation from exact decimal power sums
+    "agg_moments" -> ((s, d) => Analytics.orderMoments(Tables.orders(s, d))),
 
     // ---- event-time windowing over `events` ---------------------------
     "events_tumbling" -> ((s, d) => EventOps.tumbling(Tables.events(s, d))),
@@ -231,6 +233,7 @@ object SparkEntry {
     "events_top_types" -> OracleSqlExt.eventsTopTypes,
     "layout_zorder" -> OracleSqlExt.layoutZorder,
     "agg_percentiles" -> OracleSqlExt.aggPercentiles,
+    "agg_moments" -> OracleSqlExt.aggMoments,
     "sql_q6_forecast" -> """
 SELECT l_returnflag,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))

@@ -164,6 +164,40 @@ object Analytics {
         sum(dec("o_totalprice")).over(w).cast("string").as("spend_16d"))
   }
 
+  /** Single-pass statistical moments per order status: mean, population
+    * variance, and the price↔order-day correlation, derived from EXACT
+    * DECIMAL/integer power sums (Σx, Σx², Σy, Σy², Σxy). The naive
+    * corr()/var_pop() aggregates accumulate doubles in partition order —
+    * nondeterministic across engines and even across runs — so instead
+    * the moments come out of one map-side-combinable aggregate of exact
+    * partials, and the floating-point arithmetic happens once, at the
+    * end, in a fixed expression order: bit-identical everywhere, and
+    * the same single-pass shape a 100-TB profile job needs (no second
+    * pass for the mean). */
+  def orderMoments(orders: DataFrame): DataFrame = {
+    val price = col("o_totalprice").cast("decimal(18,2)")
+    val day = datediff(col("o_orderdate").cast("date"),
+      lit("1992-01-01").cast("date")).cast("long")
+    val g = orders.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(price).as("sx"),
+        sum((price * price).cast("decimal(38,4)")).as("sx2"),
+        sum(day).as("sy"),
+        sum(day * day).as("sy2"),
+        sum((price * day.cast("decimal(18,0)")).cast("decimal(38,4)")).as("sxy"))
+    val n = col("n_orders")
+    val (dx, dx2) = (col("sx").cast("double"), col("sx2").cast("double"))
+    val (dy, dy2) = (col("sy").cast("double"), col("sy2").cast("double"))
+    val dxy = col("sxy").cast("double")
+    g.select(col("o_orderstatus"), n,
+      col("sx").cast("string").as("sum_price"),
+      (dx / n).as("mean_price"),
+      ((dx2 - dx * dx / n) / n).as("var_price"),
+      ((n * dxy - dx * dy) /
+        (sqrt(n * dx2 - dx * dx) * sqrt(n * dy2 - dy * dy)))
+        .as("corr_price_day"))
+  }
+
   /** Analytic functions: lag/lead/ntile over the per-customer order
     * timeline — days since the previous order, the next order's key, and
     * the order-date quartile within the customer. */

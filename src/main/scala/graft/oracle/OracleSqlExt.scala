@@ -54,6 +54,27 @@ WHERE r.r_name = 'ASIA'
   AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
 GROUP BY n.n_name"""
 
+  /** Mirror of Analytics.orderMoments: exact DECIMAL/integer power
+    * sums, doubles only in the final fixed-order expressions. */
+  val aggMoments: String = """
+WITH g AS (
+  SELECT o_orderstatus,
+         COUNT(*) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sx,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sx2,
+         SUM(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))) AS sy,
+         SUM(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) * datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))) AS sy2,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS DECIMAL(18,0)) AS DECIMAL(38,4))) AS sxy
+  FROM orders GROUP BY o_orderstatus)
+SELECT o_orderstatus, n_orders,
+       CAST(sx AS VARCHAR) AS sum_price,
+       CAST(sx AS DOUBLE) / n_orders AS mean_price,
+       (CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_orders) / n_orders AS var_price,
+       (n_orders * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (sqrt(n_orders * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * sqrt(n_orders * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_price_day
+FROM g"""
+
   val windowTopOrders: String = """
 SELECT o_custkey, o_orderkey,
        o_totalprice AS total_price, rank

@@ -191,6 +191,20 @@ class CorpusSpec extends SparkSpec {
     assert(r.getAs[Long]("n_orders") == 10L)
   }
 
+  test("orderMoments derives mean/variance/correlation from exact power sums") {
+    // prices 10,20,30,40 on days 0..3: mean 25, var_pop 125, corr exactly 1
+    val orders = (0 to 3).map { d =>
+      (d.toLong, "O", (d + 1) * 10.0,
+        java.sql.Timestamp.valueOf(s"1992-01-0${d + 1} 00:00:00"))
+    }.toDF("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    val r = Analytics.orderMoments(orders).head()
+    assert(r.getAs[Long]("n_orders") == 4L)
+    assert(r.getAs[String]("sum_price") == "100.00")
+    assert(r.getAs[Double]("mean_price") == 25.0)
+    assert(r.getAs[Double]("var_price") == 125.0)
+    assert(math.abs(r.getAs[Double]("corr_price_day") - 1.0) < 1e-12)
+  }
+
   test("topEventTypes matches the row_number formulation with ties broken by type") {
     val events = (Seq.fill(5)("click") ++ Seq.fill(5)("view") ++
       Seq.fill(3)("purchase") ++ Seq.fill(1)("refund"))
