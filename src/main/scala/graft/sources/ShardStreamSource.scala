@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In, StringStartsWith}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -69,10 +69,22 @@ private class ShardTable(path: String) extends Table with SupportsRead {
   * KeyConditionExpression (applied at the partition/index level) and its
   * residual FilterExpression (applied per item after the read,
   * index.js:113-114). Anything else is returned to Spark as a residual
-  * and evaluated post-scan. */
+  * and evaluated post-scan.
+  *
+  * Column pruning (SupportsPushDownRequiredColumns): a projection that
+  * needs only provenance never materializes the payload string — the
+  * reader emits exactly the pruned schema. On a real shard service this
+  * is the difference between shipping the full record and shipping a
+  * key list (a scan that reads all columns for a 2-column projection is
+  * wrong at any scale). */
 private[graft] class ShardScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
   private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = ShardStreamSource.schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
 
   private def supported(f: Filter): Boolean = f match {
     case EqualTo("shard_file", _: String) => true
@@ -87,14 +99,15 @@ private[graft] class ShardScanBuilder(path: String)
     rest
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new ShardScan(path, pushed)
+  override def build(): Scan = new ShardScan(path, pushed, required)
 }
 
 private[graft] class ShardScan(path: String,
-    pushed: Array[Filter] = Array.empty) extends Scan {
-  override def readSchema(): StructType = ShardStreamSource.schema
+    pushed: Array[Filter] = Array.empty,
+    required: StructType = ShardStreamSource.schema) extends Scan {
+  override def readSchema(): StructType = required
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ShardMicroBatchStream(path)
+    new ShardMicroBatchStream(path, required)
 
   private def keep(file: String): Boolean = pushed.forall {
     case EqualTo("shard_file", v: String)   => file == v
@@ -110,7 +123,7 @@ private[graft] class ShardScan(path: String,
     override def planInputPartitions(): Array[InputPartition] =
       prunedFiles.map(ShardPartition).toArray
     override def createReaderFactory(): PartitionReaderFactory =
-      new ShardReaderFactory
+      new ShardReaderFactory(required)
   }
 }
 
@@ -119,7 +132,8 @@ private case class ShardOffset(consumed: Long) extends Offset {
   override def json(): String = consumed.toString
 }
 
-private class ShardMicroBatchStream(path: String) extends MicroBatchStream {
+private class ShardMicroBatchStream(path: String,
+    required: StructType = ShardStreamSource.schema) extends MicroBatchStream {
   override def initialOffset(): Offset = ShardOffset(0)
   override def latestOffset(): Offset =
     ShardOffset(ShardStreamSource.sortedShards(path).size.toLong)
@@ -133,14 +147,17 @@ private class ShardMicroBatchStream(path: String) extends MicroBatchStream {
     ShardStreamSource.sortedShards(path).slice(s, e).map(ShardPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new ShardReaderFactory
+    new ShardReaderFactory(required)
 }
 
 private[sources] case class ShardPartition(file: String) extends InputPartition
 
-private class ShardReaderFactory extends PartitionReaderFactory {
+private class ShardReaderFactory(
+    required: StructType = ShardStreamSource.schema) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[ShardPartition].file
+    // resolved once per partition, not per row
+    val fields = required.fieldNames.toSeq
     new PartitionReader[InternalRow] {
       private val lines = Files.readAllLines(
         Paths.get(file), StandardCharsets.UTF_8).iterator()
@@ -152,8 +169,11 @@ private class ShardReaderFactory extends PartitionReaderFactory {
         true
       }
       override def get(): InternalRow =
-        InternalRow(UTF8String.fromString(current),
-          UTF8String.fromString(file), lineNo)
+        InternalRow.fromSeq(fields.map {
+          case "value"      => UTF8String.fromString(current)
+          case "shard_file" => UTF8String.fromString(file)
+          case "line_no"    => lineNo
+        })
       override def close(): Unit = ()
     }
   }
