@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In, StringStartsWith}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -79,12 +79,22 @@ private class ShardTable(path: String) extends Table with SupportsRead {
   * wrong at any scale). */
 private[graft] class ShardScanBuilder(path: String)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = ShardStreamSource.schema
+  private var limit: Int = Int.MaxValue
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** PARTIAL limit push: each partition reader stops after `n` rows (a
+    * shard iterator's page-size cap); Spark still applies the global
+    * limit above, so returning false keeps the plan correct while the
+    * readers stop touching lines they cannot need. */
+  override def pushLimit(n: Int): Boolean = {
+    limit = n
+    false
+  }
 
   private def supported(f: Filter): Boolean = f match {
     case EqualTo("shard_file", _: String) => true
@@ -99,12 +109,13 @@ private[graft] class ShardScanBuilder(path: String)
     rest
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new ShardScan(path, pushed, required)
+  override def build(): Scan = new ShardScan(path, pushed, required, limit)
 }
 
 private[graft] class ShardScan(path: String,
     pushed: Array[Filter] = Array.empty,
-    required: StructType = ShardStreamSource.schema) extends Scan {
+    required: StructType = ShardStreamSource.schema,
+    limit: Int = Int.MaxValue) extends Scan {
   override def readSchema(): StructType = required
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new ShardMicroBatchStream(path, required)
@@ -123,7 +134,7 @@ private[graft] class ShardScan(path: String,
     override def planInputPartitions(): Array[InputPartition] =
       prunedFiles.map(ShardPartition).toArray
     override def createReaderFactory(): PartitionReaderFactory =
-      new ShardReaderFactory(required)
+      new ShardReaderFactory(required, limit)
   }
 }
 
@@ -153,7 +164,8 @@ private class ShardMicroBatchStream(path: String,
 private[sources] case class ShardPartition(file: String) extends InputPartition
 
 private class ShardReaderFactory(
-    required: StructType = ShardStreamSource.schema) extends PartitionReaderFactory {
+    required: StructType = ShardStreamSource.schema,
+    limit: Int = Int.MaxValue) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[ShardPartition].file
     // resolved once per partition, not per row
@@ -164,7 +176,7 @@ private class ShardReaderFactory(
       private var lineNo = -1L
       private var current: String = _
       override def next(): Boolean = {
-        if (!lines.hasNext) return false
+        if (!lines.hasNext || lineNo + 1 >= limit) return false
         current = lines.next(); lineNo += 1
         true
       }

@@ -79,6 +79,29 @@ class ShardSourceSpec extends SparkSpec {
     assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L))
   }
 
+  test("batch read pushes a partial limit: readers stop early, result stays exact") {
+    val dir = Files.createTempDirectory("graft-shards-limit").toString
+    writeShard(dir, "shard-000.json", Seq(18L, 19L, 20L))
+    writeShard(dir, "shard-001.json", Seq(21L, 22L))
+    val df = spark.read.format(classOf[ShardStreamSource].getName)
+      .option("path", dir).load().limit(2)
+    // correctness: exactly 2 rows survive the global limit
+    assert(df.count() == 2)
+    // unit level: the reader caps rows per partition at the limit
+    val b = new graft.sources.ShardScanBuilder(dir)
+    assert(!b.pushLimit(2)) // partial push: Spark keeps the global limit
+    val scan = b.build().asInstanceOf[graft.sources.ShardScan]
+    val parts = scan.toBatch.planInputPartitions()
+    val factory = scan.toBatch.createReaderFactory()
+    val firstPartRows = Iterator.continually {
+      val r = factory.createReader(parts.head)
+      r
+    }.take(1).flatMap { r =>
+      Iterator.continually(r.next()).takeWhile(identity).map(_ => 1)
+    }.sum
+    assert(firstPartRows == 2, s"reader emitted $firstPartRows rows, limit was 2")
+  }
+
   test("micro-batch stream: files appended later arrive as later batches") {
     val dir = Files.createTempDirectory("graft-shards2").toString
     writeShard(dir, "shard-000.json", Seq(28L, 578L))
