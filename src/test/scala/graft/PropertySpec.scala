@@ -122,4 +122,58 @@ class PropertySpec extends SparkSpec {
       assert(got == expect, s"seed=$seed")
     }
   }
+
+  test("k-means assignments equal a driver-side Lloyd reference on random vectors") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val r = new Random(seed)
+      val vecs = (0L until 30L).map(id =>
+        id -> Array.fill(4)(r.nextFloat() * 2f - 1f))
+      val q = vecs.map { case (id, v) =>
+        id -> v.map(x => math.round(x.toDouble * 1000)) }.toMap
+      def d2(a: Array[Long], b: Array[Long]): Long =
+        a.zip(b).map { case (x, c) => (x - c) * (x - c) }.sum
+      def assign(cents: Seq[(Long, Array[Long])]) = q.map { case (id, v) =>
+        id -> cents.map { case (c, cv) => (c, d2(v, cv)) }
+          .minBy { case (c, dd) => (dd, c) } }
+      var cents = vecs.map(_._1).sorted.take(3).map(id => id -> q(id))
+      for (_ <- 1 to 2) {
+        val a = assign(cents)
+        cents = cents.map { case (cid, old) =>
+          val ms = a.collect { case (id, (c, _)) if c == cid => q(id) }.toSeq
+          if (ms.isEmpty) cid -> old
+          else cid -> old.indices.map { i =>
+            val s = ms.map(_(i)).sum; val n = ms.size.toLong
+            (s - (((s % n) + n) % n)) / n
+          }.toArray
+        }
+      }
+      val expect = assign(cents)
+      val got = graft.ext.EmbedOps.kmeansAssignments(
+          vecs.map { case (id, v) => (id, v, 0) }
+            .toDF("vec_id", "embedding", "label"), k = 3, iters = 2)
+        .collect().map(x => x.getAs[Long]("vec_id") ->
+          (x.getAs[Long]("centroid_id"), x.getAs[Long]("d2"))).toMap
+      assert(got == expect, s"seed=$seed")
+    }
+  }
+
+  test("Morton z-value equals the bit-by-bit interleave on random keys") {
+    import spark.implicits._
+    def morton(a: Long, b: Long): Long = (0 until 16).map { i =>
+      (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+    }.reduce(_ | _)
+    for (seed <- 1 to 3) {
+      val r = new Random(seed)
+      val keys = Seq.fill(200)(
+        (math.abs(r.nextLong()) % 100000L, math.abs(r.nextLong()) % 100000L))
+      val got = keys.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+        .toDF("i", "a", "b")
+        .select(col("i"), graft.ext.Layout.zvalue2(col("a"), col("b")).as("z"))
+        .collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+      keys.zipWithIndex.foreach { case ((a, b), i) =>
+        assert(got(i) == morton(a & 0xFFFFL, b & 0xFFFFL), s"seed=$seed i=$i")
+      }
+    }
+  }
 }
