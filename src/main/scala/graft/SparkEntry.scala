@@ -114,6 +114,11 @@ object SparkEntry {
     "events_salted_counts" -> ((s, d) => ext.Skew.saltedTypeCounts(Tables.events(s, d))),
     // typed bounded-heap TopKAggregator as an oracle-gated query
     "events_top_types" -> ((s, d) => EventOps.topEventTypes(Tables.events(s, d))),
+    // ordered funnel: view → click → purchase, count per reached depth
+    // (deterministic 1-in-5 event sample so every depth is populated
+    // at gate SF — the full stream funnels everyone to depth 3)
+    "events_funnel" -> ((s, d) => EventOps.funnel(Tables.events(s, d)
+      .filter(org.apache.spark.sql.functions.col("event_id") % 5 === 0))),
     // Morton (Z-order) interleave for two-sided file-stat pruning
     "layout_zorder" -> ((s, d) => ext.Layout.eventZValues(Tables.events(s, d))),
 
@@ -231,6 +236,7 @@ object SparkEntry {
     "events_range" -> OracleSqlExt.eventsRange,
     "events_salted_counts" -> OracleSqlExt.eventsSaltedCounts,
     "events_top_types" -> OracleSqlExt.eventsTopTypes,
+    "events_funnel" -> OracleSqlExt.eventsFunnel,
     "layout_zorder" -> OracleSqlExt.layoutZorder,
     "agg_percentiles" -> OracleSqlExt.aggPercentiles,
     "agg_moments" -> OracleSqlExt.aggMoments,

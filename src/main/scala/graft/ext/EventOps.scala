@@ -86,6 +86,40 @@ object EventOps {
     * the shape that makes global top-K a near-free reduction at 100 TB.
     * Ordering contract (score desc, item asc tie-break) matches the
     * windowed row_number form, so a plain SQL oracle reproduces it. */
+  /** Ordered funnel analysis: per user, the earliest stage-1 event,
+    * then the earliest stage-2 event STRICTLY AFTER it, and so on —
+    * the sequential-pattern query behind conversion reporting. Output
+    * is the user count per reached depth (users with no stage-1 event
+    * don't enter the funnel).
+    *
+    * Shape per stage: an equi join on user_id immediately followed by
+    * a groupBy on the same key — the aggregation reuses the join's
+    * hash partitioning, so each extra stage costs one exchange of the
+    * (small) per-user frame, never a re-shuffle of the events fact.
+    * Monotonicity is free: a null t_{n-1} nulls every later stage
+    * through the three-valued comparison. */
+  def funnel(events: DataFrame,
+      stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    var cur = events.filter(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    stages.tail.zipWithIndex.foreach { case (st, i) =>
+      val prev = s"t${i + 1}"
+      cur = cur.join(
+        events.filter(col("event_type") === st)
+          .select(col("user_id"), col("ts").as("e_ts")),
+        Seq("user_id"), "left")
+        .groupBy(col("user_id") +: (1 to i + 1).map(j => col(s"t$j")): _*)
+        .agg(min(when(col("e_ts") > col(prev), col("e_ts"))).as(s"t${i + 2}"))
+    }
+    val depth = (2 to stages.size).foldLeft(lit(1)) { (acc, j) =>
+      when(col(s"t$j").isNotNull, j).otherwise(acc)
+    }
+    cur.select(depth.as("funnel_stage"))
+      .groupBy(col("funnel_stage"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   def topEventTypes(events: DataFrame, k: Int = 3): DataFrame = {
     import events.sparkSession.implicits._
     val counts = events.groupBy(col("event_type")).agg(count(lit(1)).as("n"))

@@ -673,6 +673,32 @@ WHERE d.doc_id % 2 = 1
 
   /** Mirror of EventOps.topEventTypes (typed TopKAggregator): the
     * row_number form of the same (count desc, type asc) contract. */
+  /** Mirror of EventOps.funnel(view → click → purchase) over the same
+    * deterministic 1-in-5 event sample: per-stage min-after-previous,
+    * depth by the deepest non-null timestamp. */
+  val eventsFunnel: String = """
+WITH ev AS (SELECT * FROM events WHERE event_id % 5 = 0),
+s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM ev
+  WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT s1.user_id, s1.t1,
+         min(CASE WHEN e.ts > s1.t1 THEN e.ts END) AS t2
+  FROM s1 LEFT JOIN ev e
+    ON e.user_id = s1.user_id AND e.event_type = 'click'
+  GROUP BY s1.user_id, s1.t1),
+s3 AS (
+  SELECT s2.user_id, s2.t2,
+         min(CASE WHEN e.ts > s2.t2 THEN e.ts END) AS t3
+  FROM s2 LEFT JOIN ev e
+    ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+  GROUP BY s2.user_id, s2.t2)
+SELECT CASE WHEN t3 IS NOT NULL THEN 3
+            WHEN t2 IS NOT NULL THEN 2
+            ELSE 1 END AS funnel_stage,
+       count(*) AS n_users
+FROM s3 GROUP BY 1"""
+
   val eventsTopTypes: String = """
 SELECT rank, event_type FROM (
   SELECT event_type,

@@ -33,6 +33,25 @@ class ExtOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("funnel counts users by deepest stage reached, in order") {
+    import spark.implicits._
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val events = Seq(
+      // user 1: full funnel in order → depth 3
+      (1L, ts(1), "view"), (1L, ts(2), "click"), (1L, ts(3), "purchase"),
+      // user 2: purchase BEFORE the first view doesn't count; click after
+      // the view does → depth 2
+      (2L, ts(1), "purchase"), (2L, ts(2), "view"), (2L, ts(3), "click"),
+      // user 3: only a view → depth 1
+      (3L, ts(1), "view"),
+      // user 4: no view at all → never enters the funnel
+      (4L, ts(1), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val got = graft.ext.EventOps.funnel(events)
+      .collect().map(r => r.getAs[Int]("funnel_stage") -> r.getAs[Long]("n_users")).toMap
+    assert(got == Map(3 -> 1L, 2 -> 1L, 1 -> 1L))
+  }
+
   test("repetition flags degenerate 3-gram loops and clears diverse text") {
     import spark.implicits._
     val r = graft.ext.TextOps.repetition(Seq(
