@@ -119,6 +119,8 @@ object SparkEntry {
     // at gate SF — the full stream funnels everyone to depth 3)
     "events_funnel" -> ((s, d) => EventOps.funnel(Tables.events(s, d)
       .filter(org.apache.spark.sql.functions.col("event_id") % 5 === 0))),
+    // weekly cohort retention matrix
+    "events_retention" -> ((s, d) => EventOps.retentionCohorts(Tables.events(s, d))),
     // Morton (Z-order) interleave for two-sided file-stat pruning
     "layout_zorder" -> ((s, d) => ext.Layout.eventZValues(Tables.events(s, d))),
 
@@ -237,6 +239,7 @@ object SparkEntry {
     "events_salted_counts" -> OracleSqlExt.eventsSaltedCounts,
     "events_top_types" -> OracleSqlExt.eventsTopTypes,
     "events_funnel" -> OracleSqlExt.eventsFunnel,
+    "events_retention" -> OracleSqlExt.eventsRetention,
     "layout_zorder" -> OracleSqlExt.layoutZorder,
     "agg_percentiles" -> OracleSqlExt.aggPercentiles,
     "agg_moments" -> OracleSqlExt.aggMoments,

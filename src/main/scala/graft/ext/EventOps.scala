@@ -120,6 +120,33 @@ object EventOps {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Weekly cohort retention: users grouped by their first active week,
+    * then counted per (cohort, week offset) with the share of the
+    * cohort still active — the companion report to [[funnel]].
+    *
+    * All keys are integers (epoch-day div 7 against the house 1992
+    * base) and the single double division happens per output row, so
+    * the matrix hash-matches the SQL oracle. Shape: one distinct over
+    * (user, week) — map-side combinable — then user-keyed min + join
+    * that reuse one partitioning; the final per-cohort frame is tiny. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val weekCol = expr(
+      "CAST(datediff(CAST(ts AS DATE), DATE '1992-01-01') div 7 AS BIGINT)")
+    val weekly = events.select(col("user_id"), weekCol.as("week")).distinct()
+    val cohort = weekly.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    val counts = weekly.join(cohort, Seq("user_id"))
+      .select(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = counts.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_active").as("cohort_size"))
+    counts.join(sizes, Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size")).as("retention"))
+  }
+
   def topEventTypes(events: DataFrame, k: Int = 3): DataFrame = {
     import events.sparkSession.implicits._
     val counts = events.groupBy(col("event_type")).agg(count(lit(1)).as("n"))

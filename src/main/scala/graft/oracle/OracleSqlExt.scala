@@ -699,6 +699,26 @@ SELECT CASE WHEN t3 IS NOT NULL THEN 3
        count(*) AS n_users
 FROM s3 GROUP BY 1"""
 
+  /** Mirror of EventOps.retentionCohorts: integer week keys, one
+    * double division per output row. */
+  val eventsRetention: String = """
+WITH weekly AS (
+  SELECT DISTINCT user_id,
+         datediff('day', DATE '1992-01-01', CAST(ts AS DATE)) // 7 AS week
+  FROM events),
+cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM weekly GROUP BY user_id),
+counts AS (
+  SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+         count(*) AS n_active
+  FROM weekly w JOIN cohort c ON c.user_id = w.user_id
+  GROUP BY c.cohort_week, w.week - c.cohort_week),
+sizes AS (
+  SELECT cohort_week, n_active AS cohort_size FROM counts WHERE week_offset = 0)
+SELECT c.cohort_week, c.week_offset, c.n_active, s.cohort_size,
+       CAST(c.n_active AS DOUBLE) / s.cohort_size AS retention
+FROM counts c JOIN sizes s ON s.cohort_week = c.cohort_week"""
+
   val eventsTopTypes: String = """
 SELECT rank, event_type FROM (
   SELECT event_type,

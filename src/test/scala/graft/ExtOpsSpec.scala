@@ -52,6 +52,26 @@ class ExtOpsSpec extends SparkSpec {
     assert(got == Map(3 -> 1L, 2 -> 1L, 1 -> 1L))
   }
 
+  test("retentionCohorts builds the cohort matrix with exact shares") {
+    import spark.implicits._
+    def ts(d: String) = java.sql.Timestamp.valueOf(s"2024-01-$d 12:00:00")
+    // 1992-base week buckets split at 2024-01-03: Jan 1-2 are one week,
+    // Jan 3-9 the next
+    val events = Seq(
+      (1L, ts("01")), (1L, ts("09")),   // active weeks 0 and 1
+      (2L, ts("02")),                   // week 0 only
+      (3L, ts("08")), (3L, ts("09")))   // joins in week 1, one week active
+      .toDF("user_id", "ts")
+    val got = graft.ext.EventOps.retentionCohorts(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val w0 = got.keys.map(_._1).min
+    assert(got((w0, 0L)) == (2L, 2L, 1.0))       // cohort of 2, both at offset 0
+    assert(got((w0, 1L)) == (1L, 2L, 0.5))       // one of them returns
+    assert(got((w0 + 1, 0L)) == (1L, 1L, 1.0))   // week-1 joiner
+    assert(!got.contains((w0 + 1, 1L)))
+  }
+
   test("repetition flags degenerate 3-gram loops and clears diverse text") {
     import spark.implicits._
     val r = graft.ext.TextOps.repetition(Seq(
