@@ -33,6 +33,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftConf.validate(spark) // fail-fast on malformed spark.graft.* confs
 
     val tw0 = System.nanoTime()
     if (warmDir.nonEmpty && warmDir != sfDir) {
@@ -71,7 +72,31 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_sec":$warmupSec,"sf":"$sfDir"}""")
+
+    // AQE-on variant: the numbers behind the "keep AQE on a real
+    // cluster" doc claim above. `spark.sql.adaptive.enabled` is a
+    // runtime conf, so the same session re-times the identical query
+    // set with adaptive re-planning (and its per-stage Janino
+    // recompilation) live — same interleaved-median harness, reported
+    // next to the static numbers. Skippable via
+    // SPARK_GRAFT_BENCH_AQE_ITERS=0 for quick local loops.
+    val aqeIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_AQE_ITERS", "3").toInt
+    val aqeSamples = collection.mutable.Map.empty[String, List[Double]]
+    if (aqeIters > 0) {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      for (_ <- 0 until aqeIters; name <- names) {
+        val t = timed(SparkEntry.queries(name))
+        aqeSamples(name) = t :: aqeSamples.getOrElse(name, Nil)
+      }
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+    }
+    val aqeResults = if (aqeIters > 0) names.map(n => n -> median(aqeSamples(n))).toMap
+      else Map.empty[String, Double]
+    val aqeQs = aqeResults.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val aqeTotal = aqeResults.values.sum
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_sec":$warmupSec,"aqe_total_sec":$aqeTotal,"aqe_queries":$aqeQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -34,6 +34,14 @@ object GraftConf {
     * dedup / streaming semantic ingestion). */
   val CosineThresholdKey = "spark.graft.embed.cosineThreshold"
 
+  /** The single source of truth for the semantic near-dup threshold.
+    * The DuckDB oracle SQL ([[graft.oracle.OracleSqlExt]]) interpolates
+    * THIS constant — the conf knob above only affects the Spark side,
+    * so a non-default value is incompatible with oracle-gated runs
+    * (the driver compares against SQL built from the default). Tuning
+    * deployments set the conf; correctness gates leave it alone. */
+  val DefaultCosineThreshold = 0.35
+
   def minMatches(spark: SparkSession): Int =
     spark.conf.get(MinMatchesKey, "1").toInt
 
@@ -44,7 +52,7 @@ object GraftConf {
     spark.conf.get(NearDupThresholdKey, "0.5").toDouble
 
   def cosineThreshold(spark: SparkSession): Double =
-    spark.conf.get(CosineThresholdKey, "0.35").toDouble
+    spark.conf.get(CosineThresholdKey, DefaultCosineThreshold.toString).toDouble
 
   def denyDomains(spark: SparkSession): Seq[String] =
     csv(spark.conf.get(DenyDomainsKey, graft.rules.Rules.DefaultDenyDomains.mkString(",")))
@@ -54,4 +62,48 @@ object GraftConf {
 
   private def csv(s: String): Seq[String] =
     s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** Eager fail-fast over every `spark.graft.*` conf — the analog of the
+    * reference's init-time config check (index.js:662-665), which
+    * rejects a malformed deployment before any record is processed
+    * instead of failing mid-batch. Invoked by Verify / Bench / the
+    * pipeline entry points; throws IllegalArgumentException naming the
+    * offending KEY and VALUE so a misconfigured `--conf` is a one-line
+    * diagnosis.
+    *
+    * Checks: numeric confs must parse (Int / Double), thresholds must
+    * lie in [0, 1], minMatches must be ≥ 0, and deny-list entries must
+    * be '@'-free lowercase domain/prefix tokens (a full address in the
+    * domain list — the reference's observed misconfig — can never
+    * match a parsed domain, so it is rejected here rather than
+    * silently never firing). */
+  def validate(spark: SparkSession): Unit = {
+    def bad(key: String, v: String, why: String): Nothing =
+      throw new IllegalArgumentException(
+        s"graft conf $key = '$v' is invalid: $why")
+
+    val mm = spark.conf.get(MinMatchesKey, "1")
+    val mmV = mm.toIntOption.getOrElse(bad(MinMatchesKey, mm, "not an integer"))
+    if (mmV < 0) bad(MinMatchesKey, mm, "must be >= 0")
+
+    for (key <- Seq(QualityThresholdKey, NearDupThresholdKey, CosineThresholdKey)) {
+      val raw = spark.conf.get(key, "0.5")
+      val v = raw.toDoubleOption.getOrElse(bad(key, raw, "not a number"))
+      if (v.isNaN || v < 0.0 || v > 1.0) bad(key, raw, "must lie in [0, 1]")
+    }
+
+    for (d <- denyDomains(spark)) {
+      if (d.contains("@"))
+        bad(DenyDomainsKey, d, "domain entries must not contain '@' (a full " +
+          "address can never match a parsed domain)")
+      if (d.exists(_.isWhitespace) || d.exists(_.isUpper))
+        bad(DenyDomainsKey, d, "domain entries must be lowercase, whitespace-free")
+      if (!d.contains("."))
+        bad(DenyDomainsKey, d, "domain entries must contain a '.'")
+    }
+    for (p <- denyPrefixes(spark)) {
+      if (p.exists(_.isWhitespace) || p.exists(_.isUpper))
+        bad(DenyPrefixesKey, p, "prefix entries must be lowercase, whitespace-free")
+    }
+  }
 }

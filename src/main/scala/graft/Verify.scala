@@ -16,6 +16,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftConf.validate(spark) // fail-fast on malformed spark.graft.* confs
     new java.io.File(outDir).mkdirs()
     // optional subset for local iteration (unset → all, the driver path)
     val only = sys.env.get("GRAFT_VERIFY_ONLY").map(_.split(",").toSet)

@@ -60,15 +60,21 @@ object Analytics {
         (col("sum_base_price_d").cast("double") / col("count_order")).as("avg_price"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
-  /** TPC-H Q3-shaped shipping priority: broadcast dim filter + two-fact
-    * shuffle join + grouped sum + deterministic top-10. */
+  /** TPC-H Q3-shaped shipping priority: filtered-customer join + two-fact
+    * shuffle join + grouped sum + deterministic top-10.
+    *
+    * The filtered customer side is deliberately UNHINTED: customers grow
+    * linearly with scale factor, so a forced broadcast OOMs executors at
+    * 100× (module policy, lines 25-30). Size estimation / AQE broadcasts
+    * it while it fits under the threshold and shuffles it once it
+    * doesn't — the plan that survives the scale-up. */
   def shippingPriority(customer: DataFrame, orders: DataFrame,
       lineitem: DataFrame): DataFrame = {
     val cut = lit("1995-03-15").cast("timestamp")
     val cust = customer.filter(col("c_mktsegment") === "BUILDING")
       .select("c_custkey")
     orders.filter(col("o_orderdate") < cut)
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(lineitem.filter(col("l_shipdate") > cut),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))

@@ -291,30 +291,57 @@ object DedupOps {
 
   /** SimHash near-duplicate candidates: identical 32-bit signatures.
     * ([[simhashHammingPairs]] generalizes this to hamming-distance-k;
-    * identical-signature is the k=0 case.) */
+    * identical-signature is the k=0 case.)
+    *
+    * The signature self-join goes through [[saltedSelfPairs]] like every
+    * other bucket join here: a popular signature (boilerplate docs
+    * hashing identically) is a hot bucket, and salting spreads its
+    * pairs over SaltBuckets² tasks. The shared signature is recovered
+    * by re-joining one side — pairs only ever form inside one bucket,
+    * so doc_a's signature IS the pair's signature. */
   def simhashDups(documents: DataFrame): DataFrame = {
-    val s = simhash(documents)
-    val a = s.select(col("doc_id").as("doc_a"), col("simhash32"))
-    val b = s.select(col("doc_id").as("doc_b"), col("simhash32"))
-    a.join(b, Seq("simhash32"))
-      .filter(col("doc_a") < col("doc_b"))
+    val s = simhash(documents).cache()
+    val cand = saltedSelfPairs(
+      s.select(col("simhash32"), col("doc_id")), "simhash32", "doc_id")
+    cand
+      .join(s.select(col("doc_id").as("doc_a"), col("simhash32")), Seq("doc_a"))
       .select(col("doc_a"), col("doc_b"), col("simhash32"))
   }
 
-  /** n-gram Jaccard over a cheap candidate generation: shared first
-    * token as the blocking key, then exact 3-gram Jaccard ≥ threshold.
-    * Demonstrates the verify stage standalone; minhashNearDups is the
-    * scalable candidate generator.
+  /** n-gram Jaccard pairs over SINGLE-BAND minhash blocking: candidates
+    * share band 0 (the first [[BandSize]] minhash values), then verify
+    * with exact 3-gram Jaccard ≥ threshold. One band instead of the full
+    * [[minhashNearDups]] LSH index trades recall (P[candidate] = s^BandSize
+    * for true Jaccard s, vs 1-(1-s^r)^b over all bands) for a 4× smaller
+    * candidate index — the cheap single-probe point on the same curve.
     *
-    * The first token is Zipf-distributed — a real corpus puts a large
-    * fraction of documents in one block ("The …") — so the block
-    * self-join goes through [[saltedSelfPairs]]: the hot block's pairs
-    * spread over SaltBuckets² tasks instead of serializing on one
-    * reducer, and the pair set (hence the oracle) is unchanged. Total
-    * pair COUNT in a hot block is still quadratic — that is inherent
-    * to first-token blocking and why minhash banding is the candidate
-    * generator of record at corpus scale. */
+    * Block sizes are bounded by construction: band keys are minhash
+    * outputs, uniform over 2⁶⁴ pairs of values, so no natural-language
+    * Zipf skew reaches the blocking key and pair counts stay linear in
+    * true-duplicate density — unlike first-token blocking
+    * ([[firstTokenJaccardPairs]], kept as the skew demo), whose hottest
+    * block ("The …") is inherently quadratic. The block self-join still
+    * goes through [[saltedSelfPairs]] for the residual hot bucket (a
+    * boilerplate signature shared by thousands of identical docs). */
   def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.3): DataFrame = {
+    val sets = withShingleSets(documents).cache()
+    val keyed = minhashSignatures(documents)
+      .select(col("band0").as("block_key"), col("doc_id"))
+    val cand = saltedSelfPairs(keyed, "block_key", "doc_id")
+    jaccardVerify(cand, sets, threshold)
+  }
+
+  /** First-token blocking + exact Jaccard verify — the pre-round-7 form
+    * of [[ngramJaccardPairs]], retained ONLY as the skew demonstration
+    * for DedupSkewSpec: the first token is Zipf-distributed, so one
+    * block ("The …") holds a large corpus fraction and its pair count
+    * is O(block²) no matter how the join is partitioned.
+    * [[saltedSelfPairs]] bounds the per-TASK cost (the hot block spreads
+    * over SaltBuckets² cells) but cannot reduce the pair COUNT — which
+    * is why minhash banding, not a natural-language attribute, is the
+    * blocking key of record at corpus scale. Not exported in
+    * SparkEntry.queries. */
+  def firstTokenJaccardPairs(documents: DataFrame, threshold: Double = 0.3): DataFrame = {
     val sets = withShingleSets(documents).cache()
     val keyed = documents.select(
       split(col("text"), " ").getItem(0).as("block_key"), col("doc_id"))

@@ -603,9 +603,23 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 3"""
 
+  /** Mirror of DedupOps.ngramJaccardPairs: single-band minhash
+    * blocking (band 0 = minhash values j=0,1, the '|'-joined prefix of
+    * the full LSH signature) + exact 3-gram Jaccard verify at 0.3. */
   val dedupNgram: String = shingleCtes + """,
+hashes AS (
+  SELECT doc_id, s,
+         ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
+         ('0x' || substr(md5(s), 9, 8))::BIGINT AS h2
+  FROM sh),
+sig AS (
+  SELECT doc_id, j,
+         min((h1 + j * h2) % 4294967311) AS mh
+  FROM hashes, UNNEST(range(0, 2)) t(j)
+  GROUP BY doc_id, j),
 keyed AS (
-  SELECT doc_id, t[1] AS block_key FROM toks),
+  SELECT doc_id, string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j) AS block_key
+  FROM sig GROUP BY doc_id),
 cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM keyed a JOIN keyed b ON a.block_key = b.block_key AND a.doc_id < b.doc_id),
@@ -840,8 +854,11 @@ JOIN q qa ON qa.vec_id = p.vec_a
 JOIN q qb ON qb.vec_id = p.vec_b"""
 
   /** Mirror of EmbedOps.nearDupClusters: recursive transitive closure
-    * over the LSH pairs verifying at cosine ≥ 0.35, component id = min
-    * reachable vec_id, singletons via the embeddings left join. */
+    * over the LSH pairs verifying at cosine ≥ the default threshold
+    * ([[graft.GraftConf.DefaultCosineThreshold]], interpolated — the
+    * session conf knob is incompatible with oracle-gated runs, see that
+    * constant's doc), component id = min reachable vec_id, singletons
+    * via the embeddings left join. */
   val embedClusters: String =
     quantCte.replaceFirst("WITH q", "WITH RECURSIVE q") + lshSigCtes + s""",
 vpairs AS (
@@ -850,7 +867,7 @@ vpairs AS (
         FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id) p
   JOIN q qa ON qa.vec_id = p.vec_a
   JOIN q qb ON qb.vec_id = p.vec_b
-  WHERE ${cosineSql("qa.qv", "qb.qv")} >= 0.35),
+  WHERE ${cosineSql("qa.qv", "qb.qv")} >= ${graft.GraftConf.DefaultCosineThreshold}),
 edges AS (
   SELECT vec_a AS a, vec_b AS b FROM vpairs
   UNION ALL SELECT vec_b, vec_a FROM vpairs),
@@ -871,7 +888,7 @@ FROM lab"""
 SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
        ${cosineSql("a.qv", "b.qv")} AS cosine
 FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE ${cosineSql("a.qv", "b.qv")} >= 0.35"""
+WHERE ${cosineSql("a.qv", "b.qv")} >= ${graft.GraftConf.DefaultCosineThreshold}"""
 
   /** Mirror of Corpus.crossSignalNearDups: full outer join of the two
     * verified pair sets (each nested with its own CTE chain — DuckDB
@@ -882,7 +899,7 @@ SELECT COALESCE(l.doc_a, s.vec_a) AS doc_a,
        l.doc_a IS NOT NULL AS lexical,
        s.vec_a IS NOT NULL AS semantic
 FROM ($dedupMinhash) l
-FULL JOIN (SELECT vec_a, vec_b FROM ($embedLshNearDups) WHERE cosine >= 0.35) s
+FULL JOIN (SELECT vec_a, vec_b FROM ($embedLshNearDups) WHERE cosine >= ${graft.GraftConf.DefaultCosineThreshold}) s
   ON s.vec_a = l.doc_a AND s.vec_b = l.doc_b"""
 
   /** Assignment CTE body: nearest of the centroids in `cents` for every

@@ -132,6 +132,7 @@ object MatchPipeline {
     * `spark.graft.denyList.{domains,prefixes}`. */
   def decide(envelope: DataFrame): DataFrame = {
     val s = envelope.sparkSession
+    graft.GraftConf.validate(s) // fail-fast before any record is processed
     decide(envelope, graft.GraftConf.minMatches(s),
       graft.GraftConf.denyDomains(s), graft.GraftConf.denyPrefixes(s))
   }

@@ -38,9 +38,9 @@ class DedupSkewSpec extends SparkSpec {
       .map(i => t.slice(i - 1, math.min(i + 2, t.length)).mkString(" ")).toSet
   }
 
-  test("salted ngram blocking yields the identical pair set to a naive block join") {
+  test("salted first-token blocking yields the identical pair set to a naive block join") {
     val df = skewedDocs(hot = 60, cold = 30)
-    val got = DedupOps.ngramJaccardPairs(df, threshold = 0.3)
+    val got = DedupOps.firstTokenJaccardPairs(df, threshold = 0.3)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
 
     // independent Scala-side reference: block on first token, all
@@ -78,6 +78,50 @@ class DedupSkewSpec extends SparkSpec {
     assert(cells.count(_ > 0) >= 20, s"expected >=20 populated cells, got ${cells.count(_ > 0)}")
     assert(cells.max <= naive / 4,
       s"hot cell ${cells.max} not < naive/4 (${naive / 4})")
+  }
+
+  test("band0-blocked ngram pairs equal a Scala band0 block join") {
+    val df = skewedDocs(hot = 40, cold = 20)
+    val got = DedupOps.ngramJaccardPairs(df, threshold = 0.3)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+
+    // reference: block on the Spark-computed band0 key, all intra-block
+    // pairs, exact distinct-3-gram Jaccard — independent of the salted
+    // join under test
+    val sigRows = DedupOps.minhashSignatures(df).collect()
+    val texts = df.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val byBand0 = sigRows.map(r => r.getAs[String]("band0") -> r.getAs[Long]("doc_id"))
+      .groupBy(_._1).values
+    val want = byBand0.flatMap { ds0 =>
+      val ds = ds0.toSeq
+      for {
+        a <- ds; b <- ds if a._2 < b._2
+        sa = shingles(texts(a._2)); sb = shingles(texts(b._2))
+        if sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble >= 0.3
+      } yield (a._2, b._2)
+    }.toSet
+    assert(got == want)
+  }
+
+  test("salted simhashDups equals a naive identical-signature self-join under a hot signature") {
+    import spark.implicits._
+    // 50 byte-identical docs → ONE hot simhash bucket with 50·49/2 pairs,
+    // plus distinct singletons; the salted join must reproduce the exact
+    // pair set (and spread the hot bucket per the test above's cell math)
+    val rows = (0 until 50).map(i => (i.toLong, "alpha beta gamma delta epsilon")) ++
+      (0 until 10).map(i => ((100 + i).toLong, s"unique$i " + Seq.fill(6)(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val df = rows.toDF("doc_id", "text")
+    val got = DedupOps.simhashDups(df)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Long]("simhash32"))
+      .toMap
+    val sigs = DedupOps.simhash(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash32"))
+    val want = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b && sa == sb
+    } yield (a, b) -> sa).toMap
+    assert(want.size >= 50 * 49 / 2)
+    assert(got == want)
   }
 
   test("simhash hamming-k pairs equal a Scala brute force (banding is exact for k<=3)") {
