@@ -97,6 +97,9 @@ object SparkEntry {
     // exact percentile_disc via rank arithmetic (hash-safe, unlike
     // interpolated double percentiles)
     "agg_percentiles" -> ((s, d) => Analytics.statusPercentiles(Tables.orders(s, d))),
+    // t-digest sketch values are engine-specific → rows-only driver
+    // gate; ExtOpsSpec asserts the rank-error bound vs the exact form
+    "agg_percentiles_approx" -> ((s, d) => Analytics.statusPercentilesApprox(Tables.orders(s, d))),
     // mean/variance/correlation from exact decimal power sums
     "agg_moments" -> ((s, d) => Analytics.orderMoments(Tables.orders(s, d))),
 
@@ -187,10 +190,12 @@ object SparkEntry {
     "embed_kmeans" -> ((s, d) => EmbedOps.kmeansAssignments(emb(s, d))),
     // product quantization: per-subspace codebooks → codes → ADC top-k
     "embed_pq_topk" -> ((s, d) => EmbedOps.pqTopK(emb(s, d))),
-    // IVF-PQ: coarse-partition pruning + compressed-code ADC
+    // IVF-PQ: coarse-centroid multi-probe (nprobe=2) + compressed-code ADC
     "embed_ivfpq_topk" -> ((s, d) => EmbedOps.ivfPqTopK(emb(s, d))),
     // approximation-quality eval: PQ recall vs the exact top-k
     "embed_pq_recall" -> ((s, d) => EmbedOps.pqRecall(emb(s, d))),
+    // the nprobe recall dial: IVF-PQ hits vs exact at nprobe 1 and 2
+    "embed_ivfpq_recall" -> ((s, d) => EmbedOps.ivfPqRecallCompare(emb(s, d))),
     // native codegen'd cosine expression — no SQL oracle (float-sum
     // order is engine-specific), driver records a rows-only check
     "embed_topk_native" -> ((s, d) => EmbedOps.bruteForceTopKNative(emb(s, d))),
@@ -290,6 +295,7 @@ GROUP BY l_returnflag""",
     "embed_pq_topk" -> OracleSqlExt.embedPqTopK,
     "embed_ivfpq_topk" -> OracleSqlExt.embedIvfPqTopK,
     "embed_pq_recall" -> OracleSqlExt.embedPqRecall,
+    "embed_ivfpq_recall" -> OracleSqlExt.embedIvfPqRecall,
 
     "mm_features" -> OracleSqlExt.mmFeatures,
     "mm_resize" -> OracleSqlExt.mmResize,

@@ -304,6 +304,31 @@ object Analytics {
         pick(0.99).cast("string").as("p99_price"))
   }
 
+  /** Approximate quantiles (p50/p90/p99 of order value per status) via
+    * percentile_approx — the mergeable-sketch companion to
+    * [[statusPercentiles]] for 100-TB quantiles, where the exact form's
+    * per-group window sort means shuffling every row of the key
+    * universe and the sketch is a fixed-size accumulator per group
+    * (partial+final merge, map-side combinable, no global sort).
+    *
+    * accuracy=10000 bounds the rank error at n/10000 per group. Sketch
+    * contents are engine-specific (like [[approxDistinctCustomers]]'s
+    * HLL registers), so this query takes the rows-only driver gate and
+    * ExtOpsSpec asserts the error bound against the exact form. */
+  def statusPercentilesApprox(orders: DataFrame, accuracy: Int = 10000): DataFrame =
+    orders
+      .groupBy(col("o_orderstatus").as("order_status"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        percentile_approx(col("o_totalprice"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(accuracy)).as("ps"))
+      .select(
+        col("order_status"), col("n_orders"),
+        col("ps").getItem(0).as("p50_price"),
+        col("ps").getItem(1).as("p90_price"),
+        col("ps").getItem(2).as("p99_price"))
+      .orderBy(col("order_status"))
+
   /** Set operations: customers with BUILDING-segment accounts EXCEPT those
     * who placed an open ('O') order, plus the INTERSECT of high-balance
     * customers with order placers. The anti-join shape the reference has;

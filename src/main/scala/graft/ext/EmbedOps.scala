@@ -241,6 +241,11 @@ object EmbedOps {
     * iterative-lineage control as [[Graph.connectedComponents]]; swap
     * for reliable checkpoint() on a cluster. */
   def kmeansAssignments(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    // cache lifetime is CALLER-MANAGED (same policy as lshNearDups'
+    // sigs cache): the returned plan still references it, so this
+    // method cannot unpersist. Spark drops it LRU under memory
+    // pressure; long-lived sessions issuing many fits should
+    // spark.catalog.clearCache() between rounds.
     val base = embeddings.select(
       col("vec_id"), quantized(col("embedding")).as("q")).cache()
     var cents = base.orderBy(col("vec_id")).limit(k)
@@ -288,8 +293,11 @@ object EmbedOps {
       .groupBy(cid :+ col("i"): _*)
       .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
     val packed = sums
-      .withColumn("c",
-        ((col("s") - pmod(col("s"), col("n"))) / col("n")).cast("long"))
+      // `div` (integer division) — the quotient is exact at ANY
+      // magnitude; a float `/` would be exact only while per-dim sums
+      // stay below 2^53. (s − pmod(s, n)) is divisible by n, so every
+      // division convention agrees and DuckDB's `//` mirrors exactly.
+      .withColumn("c", expr("(s - pmod(s, n)) div n"))
       .groupBy(cid: _*)
       .agg(transform(
         array_sort(collect_list(struct(col("i"), col("c")))),
@@ -317,6 +325,7 @@ object EmbedOps {
       ksub: Int = 8, k: Int = 5): DataFrame = {
     val base = embeddings.select(
       col("vec_id"), quantized(col("embedding")).as("q"))
+    // caller-managed cache lifetime (see kmeansAssignments)
     val subs = base.select(col("vec_id"), explode(array((0 until m).map(s =>
       struct(lit(s).as("sub"), slice(col("q"), s * dsub + 1, dsub).as("q"))): _*)).as("e"))
       .select(col("vec_id"), col("e.sub").as("sub"), col("e.q").as("q"))
@@ -351,23 +360,70 @@ object EmbedOps {
         col("vec_id").as("neighbor_id"), col("adist"))
   }
 
-  /** IVF-PQ: the production ANN shape at corpus scale — the coarse
-    * partition (`label`, standing in for a fitted quantizer as in
-    * [[ivfTopK]]) prunes the search to one inverted list, and within
-    * it distances come from the PQ codes, never the raw vectors. The
-    * codebook is shared across partitions (trained on the full corpus,
-    * the standard IVF-PQ design); the ADC lookup join simply gains the
-    * partition as a third equi key, so each query only ever meets its
-    * own list's codes. Cost per query: |list|·m code lookups vs
-    * |corpus|·d multiplications for brute force. */
-  def ivfPqTopK(embeddings: DataFrame, m: Int = 4, dsub: Int = 16,
-      ksub: Int = 8, k: Int = 5): DataFrame = {
+  /** IVF-PQ with multi-probe: the production ANN shape at corpus scale.
+    * The coarse quantizer is one integer centroid per `label` list (the
+    * floor-mean of the list's quantized vectors — deterministic, so the
+    * whole probe ranking hash-matches SQL); each query ranks the lists
+    * by squared L2 to those centroids and probes the nearest `nprobe`,
+    * and within the probed lists distances come from the PQ codes,
+    * never the raw vectors. nprobe is THE recall/cost dial of deployed
+    * IVF: recall lost to a query landing near a list boundary is
+    * recovered by probing its runner-up lists, at nprobe× the code
+    * lookups — [[ivfPqRecallCompare]] measures exactly that gain.
+    *
+    * The codebook is shared across lists (trained on the full corpus,
+    * the standard IVF-PQ design); the ADC lookup join carries the
+    * probed label as a third equi key, so each query only ever meets
+    * its probed lists' codes. Cost per query: nprobe·|list|·m code
+    * lookups vs |corpus|·d multiplications for brute force. The coarse
+    * centroid build is one posexplode aggregate (map-side combinable,
+    * nlist×64 rows out); probe selection is |queries|×nlist tiny
+    * broadcast rows. */
+  /** (query_id, plabel): each query's `nprobe` nearest inverted lists,
+    * ranked by integer squared L2 to the per-label coarse centroids
+    * (floor-mean of the list's quantized vectors — deterministic, so
+    * probe ranking hash-matches SQL). Probe sets at increasing nprobe
+    * are NESTED (same ranking, longer prefix) — the property that makes
+    * probe coverage monotone in [[ivfPqRecallCompare]]. */
+  def coarseProbes(embeddings: DataFrame, nprobe: Int): DataFrame = {
     val base = embeddings.select(
       col("vec_id"), col("label"), quantized(col("embedding")).as("q"))
-    val subs = base.select(col("vec_id"), col("label"),
+    // coarse centroids: per-list integer floor-mean, same arithmetic as
+    // lloydUpdate (exact `div`, any magnitude)
+    val coarse = base
+      .select(col("label"), posexplode(col("q")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .withColumn("c", expr("(s - pmod(s, n)) div n"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("i"), col("c")))),
+        e => e.getField("c")).as("ccv"))
+    val queries = base.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val cd2 = aggregate(
+      zip_with(col("qq"), col("ccv"), (x, c) => (x - c) * (x - c)),
+      lit(0L), (acc, x) => acc + x)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cd2"), col("label"))
+    queries.crossJoin(broadcast(coarse))
+      .withColumn("cd2", cd2)
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("label").as("plabel"))
+  }
+
+  def ivfPqTopK(embeddings: DataFrame, m: Int = 4, dsub: Int = 16,
+      ksub: Int = 8, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val base = embeddings.select(
+      col("vec_id"), col("label"), quantized(col("embedding")).as("q"))
+    val probes = coarseProbes(embeddings, nprobe)
+
+    // caller-managed cache lifetime (see kmeansAssignments)
+    val subs = base.select(col("vec_id"),
       explode(array((0 until m).map(s =>
         struct(lit(s).as("sub"), slice(col("q"), s * dsub + 1, dsub).as("q"))): _*)).as("e"))
-      .select(col("vec_id"), col("label"), col("e.sub").as("sub"), col("e.q").as("q"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.q").as("q"))
       .cache()
     val seedIds = base.orderBy(col("vec_id")).limit(ksub)
       .select(col("vec_id").as("centroid_id"))
@@ -377,29 +433,77 @@ object EmbedOps {
       .localCheckpoint(true)
     val cents = lloydUpdate(assignStep(subs, seeds, Seq("sub")), seeds, Seq("sub"))
       .localCheckpoint(true)
-    val codes = assignStep(subs, cents, Seq("sub"), Seq("label"))
-      .select(col("vec_id"), col("label"), col("sub"), col("centroid_id"))
+    val codes = assignStep(subs, cents, Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("centroid_id"))
+      .join(base.select(col("vec_id"), col("label")), Seq("vec_id"))
     val d2 = aggregate(
       zip_with(col("q"), col("cv"), (x, c) => (x - c) * (x - c)),
       lit(0L), (acc, x) => acc + x)
+    // distance tables × probe set: |queries|·m·ksub·nprobe broadcast rows
     val tables = subs.filter(col("vec_id") % 97 === 0)
       .join(broadcast(cents), Seq("sub"))
       .withColumn("dt", d2)
-      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+      .select(col("vec_id").as("query_id"),
         col("sub").as("qsub"), col("centroid_id").as("qcid"), col("dt"))
+      .join(probes, Seq("query_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist"), col("vec_id"))
     codes.join(broadcast(tables),
       codes("sub") === tables("qsub") &&
         codes("centroid_id") === tables("qcid") &&
-        codes("label") === tables("qlabel"))
+        codes("label") === tables("plabel"))
       .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("qlabel"), col("vec_id"))
+      // label is functionally dependent on vec_id (the neighbor's list)
+      .groupBy(col("query_id"), col("vec_id"), col("label"))
       .agg(sum(col("dt")).as("adist"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("qlabel").as("label"), col("rank"),
+      .select(col("query_id"), col("label"), col("rank"),
         col("vec_id").as("neighbor_id"), col("adist"))
+  }
+
+  /** The nprobe recall dial, measured two ways per query against the
+    * exact global top-k: final-top-k HITS of the IVF-PQ search at
+    * nprobe 1 vs 2, and probe COVERAGE — how many of the exact top-k
+    * live in a probed list. Coverage is monotone in nprobe BY
+    * CONSTRUCTION (probe sets are nested prefixes of one ranking — the
+    * candidate pool only grows); final hits are monotone in the typical
+    * clustered regime but CAN dip on adversarial data, because with k
+    * fixed the extra probed list contributes ADC-cheap impostors that
+    * displace true neighbors quantization scored badly — coverage vs
+    * hits is exactly the decomposition that separates "probed the wrong
+    * list" (fix: nprobe) from "codebook too coarse" (fix: m/ksub/
+    * iters). Deterministic end-to-end, so the comparison hash-matches a
+    * SQL oracle; PQSpec asserts the clustered-regime gain and the
+    * coverage monotonicity. */
+  def ivfPqRecallCompare(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val exact = bruteForceTopK(embeddings, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val nbrLabel = embeddings
+      .select(col("vec_id").as("neighbor_id"), col("label"))
+    def hitsAt(nprobe: Int, out: String) =
+      exact.join(
+        ivfPqTopK(embeddings, k = k, nprobe = nprobe)
+          .select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as(out))
+    def coverageAt(nprobe: Int, out: String) =
+      exact.join(nbrLabel, Seq("neighbor_id"))
+        .join(coarseProbes(embeddings, nprobe)
+          .withColumnRenamed("plabel", "label"), Seq("query_id", "label"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as(out))
+    exact.select(col("query_id")).distinct()
+      .join(hitsAt(1, "h1"), Seq("query_id"), "left")
+      .join(hitsAt(2, "h2"), Seq("query_id"), "left")
+      .join(coverageAt(1, "c1"), Seq("query_id"), "left")
+      .join(coverageAt(2, "c2"), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("h1"), lit(0L)).as("hits_nprobe1"),
+        coalesce(col("h2"), lit(0L)).as("hits_nprobe2"),
+        coalesce(col("c1"), lit(0L)).as("covered_nprobe1"),
+        coalesce(col("c2"), lit(0L)).as("covered_nprobe2"),
+        (coalesce(col("h1"), lit(0L)).cast("double") / k).as("recall_nprobe1"),
+        (coalesce(col("h2"), lit(0L)).cast("double") / k).as("recall_nprobe2"))
   }
 
   /** PQ recall against the exact baseline: per query, how many of the

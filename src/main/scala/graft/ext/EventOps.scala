@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -129,10 +129,22 @@ object EventOps {
     * the matrix hash-matches the SQL oracle. Shape: one distinct over
     * (user, week) — map-side combinable — then user-keyed min + join
     * that reuse one partitioning; the final per-cohort frame is tiny. */
-  def retentionCohorts(events: DataFrame): DataFrame = {
-    val weekCol = expr(
-      "CAST(datediff(CAST(ts AS DATE), DATE '1992-01-01') div 7 AS BIGINT)")
-    val weekly = events.select(col("user_id"), weekCol.as("week")).distinct()
+  /** Epoch-week of an event's ts (against the house 1992 base) — shared
+    * by the batch retention matrix below and the streaming weekly-
+    * activity core ([[graft.streaming.EventStream.weeklyActivity]]). */
+  def weekCol: Column = expr(
+    "CAST(datediff(CAST(ts AS DATE), DATE '1992-01-01') div 7 AS BIGINT)")
+
+  def retentionCohorts(events: DataFrame): DataFrame =
+    retentionFromWeekly(
+      events.select(col("user_id"), weekCol.as("week")).distinct())
+
+  /** Retention tail over an already-DISTINCT (user_id, week) activity
+    * frame — the report shape shared between batch (distinct inline,
+    * above) and streaming (the activity frame is the accumulated
+    * output of the watermarked streaming dedup, one row per (user,
+    * week), so this same tail runs as a tiny batch query over it). */
+  def retentionFromWeekly(weekly: DataFrame): DataFrame = {
     val cohort = weekly.groupBy(col("user_id"))
       .agg(min(col("week")).as("cohort_week"))
     val counts = weekly.join(cohort, Seq("user_id"))

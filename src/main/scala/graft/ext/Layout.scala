@@ -38,12 +38,25 @@ object Layout {
   def zvalue2(a: Column, b: Column): Column =
     spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
 
+  /** Corpus epoch for the time key, in microseconds (2024-01-01 UTC —
+    * the event stream's first day). Time buckets are minutes SINCE THIS
+    * EPOCH, so the active range occupies the low bits and the 16-bit
+    * mask in [[zvalue2]] is a no-op for ~45.5 days of data (2^16
+    * minutes). Bucketing raw unix minutes instead would sit ~28.4M
+    * minutes past 1970 and wrap the mask every 45.5 days — file min/max
+    * stats on a wrapped key cannot prune a raw ts range predicate.
+    * Corpora spanning longer than 45.5 days must coarsen the
+    * granularity (hours: ~7.5 years) or advance the epoch; the wrap
+    * limitation is inherent to a fixed-width time key. */
+  val TimeEpochMicros: Long = 1704067200000000L
+
   /** The oracle-gated projection: each event's Z-value over
-    * (user_id, ts minute bucket), both masked to 16 bits. */
+    * (user_id, minutes since [[TimeEpochMicros]]), both masked to 16
+    * bits. */
   def eventZValues(events: DataFrame): DataFrame =
     events.select(col("event_id"),
       zvalue2(col("user_id"),
-        expr("unix_micros(ts) div 60000000")).as("zval"))
+        expr(s"(unix_micros(ts) - ${TimeEpochMicros}L) div 60000000")).as("zval"))
 
   /** Lay a frame out along the Z-curve of two keys: range-partition by
     * the interleaved value (each output file owns one curve segment),

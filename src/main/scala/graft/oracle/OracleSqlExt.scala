@@ -781,14 +781,16 @@ SELECT doc_id, CAST(length(text) AS INT) AS n_frames,
 FROM documents, UNNEST(range(0, length(text), 10)) t(i)
 WHERE doc_id % 3 = 2"""
 
-  /** Mirror of Layout.eventZValues: Morton interleave of (user_id, ts
-    * minute bucket), the magic-number spread unrolled as a CTE chain so
-    * each step's result is named once (textual substitution would copy
-    * the base expression 2^4 times). */
-  val layoutZorder: String = """
+  /** Mirror of Layout.eventZValues: Morton interleave of (user_id,
+    * minutes since the corpus epoch [[graft.ext.Layout.TimeEpochMicros]]
+    * — epoch-relative so the 16-bit time key doesn't wrap), the
+    * magic-number spread unrolled as a CTE chain so each step's result
+    * is named once (textual substitution would copy the base expression
+    * 2^4 times). */
+  val layoutZorder: String = s"""
 WITH z0 AS (
   SELECT event_id, user_id & 65535 AS va,
-         (epoch_us(ts) // 60000000) & 65535 AS vb
+         ((epoch_us(ts) - ${graft.ext.Layout.TimeEpochMicros}) // 60000000) & 65535 AS vb
   FROM events),
 z1 AS (SELECT event_id, (va | (va << 8)) & 16711935 AS va,
               (vb | (vb << 8)) & 16711935 AS vb FROM z0),
@@ -925,7 +927,7 @@ s_$out AS (
   GROUP BY a.centroid_id, t.i),
 p_$out AS (
   SELECT centroid_id,
-         list(CAST((s - ((s % n) + n) % n) / n AS BIGINT) ORDER BY i) AS cv
+         list(CAST((s - ((s % n) + n) % n) // n AS BIGINT) ORDER BY i) AS cv
   FROM s_$out GROUP BY centroid_id),
 $out AS (
   SELECT c.centroid_id, COALESCE(p.cv, c.cv) AS cv
@@ -970,7 +972,7 @@ s_c1 AS (
   GROUP BY a.sub, a.centroid_id, t.i),
 p_c1 AS (
   SELECT sub, centroid_id,
-         list(CAST((s - ((s % n) + n) % n) / n AS BIGINT) ORDER BY i) AS cv
+         list(CAST((s - ((s % n) + n) % n) // n AS BIGINT) ORDER BY i) AS cv
   FROM s_c1 GROUP BY sub, centroid_id),
 c1 AS (
   SELECT c.sub, c.centroid_id, COALESCE(p.cv, c.cv) AS cv
@@ -996,28 +998,108 @@ SELECT query_id, rank, vec_id AS neighbor_id, adist FROM (
   FROM ad)
 WHERE rank <= 5"""
 
-  /** Mirror of EmbedOps.ivfPqTopK: same shared codebook + codes; the
-    * ADC join gains the coarse partition (query's label, via the q
-    * lookup on the code's vec_id) as a third equi key. */
-  val embedIvfPqTopK: String = quantCte + pqTrainCtes + s""",
+  /** 64-dim integer squared L2 between a query vector and a coarse
+    * centroid list. */
+  private def coarseD2Sql(a: String, c: String): String =
+    s"CAST(list_sum(list_transform(range(1, 65), i -> ($a[i] - $c[i]) * ($a[i] - $c[i]))) AS BIGINT)"
+
+  /** Mirror of EmbedOps.ivfPqTopK at a given nprobe: same shared
+    * codebook + codes; coarse centroids are per-label integer
+    * floor-means, each query probes its `nprobe` nearest lists, and
+    * the ADC join carries the probed label as a third equi key. */
+  def embedIvfPqTopKAt(nprobe: Int): String = quantCte + pqTrainCtes + s""",
+coarse AS (
+  SELECT label, list(CAST((s - ((s % n) + n) % n) // n AS BIGINT) ORDER BY i) AS ccv
+  FROM (SELECT label, t.i, SUM(qv[t.i]) AS s, COUNT(*) AS n
+        FROM q, UNNEST(range(1, 65)) t(i)
+        GROUP BY label, t.i)
+  GROUP BY label),
+probes AS (
+  SELECT query_id, label AS plabel FROM (
+    SELECT qq.vec_id AS query_id, c.label,
+           row_number() OVER (PARTITION BY qq.vec_id
+             ORDER BY ${coarseD2Sql("qq.qv", "c.ccv")}, c.label) AS pr
+    FROM q qq CROSS JOIN coarse c
+    WHERE qq.vec_id % 97 = 0)
+  WHERE pr <= $nprobe),
 dt AS (
-  SELECT s.vec_id AS query_id, s.label AS qlabel, s.sub, c.centroid_id,
+  SELECT s.vec_id AS query_id, s.sub, c.centroid_id,
          ${pqD2Sql("s.sq", "c.cv")} AS dt
   FROM subs s JOIN c1 c ON c.sub = s.sub
   WHERE s.vec_id % 97 = 0),
 ad AS (
-  SELECT d.query_id, d.qlabel, co.vec_id, CAST(SUM(d.dt) AS BIGINT) AS adist
+  SELECT d.query_id, ql.label, co.vec_id, CAST(SUM(d.dt) AS BIGINT) AS adist
   FROM codes co
   JOIN q ql ON ql.vec_id = co.vec_id
+  JOIN probes p ON p.plabel = ql.label
   JOIN dt d ON d.sub = co.sub AND d.centroid_id = co.centroid_id
-            AND d.qlabel = ql.label
+            AND d.query_id = p.query_id
   WHERE co.vec_id <> d.query_id
-  GROUP BY d.query_id, d.qlabel, co.vec_id)
-SELECT query_id, qlabel AS label, rank, vec_id AS neighbor_id, adist FROM (
-  SELECT query_id, qlabel, vec_id, adist,
+  GROUP BY d.query_id, ql.label, co.vec_id)
+SELECT query_id, label, rank, vec_id AS neighbor_id, adist FROM (
+  SELECT query_id, label, vec_id, adist,
          row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rank
   FROM ad)
 WHERE rank <= 5"""
+
+  val embedIvfPqTopK: String = embedIvfPqTopKAt(2)
+
+  /** Mirror of EmbedOps.ivfPqRecallCompare(k=5): exact global top-5 vs
+    * the IVF-PQ search at nprobe 1 and 2 — final-top-k hits per query
+    * on the (query, neighbor) pair key, plus probe coverage (exact
+    * neighbors whose list is within the first 1 / 2 probes of the
+    * shared coarse ranking). */
+  val embedIvfPqRecall: String = quantCte + s""",
+coarse AS (
+  SELECT label, list(CAST((s - ((s % n) + n) % n) // n AS BIGINT) ORDER BY i) AS ccv
+  FROM (SELECT label, t.i, SUM(qv[t.i]) AS s, COUNT(*) AS n
+        FROM q, UNNEST(range(1, 65)) t(i)
+        GROUP BY label, t.i)
+  GROUP BY label),
+probesAll AS (
+  SELECT qq.vec_id AS query_id, c.label AS plabel,
+         row_number() OVER (PARTITION BY qq.vec_id
+           ORDER BY ${coarseD2Sql("qq.qv", "c.ccv")}, c.label) AS pr
+  FROM q qq CROSS JOIN coarse c
+  WHERE qq.vec_id % 97 = 0),
+exact AS (
+  SELECT query_id, neighbor_id FROM ($embedTopK)),
+p1 AS (
+  SELECT query_id, neighbor_id FROM (${embedIvfPqTopKAt(1)})),
+p2 AS (
+  SELECT query_id, neighbor_id FROM (${embedIvfPqTopKAt(2)})),
+h1 AS (
+  SELECT e.query_id, COUNT(*) AS n
+  FROM exact e JOIN p1 ON p1.query_id = e.query_id AND p1.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id),
+h2 AS (
+  SELECT e.query_id, COUNT(*) AS n
+  FROM exact e JOIN p2 ON p2.query_id = e.query_id AND p2.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id),
+cov1 AS (
+  SELECT e.query_id, COUNT(*) AS n
+  FROM exact e
+  JOIN q nl ON nl.vec_id = e.neighbor_id
+  JOIN probesAll p ON p.query_id = e.query_id AND p.plabel = nl.label AND p.pr <= 1
+  GROUP BY e.query_id),
+cov2 AS (
+  SELECT e.query_id, COUNT(*) AS n
+  FROM exact e
+  JOIN q nl ON nl.vec_id = e.neighbor_id
+  JOIN probesAll p ON p.query_id = e.query_id AND p.plabel = nl.label AND p.pr <= 2
+  GROUP BY e.query_id)
+SELECT qy.query_id,
+       COALESCE(h1.n, 0) AS hits_nprobe1,
+       COALESCE(h2.n, 0) AS hits_nprobe2,
+       COALESCE(cov1.n, 0) AS covered_nprobe1,
+       COALESCE(cov2.n, 0) AS covered_nprobe2,
+       CAST(COALESCE(h1.n, 0) AS DOUBLE) / 5 AS recall_nprobe1,
+       CAST(COALESCE(h2.n, 0) AS DOUBLE) / 5 AS recall_nprobe2
+FROM (SELECT DISTINCT query_id FROM exact) qy
+LEFT JOIN h1 ON h1.query_id = qy.query_id
+LEFT JOIN h2 ON h2.query_id = qy.query_id
+LEFT JOIN cov1 ON cov1.query_id = qy.query_id
+LEFT JOIN cov2 ON cov2.query_id = qy.query_id"""
 
   /** Mirror of EmbedOps.pqRecall(k=5): both searches nested as derived
     * tables (each with its own CTE chain), hits counted on the (query,

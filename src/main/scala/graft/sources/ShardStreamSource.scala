@@ -168,24 +168,35 @@ private class ShardReaderFactory(
     limit: Int = Int.MaxValue) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[ShardPartition].file
-    // resolved once per partition, not per row
-    val fields = required.fieldNames.toSeq
     new PartitionReader[InternalRow] {
       private val lines = Files.readAllLines(
         Paths.get(file), StandardCharsets.UTF_8).iterator()
       private var lineNo = -1L
       private var current: String = _
+      // one extractor per required field, resolved ONCE per partition —
+      // get() just walks the array, no per-row name matching or Seq
+      // building; an unknown field (a schema column added without a
+      // reader case) fails loudly here, at reader construction, not as
+      // a per-row MatchError mid-scan
+      private val extractors: Array[() => Any] =
+        required.fieldNames.map {
+          case "value"      => () => UTF8String.fromString(current)
+          case "shard_file" => () => UTF8String.fromString(file)
+          case "line_no"    => () => lineNo
+          case other => throw new IllegalArgumentException(
+            s"ShardReaderFactory has no extractor for schema field '$other'")
+        }
       override def next(): Boolean = {
         if (!lines.hasNext || lineNo + 1 >= limit) return false
         current = lines.next(); lineNo += 1
         true
       }
-      override def get(): InternalRow =
-        InternalRow.fromSeq(fields.map {
-          case "value"      => UTF8String.fromString(current)
-          case "shard_file" => UTF8String.fromString(file)
-          case "line_no"    => lineNo
-        })
+      override def get(): InternalRow = {
+        val vals = new Array[Any](extractors.length)
+        var i = 0
+        while (i < extractors.length) { vals(i) = extractors(i)(); i += 1 }
+        InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+      }
       override def close(): Unit = ()
     }
   }

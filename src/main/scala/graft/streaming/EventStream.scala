@@ -1,7 +1,19 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One buffered funnel-stage event (stage = index into the stage list). */
+case class StageEvent(userId: Long, stage: Int, ts: java.sql.Timestamp)
+
+/** Per-user funnel buffer: stage events seen so far + the max event
+  * time, which anchors the quiet-period timeout. */
+case class FunnelBuf(evts: List[StageEvent], maxEvtMs: Long)
+
+/** A closed user's funnel depth (1-based; only users who entered the
+  * funnel emit). */
+case class FunnelDepth(user_id: Long, funnel_stage: Int)
 
 /** Streaming assembly of the event-time window operators (the
   * watermark/window family the reference lacks — SURVEY.md §2.2). The
@@ -10,7 +22,7 @@ import org.apache.spark.sql.functions._
   * windows is evicted and late data beyond the bound is dropped —
   * the knobs that keep windowed state finite at 100 TB/day rates.
   */
-object EventStream {
+object EventStream extends Serializable {
 
   /** Tumbling 1-hour windows with a 2-hour lateness bound. Append mode:
     * a window emits once its end passes the watermark. */
@@ -39,6 +51,112 @@ object EventStream {
     events
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Streaming funnel core: per-user ordered-stage progression as a
+    * keyed state machine ([[StageEvent]] buffer + event-time timeout),
+    * the streaming form of [[graft.ext.EventOps.funnel]]'s join chain.
+    *
+    * Events buffer per user (arrival order is irrelevant — the depth is
+    * computed from TIMESTAMPS once the user closes, so out-of-order
+    * arrival within the watermark is handled exactly, which a greedy
+    * running state machine would get wrong). A user closes when the
+    * watermark passes their last event + `quietMs`; the buffer then
+    * collapses to one [[FunnelDepth]] row and the state is removed —
+    * state is bounded by ACTIVE users in the quiet horizon, not the
+    * user universe. The stage-count report is [[funnelCounts]] over the
+    * accumulated depth rows — a k-row batch aggregate, the same
+    * split as [[weeklyActivity]]/retentionFromWeekly.
+    *
+    * The spec pins stream ≡ batch: depths fed through [[funnelCounts]]
+    * equal EventOps.funnel on the same data once every user closes. */
+  def funnelDepths(events: DataFrame,
+      stages: Seq[String] = Seq("view", "click", "purchase"),
+      lateness: String = "2 hours",
+      quietMs: Long = 2L * 3600 * 1000): Dataset[FunnelDepth] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val nStages = stages.size
+    val stageIdx = stages.zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, (st, i)) => when(col("event_type") === st, lit(i)).otherwise(acc)
+    }
+
+    def fn(key: Long, rows: Iterator[StageEvent],
+        state: GroupState[FunnelBuf]): Iterator[FunnelDepth] =
+      if (state.hasTimedOut) {
+        val buf = state.get
+        state.remove()
+        depthOf(buf.evts, nStages).map(FunnelDepth(key, _)).iterator
+      } else {
+        val rs = rows.toList
+        val old = state.getOption.getOrElse(FunnelBuf(Nil, 0L))
+        val merged = FunnelBuf(old.evts ++ rs,
+          math.max(old.maxEvtMs, rs.map(_.ts.getTime).max))
+        state.update(merged)
+        state.setTimeoutTimestamp(merged.maxEvtMs + quietMs)
+        Iterator.empty
+      }
+
+    events
+      .withWatermark("ts", lateness)
+      .filter(col("event_type").isin(stages: _*))
+      .select(col("user_id").as("userId"), stageIdx.as("stage"), col("ts"))
+      .as[StageEvent]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  private implicit val tsOrd: Ordering[java.sql.Timestamp] =
+    (a: java.sql.Timestamp, b: java.sql.Timestamp) => a.compareTo(b)
+
+  /** Funnel depth of one closed user's buffered events: t1 = min stage-0
+    * ts, then sequentially t_{i+1} = min stage-i ts strictly after t_i —
+    * the same recurrence EventOps.funnel expresses with joins. None if
+    * the user never hit stage 0 (batch funnel omits them too). */
+  private def depthOf(evts: Seq[StageEvent], nStages: Int): Option[Int] = {
+    val byStage = evts.groupBy(_.stage)
+    byStage.get(0).map(_.map(_.ts).min).map { t1 =>
+      var cur = t1
+      var depth = 1
+      var s = 1
+      var done = false
+      while (s < nStages && !done) {
+        byStage.getOrElse(s, Nil).map(_.ts).filter(_.compareTo(cur) > 0) match {
+          case Nil => done = true
+          case later => cur = later.min; depth = s + 1; s += 1
+        }
+      }
+      depth
+    }
+  }
+
+  /** The funnel REPORT over accumulated [[funnelDepths]] rows — the
+    * same (funnel_stage, n_users) shape as EventOps.funnel, run as a
+    * tiny batch aggregate over the streaming sink. */
+  def funnelCounts(depths: DataFrame): DataFrame =
+    depths.groupBy(col("funnel_stage"))
+      .agg(count(lit(1)).as("n_users"))
+
+  /** Streaming retention core: exactly-once (user_id, week) activity
+    * rows via watermarked streaming dedup — the distinct() of the batch
+    * retention matrix, emitted incrementally. The default lateness
+    * covers a full week plus a day of straggle: dropDuplicates-
+    * WithinWatermark only guarantees dedup INSIDE the watermark delay,
+    * and the dedup key (the week) spans 7 days of event time, so a
+    * shorter horizon would re-emit a week-straddling user. State is one
+    * narrow row per (active user, week) inside the horizon.
+    *
+    * The retention REPORT is EventOps.retentionFromWeekly over the
+    * accumulated sink — cohort mins, offsets, and ratios are a tiny
+    * batch query; the heavy per-event work (the dedup shuffle) is what
+    * streams. */
+  def weeklyActivity(events: DataFrame, lateness: String = "8 days"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .select(col("ts"), col("user_id"),
+        graft.ext.EventOps.weekCol.as("week"))
+      .dropDuplicatesWithinWatermark("user_id", "week")
+      .select(col("user_id"), col("week"))
 
   /** Stream-stream interval join: clicks within `bandMinutes` after each
     * purchase of the same user — the streaming form of

@@ -201,6 +201,29 @@ class ExtOpsSpec extends SparkSpec {
     assert(math.abs(c - 1.0) < 1e-6)
   }
 
+  test("approx percentiles stay within the sketch's rank-error bound of the exact form") {
+    import spark.implicits._
+    val o = (1 to 6000).map { i =>
+      (s"S${i % 3}", (i * 37 % 5000) + 1.0, i.toLong)
+    }.toDF("o_orderstatus", "o_totalprice", "o_orderkey")
+    val exact = Analytics.statusPercentiles(o).collect()
+      .map(r => r.getAs[String]("order_status") ->
+        Seq("p50_price", "p90_price", "p99_price").map(c =>
+          BigDecimal(r.getAs[String](c)).toDouble)).toMap
+    val approx = Analytics.statusPercentilesApprox(o, accuracy = 10000).collect()
+    assert(approx.length == 3)
+    approx.foreach { r =>
+      val e = exact(r.getAs[String]("order_status"))
+      val a = Seq("p50_price", "p90_price", "p99_price").map(c => r.getAs[Double](c))
+      // accuracy=10000 on 2000-row groups → rank error < 1 → values of
+      // nearby ranks; the fixture's value step is ~2.5/rank, so 1% of
+      // the exact value comfortably covers the bound
+      a.zip(e).foreach { case (av, ev) =>
+        assert(math.abs(av - ev) <= math.max(ev * 0.01, 5.0), s"approx=$av exact=$ev")
+      }
+    }
+  }
+
   test("approx distinct customers stays within 5% of exact") {
     import spark.implicits._
     val o = (1 to 5000).map(i => (s"P${i % 3}", (i % 700).toLong))

@@ -77,22 +77,57 @@ class PQSpec extends SparkSpec {
     assert(top1.exists(Set(1L, 2L)), s"top1 was $top1")
   }
 
-  test("IVF-PQ searches only the query's coarse partition") {
+  test("IVF-PQ at nprobe=1 searches only the single nearest coarse list") {
     import spark.implicits._
-    // label 0: query 0 + near 1, far 2; label 1: 3 (even nearer to 0
-    // geometrically, but in the other inverted list → must not appear)
+    // label 0 holds the query plus a near (1) and a far (2) vector, but
+    // vector 2 drags label 0's coarse centroid far from the query;
+    // label 1's centroid sits next to it. The nearest-list probe must
+    // pick label 1 — geometry, not the query's own tag, decides — so
+    // ONLY neighbor 3 appears.
     val emb = Seq(
       (0L, Array(1.0f, 1.0f, 0.0f, 0.0f), 0),
       (1L, Array(0.9f, 1.1f, 0.0f, 0.0f), 0),
       (2L, Array(-5.0f, 3.0f, 2.0f, 2.0f), 0),
       (3L, Array(1.0f, 1.0f, 0.01f, 0.0f), 1))
       .toDF("vec_id", "embedding", "label")
-    val out = EmbedOps.ivfPqTopK(emb, m = 2, dsub = 2, ksub = 2, k = 3)
+    val out = EmbedOps.ivfPqTopK(emb, m = 2, dsub = 2, ksub = 2, k = 3, nprobe = 1)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("label"),
         r.getAs[Long]("neighbor_id")))
-    assert(out.nonEmpty)
-    assert(out.forall(_._2 == 0), s"neighbor outside query partition: ${out.toSeq}")
-    assert(!out.exists(_._3 == 3L))
+    assert(out.map(_._3).toSet == Set(3L), s"expected only the probed list's vector: ${out.toSeq}")
+    assert(out.forall(_._2 == 1))
+  }
+
+  test("nprobe=2 recovers boundary-query neighbors nprobe=1 misses; coverage is monotone") {
+    import spark.implicits._
+    // Four well-separated 64-dim clusters, one per 16-dim block. The
+    // query (id 0) sits between clusters A and B, slightly nearer A;
+    // A has only 3 members, so the exact top-5 must take 2 from B.
+    // nprobe=1 probes A alone → at most 3 hits; nprobe=2 adds B.
+    // Per-member offsets grow with vec_id and bleed into a block
+    // ORTHOGONAL to the query (never along the cluster direction, which
+    // cosine cannot see): they raise the norm without touching the dot,
+    // so the exact-cosine ordering, the L2/ADC ordering, and the id
+    // tie-break all agree on which members are nearest.
+    def vec(block: Int, bleedBlock: Int, off: Float): Array[Float] =
+      Array.tabulate(64)(d =>
+        if (d / 16 == block) 1.0f else if (d / 16 == bleedBlock) off else 0.0f)
+    val query = (0L,
+      Array.tabulate(64)(d =>
+        if (d < 16) 0.55f else if (d < 32) 0.5f else 0.0f), "A")
+    val a = (1 to 3).map(i => (i.toLong, vec(0, 3, 0.001f * i), "A"))
+    val b = (4 to 23).map(i => (i.toLong, vec(1, 2, 0.001f * (i - 4)), "B"))
+    val c = (24 to 43).map(i => (i.toLong, vec(2, 1, 0.001f * (i - 24)), "C"))
+    val d = (44 to 63).map(i => (i.toLong, vec(3, 0, 0.001f * (i - 44)), "D"))
+    val emb = (query +: (a ++ b ++ c ++ d)).toDF("vec_id", "embedding", "label")
+    val row = EmbedOps.ivfPqRecallCompare(emb, k = 5).collect()
+    assert(row.length == 1) // only id 0 is ≡ 0 (mod 97)
+    val r = row.head
+    val (h1, h2) = (r.getAs[Long]("hits_nprobe1"), r.getAs[Long]("hits_nprobe2"))
+    val (c1, c2) = (r.getAs[Long]("covered_nprobe1"), r.getAs[Long]("covered_nprobe2"))
+    assert(c1 == 3, s"nprobe=1 coverage: A's 3 members only, got $c1")
+    assert(c2 == 5, s"nprobe=2 coverage: all exact top-5, got $c2")
+    assert(h2 > h1, s"recall gain expected: hits1=$h1 hits2=$h2")
+    assert(c2 >= c1)
   }
 
   test("IVF-PQ equals plain PQ when every vector shares one label") {

@@ -106,6 +106,108 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel matches the batch funnel once every user closes") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = EventStream.funnelDepths(events).writeStream
+      .outputMode(OutputMode.Append).format("memory").queryName("funnel_test")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    // depth-3 (u1), depth-1 (u2: click before any view can't advance a
+    // funnel that starts at view), depth-2 via OUT-OF-ORDER arrival
+    // (u3's view arrives after its click in the stream but precedes it
+    // in event time), non-entrant (u4: never views)
+    val data = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+      (ts("2024-01-01 10:05:00"), 1L, "click", 1.0),
+      (ts("2024-01-01 10:10:00"), 1L, "purchase", 1.0),
+      (ts("2024-01-01 10:00:00"), 2L, "view", 1.0),
+      (ts("2024-01-01 09:55:00"), 2L, "click", 1.0),
+      (ts("2024-01-01 10:06:00"), 3L, "click", 1.0),
+      (ts("2024-01-01 10:02:00"), 3L, "view", 1.0),
+      (ts("2024-01-01 10:00:00"), 4L, "purchase", 1.0))
+    try {
+      input.addData(data.take(6): _*)
+      q.processAllAvailable()
+      input.addData(data.drop(6): _*)
+      q.processAllAvailable()
+      assert(spark.table("funnel_test").count() == 0) // nobody closed yet
+      // two far-future batches: first advances the watermark past every
+      // user's quiet period, the next fires the event-time timeouts.
+      // The sentinel must be a STAGE event: Catalyst pushes the stage
+      // filter below the watermark node, so a non-stage event would
+      // never advance the watermark. Its user (9) stays OPEN — its own
+      // quiet period never passes — so it appears in neither report.
+      input.addData((ts("2024-01-02 10:00:00"), 9L, "view", 0.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-02 11:00:00"), 9L, "view", 0.0))
+      q.processAllAvailable()
+      val streamed = EventStream.funnelCounts(spark.table("funnel_test"))
+        .collect().map(r => r.getAs[Int]("funnel_stage") -> r.getAs[Long]("n_users"))
+        .toMap
+      // batch comparison over the CLOSED users (sentinel user 9 is still
+      // inside its quiet period — the streaming report covers closed
+      // users by design)
+      val batch = graft.ext.EventOps.funnel(data.toDF("ts", "user_id", "event_type", "value"))
+        .collect().map(r => r.getAs[Int]("funnel_stage") -> r.getAs[Long]("n_users"))
+        .toMap
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(streamed == Map(3 -> 1L, 2 -> 1L, 1 -> 1L))
+    } finally q.stop()
+  }
+
+  test("streaming weekly activity feeds the batch retention tail exactly") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = EventStream.weeklyActivity(events).writeStream
+      .outputMode(OutputMode.Append).format("memory").queryName("weekly_test")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    // u1 active weeks 0,1,2 (with an intra-week duplicate); u2 active
+    // week 0 only; u3 joins in week 1 and returns in week 2. Batches
+    // arrive in CHRONOLOGICAL order — the 8-day watermark horizon
+    // covers one week of event time, so feeding a week-2 event before
+    // week-0 ones would (correctly) drop the latter as late.
+    val data = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+      (ts("2024-01-02 11:00:00"), 1L, "view", 1.0), // same week dup
+      (ts("2024-01-01 12:00:00"), 2L, "view", 1.0),
+      (ts("2024-01-08 10:00:00"), 1L, "view", 1.0),
+      (ts("2024-01-08 12:00:00"), 3L, "view", 1.0),
+      (ts("2024-01-15 10:00:00"), 1L, "view", 1.0),
+      (ts("2024-01-16 12:00:00"), 3L, "view", 1.0))
+    try {
+      input.addData(data.take(3): _*)
+      q.processAllAvailable()
+      input.addData(data.slice(3, 5): _*)
+      q.processAllAvailable()
+      input.addData(data.drop(5): _*)
+      q.processAllAvailable()
+      // snapshot the memory sink before the tail's self-join: a real
+      // deployment reads the sink back from storage (fresh attribute
+      // ids); the in-memory View keeps one set and trips Spark's
+      // conflicting-reference check when joined with itself
+      val weekly = spark.table("weekly_test").localCheckpoint(true)
+      val streamed = graft.ext.EventOps.retentionFromWeekly(weekly)
+        .collect().map(r => (r.getAs[Long]("cohort_week"), r.getAs[Long]("week_offset"),
+          r.getAs[Long]("n_active"), r.getAs[Long]("cohort_size"),
+          r.getAs[Double]("retention"))).toSet
+      val batch = graft.ext.EventOps.retentionCohorts(
+        data.toDF("ts", "user_id", "event_type", "value"))
+        .collect().map(r => (r.getAs[Long]("cohort_week"), r.getAs[Long]("week_offset"),
+          r.getAs[Long]("n_active"), r.getAs[Long]("cohort_size"),
+          r.getAs[Double]("retention"))).toSet
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("typed top-K aggregator keeps K best with deterministic ties") {
     import spark.implicits._
     val ds = Seq(
