@@ -158,6 +158,14 @@ object SparkEntry {
     "text_repetition" -> ((s, d) => TextOps.repetition(docs(s, d))),
     // training-shard packing + benchmark decontamination
     "corpus_shards" -> ((s, d) => TextOps.tokenShards(docs(s, d))),
+    // global packing order via two-phase distributed prefix sum; the
+    // oracle is the single-window cumsum it must equal
+    "corpus_shards_global" -> ((s, d) => TextOps.globalTokenShards(docs(s, d))),
+    // concat-then-chunk training-sequence spans (docs split across
+    // fixed token windows, GPT-style)
+    "text_pack_sequences" -> ((s, d) => TextOps.packSequences(docs(s, d))),
+    // BPE merge-candidate bigram stats, top-10 per language
+    "text_bigrams" -> ((s, d) => TextOps.bigrams(docs(s, d))),
     "corpus_contamination" -> ((s, d) => TextOps.benchmarkContamination(docs(s, d))),
     // temperature-scaled per-source mixing weights (α = 0.5)
     "corpus_mixture" -> ((s, d) => TextOps.mixtureWeights(docs(s, d))),
@@ -270,6 +278,9 @@ GROUP BY l_returnflag""",
     "text_normalize" -> OracleSqlExt.textNormalize,
     "text_repetition" -> OracleSqlExt.textRepetition,
     "corpus_shards" -> OracleSqlExt.corpusShards,
+    "corpus_shards_global" -> OracleSqlExt.corpusShardsGlobal,
+    "text_pack_sequences" -> OracleSqlExt.textPackSequences,
+    "text_bigrams" -> OracleSqlExt.textBigrams,
     "corpus_contamination" -> OracleSqlExt.corpusContamination,
     "corpus_mixture" -> OracleSqlExt.corpusMixture,
     "sample_hash" -> OracleSqlExt.textHashSample,

@@ -179,6 +179,101 @@ object TextOps {
           s"rows between unbounded preceding and current row) - n_tokens) div $budget"))
   }
 
+  /** BPE-estimated token count of the `text` column — the same
+    * per-word ceil(len/4) estimate [[tokenCounts]]/[[tokenShards]]
+    * use, shared by the packing operators below. */
+  private def bpeCount: Column =
+    aggregate(tokens(col("text")), lit(0L),
+      (acc, w) => acc + floor((length(w) + 3) / 4).cast("long"))
+
+  /** Training-sequence packing, concat-then-chunk: per language, the
+    * documents are laid end-to-end in deterministic doc_id order and
+    * the token stream is cut into fixed `seqLen` windows — each output
+    * row is the SPAN a document occupies in one training sequence
+    * (`seq_id`, token range [tok_start, tok_end) within the doc). A doc
+    * longer than the remaining window space SPLITS across sequences —
+    * exactly how GPT-style pretraining consumes a corpus (no padding,
+    * no document alignment), and the complement of [[tokenShards]],
+    * which keeps documents whole.
+    *
+    * Scale posture: one window cumsum per language stratum (strata pack
+    * in parallel), then a stateless explode of each doc's covered
+    * sequence range — rows out ≈ docs + splits, never tokens. All
+    * integer arithmetic → full hash oracle. */
+  def packSequences(documents: DataFrame, seqLen: Long = 2048L): DataFrame =
+    documents
+      .select(col("doc_id"), col("lang"), bpeCount.as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("tok_offset", expr(
+        "sum(n_tokens) over (partition by lang order by doc_id " +
+          "rows between unbounded preceding and current row) - n_tokens"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("tok_offset"),
+        explode(expr(
+          s"sequence(tok_offset div $seqLen, (tok_offset + n_tokens - 1) div $seqLen)"))
+          .as("seq_id"))
+      .select(col("doc_id"), col("lang"), col("seq_id"),
+        greatest(lit(0L), col("seq_id") * seqLen - col("tok_offset")).as("tok_start"),
+        least(col("n_tokens"), (col("seq_id") + 1) * seqLen - col("tok_offset")).as("tok_end"))
+
+  /** GLOBAL token-order shard packing via a two-phase distributed
+    * prefix sum — the operator [[tokenShards]]'s scaladoc names as the
+    * stated trade and this ships: a single global running sum over
+    * doc_id order, computed WITHOUT one reducer ever seeing the corpus.
+    *
+    * Phase 1: range-partition by doc_id (partition id is then monotone
+    * in doc_id — RangePartitioning's boundaries are sorted) and window
+    * the cumsum WITHIN each partition, in parallel. Phase 2: the
+    * per-partition totals — `partitions` rows, not corpus rows — cumsum
+    * into partition offsets and broadcast-join back; global offset =
+    * partition offset + local prefix. The output is a pure function of
+    * (doc_id order, token counts): range boundaries shift with
+    * sampling, but offset(doc) = Σ tokens of all lower doc_ids no
+    * matter where the cuts fall — so the hash oracle is a plain
+    * single-window cumsum. */
+  def globalTokenShards(documents: DataFrame, budget: Long = 2048L,
+      partitions: Int = 32): DataFrame = {
+    val sized = documents.select(col("doc_id"), bpeCount.as("n_tokens"))
+    val local = sized
+      .repartitionByRange(partitions, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("local_prefix", expr(
+        "sum(n_tokens) over (partition by pid order by doc_id " +
+          "rows between unbounded preceding and current row) - n_tokens"))
+    val offsets = local.groupBy(col("pid"))
+      .agg(sum(col("n_tokens")).as("part_total"))
+      .withColumn("part_offset", expr(
+        "sum(part_total) over (order by pid " +
+          "rows between unbounded preceding and current row) - part_total"))
+      .select(col("pid"), col("part_offset"))
+    local.join(broadcast(offsets), Seq("pid"))
+      .select(col("doc_id"),
+        (col("part_offset") + col("local_prefix")).as("tok_offset"),
+        expr(s"(part_offset + local_prefix) div $budget").as("shard_id"))
+  }
+
+  /** Adjacent-token bigram statistics, top-k per language — the merge-
+    * candidate counting at the heart of BPE/WordPiece tokenizer
+    * training (each merge round picks the most frequent adjacent pair),
+    * and the collocation report of corpus analysis.
+    *
+    * Scale posture: explode to one row per adjacent pair (rows ≈
+    * tokens — the same fan-out as [[topTerms]]' unigram explode),
+    * hash-aggregate on (lang, bigram) with map-side combine, then a
+    * per-lang top-k window over the already-aggregated counts.
+    * Deterministic rank ties on the bigram string → full hash oracle. */
+  def bigrams(documents: DataFrame, k: Int = 10): DataFrame = {
+    val toks = tokens(col("text"))
+    val pairs = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    documents.select(col("lang"), explode(pairs).as("bigram"))
+      .groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("n"))
+      .withColumn("rank", expr(
+        "row_number() over (partition by lang order by n desc, bigram)"))
+      .filter(col("rank") <= k)
+  }
+
   /** Temperature-scaled data-mixing weights per corpus source: the
     * sampling proportions a training run draws each domain with,
     * w_s = n_s^α / Σ n^α over BPE-estimated token counts, α = 0.5

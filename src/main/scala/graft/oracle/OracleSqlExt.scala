@@ -279,6 +279,59 @@ SELECT doc_id, lang, n_tokens,
          AS BIGINT) AS shard_id
 FROM t"""
 
+  /** Mirror of TextOps.packSequences (seqLen 2048): per-lang token
+    * cumsum, then each doc's covered sequence range unnested with the
+    * per-sequence span arithmetic. */
+  val textPackSequences: String = """
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(list_sum(list_transform(string_split(text, ' '),
+                                      w -> (length(w) + 3) // 4)) AS BIGINT) AS n_tokens
+  FROM documents),
+o AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS BIGINT) AS tok_offset
+  FROM t WHERE n_tokens > 0)
+SELECT doc_id, lang, CAST(s AS BIGINT) AS seq_id,
+       CAST(greatest(0, s * 2048 - tok_offset) AS BIGINT) AS tok_start,
+       CAST(least(n_tokens, (s + 1) * 2048 - tok_offset) AS BIGINT) AS tok_end
+FROM o, UNNEST(range(tok_offset // 2048, (tok_offset + n_tokens - 1) // 2048 + 1)) u(s)"""
+
+  /** Mirror of TextOps.globalTokenShards (budget 2048): the oracle is
+    * the SINGLE-window global cumsum the two-phase prefix sum must
+    * equal — partition-boundary invariance is the property under
+    * test. */
+  val corpusShardsGlobal: String = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(string_split(text, ' '),
+                                      w -> (length(w) + 3) // 4)) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT doc_id,
+       CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+         AS BIGINT) AS tok_offset,
+       CAST((SUM(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 2048
+         AS BIGINT) AS shard_id
+FROM t"""
+
+  /** Mirror of TextOps.bigrams (k=10): adjacent-pair explode, count,
+    * per-lang top-k with ties on the bigram string. */
+  val textBigrams: String = """
+WITH t AS (SELECT lang, string_split(text, ' ') AS tk FROM documents),
+bg AS (
+  SELECT lang, tk[i] || ' ' || tk[i + 1] AS bigram
+  FROM t, UNNEST(range(1, len(tk))) u(i)),
+cnt AS (SELECT lang, bigram, COUNT(*) AS n FROM bg GROUP BY lang, bigram)
+SELECT lang, bigram, n, rank FROM (
+  SELECT lang, bigram, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rank
+  FROM cnt)
+WHERE rank <= 10"""
+
   /** Mirror of TextOps.benchmarkContamination: corpus docs sharing an
     * 8-token shingle with the doc_id%97=0 benchmark set. */
   val corpusContamination: String = """

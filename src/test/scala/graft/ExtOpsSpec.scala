@@ -201,6 +201,66 @@ class ExtOpsSpec extends SparkSpec {
     assert(math.abs(c - 1.0) < 1e-6)
   }
 
+  test("packSequences tiles the per-lang token stream exactly, splitting long docs") {
+    import spark.implicits._
+    // lang "a": 5+8+10 = 23 tokens → with seqLen=8, sequences 0,1 full
+    // (8 each) and 2 partial (7); doc 2 (10 tokens at offset 13) must
+    // SPLIT across sequences 1 and 2
+    val d = Seq(
+      (0L, "a", Seq.fill(5)("w").mkString(" ")),   // 5 bpe tokens (len-1 words)
+      (1L, "a", Seq.fill(8)("w").mkString(" ")),
+      (2L, "a", Seq.fill(10)("w").mkString(" ")),
+      (3L, "b", Seq.fill(3)("w").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val out = TextOps.packSequences(d, seqLen = 8).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("seq_id"), r.getAs[Long]("tok_start"), r.getAs[Long]("tok_end")))
+    // every doc's spans cover [0, n_tokens) contiguously
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc(2L).map(t => t._5 - t._4).sum == 10)
+    assert(byDoc(2L).map(_._3).sorted.toSeq == Seq(1L, 2L)) // the split
+    // every sequence holds exactly seqLen tokens except the last per lang
+    val perSeq = out.groupBy(t => (t._2, t._3))
+      .map { case (k, ts) => k -> ts.map(t => t._5 - t._4).sum }
+    assert(perSeq(("a", 0L)) == 8 && perSeq(("a", 1L)) == 8 && perSeq(("a", 2L)) == 7)
+    assert(perSeq(("b", 0L)) == 3)
+  }
+
+  test("two-phase global prefix sum equals the single-window cumsum at any partition count") {
+    import spark.implicits._
+    val d = (0L until 200L).map(i =>
+      (i, "x", Seq.fill((i % 7 + 1).toInt)("word").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    def result(parts: Int) = TextOps.globalTokenShards(d, budget = 64, partitions = parts)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("tok_offset"), r.getAs[Long]("shard_id"))).toSet
+    val one = result(1) // one partition = trivially the global cumsum
+    assert(result(5) == one)
+    assert(result(32) == one)
+    // offsets are the exclusive prefix sum of per-doc token counts
+    val counts = (0L until 200L).map(i => i -> (i % 7 + 1)).toMap
+    val want = (0L until 200L).scanLeft(0L) { case (acc, i) => acc + counts(i) }
+    one.foreach { case (id, off, sh) =>
+      assert(off == want(id.toInt)); assert(sh == off / 64)
+    }
+  }
+
+  test("bigram top-k matches a driver-side count with deterministic ties") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "en", "a b a b c"),
+      (1L, "en", "a b x"),
+      (2L, "de", "z z z")).toDF("doc_id", "lang", "text")
+    val got = TextOps.bigrams(d, k = 2).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Int]("rank")) ->
+        (r.getAs[String]("bigram"), r.getAs[Long]("n"))).toMap
+    // en pairs: "a b"×3 ("a b","b a","a b" from doc0 → a-b, b-a, a-b, b-c; doc1 → a-b, b-x)
+    // counts: "a b"=3, "b a"=1, "b c"=1, "b x"=1 → rank1 = "a b", rank2 = tie → "b a"
+    assert(got(("en", 1)) == ("a b", 3L))
+    assert(got(("en", 2)) == ("b a", 1L))
+    assert(got(("de", 1)) == ("z z", 2L))
+  }
+
   test("approx percentiles stay within the sketch's rank-error bound of the exact form") {
     import spark.implicits._
     val o = (1 to 6000).map { i =>
