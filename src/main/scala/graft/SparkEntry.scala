@@ -91,6 +91,8 @@ object SparkEntry {
     "setop_segments" -> ((s, d) => Analytics.segmentSetOps(
       Tables.customer(s, d), Tables.orders(s, d))),
     "cube_status_priority" -> ((s, d) => Analytics.statusPriorityCube(Tables.orders(s, d))),
+    // arbitrary grouping-sets lattice (pruned at plan time, one Expand)
+    "agg_grouping_sets" -> ((s, d) => Analytics.statusPrioritySets(Tables.orders(s, d))),
     // HLL++ sketch values are engine-specific → rows-only driver gate;
     // the relative-error bound is asserted in ExtOpsSpec instead
     "agg_approx_distinct" -> ((s, d) => Analytics.approxDistinctCustomers(Tables.orders(s, d))),
@@ -241,6 +243,7 @@ object SparkEntry {
     "rollup_revenue" -> OracleSqlExt.rollupRevenue,
     "setop_segments" -> OracleSqlExt.setopSegments,
     "cube_status_priority" -> OracleSqlExt.cubeStatusPriority,
+    "agg_grouping_sets" -> OracleSqlExt.aggGroupingSets,
 
     "events_tumbling" -> OracleSqlExt.eventsTumbling,
     "events_sliding" -> OracleSqlExt.eventsSliding,

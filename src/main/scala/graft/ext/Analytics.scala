@@ -259,6 +259,24 @@ object Analytics {
       .agg(sum(dec("o_totalprice")).cast("string").as("revenue"),
         count(lit(1)).as("n_orders"))
 
+  /** Arbitrary GROUPING SETS: the named subtotal combinations a report
+    * actually wants — (status, priority), (status), and the grand total,
+    * WITHOUT the (priority)-only slice a full [[statusPriorityCube]]
+    * would also compute. One pass, one shuffle: Spark expands the sets
+    * into a single Expand + hash aggregate, same as rollup/cube — the
+    * lattice is pruned at plan time, not filtered after. */
+  def statusPrioritySets(orders: DataFrame): DataFrame =
+    orders
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(sum(dec("o_totalprice")).cast("string").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .select(col("o_orderstatus").as("order_status"),
+        col("o_orderpriority").as("order_priority"),
+        col("revenue"), col("n_orders"))
+
   /** Approximate distinct customers per priority (HLL++) next to the
     * exact count — the approximate-aggregate family for 100 TB counting,
     * where exact distinct means a full shuffle of the key universe and

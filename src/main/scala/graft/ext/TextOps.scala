@@ -220,32 +220,55 @@ object TextOps {
     * stated trade and this ships: a single global running sum over
     * doc_id order, computed WITHOUT one reducer ever seeing the corpus.
     *
-    * Phase 1: range-partition by doc_id (partition id is then monotone
-    * in doc_id — RangePartitioning's boundaries are sorted) and window
-    * the cumsum WITHIN each partition, in parallel. Phase 2: the
-    * per-partition totals — `partitions` rows, not corpus rows — cumsum
-    * into partition offsets and broadcast-join back; global offset =
-    * partition offset + local prefix. The output is a pure function of
-    * (doc_id order, token counts): range boundaries shift with
+    * Phase 1: range-partition by doc_id, sort within partitions, and
+    * carry the local prefix with one mapPartitions scan — the canonical
+    * justified use of per-partition imperative logic (a scan-carry has
+    * no relational form that avoids re-shuffling: a window `partition
+    * by pid` would insert a SECOND full exchange of the corpus on
+    * hash(pid), measured in the plan). Phase 2: the per-partition
+    * totals — `partitions` rows, not corpus rows — cumsum into
+    * partition offsets (map-side-combined groupBy) and broadcast-join
+    * back; global offset = partition offset + local prefix. The corpus
+    * is shuffled exactly ONCE.
+    *
+    * The partition identity is DATA-DERIVED — each chunk is keyed by
+    * its own first doc_id (monotone across range partitions, boundaries
+    * are sorted) — NOT TaskContext.getPartitionId(): a narrow
+    * downstream coalesce (e.g. coalesce(1) before a single-file write)
+    * pipelines many upstream partitions into one task, collapsing every
+    * task-derived id to 0 while the per-chunk scan function still runs
+    * once per parent partition — task ids identify the TASK, not the
+    * data chunk. With data-derived keys the output is a pure function
+    * of (doc_id order, token counts): range boundaries shift with
     * sampling, but offset(doc) = Σ tokens of all lower doc_ids no
     * matter where the cuts fall — so the hash oracle is a plain
     * single-window cumsum. */
   def globalTokenShards(documents: DataFrame, budget: Long = 2048L,
       partitions: Int = 32): DataFrame = {
-    val sized = documents.select(col("doc_id"), bpeCount.as("n_tokens"))
-    val local = sized
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val local = documents
+      .select(col("doc_id"), bpeCount.as("n_tokens")).as[(Long, Long)]
       .repartitionByRange(partitions, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .withColumn("local_prefix", expr(
-        "sum(n_tokens) over (partition by pid order by doc_id " +
-          "rows between unbounded preceding and current row) - n_tokens"))
-    val offsets = local.groupBy(col("pid"))
+      .sortWithinPartitions(col("doc_id"))
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val first = it.next()
+          val pkey = first._1 // the chunk's first (lowest) doc_id
+          var acc = 0L
+          (Iterator.single(first) ++ it).map { case (id, n) =>
+            val off = acc; acc += n; (pkey, id, n, off)
+          }
+        }
+      }.toDF("pkey", "doc_id", "n_tokens", "local_prefix")
+    val offsets = local.groupBy(col("pkey"))
       .agg(sum(col("n_tokens")).as("part_total"))
       .withColumn("part_offset", expr(
-        "sum(part_total) over (order by pid " +
+        "sum(part_total) over (order by pkey " +
           "rows between unbounded preceding and current row) - part_total"))
-      .select(col("pid"), col("part_offset"))
-    local.join(broadcast(offsets), Seq("pid"))
+      .select(col("pkey"), col("part_offset"))
+    local.join(broadcast(offsets), Seq("pkey"))
       .select(col("doc_id"),
         (col("part_offset") + col("local_prefix")).as("tok_offset"),
         expr(s"(part_offset + local_prefix) div $budget").as("shard_id"))

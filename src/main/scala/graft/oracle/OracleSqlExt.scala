@@ -138,6 +138,15 @@ SELECT o_orderstatus AS order_status, o_orderpriority AS order_priority,
 FROM orders
 GROUP BY CUBE(o_orderstatus, o_orderpriority)"""
 
+  /** Mirror of Analytics.statusPrioritySets: the pruned subtotal
+    * lattice — (status, priority), (status), () — via GROUPING SETS. */
+  val aggGroupingSets: String = """
+SELECT o_orderstatus AS order_status, o_orderpriority AS order_priority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS revenue,
+       count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())"""
+
   /** Mirror of Analytics.statusPercentiles: percentile_disc by rank
     * arithmetic — value at row ⌈p·n⌉ of the per-group sort. */
   val aggPercentiles: String = """

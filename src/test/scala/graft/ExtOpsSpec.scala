@@ -237,6 +237,14 @@ class ExtOpsSpec extends SparkSpec {
     val one = result(1) // one partition = trivially the global cumsum
     assert(result(5) == one)
     assert(result(32) == one)
+    // a narrow downstream coalesce pipelines all range partitions into
+    // ONE task — the partition key must be data-derived (a task-id key
+    // collapses to 0 and zeroes every partition offset; this is the
+    // exact shape of Verify's coalesce(1)-before-write)
+    val coalesced = TextOps.globalTokenShards(d, budget = 64, partitions = 32)
+      .coalesce(1).collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("tok_offset"), r.getAs[Long]("shard_id"))).toSet
+    assert(coalesced == one)
     // offsets are the exclusive prefix sum of per-doc token counts
     val counts = (0L until 200L).map(i => i -> (i % 7 + 1)).toMap
     val want = (0L until 200L).scanLeft(0L) { case (acc, i) => acc + counts(i) }
