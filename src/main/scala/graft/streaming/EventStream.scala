@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, TimeMode}
 
 /** One buffered funnel-stage event (stage = index into the stage list). */
 case class StageEvent(userId: Long, stage: Int, ts: java.sql.Timestamp)
@@ -109,10 +109,38 @@ object EventStream extends Serializable {
   private implicit val tsOrd: Ordering[java.sql.Timestamp] =
     (a: java.sql.Timestamp, b: java.sql.Timestamp) => a.compareTo(b)
 
+  /** The same funnel under `transformWithState` (the v2 arbitrary-state
+    * API — see [[FunnelProcessor]] for what it buys over fMGWS). Needs
+    * the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`); the HDFS-backed
+    * default does not implement transformWithState. */
+  def funnelDepthsTws(events: DataFrame,
+      stages: Seq[String] = Seq("view", "click", "purchase"),
+      lateness: String = "2 hours",
+      quietMs: Long = 2L * 3600 * 1000): Dataset[FunnelDepth] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stageIdx = stages.zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, (st, i)) => when(col("event_type") === st, lit(i)).otherwise(acc)
+    }
+    events
+      .withWatermark("ts", lateness)
+      .filter(col("event_type").isin(stages: _*))
+      .select(col("user_id").as("userId"), stageIdx.as("stage"), col("ts"))
+      .as[StageEvent]
+      .groupByKey(_.userId)
+      .transformWithState(new FunnelProcessor(stages.size, quietMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Funnel depth of one closed user's buffered events: t1 = min stage-0
     * ts, then sequentially t_{i+1} = min stage-i ts strictly after t_i —
     * the same recurrence EventOps.funnel expresses with joins. None if
-    * the user never hit stage 0 (batch funnel omits them too). */
+    * the user never hit stage 0 (batch funnel omits them too). Shared by
+    * the fMGWS and transformWithState processors. */
+  private[streaming] def depthOfEvents(evts: Seq[StageEvent], nStages: Int): Option[Int] =
+    depthOf(evts, nStages)
+
   private def depthOf(evts: Seq[StageEvent], nStages: Int): Option[Int] = {
     val byStage = evts.groupBy(_.stage)
     byStage.get(0).map(_.map(_.ts).min).map { t1 =>

@@ -159,6 +159,55 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState funnel matches the fMGWS funnel and the batch form") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = EventStream.funnelDepthsTws(events).writeStream
+      .outputMode(OutputMode.Append).format("memory").queryName("funnel_tws_test")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    val data = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+      (ts("2024-01-01 10:05:00"), 1L, "click", 1.0),
+      (ts("2024-01-01 10:10:00"), 1L, "purchase", 1.0),
+      (ts("2024-01-01 10:00:00"), 2L, "view", 1.0),
+      (ts("2024-01-01 09:55:00"), 2L, "click", 1.0),
+      (ts("2024-01-01 10:06:00"), 3L, "click", 1.0),
+      (ts("2024-01-01 10:02:00"), 3L, "view", 1.0),
+      (ts("2024-01-01 10:00:00"), 4L, "purchase", 1.0))
+    try {
+      input.addData(data.take(6): _*)
+      q.processAllAvailable()
+      input.addData(data.drop(6): _*)
+      q.processAllAvailable()
+      input.addData((ts("2024-01-02 10:00:00"), 9L, "view", 0.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-02 11:00:00"), 9L, "view", 0.0))
+      q.processAllAvailable()
+      val streamed = EventStream.funnelCounts(spark.table("funnel_tws_test"))
+        .collect().map(r => r.getAs[Int]("funnel_stage") -> r.getAs[Long]("n_users"))
+        .toMap
+      val batch = graft.ext.EventOps.funnel(data.toDF("ts", "user_id", "event_type", "value"))
+        .collect().map(r => r.getAs[Int]("funnel_stage") -> r.getAs[Long]("n_users"))
+        .toMap
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(streamed == Map(3 -> 1L, 2 -> 1L, 1 -> 1L))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming weekly activity feeds the batch retention tail exactly") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
