@@ -168,6 +168,8 @@ object SparkEntry {
     "text_pack_sequences" -> ((s, d) => TextOps.packSequences(docs(s, d))),
     // BPE merge-candidate bigram stats, top-10 per language
     "text_bigrams" -> ((s, d) => TextOps.bigrams(docs(s, d))),
+    // unigram-LM surprisal quality score in integer bits
+    "text_surprisal" -> ((s, d) => TextOps.unigramSurprisal(docs(s, d))),
     "corpus_contamination" -> ((s, d) => TextOps.benchmarkContamination(docs(s, d))),
     // temperature-scaled per-source mixing weights (α = 0.5)
     "corpus_mixture" -> ((s, d) => TextOps.mixtureWeights(docs(s, d))),
@@ -206,6 +208,8 @@ object SparkEntry {
     "embed_pq_recall" -> ((s, d) => EmbedOps.pqRecall(emb(s, d))),
     // the nprobe recall dial: IVF-PQ hits vs exact at nprobe 1 and 2
     "embed_ivfpq_recall" -> ((s, d) => EmbedOps.ivfPqRecallCompare(emb(s, d))),
+    // int8 scalar quantization + exact integer reconstruction error
+    "embed_sq8" -> ((s, d) => EmbedOps.scalarQuantize8(emb(s, d))),
     // native codegen'd cosine expression — no SQL oracle (float-sum
     // order is engine-specific), driver records a rows-only check
     "embed_topk_native" -> ((s, d) => EmbedOps.bruteForceTopKNative(emb(s, d))),
@@ -284,6 +288,7 @@ GROUP BY l_returnflag""",
     "corpus_shards_global" -> OracleSqlExt.corpusShardsGlobal,
     "text_pack_sequences" -> OracleSqlExt.textPackSequences,
     "text_bigrams" -> OracleSqlExt.textBigrams,
+    "text_surprisal" -> OracleSqlExt.textSurprisal,
     "corpus_contamination" -> OracleSqlExt.corpusContamination,
     "corpus_mixture" -> OracleSqlExt.corpusMixture,
     "sample_hash" -> OracleSqlExt.textHashSample,
@@ -310,6 +315,7 @@ GROUP BY l_returnflag""",
     "embed_ivfpq_topk" -> OracleSqlExt.embedIvfPqTopK,
     "embed_pq_recall" -> OracleSqlExt.embedPqRecall,
     "embed_ivfpq_recall" -> OracleSqlExt.embedIvfPqRecall,
+    "embed_sq8" -> OracleSqlExt.embedSq8,
 
     "mm_features" -> OracleSqlExt.mmFeatures,
     "mm_resize" -> OracleSqlExt.mmResize,

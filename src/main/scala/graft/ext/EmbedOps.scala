@@ -533,6 +533,40 @@ object EmbedOps {
         (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall"))
   }
 
+  /** Int8 scalar quantization (the FAISS SQ8 storage path): each
+    * vector's quantized-integer dims compress to one signed byte via a
+    * per-VECTOR integer scale, with the reconstruction-error stats an
+    * embedding store tracks before committing to 4× compression
+    * (64 dims × 8 bytes → 64 bytes + 1 scale).
+    *
+    * All-integer arithmetic end-to-end, so the whole op hash-matches
+    * SQL: scale = ceil(maxabs/127) by integer division (never 0 —
+    * clamped to ≥1), code = round-half-away-from-zero division —
+    * (x + sign·⌊scale/2⌋) div scale, exact in both engines — and the
+    * reconstruction error Σ(x − code·scale)² is an exact 64-bit sum.
+    * Per-vector scales (vs one global scale) are what make SQ8 robust
+    * to outlier dims; the max|code| ≤ 127 bound is asserted in spec.
+    *
+    * Scale posture: embarrassingly parallel scan, no shuffle; the codes
+    * column is the persisted artifact. */
+  def scalarQuantize8(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), quantized(col("embedding")).as("q"))
+      .withColumn("maxabs", array_max(transform(col("q"), x => abs(x))))
+      .withColumn("scale", greatest(lit(1L), expr("(maxabs + 126) div 127")))
+      // symmetric round-half-away-from-zero: sign · ((|x| + s/2) div s).
+      // Keeping every div operand NON-NEGATIVE matters cross-engine:
+      // Spark's `div` truncates toward zero, DuckDB's `//` floors —
+      // they agree only on non-negative operands.
+      .withColumn("codes", expr(
+        "transform(q, x -> if(x < 0, -1L, 1L) * ((abs(x) + scale div 2) div scale))"))
+      .withColumn("err2", expr(
+        "aggregate(zip_with(q, codes, (x, c) -> (x - c * scale) * (x - c * scale)), " +
+          "0L, (acc, e) -> acc + e)"))
+      .select(col("vec_id"), col("scale"),
+        expr("array_max(transform(codes, c -> abs(c)))").as("max_code"),
+        col("err2"),
+        (col("err2").cast("double") / 64).as("mse_per_dim"))
+
   /** IVF-style top-k: the coarse quantizer is the `label` column — each
     * query searches only its own partition (1/10th of the corpus here;
     * 1/nlist in general). The exact analog of probing one inverted

@@ -274,6 +274,41 @@ object TextOps {
         expr(s"(part_offset + local_prefix) div $budget").as("shard_id"))
   }
 
+  /** Unigram-LM surprisal quality score — the CCNet move (score each
+    * document by how surprising its tokens are under a language model
+    * trained on the corpus itself; boilerplate scores low-surprise,
+    * gibberish high) with the LM reduced to corpus unigram counts and
+    * the log reduced to INTEGER bits: token surprisal ≈ ⌊log₂ N⌋ −
+    * ⌊log₂ c⌋ where c is the token's corpus count and N the total.
+    *
+    * Why integer bits instead of −log p: cross-engine hash equality.
+    * ln/log2 are not correctly-rounded in either engine and a per-doc
+    * SUM of floats is shuffle-order-dependent; ⌊log₂ n⌋ computed as
+    * length(bin(n))−1 (the position of the highest set bit — no float
+    * anywhere) makes every per-doc sum an exact 64-bit integer, and
+    * the single mean division happens once per output row. The score
+    * is a quantized surprisal (resolution 1 bit ≈ factor-2 probability
+    * bands) — the ranking signal survives, the oracle is exact.
+    *
+    * Scale posture: two passes — a map-side-combined unigram count
+    * (vocab-sized output), then explode→join→per-doc integer sum. The
+    * count frame broadcasts while small; at web-corpus vocab it
+    * becomes a shuffle join on the token (Zipf-hot tokens are exactly
+    * the well-estimated ones, and AQE's skew split handles "the"). */
+  def unigramSurprisal(documents: DataFrame): DataFrame = {
+    val tok = documents.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val counts = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = tok.select(count(lit(1)).as("n_total"))
+    tok.join(counts, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        (length(expr("bin(n_total)")) - length(expr("bin(c)"))).cast("long").as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("total_bits"))
+      .select(col("doc_id"), col("n_tokens"), col("total_bits"),
+        (col("total_bits").cast("double") / col("n_tokens")).as("bits_per_token"))
+  }
+
   /** Adjacent-token bigram statistics, top-k per language — the merge-
     * candidate counting at the heart of BPE/WordPiece tokenizer
     * training (each merge round picks the most frequent adjacent pair),

@@ -341,6 +341,22 @@ SELECT lang, bigram, n, rank FROM (
   FROM cnt)
 WHERE rank <= 10"""
 
+  /** Mirror of TextOps.unigramSurprisal: corpus unigram counts → per-
+    * token integer bits (length(bin(N)) − length(bin(c)) — the highest-
+    * set-bit position, no float log) → exact per-doc sums. */
+  val textSurprisal: String = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+tot AS (SELECT COUNT(*) AS n_total FROM tok),
+b AS (
+  SELECT t.doc_id, CAST(length(bin(x.n_total)) - length(bin(c.c)) AS BIGINT) AS bits
+  FROM tok t JOIN cnt c USING (tok) CROSS JOIN tot x)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(bits) AS BIGINT) AS total_bits,
+       CAST(SUM(bits) AS DOUBLE) / COUNT(*) AS bits_per_token
+FROM b GROUP BY doc_id"""
+
   /** Mirror of TextOps.benchmarkContamination: corpus docs sharing an
     * 8-token shingle with the doc_id%97=0 benchmark set. */
   val corpusContamination: String = """
@@ -1059,6 +1075,30 @@ SELECT query_id, rank, vec_id AS neighbor_id, adist FROM (
          row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rank
   FROM ad)
 WHERE rank <= 5"""
+
+  /** Mirror of EmbedOps.scalarQuantize8: per-vector integer scale,
+    * symmetric round-half-away codes (non-negative div operands only —
+    * DuckDB `//` floors where Spark `div` truncates; they agree only
+    * above zero), exact integer reconstruction error. */
+  val embedSq8: String = quantCte + """,
+sq AS (
+  SELECT vec_id, qv,
+         greatest(1, (list_max(list_transform(qv, x -> abs(x))) + 126) // 127) AS scale
+  FROM q),
+c AS (
+  SELECT vec_id, scale,
+         CAST(list_sum(list_transform(range(1, 65), i ->
+           (qv[i] - ((CASE WHEN qv[i] < 0 THEN -1 ELSE 1 END)
+                     * ((abs(qv[i]) + scale // 2) // scale)) * scale)
+           * (qv[i] - ((CASE WHEN qv[i] < 0 THEN -1 ELSE 1 END)
+                     * ((abs(qv[i]) + scale // 2) // scale)) * scale)))
+           AS BIGINT) AS err2,
+         CAST(list_max(list_transform(qv, x -> (abs(x) + scale // 2) // scale))
+           AS BIGINT) AS max_code
+  FROM sq)
+SELECT vec_id, CAST(scale AS BIGINT) AS scale, max_code, err2,
+       CAST(err2 AS DOUBLE) / 64 AS mse_per_dim
+FROM c"""
 
   /** 64-dim integer squared L2 between a query vector and a coarse
     * centroid list. */

@@ -201,6 +201,40 @@ class ExtOpsSpec extends SparkSpec {
     assert(math.abs(c - 1.0) < 1e-6)
   }
 
+  test("SQ8 codes stay in int8 range and reconstruction error is bounded by scale/2 per dim") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vecs = (0L until 30L).map(id =>
+      (id, Array.fill(64)(rnd.nextFloat() * 4f - 2f), "x")) :+
+      ((30L, Array.fill(64)(0.05f), "x")) // small-magnitude: scale=1, exact roundtrip
+    val out = EmbedOps.scalarQuantize8(vecs.toDF("vec_id", "embedding", "label"))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("scale"), r.getAs[Long]("max_code"), r.getAs[Long]("err2"))).toMap
+    out.foreach { case (id, (scale, maxCode, err2)) =>
+      assert(maxCode <= 127, s"vec $id code $maxCode out of int8 range")
+      // per-dim rounding error ≤ scale/2 → err2 ≤ 64·(scale/2+1)²
+      assert(err2 <= 64L * (scale / 2 + 1) * (scale / 2 + 1), s"vec $id err2 $err2 scale $scale")
+    }
+    // quantized values ≤ 127 in magnitude → scale 1 → lossless
+    assert(out(30L)._1 == 1L && out(30L)._3 == 0L)
+  }
+
+  test("unigram surprisal gives rare-token docs more bits than boilerplate") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "x", "common common common common"),
+      (1L, "x", "common common rareword unique")).toDF("doc_id", "lang", "text")
+    val out = TextOps.unigramSurprisal(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("total_bits"),
+          r.getAs[Double]("bits_per_token"))).toMap
+    // N=8 total tokens: "common"×6 (bits = len(bin 8)-len(bin 6) = 4-3 = 1),
+    // "rareword"/"unique" ×1 (bits = 4-1 = 3)
+    assert(out(0L) == ((4L, 4L, 1.0)))
+    assert(out(1L)._2 == (1 + 1 + 3 + 3))
+    assert(out(1L)._3 > out(0L)._3)
+  }
+
   test("packSequences tiles the per-lang token stream exactly, splitting long docs") {
     import spark.implicits._
     // lang "a": 5+8+10 = 23 tokens → with seqLen=8, sequences 0,1 full
