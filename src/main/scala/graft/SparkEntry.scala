@@ -183,6 +183,8 @@ object SparkEntry {
     "dedup_simhash_k" -> ((s, d) => DedupOps.simhashHammingPairs(docs(s, d))),
     "dedup_ngram" -> ((s, d) => DedupOps.ngramJaccardPairs(docs(s, d))),
     "dedup_clusters" -> ((s, d) => DedupOps.nearDupClusters(docs(s, d))),
+    // integer-exact PageRank over the near-dup graph (hub centrality)
+    "dedup_pagerank" -> ((s, d) => DedupOps.nearDupPageRank(docs(s, d))),
     "dedup_incremental" -> ((s, d) => DedupOps.incrementalNewDocs(docs(s, d))),
     "dedup_incremental_near" -> ((s, d) => DedupOps.incrementalNewNearDocs(docs(s, d))),
     // full curation composite: exact dup → near dup → quality → keep
@@ -300,6 +302,7 @@ GROUP BY l_returnflag""",
     "dedup_simhash_k" -> OracleSqlExt.dedupSimhashK,
     "dedup_ngram" -> OracleSqlExt.dedupNgram,
     "dedup_clusters" -> OracleSqlExt.dedupClusters,
+    "dedup_pagerank" -> OracleSqlExt.dedupPagerank,
     "dedup_incremental" -> OracleSqlExt.dedupIncremental,
     "dedup_incremental_near" -> OracleSqlExt.dedupIncrementalNear,
     "corpus_clean" -> OracleSqlExt.corpusClean,

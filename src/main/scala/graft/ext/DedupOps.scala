@@ -349,6 +349,19 @@ object DedupOps {
     jaccardVerify(cand, sets, threshold)
   }
 
+  /** Document centrality on the near-dup graph: integer-exact PageRank
+    * ([[Graph.pageRank]]) over the verified MinHash pair graph — the
+    * hub ranking that picks cluster representatives by how much of the
+    * duplicate neighborhood points at them, where
+    * [[nearDupClusters]]' min-id canonical is purely positional. */
+  def nearDupPageRank(documents: DataFrame, threshold: Double = 0.5,
+      iters: Int = 3): DataFrame = {
+    val pairs = minhashNearDups(documents, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    Graph.pageRank(documents.select(col("doc_id")), pairs, iters)
+      .select(col("id").as("doc_id"), col("rank_scaled"))
+  }
+
   /** Incremental dedup: the ingestion-time complement of the batch
     * passes above. An existing corpus is represented only by its
     * content-hash SNAPSHOT (here: the even doc_ids, standing in for

@@ -82,6 +82,58 @@ object Graph {
     labels.select(col("id"), col("label"))
   }
 
+  /** Integer-exact PageRank over an undirected pair graph — document
+    * centrality on the near-dup graph (a high-rank doc is a hub its
+    * whole duplicate neighborhood points at: the template/boilerplate
+    * source, the natural cluster representative to keep).
+    *
+    * Power iteration with a FIXED round count and ALL-INTEGER
+    * arithmetic, so the result hash-matches a SQL oracle: ranks are
+    * scaled by 10¹², the damping split is (15·base) div 100 +
+    * (85·inflow) div 100, and each neighbor contribution is
+    * r div deg — every operand non-negative, so truncating (Spark
+    * `div`) and flooring (DuckDB `//`) division agree. Truncation
+    * leaks ≤1 scaled unit per op (≈10⁻¹² of mass) — the ranking is a
+    * deterministic quantization of real PageRank, same trade as
+    * [[TextOps.unigramSurprisal]]'s integer bits. Dangling mass is NOT
+    * redistributed (isolated docs keep the base rank) — stated
+    * simplification; on a near-dup graph edges are symmetric so every
+    * connected node has out-degree.
+    *
+    * Scale posture per round: one equi join ranks⋈edges on the vertex
+    * id + one map-side-combinable groupBy(dst) — the same shape as
+    * [[connectedComponents]]' rounds, with the same per-round
+    * localCheckpoint lineage control. Degrees computed once. No
+    * driver-side data beyond the tiny doc count. */
+  def pageRank(vertices: DataFrame, pairs: DataFrame, iters: Int = 3): DataFrame = {
+    val Scale = 1000000000000L
+    val p = pairs.select(col(pairs.columns(0)).as("src"),
+      col(pairs.columns(1)).as("dst"))
+    val edges = p.unionByName(
+      p.select(col("dst").as("src"), col("src").as("dst"))).cache()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nodes = vertices.select(col(vertices.columns(0)).as("id"))
+    val nTotal = broadcast(nodes.agg(count(lit(1)).as("n")))
+    var ranks = nodes.crossJoin(nTotal)
+      .select(col("id"), expr(s"${Scale}L div n").as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val inflow = edges
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("id"), expr("r div deg").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("inflow"))
+      ranks = nodes.crossJoin(nTotal)
+        .join(inflow, Seq("id"), "left")
+        .select(col("id"),
+          (expr(s"(15 * (${Scale}L div n)) div 100") +
+            expr("(85 * coalesce(inflow, 0L)) div 100")).as("r"))
+        .localCheckpoint()
+    }
+    edges.unpersist()
+    ranks.select(col("id"), col("r").as("rank_scaled"))
+  }
+
   /** (id, cluster_id, cluster_size, is_canonical) from a components
     * labeling — the presentation both near-dup cluster queries share.
     * `idName` renames the generic vertex column for the caller. */

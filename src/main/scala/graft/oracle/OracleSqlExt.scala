@@ -714,6 +714,38 @@ JOIN dsz za ON za.doc_id = i.doc_a
 JOIN dsz zb ON zb.doc_id = i.doc_b
 WHERE CAST(ni AS DOUBLE) / CAST(za.n + zb.n - ni AS DOUBLE) >= 0.3"""
 
+  /** Mirror of DedupOps.nearDupPageRank (3 iterations, scale 10¹²):
+    * the minhash pair chain nested as a derived table, then the power
+    * iteration unrolled — every division has non-negative operands so
+    * `//` here and Spark's `div` agree. */
+  val dedupPagerank: String = {
+    val base = s"""
+WITH pr_pairs AS (
+  SELECT doc_a, doc_b FROM ($dedupMinhash)),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pr_pairs
+  UNION ALL SELECT doc_b, doc_a FROM pr_pairs),
+dg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+r0 AS (
+  SELECT d.doc_id AS id, 1000000000000 // nn.n AS r
+  FROM documents d CROSS JOIN nn)"""
+    val rounds = (1 to 3).map { i =>
+      s""",
+i$i AS (
+  SELECT e.dst AS id, SUM(r.r // g.deg) AS inflow
+  FROM edges e JOIN r${i - 1} r ON r.id = e.src JOIN dg g ON g.src = e.src
+  GROUP BY e.dst),
+r$i AS (
+  SELECT b.id,
+         (15 * (1000000000000 // nn.n)) // 100
+         + (85 * COALESCE(i$i.inflow, 0)) // 100 AS r
+  FROM r0 b CROSS JOIN nn LEFT JOIN i$i ON i$i.id = b.id)"""
+    }.mkString
+    base + rounds + """
+SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_scaled FROM r3"""
+  }
+
   /** Mirror of DedupOps.incrementalNewDocs: odd-doc_id incoming docs
     * whose content hash is absent from the even-doc_id snapshot. */
   val dedupIncremental: String = """

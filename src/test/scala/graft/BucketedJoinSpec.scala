@@ -35,4 +35,24 @@ class BucketedJoinSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_items")
   }
+
+  test("q3's join strategy is size-driven: broadcast while small, shuffle when broadcast is off") {
+    val d = "/root/testdata/sf0.001"
+    def plan() = graft.ext.Analytics.shippingPriority(
+      Tables.customer(spark, d), Tables.orders(spark, d), Tables.lineitem(spark, d))
+      .queryExecution.executedPlan.toString
+    // small SF + default threshold: size estimation picks broadcast
+    val p1 = plan()
+    assert(p1.contains("BroadcastHashJoin"))
+    assert(!p1.contains("SortMergeJoin"))
+    // threshold off (the 100x proxy: estimated sizes exceed any bound):
+    // the SAME query plans a shuffle join — no forced hint pins it
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p2 = plan()
+      assert(p2.contains("SortMergeJoin") || p2.contains("ShuffledHashJoin"), p2.linesIterator.filter(_.contains("Join")).mkString("\n"))
+      assert(!p2.contains("BroadcastHashJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -201,6 +201,32 @@ class ExtOpsSpec extends SparkSpec {
     assert(math.abs(c - 1.0) < 1e-6)
   }
 
+  test("integer PageRank matches a driver-side reference and ranks the hub highest") {
+    import spark.implicits._
+    // star: 0 at the center of 1..4, plus the isolated 9
+    val nodes = (0L to 4L).toDF("id").unionAll(Seq(9L).toDF("id"))
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("a", "b")
+    val got = graft.ext.Graph.pageRank(nodes, pairs, iters = 3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank_scaled")).toMap
+
+    // reference: same integer recurrence
+    val scale = 1000000000000L
+    val n = 6L
+    val edges = Seq(0L -> 1L, 0L -> 2L, 0L -> 3L, 0L -> 4L).flatMap(e => Seq(e, e.swap))
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var r = (Seq(0L, 1L, 2L, 3L, 4L, 9L).map(_ -> scale / n)).toMap
+    for (_ <- 1 to 3) {
+      val inflow = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / deg(src) }.sum
+      }
+      r = r.keys.map(id => id ->
+        ((15 * (scale / n)) / 100 + (85 * inflow.getOrElse(id, 0L)) / 100)).toMap
+    }
+    assert(got == r)
+    assert(got(0L) > got(1L)) // the hub outranks the spokes
+    assert(got(9L) == (15 * (scale / n)) / 100) // isolated: base rank only
+  }
+
   test("SQ8 codes stay in int8 range and reconstruction error is bounded by scale/2 per dim") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
