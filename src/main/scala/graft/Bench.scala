@@ -25,10 +25,12 @@ object Bench {
       // AQE re-optimizes per runtime stage and regenerates whole-stage
       // code each time; on this corpus Janino compilation — serialized
       // behind CodeGenerator's per-source lock — dominates latency, so
-      // the bench pins the static plans (which carry explicit broadcast
-      // hints already). On a real cluster at 100 TB, row throughput
+      // the first pass pins the static plans (fixed-cardinality dims
+      // carry broadcast hints; scale-growing sides are chosen by size
+      // estimation). On a real cluster at 100 TB, row throughput
       // dwarfs compile time and AQE's skew/coalesce handling pays for
-      // itself — keep it on there.
+      // itself — keep it on there; the AQE-on pass below records the
+      // number behind that claim.
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -73,10 +73,13 @@ object GraftConf {
     *
     * Checks: numeric confs must parse (Int / Double), thresholds must
     * lie in [0, 1], minMatches must be ≥ 0, and deny-list entries must
-    * be '@'-free lowercase domain/prefix tokens (a full address in the
-    * domain list — the reference's observed misconfig — can never
-    * match a parsed domain, so it is rejected here rather than
-    * silently never firing). */
+    * be lowercase and whitespace-free. The deny checks validate against
+    * the ACTUAL matching semantics (Rules.denyListed: substring
+    * containment per domain entry, startsWith per prefix — so a full
+    * address in the domain list is legal and matches itself): emails in
+    * the stream are lowercase and contain no whitespace, so an
+    * uppercase or space-carrying entry can never match anything and is
+    * a config typo worth failing on; anything else is permitted. */
   def validate(spark: SparkSession): Unit = {
     def bad(key: String, v: String, why: String): Nothing =
       throw new IllegalArgumentException(
@@ -92,18 +95,11 @@ object GraftConf {
       if (v.isNaN || v < 0.0 || v > 1.0) bad(key, raw, "must lie in [0, 1]")
     }
 
-    for (d <- denyDomains(spark)) {
-      if (d.contains("@"))
-        bad(DenyDomainsKey, d, "domain entries must not contain '@' (a full " +
-          "address can never match a parsed domain)")
-      if (d.exists(_.isWhitespace) || d.exists(_.isUpper))
-        bad(DenyDomainsKey, d, "domain entries must be lowercase, whitespace-free")
-      if (!d.contains("."))
-        bad(DenyDomainsKey, d, "domain entries must contain a '.'")
-    }
-    for (p <- denyPrefixes(spark)) {
-      if (p.exists(_.isWhitespace) || p.exists(_.isUpper))
-        bad(DenyPrefixesKey, p, "prefix entries must be lowercase, whitespace-free")
+    for ((key, entries) <- Seq(DenyDomainsKey -> denyDomains(spark),
+        DenyPrefixesKey -> denyPrefixes(spark)); e <- entries) {
+      if (e.exists(_.isWhitespace) || e.exists(_.isUpper))
+        bad(key, e, "deny entries must be lowercase and whitespace-free " +
+          "(stream emails are; such an entry can never match)")
     }
   }
 }

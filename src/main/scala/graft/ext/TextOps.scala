@@ -148,8 +148,7 @@ object TextOps {
     * tokenizer-budget planning statistic). */
   def tokenCounts(documents: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
-    val bpe = aggregate(toks, lit(0L),
-      (acc, w) => acc + floor((length(w) + 3) / 4).cast("long"))
+    val bpe = bpeCount
     documents.select(
       col("doc_id"),
       size(toks).as("ws_tokens"),
@@ -164,20 +163,16 @@ object TextOps {
     * step that turns a cleaned corpus into fixed-size training inputs.
     *
     * Scale posture: the running sum windows per lang, so strata pack
-    * in parallel and one reducer never sees the whole corpus. A
-    * single GLOBAL packing order would need repartitionByRange +
-    * per-partition offsets (two-phase prefix sum) — stated trade; the
-    * per-stratum form is what multilingual pipelines shard by anyway. */
-  def tokenShards(documents: DataFrame, budget: Long = 2048L): DataFrame = {
-    val toks = tokens(col("text"))
-    val bpe = aggregate(toks, lit(0L),
-      (acc, w) => acc + floor((length(w) + 3) / 4).cast("long"))
+    * in parallel and one reducer never sees the whole corpus; the
+    * per-stratum form is what multilingual pipelines shard by anyway.
+    * A single GLOBAL packing order is [[globalTokenShards]]' two-phase
+    * prefix sum. */
+  def tokenShards(documents: DataFrame, budget: Long = 2048L): DataFrame =
     documents
-      .select(col("doc_id"), col("lang"), bpe.as("n_tokens"))
+      .select(col("doc_id"), col("lang"), bpeCount.as("n_tokens"))
       .withColumn("shard_id",
         expr(s"(sum(n_tokens) over (partition by lang order by doc_id " +
           s"rows between unbounded preceding and current row) - n_tokens) div $budget"))
-  }
 
   /** BPE-estimated token count of the `text` column — the same
     * per-word ceil(len/4) estimate [[tokenCounts]]/[[tokenShards]]
@@ -262,6 +257,13 @@ object TextOps {
           }
         }
       }.toDF("pkey", "doc_id", "n_tokens", "local_prefix")
+      // materialized ONCE: both the offsets subtree and the probe side
+      // reference this frame, and without pinning it the two executions
+      // would each re-sample range boundaries — identical in practice
+      // (deterministic sampling + exchange reuse) but a silent-wrong-
+      // join hazard if either assumption breaks. Same lineage-pinning
+      // move as the iterative ops.
+      .localCheckpoint()
     val offsets = local.groupBy(col("pkey"))
       .agg(sum(col("n_tokens")).as("part_total"))
       .withColumn("part_offset", expr(
@@ -350,10 +352,7 @@ object TextOps {
     * corpus; the per-source frame is a handful of rows, so the ordered
     * fold and the broadcast of the total are free. */
   def mixtureWeights(documents: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val bpe = aggregate(toks, lit(0L),
-      (acc, w) => acc + floor((length(w) + 3) / 4).cast("long"))
-    val bySource = documents.select(col("source"), bpe.as("n"))
+    val bySource = documents.select(col("source"), bpeCount.as("n"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
       .withColumn("w", sqrt(col("n_tokens").cast("double")))

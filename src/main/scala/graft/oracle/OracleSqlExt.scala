@@ -538,7 +538,13 @@ sh AS (
 dsh AS (SELECT DISTINCT doc_id, s FROM sh),
 dsz AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id)"""
 
-  val dedupMinhash: String = shingleCtes + """,
+  /** Shared minhash signature CTEs (must stay bit-identical to
+    * DedupOps.minhashSignatures' double-hash family): one md5 per
+    * shingle split into h1/h2, then sig(doc_id, j, mh) for the first
+    * `nHashes` hash functions. ONE definition — four oracles
+    * (minhash, clusters, incremental-near, band0-blocked ngram) build
+    * on it, so a NumHashes/HashPrime change edits one place. */
+  private def minhashSigCtes(nHashes: Int): String = s""",
 hashes AS (
   SELECT doc_id, s,
          ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
@@ -547,12 +553,17 @@ hashes AS (
 sig AS (
   SELECT doc_id, j,
          min((h1 + j * h2) % 4294967311) AS mh
-  FROM hashes, UNNEST(range(0, 8)) t(j)
-  GROUP BY doc_id, j),
+  FROM hashes, UNNEST(range(0, $nHashes)) t(j)
+  GROUP BY doc_id, j)"""
+
+  /** Band keys over `sig` — BandSize-2 '|'-joined signature pairs. */
+  private val minhashBandCtes: String = """,
 bands AS (
   SELECT doc_id, j // 2 AS b,
          string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j) AS band
-  FROM sig GROUP BY doc_id, j // 2),
+  FROM sig GROUP BY doc_id, j // 2)"""
+
+  val dedupMinhash: String = shingleCtes + minhashSigCtes(8) + minhashBandCtes + """,
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
@@ -575,21 +586,7 @@ WHERE CAST(ni AS DOUBLE) / CAST(za.n + zb.n - ni AS DOUBLE) >= 0.5"""
     * Mirrors DedupOps.nearDupClusters' converged label propagation.
     * The CTE chain through `lab` (doc_id → cluster_id) is shared with
     * the corpus_clean composite below. */
-  private val clusterLabCtes: String = shingleCtes.replaceFirst("WITH toks", "WITH RECURSIVE toks") + """,
-hashes AS (
-  SELECT doc_id, s,
-         ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
-         ('0x' || substr(md5(s), 9, 8))::BIGINT AS h2
-  FROM sh),
-sig AS (
-  SELECT doc_id, j,
-         min((h1 + j * h2) % 4294967311) AS mh
-  FROM hashes, UNNEST(range(0, 8)) t(j)
-  GROUP BY doc_id, j),
-bands AS (
-  SELECT doc_id, j // 2 AS b,
-         string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j) AS band
-  FROM sig GROUP BY doc_id, j // 2),
+  private val clusterLabCtes: String = shingleCtes.replaceFirst("WITH toks", "WITH RECURSIVE toks") + minhashSigCtes(8) + minhashBandCtes + """,
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
@@ -684,17 +681,7 @@ WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 3"""
   /** Mirror of DedupOps.ngramJaccardPairs: single-band minhash
     * blocking (band 0 = minhash values j=0,1, the '|'-joined prefix of
     * the full LSH signature) + exact 3-gram Jaccard verify at 0.3. */
-  val dedupNgram: String = shingleCtes + """,
-hashes AS (
-  SELECT doc_id, s,
-         ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
-         ('0x' || substr(md5(s), 9, 8))::BIGINT AS h2
-  FROM sh),
-sig AS (
-  SELECT doc_id, j,
-         min((h1 + j * h2) % 4294967311) AS mh
-  FROM hashes, UNNEST(range(0, 2)) t(j)
-  GROUP BY doc_id, j),
+  val dedupNgram: String = shingleCtes + minhashSigCtes(2) + """,
 keyed AS (
   SELECT doc_id, string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j) AS block_key
   FROM sig GROUP BY doc_id),
@@ -759,21 +746,7 @@ WHERE d.doc_id % 2 = 1
   /** Mirror of DedupOps.incrementalNewNearDocs: incoming (odd) docs
     * with no verified minhash near-dup among the snapshot (even) docs.
     * Bipartite band join for candidates, exact Jaccard verify. */
-  val dedupIncrementalNear: String = shingleCtes + """,
-hashes AS (
-  SELECT doc_id, s,
-         ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
-         ('0x' || substr(md5(s), 9, 8))::BIGINT AS h2
-  FROM sh),
-sig AS (
-  SELECT doc_id, j,
-         min((h1 + j * h2) % 4294967311) AS mh
-  FROM hashes, UNNEST(range(0, 8)) t(j)
-  GROUP BY doc_id, j),
-bands AS (
-  SELECT doc_id, j // 2 AS b,
-         string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j) AS band
-  FROM sig GROUP BY doc_id, j // 2),
+  val dedupIncrementalNear: String = shingleCtes + minhashSigCtes(8) + minhashBandCtes + """,
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.b = b.b

@@ -63,12 +63,24 @@ object EventStream extends Serializable {
     * watermark passes their last event + `quietMs`; the buffer then
     * collapses to one [[FunnelDepth]] row and the state is removed —
     * state is bounded by ACTIVE users in the quiet horizon, not the
-    * user universe. The stage-count report is [[funnelCounts]] over the
-    * accumulated depth rows — a k-row batch aggregate, the same
-    * split as [[weeklyActivity]]/retentionFromWeekly.
+    * user universe.
     *
-    * The spec pins stream ≡ batch: depths fed through [[funnelCounts]]
-    * equal EventOps.funnel on the same data once every user closes. */
+    * `quietMs` is the funnel's CONVERSION WINDOW, not an implementation
+    * detail: a user whose consecutive events sit further apart than
+    * quietMs closes mid-journey and later events open a NEW observation
+    * (possibly emitting a second row for the same user — only
+    * observations with a stage-0 event emit at all). [[funnelCounts]]
+    * therefore counts funnel OBSERVATIONS; the batch form is the
+    * infinite-conversion-window limit, and stream ≡ batch exactly when
+    * every user's whole event span fits inside one quiet window — both
+    * the equivalence and the window-split divergence are spec-pinned.
+    * An unbounded window in streaming would mean state that never
+    * closes; a finite conversion window is what every production
+    * funnel defines anyway.
+    *
+    * The stage-count report is [[funnelCounts]] over the accumulated
+    * depth rows — a k-row batch aggregate, the same split as
+    * [[weeklyActivity]]/retentionFromWeekly. */
   def funnelDepths(events: DataFrame,
       stages: Seq[String] = Seq("view", "click", "purchase"),
       lateness: String = "2 hours",
@@ -160,7 +172,10 @@ object EventStream extends Serializable {
 
   /** The funnel REPORT over accumulated [[funnelDepths]] rows — the
     * same (funnel_stage, n_users) shape as EventOps.funnel, run as a
-    * tiny batch aggregate over the streaming sink. */
+    * tiny batch aggregate over the streaming sink. `n_users` counts
+    * funnel OBSERVATIONS (one per closed quiet window — see the
+    * conversion-window note on [[funnelDepths]]); it equals distinct
+    * users exactly when no user spans multiple windows. */
   def funnelCounts(depths: DataFrame): DataFrame =
     depths.groupBy(col("funnel_stage"))
       .agg(count(lit(1)).as("n_users"))

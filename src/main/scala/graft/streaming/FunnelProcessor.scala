@@ -9,11 +9,13 @@ import org.apache.spark.sql.streaming._
   * implicit timeout slot, backed by the RocksDB state store.
   *
   * Semantics are identical to the flatMapGroupsWithState form
-  * ([[EventStream.funnelDepths]] — the spec pins the two equal): buffer
-  * a user's stage events (arrival order irrelevant; depth is computed
-  * from timestamps at close), push the close deadline forward as events
-  * arrive, and on timer expiry collapse the buffer to one
-  * [[FunnelDepth]] row and drop all state. What the v2 API buys at
+  * ([[EventStream.funnelDepths]] — the spec pins the two equal,
+  * including the conversion-window behavior documented there: quietMs
+  * bounds each observation, and a user whose events straddle windows
+  * emits one row per window): buffer a user's stage events (arrival
+  * order irrelevant; depth is computed from timestamps at close), push
+  * the close deadline forward as events arrive, and on timer expiry
+  * collapse the buffer to one [[FunnelDepth]] row and drop all state. What the v2 API buys at
   * scale: the event buffer is a ListState — appends write ONLY the new
   * rows to the store, where fMGWS rewrites the whole accumulated state
   * object every batch (O(events²) store writes per user lifetime vs

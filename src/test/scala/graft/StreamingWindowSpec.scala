@@ -159,6 +159,50 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a user whose events straddle the quiet window splits into per-window observations") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = EventStream.funnelDepths(events).writeStream
+      .outputMode(OutputMode.Append).format("memory").queryName("funnel_split_test")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    try {
+      // view at 10:00; the watermark then passes the 12:00 deadline
+      // (sentinels at 14:05/14:10 → watermark 12:05) and closes the
+      // first observation at depth 1. The user's later view+click at
+      // 13:01/13:05 arrive AFTER the close and open a second window,
+      // observed at depth 2. The infinite-window batch form would
+      // report ONE depth-2 user — the documented divergence when the
+      // watermark observes a gap longer than the conversion window.
+      // (If the second burst arrives before the watermark passes the
+      // deadline, the buffers merge and stream ≡ batch — which is what
+      // the previous test exercises.)
+      input.addData((ts("2024-01-01 10:00:00"), 1L, "view", 1.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 14:05:00"), 9L, "view", 0.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 14:10:00"), 9L, "view", 0.0))
+      q.processAllAvailable()
+      // first observation closed at depth 1; now the second burst
+      // (13:01 > watermark 12:10, so not late)
+      input.addData(
+        (ts("2024-01-01 13:01:00"), 1L, "view", 1.0),
+        (ts("2024-01-01 13:05:00"), 1L, "click", 1.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 18:00:00"), 9L, "view", 0.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 19:00:00"), 9L, "view", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_split_test")
+        .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("funnel_stage")))
+        .toSeq.sorted
+      assert(rows == Seq((1L, 1), (1L, 2)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("transformWithState funnel matches the fMGWS funnel and the batch form") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
