@@ -117,6 +117,8 @@ object SparkEntry {
     "events_range" -> ((s, d) => TemporalJoins.clicksAfterPurchase(Tables.events(s, d))),
     // explicit two-phase salted aggregation (result ≡ plain groupBy)
     "events_salted_counts" -> ((s, d) => ext.Skew.saltedTypeCounts(Tables.events(s, d))),
+    // per-type z-score outliers from exact quantized moments
+    "events_anomalies" -> ((s, d) => EventOps.valueAnomalies(Tables.events(s, d))),
     // typed bounded-heap TopKAggregator as an oracle-gated query
     "events_top_types" -> ((s, d) => EventOps.topEventTypes(Tables.events(s, d))),
     // ordered funnel: view → click → purchase, count per reached depth
@@ -259,6 +261,7 @@ object SparkEntry {
     "events_asof" -> OracleSqlExt.eventsAsof,
     "events_range" -> OracleSqlExt.eventsRange,
     "events_salted_counts" -> OracleSqlExt.eventsSaltedCounts,
+    "events_anomalies" -> OracleSqlExt.eventsAnomalies,
     "events_top_types" -> OracleSqlExt.eventsTopTypes,
     "events_funnel" -> OracleSqlExt.eventsFunnel,
     "events_retention" -> OracleSqlExt.eventsRetention,

@@ -159,6 +159,41 @@ object EventOps {
         (col("n_active").cast("double") / col("cohort_size")).as("retention"))
   }
 
+  /** Value-outlier detection per event type: events whose value sits
+    * more than `z` standard deviations from their type's mean — the
+    * data-quality / fraud sweep over an event stream, composed from the
+    * exact-moment discipline of [[Analytics.orderMoments]].
+    *
+    * Determinism: values quantize to integers (round(v·10⁶), the
+    * embedding-quantization move), so Σv and Σv² are exact 64-bit /
+    * decimal sums independent of shuffle order; mean and std come out
+    * via one division and one correctly-rounded sqrt, and each event's
+    * z-score is a fixed three-op IEEE expression — bit-identical in
+    * both engines, so even the float z-score column hash-matches. The
+    * quantization scale cancels in the z-score.
+    *
+    * Scale posture: one map-side-combinable aggregate (|event types|
+    * rows out), broadcast back over the streaming scan — no window, no
+    * per-event shuffle. */
+  def valueAnomalies(events: DataFrame, z: Double = 3.0): DataFrame = {
+    val v = expr("CAST(round(value * 1000000) AS BIGINT)")
+    val stats = events.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(v).as("sv"),
+      sum(expr("CAST(CAST(round(value * 1000000) AS BIGINT) " +
+        "* CAST(round(value * 1000000) AS BIGINT) AS DECIMAL(38,0))")).as("sv2"))
+      .select(col("event_type"),
+        (col("sv").cast("double") / col("n")).as("mean_q"),
+        sqrt((col("sv2").cast("double") - col("sv").cast("double")
+          * col("sv").cast("double") / col("n")) / col("n")).as("std_q"))
+      .filter(col("std_q") > 0)
+    events
+      .join(broadcast(stats), Seq("event_type"))
+      .withColumn("zscore", (v.cast("double") - col("mean_q")) / col("std_q"))
+      .filter(abs(col("zscore")) > z)
+      .select(col("event_id"), col("event_type"), col("value"), col("zscore"))
+  }
+
   def topEventTypes(events: DataFrame, k: Int = 3): DataFrame = {
     import events.sparkSession.implicits._
     val counts = events.groupBy(col("event_type")).agg(count(lit(1)).as("n"))

@@ -75,6 +75,27 @@ SELECT o_orderstatus, n_orders,
             * sqrt(n_orders * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_price_day
 FROM g"""
 
+  /** Mirror of EventOps.valueAnomalies(z=3): quantized integer moments
+    * per type, z-score with the identical floating-op order. */
+  val eventsAnomalies: String = """
+WITH qv AS (
+  SELECT event_id, event_type, value,
+         CAST(round(value * 1000000) AS BIGINT) AS v
+  FROM events),
+st AS (
+  SELECT event_type, COUNT(*) AS n, SUM(v) AS sv, SUM(v * v) AS sv2
+  FROM qv GROUP BY event_type),
+m AS (
+  SELECT event_type,
+         CAST(sv AS DOUBLE) / n AS mean_q,
+         sqrt((CAST(sv2 AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n) / n) AS std_q
+  FROM st
+  WHERE sqrt((CAST(sv2 AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n) / n) > 0)
+SELECT q.event_id, q.event_type, q.value,
+       (CAST(q.v AS DOUBLE) - m.mean_q) / m.std_q AS zscore
+FROM qv q JOIN m ON m.event_type = q.event_type
+WHERE abs((CAST(q.v AS DOUBLE) - m.mean_q) / m.std_q) > 3"""
+
   val windowTopOrders: String = """
 SELECT o_custkey, o_orderkey,
        o_totalprice AS total_price, rank

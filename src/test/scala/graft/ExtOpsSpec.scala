@@ -201,6 +201,21 @@ class ExtOpsSpec extends SparkSpec {
     assert(math.abs(c - 1.0) < 1e-6)
   }
 
+  test("value anomalies flag exactly the planted outlier") {
+    import spark.implicits._
+    // 200 clicks near 10.0 plus one at 500; a different type's values
+    // spread wide enough that 500 there would NOT be an outlier
+    val rows = (1L to 200L).map(i =>
+      (i, "click", 10.0 + (i % 5) * 0.1)) ++ Seq((666L, "click", 500.0)) ++
+      (300L to 320L).map(i => (i, "spread", (i - 300) * 100.0))
+    val df = rows.map { case (id, t, v) =>
+      (id, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, t, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.ext.EventOps.valueAnomalies(df, z = 3.0).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+    assert(out.toSeq == Seq((666L, "click")), s"got ${out.toSeq}")
+  }
+
   test("integer PageRank matches a driver-side reference and ranks the hub highest") {
     import spark.implicits._
     // star: 0 at the center of 1..4, plus the isolated 9
