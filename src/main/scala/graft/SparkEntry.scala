@@ -177,6 +177,11 @@ object SparkEntry {
     "corpus_mixture" -> ((s, d) => TextOps.mixtureWeights(docs(s, d))),
     "sample_hash" -> ((s, d) => TextOps.hashSample(docs(s, d))),
     "sample_stratified" -> ((s, d) => TextOps.stratifiedSample(docs(s, d))),
+    // materialized temperature mixture: per-source hash sample at the
+    // mixture-weight rate (floored threshold, key-pure bucket)
+    "sample_mixture" -> ((s, d) => TextOps.mixtureSample(docs(s, d))),
+    // integer-bit tf-idf: top distinctive terms per document
+    "text_tfidf" -> ((s, d) => TextOps.tfidfTerms(docs(s, d))),
 
     // ---- deduplication over `documents` -------------------------------
     "dedup_exact" -> ((s, d) => DedupOps.exactDups(docs(s, d))),
@@ -297,6 +302,8 @@ GROUP BY l_returnflag""",
     "corpus_contamination" -> OracleSqlExt.corpusContamination,
     "corpus_mixture" -> OracleSqlExt.corpusMixture,
     "sample_hash" -> OracleSqlExt.textHashSample,
+    "sample_mixture" -> OracleSqlExt.corpusMixtureSample,
+    "text_tfidf" -> OracleSqlExt.textTfidf,
     "sample_stratified" -> OracleSqlExt.sampleStratified,
 
     "dedup_exact" -> OracleSqlExt.dedupExact,

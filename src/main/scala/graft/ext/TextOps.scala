@@ -365,6 +365,65 @@ object TextOps {
         (col("w") / col("total")).as("weight"))
   }
 
+  /** Top-k distinctive terms per document by integer-bit TF-IDF:
+    * tf × (⌊log₂ N⌋ − ⌊log₂ df⌋) — the rarity weight in BITS via
+    * length(bin(n)), the same float-free log as [[unigramSurprisal]],
+    * so scores are exact integers and the per-doc ranking (ties on the
+    * term string) hash-matches SQL. [[topTerms]] ranks by raw tf; this
+    * is the keyword/topic signal that DOWN-weights corpus-wide terms.
+    *
+    * Scale posture: the same explode→(doc, term) tf aggregate as
+    * topTerms, a vocab-sized df aggregate over it, a broadcast of the
+    * single doc count, and a per-doc top-k window over the already
+    * aggregated tf frame. */
+  def tfidfTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents.select(col("doc_id"),
+      explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = broadcast(documents.agg(count(lit(1)).as("n_docs")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf_bits").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(nDocs)
+      .withColumn("tfidf_bits",
+        col("tf") * (length(expr("bin(n_docs)")) - length(expr("bin(df)"))).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        col("tfidf_bits"))
+  }
+
+  /** Materialize the temperature mixture: a deterministic corpus
+    * subsample at each source's [[mixtureWeights]] rate — the step that
+    * turns the mixing REPORT into actual training data. A doc survives
+    * iff its key-pure hash bucket (md5(doc_id) mod 10⁶, the
+    * [[hashSample]] rule) falls under ⌊weight·10⁶⌋.
+    *
+    * Cross-engine exactness of a float-derived THRESHOLD: the weights
+    * are bit-identical by the ordered-fold construction, weight·10⁶ is
+    * one correctly-rounded multiply, and the comparison bound goes
+    * through an explicit floor() — never a raw double→int cast, whose
+    * rounding direction differs between engines (Spark casts truncate,
+    * DuckDB casts round). Same sample on every run, engine,
+    * partitioning, and retry.
+    *
+    * Scale posture: the weight frame is |sources| rows, broadcast; the
+    * filter is a key-pure scan predicate — no shuffle beyond the tiny
+    * weight aggregation. */
+  def mixtureSample(documents: DataFrame): DataFrame = {
+    val w = mixtureWeights(documents).select(col("source"),
+      expr("CAST(floor(weight * 1000000) AS BIGINT)").as("keep_bound"))
+    val bucket = conv(substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("bigint") % 1000000
+    documents.join(broadcast(w), Seq("source"))
+      .filter(bucket < col("keep_bound"))
+      .select(col("doc_id"), col("source"), col("keep_bound"))
+  }
+
   /** Within-document repetition signals (the Gopher-rules family):
     * 3-gram total/distinct counts, the hottest 3-gram's count, and the
     * duplicate-3-gram fraction — the filters that catch boilerplate,

@@ -506,6 +506,37 @@ tot AS (SELECT list_reduce(list(w ORDER BY source), (a, b) -> a + b) AS total FR
 SELECT w.source, w.n_docs, w.n_tokens, w.w / tot.total AS weight
 FROM w, tot"""
 
+  /** Mirror of TextOps.tfidfTerms(k=3): integer-bit idf from
+    * length(bin(n)), per-doc top-3 with ties on the term string. */
+  val textTfidf: String = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+sc AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         t.tf * CAST(length(bin(n.n_docs)) - length(bin(d.df)) AS BIGINT) AS tfidf_bits
+  FROM tf t JOIN dfq d USING (term) CROSS JOIN nd n)
+SELECT doc_id, rank, term, tf, df, tfidf_bits FROM (
+  SELECT doc_id, term, tf, df, tfidf_bits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_bits DESC, term) AS rank
+  FROM sc)
+WHERE rank <= 3"""
+
+  /** Mirror of TextOps.mixtureSample: the corpusMixture weights nested
+    * as a derived table, hashSample's md5 bucket rule, explicit floor()
+    * on the threshold (raw double→int casts round differently across
+    * engines). */
+  def corpusMixtureSample: String = s"""
+WITH wt AS (
+  SELECT source, CAST(floor(weight * 1000000) AS BIGINT) AS keep_bound
+  FROM ($corpusMixture))
+SELECT d.doc_id, d.source, wt.keep_bound
+FROM documents d JOIN wt USING (source)
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+      < wt.keep_bound"""
+
   val textFingerprint: String = """
 WITH toks AS (
   SELECT doc_id, text, string_split(text, ' ') AS t,

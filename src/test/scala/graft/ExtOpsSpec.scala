@@ -201,6 +201,38 @@ class ExtOpsSpec extends SparkSpec {
     assert(math.abs(c - 1.0) < 1e-6)
   }
 
+  test("tfidf ranks a rare term above a corpus-wide term of equal tf") {
+    import spark.implicits._
+    // "shared" appears in every doc (idf bits = 0); "distinct0" only in
+    // doc 0 — same tf within doc 0, so the idf weight decides
+    val d = (0L to 7L).map(i =>
+      (i, s"shared shared distinct$i distinct$i filler$i")).toDF("doc_id", "text")
+    val out = TextOps.tfidfTerms(d, k = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[String]("term"), r.getAs[Long]("tfidf_bits"))).toMap
+    // N=8 docs → bin length 4; df(shared)=8 → bits 0; df(distinct0)=1 → bits 3
+    assert(out((0L, 1))._1 == "distinct0")
+    assert(out((0L, 1))._2 == 2 * 3)
+    assert(!out.exists { case ((_, r), (t, _)) => t == "shared" && r == 1 })
+  }
+
+  test("mixture sample is deterministic and keeps ≈rate per source") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val d = (0L until 4000L).map { i =>
+      val src = s"s${i % 2}"
+      (i, src, Seq.fill(20)("tok").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    def run() = TextOps.mixtureSample(d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"))).toSet
+    val got = run()
+    assert(run() == got) // key-pure: identical on re-run
+    // two equal-token sources → weight 0.5 each → ~50% kept per source
+    val bySrc = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySrc.keySet == Set("s0", "s1"))
+    bySrc.values.foreach(n => assert(math.abs(n - 1000) < 150, s"per-source kept $n"))
+  }
+
   test("value anomalies flag exactly the planted outlier") {
     import spark.implicits._
     // 200 clicks near 10.0 plus one at 500; a different type's values
