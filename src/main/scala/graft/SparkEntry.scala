@@ -126,6 +126,8 @@ object SparkEntry {
     // at gate SF — the full stream funnels everyone to depth 3)
     "events_funnel" -> ((s, d) => EventOps.funnel(Tables.events(s, d)
       .filter(org.apache.spark.sql.functions.col("event_id") % 5 === 0))),
+    // funnel WITHIN gap-based sessions: converts-in-one-sitting counts
+    "events_session_funnel" -> ((s, d) => EventOps.sessionFunnel(Tables.events(s, d))),
     // weekly cohort retention matrix
     "events_retention" -> ((s, d) => EventOps.retentionCohorts(Tables.events(s, d))),
     // Morton (Z-order) interleave for two-sided file-stat pruning
@@ -269,6 +271,7 @@ object SparkEntry {
     "events_anomalies" -> OracleSqlExt.eventsAnomalies,
     "events_top_types" -> OracleSqlExt.eventsTopTypes,
     "events_funnel" -> OracleSqlExt.eventsFunnel,
+    "events_session_funnel" -> OracleSqlExt.eventsSessionFunnel,
     "events_retention" -> OracleSqlExt.eventsRetention,
     "layout_zorder" -> OracleSqlExt.layoutZorder,
     "agg_percentiles" -> OracleSqlExt.aggPercentiles,

@@ -129,6 +129,54 @@ object EventOps {
     * the matrix hash-matches the SQL oracle. Shape: one distinct over
     * (user, week) — map-side combinable — then user-keyed min + join
     * that reuse one partitioning; the final per-cohort frame is tiny. */
+  /** Funnel WITHIN sessions: gap-based sessionization (a >gapMinutes
+    * silence starts a new session — lag + running sum of boundary
+    * flags, the per-event assignment `session_window` aggregation
+    * can't give), then the [[funnel]] stage chain keyed by (user,
+    * session) — "did the journey convert in one sitting", the
+    * product-analytics composition of the two operators, and the batch
+    * analog of the streaming funnel's conversion window
+    * ([[graft.streaming.EventStream.funnelDepths]]).
+    *
+    * Scale posture: the session assignment windows per user (one
+    * exchange of the events frame); every funnel join+agg then reuses
+    * hash partitioning on (user, session); boundary flags and session
+    * ids are exact integers, so the whole report hash-matches SQL. */
+  def sessionFunnel(events: DataFrame,
+      stages: Seq[String] = Seq("view", "click", "purchase"),
+      gapMinutes: Int = 30): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLag = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes * 60L * 1000000L
+    val sess = events
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("new_sess",
+        when(unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(wLag) > gapUs,
+          lit(1L)).otherwise(lit(0L)))
+      .withColumn("session_id", sum(col("new_sess")).over(w))
+    var cur = sess.filter(col("event_type") === stages.head)
+      .groupBy(col("user_id"), col("session_id")).agg(min(col("ts")).as("t1"))
+    stages.tail.zipWithIndex.foreach { case (st, i) =>
+      val prev = s"t${i + 1}"
+      cur = cur.join(
+        sess.filter(col("event_type") === st)
+          .select(col("user_id"), col("session_id"), col("ts").as("e_ts")),
+        Seq("user_id", "session_id"), "left")
+        .groupBy(col("user_id") +: col("session_id") +:
+          (1 to i + 1).map(j => col(s"t$j")): _*)
+        .agg(min(when(col("e_ts") > col(prev), col("e_ts"))).as(s"t${i + 2}"))
+    }
+    val depth = (2 to stages.size).foldLeft(lit(1)) { (acc, j) =>
+      when(col(s"t$j").isNotNull, j).otherwise(acc)
+    }
+    cur.select(depth.as("funnel_stage"))
+      .groupBy(col("funnel_stage"))
+      .agg(count(lit(1)).as("n_sessions"))
+  }
+
   /** Epoch-week of an event's ts (against the house 1992 base) — shared
     * by the batch retention matrix below and the streaming weekly-
     * activity core ([[graft.streaming.EventStream.weeklyActivity]]). */

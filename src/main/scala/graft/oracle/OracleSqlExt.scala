@@ -848,6 +848,44 @@ SELECT CASE WHEN t3 IS NOT NULL THEN 3
        count(*) AS n_users
 FROM s3 GROUP BY 1"""
 
+  /** Mirror of EventOps.sessionFunnel (30-min gap, view→click→purchase):
+    * lag + running-sum sessionization, then the funnel chain keyed by
+    * (user, session). */
+  val eventsSessionFunnel: String = """
+WITH ord AS (
+  SELECT user_id, event_id, event_type, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+sess AS (
+  SELECT user_id, event_id, event_type, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM ord),
+s1 AS (
+  SELECT user_id, session_id, min(ts) AS t1 FROM sess
+  WHERE event_type = 'view' GROUP BY user_id, session_id),
+s2 AS (
+  SELECT s1.user_id, s1.session_id, s1.t1,
+         min(CASE WHEN e.ts > s1.t1 THEN e.ts END) AS t2
+  FROM s1 LEFT JOIN sess e
+    ON e.user_id = s1.user_id AND e.session_id = s1.session_id
+   AND e.event_type = 'click'
+  GROUP BY s1.user_id, s1.session_id, s1.t1),
+s3 AS (
+  SELECT s2.user_id, s2.session_id, s2.t2,
+         min(CASE WHEN e.ts > s2.t2 THEN e.ts END) AS t3
+  FROM s2 LEFT JOIN sess e
+    ON e.user_id = s2.user_id AND e.session_id = s2.session_id
+   AND e.event_type = 'purchase'
+  GROUP BY s2.user_id, s2.session_id, s2.t2)
+SELECT CASE WHEN t3 IS NOT NULL THEN 3
+            WHEN t2 IS NOT NULL THEN 2
+            ELSE 1 END AS funnel_stage,
+       count(*) AS n_sessions
+FROM s3 GROUP BY 1"""
+
   /** Mirror of EventOps.retentionCohorts: integer week keys, one
     * double division per output row. */
   val eventsRetention: String = """

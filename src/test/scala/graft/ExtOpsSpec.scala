@@ -201,6 +201,30 @@ class ExtOpsSpec extends SparkSpec {
     assert(math.abs(c - 1.0) < 1e-6)
   }
 
+  test("session funnel splits journeys at the gap and counts per-session depths") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1 session A: view+click (depth 2); >30min gap; session B:
+    // purchase only (no view → not counted). u2: one session with the
+    // full chain (depth 3). u3: view then click 31min later — the gap
+    // SPLITS them: session of view = depth 1, click session uncounted.
+    val rows = Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, "view", 0.0, "{}"),
+      (2L, t("2024-01-01 10:10:00"), 1L, "click", 0.0, "{}"),
+      (3L, t("2024-01-01 11:00:00"), 1L, "purchase", 0.0, "{}"),
+      (4L, t("2024-01-01 09:00:00"), 2L, "view", 0.0, "{}"),
+      (5L, t("2024-01-01 09:05:00"), 2L, "click", 0.0, "{}"),
+      (6L, t("2024-01-01 09:10:00"), 2L, "purchase", 0.0, "{}"),
+      (7L, t("2024-01-01 08:00:00"), 3L, "view", 0.0, "{}"),
+      (8L, t("2024-01-01 08:31:00"), 3L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.ext.EventOps.sessionFunnel(rows).collect()
+      .map(r => r.getAs[Int]("funnel_stage") -> r.getAs[Long]("n_sessions")).toMap
+    // u1 sessA depth 2 (purchase is 50min after click → next session,
+    // which has no view), u2 depth 3, u3 first session depth 1
+    assert(out == Map(2 -> 1L, 3 -> 1L, 1 -> 1L), s"got $out")
+  }
+
   test("tfidf ranks a rare term above a corpus-wide term of equal tf") {
     import spark.implicits._
     // "shared" appears in every doc (idf bits = 0); "distinct0" only in
