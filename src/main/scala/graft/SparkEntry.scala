@@ -184,6 +184,8 @@ object SparkEntry {
     "sample_mixture" -> ((s, d) => TextOps.mixtureSample(docs(s, d))),
     // integer-bit tf-idf: top distinctive terms per document
     "text_tfidf" -> ((s, d) => TextOps.tfidfTerms(docs(s, d))),
+    // per-lang token-length histogram (dataset-card distribution table)
+    "text_length_histogram" -> ((s, d) => TextOps.lengthHistogram(docs(s, d))),
 
     // ---- deduplication over `documents` -------------------------------
     "dedup_exact" -> ((s, d) => DedupOps.exactDups(docs(s, d))),
@@ -307,6 +309,7 @@ GROUP BY l_returnflag""",
     "sample_hash" -> OracleSqlExt.textHashSample,
     "sample_mixture" -> OracleSqlExt.corpusMixtureSample,
     "text_tfidf" -> OracleSqlExt.textTfidf,
+    "text_length_histogram" -> OracleSqlExt.textLengthHistogram,
     "sample_stratified" -> OracleSqlExt.sampleStratified,
 
     "dedup_exact" -> OracleSqlExt.dedupExact,

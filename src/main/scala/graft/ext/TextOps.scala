@@ -365,6 +365,23 @@ object TextOps {
         (col("w") / col("total")).as("weight"))
   }
 
+  /** Token-length histogram per language: fixed `width`-token buckets
+    * (capped at bucket `cap` — the long tail folds into one bucket,
+    * keeping output cardinality fixed), with each bucket's doc count
+    * and token mass. The distribution report a curation pipeline reads
+    * before and after filtering — dataset cards publish exactly this
+    * table. Integer bucketing → hash oracle; one map-side-combined
+    * aggregate, |langs|×buckets rows out. */
+  def lengthHistogram(documents: DataFrame, width: Long = 50L,
+      cap: Long = 9L): DataFrame =
+    documents
+      .select(col("lang"), bpeCount.as("n_tokens"))
+      .withColumn("bucket", least(expr(s"n_tokens div $width"), lit(cap)))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens_total"))
+      .select(col("lang"), col("bucket"), (col("bucket") * width).as("bucket_lo"),
+        col("n_docs"), col("n_tokens_total"))
+
   /** Top-k distinctive terms per document by integer-bit TF-IDF:
     * tf × (⌊log₂ N⌋ − ⌊log₂ df⌋) — the rarity weight in BITS via
     * length(bin(n)), the same float-free log as [[unigramSurprisal]],

@@ -506,6 +506,18 @@ tot AS (SELECT list_reduce(list(w ORDER BY source), (a, b) -> a + b) AS total FR
 SELECT w.source, w.n_docs, w.n_tokens, w.w / tot.total AS weight
 FROM w, tot"""
 
+  /** Mirror of TextOps.lengthHistogram (width 50, cap 9). */
+  val textLengthHistogram: String = """
+WITH t AS (
+  SELECT lang,
+         CAST(list_sum(list_transform(string_split(text, ' '),
+           w -> (length(w) + 3) // 4)) AS BIGINT) AS n_tokens
+  FROM documents),
+b AS (SELECT lang, least(n_tokens // 50, 9) AS bucket, n_tokens FROM t)
+SELECT lang, bucket, CAST(bucket * 50 AS BIGINT) AS bucket_lo,
+       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total
+FROM b GROUP BY lang, bucket"""
+
   /** Mirror of TextOps.tfidfTerms(k=3): integer-bit idf from
     * length(bin(n)), per-doc top-3 with ties on the term string. */
   val textTfidf: String = """

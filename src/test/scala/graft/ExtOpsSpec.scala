@@ -201,6 +201,27 @@ class ExtOpsSpec extends SparkSpec {
     assert(math.abs(c - 1.0) < 1e-6)
   }
 
+  test("length histogram buckets fixed widths, folds the tail, and conserves totals") {
+    import spark.implicits._
+    // 10/60/620-token docs (1-char words → 1 bpe token each): buckets
+    // 0, 1, and the cap (620 div 50 = 12 → folded to 9)
+    val d = Seq(
+      (0L, "en", Seq.fill(10)("w").mkString(" ")),
+      (1L, "en", Seq.fill(60)("w").mkString(" ")),
+      (2L, "en", Seq.fill(620)("w").mkString(" ")),
+      (3L, "de", Seq.fill(60)("w").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val out = TextOps.lengthHistogram(d).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("bucket")) ->
+        (r.getAs[Long]("bucket_lo"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens_total")))
+      .toMap
+    assert(out(("en", 0L)) == ((0L, 1L, 10L)))
+    assert(out(("en", 1L)) == ((50L, 1L, 60L)))
+    assert(out(("en", 9L)) == ((450L, 1L, 620L))) // tail folded to cap
+    assert(out(("de", 1L)) == ((50L, 1L, 60L)))
+    assert(out.values.map(_._3).sum == 10 + 60 + 620 + 60) // mass conserved
+  }
+
   test("session funnel splits journeys at the gap and counts per-session depths") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)
