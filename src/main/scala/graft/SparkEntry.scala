@@ -200,6 +200,8 @@ object SparkEntry {
     "dedup_incremental_near" -> ((s, d) => DedupOps.incrementalNewNearDocs(docs(s, d))),
     // full curation composite: exact dup → near dup → quality → keep
     "corpus_clean" -> ((s, d) => ext.Corpus.cleanDecisions(docs(s, d))),
+    // per-lang dedup rates: the dataset-card report of the dedup passes
+    "corpus_dedup_report" -> ((s, d) => ext.Corpus.dedupReport(docs(s, d))),
     // lexical ⊗ semantic near-dup fusion with per-signal flags
     "corpus_cross_signal" -> ((s, d) =>
       ext.Corpus.crossSignalNearDups(docs(s, d), emb(s, d))),
@@ -322,6 +324,7 @@ GROUP BY l_returnflag""",
     "dedup_incremental" -> OracleSqlExt.dedupIncremental,
     "dedup_incremental_near" -> OracleSqlExt.dedupIncrementalNear,
     "corpus_clean" -> OracleSqlExt.corpusClean,
+    "corpus_dedup_report" -> OracleSqlExt.corpusDedupReport,
     "corpus_cross_signal" -> OracleSqlExt.corpusCrossSignal,
 
     "embed_topk" -> OracleSqlExt.embedTopK,

@@ -120,6 +120,33 @@ object Corpus {
     * partition values (one dominant lang) would re-introduce a hot
     * task; the fix is repartitioning by (lang, doc_id % k) — stated
     * trade, not needed at test SF. */
+  /** Per-language dedup REPORT: document counts, exact-dup and
+    * near-dup member counts, and their rates — the table a curation
+    * run publishes next to the dataset card (and the number that
+    * decides whether a source is worth keeping at all). Composes the
+    * oracle-gated dedup passes; rates are single double divisions over
+    * exact integer counts, so the report hash-matches SQL.
+    *
+    * Scale posture: two doc_id equi joins over the dedup outputs
+    * (uniform key), then a map-side-combined |langs|-row aggregate —
+    * cost is the dedup passes it reuses, nothing more. */
+  def dedupReport(documents: DataFrame): DataFrame = {
+    val ex = DedupOps.exactDups(documents)
+      .select(col("doc_id"), col("is_duplicate").as("is_exact"))
+    val near = DedupOps.nearDupClusters(documents)
+      .select(col("doc_id"), (col("doc_id") =!= col("cluster_id")).as("is_near"))
+    documents.select(col("doc_id"), col("lang"))
+      .join(ex, Seq("doc_id"))
+      .join(near, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_exact"), 1L).otherwise(0L)).as("n_exact_dups"),
+        sum(when(col("is_near"), 1L).otherwise(0L)).as("n_near_dups"))
+      .select(col("lang"), col("n_docs"), col("n_exact_dups"), col("n_near_dups"),
+        (col("n_exact_dups").cast("double") / col("n_docs")).as("exact_rate"),
+        (col("n_near_dups").cast("double") / col("n_docs")).as("near_rate"))
+  }
+
   def writePartitioned(df: DataFrame, path: String,
       maxRecordsPerFile: Long = 1000000L): Unit =
     df.repartition(col("lang"))

@@ -712,6 +712,24 @@ FROM (
   JOIN lab l ON l.doc_id = d.doc_id
   JOIN qual q ON q.doc_id = d.doc_id)"""
 
+  /** Mirror of Corpus.dedupReport: the cluster labeling chain shared
+    * with corpus_clean, exact-dup flags, per-lang integer counts and
+    * single-division rates. */
+  val corpusDedupReport: String = clusterLabCtes + """,
+exact AS (
+  SELECT doc_id,
+         doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_exact
+  FROM documents)
+SELECT d.lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN e.is_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups,
+       CAST(SUM(CASE WHEN l.doc_id <> l.cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups,
+       CAST(SUM(CASE WHEN e.is_exact THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS exact_rate,
+       CAST(SUM(CASE WHEN l.doc_id <> l.cluster_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS near_rate
+FROM documents d
+JOIN exact e ON e.doc_id = d.doc_id
+JOIN lab l ON l.doc_id = d.doc_id
+GROUP BY d.lang"""
+
   private val simhashCtes: String = """
 WITH dtok AS (
   SELECT DISTINCT doc_id, tok

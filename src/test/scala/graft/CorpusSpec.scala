@@ -58,6 +58,27 @@ class CorpusSpec extends SparkSpec {
     assert(got(4L) == ("low_quality", false))
   }
 
+  test("dedupReport counts exact and near dup members per language with exact rates") {
+    val rich = "the quick brown fox jumps over a lazy dog and then " +
+      "the fox runs far away to a quiet den where it rests until dawn"
+    val docs = (Seq(
+      (1L, "en", rich),                              // canonical
+      (2L, "en", rich),                              // exact dup (also near)
+      (3L, "en", rich.replace("dawn", "dusk")),      // near dup only
+      (4L, "de", "ein ganz anderes dokument ohne duplikate uberhaupt hier")
+    ) ++ fillerDocs(6)).toDF("doc_id", "lang", "text")
+    val got = Corpus.dedupReport(docs).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_exact_dups"),
+          r.getAs[Long]("n_near_dups"), r.getAs[Double]("near_rate"))).toMap
+    val en = got("en")
+    assert(en._1 == 9)                 // 3 + 6 filler
+    assert(en._2 == 1)                 // doc 2
+    assert(en._3 == 2)                 // docs 2 and 3 (non-canonical members)
+    assert(en._4 == 2.0 / 9)
+    assert(got("de") == ((1L, 0L, 0L, 0.0)))
+  }
+
   test("incrementalNewDocs keeps only odd-id content absent from the even-id snapshot") {
     val docs = Seq(
       (0L, "en", "shared content alpha"),  // snapshot
