@@ -89,8 +89,14 @@ object GraftConf {
     val mmV = mm.toIntOption.getOrElse(bad(MinMatchesKey, mm, "not an integer"))
     if (mmV < 0) bad(MinMatchesKey, mm, "must be >= 0")
 
-    for (key <- Seq(QualityThresholdKey, NearDupThresholdKey, CosineThresholdKey)) {
-      val raw = spark.conf.get(key, "0.5")
+    // Each threshold validates against ITS OWN default (not a shared
+    // literal): a shared "0.5" fallback would silently skip range-checking
+    // any future default that itself violates [0, 1].
+    for ((key, default) <- Seq(
+        QualityThresholdKey -> "0.5",
+        NearDupThresholdKey -> "0.5",
+        CosineThresholdKey -> DefaultCosineThreshold.toString)) {
+      val raw = spark.conf.get(key, default)
       val v = raw.toDoubleOption.getOrElse(bad(key, raw, "not a number"))
       if (v.isNaN || v < 0.0 || v > 1.0) bad(key, raw, "must lie in [0, 1]")
     }

@@ -181,7 +181,14 @@ object DedupOps {
     * Band indices are prefixed onto the bucket key so equal signature
     * strings in different bands stay separate buckets. */
   def bandKeys(documents: DataFrame): DataFrame = {
-    val sigs = minhashSignatures(documents)
+    // Shingle-less docs (null text) have null minhash values, which
+    // concat_ws would collapse into ONE shared degenerate band per index
+    // — a single block holding every trivial doc, O(n²) candidate pairs
+    // among them at corpus scale. The oracle's `sh` CTE has no rows for
+    // such docs (UNNEST of nothing), so dropping them here matches its
+    // implicit exclusion; the Jaccard verify would discard their pairs
+    // anyway (no shingles → empty intersection).
+    val sigs = minhashSignatures(documents).filter(col("mh0").isNotNull)
     val bandCols = (0 until NumHashes / BandSize).map(b => s"band$b")
     sigs.select(col("doc_id"),
       explode(array(bandCols.zipWithIndex.map { case (c, i) =>
@@ -325,7 +332,10 @@ object DedupOps {
     * boilerplate signature shared by thousands of identical docs). */
   def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.3): DataFrame = {
     val sets = withShingleSets(documents).cache()
-    val keyed = minhashSignatures(documents)
+    // mh0-null (shingle-less) docs would all share block_key "" —
+    // one degenerate O(n²) block; the oracle's sig CTE has no rows for
+    // them, so excluding them matches its semantics (see [[bandKeys]]).
+    val keyed = minhashSignatures(documents).filter(col("mh0").isNotNull)
       .select(col("band0").as("block_key"), col("doc_id"))
     val cand = saltedSelfPairs(keyed, "block_key", "doc_id")
     jaccardVerify(cand, sets, threshold)

@@ -228,8 +228,12 @@ object EventOps {
     val stats = events.groupBy(col("event_type")).agg(
       count(lit(1)).as("n"),
       sum(v).as("sv"),
-      sum(expr("CAST(CAST(round(value * 1000000) AS BIGINT) " +
-        "* CAST(round(value * 1000000) AS BIGINT) AS DECIMAL(38,0))")).as("sv2"))
+      // The square is formed IN decimal (cast one operand to DECIMAL(38,0)
+      // before the multiply): a BIGINT×BIGINT product would silently wrap
+      // under non-ANSI semantics once |value| ≳ 3037 (v² > Long.MaxValue),
+      // while the DuckDB oracle's checked HUGEINT arithmetic stays exact.
+      sum(expr("CAST(CAST(round(value * 1000000) AS BIGINT) AS DECIMAL(38,0)) " +
+        "* CAST(round(value * 1000000) AS BIGINT)")).as("sv2"))
       .select(col("event_type"),
         (col("sv").cast("double") / col("n")).as("mean_q"),
         sqrt((col("sv2").cast("double") - col("sv").cast("double")

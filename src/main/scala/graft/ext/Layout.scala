@@ -52,11 +52,21 @@ object Layout {
 
   /** The oracle-gated projection: each event's Z-value over
     * (user_id, minutes since [[TimeEpochMicros]]), both masked to 16
-    * bits. */
+    * bits.
+    *
+    * Pre-epoch guard: the minute bucket is clamped at 0 with
+    * greatest(). Without it, a ts before the epoch yields a negative
+    * dividend, where Spark's `div` truncates toward zero but DuckDB's
+    * `//` floors (off-by-one divergence), and the 16-bit mask on a
+    * negative bucket scrambles the Z-key anyway. Clamping keeps the
+    * non-negative-operand invariant that makes the two engines' integer
+    * division agree — the same discipline as every other `div` in this
+    * codebase — and collapses all pre-epoch history into bucket 0,
+    * which is the right layout answer (it precedes the corpus). */
   def eventZValues(events: DataFrame): DataFrame =
     events.select(col("event_id"),
       zvalue2(col("user_id"),
-        expr(s"(unix_micros(ts) - ${TimeEpochMicros}L) div 60000000")).as("zval"))
+        expr(s"greatest(0L, (unix_micros(ts) - ${TimeEpochMicros}L) div 60000000)")).as("zval"))
 
   /** Lay a frame out along the Z-curve of two keys: range-partition by
     * the interleaved value (each output file owns one curve segment),

@@ -993,7 +993,7 @@ WHERE doc_id % 3 = 2"""
   val layoutZorder: String = s"""
 WITH z0 AS (
   SELECT event_id, user_id & 65535 AS va,
-         ((epoch_us(ts) - ${graft.ext.Layout.TimeEpochMicros}) // 60000000) & 65535 AS vb
+         (greatest(0, (epoch_us(ts) - ${graft.ext.Layout.TimeEpochMicros}) // 60000000)) & 65535 AS vb
   FROM events),
 z1 AS (SELECT event_id, (va | (va << 8)) & 16711935 AS va,
               (vb | (vb << 8)) & 16711935 AS vb FROM z0),
