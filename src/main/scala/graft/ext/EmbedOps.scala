@@ -240,6 +240,21 @@ object EmbedOps {
     * Centroids are localCheckpoint'ed each round (k rows) — the same
     * iterative-lineage control as [[Graph.connectedComponents]]; swap
     * for reliable checkpoint() on a cluster. */
+  /** Deterministic hash-spread seed order: a multiplicative (Knuth)
+    * hash with one xor-fold of the high half — enough avalanche that
+    * CONSECUTIVE ids (appended shards, where id order correlates with
+    * content) land all over the ordering, unlike first-k-by-id whose
+    * seeds all come from one region and make Lloyd start degenerate.
+    * Integer-only and non-negative throughout (`div 65536` ≡ `>> 16` ≡
+    * DuckDB `// 65536` on non-negative operands), so the oracle
+    * reproduces the exact seed set; the `% 4194304` pre-fold bounds the
+    * product at ~1.1e16 — no BIGINT overflow in either engine. Ties
+    * (ids ≡ mod 4194304) break on vec_id. */
+  private def seedSpread: Column = {
+    val h = "((vec_id % 4194304 + 99991) * 2654435761) % 4294967296"
+    expr(s"($h) ^ (($h) div 65536)")
+  }
+
   def kmeansAssignments(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
     // cache lifetime is CALLER-MANAGED (same policy as lshNearDups'
     // sigs cache): the returned plan still references it, so this
@@ -248,7 +263,7 @@ object EmbedOps {
     // spark.catalog.clearCache() between rounds.
     val base = embeddings.select(
       col("vec_id"), quantized(col("embedding")).as("q")).cache()
-    var cents = base.orderBy(col("vec_id")).limit(k)
+    var cents = base.orderBy(seedSpread, col("vec_id")).limit(k)
       .select(col("vec_id").as("centroid_id"), col("q").as("cv"))
       .localCheckpoint(true)
     for (_ <- 1 to iters)

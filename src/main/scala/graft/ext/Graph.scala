@@ -85,52 +85,77 @@ object Graph {
   /** Integer-exact PageRank over an undirected pair graph — document
     * centrality on the near-dup graph (a high-rank doc is a hub its
     * whole duplicate neighborhood points at: the template/boilerplate
-    * source, the natural cluster representative to keep).
+    * source, the natural cluster representative to keep). Symmetrizes
+    * the pairs and delegates to [[pageRankDirected]]. */
+  def pageRank(vertices: DataFrame, pairs: DataFrame, iters: Int = 3): DataFrame = {
+    val p = pairs.select(col(pairs.columns(0)).as("src"),
+      col(pairs.columns(1)).as("dst"))
+    pageRankDirected(vertices,
+      p.unionByName(p.select(col("dst").as("src"), col("src").as("dst"))), iters)
+  }
+
+  /** PageRank over DIRECTED edges, with dangling-mass redistribution.
     *
     * Power iteration with a FIXED round count and ALL-INTEGER
     * arithmetic, so the result hash-matches a SQL oracle: ranks are
     * scaled by 10¹², the damping split is (15·base) div 100 +
-    * (85·inflow) div 100, and each neighbor contribution is
-    * r div deg — every operand non-negative, so truncating (Spark
-    * `div`) and flooring (DuckDB `//`) division agree. Truncation
-    * leaks ≤1 scaled unit per op (≈10⁻¹² of mass) — the ranking is a
-    * deterministic quantization of real PageRank, same trade as
-    * [[TextOps.unigramSurprisal]]'s integer bits. Dangling mass is NOT
-    * redistributed (isolated docs keep the base rank) — stated
-    * simplification; on a near-dup graph edges are symmetric so every
-    * connected node has out-degree.
+    * (85·(inflow + dangling share)) div 100, and each neighbor
+    * contribution is r div deg — every operand non-negative, so
+    * truncating (Spark `div`) and flooring (DuckDB `//`) division
+    * agree. Truncation leaks ≤1 scaled unit per op (≈10⁻¹² of mass) —
+    * the ranking is a deterministic quantization of real PageRank, same
+    * trade as [[TextOps.unigramSurprisal]]'s integer bits.
+    *
+    * Dangling mass: each round, the total rank of out-degree-0 nodes
+    * (graph sinks; on the symmetrized near-dup graph, exactly the
+    * isolated docs) is summed into a 1-row frame and every node
+    * receives its `dm div n` share inside the damped term — the
+    * standard uniform-teleport treatment, without which total mass
+    * drains through sinks and the ranking degrades to in-degree
+    * counting. With it, Σr is invariant round over round up to the
+    * documented ≤(2n+1)-unit truncation leak (one div per node for the
+    * share, one per damped term, one for the base) — the
+    * mass-conservation property ExtOpsSpec asserts on a sink graph.
     *
     * Scale posture per round: one equi join ranks⋈edges on the vertex
     * id + one map-side-combinable groupBy(dst) — the same shape as
     * [[connectedComponents]]' rounds, with the same per-round
-    * localCheckpoint lineage control. Degrees computed once. No
-    * driver-side data beyond the tiny doc count. */
-  def pageRank(vertices: DataFrame, pairs: DataFrame, iters: Int = 3): DataFrame = {
+    * localCheckpoint lineage control — plus one 1-row aggregate over
+    * the (already materialized) ranks frame for the dangling sum,
+    * broadcast back. Degrees computed once. No driver-side data beyond
+    * the tiny doc count. */
+  def pageRankDirected(vertices: DataFrame, directedEdges: DataFrame,
+      iters: Int = 3): DataFrame = {
     val Scale = 1000000000000L
-    val p = pairs.select(col(pairs.columns(0)).as("src"),
-      col(pairs.columns(1)).as("dst"))
-    val edges = p.unionByName(
-      p.select(col("dst").as("src"), col("src").as("dst"))).cache()
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edges = directedEdges.select(
+      col(directedEdges.columns(0)).as("src"),
+      col(directedEdges.columns(1)).as("dst")).cache()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
     val nodes = vertices.select(col(vertices.columns(0)).as("id"))
     val nTotal = broadcast(nodes.agg(count(lit(1)).as("n")))
     var ranks = nodes.crossJoin(nTotal)
       .select(col("id"), expr(s"${Scale}L div n").as("r"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
+      // rank parked on sinks this round (nodes with no out-edge);
+      // sum fits a long: Σr ≤ Scale = 10¹²
+      val dangling = broadcast(ranks
+        .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dm")))
       val inflow = edges
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
         .join(deg, Seq("src"))
         .select(col("dst").as("id"), expr("r div deg").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("inflow"))
-      ranks = nodes.crossJoin(nTotal)
+      ranks = nodes.crossJoin(nTotal).crossJoin(dangling)
         .join(inflow, Seq("id"), "left")
         .select(col("id"),
           (expr(s"(15 * (${Scale}L div n)) div 100") +
-            expr("(85 * coalesce(inflow, 0L)) div 100")).as("r"))
+            expr("(85 * (coalesce(inflow, 0L) + dm div n)) div 100")).as("r"))
         .localCheckpoint()
     }
     edges.unpersist()
+    deg.unpersist()
     ranks.select(col("id"), col("r").as("rank_scaled"))
   }
 

@@ -799,8 +799,14 @@ nn AS (SELECT COUNT(*) AS n FROM documents),
 r0 AS (
   SELECT d.doc_id AS id, 1000000000000 // nn.n AS r
   FROM documents d CROSS JOIN nn)"""
+    // Each round mirrors Graph.pageRankDirected: dangling mass (rank on
+    // out-degree-0 nodes — the isolated docs of the symmetrized pair
+    // graph) redistributes uniformly as `dm // n` inside the damped term.
     val rounds = (1 to 3).map { i =>
       s""",
+d$i AS (
+  SELECT COALESCE(SUM(r.r), 0) AS dm
+  FROM r${i - 1} r LEFT JOIN dg g ON g.src = r.id WHERE g.src IS NULL),
 i$i AS (
   SELECT e.dst AS id, SUM(r.r // g.deg) AS inflow
   FROM edges e JOIN r${i - 1} r ON r.id = e.src JOIN dg g ON g.src = e.src
@@ -808,8 +814,8 @@ i$i AS (
 r$i AS (
   SELECT b.id,
          (15 * (1000000000000 // nn.n)) // 100
-         + (85 * COALESCE(i$i.inflow, 0)) // 100 AS r
-  FROM r0 b CROSS JOIN nn LEFT JOIN i$i ON i$i.id = b.id)"""
+         + (85 * (COALESCE(i$i.inflow, 0) + d$i.dm // nn.n)) // 100 AS r
+  FROM r0 b CROSS JOIN nn CROSS JOIN d$i LEFT JOIN i$i ON i$i.id = b.id)"""
     }.mkString
     base + rounds + """
 SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_scaled FROM r3"""
@@ -1137,10 +1143,15 @@ $out AS (
   FROM $prev c LEFT JOIN p_$out p USING (centroid_id))"""
 
   /** Mirror of EmbedOps.kmeansAssignments(k=8, iters=2): seeds = the 8
-    * lowest vec_ids, two Lloyd rounds, output = the final assignment.
-    * Every value is a 64-bit integer — no float enters the plan. */
+    * lowest vec_ids in the HASH-SPREAD order (EmbedOps.seedSpread —
+    * Knuth multiplicative hash + one xor-fold, ties on vec_id), two
+    * Lloyd rounds, output = the final assignment. Every value is a
+    * 64-bit integer — no float enters the plan. */
   val embedKmeans: String = quantCte + s""",
-c0 AS (SELECT vec_id AS centroid_id, qv AS cv FROM q ORDER BY vec_id LIMIT 8),
+c0 AS (SELECT vec_id AS centroid_id, qv AS cv FROM (
+  SELECT vec_id, qv,
+         ((vec_id % 4194304 + 99991) * 2654435761) % 4294967296 AS h
+  FROM q) ORDER BY xor(h, h // 65536), vec_id LIMIT 8),
 a0 AS (${kmeansAssignSql("c0")}),${kmeansUpdateSql("a0", "c0", "c1")},
 a1 AS (${kmeansAssignSql("c1")}),${kmeansUpdateSql("a1", "c1", "c2")}
 ${kmeansAssignSql("c2")}"""

@@ -301,22 +301,44 @@ class ExtOpsSpec extends SparkSpec {
     val got = graft.ext.Graph.pageRank(nodes, pairs, iters = 3)
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank_scaled")).toMap
 
-    // reference: same integer recurrence
+    // reference: same integer recurrence, incl. the dangling share
     val scale = 1000000000000L
     val n = 6L
     val edges = Seq(0L -> 1L, 0L -> 2L, 0L -> 3L, 0L -> 4L).flatMap(e => Seq(e, e.swap))
     val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
     var r = (Seq(0L, 1L, 2L, 3L, 4L, 9L).map(_ -> scale / n)).toMap
     for (_ <- 1 to 3) {
+      val dm = r.collect { case (id, rv) if !deg.contains(id) => rv }.sum
       val inflow = edges.groupBy(_._2).map { case (dst, es) =>
         dst -> es.map { case (src, _) => r(src) / deg(src) }.sum
       }
       r = r.keys.map(id => id ->
-        ((15 * (scale / n)) / 100 + (85 * inflow.getOrElse(id, 0L)) / 100)).toMap
+        ((15 * (scale / n)) / 100 +
+          (85 * (inflow.getOrElse(id, 0L) + dm / n)) / 100)).toMap
     }
     assert(got == r)
     assert(got(0L) > got(1L)) // the hub outranks the spokes
-    assert(got(9L) == (15 * (scale / n)) / 100) // isolated: base rank only
+    assert(got(9L) < got(1L)) // isolated: dangling share only, no inflow
+  }
+
+  test("directed PageRank with a sink conserves total mass within the quantization leak") {
+    import spark.implicits._
+    // chain 0 → 1 → 2 plus isolated 7: node 2 and 7 are sinks; without
+    // dangling redistribution their inflow mass drains every round.
+    val nodes = Seq(0L, 1L, 2L, 7L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val got = graft.ext.Graph.pageRankDirected(nodes, edges, iters = 3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank_scaled")).toMap
+    val scale = 1000000000000L
+    val total = got.values.sum
+    // each round truncates ≤1 unit per div: base, share, damped term,
+    // and per-edge contribution → a generous 4·(n+edges)·iters bound,
+    // microscopic against Scale = 10¹²
+    val leakBound = 4L * (4 + 2) * 3
+    assert(total <= scale && total >= scale - leakBound,
+      s"mass $total drifted from $scale by more than $leakBound")
+    // the sink-fed node still outranks the chain head (it has inflow)
+    assert(got(2L) > got(0L))
   }
 
   test("SQ8 codes stay in int8 range and reconstruction error is bounded by scale/2 per dim") {

@@ -13,17 +13,48 @@ class KMeansSpec extends SparkSpec {
     rows.map { case (id, v) => (id, v, 0) }.toDF("vec_id", "embedding", "label")
   }
 
+  /** The hash-spread seed order of ids 1..6 is [2, 4, 1, 6, 3, 5]
+    * (same formula as EmbedOps.seedSpread — asserted below), so k=2
+    * seeds are {2, 4}. */
+  private def spreadMix(v: Long): Long = {
+    val h = ((v % 4194304 + 99991) * 2654435761L) % 4294967296L
+    h ^ (h / 65536)
+  }
+
   test("well-separated groups land on separate centroids") {
-    // Two tight groups; seeds (two lowest vec_ids) start one in each.
+    // Two tight groups placed so the k=2 spread seeds {2, 4} start one
+    // in each: group + = {1, 2, 5}, group − = {3, 4, 6}.
+    assert(Seq(1L, 2L, 3L, 4L, 5L, 6L).sortBy(id => (spreadMix(id), id))
+      .take(2).toSet == Set(2L, 4L))
     val out = EmbedOps.kmeansAssignments(emb(
-      1L -> Array(1.0f, 1.0f, 0.0f), 2L -> Array(-1.0f, -1.0f, 0.0f),
-      3L -> Array(0.9f, 1.1f, 0.0f), 4L -> Array(-1.1f, -0.9f, 0.0f),
+      1L -> Array(1.0f, 1.0f, 0.0f), 2L -> Array(0.9f, 1.1f, 0.0f),
+      3L -> Array(-1.0f, -1.0f, 0.0f), 4L -> Array(-1.1f, -0.9f, 0.0f),
       5L -> Array(1.1f, 0.9f, 0.1f), 6L -> Array(-0.9f, -1.1f, -0.1f)),
       k = 2, iters = 2)
       .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("centroid_id")).toMap
-    assert(out(1L) == out(3L) && out(3L) == out(5L))
-    assert(out(2L) == out(4L) && out(4L) == out(6L))
-    assert(out(1L) != out(2L))
+    assert(out(1L) == out(2L) && out(2L) == out(5L))
+    assert(out(3L) == out(4L) && out(4L) == out(6L))
+    assert(out(1L) != out(3L))
+  }
+
+  test("hash-spread seeds recover clusters on id-sorted (content-correlated) data where first-k seeds collapse") {
+    // Appended-shard regime: ids 0..9 are one content region, 10..19
+    // another. First-k-by-id seeding would put BOTH k=2 seeds in the
+    // first region (ids 0 and 1); the spread order's first two ids are
+    // {10, 2} — one per region — so Lloyd starts non-degenerate and
+    // recovers the true clustering.
+    val order = (0L until 20L).sortBy(id => (spreadMix(id), id))
+    assert(order.take(2).toSet == Set(10L, 2L), s"seed order changed: $order")
+    val vecs = (0L until 20L).map { id =>
+      val c = if (id < 10) 0.0f else 100.0f
+      id -> Array(c + (id % 10) * 0.01f, c, 0.0f)
+    }
+    val out = EmbedOps.kmeansAssignments(emb(vecs: _*), k = 2, iters = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("centroid_id")).toMap
+    val regionA = (0L until 10L).map(out).toSet
+    val regionB = (10L until 20L).map(out).toSet
+    assert(regionA.size == 1 && regionB.size == 1 && regionA != regionB,
+      s"clusters must match content regions, got $out")
   }
 
   /** Driver-side reference: the same quantize / integer-L2 / floor-div
@@ -40,7 +71,8 @@ class KMeansSpec extends SparkSpec {
           .minBy { case (c, dist) => (dist, c) }
         id -> (cid, dd)
       }
-    var cents = vecs.map(_._1).sorted.take(k).map(id => id -> q(id))
+    var cents = vecs.map(_._1).sortBy(id => (spreadMix(id), id)).take(k)
+      .map(id => id -> q(id))
     for (_ <- 1 to iters) {
       val a = assign(cents)
       cents = cents.map { case (cid, old) =>
