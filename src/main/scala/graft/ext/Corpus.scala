@@ -44,9 +44,23 @@ object Corpus {
       graft.GraftConf.qualityThreshold(spark) else qualityThreshold
     val nThr = if (nearDupThreshold.isNaN)
       graft.GraftConf.nearDupThreshold(spark) else nearDupThreshold
-    val exact = DedupOps.exactDups(documents)
+    cleanDecisionsFrom(documents, DedupOps.exactDups(documents),
+      DedupOps.nearDupClusters(documents, nThr), qThr)
+  }
+
+  /** [[cleanDecisions]] over precomputed dedup outputs: `exact` is
+    * [[DedupOps.exactDups]]' frame, `clusters` is
+    * [[DedupOps.nearDupClusters]]' — the production shape, where the
+    * curation decision derives from the MATERIALIZED dedup artifacts
+    * (one minhash+CC pass per corpus snapshot) instead of re-running
+    * them per consumer. */
+  def cleanDecisionsFrom(documents: DataFrame, exactDups: DataFrame,
+      clusters: DataFrame, qualityThreshold: Double = Double.NaN): DataFrame = {
+    val qThr = if (qualityThreshold.isNaN)
+      graft.GraftConf.qualityThreshold(documents.sparkSession) else qualityThreshold
+    val exact = exactDups
       .select(col("doc_id"), col("is_duplicate").as("is_exact_dup"))
-    val nearDup = DedupOps.nearDupClusters(documents, nThr)
+    val nearDup = clusters
       .select(col("doc_id"), col("cluster_id"),
         (!col("is_canonical")).as("is_near_dup"))
     val quality = TextOps.qualityScore(documents)
@@ -94,10 +108,20 @@ object Corpus {
       cosineThreshold: Double = Double.NaN): DataFrame = {
     val cosThr = if (cosineThreshold.isNaN)
       graft.GraftConf.cosineThreshold(documents.sparkSession) else cosineThreshold
-    val lex = DedupOps.minhashNearDups(documents)
+    crossSignalFrom(DedupOps.minhashNearDups(documents),
+      EmbedOps.lshNearDups(embeddings), cosThr)
+  }
+
+  /** [[crossSignalNearDups]] over precomputed pair frames: `lexPairs`
+    * is [[DedupOps.minhashNearDups]]' verified output, `semPairs` is
+    * [[EmbedOps.lshNearDups]]' candidate+cosine output (thresholded
+    * here) — fusion as a derivation of the two materialized pair sets. */
+  def crossSignalFrom(lexPairs: DataFrame, semPairs: DataFrame,
+      cosineThreshold: Double): DataFrame = {
+    val lex = lexPairs
       .select(col("doc_a"), col("doc_b"), lit(true).as("lexical"))
-    val sem = EmbedOps.lshNearDups(embeddings)
-      .filter(col("cosine") >= cosThr)
+    val sem = semPairs
+      .filter(col("cosine") >= cosineThreshold)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"),
         lit(true).as("semantic"))
     lex.join(sem, Seq("doc_a", "doc_b"), "full_outer")
@@ -130,10 +154,20 @@ object Corpus {
     * Scale posture: two doc_id equi joins over the dedup outputs
     * (uniform key), then a map-side-combined |langs|-row aggregate —
     * cost is the dedup passes it reuses, nothing more. */
-  def dedupReport(documents: DataFrame): DataFrame = {
-    val ex = DedupOps.exactDups(documents)
+  def dedupReport(documents: DataFrame): DataFrame =
+    dedupReportFrom(documents, DedupOps.exactDups(documents),
+      DedupOps.nearDupClusters(documents))
+
+  /** [[dedupReport]] over precomputed dedup outputs — at 100 TB a
+    * dataset-card report must be a cheap aggregate over the already-
+    * materialized dedup artifacts, not a second full minhash+CC pass;
+    * this is that derivation (two doc_id equi joins + a |langs|-row
+    * aggregate and nothing else). */
+  def dedupReportFrom(documents: DataFrame, exactDups: DataFrame,
+      clusters: DataFrame): DataFrame = {
+    val ex = exactDups
       .select(col("doc_id"), col("is_duplicate").as("is_exact"))
-    val near = DedupOps.nearDupClusters(documents)
+    val near = clusters
       .select(col("doc_id"), (col("doc_id") =!= col("cluster_id")).as("is_near"))
     documents.select(col("doc_id"), col("lang"))
       .join(ex, Seq("doc_id"))

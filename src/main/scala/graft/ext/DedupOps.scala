@@ -133,7 +133,12 @@ object DedupOps {
     * per document — candidate-pair stages must reference these
     * precomputed columns, never recompute shingles per pair (the
     * per-pair form moves the whole shingle pipeline above the join and
-    * multiplies it by the candidate count; measured 40× slower). */
+    * multiplies it by the candidate count; measured 40× slower).
+    * Public ([[shingleSets]]) so a suite can build it once and feed
+    * every `*From` variant below. */
+  def shingleSets(documents: DataFrame): DataFrame =
+    withShingleSets(documents)
+
   private def withShingleSets(documents: DataFrame): DataFrame =
     withToks(documents).select(
       col("doc_id"), col("text"),
@@ -180,7 +185,13 @@ object DedupOps {
     * index of streaming ingestion ([[graft.streaming.CorpusIngest]]).
     * Band indices are prefixed onto the bucket key so equal signature
     * strings in different bands stay separate buckets. */
-  def bandKeys(documents: DataFrame): DataFrame = {
+  def bandKeys(documents: DataFrame): DataFrame =
+    bandKeysFrom(minhashSignatures(documents))
+
+  /** [[bandKeys]] over an already-built (possibly cached/stored)
+    * signatures frame — the index-derivation a real pipeline runs over
+    * its persisted signature table rather than from raw text. */
+  def bandKeysFrom(signatures: DataFrame): DataFrame = {
     // Shingle-less docs (null text) have null minhash values, which
     // concat_ws would collapse into ONE shared degenerate band per index
     // — a single block holding every trivial doc, O(n²) candidate pairs
@@ -188,7 +199,7 @@ object DedupOps {
     // such docs (UNNEST of nothing), so dropping them here matches its
     // implicit exclusion; the Jaccard verify would discard their pairs
     // anyway (no shingles → empty intersection).
-    val sigs = minhashSignatures(documents).filter(col("mh0").isNotNull)
+    val sigs = signatures.filter(col("mh0").isNotNull)
     val bandCols = (0 until NumHashes / BandSize).map(b => s"band$b")
     sigs.select(col("doc_id"),
       explode(array(bandCols.zipWithIndex.map { case (c, i) =>
@@ -210,9 +221,18 @@ object DedupOps {
     // would otherwise recompute the whole interpreted shingle+hash
     // pipeline once per reference (3× measured). The cached plan is also
     // shared with dedup_ngram / text_fingerprint in the same session.
-    val sets = withShingleSets(documents).cache()
-    val keyed = bandKeys(documents).cache()
-    val cand = saltedSelfPairs(keyed, "band", "doc_id")
+    minhashNearDupsFrom(
+      withShingleSets(documents).cache(), bandKeys(documents).cache(), threshold)
+  }
+
+  /** [[minhashNearDups]] over precomputed shingle-set and band-key
+    * frames ([[shingleSets]] / [[bandKeys]] output, cached or read from
+    * a stored index) — lets one signature build feed the pair query,
+    * clustering, PageRank, and the dataset-card report in a single
+    * suite run instead of re-hashing the corpus per consumer. */
+  def minhashNearDupsFrom(sets: DataFrame, bands: DataFrame,
+      threshold: Double): DataFrame = {
+    val cand = saltedSelfPairs(bands, "band", "doc_id")
     jaccardVerify(cand, sets, threshold)
   }
 
@@ -223,10 +243,17 @@ object DedupOps {
     * doc per component, drop the rest).
     *
     * Deterministic: component id = min doc_id of the component. */
-  def nearDupClusters(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val pairs = minhashNearDups(documents, threshold)
-      .select(col("doc_a"), col("doc_b"))
-    val labels = Graph.connectedComponents(documents.select(col("doc_id")), pairs)
+  def nearDupClusters(documents: DataFrame, threshold: Double = 0.5): DataFrame =
+    nearDupClustersFrom(documents.select(col("doc_id")),
+      minhashNearDups(documents, threshold))
+
+  /** [[nearDupClusters]] over a precomputed verified pair frame —
+    * clustering as a cheap derivation of the materialized pair output,
+    * not a second minhash pass. `vertices` is the full doc-id universe
+    * (singletons must appear as their own clusters). */
+  def nearDupClustersFrom(vertices: DataFrame, pairs: DataFrame): DataFrame = {
+    val labels = Graph.connectedComponents(
+      vertices, pairs.select(col("doc_a"), col("doc_b")))
     Graph.clusterSummary(labels, "doc_id")
   }
 
@@ -330,12 +357,19 @@ object DedupOps {
     * block ("The …") is inherently quadratic. The block self-join still
     * goes through [[saltedSelfPairs]] for the residual hot bucket (a
     * boilerplate signature shared by thousands of identical docs). */
-  def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.3): DataFrame = {
-    val sets = withShingleSets(documents).cache()
+  def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.3): DataFrame =
+    ngramJaccardPairsFrom(withShingleSets(documents).cache(),
+      minhashSignatures(documents), threshold)
+
+  /** [[ngramJaccardPairs]] over precomputed shingle-set and signature
+    * frames — band 0 of the shared signature build is the blocking
+    * key, so the suite's one signature pass also feeds this query. */
+  def ngramJaccardPairsFrom(sets: DataFrame, signatures: DataFrame,
+      threshold: Double): DataFrame = {
     // mh0-null (shingle-less) docs would all share block_key "" —
     // one degenerate O(n²) block; the oracle's sig CTE has no rows for
-    // them, so excluding them matches its semantics (see [[bandKeys]]).
-    val keyed = minhashSignatures(documents).filter(col("mh0").isNotNull)
+    // them, so excluding them matches its semantics (see [[bandKeysFrom]]).
+    val keyed = signatures.filter(col("mh0").isNotNull)
       .select(col("band0").as("block_key"), col("doc_id"))
     val cand = saltedSelfPairs(keyed, "block_key", "doc_id")
     jaccardVerify(cand, sets, threshold)
@@ -365,12 +399,16 @@ object DedupOps {
     * duplicate neighborhood points at them, where
     * [[nearDupClusters]]' min-id canonical is purely positional. */
   def nearDupPageRank(documents: DataFrame, threshold: Double = 0.5,
-      iters: Int = 3): DataFrame = {
-    val pairs = minhashNearDups(documents, threshold)
-      .select(col("doc_a"), col("doc_b"))
-    Graph.pageRank(documents.select(col("doc_id")), pairs, iters)
+      iters: Int = 3): DataFrame =
+    nearDupPageRankFrom(documents.select(col("doc_id")),
+      minhashNearDups(documents, threshold), iters)
+
+  /** [[nearDupPageRank]] over a precomputed verified pair frame (same
+    * reuse contract as [[nearDupClustersFrom]]). */
+  def nearDupPageRankFrom(vertices: DataFrame, pairs: DataFrame,
+      iters: Int = 3): DataFrame =
+    Graph.pageRank(vertices, pairs.select(col("doc_a"), col("doc_b")), iters)
       .select(col("id").as("doc_id"), col("rank_scaled"))
-  }
 
   /** Incremental dedup: the ingestion-time complement of the batch
     * passes above. An existing corpus is represented only by its
@@ -408,9 +446,14 @@ object DedupOps {
     * Scale posture: incoming is a micro-batch, snapshot keys a stored
     * index — the join probes |batch| × band-collisions, never corpus²;
     * band keys are minhash outputs (uniform, no skew). */
-  def incrementalNewNearDocs(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sets = withShingleSets(documents).cache()
-    val keyed = bandKeys(documents).cache()
+  def incrementalNewNearDocs(documents: DataFrame, threshold: Double = 0.5): DataFrame =
+    incrementalNewNearDocsFrom(documents,
+      withShingleSets(documents).cache(), bandKeys(documents).cache(), threshold)
+
+  /** [[incrementalNewNearDocs]] over the suite's shared shingle-set and
+    * band-key frames. */
+  def incrementalNewNearDocsFrom(documents: DataFrame, sets: DataFrame,
+      keyed: DataFrame, threshold: Double): DataFrame = {
     val incoming = keyed.filter(col("doc_id") % 2 === 1)
       .select(col("band"), col("doc_id").as("doc_a"))
     val snapshot = keyed.filter(col("doc_id") % 2 === 0)

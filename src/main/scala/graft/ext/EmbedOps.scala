@@ -211,8 +211,15 @@ object EmbedOps {
     * signature — never all-pairs — so cluster recall equals LSH pair
     * recall (same-bucket collisions), the documented trade of the
     * scale path. */
-  def nearDupClusters(embeddings: DataFrame, threshold: Double = Double.NaN): DataFrame = {
-    val pairs = lshNearDups(embeddings)
+  def nearDupClusters(embeddings: DataFrame, threshold: Double = Double.NaN): DataFrame =
+    nearDupClustersFrom(embeddings, lshNearDups(embeddings), threshold)
+
+  /** [[nearDupClusters]] over a precomputed LSH candidate+cosine frame
+    * ([[lshNearDups]] output) — one signature pass feeds both the pair
+    * query and the clustering in a suite run. */
+  def nearDupClustersFrom(embeddings: DataFrame, lshPairs: DataFrame,
+      threshold: Double = Double.NaN): DataFrame = {
+    val pairs = lshPairs
       .filter(col("cosine") >= resolvedThreshold(embeddings, threshold))
       .select(col("vec_a"), col("vec_b"))
     val labels = Graph.connectedComponents(
@@ -336,11 +343,25 @@ object EmbedOps {
     * reads ONLY codes, never raw vectors: that compression is the whole
     * point of PQ. Same integer arithmetic as [[kmeansAssignments]], so
     * the full fit→encode→search pipeline hash-matches a SQL oracle. */
-  def pqTopK(embeddings: DataFrame, m: Int = 4, dsub: Int = 16,
-      ksub: Int = 8, k: Int = 5): DataFrame = {
+  /** A trained product-quantization model: the subvector frame the
+    * training scan produced (`subs` — (vec_id, sub, q), cached), the
+    * per-subspace codebook (`cents` — m×ksub rows, checkpointed), and
+    * the encoded corpus (`codes` — (vec_id, sub, centroid_id), cached).
+    * This is the train-once/encode-many contract of a production ANN
+    * index: codebooks and codes are persisted artifacts that every
+    * search and recall eval derives from, never retrained per query.
+    * At 100 TB `codes` IS the index — 4 bytes/vector vs 256 raw. */
+  final case class PqModel(subs: DataFrame, cents: DataFrame, codes: DataFrame)
+
+  /** Train PQ codebooks (one Lloyd round per subspace, first-ksub
+    * seeds) and encode the corpus — the shared artifact behind
+    * [[pqTopKFrom]] / [[ivfPqTopKFrom]] and both recall evals. Caches
+    * `subs`/`codes` (caller-managed lifetime, see [[kmeansAssignments]])
+    * and eagerly checkpoints the m×ksub codebook. */
+  def trainPq(embeddings: DataFrame, m: Int = 4, dsub: Int = 16,
+      ksub: Int = 8): PqModel = {
     val base = embeddings.select(
       col("vec_id"), quantized(col("embedding")).as("q"))
-    // caller-managed cache lifetime (see kmeansAssignments)
     val subs = base.select(col("vec_id"), explode(array((0 until m).map(s =>
       struct(lit(s).as("sub"), slice(col("q"), s * dsub + 1, dsub).as("q"))): _*)).as("e"))
       .select(col("vec_id"), col("e.sub").as("sub"), col("e.q").as("q"))
@@ -355,17 +376,33 @@ object EmbedOps {
       .localCheckpoint(true)
     val codes = assignStep(subs, cents, Seq("sub"))
       .select(col("vec_id"), col("sub"), col("centroid_id"))
+      .cache()
+    PqModel(subs, cents, codes)
+  }
+
+  /** Per-(query, subspace, centroid) asymmetric distance tables from a
+    * trained model: |queries|×m×ksub tiny broadcast rows. */
+  private def adcTables(pq: PqModel): DataFrame = {
     val d2 = aggregate(
       zip_with(col("q"), col("cv"), (x, c) => (x - c) * (x - c)),
       lit(0L), (acc, x) => acc + x)
-    val tables = subs.filter(col("vec_id") % 97 === 0)
-      .join(broadcast(cents), Seq("sub"))
+    pq.subs.filter(col("vec_id") % 97 === 0)
+      .join(broadcast(pq.cents), Seq("sub"))
       .withColumn("dt", d2)
       .select(col("vec_id").as("query_id"), col("sub"),
         col("centroid_id"), col("dt"))
+  }
+
+  def pqTopK(embeddings: DataFrame, m: Int = 4, dsub: Int = 16,
+      ksub: Int = 8, k: Int = 5): DataFrame =
+    pqTopKFrom(trainPq(embeddings, m, dsub, ksub), k)
+
+  /** ADC top-k from an already-trained [[PqModel]] — the search half of
+    * [[pqTopK]], reading ONLY the model's codes and codebook. */
+  def pqTopKFrom(pq: PqModel, k: Int = 5): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist"), col("vec_id"))
-    codes.join(broadcast(tables), Seq("sub", "centroid_id"))
+    pq.codes.join(broadcast(adcTables(pq)), Seq("sub", "centroid_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("dt")).as("adist"))
@@ -429,36 +466,22 @@ object EmbedOps {
   }
 
   def ivfPqTopK(embeddings: DataFrame, m: Int = 4, dsub: Int = 16,
-      ksub: Int = 8, k: Int = 5, nprobe: Int = 2): DataFrame = {
-    val base = embeddings.select(
-      col("vec_id"), col("label"), quantized(col("embedding")).as("q"))
-    val probes = coarseProbes(embeddings, nprobe)
+      ksub: Int = 8, k: Int = 5, nprobe: Int = 2): DataFrame =
+    ivfPqTopKFrom(embeddings, trainPq(embeddings, m, dsub, ksub), k, nprobe)
 
-    // caller-managed cache lifetime (see kmeansAssignments)
-    val subs = base.select(col("vec_id"),
-      explode(array((0 until m).map(s =>
-        struct(lit(s).as("sub"), slice(col("q"), s * dsub + 1, dsub).as("q"))): _*)).as("e"))
-      .select(col("vec_id"), col("e.sub").as("sub"), col("e.q").as("q"))
-      .cache()
-    val seedIds = base.orderBy(col("vec_id")).limit(ksub)
-      .select(col("vec_id").as("centroid_id"))
-    val seeds = subs.join(broadcast(seedIds),
-      subs("vec_id") === seedIds("centroid_id"))
-      .select(col("sub"), col("centroid_id"), col("q").as("cv"))
-      .localCheckpoint(true)
-    val cents = lloydUpdate(assignStep(subs, seeds, Seq("sub")), seeds, Seq("sub"))
-      .localCheckpoint(true)
-    val codes = assignStep(subs, cents, Seq("sub"))
-      .select(col("vec_id"), col("sub"), col("centroid_id"))
-      .join(base.select(col("vec_id"), col("label")), Seq("vec_id"))
-    val d2 = aggregate(
-      zip_with(col("q"), col("cv"), (x, c) => (x - c) * (x - c)),
-      lit(0L), (acc, x) => acc + x)
+  /** IVF-PQ search from an already-trained [[PqModel]] (shared with
+    * plain PQ — the codebook is corpus-global, the standard IVF-PQ
+    * design): attach each code row's inverted-list label, rank lists
+    * per query via [[coarseProbes]], and ADC only inside probed
+    * lists. */
+  def ivfPqTopKFrom(embeddings: DataFrame, pq: PqModel, k: Int = 5,
+      nprobe: Int = 2): DataFrame = {
+    val probes = coarseProbes(embeddings, nprobe)
+    val codes = pq.codes
+      .join(embeddings.select(col("vec_id"), col("label")), Seq("vec_id"))
     // distance tables × probe set: |queries|·m·ksub·nprobe broadcast rows
-    val tables = subs.filter(col("vec_id") % 97 === 0)
-      .join(broadcast(cents), Seq("sub"))
-      .withColumn("dt", d2)
-      .select(col("vec_id").as("query_id"),
+    val tables = adcTables(pq)
+      .select(col("query_id"),
         col("sub").as("qsub"), col("centroid_id").as("qcid"), col("dt"))
       .join(probes, Seq("query_id"))
     val w = Window.partitionBy(col("query_id"))
@@ -491,14 +514,22 @@ object EmbedOps {
     * iters). Deterministic end-to-end, so the comparison hash-matches a
     * SQL oracle; PQSpec asserts the clustered-regime gain and the
     * coverage monotonicity. */
-  def ivfPqRecallCompare(embeddings: DataFrame, k: Int = 5): DataFrame = {
-    val exact = bruteForceTopK(embeddings, k)
+  def ivfPqRecallCompare(embeddings: DataFrame, k: Int = 5): DataFrame =
+    ivfPqRecallCompareFrom(embeddings,
+      bruteForceTopK(embeddings, k), trainPq(embeddings), k)
+
+  /** [[ivfPqRecallCompare]] over a precomputed exact baseline and a
+    * shared trained model — both nprobe settings search the SAME
+    * codebook/codes, so the eval isolates the probe dial. */
+  def ivfPqRecallCompareFrom(embeddings: DataFrame, exactTopK: DataFrame,
+      pq: PqModel, k: Int = 5): DataFrame = {
+    val exact = exactTopK
       .select(col("query_id"), col("neighbor_id"))
     val nbrLabel = embeddings
       .select(col("vec_id").as("neighbor_id"), col("label"))
     def hitsAt(nprobe: Int, out: String) =
       exact.join(
-        ivfPqTopK(embeddings, k = k, nprobe = nprobe)
+        ivfPqTopKFrom(embeddings, pq, k = k, nprobe = nprobe)
           .select(col("query_id"), col("neighbor_id")),
         Seq("query_id", "neighbor_id"))
         .groupBy(col("query_id")).agg(count(lit(1)).as(out))
@@ -534,10 +565,16 @@ object EmbedOps {
     * directions are PQ's adversarial case, and surfacing that number
     * is the eval's job; a production fit raises ksub/m/iters until
     * this query clears its recall budget. */
-  def pqRecall(embeddings: DataFrame, k: Int = 5): DataFrame = {
-    val exact = bruteForceTopK(embeddings, k)
+  def pqRecall(embeddings: DataFrame, k: Int = 5): DataFrame =
+    pqRecallFrom(bruteForceTopK(embeddings, k),
+      pqTopKFrom(trainPq(embeddings), k), k)
+
+  /** [[pqRecall]] over precomputed exact and PQ top-k frames — recall
+    * as a derivation of the two materialized search outputs. */
+  def pqRecallFrom(exactTopK: DataFrame, pqTopK: DataFrame, k: Int): DataFrame = {
+    val exact = exactTopK
       .select(col("query_id"), col("neighbor_id"))
-    val pq = pqTopK(embeddings, k = k)
+    val pq = pqTopK
       .select(col("query_id"), col("neighbor_id"))
     val hits = exact.join(pq, Seq("query_id", "neighbor_id"))
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))

@@ -79,6 +79,38 @@ class CorpusSpec extends SparkSpec {
     assert(got("de") == ((1L, 0L, 0L, 0.0)))
   }
 
+  test("precomputed-artifact overloads equal the convenience forms (report, clean, pairs, clusters)") {
+    val rich = "the quick brown fox jumps over a lazy dog and then " +
+      "the fox runs far away to a quiet den where it rests until dawn"
+    val docs = (Seq(
+      (1L, "en", rich),
+      (2L, "en", rich),
+      (3L, "en", rich.replace("dawn", "dusk")),
+      (4L, "de", "ein ganz anderes dokument ohne duplikate uberhaupt hier")
+    ) ++ fillerDocs(6)).toDF("doc_id", "lang", "text")
+    // one shared build, every consumer derives from it — the suite's
+    // Artifacts wiring in miniature
+    val sets = DedupOps.shingleSets(docs).cache()
+    val sigs = DedupOps.minhashSignatures(docs)
+    val bands = DedupOps.bandKeysFrom(sigs).cache()
+    val pairs = DedupOps.minhashNearDupsFrom(sets, bands, 0.5)
+    val exact = DedupOps.exactDups(docs)
+    val clusters = DedupOps.nearDupClustersFrom(docs.select($"doc_id"), pairs)
+
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] = {
+      val cols = df.columns.sorted.map(col).toSeq
+      df.select(cols: _*).collect().map(_.toString).toSet
+    }
+    assert(rows(pairs) == rows(DedupOps.minhashNearDups(docs, 0.5)))
+    assert(rows(clusters) == rows(DedupOps.nearDupClusters(docs, 0.5)))
+    assert(rows(DedupOps.ngramJaccardPairsFrom(sets, sigs, 0.3)) ==
+      rows(DedupOps.ngramJaccardPairs(docs, 0.3)))
+    assert(rows(Corpus.dedupReportFrom(docs, exact, clusters)) ==
+      rows(Corpus.dedupReport(docs)))
+    assert(rows(Corpus.cleanDecisionsFrom(docs, exact, clusters)) ==
+      rows(Corpus.cleanDecisions(docs)))
+  }
+
   test("incrementalNewDocs keeps only odd-id content absent from the even-id snapshot") {
     val docs = Seq(
       (0L, "en", "shared content alpha"),  // snapshot

@@ -157,6 +157,32 @@ class PQSpec extends SparkSpec {
     assert(run() == got)
   }
 
+  test("one trained PqModel feeds PQ, IVF-PQ, and recall with results identical to per-call training") {
+    val rnd = new scala.util.Random(19)
+    val vecs = (0L until 30L).map(id =>
+      id -> Array.fill(4)(rnd.nextFloat() * 2f - 1f))
+    val frame = emb(vecs: _*)
+    val model = EmbedOps.trainPq(frame, m = 2, dsub = 2, ksub = 4)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    // the shared-codebook search path is value-identical to training
+    // inside each call (same seeds, same Lloyd round → same codes)
+    assert(rows(EmbedOps.pqTopKFrom(model, k = 3)) ==
+      rows(EmbedOps.pqTopK(frame, m = 2, dsub = 2, ksub = 4, k = 3)))
+    assert(rows(EmbedOps.ivfPqTopKFrom(frame, model, k = 3, nprobe = 2)) ==
+      rows(EmbedOps.ivfPqTopK(frame, m = 2, dsub = 2, ksub = 4, k = 3, nprobe = 2)))
+    // the codes frame itself is the shared artifact: both searches above
+    // consumed model.codes, so it must equal a fresh train's encoding
+    assert(rows(model.codes) ==
+      rows(EmbedOps.trainPq(frame, m = 2, dsub = 2, ksub = 4).codes))
+    // recall over a shared exact baseline + shared model (default
+    // config, as pqRecall trains internally) matches the convenience form
+    val exact = EmbedOps.bruteForceTopK(frame, k = 3)
+    val defModel = EmbedOps.trainPq(frame)
+    assert(rows(EmbedOps.pqRecallFrom(exact, EmbedOps.pqTopKFrom(defModel, k = 3), 3)) ==
+      rows(EmbedOps.pqRecall(frame, k = 3)))
+  }
+
   test("PQ plan is broadcast-only: no shuffle join, no cartesian product") {
     val plan = EmbedOps.pqTopK(emb(
       0L -> Array(1.0f, 0.0f), 1L -> Array(0.0f, 1.0f), 2L -> Array(1.0f, 1.0f)),
