@@ -245,7 +245,11 @@ object SparkEntry {
     // order is engine-specific), driver records a rows-only check
     "embed_topk_native" -> ((s, d) => EmbedOps.bruteForceTopKNative(emb(s, d))),
 
-    // ---- multimodal binary-column plumbing (stubbed decode) -----------
+    // ---- multimodal binary columns ------------------------------------
+    // REAL BMP/PPM decode (ImageCodec): genuine encoded bytes parsed
+    // header+pixels; the oracle recomputes the pixel sums independently
+    "mm_decode" -> ((s, d) => MultiModal.decodedFeatures(docs(s, d))),
+    // stubbed pseudo-decode plumbing (audio/video codecs absent here)
     "mm_features" -> ((s, d) => MultiModal.features(docs(s, d))),
     "mm_resize" -> ((s, d) => MultiModal.resizePlan(docs(s, d))),
     "mm_frames" -> ((s, d) => MultiModal.frameSamplePlan(docs(s, d)))
@@ -383,6 +387,7 @@ GROUP BY l_returnflag""",
     "embed_ivfpq_recall" -> OracleSqlExt.embedIvfPqRecall,
     "embed_sq8" -> OracleSqlExt.embedSq8,
 
+    "mm_decode" -> OracleSqlExt.mmDecode,
     "mm_features" -> OracleSqlExt.mmFeatures,
     "mm_resize" -> OracleSqlExt.mmResize,
     "mm_frames" -> OracleSqlExt.mmFrames

@@ -25,18 +25,41 @@ case class MediaFeatures(
     brightness: Double,
     f0: Double, f1: Double, f2: Double, f3: Double)
 
+/** One synthesized image file: real encoded bytes in a binary column. */
+case class ImageFile(doc_id: Long, format: String, payload: Array[Byte])
+
+/** Real-decode output: geometry parsed from the header, channel sums
+  * from the pixel walk — every value an exact integer, so the whole
+  * decode path hash-matches a SQL oracle that computes the same sums
+  * from the generation formula. */
+case class DecodedFeatures(
+    doc_id: Long,
+    format: String,
+    width: Int,
+    height: Int,
+    n_pixels: Long,
+    sum_r: Long,
+    sum_g: Long,
+    sum_b: Long,
+    brightness_q: Long)
+
 /** Multimodal-column plumbing: binary payloads with typed metadata,
   * decoded/feature-extracted per partition.
   *
-  * The DECODE STEP IS A STUB — this container has no image/audio codecs,
-  * so `decodeStub` derives deterministic pseudo-features from the raw
-  * bytes (length, digest, leading-byte statistics). Everything around it
-  * is the real plumbing a production pipeline needs and is what this
-  * module demonstrates: a `binary` column with typed metadata, a typed
-  * `Dataset[MediaFile]`, batched per-partition processing via
-  * mapPartitions (one codec/model instance per partition, amortized —
-  * the Scala analog of mapInPandas batch shape), and a columnar,
-  * oracle-checkable output schema.
+  * IMAGES DECODE FOR REAL: [[ImageCodec]] is a pure-JVM BMP/PPM
+  * parser (header + pixel layout, row padding, bottom-up order — no
+  * native codec needed), and the `mm_decode` query runs actual encoded
+  * bytes through it inside mapPartitions; the oracle recomputes the
+  * expected pixel sums independently, so a header-offset or padding
+  * bug fails the hash gate. The AUDIO/VIDEO decode step remains a
+  * STUB — this container has no audio/video codecs — deriving
+  * deterministic pseudo-features from raw bytes; its signature (bytes
+  * in, fixed-width features out) is the production contract.
+  * Everything around both is the real plumbing a pipeline needs: a
+  * `binary` column with typed metadata, a typed Dataset, batched
+  * per-partition processing via mapPartitions (one codec/model
+  * instance per partition, amortized — the Scala analog of mapInPandas
+  * batch shape), and a columnar, oracle-checkable output schema.
   *
   * Scale posture: feature extraction is embarrassingly parallel; the
   * payload column never shuffles (all aggregations happen after the
@@ -89,6 +112,68 @@ object MultiModal {
   def features(documents: DataFrame): DataFrame = {
     import documents.sparkSession.implicits._
     extractFeatures(mediaTable(documents).as[MediaFile]).toDF()
+  }
+
+  /** Deterministic pixel function for doc `id`: channel values are
+    * independent integer LCG-ish residues of the row-major pixel index,
+    * so the oracle reproduces every channel sum with three SUMs over
+    * `range(0, w*h)` — no binary parsing needed on the SQL side. */
+  private[ext] def pixelOf(id: Long)(p: Int): (Int, Int, Int) = (
+    ((id * 31 + p * 7L) % 256).toInt,
+    ((id * 17 + p * 11L) % 256).toInt,
+    ((id * 13 + p * 5L) % 256).toInt)
+
+  private[ext] def geomOf(id: Long): (Int, Int) =
+    ((id % 6 + 2).toInt, (id % 4 + 2).toInt)
+
+  /** Synthesize REAL image bytes for the image-typed docs
+    * (doc_id % 3 == 0): even multiples of 3 encode as 24-bit BMP, odd
+    * as P6 PPM — both through [[ImageCodec]]'s encoder, so the payload
+    * column carries genuine headers, row padding, and byte order. In a
+    * real corpus this column comes off a binaryFile/object-store scan;
+    * the synthesis stands in for that source deterministically. */
+  def imageTable(documents: DataFrame): Dataset[ImageFile] = {
+    import documents.sparkSession.implicits._
+    documents.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val (w, h) = geomOf(id)
+        if (id % 6 == 0)
+          ImageFile(id, "bmp", ImageCodec.encodeBmp(w, h, pixelOf(id)))
+        else
+          ImageFile(id, "ppm", ImageCodec.encodePpm(w, h, pixelOf(id)))
+      }
+  }
+
+  /** REAL decode: parse each payload's header and pixels with
+    * [[ImageCodec]] and emit exact integer channel sums + the
+    * geometry THE PARSER read (not the metadata the synthesizer knew) —
+    * the oracle recomputes the same values from the pixel formula, so
+    * the gate verifies the full encode→decode roundtrip. brightness_q
+    * is the integer mean channel value, (Σr+Σg+Σb) div 3·n — non-
+    * negative operands, so Spark/DuckDB division conventions agree. */
+  def decodeImages(images: Dataset[ImageFile]): Dataset[DecodedFeatures] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { rows =>
+      rows.map { f =>
+        val img = ImageCodec.decode(f.payload)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var p = 0
+        val n = img.width * img.height
+        while (p < n) {
+          sr += img.r(p); sg += img.g(p); sb += img.b(p)
+          p += 1
+        }
+        DecodedFeatures(f.doc_id, img.format, img.width, img.height,
+          n.toLong, sr, sg, sb, (sr + sg + sb) / (3L * n))
+      }
+    }
+  }
+
+  /** The oracle-gated real-decode query (`mm_decode`). */
+  def decodedFeatures(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    decodeImages(imageTable(documents)).toDF()
   }
 
   /** Resize planning (pure metadata, no pixel work): scale the longer

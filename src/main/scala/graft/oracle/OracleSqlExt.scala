@@ -990,6 +990,33 @@ SELECT doc_id, CAST(length(text) AS INT) AS n_frames,
 FROM documents, UNNEST(range(0, length(text), 10)) t(i)
 WHERE doc_id % 3 = 2"""
 
+  /** Mirror of MultiModal.decodedFeatures — but NOT by parsing the
+    * binary: the oracle recomputes each channel sum from the pixel
+    * formula (MultiModal.pixelOf) the synthesizer encoded. The Spark
+    * side reports what ImageCodec PARSED out of real BMP/PPM bytes, so
+    * equality here verifies the full encode→decode roundtrip (header
+    * offsets, BGR order, bottom-up rows, padding) pixel-exactly. */
+  val mmDecode: String = """
+WITH img AS (
+  SELECT doc_id, doc_id % 6 + 2 AS w, doc_id % 4 + 2 AS h,
+         CASE WHEN doc_id % 6 = 0 THEN 'bmp' ELSE 'ppm' END AS format
+  FROM documents WHERE doc_id % 3 = 0),
+px AS (
+  SELECT i.doc_id,
+         SUM((i.doc_id * 31 + t.p * 7) % 256) AS sum_r,
+         SUM((i.doc_id * 17 + t.p * 11) % 256) AS sum_g,
+         SUM((i.doc_id * 13 + t.p * 5) % 256) AS sum_b
+  FROM img i, UNNEST(range(0, i.w * i.h)) t(p)
+  GROUP BY i.doc_id)
+SELECT i.doc_id, i.format, CAST(i.w AS INT) AS width,
+       CAST(i.h AS INT) AS height,
+       CAST(i.w * i.h AS BIGINT) AS n_pixels,
+       CAST(p.sum_r AS BIGINT) AS sum_r,
+       CAST(p.sum_g AS BIGINT) AS sum_g,
+       CAST(p.sum_b AS BIGINT) AS sum_b,
+       CAST((p.sum_r + p.sum_g + p.sum_b) // (3 * i.w * i.h) AS BIGINT) AS brightness_q
+FROM img i JOIN px p ON p.doc_id = i.doc_id"""
+
   /** Mirror of Layout.eventZValues: Morton interleave of (user_id,
     * minutes since the corpus epoch [[graft.ext.Layout.TimeEpochMicros]]
     * — epoch-relative so the 16-bit time key doesn't wrap), the

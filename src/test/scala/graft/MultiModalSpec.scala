@@ -46,6 +46,88 @@ class MultiModalSpec extends SparkSpec {
     assert(idx.toSeq == Seq(0, 10, 20))
   }
 
+  test("PPM decode: hand-built known bytes parse to exact pixels") {
+    // 2x1 P6 with a comment line: red then blue, maxval 255
+    val bytes = ("P6\n# test fixture\n2 1\n255\n").getBytes("US-ASCII") ++
+      Array[Byte](255.toByte, 0, 0, 0, 0, 255.toByte)
+    val img = graft.ext.ImageCodec.decode(bytes)
+    assert(img.format == "ppm" && img.width == 2 && img.height == 1)
+    assert((img.r(0), img.g(0), img.b(0)) == ((255, 0, 0)))
+    assert((img.r(1), img.g(1), img.b(1)) == ((0, 0, 255)))
+  }
+
+  test("BMP decode: hand-built bytes with row padding, BGR order, bottom-up rows") {
+    // 2x2, 24bpp: rows are 6 bytes + 2 padding; stored bottom-up, so
+    // the FIRST stored row is the BOTTOM logical row. Logical image:
+    //   top:    red   green
+    //   bottom: blue  white
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val header = "BM".getBytes("US-ASCII") ++ le32(54 + 16) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++ le32(0) ++ le32(16) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    assert(header.length == 54)
+    val bottomRow = Array[Byte](255.toByte, 0, 0, /*blue BGR*/
+      255.toByte, 255.toByte, 255.toByte, /*white*/ 0, 0 /*pad*/)
+    val topRow = Array[Byte](0, 0, 255.toByte, /*red BGR*/
+      0, 255.toByte, 0, /*green*/ 0, 0 /*pad*/)
+    val img = graft.ext.ImageCodec.decode(header ++ bottomRow ++ topRow)
+    assert(img.format == "bmp" && img.width == 2 && img.height == 2)
+    assert((img.r(0), img.g(0), img.b(0)) == ((255, 0, 0)))   // top-left red
+    assert((img.r(1), img.g(1), img.b(1)) == ((0, 255, 0)))   // top-right green
+    assert((img.r(2), img.g(2), img.b(2)) == ((0, 0, 255)))   // bottom-left blue
+    assert((img.r(3), img.g(3), img.b(3)) == ((255, 255, 255))) // bottom-right white
+  }
+
+  test("encode→decode is the identity on pixels for both formats, including padded widths") {
+    for (w <- Seq(1, 2, 3, 5); h <- Seq(1, 2, 4)) {
+      def px(p: Int) = ((p * 37 + 11) % 256, (p * 53 + 7) % 256, (p * 71 + 3) % 256)
+      for ((enc, fmt) <- Seq(
+          (graft.ext.ImageCodec.encodeBmp(w, h, px _), "bmp"),
+          (graft.ext.ImageCodec.encodePpm(w, h, px _), "ppm"))) {
+        val img = graft.ext.ImageCodec.decode(enc)
+        assert(img.format == fmt && img.width == w && img.height == h)
+        (0 until w * h).foreach { p =>
+          assert((img.r(p), img.g(p), img.b(p)) == px(p),
+            s"$fmt ${w}x$h pixel $p")
+        }
+      }
+    }
+  }
+
+  test("decoder rejects unknown magic, wrong bpp, and truncated pixel data") {
+    intercept[IllegalArgumentException] {
+      graft.ext.ImageCodec.decode(Array[Byte]('X', 'Y', 0, 0))
+    }
+    // valid PPM header claiming more pixels than present
+    intercept[IllegalArgumentException] {
+      graft.ext.ImageCodec.decode("P6\n4 4\n255\n".getBytes("US-ASCII") ++
+        Array[Byte](1, 2, 3))
+    }
+    // BMP with bpp=8 (paletted) must be refused, not misread
+    val bmp = graft.ext.ImageCodec.encodeBmp(1, 1, _ => (1, 2, 3))
+    bmp(28) = 8
+    intercept[IllegalArgumentException] { graft.ext.ImageCodec.decode(bmp) }
+  }
+
+  test("decodedFeatures reports parser-read geometry and exact channel sums") {
+    val out = MultiModal.decodedFeatures(docs()).collect()
+    // only doc 0 is image-typed (doc_id % 3 == 0) and 0 % 6 == 0 → bmp
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("format") == "bmp")
+    assert(r.getAs[Int]("width") == 2 && r.getAs[Int]("height") == 2)
+    // doc 0: pixelOf(0)(p) = ((7p)%256, (11p)%256, (5p)%256), p=0..3
+    val sumR = (0 until 4).map(p => (7 * p) % 256).sum
+    val sumG = (0 until 4).map(p => (11 * p) % 256).sum
+    val sumB = (0 until 4).map(p => (5 * p) % 256).sum
+    assert(r.getAs[Long]("sum_r") == sumR)
+    assert(r.getAs[Long]("sum_g") == sumG)
+    assert(r.getAs[Long]("sum_b") == sumB)
+    assert(r.getAs[Long]("brightness_q") == (sumR + sumG + sumB) / 12)
+  }
+
   test("observe() publishes the six counters through the listener") {
     @volatile var seen: Option[org.apache.spark.sql.Row] = None
     val listener = new Observability.MetricsListener((_, row) => seen = Some(row))
