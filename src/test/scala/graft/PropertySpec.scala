@@ -136,7 +136,13 @@ class PropertySpec extends SparkSpec {
       def assign(cents: Seq[(Long, Array[Long])]) = q.map { case (id, v) =>
         id -> cents.map { case (c, cv) => (c, d2(v, cv)) }
           .minBy { case (c, dd) => (dd, c) } }
-      var cents = vecs.map(_._1).sorted.take(3).map(id => id -> q(id))
+      // same Knuth-hash spread order as EmbedOps.seedSpread
+      def spread(id: Long): Long = {
+        val h = ((id % 4194304 + 99991) * 2654435761L) % 4294967296L
+        h ^ (h / 65536)
+      }
+      var cents = vecs.map(_._1).sortBy(id => (spread(id), id)).take(3)
+        .map(id => id -> q(id))
       for (_ <- 1 to 2) {
         val a = assign(cents)
         cents = cents.map { case (cid, old) =>
