@@ -186,6 +186,12 @@ object SparkEntry {
     "text_tfidf" -> ((s, d) => TextOps.tfidfTerms(docs(s, d))),
     // per-lang token-length histogram (dataset-card distribution table)
     "text_length_histogram" -> ((s, d) => TextOps.lengthHistogram(docs(s, d))),
+    // corpus-wide segment ("paragraph") dedup, first-occurrence survivor
+    "text_paragraph_dedup" -> ((s, d) => TextOps.paragraphDedup(docs(s, d))),
+    // Gopher duplicate-line/char fractions over within-doc segments
+    "text_dup_segments" -> ((s, d) => TextOps.dupSegments(docs(s, d))),
+    // hashed-bigram linear quality model inference (zero-shuffle scan)
+    "text_quality_model" -> ((s, d) => TextOps.qualityModelScore(docs(s, d))),
 
     // ---- deduplication over `documents` -------------------------------
     "dedup_exact" -> ((s, d) => shExact(s, d)),
@@ -360,6 +366,9 @@ GROUP BY l_returnflag""",
     "sample_mixture" -> OracleSqlExt.corpusMixtureSample,
     "text_tfidf" -> OracleSqlExt.textTfidf,
     "text_length_histogram" -> OracleSqlExt.textLengthHistogram,
+    "text_paragraph_dedup" -> OracleSqlExt.textParagraphDedup,
+    "text_dup_segments" -> OracleSqlExt.textDupSegments,
+    "text_quality_model" -> OracleSqlExt.textQualityModel,
     "sample_stratified" -> OracleSqlExt.sampleStratified,
 
     "dedup_exact" -> OracleSqlExt.dedupExact,

@@ -528,6 +528,116 @@ object TextOps {
       n.as("n_tokens"))
   }
 
+  /** Non-overlapping `w`-token segments — the "paragraph"/"line" unit
+    * for segment-level dedup and repetition. Real corpora split on
+    * newlines; the fixture text is a flat single-space token stream, so
+    * the segmenter is fixed-width — a documented stand-in (the same
+    * honest-fixture move as [[benchmarkContamination]]'s synthetic eval
+    * set). Everything downstream is agnostic to the segmenter: swap
+    * `split(text, "\n")` in and the relational shapes are unchanged.
+    * Segment count is ceil(n/w) with non-negative operands only, so the
+    * DuckDB `//` mirror floors identically. */
+  private def segmentsOf(w: Int): Column = {
+    val toks = tokens(col("text"))
+    val nseg = greatest(
+      floor((size(toks) + (w - 1)).cast("double") / w).cast("int"), lit(1))
+    transform(sequence(lit(1), nseg),
+      i => concat_ws(" ", slice(toks, (i - lit(1)) * w + 1, lit(w))))
+  }
+
+  /** Corpus-level segment ("paragraph") dedup — the RefinedWeb /
+    * exact-substring family: every w-token segment is deduplicated
+    * ACROSS the whole corpus, the canonical survivor being the lowest
+    * (doc_id, position) occurrence; per document we report how many of
+    * its segments survive vs. are corpus-wide repeats. This catches
+    * boilerplate (headers, navbars, license blocks) that document-level
+    * dedup never sees because the surrounding text differs.
+    *
+    * Scale posture: segments join on their md5 — a fixed-width,
+    * uniformly distributed key, so the groupBy and the join back both
+    * hash-partition evenly no matter how skewed the text is, and the
+    * shuffle carries 16-byte keys instead of segment strings. The
+    * per-segment canonical pick is min(struct(doc_id, pos)) — one
+    * map-side-combinable aggregate; nothing is ever all-pairs. */
+  def paragraphDedup(documents: DataFrame, w: Int = 8): DataFrame = {
+    val occ = documents.select(col("doc_id"),
+        posexplode(segmentsOf(w)).as(Seq("pos", "seg")))
+      .select(col("doc_id"), col("pos"), md5(col("seg").cast("binary")).as("seg_md5"))
+    val canon = occ.groupBy(col("seg_md5"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    occ.join(canon, Seq("seg_md5"))
+      .select(col("doc_id"),
+        (col("doc_id") === col("first.doc_id") &&
+          col("pos") === col("first.pos")).cast("long").as("kept"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"), sum(col("kept")).as("n_kept"))
+      .select(col("doc_id"), col("n_segments"), col("n_kept"),
+        (col("n_segments") - col("n_kept")).as("n_dropped"),
+        ((col("n_segments") - col("n_kept")).cast("double") / col("n_segments"))
+          .as("dup_seg_frac"))
+  }
+
+  /** Within-document duplicate-segment signals — the Gopher
+    * duplicate-line / duplicate-paragraph fraction pair: the share of
+    * segments that are repeats of an earlier segment in the SAME
+    * document, and the share of characters inside those repeats. These
+    * catch templated and degenerate-generation text whose 3-gram
+    * profile ([[repetition]]) still looks diverse.
+    *
+    * Scale posture: two map-side-combinable aggregates keyed by
+    * (doc_id, segment) then doc_id — cardinality bounded by document
+    * length; char math is integer until the final two divisions, so
+    * the doubles hash exactly cross-engine. */
+  def dupSegments(documents: DataFrame, w: Int = 4): DataFrame =
+    documents.select(col("doc_id"), explode(segmentsOf(w)).as("seg"))
+      .groupBy(col("doc_id"), col("seg"))
+      .agg(count(lit(1)).as("c"), length(col("seg")).cast("long").as("len"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_segments"),
+        count(lit(1)).as("n_distinct"),
+        sum((col("c") - 1) * col("len")).as("dup_chars"),
+        sum(col("c") * col("len")).as("total_chars"))
+      .select(col("doc_id"), col("n_segments"), col("n_distinct"),
+        ((col("n_segments") - col("n_distinct")).cast("double") / col("n_segments"))
+          .as("dup_seg_frac"),
+        (col("dup_chars").cast("double") / col("total_chars"))
+          .as("dup_char_frac"))
+
+  /** Hashed-n-gram linear quality model — the fastText-classifier
+    * INFERENCE shape: each bigram hashes into one of `buckets` feature
+    * slots, each slot carries an integer weight, and the document score
+    * is the mean bucket weight. The weight table here is a
+    * deterministic pseudo-model (Knuth-hash of the bucket id, mapped
+    * into [-1000, 1000]) standing in for trained weights — stated
+    * openly, like [[benchmarkContamination]]'s synthetic eval set; a
+    * real model swaps in a broadcast-joined weight table (buckets ≤ a
+    * few million rows — always broadcastable) with identical shape.
+    * Because the pseudo-weights are a pure function of the bucket id,
+    * the whole score inlines into ONE codegen'd expression: zero
+    * shuffle, zero join, one corpus scan — the cheapest possible plan,
+    * which is exactly what a 100-TB quality-filter pass must be.
+    *
+    * Integer sums; the only float is the final mean, so the oracle
+    * hashes exactly. Bucket ids come from md5 (engine-portable, like
+    * [[hashSample]]); weights stay in BIGINT range (bucket < 4096 →
+    * products ≤ 4096·2654435761 ≈ 1.1e13). */
+  def qualityModelScore(documents: DataFrame, buckets: Int = 4096): DataFrame = {
+    val toks = tokens(col("text"))
+    val grams = transform(
+      sequence(lit(1), greatest(size(toks) - 1, lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(2))))
+    val bucket = (g: Column) =>
+      conv(substring(md5(g.cast("binary")), 1, 8), 16, 10).cast("bigint") % buckets
+    val weight = (g: Column) =>
+      (bucket(g) * 2654435761L) % 4294967296L % 2001L - 1000L
+    documents.select(col("doc_id"),
+        aggregate(grams, lit(0L), (acc, g) => acc + weight(g)).as("score_sum"),
+        size(grams).cast("long").as("n_features"))
+      .select(col("doc_id"), col("n_features"), col("score_sum"),
+        (col("score_sum").cast("double") / (col("n_features") * 1000L))
+          .as("model_score"))
+  }
+
   /** Top-K terms per document by term frequency — explode → tf groupBy →
     * df join → per-doc ranking; the canonical term-statistics shuffle.
     * Ranking is fully tie-broken (tf desc, df asc, term asc) and all

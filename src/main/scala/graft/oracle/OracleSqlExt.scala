@@ -1385,6 +1385,74 @@ SELECT q.query_id,
 FROM (SELECT DISTINCT query_id FROM exact) q
 LEFT JOIN hits h ON h.query_id = q.query_id"""
 
+  /** Mirror of TextOps.paragraphDedup (w=8): fixed-width 8-token
+    * segments, corpus-wide first-occurrence survivor by (doc_id, pos);
+    * ROW_NUMBER replicates Spark's min(struct(doc_id, pos)) canonical
+    * pick. */
+  val textParagraphDedup: String = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+segs AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(t[(i-1)*8+1:(i-1)*8+8], ' ')) AS seg_md5
+  FROM toks, UNNEST(range(1, greatest((n + 7) // 8, 1) + 1)) u(i)),
+rn AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (PARTITION BY seg_md5 ORDER BY doc_id, pos) AS r
+  FROM segs)
+SELECT doc_id,
+       COUNT(*) AS n_segments,
+       CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN r = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN r = 1 THEN 0 ELSE 1 END) AS DOUBLE) / COUNT(*)
+         AS dup_seg_frac
+FROM rn GROUP BY doc_id"""
+
+  /** Mirror of TextOps.dupSegments (w=4): within-doc duplicate-segment
+    * and duplicate-char fractions over fixed-width 4-token segments. */
+  val textDupSegments: String = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+segs AS (
+  SELECT doc_id, array_to_string(t[(i-1)*4+1:(i-1)*4+4], ' ') AS seg
+  FROM toks, UNNEST(range(1, greatest((n + 3) // 4, 1) + 1)) u(i)),
+gc AS (
+  SELECT doc_id, seg, COUNT(*) AS c,
+         CAST(length(seg) AS BIGINT) AS len
+  FROM segs GROUP BY doc_id, seg)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_segments,
+       COUNT(*) AS n_distinct,
+       CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c) AS dup_seg_frac,
+       CAST(SUM((c - 1) * len) AS DOUBLE) / SUM(c * len) AS dup_char_frac
+FROM gc GROUP BY doc_id"""
+
+  /** Mirror of TextOps.qualityModelScore: hashed-bigram buckets
+    * (md5-derived, 4096 slots), Knuth-hash pseudo-weights in
+    * [-1000, 1000], integer sum, one final mean division. */
+  val textQualityModel: String = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+  FROM toks, UNNEST(range(1, greatest(n - 1, 1) + 1)) u(i)),
+w AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(g), 1, 8))::BIGINT % 4096) * 2654435761
+           % 4294967296 % 2001 - 1000 AS wt
+  FROM grams)
+SELECT doc_id,
+       COUNT(*) AS n_features,
+       CAST(SUM(wt) AS BIGINT) AS score_sum,
+       CAST(SUM(wt) AS DOUBLE) / (COUNT(*) * 1000) AS model_score
+FROM w GROUP BY doc_id"""
+
   val embedIvfTopK: String = quantCte + s""",
 qs AS (SELECT vec_id AS query_id, label, qv AS qq FROM q WHERE vec_id % 97 = 0),
 scored AS (

@@ -476,4 +476,47 @@ class ExtOpsSpec extends SparkSpec {
       assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
     }
   }
+
+  test("paragraph dedup keeps first corpus occurrence, drops cross- and within-doc repeats") {
+    val segA = (1 to 8).map(i => s"a$i").mkString(" ")
+    val segB = (1 to 8).map(i => s"b$i").mkString(" ")
+    val segC = (1 to 8).map(i => s"c$i").mkString(" ")
+    val r = TextOps.paragraphDedup(docs(
+        1L -> s"$segA $segB",     // both novel
+        2L -> s"$segA $segC",     // segA is doc 1's — dropped
+        3L -> s"$segC $segC"))    // first C is doc 2's; second repeats in-doc
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_segments"), x.getAs[Long]("n_kept"),
+         x.getAs[Long]("n_dropped"), x.getAs[Double]("dup_seg_frac"))).toMap
+    assert(r(1L) == (2L, 2L, 0L, 0.0))
+    assert(r(2L) == (2L, 1L, 1L, 0.5))
+    assert(r(3L) == (2L, 0L, 2L, 1.0))
+  }
+
+  test("dup segments reports within-doc duplicate-segment and duplicate-char fractions") {
+    // 3 four-token segments, first two identical: 7+7+7 chars, 7 duplicated
+    val r = TextOps.dupSegments(docs(
+        1L -> "a b c d a b c d e f g h",
+        2L -> "p q r s t u v w"))       // no repeats
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_segments"), x.getAs[Long]("n_distinct"),
+         x.getAs[Double]("dup_seg_frac"), x.getAs[Double]("dup_char_frac"))).toMap
+    assert(r(1L) == (3L, 2L, 1.0 / 3, 1.0 / 3))
+    assert(r(2L) == (2L, 2L, 0.0, 0.0))
+  }
+
+  test("quality model score is key-pure, bounded, and counts bigram features") {
+    val r = TextOps.qualityModelScore(docs(
+        1L -> "the quick brown fox", 2L -> "the quick brown fox", 3L -> "solo"))
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_features"), x.getAs[Long]("score_sum"),
+         x.getAs[Double]("model_score"))).toMap
+    assert(r(1L) == r(2L))                      // pure function of the text
+    assert(r(1L)._1 == 3L)                      // n_tokens - 1 bigrams
+    assert(r(3L)._1 == 1L)                      // single-token doc: 1 feature
+    r.values.foreach { case (n, s, m) =>
+      assert(m == s.toDouble / (n * 1000))
+      assert(m >= -1.0 && m <= 1.0)
+    }
+  }
 }
