@@ -207,6 +207,9 @@ object SparkEntry {
       docs(s, d).select(org.apache.spark.sql.functions.col("doc_id")),
       shPairs(s, d, 0.5))),
     "dedup_incremental" -> ((s, d) => DedupOps.incrementalNewDocs(docs(s, d))),
+    // same semantics behind a broadcast Bloom prefilter (exact result;
+    // the codegen'd probe prunes the anti-join input inside the scan)
+    "dedup_incremental_bloom" -> ((s, d) => DedupOps.incrementalNewDocsBloom(docs(s, d))),
     "dedup_incremental_near" -> ((s, d) =>
       DedupOps.incrementalNewNearDocsFrom(docs(s, d), shSets(s, d), shBands(s, d), 0.5)),
     // full curation composite: exact dup → near dup → quality → keep,
@@ -379,6 +382,8 @@ GROUP BY l_returnflag""",
     "dedup_clusters" -> OracleSqlExt.dedupClusters,
     "dedup_pagerank" -> OracleSqlExt.dedupPagerank,
     "dedup_incremental" -> OracleSqlExt.dedupIncremental,
+    // the bloom is a pure prefilter: the exact-SQL oracle is identical
+    "dedup_incremental_bloom" -> OracleSqlExt.dedupIncremental,
     "dedup_incremental_near" -> OracleSqlExt.dedupIncrementalNear,
     "corpus_clean" -> OracleSqlExt.corpusClean,
     "corpus_dedup_report" -> OracleSqlExt.corpusDedupReport,

@@ -434,6 +434,72 @@ object DedupOps {
       .select(col("doc_id"), col("content_md5"))
   }
 
+  /** Relational Bloom-filter build over a `h: bigint` hash column: each
+    * key sets k bits (same double-hash formula as
+    * [[graft.functions.BloomMightContain]] — that textual equality is
+    * the no-false-negatives invariant), bits OR-combine per 64-bit word
+    * with a map-side-combinable bit_or, and the ≤ `words` sparse rows
+    * densify into ONE `bloom: array<bigint>` row. No driver round-trip,
+    * no custom aggregation buffer: the sketch is built by the same
+    * shuffle machinery as any aggregate, then broadcast as a k-row-class
+    * artifact (1024 words = 8 KB). All position arithmetic is bounded
+    * below m·(k+1), so ANSI and non-ANSI runs produce identical bits. */
+  def bloomBits(hashes: DataFrame, words: Int = 1024, k: Int = 5): DataFrame = {
+    val m = words * 64L
+    val h1 = shiftrightunsigned(col("h"), 1) % m
+    val h2 = (shiftrightunsigned(col("h"), 33) % (m - 1)).bitwiseOR(lit(1L))
+    hashes
+      .select(h1.as("h1"), h2.as("h2"),
+        explode(sequence(lit(0), lit(k - 1))).as("i"))
+      .select((((col("h1") + col("i") * col("h2")) % m)).as("pos"))
+      .select(shiftrightunsigned(col("pos"), 6).as("word"),
+        expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").as("mask"))
+      .groupBy(col("word")).agg(bit_or(col("mask")).as("bits"))
+      .agg(map_from_arrays(
+        collect_list(col("word")), collect_list(col("bits"))).as("mm"))
+      .select(transform(sequence(lit(0), lit(words - 1)),
+        i => coalesce(try_element_at(col("mm"), i.cast("long")), lit(0L)))
+        .as("bloom"))
+  }
+
+  /** [[incrementalNewDocs]] with a Bloom prefilter — the shape that
+    * actually runs at 100-TB ingest: the stored snapshot index is
+    * summarized once into an 8 KB bitset ([[bloomBits]]), broadcast to
+    * every batch partition, and probed by the codegen'd
+    * `bloom_might_contain` INSIDE the batch scan. Rows the bloom
+    * rejects are DEFINITIVELY new (no false negatives, by shared
+    * formula + shared key hash) and never reach a shuffle; only the
+    * bloom-positive sliver — true dups plus an FP-rate's worth of
+    * innocents — pays the exact anti-join against the snapshot. The
+    * result is therefore EXACTLY [[incrementalNewDocs]]'s output (same
+    * oracle), the bloom only re-routes rows between the cheap and the
+    * exact path. With n/m ≈ 0.03 keys per bit and k = 5, the FP rate is
+    * ~1e-7 — the anti-join input shrinks to essentially the true-dup
+    * set. */
+  def incrementalNewDocsBloom(documents: DataFrame,
+      words: Int = 1024, k: Int = 5): DataFrame = {
+    graft.functions.BloomMightContain.register(documents.sparkSession)
+    val digest = md5(col("text").cast("binary"))
+    // cache lifetime is CALLER-MANAGED (same policy as the other
+    // convenience forms): snapshot feeds both the bloom build and the
+    // exact verify join.
+    val snap = documents.filter(col("doc_id") % 2 === 0)
+      .select(digest.as("content_md5"), xxhash64(col("text")).as("h"))
+      .distinct().cache()
+    val bloom = bloomBits(snap.select(col("h")), words, k)
+    val batch = documents.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), digest.as("content_md5"),
+        xxhash64(col("text")).as("h"))
+      .crossJoin(broadcast(bloom))
+      .withColumn("might", expr(s"bloom_might_contain(bloom, h, $k)"))
+    val definiteNew = batch.filter(!col("might"))
+      .select(col("doc_id"), col("content_md5"))
+    val verifiedNew = batch.filter(col("might"))
+      .join(snap.select(col("content_md5")), Seq("content_md5"), "left_anti")
+      .select(col("doc_id"), col("content_md5"))
+    definiteNew.unionByName(verifiedNew)
+  }
+
   /** Incremental NEAR-dup: [[incrementalNewDocs]] generalized from
     * exact content hashes to minhash bands — incoming documents (odd
     * doc_ids) that have NO near-duplicate (Jaccard ≥ threshold) in the
