@@ -36,6 +36,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftConf.validate(spark) // fail-fast on malformed spark.graft.* confs
+    GraftLog.applyLevel(spark)
 
     val tw0 = System.nanoTime()
     if (warmDir.nonEmpty && warmDir != sfDir) {

@@ -34,6 +34,18 @@ object GraftConf {
     * dedup / streaming semantic ingestion). */
   val CosineThresholdKey = "spark.graft.embed.cosineThreshold"
 
+  /** ENABLE_DEBUG_LOGGING (index.js:15): promotes the library's debug
+    * dumps (plan/schema renders, per-batch detail) to visible log
+    * output by setting the `graft` log4j logger to DEBUG — see
+    * [[GraftLog.applyLevel]]. Default off, like the reference. */
+  val DebugLoggingKey = "spark.graft.debugLogging"
+
+  /** ENABLE_METRICS (index.js:14): gates metric publication (the
+    * CloudWatch PutMetricData analog). Observation itself is free
+    * (Dataset.observe computes inline); this switches the LISTENER
+    * publish side off. Default on, like the reference (`!== 'false'`). */
+  val MetricsEnabledKey = "spark.graft.enableMetrics"
+
   /** The single source of truth for the semantic near-dup threshold.
     * The DuckDB oracle SQL ([[graft.oracle.OracleSqlExt]]) interpolates
     * THIS constant — the conf knob above only affects the Spark side,
@@ -53,6 +65,12 @@ object GraftConf {
 
   def cosineThreshold(spark: SparkSession): Double =
     spark.conf.get(CosineThresholdKey, DefaultCosineThreshold.toString).toDouble
+
+  def debugLogging(spark: SparkSession): Boolean =
+    spark.conf.get(DebugLoggingKey, "false").toBoolean
+
+  def metricsEnabled(spark: SparkSession): Boolean =
+    spark.conf.get(MetricsEnabledKey, "true").toBoolean
 
   def denyDomains(spark: SparkSession): Seq[String] =
     csv(spark.conf.get(DenyDomainsKey, graft.rules.Rules.DefaultDenyDomains.mkString(",")))
@@ -99,6 +117,15 @@ object GraftConf {
       val raw = spark.conf.get(key, default)
       val v = raw.toDoubleOption.getOrElse(bad(key, raw, "not a number"))
       if (v.isNaN || v < 0.0 || v > 1.0) bad(key, raw, "must lie in [0, 1]")
+    }
+
+    // Booleans: only the literal true/false spellings — the reference's
+    // `=== 'true'` / `!== 'false'` coercions silently swallow typos
+    // ("ture" meaning enabled-off forever); here a typo fails at init.
+    for (key <- Seq(DebugLoggingKey, MetricsEnabledKey)) {
+      val raw = spark.conf.get(key, "false")
+      if (raw != "true" && raw != "false")
+        bad(key, raw, "must be 'true' or 'false'")
     }
 
     for ((key, entries) <- Seq(DenyDomainsKey -> denyDomains(spark),

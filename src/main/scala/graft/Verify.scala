@@ -17,6 +17,8 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftConf.validate(spark) // fail-fast on malformed spark.graft.* confs
+    GraftLog.applyLevel(spark)
+    GraftLog.startupSummary(spark)
     new java.io.File(outDir).mkdirs()
     // optional subset for local iteration (unset → all, the driver path)
     val only = sys.env.get("GRAFT_VERIFY_ONLY").map(_.split(",").toSet)

@@ -41,7 +41,10 @@ object Observability {
       name: String = MetricName) extends QueryExecutionListener {
     override def onSuccess(funcName: String, qe: QueryExecution,
         durationNs: Long): Unit =
-      qe.observedMetrics.get(name).foreach(row => publish(name, row))
+      // ENABLE_METRICS gate (index.js:82): observation is free either
+      // way; the publish side is what the toggle turns off.
+      if (graft.GraftConf.metricsEnabled(qe.sparkSession))
+        qe.observedMetrics.get(name).foreach(row => publish(name, row))
     override def onFailure(funcName: String, qe: QueryExecution,
         exception: Exception): Unit = ()
   }
@@ -57,8 +60,13 @@ object Observability {
     override def onQueryStarted(event: QueryStartedEvent): Unit = ()
     override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
     override def onQueryProgress(event: QueryProgressEvent): Unit = {
+      // Progress events carry no session; the toggle is read from the
+      // default session (set by builder.getOrCreate — always present in
+      // a process that could have started this stream).
+      val enabled = org.apache.spark.sql.SparkSession.getDefaultSession
+        .forall(graft.GraftConf.metricsEnabled)
       val om = event.progress.observedMetrics
-      if (om.containsKey(name)) publish(name, om.get(name))
+      if (enabled && om.containsKey(name)) publish(name, om.get(name))
     }
   }
 }

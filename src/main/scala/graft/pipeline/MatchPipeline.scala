@@ -168,10 +168,15 @@ object MatchPipeline {
       minMatches = minMatches,
       denyDomains = denyDomains,
       denyPrefixes = denyPrefixes)
-    d.withColumn("decision", decision)
+    val out = d.withColumn("decision", decision)
       .withColumn("action", col("decision").getField("action"))
       .withColumn("reason", col("decision").getField("reason"))
       .drop("decision")
+    // ENABLE_DEBUG_LOGGING dump sites (index.js:38-40, 223-225): at
+    // Spark scale the useful dump is the decided frame's schema +
+    // optimized plan, not row payloads — zero jobs, driver-side only.
+    graft.GraftLog.debugPlan("decide", out)
+    out
   }
 
   /** Per-record outcome — the reference's handler result rows

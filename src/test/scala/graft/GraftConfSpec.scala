@@ -54,6 +54,69 @@ class GraftConfSpec extends SparkSpec {
     }
   }
 
+  test("a misspelled boolean toggle fails at init (the reference's coercion would silently ignore it)") {
+    withConf(GraftConf.DebugLoggingKey -> "ture") {
+      val e = intercept[IllegalArgumentException](GraftConf.validate(spark))
+      assert(e.getMessage.contains(GraftConf.DebugLoggingKey))
+    }
+    withConf(GraftConf.MetricsEnabledKey -> "yes") {
+      intercept[IllegalArgumentException](GraftConf.validate(spark))
+    }
+  }
+
+  test("debugLogging conf drives the graft logger level (ENABLE_DEBUG_LOGGING analog)") {
+    try {
+      withConf(GraftConf.DebugLoggingKey -> "true") {
+        GraftLog.applyLevel(spark)
+        assert(GraftLog.debugEnabled)
+        // lazy message: thunk runs when enabled
+        var built = 0
+        GraftLog.debug { built += 1; "dump" }
+        assert(built == 1)
+      }
+      withConf(GraftConf.DebugLoggingKey -> "false") {
+        GraftLog.applyLevel(spark)
+        assert(!GraftLog.debugEnabled)
+        // zero-cost when disabled: the message string is never built
+        var built = 0
+        GraftLog.debug { built += 1; "dump" }
+        assert(built == 0)
+        GraftLog.debugPlan("noop", spark.range(1).toDF())
+      }
+    } finally {
+      GraftLog.applyLevel(spark) // restore from the default (off)
+    }
+  }
+
+  test("enableMetrics=false gates the publish side of the batch listener (ENABLE_METRICS analog)") {
+    @volatile var published = 0
+    val listener = new graft.metrics.Observability.MetricsListener(
+      (_, _) => published += 1)
+    spark.listenerManager.register(listener)
+    try {
+      import spark.implicits._
+      withConf(GraftConf.MetricsEnabledKey -> "false") {
+        val env = graft.pipeline.MatchFixture.envelope(
+          Seq((31L, "Customer#31")).toDF("c_custkey", "c_name"))
+        graft.metrics.Observability
+          .observed(graft.pipeline.MatchPipeline.decide(env)).collect()
+        // listener bus is async; give a would-be publish time to land
+        Thread.sleep(1000)
+        assert(published == 0)
+      }
+      withConf(GraftConf.MetricsEnabledKey -> "true") {
+        val env = graft.pipeline.MatchFixture.envelope(
+          Seq((32L, "Customer#32")).toDF("c_custkey", "c_name"))
+        graft.metrics.Observability
+          .observed(graft.pipeline.MatchPipeline.decide(env)).collect()
+        val deadline = System.currentTimeMillis() + 10000
+        while (published == 0 && System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+        assert(published == 1)
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("a tuned-but-well-formed deployment validates") {
     withConf(
       GraftConf.MinMatchesKey -> "3",
