@@ -190,6 +190,7 @@ object SparkEntry {
     "text_paragraph_dedup" -> ((s, d) => TextOps.paragraphDedup(docs(s, d))),
     // Gopher duplicate-line/char fractions over within-doc segments
     "text_dup_segments" -> ((s, d) => TextOps.dupSegments(docs(s, d))),
+    "text_dup_spans" -> ((s, d) => TextOps.dupSpans(docs(s, d))),
     // hashed-bigram linear quality model inference (zero-shuffle scan)
     "text_quality_model" -> ((s, d) => TextOps.qualityModelScore(docs(s, d))),
 
@@ -235,6 +236,7 @@ object SparkEntry {
       EmbedOps.nearDupClustersFrom(emb(s, d), shLsh(s, d))),
     // distributed Lloyd's k-means, all-integer arithmetic → full oracle
     "embed_kmeans" -> ((s, d) => EmbedOps.kmeansAssignments(emb(s, d))),
+    "sample_balanced" -> ((s, d) => EmbedOps.balancedSample(emb(s, d))),
     // product quantization: train-once codebooks (shared PqModel) →
     // codes → ADC top-k
     "embed_pq_topk" -> ((s, d) => EmbedOps.pqTopKFrom(shPq(s, d))),
@@ -371,6 +373,7 @@ GROUP BY l_returnflag""",
     "text_length_histogram" -> OracleSqlExt.textLengthHistogram,
     "text_paragraph_dedup" -> OracleSqlExt.textParagraphDedup,
     "text_dup_segments" -> OracleSqlExt.textDupSegments,
+    "text_dup_spans" -> OracleSqlExt.textDupSpans,
     "text_quality_model" -> OracleSqlExt.textQualityModel,
     "sample_stratified" -> OracleSqlExt.sampleStratified,
 
@@ -395,6 +398,7 @@ GROUP BY l_returnflag""",
     "embed_neardup_exact" -> OracleSqlExt.embedNearDupExact,
     "embed_clusters" -> OracleSqlExt.embedClusters,
     "embed_kmeans" -> OracleSqlExt.embedKmeans,
+    "sample_balanced" -> OracleSqlExt.embedBalancedSample,
     "embed_pq_topk" -> OracleSqlExt.embedPqTopK,
     "embed_ivfpq_topk" -> OracleSqlExt.embedIvfPqTopK,
     "embed_pq_recall" -> OracleSqlExt.embedPqRecall,

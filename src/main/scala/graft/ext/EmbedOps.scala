@@ -278,6 +278,33 @@ object EmbedOps {
     assignStep(base, cents).select(col("vec_id"), col("centroid_id"), col("d2"))
   }
 
+  /** Cluster-balanced (diversity) sampling — the curation move that
+    * keeps a training mix from being dominated by one dense region of
+    * embedding space: cap each k-means cluster at `perCluster` members,
+    * picked in the key-pure md5 order of [[graft.ext.TextOps.hashSample]]
+    * (reproducible across runs/retries/partitionings, no rand()).
+    * Dense clusters are down-sampled hard, sparse clusters survive
+    * whole — the subset covers every region the clustering found.
+    *
+    * Scale posture: the per-cluster pick is `row_number ≤ n` over a
+    * window — which Catalyst rewrites via WindowGroupLimit (Spark 3.5+)
+    * into a per-map-task partial top-n BEFORE the exchange, so the
+    * shuffle carries at most k·n rows per map task, not the corpus
+    * (BalancedSampleSpec asserts the rewrite fired). The cluster step
+    * underneath is [[kmeansAssignments]]'s broadcast-argmin shape. */
+  def balancedSample(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
+      perCluster: Int = 20): DataFrame = {
+    val asg = kmeansAssignments(embeddings, k, iters)
+    val hk = conv(substring(md5(col("vec_id").cast("string").cast("binary")), 1, 8),
+      16, 10).cast("bigint")
+    asg
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("centroid_id")).orderBy(hk, col("vec_id"))))
+      .filter(col("rk") <= perCluster)
+      .select(col("centroid_id"), col("vec_id"), col("d2"),
+        col("rk").cast("long").as("rk"))
+  }
+
   /** Nearest centroid per vector: broadcast-join the centroid rows
     * (equi on `keys` — empty for plain k-means, the subspace id for
     * PQ), integer squared L2, argmin via min(struct(d2, cid, q)) —

@@ -603,6 +603,64 @@ object TextOps {
         (col("dup_chars").cast("double") / col("total_chars"))
           .as("dup_char_frac"))
 
+  /** Cross-document duplicated-span signal — the exact-substring-dedup
+    * family (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better"): every stride-1 window of `w` tokens is hashed,
+    * a span is DUPLICATED when the same window text occurs in ≥ 2
+    * distinct documents, and per document we report both the share of
+    * spans that are duplicated and the share of TOKENS covered by at
+    * least one duplicated span (the paper's removal unit). Differs from
+    * [[paragraphDedup]] (fixed-width, non-overlapping, corpus survivor
+    * choice) in that overlapping windows catch duplicated passages at
+    * ANY alignment, not just on segment boundaries.
+    *
+    * Scale posture: stride-1 windows cost O(tokens · w) hash input per
+    * document — the verifiable-everywhere md5 form; the repo's
+    * RollingMinHash expression ([[rollingFingerprints]]) is the O(tokens)
+    * rolling-hash alternative when w grows. Every shuffle is keyed on a
+    * 16-byte uniform md5 or on doc_id — no skew can reach a blocking
+    * key, nothing is all-pairs; the coverage explode multiplies only
+    * DUPLICATED spans by w, which on a mostly-clean corpus is a sliver.
+    * Token coverage is an exact distinct-position count, integer until
+    * the two final divisions (each a single correctly-rounded IEEE op,
+    * so the oracle hashes exactly). */
+  def dupSpans(documents: DataFrame, w: Int = 8): DataFrame = {
+    val toks = tokens(col("text"))
+    val wins = when(size(toks) >= w,
+        transform(sequence(lit(1), size(toks) - (w - 1)),
+          i => md5(concat_ws(" ", slice(toks, i, lit(w))).cast("binary"))))
+      .otherwise(array().cast("array<string>"))
+    val occ = documents
+      .select(col("doc_id"), posexplode(wins).as(Seq("pos", "h")))
+    val shared = occ.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select(col("h"), lit(1L).as("dup"))
+    val flagged = occ.join(shared, Seq("h"), "left")
+    val spanAgg = flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("dup"), lit(0L))).as("dup_spans"))
+    val covered = flagged.filter(col("dup").isNotNull)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (w - 1))).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("tok")).as("dup_tokens"))
+    documents.select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+      .join(spanAgg, Seq("doc_id"), "left")
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+        col("dup_spans"), col("dup_tokens"),
+        when(col("n_spans") === 0L, lit(0.0))
+          .otherwise(col("dup_spans").cast("double") / col("n_spans"))
+          .as("dup_span_frac"),
+        (col("dup_tokens").cast("double") / col("n_tokens"))
+          .as("dup_token_frac"))
+  }
+
   /** Hashed-n-gram linear quality model — the fastText-classifier
     * INFERENCE shape: each bigram hashes into one of `buckets` feature
     * slots, each slot carries an integer weight, and the document score

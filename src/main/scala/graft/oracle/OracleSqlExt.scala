@@ -1174,14 +1174,29 @@ $out AS (
     * Knuth multiplicative hash + one xor-fold, ties on vec_id), two
     * Lloyd rounds, output = the final assignment. Every value is a
     * 64-bit integer — no float enters the plan. */
-  val embedKmeans: String = quantCte + s""",
+  private def kmeansCtes: String = quantCte + s""",
 c0 AS (SELECT vec_id AS centroid_id, qv AS cv FROM (
   SELECT vec_id, qv,
          ((vec_id % 4194304 + 99991) * 2654435761) % 4294967296 AS h
   FROM q) ORDER BY xor(h, h // 65536), vec_id LIMIT 8),
 a0 AS (${kmeansAssignSql("c0")}),${kmeansUpdateSql("a0", "c0", "c1")},
-a1 AS (${kmeansAssignSql("c1")}),${kmeansUpdateSql("a1", "c1", "c2")}
-${kmeansAssignSql("c2")}"""
+a1 AS (${kmeansAssignSql("c1")}),${kmeansUpdateSql("a1", "c1", "c2")}"""
+
+  val embedKmeans: String = kmeansCtes + "\n" + kmeansAssignSql("c2")
+
+  /** Mirror of EmbedOps.balancedSample(k=8, iters=2, perCluster=20):
+    * the final k-means assignment, then per-cluster row_number in the
+    * key-pure md5 order (same hash idiom as [[textHashSample]]), capped at
+    * 20 per centroid. */
+  val embedBalancedSample: String = kmeansCtes + s""",
+a2 AS (${kmeansAssignSql("c2")})
+SELECT centroid_id, vec_id, d2, rk FROM (
+  SELECT centroid_id, vec_id, d2,
+         row_number() OVER (PARTITION BY centroid_id
+           ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                    vec_id) AS rk
+  FROM a2)
+WHERE rk <= 20"""
 
   /** 16-dim integer squared L2 between two subvector lists. */
   private def pqD2Sql(s: String, c: String): String =
@@ -1430,6 +1445,46 @@ SELECT doc_id,
        CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c) AS dup_seg_frac,
        CAST(SUM((c - 1) * len) AS DOUBLE) / SUM(c * len) AS dup_char_frac
 FROM gc GROUP BY doc_id"""
+
+  /** Mirror of TextOps.dupSpans (w=8): stride-1 8-token windows hashed
+    * with md5; a span is duplicated when its window text occurs in ≥ 2
+    * distinct docs; token coverage is the distinct positions inside
+    * duplicated spans. Positions are 0-based on both sides (u(i) is
+    * 1-based, hence i-1). */
+  val textDupSpans: String = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+spans AS (
+  SELECT doc_id, i - 1 AS pos, md5(array_to_string(t[i:i+7], ' ')) AS h
+  FROM toks, UNNEST(range(1, greatest(n - 7, 0) + 1)) u(i)),
+shared AS (
+  SELECT h FROM (
+    SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM spans GROUP BY h)
+  WHERE ndocs >= 2),
+flagged AS (
+  SELECT s.doc_id, s.pos, sh.h IS NOT NULL AS dup
+  FROM spans s LEFT JOIN shared sh ON s.h = sh.h),
+span_agg AS (
+  SELECT doc_id, COUNT(*) AS n_spans,
+         CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans
+  FROM flagged GROUP BY doc_id),
+covered AS (
+  SELECT doc_id, COUNT(DISTINCT tok) AS dup_tokens
+  FROM flagged, UNNEST(range(pos, pos + 8)) u(tok)
+  WHERE dup GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(d.n AS BIGINT) AS n_tokens,
+       COALESCE(a.n_spans, 0) AS n_spans,
+       COALESCE(a.dup_spans, 0) AS dup_spans,
+       COALESCE(c.dup_tokens, 0) AS dup_tokens,
+       CASE WHEN COALESCE(a.n_spans, 0) = 0 THEN 0.0
+            ELSE CAST(a.dup_spans AS DOUBLE) / a.n_spans END AS dup_span_frac,
+       CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE) / d.n AS dup_token_frac
+FROM toks d
+LEFT JOIN span_agg a ON d.doc_id = a.doc_id
+LEFT JOIN covered c ON d.doc_id = c.doc_id"""
 
   /** Mirror of TextOps.qualityModelScore: hashed-bigram buckets
     * (md5-derived, 4096 slots), Knuth-hash pseudo-weights in

@@ -505,6 +505,24 @@ class ExtOpsSpec extends SparkSpec {
     assert(r(2L) == (2L, 2L, 0.0, 0.0))
   }
 
+  test("dup spans: cross-doc windows at any alignment count, within-doc repeats don't") {
+    val run = (1 to 8).map(i => s"w$i").mkString(" ")   // shared 8-token run
+    val rep = (1 to 8).map(i => s"r$i").mkString(" ")
+    val r = TextOps.dupSpans(docs(
+        1L -> s"$run x y",      // run at pos 0; 10 tokens, 3 spans
+        2L -> s"z $run",        // same run at pos 1 — different alignment
+        3L -> "a b c d e f g",  // 7 tokens: no span at all
+        4L -> s"$rep $rep"))    // within-doc repeat only: not cross-doc
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_tokens"), x.getAs[Long]("n_spans"),
+         x.getAs[Long]("dup_spans"), x.getAs[Long]("dup_tokens"),
+         x.getAs[Double]("dup_span_frac"), x.getAs[Double]("dup_token_frac"))).toMap
+    assert(r(1L) == (10L, 3L, 1L, 8L, 1.0 / 3, 0.8))
+    assert(r(2L) == (9L, 2L, 1L, 8L, 0.5, 8.0 / 9))
+    assert(r(3L) == (7L, 0L, 0L, 0L, 0.0, 0.0))
+    assert(r(4L)._3 == 0L)  // 16 tokens, 9 spans, zero DUPLICATED spans
+  }
+
   test("quality model score is key-pure, bounded, and counts bigram features") {
     val r = TextOps.qualityModelScore(docs(
         1L -> "the quick brown fox", 2L -> "the quick brown fox", 3L -> "solo"))

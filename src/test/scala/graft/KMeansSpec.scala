@@ -132,6 +132,32 @@ class KMeansSpec extends SparkSpec {
     } finally spark.conf.unset(GraftConf.CosineThresholdKey)
   }
 
+  test("balanced sample caps dense clusters, keeps sparse ones whole, group-limits before the exchange") {
+    // Dense region: ids 0..11; sparse region: ids 21..23 — chosen so the
+    // k=2 spread seeds {10, 23} start one per region (asserted).
+    val ids = (0L until 12L) ++ (21L until 24L)
+    assert(ids.sortBy(id => (spreadMix(id), id)).take(2).toSet == Set(10L, 23L))
+    val vecs = ids.map { id =>
+      val c = if (id < 12) 1.0f else -50.0f
+      id -> Array(c + (id % 4) * 0.01f, c, 0.0f)
+    }
+    val df = EmbedOps.balancedSample(emb(vecs: _*), k = 2, iters = 2, perCluster = 5)
+    // the rank<=n filter must rewrite to a partial group-limit BEFORE
+    // the window exchange — the shape that bounds the shuffle at k*n
+    // rows per map task on a 100-TB corpus
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+    val rows = df.collect()
+    val byCluster = rows.groupBy(_.getAs[Long]("centroid_id")).view.mapValues(_.length).toMap
+    // dense cluster capped at 5, sparse cluster (3 members) survives whole
+    assert(byCluster.values.toSeq.sorted == Seq(3, 5), s"got $byCluster")
+    // key-pure pick: a second run returns the identical sample
+    val again = EmbedOps.balancedSample(emb(vecs: _*), k = 2, iters = 2, perCluster = 5)
+      .collect().map(r => (r.getAs[Long]("centroid_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("rk"))).toSet
+    assert(again == rows.map(r => (r.getAs[Long]("centroid_id"),
+      r.getAs[Long]("vec_id"), r.getAs[Long]("rk"))).toSet)
+  }
+
   test("assignment plan broadcasts the centroids and argmins via aggregate, not a window sort") {
     val plan = EmbedOps.kmeansAssignments(emb(
       1L -> Array(1.0f, 0.0f), 2L -> Array(0.0f, 1.0f)), k = 2, iters = 1)
