@@ -228,6 +228,9 @@ object SparkEntry {
     // ---- similarity search over `embeddings` --------------------------
     "embed_topk" -> ((s, d) => shExactTopK(s, d)),
     "embed_lsh_neardup" -> ((s, d) => shLsh(s, d)),
+    // Matryoshka-style two-stage retrieval: 16-dim-prefix coarse rank,
+    // full-dim rerank of the surviving candidates
+    "embed_prefix_rerank" -> ((s, d) => EmbedOps.prefixRerankTopK(emb(s, d))),
     "embed_ivf_topk" -> ((s, d) => EmbedOps.ivfTopK(emb(s, d))),
     "embed_neardup_exact" -> ((s, d) => EmbedOps.exactNearDups(emb(s, d))),
     // semantic dedup: connected components over the shared verified
@@ -260,6 +263,7 @@ object SparkEntry {
     // REAL BMP/PPM decode (ImageCodec): genuine encoded bytes parsed
     // header+pixels; the oracle recomputes the pixel sums independently
     "mm_decode" -> ((s, d) => MultiModal.decodedFeatures(docs(s, d))),
+    "mm_audio" -> ((s, d) => MultiModal.decodedAudio(docs(s, d))),
     // stubbed pseudo-decode plumbing (audio/video codecs absent here)
     "mm_features" -> ((s, d) => MultiModal.features(docs(s, d))),
     "mm_resize" -> ((s, d) => MultiModal.resizePlan(docs(s, d))),
@@ -393,6 +397,7 @@ GROUP BY l_returnflag""",
     "corpus_cross_signal" -> OracleSqlExt.corpusCrossSignal,
 
     "embed_topk" -> OracleSqlExt.embedTopK,
+    "embed_prefix_rerank" -> OracleSqlExt.embedPrefixRerank,
     "embed_lsh_neardup" -> OracleSqlExt.embedLshNearDups,
     "embed_ivf_topk" -> OracleSqlExt.embedIvfTopK,
     "embed_neardup_exact" -> OracleSqlExt.embedNearDupExact,
@@ -406,6 +411,7 @@ GROUP BY l_returnflag""",
     "embed_sq8" -> OracleSqlExt.embedSq8,
 
     "mm_decode" -> OracleSqlExt.mmDecode,
+    "mm_audio" -> OracleSqlExt.mmAudio,
     "mm_features" -> OracleSqlExt.mmFeatures,
     "mm_resize" -> OracleSqlExt.mmResize,
     "mm_frames" -> OracleSqlExt.mmFrames

@@ -67,6 +67,49 @@ object EmbedOps {
         col("cosine"))
   }
 
+  /** Two-stage prefix-dimension retrieval — the Matryoshka-embedding
+    * serving pattern: stage 1 ranks EVERY corpus vector by cosine over
+    * only the first `prefixDims` dimensions (MRL-trained embeddings
+    * front-load information, so a prefix is a usable coarse scorer) and
+    * keeps `candidates` per query; stage 2 re-scores just those by
+    * full-dimension cosine and emits the top `k`. Results are exact
+    * whenever the true top-k survives the prefix cut — the recall knob
+    * is `candidates`, exactly like nprobe in IVF.
+    *
+    * Scale posture: stage 1's arithmetic (and, on columnar storage
+    * with a split layout, its I/O) is dims/prefixDims× cheaper than a
+    * full-dim scan — here 4× — and its rank ≤ candidates filter
+    * rewrites to WindowGroupLimit (partial top-C before the exchange).
+    * Stage 2 touches candidates×|queries| rows only. Queries stay
+    * broadcast; the corpus streams through one scan. */
+  def prefixRerankTopK(embeddings: DataFrame, prefixDims: Int = 16,
+      candidates: Int = 20, k: Int = 5): DataFrame = {
+    val base = embeddings.select(
+        col("vec_id"), quantized(col("embedding")).as("q"))
+      .withColumn("qp", slice(col("q"), 1, prefixDims))
+      .withColumn("n2", qnorm2(col("q")))
+      .withColumn("n2p", qnorm2(col("qp")))
+    val queries = base.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("qp").as("qqp"), col("n2").as("n2q"), col("n2p").as("n2qp"))
+    val wPre = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("vec_id"))
+    val cand = base.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("pcos",
+        cosineFromParts(qdot(col("qqp"), col("qp")), col("n2qp"), col("n2p")))
+      .withColumn("prank", row_number().over(wPre))
+      .filter(col("prank") <= candidates)
+    val wFull = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cand
+      .withColumn("cosine",
+        cosineFromParts(qdot(col("qq"), col("q")), col("n2q"), col("n2")))
+      .withColumn("rank", row_number().over(wFull))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cosine"))
+  }
+
   /** Hyperplane-sign signature (12 planes → 4096 buckets). Hyperplane
     * j's weight for dim i is ±1 from bit 16 of an LCG mix of (64j + i) —
     * a fixed deterministic pseudo-random matrix both engines rebuild

@@ -43,6 +43,23 @@ case class DecodedFeatures(
     sum_b: Long,
     brightness_q: Long)
 
+/** One synthesized audio file: real RIFF/WAVE bytes in a binary column. */
+case class AudioFile(doc_id: Long, payload: Array[Byte])
+
+/** Real-audio-decode output: rate/geometry parsed from the RIFF header,
+  * sample statistics from the PCM walk — every value an exact integer,
+  * so the decode path hash-matches a SQL oracle recomputing the same
+  * sums from the generation formula. */
+case class DecodedAudio(
+    doc_id: Long,
+    sample_rate: Long,
+    n_samples: Long,
+    duration_us: Long,
+    peak_abs: Long,
+    sum_abs: Long,
+    energy: Long,
+    zero_crossings: Long)
+
 /** Multimodal-column plumbing: binary payloads with typed metadata,
   * decoded/feature-extracted per partition.
   *
@@ -51,10 +68,13 @@ case class DecodedFeatures(
   * native codec needed), and the `mm_decode` query runs actual encoded
   * bytes through it inside mapPartitions; the oracle recomputes the
   * expected pixel sums independently, so a header-offset or padding
-  * bug fails the hash gate. The AUDIO/VIDEO decode step remains a
-  * STUB — this container has no audio/video codecs — deriving
-  * deterministic pseudo-features from raw bytes; its signature (bytes
-  * in, fixed-width features out) is the production contract.
+  * bug fails the hash gate. AUDIO DECODES FOR REAL TOO: [[AudioCodec]]
+  * walks genuine RIFF/WAVE chunks (pad bytes, vendor chunks, LE PCM16)
+  * and `mm_audio` gates its sample statistics the same way. Only the
+  * VIDEO decode step remains a STUB — no pure-JVM-able video container
+  * exists — deriving deterministic pseudo-features from raw bytes; its
+  * signature (bytes in, fixed-width features out) is the production
+  * contract.
   * Everything around both is the real plumbing a pipeline needs: a
   * `binary` column with typed metadata, a typed Dataset, batched
   * per-partition processing via mapPartitions (one codec/model
@@ -174,6 +194,67 @@ object MultiModal {
   def decodedFeatures(documents: DataFrame): DataFrame = {
     import documents.sparkSession.implicits._
     decodeImages(imageTable(documents)).toDF()
+  }
+
+  /** Deterministic PCM16 sample function for doc `id`: an integer
+    * residue mapped into the full signed 16-bit range, so the oracle
+    * reproduces every sample (and thus every statistic) with a formula
+    * over `range(0, n)` — no binary parsing on the SQL side. */
+  private[ext] def sampleOf(id: Long)(i: Int): Short =
+    (((id * 37 + i * 13L) % 65536) - 32768).toShort
+
+  /** (n_samples, sample_rate) for doc `id` — clip lengths 20..69,
+    * rates {8, 12, 16, 20} kHz. */
+  private[ext] def audioGeomOf(id: Long): (Int, Int) =
+    ((id % 50 + 20).toInt, 8000 + (id % 4).toInt * 4000)
+
+  /** Synthesize REAL WAV bytes for the audio-typed docs
+    * (doc_id % 3 == 1) through [[AudioCodec]]'s encoder — genuine RIFF
+    * headers, fmt chunks, little-endian PCM; every other file also
+    * carries an odd-sized vendor chunk before `data`, so the decode
+    * below exercises the chunk walk + pad byte on gated data. */
+  def audioTable(documents: DataFrame): Dataset[AudioFile] = {
+    import documents.sparkSession.implicits._
+    documents.filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val (n, rate) = audioGeomOf(id)
+        AudioFile(id, AudioCodec.encodeWav(rate,
+          Array.tabulate(n)(sampleOf(id)), withJunkChunk = id % 6 == 1))
+      }
+  }
+
+  /** REAL audio decode: walk each payload's RIFF chunks with
+    * [[AudioCodec]] and emit exact integer sample statistics computed
+    * from the samples THE PARSER read. duration_us and all sums use
+    * non-negative integer division/arithmetic only, so the oracle's
+    * `//` agrees with Spark's `div` everywhere. */
+  def decodeAudio(audio: Dataset[AudioFile]): Dataset[DecodedAudio] = {
+    import audio.sparkSession.implicits._
+    audio.mapPartitions { rows =>
+      rows.map { f =>
+        val w = AudioCodec.decodeWav(f.payload)
+        var (sumAbs, energy, zc, peak) = (0L, 0L, 0L, 0L)
+        var i = 0
+        while (i < w.samples.length) {
+          val v = w.samples(i).toLong
+          val a = math.abs(v)
+          sumAbs += a; energy += v * v
+          if (a > peak) peak = a
+          if (i > 0 && (w.samples(i - 1) < 0) != (v < 0)) zc += 1
+          i += 1
+        }
+        val n = w.samples.length.toLong
+        DecodedAudio(f.doc_id, w.sampleRate.toLong, n,
+          n * 1000000L / w.sampleRate, peak, sumAbs, energy, zc)
+      }
+    }
+  }
+
+  /** The oracle-gated real-audio-decode query (`mm_audio`). */
+  def decodedAudio(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    decodeAudio(audioTable(documents)).toDF()
   }
 
   /** Resize planning (pure metadata, no pixel work): scale the longer

@@ -1017,6 +1017,43 @@ SELECT i.doc_id, i.format, CAST(i.w AS INT) AS width,
        CAST((p.sum_r + p.sum_g + p.sum_b) // (3 * i.w * i.h) AS BIGINT) AS brightness_q
 FROM img i JOIN px p ON p.doc_id = i.doc_id"""
 
+  /** Mirror of MultiModal.decodedAudio: recomputes the decoded-sample
+    * statistics from the generation formula (MultiModal.sampleOf /
+    * audioGeomOf). The Spark side reports what AudioCodec PARSED out of
+    * real RIFF/WAVE bytes (chunk walk, pad bytes, LE int16), so
+    * equality verifies the full encode→decode roundtrip sample-exactly.
+    * Zero crossings pair each sample with its predecessor via lag();
+    * the first sample has none (NULL comparison → CASE else-branch). */
+  val mmAudio: String = """
+WITH a AS (
+  SELECT doc_id, doc_id % 50 + 20 AS n, 8000 + (doc_id % 4) * 4000 AS rate
+  FROM documents WHERE doc_id % 3 = 1),
+s AS (
+  SELECT a.doc_id, t.i, (a.doc_id * 37 + t.i * 13) % 65536 - 32768 AS v
+  FROM a, UNNEST(range(0, a.n)) t(i)),
+st AS (
+  SELECT doc_id, COUNT(*) AS n_samples,
+         CAST(MAX(abs(v)) AS BIGINT) AS peak_abs,
+         CAST(SUM(abs(v)) AS BIGINT) AS sum_abs,
+         CAST(SUM(v * v) AS BIGINT) AS energy
+  FROM s GROUP BY doc_id),
+zc AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN (v < 0) <> (pv < 0) THEN 1 ELSE 0 END)
+              AS BIGINT) AS zero_crossings
+  FROM (SELECT doc_id, v,
+               lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        FROM s)
+  GROUP BY doc_id)
+SELECT a.doc_id,
+       CAST(a.rate AS BIGINT) AS sample_rate,
+       st.n_samples,
+       CAST(st.n_samples * 1000000 // a.rate AS BIGINT) AS duration_us,
+       st.peak_abs, st.sum_abs, st.energy, zc.zero_crossings
+FROM a
+JOIN st ON st.doc_id = a.doc_id
+JOIN zc ON zc.doc_id = a.doc_id"""
+
   /** Mirror of Layout.eventZValues: Morton interleave of (user_id,
     * minutes since the corpus epoch [[graft.ext.Layout.TimeEpochMicros]]
     * — epoch-relative so the 16-bit time key doesn't wrap), the
@@ -1066,6 +1103,38 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
   FROM scored)
 SELECT query_id, rank, vec_id AS neighbor_id, cosine FROM ranked WHERE rank <= 5"""
+
+  /** Mirror of EmbedOps.prefixRerankTopK(prefixDims=16, candidates=20,
+    * k=5): coarse rank by 16-dim-prefix cosine, keep 20 per query,
+    * re-rank those by full 64-dim cosine, emit top 5. */
+  val embedPrefixRerank: String = {
+    def dotN(a: String, b: String, n: Int) =
+      s"list_sum(list_transform(range(1, ${n + 1}), i -> $a[i] * $b[i]))"
+    def cosN(a: String, b: String, n: Int) =
+      s"CAST(${dotN(a, b, n)} AS DOUBLE) / " +
+        s"sqrt(CAST(${dotN(a, a, n)} * ${dotN(b, b, n)} AS DOUBLE))"
+    quantCte + s""",
+qs AS (SELECT vec_id AS query_id, qv AS qq FROM q WHERE vec_id % 97 = 0),
+pre AS (
+  SELECT qs.query_id, q.vec_id, q.qv, qs.qq,
+         ${cosN("qs.qq", "q.qv", 16)} AS pcos
+  FROM q, qs WHERE q.vec_id <> qs.query_id),
+cand AS (
+  SELECT query_id, vec_id, qv, qq FROM (
+    SELECT query_id, vec_id, qv, qq,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY pcos DESC, vec_id) AS prank
+    FROM pre)
+  WHERE prank <= 20),
+rescored AS (
+  SELECT query_id, vec_id, ${cosineSql("qq", "qv")} AS cosine FROM cand)
+SELECT query_id, rank, vec_id AS neighbor_id, cosine FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, vec_id) AS rank
+  FROM rescored)
+WHERE rank <= 5"""
+  }
 
   /** Hyperplane-signature CTEs (dots → sig), shared by the LSH pair
     * and cluster oracles. */

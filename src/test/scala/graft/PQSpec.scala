@@ -183,6 +183,33 @@ class PQSpec extends SparkSpec {
       rows(EmbedOps.pqRecall(frame, k = 3)))
   }
 
+  test("prefix rerank equals brute force once candidates cover; the cut is the recall knob") {
+    // 32-dim: dims 0..15 are the prefix block, 16..31 the tail block.
+    def v(kv: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(32)(0.0f); kv.foreach { case (i, x) => a(i) = x }; a
+    }
+    val vecs = Seq(
+      0L -> v(0 -> 1f, 16 -> 1f),   // query (0 % 97 == 0)
+      1L -> v(0 -> 1f, 16 -> 1f),   // identical: full cos 1, prefix cos 1
+      2L -> v(0 -> 1f, 17 -> 1f),   // prefix-perfect, tail-wrong: full cos 0.5
+      3L -> v(1 -> 1f, 16 -> 2f),   // prefix-blind, tail-right: full cos ~0.63
+      4L -> v(1 -> 1f, 17 -> 1f))   // unrelated
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    val brute = ids(EmbedOps.bruteForceTopK(emb(vecs: _*), k = 2))
+    // candidates=4 covers every non-query vector → exact
+    assert(ids(EmbedOps.prefixRerankTopK(emb(vecs: _*), 16, 4, 2)) == brute)
+    // candidates=2 cuts id 3 (prefix cosine 0) before rerank can see its
+    // tail — the deliberate recall/cost trade, like nprobe
+    val cut = ids(EmbedOps.prefixRerankTopK(emb(vecs: _*), 16, 2, 2))
+    assert(cut != brute && cut.map(_._3) == Set(1L, 2L))
+    assert(brute.map(_._3) == Set(1L, 3L))
+    // stage-1 rank<=C must group-limit before the exchange
+    assert(EmbedOps.prefixRerankTopK(emb(vecs: _*), 16, 2, 2)
+      .queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
   test("PQ plan is broadcast-only: no shuffle join, no cartesian product") {
     val plan = EmbedOps.pqTopK(emb(
       0L -> Array(1.0f, 0.0f), 1L -> Array(0.0f, 1.0f), 2L -> Array(1.0f, 1.0f)),
