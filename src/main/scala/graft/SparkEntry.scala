@@ -121,6 +121,11 @@ object SparkEntry {
     "events_anomalies" -> ((s, d) => EventOps.valueAnomalies(Tables.events(s, d))),
     // typed bounded-heap TopKAggregator as an oracle-gated query
     "events_top_types" -> ((s, d) => EventOps.topEventTypes(Tables.events(s, d))),
+    // deterministic sketches: KMV distinct (hash-gated approx-distinct,
+    // the exact-oracle complement of agg_approx_distinct's HLL) and
+    // count-min frequency estimates over event types
+    "sketch_kmv" -> ((s, d) => ext.Sketches.kmvDistinct(docs(s, d))),
+    "sketch_countmin" -> ((s, d) => ext.Sketches.countMinTypes(Tables.events(s, d))),
     // ordered funnel: view → click → purchase, count per reached depth
     // (deterministic 1-in-5 event sample so every depth is populated
     // at gate SF — the full stream funnels everyone to depth 3)
@@ -237,9 +242,11 @@ object SparkEntry {
     // LSH pair frame
     "embed_clusters" -> ((s, d) =>
       EmbedOps.nearDupClustersFrom(emb(s, d), shLsh(s, d))),
-    // distributed Lloyd's k-means, all-integer arithmetic → full oracle
-    "embed_kmeans" -> ((s, d) => EmbedOps.kmeansAssignments(emb(s, d))),
-    "sample_balanced" -> ((s, d) => EmbedOps.balancedSample(emb(s, d))),
+    // distributed Lloyd's k-means, all-integer arithmetic → full oracle;
+    // ONE training per (session, dir) feeds both the assignment query
+    // and the balanced sample
+    "embed_kmeans" -> ((s, d) => shKmeans(s, d)),
+    "sample_balanced" -> ((s, d) => EmbedOps.balancedSampleFrom(shKmeans(s, d))),
     // product quantization: train-once codebooks (shared PqModel) →
     // codes → ADC top-k
     "embed_pq_topk" -> ((s, d) => EmbedOps.pqTopKFrom(shPq(s, d))),
@@ -302,6 +309,8 @@ object SparkEntry {
     Artifacts.frame(s, d, "embed/brute_topk")(EmbedOps.bruteForceTopK(emb(s, d)))
   private def shPq(s: SparkSession, d: String): EmbedOps.PqModel =
     Artifacts.obj(s, d, "embed/pq_model")(EmbedOps.trainPq(emb(s, d)))
+  private def shKmeans(s: SparkSession, d: String): DataFrame =
+    Artifacts.frame(s, d, "embed/kmeans_asg")(EmbedOps.kmeansAssignments(emb(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -337,6 +346,8 @@ object SparkEntry {
     "events_salted_counts" -> OracleSqlExt.eventsSaltedCounts,
     "events_anomalies" -> OracleSqlExt.eventsAnomalies,
     "events_top_types" -> OracleSqlExt.eventsTopTypes,
+    "sketch_kmv" -> OracleSqlExt.sketchKmv,
+    "sketch_countmin" -> OracleSqlExt.sketchCountMin,
     "events_funnel" -> OracleSqlExt.eventsFunnel,
     "events_session_funnel" -> OracleSqlExt.eventsSessionFunnel,
     "events_retention" -> OracleSqlExt.eventsRetention,

@@ -336,11 +336,18 @@ object EmbedOps {
     * (BalancedSampleSpec asserts the rewrite fired). The cluster step
     * underneath is [[kmeansAssignments]]'s broadcast-argmin shape. */
   def balancedSample(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
+      perCluster: Int = 20): DataFrame =
+    balancedSampleFrom(kmeansAssignments(embeddings, k, iters), perCluster)
+
+  /** [[balancedSample]] over PRECOMPUTED assignments — the train-once /
+    * derive-many form (same pattern as the shared PqModel): a suite or
+    * pipeline that already materialized the clustering pays only the
+    * group-limit here. */
+  def balancedSampleFrom(assignments: DataFrame,
       perCluster: Int = 20): DataFrame = {
-    val asg = kmeansAssignments(embeddings, k, iters)
     val hk = conv(substring(md5(col("vec_id").cast("string").cast("binary")), 1, 8),
       16, 10).cast("bigint")
-    asg
+    assignments
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("centroid_id")).orderBy(hk, col("vec_id"))))
       .filter(col("rk") <= perCluster)

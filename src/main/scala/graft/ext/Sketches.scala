@@ -1,0 +1,82 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality/frequency sketches built RELATIONALLY — no
+  * custom aggregation buffers, no driver round-trips: the sketch rows
+  * are produced by the same map-side-combinable groupBy machinery as
+  * any aggregate, so they shard, merge, and checkpoint like ordinary
+  * data. Both sketches here are PURE FUNCTIONS of the data (md5-derived
+  * hashes, integer counters), so — unlike HLL register bytes or
+  * t-digest centroids, which are engine-specific and gate rows-only —
+  * every value hash-matches a DuckDB oracle end to end.
+  */
+object Sketches {
+
+  /** 60-bit engine-portable uniform hash (15 hex chars of md5). */
+  private def h60(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("bigint")
+
+  /** KMV (k-minimum-values) distinct-count estimate over document
+    * content. The sketch is the k smallest DISTINCT hash values; with
+    * hashes uniform on [0, 2⁶⁰), the k-th minimum v_k estimates
+    * distinct count as (k−1) · 2⁶⁰ / v_k. The estimate is a pure
+    * function of the data (one double multiply + one divide at the
+    * end), so the whole approximate-distinct path is hash-gated — the
+    * deterministic complement of [[Analytics]]'s HLL query, whose
+    * register bytes are engine-specific and gate rows-only.
+    *
+    * Scale posture: `distinct → orderBy(hv) → limit k` executes as
+    * per-partition partial top-k (TakeOrderedAndProject) — k rows per
+    * partition move, never the corpus. Sketches from disjoint shards
+    * merge by unioning value sets and re-taking the k smallest (the
+    * textbook KMV merge); the exact countDistinct alongside is the
+    * EVALUATION column, same status as the recall evals' exact top-k. */
+  def kmvDistinct(documents: DataFrame, k: Int = 64): DataFrame = {
+    val mins = documents.select(h60(col("text")).as("hv"))
+      .distinct().orderBy(col("hv")).limit(k)
+    val exact = documents.agg(
+      countDistinct(col("text")).as("n_distinct_exact"))
+    mins.agg(count(lit(1)).as("k"), max(col("hv")).as("vk"))
+      .crossJoin(exact)
+      .select(col("k"), col("vk"),
+        ((col("k") - 1).cast("double") * lit(1152921504606846976L).cast("double")
+          / col("vk")).as("n_distinct_est"),
+        col("n_distinct_exact"))
+  }
+
+  /** Count-min sketch over event types: `depth` independent hash rows
+    * of `width` counters; each occurrence increments one counter per
+    * row, a point query reads the MINIMUM across rows — never an
+    * underestimate, over only on collision. Built as one explode +
+    * map-side-combined groupBy (≤ depth·width rows per partition
+    * reach the shuffle regardless of event volume); the query side
+    * joins the |types|-row frame to the ≤ depth·width-row counter
+    * frame — broadcast-sized at any corpus scale. Counter frames from
+    * disjoint shards merge by summing position-wise — the property
+    * that makes CMS the standard heavy-hitter sketch on streams.
+    *
+    * The exact per-type count alongside is the evaluation column; the
+    * spec forces collisions at tiny width to prove the ≥-exact bound. */
+  def countMinTypes(events: DataFrame, depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    val pos = h60(concat(col("j").cast("string"), lit(":"),
+      col("event_type"))) % width
+    val entries = events
+      .select(col("event_type"),
+        explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .select(col("event_type"), col("j"), pos.as("pos"))
+    val counters = entries.groupBy(col("j"), col("pos"))
+      .agg(count(lit(1)).as("cnt"))
+    val typeKeys = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_exact"))
+      .select(col("event_type"), col("n_exact"),
+        explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .select(col("event_type"), col("n_exact"), col("j"), pos.as("pos"))
+    typeKeys.join(broadcast(counters), Seq("j", "pos"))
+      .groupBy(col("event_type"), col("n_exact"))
+      .agg(min(col("cnt")).as("cms_est"))
+      .select(col("event_type"), col("n_exact"), col("cms_est"))
+  }
+}

@@ -1075,6 +1075,43 @@ z4 AS (SELECT event_id, (va | (va << 1)) & 1431655765 AS va,
               (vb | (vb << 1)) & 1431655765 AS vb FROM z3)
 SELECT event_id, CAST(va | (vb << 1) AS BIGINT) AS zval FROM z4"""
 
+  /** Mirror of Sketches.kmvDistinct(k=64): k smallest distinct 60-bit
+    * md5 values, estimate (k−1)·2⁶⁰/v_k — one double multiply + one
+    * divide, fixed order, so the approx-distinct value itself
+    * hash-gates (unlike HLL register bytes). */
+  val sketchKmv: String = """
+WITH hv AS (
+  SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS hv
+  FROM documents),
+mins AS (SELECT hv FROM hv ORDER BY hv LIMIT 64),
+agg AS (SELECT COUNT(*) AS k, MAX(hv) AS vk FROM mins),
+ex AS (SELECT COUNT(DISTINCT text) AS n_distinct_exact FROM documents)
+SELECT a.k, a.vk,
+       CAST(a.k - 1 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) / a.vk
+         AS n_distinct_est,
+       ex.n_distinct_exact
+FROM agg a, ex"""
+
+  /** Mirror of Sketches.countMinTypes(depth=4, width=1024): counter
+    * build and point query share the md5 position formula; estimate =
+    * min across the 4 rows. */
+  val sketchCountMin: String = """
+WITH entries AS (
+  SELECT event_type, t.j,
+         ('0x' || substr(md5(CAST(t.j AS VARCHAR) || ':' || event_type),
+            1, 15))::BIGINT % 1024 AS pos
+  FROM events, UNNEST(range(0, 4)) t(j)),
+counters AS (SELECT j, pos, COUNT(*) AS cnt FROM entries GROUP BY j, pos),
+types AS (SELECT event_type, COUNT(*) AS n_exact FROM events GROUP BY event_type),
+tk AS (
+  SELECT ty.event_type, ty.n_exact, t.j,
+         ('0x' || substr(md5(CAST(t.j AS VARCHAR) || ':' || ty.event_type),
+            1, 15))::BIGINT % 1024 AS pos
+  FROM types ty, UNNEST(range(0, 4)) t(j))
+SELECT tk.event_type, tk.n_exact, CAST(MIN(c.cnt) AS BIGINT) AS cms_est
+FROM tk JOIN counters c ON c.j = tk.j AND c.pos = tk.pos
+GROUP BY tk.event_type, tk.n_exact"""
+
   // ----------------------------------------------------------- embeddings
 
   private val quantCte: String = """

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Sketches
+
+/** The deterministic sketches: KMV distinct estimation and count-min
+  * frequency estimation. Load-bearing properties: KMV's error shrinks
+  * with k and its shard sketches merge; CMS NEVER underestimates and
+  * its counter frames merge by position-wise sum. */
+class SketchesSpec extends SparkSpec {
+
+  private def docs(n: Int, dup: Int = 0) = {
+    import spark.implicits._
+    // n distinct texts + `dup` repeats of the first one
+    ((0 until n).map(i => (i.toLong, s"unique document number $i payload")) ++
+      (0 until dup).map(i => (n + i.toLong, "unique document number 0 payload")))
+      .toDF("doc_id", "text")
+  }
+
+  test("KMV estimates distinct count within the k=64 error regime, ignoring duplicates") {
+    val r = Sketches.kmvDistinct(docs(400, dup = 50)).head
+    assert(r.getAs[Long]("k") == 64L)
+    assert(r.getAs[Long]("n_distinct_exact") == 400L)
+    val est = r.getAs[Double]("n_distinct_est")
+    // stddev ≈ n/sqrt(k) = 50 for k=64; allow 3 sigma
+    assert(math.abs(est - 400.0) < 150.0, s"estimate $est")
+  }
+
+  test("KMV shard sketches merge: k smallest of the union of two shard sketches") {
+    import spark.implicits._
+    val all = docs(300)
+    val hv = (d: org.apache.spark.sql.DataFrame) => d
+      .select(conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
+        .cast("bigint").as("hv")).distinct()
+    val shardA = hv(all.filter(col("doc_id") % 2 === 0)).orderBy("hv").limit(64)
+    val shardB = hv(all.filter(col("doc_id") % 2 === 1)).orderBy("hv").limit(64)
+    val merged = shardA.unionByName(shardB).distinct()
+      .orderBy("hv").limit(64).collect().map(_.getLong(0)).toSeq
+    val whole = hv(all).orderBy("hv").limit(64).collect().map(_.getLong(0)).toSeq
+    assert(merged == whole)
+  }
+
+  test("CMS never underestimates; exact at ample width, >= exact under forced collisions") {
+    import spark.implicits._
+    val events = (0 until 500).map { i =>
+      (i.toLong, if (i % 5 == 0) "click" else if (i % 5 == 1) "view"
+        else if (i % 5 == 2) "purchase" else if (i % 5 == 3) "scroll" else "hover")
+    }.toDF("event_id", "event_type")
+    val wide = Sketches.countMinTypes(events, depth = 4, width = 1024).collect()
+    wide.foreach { r =>
+      assert(r.getAs[Long]("cms_est") == r.getAs[Long]("n_exact"))
+    }
+    // width 2 over 5 types MUST collide somewhere (pigeonhole)
+    val tight = Sketches.countMinTypes(events, depth = 2, width = 2).collect()
+    tight.foreach { r =>
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("n_exact"))
+    }
+    assert(tight.exists(r =>
+      r.getAs[Long]("cms_est") > r.getAs[Long]("n_exact")))
+  }
+
+  test("CMS counter frames from disjoint shards merge by position-wise sum") {
+    import spark.implicits._
+    val events = (0 until 200).map(i =>
+      (i.toLong, s"type${i % 7}")).toDF("event_id", "event_type")
+    def counters(d: org.apache.spark.sql.DataFrame) = {
+      val pos = conv(substring(md5(concat(col("j").cast("string"), lit(":"),
+        col("event_type")).cast("binary")), 1, 15), 16, 10)
+        .cast("bigint") % 64
+      d.select(col("event_type"), explode(sequence(lit(0), lit(3))).as("j"))
+        .select(col("j"), pos.as("pos"))
+        .groupBy("j", "pos").agg(count(lit(1)).as("cnt"))
+    }
+    val whole = counters(events).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val a = counters(events.filter(col("event_id") < 100))
+    val b = counters(events.filter(col("event_id") >= 100))
+    val summed = a.unionByName(b).groupBy("j", "pos")
+      .agg(sum(col("cnt")).as("cnt")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(summed == whole)
+  }
+}
