@@ -126,6 +126,11 @@ object SparkEntry {
     // count-min frequency estimates over event types
     "sketch_kmv" -> ((s, d) => ext.Sketches.kmvDistinct(docs(s, d))),
     "sketch_countmin" -> ((s, d) => ext.Sketches.countMinTypes(Tables.events(s, d))),
+    // KMV/theta sketch-intersection overlap between the corpus halves:
+    // the join-free decontamination-rate estimate (+ exact eval cols)
+    "sketch_kmv_overlap" -> ((s, d) => ext.Sketches.kmvShingleOverlap(docs(s, d))),
+    // key-skew diagnostic: hottest keys + max/mean ratio for user_id
+    "diag_key_skew" -> ((s, d) => ext.Skew.keySkewReport(Tables.events(s, d))),
     // ordered funnel: view → click → purchase, count per reached depth
     // (deterministic 1-in-5 event sample so every depth is populated
     // at gate SF — the full stream funnels everyone to depth 3)
@@ -163,7 +168,7 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextOps.fingerprints(docs(s, d))),
     "text_rolling_fingerprint" -> ((s, d) => TextOps.rollingFingerprints(docs(s, d))),
     "text_tokens" -> ((s, d) => TextOps.tokenCounts(docs(s, d))),
-    "text_top_terms" -> ((s, d) => TextOps.topTerms(docs(s, d))),
+    "text_top_terms" -> ((s, d) => TextOps.topTermsFrom(shTf(s, d))),
     "text_normalize" -> ((s, d) => TextOps.normalize(docs(s, d))),
     // Gopher-style within-doc 3-gram repetition signals
     "text_repetition" -> ((s, d) => TextOps.repetition(docs(s, d))),
@@ -188,7 +193,9 @@ object SparkEntry {
     // mixture-weight rate (floored threshold, key-pure bucket)
     "sample_mixture" -> ((s, d) => TextOps.mixtureSample(docs(s, d))),
     // integer-bit tf-idf: top distinctive terms per document
-    "text_tfidf" -> ((s, d) => TextOps.tfidfTerms(docs(s, d))),
+    "text_tfidf" -> ((s, d) => TextOps.tfidfTermsFrom(shTf(s, d), docs(s, d))),
+    // rational-idf BM25 keyword retrieval over the shared posting frame
+    "text_bm25" -> ((s, d) => TextOps.bm25TopDocsFrom(shTf(s, d), docs(s, d))),
     // per-lang token-length histogram (dataset-card distribution table)
     "text_length_histogram" -> ((s, d) => TextOps.lengthHistogram(docs(s, d))),
     // corpus-wide segment ("paragraph") dedup, first-occurrence survivor
@@ -311,6 +318,8 @@ object SparkEntry {
     Artifacts.obj(s, d, "embed/pq_model")(EmbedOps.trainPq(emb(s, d)))
   private def shKmeans(s: SparkSession, d: String): DataFrame =
     Artifacts.frame(s, d, "embed/kmeans_asg")(EmbedOps.kmeansAssignments(emb(s, d)))
+  private def shTf(s: SparkSession, d: String): DataFrame =
+    Artifacts.frame(s, d, "text/term_freq")(TextOps.termFrequencies(docs(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -348,6 +357,8 @@ object SparkEntry {
     "events_top_types" -> OracleSqlExt.eventsTopTypes,
     "sketch_kmv" -> OracleSqlExt.sketchKmv,
     "sketch_countmin" -> OracleSqlExt.sketchCountMin,
+    "sketch_kmv_overlap" -> OracleSqlExt.sketchKmvOverlap,
+    "diag_key_skew" -> OracleSqlExt.diagKeySkew,
     "events_funnel" -> OracleSqlExt.eventsFunnel,
     "events_session_funnel" -> OracleSqlExt.eventsSessionFunnel,
     "events_retention" -> OracleSqlExt.eventsRetention,
@@ -385,6 +396,7 @@ GROUP BY l_returnflag""",
     "sample_hash" -> OracleSqlExt.textHashSample,
     "sample_mixture" -> OracleSqlExt.corpusMixtureSample,
     "text_tfidf" -> OracleSqlExt.textTfidf,
+    "text_bm25" -> OracleSqlExt.textBm25,
     "text_length_histogram" -> OracleSqlExt.textLengthHistogram,
     "text_paragraph_dedup" -> OracleSqlExt.textParagraphDedup,
     "text_dup_segments" -> OracleSqlExt.textDupSegments,

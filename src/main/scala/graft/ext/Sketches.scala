@@ -79,4 +79,75 @@ object Sketches {
       .agg(min(col("cnt")).as("cms_est"))
       .select(col("event_type"), col("n_exact"), col("cms_est"))
   }
+
+  /** KMV/theta-style OVERLAP estimate between the two corpus halves
+    * (doc_id parity): how many `w`-token shingles the halves share,
+    * estimated from two k-minimum-value sketches — the 100-TB
+    * decontamination-rate shape, where "how much of corpus B leaked
+    * into corpus A" must be answerable from two k·8-byte sketches
+    * without ever joining the corpora. k defaults to 512: inside
+    * Spark's windowGroupLimitThreshold (1000), so the per-half k-min
+    * keeps its WindowGroupLimit rewrite (k above the threshold would
+    * silently fall back to a full per-half window sort).
+    *
+    * Estimators (Beyer et al., SIGMOD'07): with U_k the k smallest of
+    * A_k ∪ B_k and θ its maximum, est_union = (|U_k|−1)·2⁶⁰/θ;
+    * ρ = |A_k ∩ B_k ∩ U_k| / |U_k| estimates Jaccard, and ρ·est_union
+    * the intersection size. All sketch contents are md5-derived
+    * integers, and the only floats are fixed-order correctly-rounded
+    * divides of exact integers — the whole row hash-gates, estimates
+    * included. The exact distinct/intersection counts alongside are
+    * the EVALUATION columns (same status as the ANN recall evals).
+    *
+    * Scale posture: each half's sketch is `distinct → per-half k-min`
+    * — the rank ≤ k window filter rewrites to WindowGroupLimit, so k
+    * rows per map task reach the exchange, never the shingle set. The
+    * sketch-side frames are ≤ 2k rows; only the exact eval columns
+    * touch the full distinct sets. Sketches from disjoint shards merge
+    * by union + re-take-k, so the build is one pass per corpus. */
+  def kmvShingleOverlap(documents: DataFrame, w: Int = 8,
+      k: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents.select((col("doc_id") % 2).as("half"),
+      split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= w)
+    val dist = toks.select(col("half"),
+      explode(transform(
+        sequence(lit(1), size(col("toks")) - (w - 1)),
+        i => concat_ws(" ", slice(col("toks"), i, lit(w))))).as("s"))
+      .select(col("half"), h60(col("s")).as("hv"))
+      .distinct()
+    val perHalf = Window.partitionBy(col("half")).orderBy(col("hv"))
+    val sk = dist.withColumn("rn", row_number().over(perHalf))
+      .filter(col("rn") <= k).select(col("half"), col("hv"))
+      .cache()
+    val aK = sk.filter(col("half") === 0).select(col("hv"))
+    val bK = sk.filter(col("half") === 1).select(col("hv"))
+    // union sketch: k smallest of the ≤ 2k sketch values
+    val uK = aK.union(bK).distinct().orderBy(col("hv")).limit(k).cache()
+    val uAgg = uK.agg(count(lit(1)).as("ku"), max(col("hv")).as("theta"))
+    val cAgg = uK.join(aK, Seq("hv")).join(bK, Seq("hv"))
+      .agg(count(lit(1)).as("c"))
+    val exact = dist
+      .groupBy().pivot("half", Seq(0, 1)).agg(count(lit(1)))
+      .toDF("n_a_exact", "n_b_exact")
+    val exactInter = dist.filter(col("half") === 0).select(col("hv"))
+      .join(dist.filter(col("half") === 1).select(col("hv")), Seq("hv"))
+      .agg(count(lit(1)).as("n_inter_exact"))
+    uAgg.crossJoin(cAgg).crossJoin(broadcast(exact))
+      .crossJoin(broadcast(exactInter))
+      .select(
+        col("ku"), col("theta"), col("c"),
+        ((col("ku") - 1).cast("double")
+          * lit(1152921504606846976L).cast("double") / col("theta"))
+          .as("est_union"),
+        (col("c").cast("double") / col("ku")).as("est_jaccard"),
+        ((col("ku") - 1).cast("double")
+          * lit(1152921504606846976L).cast("double") / col("theta")
+          * col("c") / col("ku")).as("est_inter"),
+        col("n_a_exact"), col("n_b_exact"), col("n_inter_exact"),
+        (col("n_inter_exact").cast("double")
+          / (col("n_a_exact") + col("n_b_exact") - col("n_inter_exact")))
+          .as("jaccard_exact"))
+  }
 }

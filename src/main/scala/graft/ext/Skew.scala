@@ -37,4 +37,35 @@ object Skew {
       .agg(sum(col("n_part")).as("n_events"),
         sum(col("sum_part")).cast("string").as("sum_value"))
       .orderBy(col("event_type"))
+
+  /** Key-skew diagnostic for a prospective join/aggregation key: the
+    * report an operator (or a planning human) reads BEFORE deciding
+    * whether a key needs salting, how many salts, or whether AQE's
+    * skew-join split will fire. Emits the top `n` hottest keys with
+    * their share of the table plus the global shape numbers the
+    * decision needs — key count, rows, max/mean per key, and the skew
+    * ratio max/mean (both fixed-point ×1000 under truncating integer
+    * `div` with positive operands, so the row hash-gates cross-engine;
+    * a ratio ≳ a few × the executor count is the "salt this key"
+    * signal).
+    *
+    * Scale posture: one map-side-combinable count per key, then ONE
+    * top-n of the |keys|-row count frame (TakeOrderedAndProject — n
+    * rows per partition move) cross-joined with its 1-row global
+    * aggregate, broadcast. The diagnosed table streams through once. */
+  def keySkewReport(events: DataFrame, key: String = "user_id",
+      n: Int = 5): DataFrame = {
+    val counts = events.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+    val globals = broadcast(counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("n_rows"),
+      max(col("cnt")).as("max_cnt")))
+    counts.orderBy(col("cnt").desc, col(key)).limit(n)
+      .crossJoin(globals)
+      .select(col(key), col("cnt"),
+        expr("(1000000 * cnt) div n_rows").as("share_ppm"),
+        col("n_keys"), col("n_rows"), col("max_cnt"),
+        expr("(1000 * n_rows) div n_keys").as("mean_cnt_x1000"),
+        expr("(1000 * max_cnt * n_keys) div n_rows").as("skew_x1000"))
+  }
 }

@@ -393,12 +393,25 @@ object TextOps {
     * topTerms, a vocab-sized df aggregate over it, a broadcast of the
     * single doc count, and a per-doc top-k window over the already
     * aggregated tf frame. */
-  def tfidfTerms(documents: DataFrame, k: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = documents.select(col("doc_id"),
-      explode(tokens(col("text"))).as("term"))
-    val tf = toks.groupBy(col("doc_id"), col("term"))
+  /** The per-(doc, term) frequency frame every lexical-ranking query
+    * consumes: one token explode + one map-side-combined aggregate.
+    * Exposed as a suite-shared artifact (SparkEntry memo) because
+    * [[topTermsFrom]], [[tfidfTermsFrom]] and [[bm25TopDocsFrom]] all
+    * derive from it — at 100 TB this is the materialized inverted-index
+    * posting table the ranking jobs read, not a per-query re-explode of
+    * the corpus. */
+  def termFrequencies(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+
+  def tfidfTerms(documents: DataFrame, k: Int = 3): DataFrame =
+    tfidfTermsFrom(termFrequencies(documents), documents, k)
+
+  /** [[tfidfTerms]] over a precomputed [[termFrequencies]] frame. */
+  def tfidfTermsFrom(tf: DataFrame, documents: DataFrame,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = broadcast(documents.agg(count(lit(1)).as("n_docs")))
     val w = Window.partitionBy(col("doc_id"))
@@ -411,6 +424,68 @@ object TextOps {
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
         col("tfidf_bits"))
+  }
+
+  def bm25TopDocs(documents: DataFrame,
+      query: Seq[String] = Seq("dup", "spark", "data"),
+      k: Int = 20): DataFrame =
+    bm25TopDocsFrom(termFrequencies(documents), documents, query, k)
+
+  /** BM25 keyword retrieval: rank documents against a fixed term query
+    * with Okapi saturation (k1 = 6/5, b = 3/4) — the lexical-search
+    * operator a curation stack runs next to embedding retrieval.
+    *
+    * Every quantity is EXACT INTEGER arithmetic, so the result hash-
+    * gates cross-engine:
+    *  - the tf saturation core tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    *    is cleared of fractions by multiplying through by 20·T
+    *    (avgdl = T/N): core = 44·T·tf / (20·T·tf + 6·T + 18·dl·N),
+    *    fixed-point-scaled by 10⁶ under a truncating `div` whose
+    *    operands are all positive (Spark `div` truncates toward zero,
+    *    DuckDB `//` floors — they agree only on non-negative operands);
+    *  - idf is the RATIONAL Robertson form (N+½)/(df+½) scaled to
+    *    integers as (1000·(2N+1)) div (2df+1) — per-term monotone in
+    *    the classic log idf, but log-free: ln() is transcendental and
+    *    libm rounding differs across engines, so a log-BM25 score could
+    *    never hash-gate. The ranking this produces is our engine's
+    *    spec'd scoring function, documented as the "rational-idf BM25"
+    *    variant.
+    * Per-term scores are exact BIGINTs, so the per-doc SUM is shuffle-
+    * order-free. At 100-TB corpus sizes the 10⁶·44·T·tf numerator
+    * outgrows BIGINT (T ≳ 10¹³); the same expression in DECIMAL(38,0)
+    * (DuckDB HUGEINT) is the stated scale path.
+    *
+    * Scale posture: the query-term tf slice is a tiny filter of the
+    * shared [[termFrequencies]] posting frame (|query| terms ×
+    * matching docs); df and the (T, N) totals are broadcast one-row/
+    * |query|-row frames; the global top-k executes as
+    * TakeOrderedAndProject — k rows per partition move, never the
+    * corpus. */
+  def bm25TopDocsFrom(tf: DataFrame, documents: DataFrame,
+      query: Seq[String] = Seq("dup", "spark", "data"),
+      k: Int = 20): DataFrame = {
+    val dl = documents.select(col("doc_id"),
+      tokenCount(col("text")).cast("long").as("dl"))
+    val totals = broadcast(dl.agg(
+      sum(col("dl")).as("t_tokens"),
+      count(lit(1)).as("n_docs")))
+    val qtf = tf.filter(col("term").isin(query: _*))
+    val dfreq = broadcast(
+      qtf.groupBy(col("term")).agg(count(lit(1)).as("df")))
+    val scored = qtf
+      .join(dfreq, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(totals)
+      .withColumn("idf_scaled",
+        expr("(1000 * (2 * n_docs + 1)) div (2 * df + 1)"))
+      .withColumn("core_scaled",
+        expr("(1000000 * 44 * t_tokens * tf) div " +
+          "(20 * t_tokens * tf + 6 * t_tokens + 18 * dl * n_docs)"))
+      .withColumn("term_score", col("idf_scaled") * col("core_scaled"))
+    scored.groupBy(col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("n_hit"), sum(col("term_score")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
   }
 
   /** Materialize the temperature mixture: a deterministic corpus
@@ -701,12 +776,12 @@ object TextOps {
     * Ranking is fully tie-broken (tf desc, df asc, term asc) and all
     * outputs are integers/strings, so the oracle hashes exactly. The df
     * side is a modest-vocabulary dimension — broadcastable at scale. */
-  def topTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+  def topTerms(documents: DataFrame, k: Int = 3): DataFrame =
+    topTermsFrom(termFrequencies(documents), k)
+
+  /** [[topTerms]] over a precomputed [[termFrequencies]] frame. */
+  def topTermsFrom(tf: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = documents.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("term"))
-    val tf = toks.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("df").asc, col("term"))

@@ -1624,4 +1624,79 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
   FROM scored)
 SELECT query_id, label, rank, vec_id AS neighbor_id, cosine FROM ranked WHERE rank <= 5"""
+
+  /** Mirror of TextOps.bm25TopDocsFrom(query = (dup, spark, data),
+    * k = 20): exact-integer rational-idf BM25; `//` floors = Spark
+    * `div` truncation because every operand is positive. */
+  val textBm25: String = """
+WITH tf AS (
+  SELECT doc_id, t.term, COUNT(*)::BIGINT AS tf
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       UNNEST(toks) t(term)
+  GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl FROM documents),
+tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS t_tokens, COUNT(*)::BIGINT AS n_docs FROM dl),
+qtf AS (SELECT * FROM tf WHERE term IN ('dup', 'spark', 'data')),
+dfq AS (SELECT term, COUNT(*)::BIGINT AS df FROM qtf GROUP BY 1),
+scored AS (
+  SELECT q.doc_id, dl.dl,
+         ((1000 * (2 * t.n_docs + 1)) // (2 * f.df + 1))
+           * ((1000000 * 44 * t.t_tokens * q.tf)
+              // (20 * t.t_tokens * q.tf + 6 * t.t_tokens + 18 * dl.dl * t.n_docs))
+           AS term_score
+  FROM qtf q JOIN dfq f USING (term) JOIN dl USING (doc_id), tot t)
+SELECT doc_id, dl, COUNT(*)::BIGINT AS n_hit,
+       CAST(SUM(term_score) AS BIGINT) AS score
+FROM scored GROUP BY doc_id, dl
+ORDER BY score DESC, doc_id LIMIT 20"""
+
+  /** Mirror of Sketches.kmvShingleOverlap(w = 8, k = 1024): KMV
+    * sketch-intersection estimators over the doc_id-parity halves.
+    * Float columns are fixed-order correctly-rounded divides of exact
+    * integers — identical bit patterns cross-engine. */
+  val sketchKmvOverlap: String = """
+WITH sh AS (
+  SELECT doc_id % 2 AS half,
+         ('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15))::BIGINT AS hv
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       UNNEST(range(1, len(toks) - 6)) t(i)
+  WHERE len(toks) >= 8),
+dist AS (SELECT DISTINCT half, hv FROM sh),
+a AS (SELECT hv FROM dist WHERE half = 0 ORDER BY hv LIMIT 512),
+b AS (SELECT hv FROM dist WHERE half = 1 ORDER BY hv LIMIT 512),
+u AS (SELECT DISTINCT hv FROM (SELECT hv FROM a UNION ALL SELECT hv FROM b)
+      ORDER BY hv LIMIT 512),
+uagg AS (SELECT COUNT(*)::BIGINT AS ku, MAX(hv) AS theta FROM u),
+cagg AS (SELECT COUNT(*)::BIGINT AS c FROM u JOIN a USING (hv) JOIN b USING (hv)),
+ex AS (SELECT
+  (SELECT COUNT(*) FROM dist WHERE half = 0)::BIGINT AS n_a_exact,
+  (SELECT COUNT(*) FROM dist WHERE half = 1)::BIGINT AS n_b_exact),
+exi AS (SELECT COUNT(*)::BIGINT AS n_inter_exact
+        FROM (SELECT hv FROM dist WHERE half = 0) ia
+        JOIN (SELECT hv FROM dist WHERE half = 1) ib USING (hv))
+SELECT ku, theta, c,
+       CAST(ku - 1 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) / theta
+         AS est_union,
+       CAST(c AS DOUBLE) / ku AS est_jaccard,
+       CAST(ku - 1 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) / theta
+         * c / ku AS est_inter,
+       n_a_exact, n_b_exact, n_inter_exact,
+       CAST(n_inter_exact AS DOUBLE)
+         / (n_a_exact + n_b_exact - n_inter_exact) AS jaccard_exact
+FROM uagg, cagg, ex, exi"""
+
+  /** Mirror of Skew.keySkewReport(key = user_id, n = 5). */
+  val diagKeySkew: String = """
+WITH counts AS (
+  SELECT user_id, COUNT(*)::BIGINT AS cnt FROM events GROUP BY user_id),
+g AS (SELECT COUNT(*)::BIGINT AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             MAX(cnt) AS max_cnt
+      FROM counts),
+top AS (SELECT user_id, cnt FROM counts ORDER BY cnt DESC, user_id LIMIT 5)
+SELECT t.user_id, t.cnt,
+       (1000000 * t.cnt) // g.n_rows AS share_ppm,
+       g.n_keys, g.n_rows, g.max_cnt,
+       (1000 * g.n_rows) // g.n_keys AS mean_cnt_x1000,
+       (1000 * g.max_cnt * g.n_keys) // g.n_rows AS skew_x1000
+FROM top t, g"""
 }

@@ -261,6 +261,52 @@ class ExtOpsSpec extends SparkSpec {
     assert(!out.exists { case ((_, r), (t, _)) => t == "shared" && r == 1 })
   }
 
+  test("BM25: rational idf favors the rare term; tf saturates sublinearly") {
+    import spark.implicits._
+    // equal dl=6 isolates idf and saturation; df(rare)=1, df(common)=8
+    val d = Seq(
+      (0L, "rare common f0 f0 f0 f0"),
+      (1L, "common x1 x1 x1 x1 x1"),
+      (2L, "common common common common x2 x2")).++(
+      (3L to 7L).map(i => (i, s"common y$i y$i y$i y$i y$i")))
+      .toDF("doc_id", "text")
+    val out = TextOps.bm25TopDocs(d, query = Seq("rare", "common"), k = 8)
+      .collect()
+    val byDoc = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_hit"), r.getAs[Long]("score"))).toMap
+    // T=48, N=8, dl=6 → core(tf)=1e6·2112·tf div (960·tf+1152);
+    // idf: rare = 17000 div 3 = 5666, common = 17000 div 17 = 1000
+    assert(out.head.getAs[Long]("doc_id") == 0L) // rare-term doc wins
+    assert(byDoc(0L) == ((2L, 5666L * 1000000 + 1000L * 1000000)))
+    // saturation: 4× the tf buys well under 4× the score
+    val s1 = byDoc(1L)._2.toDouble
+    val s2 = byDoc(2L)._2.toDouble
+    assert(s2 > s1 && s2 < 4 * s1, s"tf=4 score $s2 vs tf=1 $s1")
+    // tied scores (docs 1,3..7) break deterministically by doc_id
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq ==
+      Seq(0L, 2L, 1L, 3L, 4L, 5L, 6L, 7L))
+  }
+
+  test("key-skew report: hot key first, exact fixed-point ratios") {
+    import spark.implicits._
+    // user 1: 60 rows; users 2..11: 4 rows each → 100 rows, 11 keys
+    val e = ((0 until 60).map(i => (i.toLong, 1L)) ++
+      (0 until 40).map(i => (100L + i, 2L + i % 10)))
+      .toDF("event_id", "user_id")
+    val out = graft.ext.Skew.keySkewReport(e, key = "user_id", n = 5).collect()
+    assert(out.length == 5)
+    val top = out.head
+    assert(top.getAs[Long]("user_id") == 1L && top.getAs[Long]("cnt") == 60L)
+    assert(top.getAs[Long]("share_ppm") == 600000L)
+    assert(top.getAs[Long]("n_keys") == 11L)
+    assert(top.getAs[Long]("max_cnt") == 60L)
+    assert(top.getAs[Long]("mean_cnt_x1000") == 9090L) // 100000 div 11
+    assert(top.getAs[Long]("skew_x1000") == 6600L) // 1000·60·11 div 100
+    // cnt ties (4 each) break by user_id ascending
+    assert(out.drop(1).map(_.getAs[Long]("user_id")).toSeq ==
+      Seq(2L, 3L, 4L, 5L))
+  }
+
   test("mixture sample is deterministic and keeps ≈rate per source") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)

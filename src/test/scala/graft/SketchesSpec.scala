@@ -81,4 +81,49 @@ class SketchesSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(summed == whole)
   }
+
+  // 10-token texts → 3 stride-1 8-token shingles per doc; per-doc
+  // unique vocab keeps shingle sets disjoint unless texts are copied.
+  private def halfDocs(shared: Int, perHalf: Int = 30) = {
+    import spark.implicits._
+    def text(tag: String) = (0 until 10).map(j => s"$tag$j").mkString(" ")
+    (0 until perHalf).flatMap { i =>
+      val even = (2L * i, text(s"e${i}_"))
+      val odd =
+        if (i < shared) (2L * i + 1, text(s"e${i}_")) // copy of even text
+        else (2L * i + 1, text(s"o${i}_"))
+      Seq(even, odd)
+    }.toDF("doc_id", "text")
+  }
+
+  test("KMV overlap: sketch estimators are EXACT once k covers the union") {
+    val r = Sketches.kmvShingleOverlap(halfDocs(shared = 10)).head
+    // 30 docs × 3 shingles per half; 10 texts copied across halves
+    assert(r.getAs[Long]("n_a_exact") == 90L)
+    assert(r.getAs[Long]("n_b_exact") == 90L)
+    assert(r.getAs[Long]("n_inter_exact") == 30L)
+    assert(r.getAs[Long]("ku") == 150L) // |A ∪ B| < k=1024 → full coverage
+    assert(r.getAs[Long]("c") == 30L)
+    // with the union fully inside the sketch, ρ IS the exact Jaccard
+    assert(r.getAs[Double]("est_jaccard") == r.getAs[Double]("jaccard_exact"))
+    assert(r.getAs[Double]("jaccard_exact") == 0.2)
+  }
+
+  test("KMV overlap: identical halves → Jaccard estimate exactly 1") {
+    val r = Sketches.kmvShingleOverlap(halfDocs(shared = 30)).head
+    assert(r.getAs[Long]("c") == r.getAs[Long]("ku"))
+    assert(r.getAs[Double]("est_jaccard") == 1.0)
+    assert(r.getAs[Long]("n_inter_exact") == r.getAs[Long]("n_a_exact"))
+  }
+
+  test("KMV overlap per-half k-min executes as WindowGroupLimit (partial top-k per task)") {
+    val df = Sketches.kmvShingleOverlap(halfDocs(shared = 5))
+    // the sketch subtree is cached, so the window lives inside the
+    // InMemoryRelation's cached physical plan, not the outer plan
+    val cached = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        r.cachedPlan.toString
+    }
+    assert(cached.exists(_.contains("WindowGroupLimit")), cached.mkString("\n"))
+  }
 }
