@@ -131,6 +131,8 @@ object SparkEntry {
     "sketch_kmv_overlap" -> ((s, d) => ext.Sketches.kmvShingleOverlap(docs(s, d))),
     // key-skew diagnostic: hottest keys + max/mean ratio for user_id
     "diag_key_skew" -> ((s, d) => ext.Skew.keySkewReport(Tables.events(s, d))),
+    // one-pass dataset-card profile: nulls/cardinalities/ranges
+    "diag_profile" -> ((s, d) => ext.Diagnostics.tableProfile(Tables.events(s, d))),
     // ordered funnel: view → click → purchase, count per reached depth
     // (deterministic 1-in-5 event sample so every depth is populated
     // at gate SF — the full stream funnels everyone to depth 3)
@@ -359,6 +361,7 @@ object SparkEntry {
     "sketch_countmin" -> OracleSqlExt.sketchCountMin,
     "sketch_kmv_overlap" -> OracleSqlExt.sketchKmvOverlap,
     "diag_key_skew" -> OracleSqlExt.diagKeySkew,
+    "diag_profile" -> OracleSqlExt.diagProfile,
     "events_funnel" -> OracleSqlExt.eventsFunnel,
     "events_session_funnel" -> OracleSqlExt.eventsSessionFunnel,
     "events_retention" -> OracleSqlExt.eventsRetention,

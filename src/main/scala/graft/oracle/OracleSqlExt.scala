@@ -1699,4 +1699,20 @@ SELECT t.user_id, t.cnt,
        (1000 * g.n_rows) // g.n_keys AS mean_cnt_x1000,
        (1000 * g.max_cnt * g.n_keys) // g.n_rows AS skew_x1000
 FROM top t, g"""
+
+  /** Mirror of Diagnostics.tableProfile: exact counts and raw
+    * min/max — no arithmetic touches the doubles. */
+  val diagProfile: String = """
+SELECT COUNT(*)::BIGINT AS n_rows,
+       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_user_id,
+       CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_event_type,
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_value,
+       CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_props,
+       CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_ts,
+       COUNT(DISTINCT user_id)::BIGINT AS n_distinct_user_id,
+       COUNT(DISTINCT event_type)::BIGINT AS n_distinct_event_type,
+       MIN(ts) AS min_ts, MAX(ts) AS max_ts,
+       MIN(user_id) AS min_user_id, MAX(user_id) AS max_user_id,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events"""
 }

@@ -307,6 +307,28 @@ class ExtOpsSpec extends SparkSpec {
       Seq(2L, 3L, 4L, 5L))
   }
 
+  test("table profile: exact nulls, cardinalities and ranges in one row") {
+    import spark.implicits._
+    val t = java.sql.Timestamp.valueOf(_: String)
+    val e = Seq(
+      (1L, t("2024-01-01 00:00:00"), 7L, "click", 1.5, "{}"),
+      (2L, t("2024-01-02 00:00:00"), 7L, "view", -2.0, null),
+      (3L, t("2024-01-03 00:00:00"), 9L, null, 4.25, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.ext.Diagnostics.tableProfile(e).head
+    assert(r.getAs[Long]("n_rows") == 3L)
+    assert(r.getAs[Long]("n_null_event_type") == 1L)
+    assert(r.getAs[Long]("n_null_props") == 1L)
+    assert(r.getAs[Long]("n_null_user_id") == 0L)
+    assert(r.getAs[Long]("n_distinct_user_id") == 2L)
+    assert(r.getAs[Long]("n_distinct_event_type") == 2L) // nulls excluded
+    assert(r.getAs[Long]("min_user_id") == 7L)
+    assert(r.getAs[Long]("max_user_id") == 9L)
+    assert(r.getAs[Double]("min_value") == -2.0)
+    assert(r.getAs[Double]("max_value") == 4.25)
+    assert(r.getAs[java.sql.Timestamp]("max_ts") == t("2024-01-03 00:00:00"))
+  }
+
   test("mixture sample is deterministic and keeps ≈rate per source") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
