@@ -99,12 +99,20 @@ object Sketches {
     * included. The exact distinct/intersection counts alongside are
     * the EVALUATION columns (same status as the ANN recall evals).
     *
+    * Below capacity (|U_k| < k) the union sketch IS the union, so
+    * est_union returns the exact |U_k| instead of the hash-scaled
+    * formula — the standard KMV small-set refinement; est_inter then
+    * degrades gracefully to the exact intersection too.
+    *
     * Scale posture: each half's sketch is `distinct → per-half k-min`
     * — the rank ≤ k window filter rewrites to WindowGroupLimit, so k
     * rows per map task reach the exchange, never the shingle set. The
     * sketch-side frames are ≤ 2k rows; only the exact eval columns
-    * touch the full distinct sets. Sketches from disjoint shards merge
-    * by union + re-take-k, so the build is one pass per corpus. */
+    * touch the full distinct sets, and the shared distinct shingle
+    * frame is cached — the tokenize→explode→md5→distinct pass (the
+    * dominant cost) runs ONCE for all four consumers (the lambda-
+    * bearing explode defeats canonical exchange reuse, so without the
+    * cache it runs four times — measured in this round's plan audit). */
   def kmvShingleOverlap(documents: DataFrame, w: Int = 8,
       k: Int = 512): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -117,6 +125,7 @@ object Sketches {
         i => concat_ws(" ", slice(col("toks"), i, lit(w))))).as("s"))
       .select(col("half"), h60(col("s")).as("hv"))
       .distinct()
+      .cache()
     val perHalf = Window.partitionBy(col("half")).orderBy(col("hv"))
     val sk = dist.withColumn("rn", row_number().over(perHalf))
       .filter(col("rn") <= k).select(col("half"), col("hv"))
@@ -128,23 +137,28 @@ object Sketches {
     val uAgg = uK.agg(count(lit(1)).as("ku"), max(col("hv")).as("theta"))
     val cAgg = uK.join(aK, Seq("hv")).join(bK, Seq("hv"))
       .agg(count(lit(1)).as("c"))
+    // a degenerate half (no >= w-token docs with that parity) must
+    // count 0, not NULL — Spark's pivot yields NULL for a missing
+    // pivot value while the oracle's scalar COUNT subqueries yield 0
     val exact = dist
       .groupBy().pivot("half", Seq(0, 1)).agg(count(lit(1)))
       .toDF("n_a_exact", "n_b_exact")
+      .select(coalesce(col("n_a_exact"), lit(0L)).as("n_a_exact"),
+        coalesce(col("n_b_exact"), lit(0L)).as("n_b_exact"))
     val exactInter = dist.filter(col("half") === 0).select(col("hv"))
       .join(dist.filter(col("half") === 1).select(col("hv")), Seq("hv"))
       .agg(count(lit(1)).as("n_inter_exact"))
+    // below capacity the sketch IS the union → exact count, no noise
+    val estUnion = when(col("ku") < k, col("ku").cast("double"))
+      .otherwise((col("ku") - 1).cast("double")
+        * lit(1152921504606846976L).cast("double") / col("theta"))
     uAgg.crossJoin(cAgg).crossJoin(broadcast(exact))
       .crossJoin(broadcast(exactInter))
       .select(
         col("ku"), col("theta"), col("c"),
-        ((col("ku") - 1).cast("double")
-          * lit(1152921504606846976L).cast("double") / col("theta"))
-          .as("est_union"),
+        estUnion.as("est_union"),
         (col("c").cast("double") / col("ku")).as("est_jaccard"),
-        ((col("ku") - 1).cast("double")
-          * lit(1152921504606846976L).cast("double") / col("theta")
-          * col("c") / col("ku")).as("est_inter"),
+        (estUnion * col("c") / col("ku")).as("est_inter"),
         col("n_a_exact"), col("n_b_exact"), col("n_inter_exact"),
         (col("n_inter_exact").cast("double")
           / (col("n_a_exact") + col("n_b_exact") - col("n_inter_exact")))

@@ -47,7 +47,11 @@ object Skew {
     * ratio max/mean (both fixed-point ×1000 under truncating integer
     * `div` with positive operands, so the row hash-gates cross-engine;
     * a ratio ≳ a few × the executor count is the "salt this key"
-    * signal).
+    * signal). BIGINT boundary: 1000·max_cnt·n_keys overflows int64
+    * when max_cnt·n_keys ≳ 9·10¹⁵ (e.g. a 10⁹-key table with a 10⁷-row
+    * hot key); past that, the same expressions in DECIMAL(38,0)
+    * (DuckDB HUGEINT) are the stated scale path — the bound documented
+    * for [[TextOps.bm25TopDocsFrom]]'s numerator applies here too.
     *
     * Scale posture: one map-side-combinable count per key, then ONE
     * top-n of the |keys|-row count frame (TakeOrderedAndProject — n

@@ -1650,10 +1650,11 @@ SELECT doc_id, dl, COUNT(*)::BIGINT AS n_hit,
 FROM scored GROUP BY doc_id, dl
 ORDER BY score DESC, doc_id LIMIT 20"""
 
-  /** Mirror of Sketches.kmvShingleOverlap(w = 8, k = 1024): KMV
+  /** Mirror of Sketches.kmvShingleOverlap(w = 8, k = 512): KMV
     * sketch-intersection estimators over the doc_id-parity halves.
     * Float columns are fixed-order correctly-rounded divides of exact
-    * integers — identical bit patterns cross-engine. */
+    * integers — identical bit patterns cross-engine. Below sketch
+    * capacity (ku < 512) est_union is the exact ku, as in the Scala. */
   val sketchKmvOverlap: String = """
 WITH sh AS (
   SELECT doc_id % 2 AS half,
@@ -1675,10 +1676,14 @@ exi AS (SELECT COUNT(*)::BIGINT AS n_inter_exact
         FROM (SELECT hv FROM dist WHERE half = 0) ia
         JOIN (SELECT hv FROM dist WHERE half = 1) ib USING (hv))
 SELECT ku, theta, c,
-       CAST(ku - 1 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) / theta
+       CASE WHEN ku < 512 THEN CAST(ku AS DOUBLE)
+            ELSE CAST(ku - 1 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                   / theta END
          AS est_union,
        CAST(c AS DOUBLE) / ku AS est_jaccard,
-       CAST(ku - 1 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) / theta
+       (CASE WHEN ku < 512 THEN CAST(ku AS DOUBLE)
+             ELSE CAST(ku - 1 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                    / theta END)
          * c / ku AS est_inter,
        n_a_exact, n_b_exact, n_inter_exact,
        CAST(n_inter_exact AS DOUBLE)

@@ -102,11 +102,30 @@ class SketchesSpec extends SparkSpec {
     assert(r.getAs[Long]("n_a_exact") == 90L)
     assert(r.getAs[Long]("n_b_exact") == 90L)
     assert(r.getAs[Long]("n_inter_exact") == 30L)
-    assert(r.getAs[Long]("ku") == 150L) // |A ∪ B| < k=1024 → full coverage
+    assert(r.getAs[Long]("ku") == 150L) // |A ∪ B| < k=512 → full coverage
     assert(r.getAs[Long]("c") == 30L)
-    // with the union fully inside the sketch, ρ IS the exact Jaccard
+    // with the union fully inside the sketch, ρ IS the exact Jaccard,
+    // est_union is the exact union size (small-set refinement), and
+    // est_inter collapses to the exact intersection (150·30/150)
     assert(r.getAs[Double]("est_jaccard") == r.getAs[Double]("jaccard_exact"))
     assert(r.getAs[Double]("jaccard_exact") == 0.2)
+    assert(r.getAs[Double]("est_union") == 150.0)
+    assert(r.getAs[Double]("est_inter") == 30.0)
+  }
+
+  test("KMV overlap: a degenerate half counts 0, not NULL") {
+    import spark.implicits._
+    // every doc has even doc_id → the odd half has NO shingles
+    val d = (0 until 10).map(i =>
+      (2L * i, (0 until 10).map(j => s"e${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = Sketches.kmvShingleOverlap(d).head
+    assert(r.getAs[Long]("n_a_exact") == 30L)
+    assert(r.getAs[Long]("n_b_exact") == 0L) // pivot NULL coalesced
+    assert(r.getAs[Long]("n_inter_exact") == 0L)
+    assert(r.getAs[Long]("c") == 0L)
+    assert(r.getAs[Double]("est_jaccard") == 0.0)
+    assert(r.getAs[Double]("jaccard_exact") == 0.0)
   }
 
   test("KMV overlap: identical halves → Jaccard estimate exactly 1") {
