@@ -60,7 +60,12 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    val names = SparkEntry.queries.keys.toVector
+    // Alphabetical, NOT map order: Map iteration order reshuffles when
+    // queries are added, silently moving the one-time shared-artifact
+    // build cost (Artifacts memo) onto whichever consumer now runs
+    // first — which the cross-round regression diff then misreads as a
+    // query regression. A stable order keeps attribution comparable.
+    val names = SparkEntry.queries.keys.toVector.sorted
     val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val samples = collection.mutable.Map.empty[String, List[Double]]
     for (_ <- 0 until iterations; name <- names) {

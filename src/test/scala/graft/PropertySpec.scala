@@ -182,4 +182,65 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("KMV overlap equals a driver-side set computation whenever the sketch covers the union") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val r = new Random(seed)
+      // random 10-token docs from a shared tiny phrase pool: cross-half
+      // shingle overlap arises naturally from pool collisions
+      val pool = (0 until 12).map(p => (0 until 10).map(j => s"p${p}_$j"))
+      val rows = (0L until 60L).map(i => (i, pool(r.nextInt(12)).mkString(" ")))
+      val d = rows.toDF("doc_id", "text")
+      val row = graft.ext.Sketches.kmvShingleOverlap(d).head
+      // driver-side reference over the same 8-token shingles
+      def shingles(t: String): Set[Seq[String]] = {
+        val tk = t.split(" ").toSeq
+        (0 to tk.length - 8).map(i => tk.slice(i, i + 8)).toSet
+      }
+      val a = rows.filter(_._1 % 2 == 0).flatMap(x => shingles(x._2)).toSet
+      val b = rows.filter(_._1 % 2 == 1).flatMap(x => shingles(x._2)).toSet
+      val inter = (a & b).size
+      val union = (a | b).size
+      assert(union < 512, "fixture must stay under sketch capacity")
+      assert(row.getAs[Long]("n_a_exact") == a.size, s"seed=$seed")
+      assert(row.getAs[Long]("n_b_exact") == b.size, s"seed=$seed")
+      assert(row.getAs[Long]("n_inter_exact") == inter, s"seed=$seed")
+      assert(row.getAs[Long]("ku") == union, s"seed=$seed")
+      // below capacity every estimator is exact, not approximate
+      assert(row.getAs[Double]("est_union") == union.toDouble, s"seed=$seed")
+      assert(row.getAs[Double]("est_inter") == inter.toDouble, s"seed=$seed")
+    }
+  }
+
+  test("BM25 scores are bounded by idf·(k1+1) and monotone in tf at fixed dl") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val r = new Random(seed)
+      // every doc: 20 tokens, tf(q) of the query term, rest unique filler
+      val rows = (0L until 40L).map { i =>
+        val tf = 1 + r.nextInt(10)
+        val toks = Seq.fill(tf)("q") ++
+          (0 until (20 - tf)).map(j => s"f${i}_$j")
+        (i, tf, toks.mkString(" "))
+      }
+      val d = rows.map(x => (x._1, x._3)).toDF("doc_id", "text")
+      val out = graft.ext.TextOps.bm25TopDocs(d, query = Seq("q"), k = 40)
+        .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("score"))
+      val tfOf = rows.map(x => x._1 -> x._2).toMap
+      // uniform dl → score strictly increases with tf (saturating, so
+      // never past idf·(k1+1)); equal tf → equal score
+      val byTf = out.groupBy { case (id, _) => tfOf(id) }
+        .map { case (tf, xs) => tf -> xs.map(_._2).distinct }
+      byTf.foreach { case (tf, scores) =>
+        assert(scores.size == 1, s"seed=$seed tf=$tf not score-pure")
+      }
+      val ordered = byTf.toSeq.sortBy(_._1).map(_._2.head)
+      assert(ordered == ordered.sorted, s"seed=$seed not monotone in tf")
+      // bound: core < (k1+1)=2.2 scaled by 1e6, idf ≤ 1000·(2N+1)/3
+      val n = rows.size
+      val idfMax = (1000L * (2 * n + 1)) / 3
+      assert(out.forall(_._2 <= idfMax * 2200000L), s"seed=$seed over bound")
+    }
+  }
 }
