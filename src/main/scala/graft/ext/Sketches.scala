@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
-  /** 60-bit engine-portable uniform hash (15 hex chars of md5). */
-  private def h60(c: org.apache.spark.sql.Column) =
+  /** 60-bit engine-portable uniform hash (15 hex chars of md5).
+    * Shared with [[graft.streaming.CorpusIngest.updateKmvSketch]] so
+    * the streaming sketch and the batch sketch agree bit-for-bit. */
+  private[graft] def h60(c: org.apache.spark.sql.Column) =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("bigint")
 
   /** KMV (k-minimum-values) distinct-count estimate over document

@@ -237,4 +237,64 @@ object CorpusIngest {
         ingestBatchNear(batch, batchId, corpusDir, threshold); ()
       }
       .start()
+
+  /** Streaming KMV cardinality-sketch maintenance: each micro-batch
+    * merges the stored k-minimum-values sketch with the batch's
+    * content hashes — union + re-take-k, the KMV merge law
+    * SketchesSpec proves for shard sketches, applied over time instead
+    * of space. The sketch answers "how many distinct contents has this
+    * corpus ever seen" from k rows, without rescanning the corpus —
+    * the streaming complement of [[graft.ext.Sketches.kmvDistinct]]
+    * (same [[graft.ext.Sketches.h60]] hash, so stream and batch agree
+    * bit-for-bit).
+    *
+    * Replay-safe twice over: [[TxnLog.runOnce]] skips a committed
+    * batch id, and the merge itself is idempotent AND monotone
+    * (re-merging already-absorbed values changes nothing), so even a
+    * torn rerun converges to the same sketch. The merged frame is
+    * pinned (localCheckpoint) BEFORE the overwrite — rewriting the
+    * directory currently being read is the read-your-own-write hazard
+    * the ingest paths pin against.
+    *
+    * Scale posture: per batch, one `distinct → k-min`
+    * (TakeOrderedAndProject — k rows per partition move) over the
+    * batch plus a union with a k-row stored frame. Corpus size never
+    * enters the per-batch cost. */
+  def updateKmvSketch(batch: DataFrame, batchId: Long, sketchDir: String,
+      k: Int = 64): Unit = {
+    val spark = batch.sparkSession
+    val minsDir = s"$sketchDir/mins"
+    val logDir = s"$sketchDir/_txn"
+    TxnLog.runOnce(logDir, batchId) {
+      val batchMins = batch
+        .select(graft.ext.Sketches.h60(col("text")).as("hv"))
+        .distinct().orderBy(col("hv")).limit(k)
+      val merged = (readIfAny(spark, minsDir) match {
+        case Some(prev) => prev.select(col("hv")).union(batchMins)
+          .distinct().orderBy(col("hv")).limit(k)
+        case None => batchMins
+      }).localCheckpoint()
+      merged.write.mode(SaveMode.Overwrite).parquet(minsDir)
+    }
+  }
+
+  /** Current distinct-count estimate from the stored sketch — the
+    * (k−1)·2⁶⁰/v_k KMV estimator over the k-row mins frame. */
+  def kmvEstimate(spark: SparkSession, sketchDir: String): DataFrame =
+    spark.read.parquet(s"$sketchDir/mins")
+      .agg(count(lit(1)).as("k"), max(col("hv")).as("vk"))
+      .select(col("k"), col("vk"),
+        ((col("k") - 1).cast("double")
+          * lit(1152921504606846976L).cast("double") / col("vk"))
+          .as("n_distinct_est"))
+
+  /** Streaming entry for the sketch-maintenance path. */
+  def startKmv(docs: DataFrame, sketchDir: String,
+      checkpointDir: String, k: Int = 64): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        updateKmvSketch(batch, batchId, sketchDir, k); ()
+      }
+      .start()
 }

@@ -139,4 +139,41 @@ class CorpusIngestSpec extends SparkSpec {
     assert(CorpusIngest.ingestBatch(batch, 1L, corpusDir) == 0L)
     assert(spark.read.parquet(s"$corpusDir/data").count() == 2)
   }
+
+  test("streaming KMV sketch over batches equals the batch sketch over the whole corpus") {
+    import org.apache.spark.sql.functions._
+    val sketchDir = Files.createTempDirectory("graft-kmv").toString
+    val k = 16
+    // 3 micro-batches, 30 docs each, with cross-batch duplicate texts
+    val batches = (0 until 3).map { b =>
+      (0 until 30).map { i =>
+        val id = b * 30L + i
+        // every 5th doc repeats a batch-0 text → cross-batch dups
+        val t = if (i % 5 == 0) s"shared text ${i / 5}" else s"text $b-$i"
+        (id, t)
+      }.toDF("doc_id", "text")
+    }
+    batches.zipWithIndex.foreach { case (b, i) =>
+      CorpusIngest.updateKmvSketch(b, i.toLong, sketchDir, k)
+    }
+    def storedMins = spark.read.parquet(s"$sketchDir/mins")
+      .orderBy("hv").as[Long].collect().toSeq
+    // batch reference: k smallest distinct hashes of the FULL corpus
+    val whole = batches.reduce(_ unionByName _)
+      .select(conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
+        .cast("bigint").as("hv"))
+      .distinct().orderBy("hv").limit(k).as[Long].collect().toSeq
+    assert(storedMins == whole) // stream-over-time ≡ batch-over-space
+    // txn-log replay of a committed batch id: no work, sketch unchanged
+    CorpusIngest.updateKmvSketch(batches(1), 1L, sketchDir, k)
+    assert(storedMins == whole)
+    // torn rerun (same data, NEW batch id): merge is idempotent,
+    // sketch converges to the same value
+    CorpusIngest.updateKmvSketch(batches(1), 99L, sketchDir, k)
+    assert(storedMins == whole)
+    // estimate columns derive from the stored frame
+    val est = CorpusIngest.kmvEstimate(spark, sketchDir).head
+    assert(est.getAs[Long]("k") == k.toLong)
+    assert(est.getAs[Long]("vk") == whole.max)
+  }
 }
