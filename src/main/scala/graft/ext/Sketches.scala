@@ -36,17 +36,33 @@ object Sketches {
     * textbook KMV merge); the exact countDistinct alongside is the
     * EVALUATION column, same status as the recall evals' exact top-k. */
   def kmvDistinct(documents: DataFrame, k: Int = 64): DataFrame = {
-    val mins = documents.select(h60(col("text")).as("hv"))
-      .distinct().orderBy(col("hv")).limit(k)
+    val mins = kmvMins(documents.select(h60(col("text")).as("hv")), k)
     val exact = documents.agg(
       countDistinct(col("text")).as("n_distinct_exact"))
-    mins.agg(count(lit(1)).as("k"), max(col("hv")).as("vk"))
-      .crossJoin(exact)
-      .select(col("k"), col("vk"),
-        ((col("k") - 1).cast("double") * lit(1152921504606846976L).cast("double")
-          / col("vk")).as("n_distinct_est"),
-        col("n_distinct_exact"))
+    kmvEstimateFrom(mins, k).crossJoin(exact)
   }
+
+  /** The k smallest distinct values of an `hv` column — the KMV sketch
+    * frame, shared by [[kmvDistinct]] and the streaming maintenance
+    * path ([[graft.streaming.CorpusIngest.updateKmvSketch]]) so the
+    * two stay bit-for-bit identical by construction, not by parallel
+    * maintenance. Null hashes (null input text) are excluded: Spark
+    * sorts nulls FIRST while DuckDB sorts them LAST, and a null would
+    * otherwise occupy a min slot forever once persisted. */
+  private[graft] def kmvMins(hv: DataFrame, k: Int): DataFrame =
+    hv.filter(col("hv").isNotNull).distinct().orderBy(col("hv")).limit(k)
+
+  /** (k, vk, n_distinct_est) over a mins frame: the (k−1)·2⁶⁰/v_k
+    * estimator with the small-set refinement — below capacity the
+    * sketch IS the distinct set, so the exact size is free (the same
+    * refinement [[kmvShingleOverlap]] applies to est_union). */
+  private[graft] def kmvEstimateFrom(mins: DataFrame, k: Int): DataFrame =
+    mins.agg(count(lit(1)).as("k"), max(col("hv")).as("vk"))
+      .select(col("k"), col("vk"),
+        when(col("k") < k, col("k").cast("double"))
+          .otherwise((col("k") - 1).cast("double")
+            * lit(1152921504606846976L).cast("double") / col("vk"))
+          .as("n_distinct_est"))
 
   /** Count-min sketch over event types: `depth` independent hash rows
     * of `width` counters; each occurrence increments one counter per

@@ -1082,12 +1082,14 @@ SELECT event_id, CAST(va | (vb << 1) AS BIGINT) AS zval FROM z4"""
   val sketchKmv: String = """
 WITH hv AS (
   SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS hv
-  FROM documents),
+  FROM documents WHERE text IS NOT NULL),
 mins AS (SELECT hv FROM hv ORDER BY hv LIMIT 64),
 agg AS (SELECT COUNT(*) AS k, MAX(hv) AS vk FROM mins),
 ex AS (SELECT COUNT(DISTINCT text) AS n_distinct_exact FROM documents)
 SELECT a.k, a.vk,
-       CAST(a.k - 1 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) / a.vk
+       CASE WHEN a.k < 64 THEN CAST(a.k AS DOUBLE)
+            ELSE CAST(a.k - 1 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                   / a.vk END
          AS n_distinct_est,
        ex.n_distinct_exact
 FROM agg a, ex"""

@@ -262,31 +262,73 @@ object CorpusIngest {
     * enters the per-batch cost. */
   def updateKmvSketch(batch: DataFrame, batchId: Long, sketchDir: String,
       k: Int = 64): Unit = {
-    val spark = batch.sparkSession
-    val minsDir = s"$sketchDir/mins"
     val logDir = s"$sketchDir/_txn"
+    // Versioned write, NOT an in-place overwrite of one mins dir: each
+    // batch writes an immutable mins-<batchId> dir and the TxnLog
+    // marker (committed AFTER the write) is what publishes it. A crash
+    // mid-write leaves the previous committed version untouched — an
+    // in-place Overwrite instead deletes the old files before the new
+    // job commits, so a crash there (or a concurrent kmvEstimate
+    // reader that listed the old files) loses the sketch.
     TxnLog.runOnce(logDir, batchId) {
-      val batchMins = batch
-        .select(graft.ext.Sketches.h60(col("text")).as("hv"))
-        .distinct().orderBy(col("hv")).limit(k)
-      val merged = (readIfAny(spark, minsDir) match {
-        case Some(prev) => prev.select(col("hv")).union(batchMins)
-          .distinct().orderBy(col("hv")).limit(k)
+      val batchMins = graft.ext.Sketches.kmvMins(
+        batch.select(graft.ext.Sketches.h60(col("text")).as("hv")), k)
+      val merged = (readKmvSketch(batch.sparkSession, sketchDir) match {
+        case Some(prev) =>
+          graft.ext.Sketches.kmvMins(prev.union(batchMins), k)
         case None => batchMins
       }).localCheckpoint()
-      merged.write.mode(SaveMode.Overwrite).parquet(minsDir)
+      merged.write.mode(SaveMode.Overwrite)
+        .parquet(s"$sketchDir/mins-$batchId")
+    }
+    // best-effort compaction AFTER commit: keep the two newest
+    // committed versions (the -1 guards a reader that listed the
+    // previous latest just before this batch published); k-row dirs,
+    // so retention cost is trivial either way
+    committedSketchIds(sketchDir).sorted.dropRight(2).foreach { id =>
+      scala.util.Try {
+        val d = Paths.get(s"$sketchDir/mins-$id")
+        if (Files.exists(d)) {
+          Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { Files.deleteIfExists(p); () })
+        }
+      }
     }
   }
 
-  /** Current distinct-count estimate from the stored sketch — the
-    * (k−1)·2⁶⁰/v_k KMV estimator over the k-row mins frame. */
-  def kmvEstimate(spark: SparkSession, sketchDir: String): DataFrame =
-    spark.read.parquet(s"$sketchDir/mins")
-      .agg(count(lit(1)).as("k"), max(col("hv")).as("vk"))
-      .select(col("k"), col("vk"),
-        ((col("k") - 1).cast("double")
-          * lit(1152921504606846976L).cast("double") / col("vk"))
-          .as("n_distinct_est"))
+  private def committedSketchIds(sketchDir: String): Seq[Long] = {
+    val log = Paths.get(s"$sketchDir/_txn")
+    if (!Files.exists(log)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.list(log).iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("batch-") =>
+          s.stripPrefix("batch-").toLong }
+        .filter(id => Files.exists(Paths.get(s"$sketchDir/mins-$id")))
+        .toSeq
+    }
+  }
+
+  /** The latest COMMITTED sketch mins frame, if any batch has
+    * published one (marker present AND version dir present — a torn
+    * write without its marker is invisible). */
+  def readKmvSketch(spark: SparkSession, sketchDir: String): Option[DataFrame] =
+    committedSketchIds(sketchDir).sorted.lastOption.map(id =>
+      spark.read.parquet(s"$sketchDir/mins-$id").select(col("hv")))
+
+  /** Current distinct-count estimate from the stored sketch — shares
+    * [[graft.ext.Sketches.kmvEstimateFrom]] (including the
+    * below-capacity exactness refinement) with the batch query. Empty
+    * (0-row) frame before the first batch commits. */
+  def kmvEstimate(spark: SparkSession, sketchDir: String,
+      k: Int = 64): DataFrame =
+    readKmvSketch(spark, sketchDir) match {
+      case Some(mins) => graft.ext.Sketches.kmvEstimateFrom(mins, k)
+      case None => spark.range(0).select(
+        col("id").as("k"), col("id").as("vk"),
+        col("id").cast("double").as("n_distinct_est"))
+    }
 
   /** Streaming entry for the sketch-maintenance path. */
   def startKmv(docs: DataFrame, sketchDir: String,

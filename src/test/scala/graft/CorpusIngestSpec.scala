@@ -153,10 +153,12 @@ class CorpusIngestSpec extends SparkSpec {
         (id, t)
       }.toDF("doc_id", "text")
     }
+    // before the first commit: empty estimate, no throw
+    assert(CorpusIngest.kmvEstimate(spark, sketchDir, k).count() == 0)
     batches.zipWithIndex.foreach { case (b, i) =>
       CorpusIngest.updateKmvSketch(b, i.toLong, sketchDir, k)
     }
-    def storedMins = spark.read.parquet(s"$sketchDir/mins")
+    def storedMins = CorpusIngest.readKmvSketch(spark, sketchDir).get
       .orderBy("hv").as[Long].collect().toSeq
     // batch reference: k smallest distinct hashes of the FULL corpus
     val whole = batches.reduce(_ unionByName _)
@@ -172,8 +174,44 @@ class CorpusIngestSpec extends SparkSpec {
     CorpusIngest.updateKmvSketch(batches(1), 99L, sketchDir, k)
     assert(storedMins == whole)
     // estimate columns derive from the stored frame
-    val est = CorpusIngest.kmvEstimate(spark, sketchDir).head
+    val est = CorpusIngest.kmvEstimate(spark, sketchDir, k).head
     assert(est.getAs[Long]("k") == k.toLong)
     assert(est.getAs[Long]("vk") == whole.max)
+  }
+
+  test("a torn sketch write without its commit marker is invisible; its replay converges") {
+    import org.apache.spark.sql.functions._
+    val sketchDir = Files.createTempDirectory("graft-kmv-torn").toString
+    val k = 8
+    val b0 = (0 until 20).map(i => (i.toLong, s"t$i")).toDF("doc_id", "text")
+    CorpusIngest.updateKmvSketch(b0, 0L, sketchDir, k)
+    val committed = CorpusIngest.readKmvSketch(spark, sketchDir).get
+      .orderBy("hv").as[Long].collect().toSeq
+    // simulate a crash MID-WRITE of batch 1: version dir exists with
+    // garbage, but no batch-1 marker was ever committed
+    val torn = Files.createDirectories(
+      java.nio.file.Paths.get(s"$sketchDir/mins-1"))
+    Files.writeString(torn.resolve("part-garbage"), "not parquet")
+    // readers still see batch 0's committed sketch
+    assert(CorpusIngest.readKmvSketch(spark, sketchDir).get
+      .orderBy("hv").as[Long].collect().toSeq == committed)
+    // the stream replays batch 1: overwrite of the torn dir + commit
+    val b1 = (20 until 40).map(i => (i.toLong, s"t$i")).toDF("doc_id", "text")
+    CorpusIngest.updateKmvSketch(b1, 1L, sketchDir, k)
+    val whole = (b0 unionByName b1)
+      .select(conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
+        .cast("bigint").as("hv"))
+      .distinct().orderBy("hv").limit(k).as[Long].collect().toSeq
+    assert(CorpusIngest.readKmvSketch(spark, sketchDir).get
+      .orderBy("hv").as[Long].collect().toSeq == whole)
+    // below capacity (8 mins of 40 distinct → at capacity here); use a
+    // tiny corpus for the refinement: distinct < k → exact estimate
+    val tinyDir = Files.createTempDirectory("graft-kmv-tiny").toString
+    CorpusIngest.updateKmvSketch(
+      Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("doc_id", "text"),
+      0L, tinyDir, k)
+    val est = CorpusIngest.kmvEstimate(spark, tinyDir, k).head
+    assert(est.getAs[Long]("k") == 2L)
+    assert(est.getAs[Double]("n_distinct_est") == 2.0) // refinement
   }
 }

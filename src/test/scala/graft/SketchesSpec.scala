@@ -27,6 +27,13 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est - 400.0) < 150.0, s"estimate $est")
   }
 
+  test("KMV below capacity: the sketch is the distinct set, estimate exact") {
+    val r = Sketches.kmvDistinct(docs(30, dup = 5)).head
+    assert(r.getAs[Long]("k") == 30L)
+    assert(r.getAs[Double]("n_distinct_est") == 30.0) // refinement path
+    assert(r.getAs[Long]("n_distinct_exact") == 30L)
+  }
+
   test("KMV shard sketches merge: k smallest of the union of two shard sketches") {
     import spark.implicits._
     val all = docs(300)
