@@ -81,12 +81,7 @@ object Sketches {
       width: Int = 1024): DataFrame = {
     val pos = h60(concat(col("j").cast("string"), lit(":"),
       col("event_type"))) % width
-    val entries = events
-      .select(col("event_type"),
-        explode(sequence(lit(0), lit(depth - 1))).as("j"))
-      .select(col("event_type"), col("j"), pos.as("pos"))
-    val counters = entries.groupBy(col("j"), col("pos"))
-      .agg(count(lit(1)).as("cnt"))
+    val counters = cmsCounters(events, depth, width)
     val typeKeys = events.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_exact"))
       .select(col("event_type"), col("n_exact"),
@@ -96,6 +91,44 @@ object Sketches {
       .groupBy(col("event_type"), col("n_exact"))
       .agg(min(col("cnt")).as("cms_est"))
       .select(col("event_type"), col("n_exact"), col("cms_est"))
+  }
+
+  /** The depth×width counter frame of a count-min sketch over
+    * event_type — the mergeable (position-wise sum) artifact, shared
+    * by [[countMinTypes]] and the streaming maintenance path
+    * ([[graft.streaming.CorpusIngest.updateCmsSketch]]) so batch and
+    * stream counters agree by construction. */
+  private[graft] def cmsCounters(events: DataFrame, depth: Int,
+      width: Int): DataFrame = {
+    val pos = h60(concat(col("j").cast("string"), lit(":"),
+      col("event_type"))) % width
+    events
+      .select(col("event_type"),
+        explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .select(col("event_type"), col("j"), pos.as("pos"))
+      .groupBy(col("j"), col("pos"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query `keys` against a counter frame: min across the depth
+    * rows — never an underestimate. The key frame is |keys|·depth
+    * rows; the counter frame broadcasts (≤ depth·width rows at any
+    * corpus scale). LEFT join + coalesce(0): a cell absent from the
+    * sparse counter frame means count 0, so a never-inserted key
+    * correctly estimates 0 instead of joining away. */
+  private[graft] def cmsLookupFrom(counters: DataFrame, keys: Seq[String],
+      depth: Int, width: Int): DataFrame = {
+    val spark = counters.sparkSession
+    import spark.implicits._
+    val pos = h60(concat(col("j").cast("string"), lit(":"),
+      col("event_type"))) % width
+    keys.toDF("event_type")
+      .select(col("event_type"),
+        explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .select(col("event_type"), col("j"), pos.as("pos"))
+      .join(broadcast(counters), Seq("j", "pos"), "left")
+      .groupBy(col("event_type"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }
 
   /** KMV/theta-style OVERLAP estimate between the two corpus halves

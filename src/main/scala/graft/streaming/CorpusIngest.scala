@@ -261,33 +261,79 @@ object CorpusIngest {
     * batch plus a union with a k-row stored frame. Corpus size never
     * enters the per-batch cost. */
   def updateKmvSketch(batch: DataFrame, batchId: Long, sketchDir: String,
-      k: Int = 64): Unit = {
-    val logDir = s"$sketchDir/_txn"
-    // Versioned write, NOT an in-place overwrite of one mins dir: each
-    // batch writes an immutable mins-<batchId> dir and the TxnLog
-    // marker (committed AFTER the write) is what publishes it. A crash
-    // mid-write leaves the previous committed version untouched — an
-    // in-place Overwrite instead deletes the old files before the new
-    // job commits, so a crash there (or a concurrent kmvEstimate
-    // reader that listed the old files) loses the sketch.
-    TxnLog.runOnce(logDir, batchId) {
+      k: Int = 64): Unit =
+    mergePublish(batch.sparkSession, sketchDir, "mins", batchId) { prev =>
       val batchMins = graft.ext.Sketches.kmvMins(
         batch.select(graft.ext.Sketches.h60(col("text")).as("hv")), k)
-      val merged = (readKmvSketch(batch.sparkSession, sketchDir) match {
-        case Some(prev) =>
-          graft.ext.Sketches.kmvMins(prev.union(batchMins), k)
+      prev match {
+        case Some(p) =>
+          graft.ext.Sketches.kmvMins(p.select(col("hv")).union(batchMins), k)
         case None => batchMins
-      }).localCheckpoint()
+      }
+    }
+
+  /** Streaming count-min counter maintenance: each micro-batch's
+    * depth×width counter frame ([[graft.ext.Sketches.cmsCounters]] —
+    * the same build the batch query uses) merges into the stored one
+    * by position-wise sum, the CMS merge law SketchesSpec proves for
+    * shard counters. The running sketch answers heavy-hitter point
+    * queries over the WHOLE ingested history from ≤ depth·width rows —
+    * the streaming feed for [[graft.ext.Skew.keySkewReport]]'s
+    * "does this key need salting" decision, available while the data
+    * is still arriving. Same versioned publish + TxnLog commit as the
+    * KMV path; the position-wise sum is replay-safe through the
+    * batch-id guard (NOT idempotent by itself — a re-sum would double-
+    * count, which is why the guard is load-bearing here and the spec
+    * pins it). */
+  def updateCmsSketch(batch: DataFrame, batchId: Long, sketchDir: String,
+      depth: Int = 4, width: Int = 1024): Unit =
+    mergePublish(batch.sparkSession, sketchDir, "counters", batchId) { prev =>
+      val bc = graft.ext.Sketches.cmsCounters(batch, depth, width)
+      prev match {
+        case Some(p) => p.select(col("j"), col("pos"), col("cnt"))
+          .union(bc).groupBy(col("j"), col("pos"))
+          .agg(sum(col("cnt")).as("cnt"))
+        case None => bc
+      }
+    }
+
+  /** Point-query the stored counter sketch for `keys` (0-row frame
+    * before the first commit; never-inserted keys estimate 0). */
+  def cmsLookup(spark: SparkSession, sketchDir: String, keys: Seq[String],
+      depth: Int = 4, width: Int = 1024): DataFrame =
+    readLatest(spark, sketchDir, "counters") match {
+      case Some(counters) =>
+        graft.ext.Sketches.cmsLookupFrom(counters, keys, depth, width)
+      case None => spark.range(0).select(
+        col("id").cast("string").as("event_type"), col("id").as("cms_est"))
+    }
+
+  /** Versioned micro-batch publish: build the merged frame from the
+    * latest COMMITTED version, write it to an immutable
+    * <prefix>-<batchId> dir, then commit the TxnLog marker. A crash
+    * mid-write leaves the previous committed version untouched — an
+    * in-place Overwrite instead deletes the old files before the new
+    * job commits, so a crash there (or a concurrent reader that
+    * listed the old files) loses the sketch. The merged frame is
+    * pinned (localCheckpoint) before the write — the
+    * read-your-own-write hazard pin the ingest paths share. */
+  private def mergePublish(spark: SparkSession, sketchDir: String,
+      prefix: String, batchId: Long)
+      (merge: Option[DataFrame] => DataFrame): Unit = {
+    TxnLog.runOnce(s"$sketchDir/_txn", batchId) {
+      val merged = merge(readLatest(spark, sketchDir, prefix))
+        .localCheckpoint()
       merged.write.mode(SaveMode.Overwrite)
-        .parquet(s"$sketchDir/mins-$batchId")
+        .parquet(s"$sketchDir/$prefix-$batchId")
     }
     // best-effort compaction AFTER commit: keep the two newest
     // committed versions (the -1 guards a reader that listed the
-    // previous latest just before this batch published); k-row dirs,
-    // so retention cost is trivial either way
-    committedSketchIds(sketchDir).sorted.dropRight(2).foreach { id =>
+    // previous latest just before this batch published); the version
+    // dirs are sketch-sized (k rows / depth·width rows), so retention
+    // cost is trivial either way
+    committedIds(sketchDir, prefix).sorted.dropRight(2).foreach { id =>
       scala.util.Try {
-        val d = Paths.get(s"$sketchDir/mins-$id")
+        val d = Paths.get(s"$sketchDir/$prefix-$id")
         if (Files.exists(d)) {
           Files.walk(d).sorted(java.util.Comparator.reverseOrder())
             .forEach(p => { Files.deleteIfExists(p); () })
@@ -296,7 +342,7 @@ object CorpusIngest {
     }
   }
 
-  private def committedSketchIds(sketchDir: String): Seq[Long] = {
+  private def committedIds(sketchDir: String, prefix: String): Seq[Long] = {
     val log = Paths.get(s"$sketchDir/_txn")
     if (!Files.exists(log)) Seq.empty
     else {
@@ -305,17 +351,22 @@ object CorpusIngest {
         .map(_.getFileName.toString)
         .collect { case s if s.startsWith("batch-") =>
           s.stripPrefix("batch-").toLong }
-        .filter(id => Files.exists(Paths.get(s"$sketchDir/mins-$id")))
+        .filter(id => Files.exists(Paths.get(s"$sketchDir/$prefix-$id")))
         .toSeq
     }
   }
 
-  /** The latest COMMITTED sketch mins frame, if any batch has
+  /** The latest COMMITTED version of a sketch frame, if any batch has
     * published one (marker present AND version dir present — a torn
     * write without its marker is invisible). */
+  private def readLatest(spark: SparkSession, sketchDir: String,
+      prefix: String): Option[DataFrame] =
+    committedIds(sketchDir, prefix).sorted.lastOption.map(id =>
+      spark.read.parquet(s"$sketchDir/$prefix-$id"))
+
+  /** The latest committed KMV mins frame ([[updateKmvSketch]]). */
   def readKmvSketch(spark: SparkSession, sketchDir: String): Option[DataFrame] =
-    committedSketchIds(sketchDir).sorted.lastOption.map(id =>
-      spark.read.parquet(s"$sketchDir/mins-$id").select(col("hv")))
+    readLatest(spark, sketchDir, "mins").map(_.select(col("hv")))
 
   /** Current distinct-count estimate from the stored sketch — shares
     * [[graft.ext.Sketches.kmvEstimateFrom]] (including the

@@ -214,4 +214,32 @@ class CorpusIngestSpec extends SparkSpec {
     assert(est.getAs[Long]("k") == 2L)
     assert(est.getAs[Double]("n_distinct_est") == 2.0) // refinement
   }
+
+  test("streaming CMS counters across batches answer whole-history point queries; replay can't double-count") {
+    val sketchDir = Files.createTempDirectory("graft-cms").toString
+    val (depth, width) = (4, 256)
+    def events(lo: Int, hi: Int) = (lo until hi).map(i =>
+      (i.toLong, s"type${i % 5}")).toDF("event_id", "event_type")
+    // before the first commit: empty frame, absent keys later → 0
+    assert(CorpusIngest.cmsLookup(spark, sketchDir, Seq("type0"),
+      depth, width).count() == 0)
+    CorpusIngest.updateCmsSketch(events(0, 100), 0L, sketchDir, depth, width)
+    CorpusIngest.updateCmsSketch(events(100, 250), 1L, sketchDir, depth, width)
+    def lookups = CorpusIngest.cmsLookup(spark, sketchDir,
+      Seq("type0", "type1", "type4", "never_seen"), depth, width)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        r.getAs[Long]("cms_est")).toMap
+    // exact per-type counts over the full 250-event history
+    val exact = (0 until 250).groupBy(i => s"type${i % 5}")
+      .map { case (t, xs) => t -> xs.size.toLong }
+    val got = lookups
+    // CMS never underestimates; at width 256 over 5 types it is exact
+    assert(got("type0") == exact("type0") && got("type1") == exact("type1")
+      && got("type4") == exact("type4"), s"got $got exact $exact")
+    assert(got("never_seen") == 0L) // left join + coalesce, not dropped
+    // txn-log replay of batch 1: the position-wise sum is NOT
+    // idempotent, so the batch-id guard is what prevents double counts
+    CorpusIngest.updateCmsSketch(events(100, 250), 1L, sketchDir, depth, width)
+    assert(lookups == got)
+  }
 }
