@@ -280,7 +280,7 @@ object SparkEntry {
     // header+pixels; the oracle recomputes the pixel sums independently
     "mm_decode" -> ((s, d) => MultiModal.decodedFeatures(docs(s, d))),
     "mm_audio" -> ((s, d) => MultiModal.decodedAudio(docs(s, d))),
-    // stubbed pseudo-decode plumbing (audio/video codecs absent here)
+    // pseudo-decode plumbing (only video decode remains stubbed)
     "mm_features" -> ((s, d) => MultiModal.features(docs(s, d))),
     "mm_resize" -> ((s, d) => MultiModal.resizePlan(docs(s, d))),
     "mm_frames" -> ((s, d) => MultiModal.frameSamplePlan(docs(s, d)))

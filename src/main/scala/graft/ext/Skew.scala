@@ -64,7 +64,7 @@ object Skew {
       count(lit(1)).as("n_keys"),
       sum(col("cnt")).as("n_rows"),
       max(col("cnt")).as("max_cnt")))
-    counts.orderBy(col("cnt").desc, col(key)).limit(n)
+    counts.orderBy(col("cnt").desc, col(key).asc_nulls_last).limit(n)
       .crossJoin(globals)
       .select(col(key), col("cnt"),
         expr("(1000000 * cnt) div n_rows").as("share_ppm"),

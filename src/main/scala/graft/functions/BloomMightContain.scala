@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, IntegerType, LongType}
 
 /** Native Catalyst expression: k-probe Bloom-filter membership over a
   * bitset stored as `array<bigint>` words — the probe half of the
@@ -32,8 +33,16 @@ case class BloomMightContain(left: Expression, right: Expression, k: Int)
     extends BinaryExpression {
 
   // left: array<bigint> bitset words; right: bigint key hash.
-  // (AbstractDataType/ExpectsInputTypes are private[sql]; resolution
-  // relies on the registering call sites — same stance as CosineSimilarity.)
+  // (AbstractDataType/ExpectsInputTypes are private[sql], so input
+  // typing is enforced via checkInputDataTypes — a SQL call with a
+  // wrong-typed argument fails at ANALYSIS time, not with an executor
+  // ClassCastException.)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, bigint), got (${l.sql}, ${r.sql})")
+    }
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = true
   override def prettyName: String = "bloom_might_contain"
@@ -42,6 +51,10 @@ case class BloomMightContain(left: Expression, right: Expression, k: Int)
     val words = wordsAny.asInstanceOf[ArrayData]
     val h = hashAny.asInstanceOf[Long]
     val m = words.numElements().toLong << 6
+    // Empty bitset (m = 0): an empty filter contains nothing — return
+    // false rather than dividing by zero. (m = 64 makes m-1 = 63 > 0,
+    // so the h2 modulus is safe for every non-empty array.)
+    if (m == 0L) return false
     val h1 = (h >>> 1) % m
     val h2 = ((h >>> 33) % (m - 1L)) | 1L
     var i = 0
@@ -58,12 +71,14 @@ case class BloomMightContain(left: Expression, right: Expression, k: Int)
     nullSafeCodeGen(ctx, ev, (w, h) => {
       s"""
         |long m = ((long) $w.numElements()) << 6;
-        |long h1 = ($h >>> 1) % m;
-        |long h2 = (($h >>> 33) % (m - 1L)) | 1L;
-        |boolean all = true;
-        |for (int i = 0; all && i < $k; i++) {
-        |  long bit = (h1 + i * h2) % m;
-        |  all = ($w.getLong((int)(bit >>> 6)) & (1L << (int)(bit & 63L))) != 0L;
+        |boolean all = m != 0L;
+        |if (all) {
+        |  long h1 = ($h >>> 1) % m;
+        |  long h2 = (($h >>> 33) % (m - 1L)) | 1L;
+        |  for (int i = 0; all && i < $k; i++) {
+        |    long bit = (h1 + i * h2) % m;
+        |    all = ($w.getLong((int)(bit >>> 6)) & (1L << (int)(bit & 63L))) != 0L;
+        |  }
         |}
         |${ev.value} = all;
       """.stripMargin

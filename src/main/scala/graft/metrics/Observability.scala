@@ -54,17 +54,22 @@ object Observability {
     * one-PutMetricData-per-Lambda-batch cadence (index.js:83). Register
     * with `spark.streams.addListener`. */
   class StreamingMetricsListener(publish: (String, Row) => Unit,
-      name: String = MetricName)
+      name: String = MetricName,
+      owner: Option[org.apache.spark.sql.SparkSession] = None)
       extends org.apache.spark.sql.streaming.StreamingQueryListener {
     import org.apache.spark.sql.streaming.StreamingQueryListener._
+    // Progress events carry no session, so resolve the toggle's owning
+    // session ONCE at construction (the session the caller registered
+    // the listener on). Falling back to the default session per event
+    // is wrong in a multi-session process — the toggle could be read
+    // from an unrelated session — and with no default session at all
+    // the old .forall(None) silently meant "always on".
+    private val session: Option[org.apache.spark.sql.SparkSession] =
+      owner.orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
     override def onQueryStarted(event: QueryStartedEvent): Unit = ()
     override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
     override def onQueryProgress(event: QueryProgressEvent): Unit = {
-      // Progress events carry no session; the toggle is read from the
-      // default session (set by builder.getOrCreate — always present in
-      // a process that could have started this stream).
-      val enabled = org.apache.spark.sql.SparkSession.getDefaultSession
-        .forall(graft.GraftConf.metricsEnabled)
+      val enabled = session.forall(graft.GraftConf.metricsEnabled)
       val om = event.progress.observedMetrics
       if (enabled && om.containsKey(name)) publish(name, om.get(name))
     }

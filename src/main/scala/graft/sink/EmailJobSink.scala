@@ -81,8 +81,61 @@ object EmailJobSink {
     * filesystem level (create-new); object stores replace this with a
     * conditional PUT — same protocol. */
   object TxnLog {
+    /** Committed = explicit marker present OR at/below the compacted
+      * high-water mark. Micro-batch ids commit in order within a
+      * stream, so "id ≤ max committed id" is exactly the replay-skip
+      * predicate the per-batch markers encode — the hwm file is their
+      * lossless compaction. */
     def committed(logDir: String, batchId: Long): Boolean =
-      Files.exists(Paths.get(logDir, s"batch-$batchId"))
+      Files.exists(Paths.get(logDir, s"batch-$batchId")) ||
+        batchId <= highWaterMark(logDir)
+
+    /** Max batch id folded into the hwm file by [[compact]]; -1 when
+      * no compaction has run. */
+    def highWaterMark(logDir: String): Long = {
+      val p = Paths.get(logDir, "hwm")
+      if (!Files.exists(p)) -1L
+      else scala.util.Try(
+        new String(Files.readAllBytes(p), "UTF-8").trim.toLong).getOrElse(-1L)
+    }
+
+    /** All batch ids with an explicit marker file (excludes ids only
+      * covered by the hwm). */
+    def markerIds(logDir: String): Seq[Long] = {
+      val log = Paths.get(logDir)
+      if (!Files.exists(log)) Seq.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        Files.list(log).iterator().asScala
+          .map(_.getFileName.toString)
+          .collect { case s if s.startsWith("batch-") =>
+            s.stripPrefix("batch-").toLong }
+          .toSeq
+      }
+    }
+
+    /** Fold committed markers into the hwm file, then delete every
+      * marker at/below it except those in `retain` (ids whose sidecar
+      * artifacts — e.g. versioned sketch dirs — still exist and are
+      * located via their markers). Without this the log grows one file
+      * per micro-batch for the stream's lifetime. Crash-safe: the hwm
+      * is written to a temp file and atomically moved BEFORE any
+      * marker is deleted, so a crash at any point leaves every id
+      * still provably committed (marker or hwm). */
+    def compact(logDir: String, retain: Set[Long] = Set.empty): Unit = {
+      val ids = markerIds(logDir)
+      if (ids.nonEmpty) {
+        val hwm = math.max(ids.max, highWaterMark(logDir))
+        val tmp = Paths.get(logDir, "hwm.tmp")
+        Files.write(tmp, hwm.toString.getBytes("UTF-8"))
+        Files.move(tmp, Paths.get(logDir, "hwm"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ids.filter(id => id <= hwm && !retain.contains(id)).foreach { id =>
+          Files.deleteIfExists(Paths.get(logDir, s"batch-$id")); ()
+        }
+      }
+    }
 
     /** Run `write` iff `batchId` is not yet committed, then commit it.
       * Returns true when the batch executed, false when skipped. */

@@ -331,7 +331,8 @@ object CorpusIngest {
     // previous latest just before this batch published); the version
     // dirs are sketch-sized (k rows / depth·width rows), so retention
     // cost is trivial either way
-    committedIds(sketchDir, prefix).sorted.dropRight(2).foreach { id =>
+    val all = committedIds(sketchDir, prefix).sorted
+    all.dropRight(2).foreach { id =>
       scala.util.Try {
         val d = Paths.get(s"$sketchDir/$prefix-$id")
         if (Files.exists(d)) {
@@ -340,6 +341,13 @@ object CorpusIngest {
         }
       }
     }
+    // ... and fold the now-dirless batch markers into the TxnLog
+    // high-water mark (retaining markers for the surviving version
+    // dirs, which committedIds locates through them) — otherwise _txn
+    // grows one marker file per micro-batch for the stream's lifetime
+    scala.util.Try(
+      TxnLog.compact(s"$sketchDir/_txn", retain = all.takeRight(2).toSet))
+    ()
   }
 
   private def committedIds(sketchDir: String, prefix: String): Seq[Long] = {

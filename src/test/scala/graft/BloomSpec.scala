@@ -79,4 +79,32 @@ class BloomSpec extends SparkSpec {
     assert(bloomed == exact)
     assert(exact.nonEmpty && exact.size < 100)  // both paths exercised
   }
+
+  test("empty bitset (m=0) probes false instead of dividing by zero, both eval modes") {
+    BloomMightContain.register(spark)
+    import spark.implicits._
+    val df = Seq((Seq.empty[Long], 42L), (Seq.empty[Long], -7L))
+      .toDF("bloom", "h")
+    // codegen path
+    assert(df.selectExpr("bloom_might_contain(bloom, h, 4)")
+      .collect().map(_.getBoolean(0)).toSeq == Seq(false, false))
+    // interpreted path
+    val interp = graft.functions.BloomMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq.empty[Long], org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.catalyst.expressions.Literal(42L), 4)
+    assert(interp.eval(null) == false)
+  }
+
+  test("wrong-typed arguments fail at analysis, not at executor runtime") {
+    BloomMightContain.register(spark)
+    import spark.implicits._
+    val bad = Seq(("oops", 1L)).toDF("bloom", "h")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      bad.selectExpr("bloom_might_contain(bloom, h, 4)").collect()
+    }
+    assert(e.getMessage.contains("bloom_might_contain") ||
+      e.getMessage.toLowerCase.contains("data type"))
+  }
 }

@@ -242,4 +242,40 @@ class CorpusIngestSpec extends SparkSpec {
     CorpusIngest.updateCmsSketch(events(100, 250), 1L, sketchDir, depth, width)
     assert(lookups == got)
   }
+
+  test("TxnLog markers compact into a high-water mark; replay skipping and readers survive") {
+    import graft.sink.EmailJobSink.TxnLog
+    val sketchDir = Files.createTempDirectory("graft-kmv-compact").toString
+    val logDir = s"$sketchDir/_txn"
+    val k = 8
+    // 6 micro-batches → without compaction, 6 marker files forever
+    (0 until 6).foreach { b =>
+      val batch = (b * 10 until b * 10 + 10)
+        .map(i => (i.toLong, s"t$i")).toDF("doc_id", "text")
+      CorpusIngest.updateKmvSketch(batch, b.toLong, sketchDir, k)
+    }
+    // mergePublish compacts as it goes: only markers for the retained
+    // version dirs survive; everything older is folded into the hwm
+    assert(TxnLog.markerIds(logDir).sorted == Seq(4L, 5L))
+    assert(TxnLog.highWaterMark(logDir) >= 3L)
+    // every historical batch id still reads as committed (replay skip)
+    (0 until 6).foreach(b => assert(TxnLog.committed(logDir, b.toLong)))
+    assert(!TxnLog.committed(logDir, 6L))
+    // a replayed compacted batch is a no-op
+    val sketchBefore = CorpusIngest.readKmvSketch(spark, sketchDir).get
+      .orderBy("hv").as[Long].collect().toSeq
+    CorpusIngest.updateKmvSketch(
+      Seq((0L, "t0")).toDF("doc_id", "text"), 0L, sketchDir, k)
+    assert(CorpusIngest.readKmvSketch(spark, sketchDir).get
+      .orderBy("hv").as[Long].collect().toSeq == sketchBefore)
+    // readLatest still locates the newest version through its marker
+    val whole = (0 until 60).map(i => s"t$i").toDF("text")
+      .select(org.apache.spark.sql.functions.conv(
+        org.apache.spark.sql.functions.substring(
+          org.apache.spark.sql.functions.md5(
+            $"text".cast("binary")), 1, 15), 16, 10)
+        .cast("bigint").as("hv"))
+      .distinct().orderBy("hv").limit(k).as[Long].collect().toSeq
+    assert(sketchBefore == whole)
+  }
 }

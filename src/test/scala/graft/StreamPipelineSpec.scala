@@ -109,7 +109,8 @@ class StreamPipelineSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val rows = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
     val listener = new graft.metrics.Observability.StreamingMetricsListener(
-      (_, row) => rows.add(row), name = "stream_metrics")
+      (_, row) => rows.add(row), name = "stream_metrics",
+      owner = Some(spark))
     spark.streams.addListener(listener)
     val input = MemoryStream[(Long, String)]
     val envelope = MatchFixture.envelope(
