@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked main's stdout through VERBATIM instead of routing it
+// through sbt's logger: the default LoggedOutput prefixes every line
+// with "[info] ", which corrupts the single-line JSON contract that
+// graft.Bench / graft.Verify print for the driver to parse.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -93,15 +93,24 @@ object SparkEntry {
     "cube_status_priority" -> ((s, d) => Analytics.statusPriorityCube(Tables.orders(s, d))),
     // arbitrary grouping-sets lattice (pruned at plan time, one Expand)
     "agg_grouping_sets" -> ((s, d) => Analytics.statusPrioritySets(Tables.orders(s, d))),
-    // HLL++ sketch values are engine-specific → rows-only driver gate;
-    // the relative-error bound is asserted in ExtOpsSpec instead
-    "agg_approx_distinct" -> ((s, d) => Analytics.approxDistinctCustomers(Tables.orders(s, d))),
+    // HLL++ sketch VALUES are engine-specific, so the gated projection
+    // drops them and hashes the accuracy CLAIM instead: exact count,
+    // integer 3σ bound, and within_bound (oracle predicts TRUE; Spark
+    // computes it from its live sketch). ExtOpsSpec keeps the tighter
+    // relative-error assertion on the full frame.
+    "agg_approx_distinct" -> ((s, d) =>
+      Analytics.approxDistinctCustomers(Tables.orders(s, d))
+        .select("order_priority", "exact_customers", "bound", "within_bound")),
     // exact percentile_disc via rank arithmetic (hash-safe, unlike
     // interpolated double percentiles)
     "agg_percentiles" -> ((s, d) => Analytics.statusPercentiles(Tables.orders(s, d))),
-    // t-digest sketch values are engine-specific → rows-only driver
-    // gate; ExtOpsSpec asserts the rank-error bound vs the exact form
-    "agg_percentiles_approx" -> ((s, d) => Analytics.statusPercentilesApprox(Tables.orders(s, d))),
+    // GK-sketch quantile values are engine-specific, so the gated
+    // projection hashes the rank-error-bracket booleans (computed from
+    // exact DECIMAL rank arithmetic on the Spark side, predicted TRUE
+    // by the oracle) instead; ExtOpsSpec keeps the value-level bound
+    "agg_percentiles_approx" -> ((s, d) =>
+      Analytics.statusPercentilesApprox(Tables.orders(s, d))
+        .select("order_status", "n_orders", "p50_ok", "p90_ok", "p99_ok")),
     // mean/variance/correlation from exact decimal power sums
     "agg_moments" -> ((s, d) => Analytics.orderMoments(Tables.orders(s, d))),
 
@@ -271,8 +280,10 @@ object SparkEntry {
       emb(s, d), shExactTopK(s, d), shPq(s, d))),
     // int8 scalar quantization + exact integer reconstruction error
     "embed_sq8" -> ((s, d) => EmbedOps.scalarQuantize8(emb(s, d))),
-    // native codegen'd cosine expression — no SQL oracle (float-sum
-    // order is engine-specific), driver records a rows-only check
+    // native codegen'd cosine expression — fully hash-gated: the
+    // float-product/double-left-fold accumulation is reproduced
+    // bit-for-bit by the oracle's list_reduce (see
+    // OracleSqlExt.embedTopKNative)
     "embed_topk_native" -> ((s, d) => EmbedOps.bruteForceTopKNative(emb(s, d))),
 
     // ---- multimodal binary columns ------------------------------------
@@ -367,6 +378,8 @@ object SparkEntry {
     "events_retention" -> OracleSqlExt.eventsRetention,
     "layout_zorder" -> OracleSqlExt.layoutZorder,
     "agg_percentiles" -> OracleSqlExt.aggPercentiles,
+    "agg_approx_distinct" -> OracleSqlExt.aggApproxDistinct,
+    "agg_percentiles_approx" -> OracleSqlExt.aggPercentilesApprox,
     "agg_moments" -> OracleSqlExt.aggMoments,
     "sql_q6_forecast" -> """
 SELECT l_returnflag,
@@ -423,6 +436,7 @@ GROUP BY l_returnflag""",
     "corpus_cross_signal" -> OracleSqlExt.corpusCrossSignal,
 
     "embed_topk" -> OracleSqlExt.embedTopK,
+    "embed_topk_native" -> OracleSqlExt.embedTopKNative,
     "embed_prefix_rerank" -> OracleSqlExt.embedPrefixRerank,
     "embed_lsh_neardup" -> OracleSqlExt.embedLshNearDups,
     "embed_ivf_topk" -> OracleSqlExt.embedIvfTopK,

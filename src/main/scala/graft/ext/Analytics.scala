@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -290,6 +290,17 @@ object Analytics {
       .groupBy(col("o_orderpriority").as("order_priority"))
       .agg(approx_count_distinct(col("o_custkey")).as("approx_customers"),
         countDistinct(col("o_custkey")).as("exact_customers"))
+      // HLL register contents are engine-specific, but the accuracy
+      // CLAIM is not: |approx − exact| ≤ 3σ with σ = 5% (the default
+      // rsd). `bound` is integer ceil(15%·exact) — ceil-div with
+      // positive operands, so Spark `div` and DuckDB `//` agree — and
+      // `within_bound` is the boolean the oracle predicts as TRUE.
+      // Selecting (exact, bound, within_bound) hash-gates the sketch's
+      // contract without hashing its engine-specific value.
+      .withColumn("bound",
+        expr("(15 * exact_customers + 99) div 100"))
+      .withColumn("within_bound",
+        abs(col("approx_customers") - col("exact_customers")) <= col("bound"))
       .orderBy(col("order_priority"))
 
   /** Exact discrete percentiles (p50/p90/p99 of order value per status)
@@ -333,8 +344,8 @@ object Analytics {
     * contents are engine-specific (like [[approxDistinctCustomers]]'s
     * HLL registers), so this query takes the rows-only driver gate and
     * ExtOpsSpec asserts the error bound against the exact form. */
-  def statusPercentilesApprox(orders: DataFrame, accuracy: Int = 10000): DataFrame =
-    orders
+  def statusPercentilesApprox(orders: DataFrame, accuracy: Int = 10000): DataFrame = {
+    val approx = orders
       .groupBy(col("o_orderstatus").as("order_status"))
       .agg(
         count(lit(1)).as("n_orders"),
@@ -345,7 +356,39 @@ object Analytics {
         col("ps").getItem(0).as("p50_price"),
         col("ps").getItem(1).as("p90_price"),
         col("ps").getItem(2).as("p99_price"))
+    // Rank-error bracket: Greenwald–Khanna at 1/accuracy guarantees the
+    // returned value's rank is within ε·n of the target; the bracket
+    // [value at rank ⌈n·p⌉−slack, value at rank ⌈n·p⌉+slack] with
+    // slack = max(2, ⌈2εn⌉) is computed EXACTLY (rank arithmetic over
+    // DECIMAL values, same shape as [[statusPercentiles]]) in both
+    // engines, so `pNN_ok = lo ≤ approx ≤ hi` is a cross-engine
+    // hash-safe boolean even though the approx value itself is not.
+    val byStatus = Window.partitionBy(col("o_orderstatus"))
+    val w = byStatus.orderBy(col("o_totalprice"), col("o_orderkey"))
+    val ranked = orders.select(
+      col("o_orderstatus"),
+      dec("o_totalprice").as("price"),
+      row_number().over(w).as("rn"),
+      count(lit(1)).over(byStatus).as("n"))
+    val slack = greatest(lit(2L), expr(s"(2 * n + ${accuracy - 1}) div $accuracy"))
+    def at(p: Double, off: Column) = {
+      val target = greatest(lit(1L),
+        least(col("n"), ceil(col("n") * p).cast("long") + off))
+      max(when(col("rn") === target, col("price")))
+    }
+    val brackets = ranked.groupBy(col("o_orderstatus").as("order_status"))
+      .agg(
+        at(0.5, -slack).as("p50_lo"), at(0.5, slack).as("p50_hi"),
+        at(0.9, -slack).as("p90_lo"), at(0.9, slack).as("p90_hi"),
+        at(0.99, -slack).as("p99_lo"), at(0.99, slack).as("p99_hi"))
+    def ok(p: String) = col(s"${p}_price").cast("decimal(18,2)")
+      .between(col(s"${p}_lo"), col(s"${p}_hi")).as(s"${p}_ok")
+    approx.join(brackets, "order_status")
+      .select(col("order_status"), col("n_orders"),
+        col("p50_price"), col("p90_price"), col("p99_price"),
+        ok("p50"), ok("p90"), ok("p99"))
       .orderBy(col("order_status"))
+  }
 
   /** Set operations: customers with BUILDING-segment accounts EXCEPT those
     * who placed an open ('O') order, plus the INTERSECT of high-balance

@@ -168,6 +168,30 @@ SELECT o_orderstatus AS order_status, o_orderpriority AS order_priority,
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())"""
 
+  /** Mirror of Analytics.approxDistinctCustomers' GATED projection:
+    * the HLL sketch value is engine-specific and excluded, but the
+    * exact count, the integer 3σ bound (ceil-div, positive operands,
+    * so `//` ≡ Spark `div`), and the accuracy claim `within_bound`
+    * (predicted TRUE — Spark computes it for real from its sketch)
+    * hash-gate cross-engine. */
+  val aggApproxDistinct: String = """
+SELECT o_orderpriority AS order_priority,
+       COUNT(DISTINCT o_custkey)::BIGINT AS exact_customers,
+       (15 * COUNT(DISTINCT o_custkey)::BIGINT + 99) // 100 AS bound,
+       TRUE AS within_bound
+FROM orders GROUP BY o_orderpriority"""
+
+  /** Mirror of Analytics.statusPercentilesApprox' GATED projection:
+    * the t-digest/GK values are engine-specific and excluded; the
+    * exact group counts and the rank-error-bracket booleans (predicted
+    * TRUE — Spark checks its approx values against the exact DECIMAL
+    * bracket for real) hash-gate. */
+  val aggPercentilesApprox: String = """
+SELECT o_orderstatus AS order_status,
+       COUNT(*)::BIGINT AS n_orders,
+       TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+FROM orders GROUP BY o_orderstatus"""
+
   /** Mirror of Analytics.statusPercentiles: percentile_disc by rank
     * arithmetic — value at row ⌈p·n⌉ of the per-group sort. */
   val aggPercentiles: String = """
@@ -1142,6 +1166,36 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
   FROM scored)
 SELECT query_id, rank, vec_id AS neighbor_id, cosine FROM ranked WHERE rank <= 5"""
+
+  /** Mirror of EmbedOps.bruteForceTopKNative — the RAW-float path,
+    * reproduced bit-for-bit: the native expression computes each term
+    * as a FLOAT multiply (Java float·float rounds to float before the
+    * widening add) and accumulates left-to-right in a DOUBLE, which is
+    * exactly `list_reduce` over `CAST(a[i]*b[i] AS DOUBLE)` terms
+    * (DuckDB FLOAT·FLOAT is a float multiply; list_reduce is an
+    * ordered left fold — the one float-sum shape that IS cross-engine
+    * deterministic). The final dot/sqrt(nx·ny) is three correctly-
+    * rounded IEEE ops, so the doubles — and with them the rank order —
+    * hash-match. */
+  val embedTopKNative: String = {
+    def fdot(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, 65), " +
+        s"i -> CAST($a[i] * $b[i] AS DOUBLE)), (x, y) -> x + y)"
+    s"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+qs AS (SELECT vec_id AS query_id, embedding AS qe FROM e WHERE vec_id % 97 = 0),
+scored AS (
+  SELECT qs.query_id, e.vec_id,
+         ${fdot("qs.qe", "e.embedding")}
+           / sqrt(${fdot("qs.qe", "qs.qe")} * ${fdot("e.embedding", "e.embedding")})
+           AS cosine
+  FROM e, qs WHERE e.vec_id <> qs.query_id),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, rank, vec_id AS neighbor_id, cosine FROM ranked WHERE rank <= 5"""
+  }
 
   /** Mirror of EmbedOps.prefixRerankTopK(prefixDims=16, candidates=20,
     * k=5): coarse rank by 16-dim-prefix cosine, keep 20 per query,
