@@ -294,7 +294,10 @@ object SparkEntry {
     // pseudo-decode plumbing (only video decode remains stubbed)
     "mm_features" -> ((s, d) => MultiModal.features(docs(s, d))),
     "mm_resize" -> ((s, d) => MultiModal.resizePlan(docs(s, d))),
-    "mm_frames" -> ((s, d) => MultiModal.frameSamplePlan(docs(s, d)))
+    // REAL AVI decode (VideoCodec): RIFF chunk walk + DIB frame pixels,
+    // one row per sampled frame; the oracle recomputes the per-frame
+    // channel sums independently
+    "mm_frames" -> ((s, d) => MultiModal.frameStats(docs(s, d)))
   )
 
   private def docs(s: SparkSession, d: String): DataFrame =

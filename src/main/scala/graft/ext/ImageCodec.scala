@@ -157,9 +157,20 @@ object ImageCodec {
     val topDown = rawH < 0
     val h = math.abs(rawH)
     require(w > 0 && h > 0, s"bad BMP geometry ${w}x$rawH")
+    Image("bmp", w, h, decodeDibPixels(bytes, dataOffset, w, h, topDown))
+  }
+
+  /** Decode a raw 24-bit DIB pixel array (BGR triples, rows padded to
+    * 4 bytes, bottom-up unless `topDown`) into packed 0xRRGGBB ints in
+    * row-major top-down order. Shared by the BMP path above and by
+    * [[VideoCodec]] — an uncompressed AVI's '00db' frame chunks are
+    * exactly this layout with the geometry carried once in the stream
+    * header instead of per frame. */
+  private[ext] def decodeDibPixels(bytes: Array[Byte], dataOffset: Int,
+      w: Int, h: Int, topDown: Boolean): Array[Int] = {
     val rowSize = ((w * 3 + 3) / 4) * 4
     require(bytes.length >= dataOffset + rowSize * h,
-      s"truncated BMP pixel data: need ${dataOffset + rowSize * h}, have ${bytes.length}")
+      s"truncated DIB pixel data: need ${dataOffset + rowSize * h}, have ${bytes.length}")
     val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
@@ -174,6 +185,28 @@ object ImageCodec {
       }
       y += 1
     }
-    Image("bmp", w, h, px)
+    px
+  }
+
+  /** Encode a pixel function as a raw 24-bit bottom-up DIB pixel array
+    * (no headers) — the payload of one AVI '00db' frame chunk. */
+  private[ext] def encodeDibPixels(w: Int, h: Int,
+      px: Int => (Int, Int, Int)): Array[Byte] = {
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val out = new Array[Byte](rowSize * h)
+    var y = 0
+    while (y < h) {
+      val rowOff = (h - 1 - y) * rowSize // bottom-up
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = px(y * w + x)
+        out(rowOff + x * 3) = b.toByte
+        out(rowOff + x * 3 + 1) = g.toByte
+        out(rowOff + x * 3 + 2) = r.toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 }

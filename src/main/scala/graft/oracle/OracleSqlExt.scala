@@ -1008,11 +1008,37 @@ SELECT doc_id,
                  ELSE 224 END AS INT) AS target_h
 FROM documents"""
 
+  /** Mirror of MultiModal.frameStats — but NOT by parsing the binary:
+    * the oracle recomputes each sampled frame's channel sums from the
+    * pixel formula (MultiModal.framePixelOf) and the container
+    * metadata from the geometry formulas (geomOf/videoGeomOf). The
+    * Spark side reports what VideoCodec PARSED out of real AVI bytes
+    * (RIFF lists, stream headers, JUNK skip + pad byte, bottom-up DIB
+    * frames), so equality verifies the full encode→decode roundtrip
+    * pixel-exactly per frame. */
   val mmFrames: String = """
-SELECT doc_id, CAST(length(text) AS INT) AS n_frames,
-       CAST(i AS INT) AS frame_idx
-FROM documents, UNNEST(range(0, length(text), 10)) t(i)
-WHERE doc_id % 3 = 2"""
+WITH v AS (
+  SELECT doc_id, doc_id % 6 + 2 AS w, doc_id % 4 + 2 AS h,
+         doc_id % 5 + 2 AS nf, 40000 + (doc_id % 3) * 10000 AS uspf
+  FROM documents WHERE doc_id % 3 = 2),
+fr AS (
+  SELECT v.doc_id, v.w, v.h, v.nf, v.uspf, t.f
+  FROM v, UNNEST(range(0, v.nf, 2)) t(f)),
+px AS (
+  SELECT fr.doc_id, fr.f,
+         SUM((fr.doc_id * 31 + fr.f * 19 + t.p * 7) % 256) AS sum_r,
+         SUM((fr.doc_id * 17 + fr.f * 23 + t.p * 11) % 256) AS sum_g,
+         SUM((fr.doc_id * 13 + fr.f * 29 + t.p * 5) % 256) AS sum_b
+  FROM fr, UNNEST(range(0, fr.w * fr.h)) t(p)
+  GROUP BY fr.doc_id, fr.f)
+SELECT fr.doc_id, CAST(fr.nf AS INT) AS n_frames, CAST(fr.f AS INT) AS frame_idx,
+       CAST(fr.w AS INT) AS width, CAST(fr.h AS INT) AS height,
+       CAST(fr.nf * fr.uspf AS BIGINT) AS duration_us,
+       CAST(p.sum_r AS BIGINT) AS sum_r,
+       CAST(p.sum_g AS BIGINT) AS sum_g,
+       CAST(p.sum_b AS BIGINT) AS sum_b,
+       CAST((p.sum_r + p.sum_g + p.sum_b) // (3 * fr.w * fr.h) AS BIGINT) AS brightness_q
+FROM fr JOIN px p ON p.doc_id = fr.doc_id AND p.f = fr.f"""
 
   /** Mirror of MultiModal.decodedFeatures — but NOT by parsing the
     * binary: the oracle recomputes each channel sum from the pixel
