@@ -16,17 +16,27 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 only reads as
-    * a raw long (spark.sql.legacy.parquet.nanosAsLong — set by the
-    * session builders); convert to a microsecond timestamp here. The
-    * driver data is microsecond-grained, so the ns→µs truncation is
-    * exact (verified: no row has a sub-µs residue). */
+  /** Normalize `events.ts` to TIMESTAMP (LTZ) regardless of how the
+    * driver generated the parquet — the type has varied across rounds:
+    *  - TIMESTAMP(NANOS), which Spark 4 only reads as a raw long
+    *    (spark.sql.legacy.parquet.nanosAsLong — set by the session
+    *    builders): convert ns→µs (exact; driver data is µs-grained);
+    *  - TIMESTAMP_NTZ: cast to TIMESTAMP. Sessions pin the time zone
+    *    to UTC, so the wall-clock fields are preserved bit-for-bit and
+    *    `unix_micros`/`window`/`date_trunc` all behave as in the LTZ
+    *    rounds (r8 passed all event queries under this semantics). */
   private def withTsFromNanos(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

@@ -96,7 +96,8 @@ object Graph {
 
   /** PageRank over DIRECTED edges, with dangling-mass redistribution.
     *
-    * Power iteration with a FIXED round count and ALL-INTEGER
+    * Power iteration with a FIXED round count (early-exited only on an
+    * exact integer fixed point, which is result-identical) and ALL-INTEGER
     * arithmetic, so the result hash-matches a SQL oracle: ranks are
     * scaled by 10¹², the damping split is (15·base) div 100 +
     * (85·(inflow + dangling share)) div 100, and each neighbor
@@ -136,7 +137,15 @@ object Graph {
     var ranks = nodes.crossJoin(nTotal)
       .select(col("id"), expr(s"${Scale}L div n").as("r"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
+    // Early exit on an exact fixed point: arithmetic is all-integer, so
+    // if a round changes NO rank, every later round reproduces the same
+    // frame bit-for-bit — stopping early is result-identical to the
+    // oracle's fixed `iters` rounds. The check is a filter over the
+    // already-localCheckpointed (id, old, r) frame (same trick as
+    // [[connectedComponents]]), not an extra join.
+    var round = 0
+    var fixedPoint = false
+    while (round < iters && !fixedPoint) {
       // rank parked on sinks this round (nodes with no out-edge);
       // sum fits a long: Σr ≤ Scale = 10¹²
       val dangling = broadcast(ranks
@@ -147,12 +156,21 @@ object Graph {
         .join(deg, Seq("src"))
         .select(col("dst").as("id"), expr("r div deg").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("inflow"))
-      ranks = nodes.crossJoin(nTotal).crossJoin(dangling)
+      // `ranks` carries exactly the node set, so it doubles as the node
+      // spine — the previous rank rides along as `old` with no extra join
+      ranks = ranks.select(col("id"), col("r").as("old"))
+        .crossJoin(nTotal).crossJoin(dangling)
         .join(inflow, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("old"),
           (expr(s"(15 * (${Scale}L div n)) div 100") +
             expr("(85 * (coalesce(inflow, 0L) + dm div n)) div 100")).as("r"))
         .localCheckpoint()
+      round += 1
+      if (round < iters) { // last round's check would be pure cost
+        fixedPoint = ranks.filter(col("r") =!= col("old")).isEmpty
+        if (sys.env.contains("GRAFT_CC_LOG"))
+          println(s"[graft.pr] round $round fixedPoint=$fixedPoint")
+      }
     }
     edges.unpersist()
     deg.unpersist()

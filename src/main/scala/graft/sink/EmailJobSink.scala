@@ -34,12 +34,16 @@ object EmailJobSink {
     * are written. Returns the number of newly written rows. */
   def appendJobs(jobs: DataFrame, jobsDir: String): Long = {
     val spark = jobs.sparkSession
-    val fresh = readIfExists(spark, jobsDir) match {
+    // pinned so the anti-join runs once: the count and the conditional
+    // write both act on the materialized frame (the write must stay
+    // conditional — an empty Append still creates the directory, which
+    // would flip readIfExists to a schemaless parquet read next batch)
+    val fresh = (readIfExists(spark, jobsDir) match {
       case Some(existing) =>
         jobs.join(existing.select(col("dedup_id")).distinct(),
           Seq("dedup_id"), "left_anti")
       case None => jobs
-    }
+    }).localCheckpoint()
     val n = fresh.count()
     if (n > 0) fresh.write.mode(SaveMode.Append).parquet(jobsDir)
     n

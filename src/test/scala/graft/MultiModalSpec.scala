@@ -37,13 +37,43 @@ class MultiModalSpec extends SparkSpec {
     else { assert(th == 224); assert(tw == w * 224 / h) }
   }
 
-  test("frame sampling emits every k-th index") {
+  test("frame sampling emits every k-th index per doc") {
     import spark.implicits._
-    val vids = Seq((2L, "x" * 25, "en", "s", 25L))
+    // video-typed docs (doc_id % 3 == 2); videoGeomOf gives 4, 2, 5 frames
+    val vids = Seq(2L, 5L, 8L).map(id => (id, "x" * 25, "en", "s", 25L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-    val idx = MultiModal.frameSamplePlan(vids, everyK = 10)
-      .select("frame_idx").collect().map(_.getInt(0)).sorted
-    assert(idx.toSeq == Seq(0, 10, 20))
+    val sampled = MultiModal
+      .decodeVideoFrames(MultiModal.videoTable(vids), everyK = 2)
+      .collect().groupBy(_.doc_id)
+      .map { case (id, fs) => id -> fs.map(_.frame_idx).sorted.toSeq }
+    assert(sampled(2L) == Seq(0, 2))
+    assert(sampled(5L) == Seq(0))
+    assert(sampled(8L) == Seq(0, 2, 4))
+  }
+
+  test("AVI decode rejects truncated movi, frame-count mismatch, and bpp != 24") {
+    import graft.ext.VideoCodec
+    def enc() = VideoCodec.encodeAvi(2, 2, 40000, 3, (f, p) => (f, p, f + p))
+    // round-trips clean before mutation
+    assert(VideoCodec.decodeAvi(enc()).nFrames == 3)
+    // truncated movi: drop the last frame's bytes
+    intercept[IllegalArgumentException] {
+      VideoCodec.decodeAvi(enc().dropRight(20))
+    }
+    // avih declares 4 frames but movi carries 3 (dwTotalFrames is at
+    // avih body+16 = byte 48: RIFF 12 + LIST hdr 8 + 'hdrl' 4 + 'avih'+size 8 + 16)
+    val mismatch = enc(); mismatch(48) = 4
+    val e = intercept[IllegalArgumentException] { VideoCodec.decodeAvi(mismatch) }
+    assert(e.getMessage.contains("declares 4 frames"))
+    // strf claiming 8 bpp (paletted) must be refused, not misread;
+    // locate the strf chunk by tag rather than hand-counting offsets
+    val paletted = enc()
+    val strf = (0 until paletted.length - 3).find(i =>
+      paletted(i) == 's' && paletted(i + 1) == 't' &&
+      paletted(i + 2) == 'r' && paletted(i + 3) == 'f').get
+    paletted(strf + 8 + 14) = 8
+    val e2 = intercept[IllegalArgumentException] { VideoCodec.decodeAvi(paletted) }
+    assert(e2.getMessage.contains("bpp=8"))
   }
 
   test("PPM decode: hand-built known bytes parse to exact pixels") {

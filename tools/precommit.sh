@@ -1,0 +1,8 @@
+#!/bin/bash
+# Suite-green guard (round-10 process fix for the r9 stale-spec ship):
+# refuse to commit if test sources don't compile. Full `sbt test` is the
+# bar for claims; this catches the cheap-and-common failure (a main-only
+# refactor that strands a spec) in ~30 s. Skip with GRAFT_SKIP_PRECOMMIT=1.
+[ -n "$GRAFT_SKIP_PRECOMMIT" ] && exit 0
+cd /root/repo
+exec sbt -batch Test/compile
