@@ -38,9 +38,15 @@ object Bench {
     GraftConf.validate(spark) // fail-fast on malformed spark.graft.* confs
     GraftLog.applyLevel(spark)
 
+    // optional subset for focused A/B timing (unset → all, the driver
+    // path); warmup honors the same filter so a subset run stays short
+    val only = sys.env.get("GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    def selected = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+
     val tw0 = System.nanoTime()
     if (warmDir.nonEmpty && warmDir != sfDir) {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     }
@@ -65,7 +71,7 @@ object Bench {
     // build cost (Artifacts memo) onto whichever consumer now runs
     // first — which the cross-round regression diff then misreads as a
     // query regression. A stable order keeps attribution comparable.
-    val names = SparkEntry.queries.keys.toVector.sorted
+    val names = selected.keys.toVector.sorted
     val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val samples = collection.mutable.Map.empty[String, List[Double]]
     for (_ <- 0 until iterations; name <- names) {
@@ -111,8 +117,11 @@ object Bench {
     // artifact) and diffed against the previous run's file: any query
     // >1.5× slower AND >0.25 s absolute (the absolute floor keeps
     // 10-ms-scale host jitter out) is flagged as a regression.
+    // a GRAFT_BENCH_ONLY subset run must never clobber the full round
+    // artifact (it is also the regression-diff baseline)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "bench_results/bench_latest.json")
+      if (only.isDefined) "/tmp/bench_subset.json"
+      else "bench_results/bench_latest.json")
     val outFile = new java.io.File(outPath).getAbsoluteFile
     val prior: Map[String, Double] =
       if (outFile.isFile) {

@@ -60,6 +60,33 @@ object DedupOps {
       .distinct()
   }
 
+  /** [[saltedSelfPairs]] variant that carries a small per-id payload
+    * column through the pair generation (pay_a/pay_b aligned with the
+    * doc_a < doc_b normalization) and SKIPS the final distinct: the
+    * caller filters on the payloads first, then distincts — so the
+    * dedup shuffle carries only verified survivors, not every raw
+    * band collision. Only worth it for payloads of a few bytes (a
+    * simhash word); wide payloads (minhash arrays) should keep the
+    * join-back form. */
+  private def saltedSelfPairsCarrying(keyed: DataFrame, bucketCol: String,
+      idCol: String, payCol: String): DataFrame = {
+    val s = SaltBuckets
+    val salted = keyed.select(col(bucketCol).as("bk"), col(idCol).as("id"),
+      col(payCol).as("pay"), pmod(hash(col(idCol)), lit(s)).as("salt"))
+    val left = salted
+      .select(col("bk"), col("id").as("ida"), col("pay").as("paya"),
+        col("salt").as("i"), explode(sequence(col("salt"), lit(s - 1))).as("j"))
+    val right = salted
+      .select(col("bk"), col("id").as("idb"), col("pay").as("payb"),
+        col("salt").as("j"), explode(sequence(lit(0), col("salt"))).as("i"))
+    left.join(right, Seq("bk", "i", "j"))
+      .filter(col("ida") =!= col("idb"))
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"),
+        when(col("ida") < col("idb"), col("paya")).otherwise(col("payb")).as("pay_a"),
+        when(col("ida") < col("idb"), col("payb")).otherwise(col("paya")).as("pay_b"))
+  }
+
   /** Exact dedup by content hash: every document mapped to the canonical
     * survivor of its hash group — the minimum doc_id (deterministic,
     * unlike dropDuplicates' arbitrary-row-wins). `is_duplicate` marks
@@ -306,21 +333,21 @@ object DedupOps {
     * docs) would otherwise pile one band bucket onto one reducer. */
   def simhashHammingPairs(documents: DataFrame, k: Int = 3): DataFrame = {
     require(k <= 3, s"4-byte banding is exact only for k <= 3, got $k")
-    val s = simhash(documents).cache()
-    val banded = s.select(col("doc_id"),
+    // The 4-byte signature rides through the pair join as the payload
+    // (saltedSelfPairsCarrying), so the hamming verify runs BEFORE the
+    // pair distinct: no join-back to the signature frame, and the
+    // distinct's shuffle carries only verified survivors — raw band
+    // collisions (up to 4 per true pair) die map-side in codegen.
+    val banded = simhash(documents).select(col("doc_id"), col("simhash32"),
       explode(array((0 until 4).map(b =>
         concat_ws("#", lit(b),
           shiftright(col("simhash32"), b * 8) % 256)): _*)).as("band"))
-    val cand = saltedSelfPairs(banded, "band", "doc_id")
-    cand
-      .join(s.select(col("doc_id").as("doc_a"), col("simhash32").as("sig_a")),
-        Seq("doc_a"))
-      .join(s.select(col("doc_id").as("doc_b"), col("simhash32").as("sig_b")),
-        Seq("doc_b"))
+    saltedSelfPairsCarrying(banded, "band", "doc_id", "simhash32")
       .withColumn("hamming",
-        expr("cast(bit_count(sig_a ^ sig_b) as bigint)"))
+        expr("cast(bit_count(pay_a ^ pay_b) as bigint)"))
       .filter(col("hamming") <= k)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
   }
 
   /** SimHash near-duplicate candidates: identical 32-bit signatures.
@@ -330,16 +357,17 @@ object DedupOps {
     * The signature self-join goes through [[saltedSelfPairs]] like every
     * other bucket join here: a popular signature (boilerplate docs
     * hashing identically) is a hot bucket, and salting spreads its
-    * pairs over SaltBuckets² tasks. The shared signature is recovered
-    * by re-joining one side — pairs only ever form inside one bucket,
-    * so doc_a's signature IS the pair's signature. */
+    * pairs over SaltBuckets² tasks. The shared signature rides through
+    * the pair join as the payload — pairs only ever form inside one
+    * bucket, so either side's signature IS the pair's signature, and
+    * no join-back is needed. */
   def simhashDups(documents: DataFrame): DataFrame = {
-    val s = simhash(documents).cache()
-    val cand = saltedSelfPairs(
-      s.select(col("simhash32"), col("doc_id")), "simhash32", "doc_id")
-    cand
-      .join(s.select(col("doc_id").as("doc_a"), col("simhash32")), Seq("doc_a"))
-      .select(col("doc_a"), col("doc_b"), col("simhash32"))
+    val s = simhash(documents)
+    saltedSelfPairsCarrying(
+      s.select(col("simhash32"), col("doc_id")), "simhash32", "doc_id",
+      "simhash32")
+      .select(col("doc_a"), col("doc_b"), col("pay_a").as("simhash32"))
+      .distinct()
   }
 
   /** n-gram Jaccard pairs over SINGLE-BAND minhash blocking: candidates
