@@ -389,6 +389,22 @@ class ExtOpsSpec extends SparkSpec {
     assert(got(9L) < got(1L)) // isolated: dangling share only, no inflow
   }
 
+  test("PageRank fixed-point early exit is result-identical to running all rounds") {
+    import spark.implicits._
+    // a symmetric 2-clique reaches its integer fixed point immediately
+    // (both nodes keep Scale/2 by symmetry), so iters=40 must return
+    // exactly the iters=2 frame — and do so via the early exit rather
+    // than 38 more join rounds (this test completing in seconds, not
+    // minutes, IS the observable)
+    val nodes = Seq(0L, 1L).toDF("id")
+    val pairs = Seq((0L, 1L)).toDF("a", "b")
+    def run(iters: Int) = graft.ext.Graph.pageRank(nodes, pairs, iters)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank_scaled")).toMap
+    val few = run(2)
+    val many = run(40)
+    assert(few == many)
+  }
+
   test("directed PageRank with a sink conserves total mass within the quantization leak") {
     import spark.implicits._
     // chain 0 → 1 → 2 plus isolated 7: node 2 and 7 are sinks; without
