@@ -270,14 +270,15 @@ object SparkEntry {
     "embed_pq_topk" -> ((s, d) => EmbedOps.pqTopKFrom(shPq(s, d))),
     // IVF-PQ: coarse-centroid multi-probe (nprobe=2) + compressed-code
     // ADC over the same shared codebooks
-    "embed_ivfpq_topk" -> ((s, d) => EmbedOps.ivfPqTopKFrom(emb(s, d), shPq(s, d))),
+    "embed_ivfpq_topk" -> ((s, d) =>
+      EmbedOps.ivfPqTopKFrom(emb(s, d), shPq(s, d), coarse = shCoarse(s, d))),
     // approximation-quality eval: PQ recall vs the shared exact top-k
     "embed_pq_recall" -> ((s, d) => EmbedOps.pqRecallFrom(
       shExactTopK(s, d), EmbedOps.pqTopKFrom(shPq(s, d)), 5)),
     // the nprobe recall dial: IVF-PQ hits vs exact at nprobe 1 and 2,
     // both probing the same trained model
     "embed_ivfpq_recall" -> ((s, d) => EmbedOps.ivfPqRecallCompareFrom(
-      emb(s, d), shExactTopK(s, d), shPq(s, d))),
+      emb(s, d), shExactTopK(s, d), shPq(s, d), coarse = shCoarse(s, d))),
     // int8 scalar quantization + exact integer reconstruction error
     "embed_sq8" -> ((s, d) => EmbedOps.scalarQuantize8(emb(s, d))),
     // native codegen'd cosine expression — fully hash-gated: the
@@ -334,6 +335,11 @@ object SparkEntry {
     Artifacts.obj(s, d, "embed/pq_model")(EmbedOps.trainPq(emb(s, d)))
   private def shKmeans(s: SparkSession, d: String): DataFrame =
     Artifacts.frame(s, d, "embed/kmeans_asg")(EmbedOps.kmeansAssignments(emb(s, d)))
+  // the IVF coarse quantizer is part of the persisted index in a real
+  // deployment — built with the codes, loaded by every searcher
+  private def shCoarse(s: SparkSession, d: String): DataFrame =
+    Artifacts.frame(s, d, "embed/coarse_centroids")(
+      EmbedOps.coarseCentroids(emb(s, d)))
   private def shTf(s: SparkSession, d: String): DataFrame =
     Artifacts.frame(s, d, "text/term_freq")(TextOps.termFrequencies(docs(s, d)))
 

@@ -514,12 +514,18 @@ object EmbedOps {
     * probe ranking hash-matches SQL). Probe sets at increasing nprobe
     * are NESTED (same ranking, longer prefix) — the property that makes
     * probe coverage monotone in [[ivfPqRecallCompare]]. */
-  def coarseProbes(embeddings: DataFrame, nprobe: Int): DataFrame = {
-    val base = embeddings.select(
-      col("vec_id"), col("label"), quantized(col("embedding")).as("q"))
-    // coarse centroids: per-list integer floor-mean, same arithmetic as
-    // lloydUpdate (exact `div`, any magnitude)
-    val coarse = base
+  def coarseProbes(embeddings: DataFrame, nprobe: Int): DataFrame =
+    coarseProbesFrom(embeddings, coarseCentroids(embeddings), nprobe)
+
+  /** (label, ccv): one integer coarse centroid per inverted list — the
+    * per-list floor-mean of the quantized vectors, same arithmetic as
+    * lloydUpdate (exact `div`, any magnitude). In a deployed IVF index
+    * this frame IS part of the persisted index (built with the codes,
+    * loaded by every searcher), so callers running several searches
+    * against one index should build it once and pass it to the `*From`
+    * variants — SparkEntry memoizes it next to the PqModel. */
+  def coarseCentroids(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("label"), quantized(col("embedding")).as("q"))
       .select(col("label"), posexplode(col("q")).as(Seq("i", "x")))
       .groupBy(col("label"), col("i"))
       .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
@@ -528,8 +534,13 @@ object EmbedOps {
       .agg(transform(
         array_sort(collect_list(struct(col("i"), col("c")))),
         e => e.getField("c")).as("ccv"))
-    val queries = base.filter(col("vec_id") % 97 === 0)
-      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+
+  /** [[coarseProbes]] against a prebuilt [[coarseCentroids]] frame. */
+  def coarseProbesFrom(embeddings: DataFrame, coarse: DataFrame,
+      nprobe: Int): DataFrame = {
+    val queries = embeddings.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("query_id"),
+        quantized(col("embedding")).as("qq"))
     val cd2 = aggregate(
       zip_with(col("qq"), col("ccv"), (x, c) => (x - c) * (x - c)),
       lit(0L), (acc, x) => acc + x)
@@ -552,8 +563,9 @@ object EmbedOps {
     * per query via [[coarseProbes]], and ADC only inside probed
     * lists. */
   def ivfPqTopKFrom(embeddings: DataFrame, pq: PqModel, k: Int = 5,
-      nprobe: Int = 2): DataFrame = {
-    val probes = coarseProbes(embeddings, nprobe)
+      nprobe: Int = 2, coarse: DataFrame = null): DataFrame = {
+    val probes = coarseProbesFrom(embeddings,
+      Option(coarse).getOrElse(coarseCentroids(embeddings)), nprobe)
     val codes = pq.codes
       .join(embeddings.select(col("vec_id"), col("label")), Seq("vec_id"))
     // distance tables × probe set: |queries|·m·ksub·nprobe broadcast rows
@@ -599,20 +611,23 @@ object EmbedOps {
     * shared trained model — both nprobe settings search the SAME
     * codebook/codes, so the eval isolates the probe dial. */
   def ivfPqRecallCompareFrom(embeddings: DataFrame, exactTopK: DataFrame,
-      pq: PqModel, k: Int = 5): DataFrame = {
+      pq: PqModel, k: Int = 5, coarse: DataFrame = null): DataFrame = {
     val exact = exactTopK
       .select(col("query_id"), col("neighbor_id"))
     val nbrLabel = embeddings
       .select(col("vec_id").as("neighbor_id"), col("label"))
+    // one coarse-centroid build feeds all four probe passes below (the
+    // index's quantizer is a constant of the comparison, not a variable)
+    val cc = Option(coarse).getOrElse(coarseCentroids(embeddings))
     def hitsAt(nprobe: Int, out: String) =
       exact.join(
-        ivfPqTopKFrom(embeddings, pq, k = k, nprobe = nprobe)
+        ivfPqTopKFrom(embeddings, pq, k = k, nprobe = nprobe, coarse = cc)
           .select(col("query_id"), col("neighbor_id")),
         Seq("query_id", "neighbor_id"))
         .groupBy(col("query_id")).agg(count(lit(1)).as(out))
     def coverageAt(nprobe: Int, out: String) =
       exact.join(nbrLabel, Seq("neighbor_id"))
-        .join(coarseProbes(embeddings, nprobe)
+        .join(coarseProbesFrom(embeddings, cc, nprobe)
           .withColumnRenamed("plabel", "label"), Seq("query_id", "label"))
         .groupBy(col("query_id")).agg(count(lit(1)).as(out))
     exact.select(col("query_id")).distinct()
