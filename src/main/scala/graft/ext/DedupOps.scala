@@ -90,14 +90,26 @@ object DedupOps {
   /** Exact dedup by content hash: every document mapped to the canonical
     * survivor of its hash group — the minimum doc_id (deterministic,
     * unlike dropDuplicates' arbitrary-row-wins). `is_duplicate` marks
-    * the rows a dedup pass would drop. */
+    * the rows a dedup pass would drop.
+    *
+    * Shape: groupBy + join-back, NOT a window over content_md5. A
+    * boilerplate document repeated millions of times is one window
+    * partition — a single task buffering (and spilling) the whole
+    * group. The aggregate form partial-combines map-side (the hot hash
+    * reduces to one row per map partition before the exchange), the
+    * join-back reuses the groupBy's exchange (same key, same child —
+    * ReusedExchange), and AQE skew-split can still divide the hot
+    * key's join side. Same columns, same rows — oracle unaffected. */
   def exactDups(documents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("content_md5"))
-    documents
+    val hashed = documents
       .select(col("doc_id"), md5(col("text").cast("binary")).as("content_md5"))
-      .withColumn("canonical_doc_id", min(col("doc_id")).over(w))
-      .withColumn("group_size", count(lit(1)).over(w))
-      .withColumn("is_duplicate", col("doc_id") =!= col("canonical_doc_id"))
+    val groups = hashed.groupBy(col("content_md5"))
+      .agg(min(col("doc_id")).as("canonical_doc_id"),
+        count(lit(1)).as("group_size"))
+    hashed.join(groups, Seq("content_md5"))
+      .select(col("doc_id"), col("content_md5"),
+        col("canonical_doc_id"), col("group_size"),
+        (col("doc_id") =!= col("canonical_doc_id")).as("is_duplicate"))
   }
 
   /** 3-token shingles from a materialized token-array column. The token
