@@ -184,20 +184,37 @@ object Analytics {
     val price = col("o_totalprice").cast("decimal(18,2)")
     val day = datediff(col("o_orderdate").cast("date"),
       lit("1992-01-01").cast("date")).cast("long")
-    val g = orders.groupBy(col("o_orderstatus"))
+    // All power sums are INT64 (cents for the exact sum/mean; whole
+    // dollars for the second moments — floor-div of exact cents, so
+    // Spark `div` ≡ DuckDB `//` on non-negative values). int64→double
+    // is a single IEEE correctly-rounded conversion in every engine,
+    // unlike wide-DECIMAL→double (where a scaled int128 path may round
+    // twice — observed as last-ulp var/corr drift at sf0.1). Dollar
+    // quantization shifts var by O(1/12) against var ~10¹⁰ — the same
+    // documented trade as [[graft.ext.EventOps]]' quantized anomaly
+    // moments. Overflow: Σv² ≤ n·(6·10⁵)² stays inside int64 through
+    // ~10⁹ rows per group; beyond that this profile coarsens its unit,
+    // the same dial.
+    val g = orders
+      .select(col("o_orderstatus"), price.as("p"), day.as("d"))
+      .withColumn("cents", expr("CAST(p * 100 AS BIGINT)"))
+      .withColumn("v", expr("cents div 100"))
+      .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(price).as("sx"),
-        sum((price * price).cast("decimal(38,4)")).as("sx2"),
-        sum(day).as("sy"),
-        sum(day * day).as("sy2"),
-        sum((price * day.cast("decimal(18,0)")).cast("decimal(38,4)")).as("sxy"))
+        sum(col("p")).as("sx"),
+        sum(col("cents")).as("sc"),
+        sum(col("v")).as("sv"),
+        sum(expr("v * v")).as("sx2"),
+        sum(col("d")).as("sy"),
+        sum(expr("d * d")).as("sy2"),
+        sum(expr("v * d")).as("sxy"))
     val n = col("n_orders")
-    val (dx, dx2) = (col("sx").cast("double"), col("sx2").cast("double"))
+    val (dx, dx2) = (col("sv").cast("double"), col("sx2").cast("double"))
     val (dy, dy2) = (col("sy").cast("double"), col("sy2").cast("double"))
     val dxy = col("sxy").cast("double")
     g.select(col("o_orderstatus"), n,
       col("sx").cast("string").as("sum_price"),
-      (dx / n).as("mean_price"),
+      (col("sc").cast("double") / 100 / n).as("mean_price"),
       ((dx2 - dx * dx / n) / n).as("var_price"),
       ((n * dxy - dx * dy) /
         (sqrt(n * dx2 - dx * dx) * sqrt(n * dy2 - dy * dy)))

@@ -54,24 +54,38 @@ WHERE r.r_name = 'ASIA'
   AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
 GROUP BY n.n_name"""
 
-  /** Mirror of Analytics.orderMoments: exact DECIMAL/integer power
-    * sums, doubles only in the final fixed-order expressions. */
+  /** Mirror of Analytics.orderMoments: INT64 power sums (exact cents
+    * for sum/mean, floor-div whole dollars for the second moments —
+    * `//` ≡ Spark `div` on non-negative cents), doubles only in the
+    * final fixed-order expressions. int64→double is one correctly-
+    * rounded IEEE conversion in both engines; the earlier
+    * DECIMAL(38,4)→double mirror double-rounded through DuckDB's
+    * scaled-int128 path and drifted a ulp at sf0.1. */
   val aggMoments: String = """
-WITH g AS (
+WITH q AS (
+  SELECT o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100 AS v,
+         datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS d
+  FROM orders),
+g AS (
   SELECT o_orderstatus,
          COUNT(*) AS n_orders,
-         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sx,
-         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sx2,
-         SUM(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))) AS sy,
-         SUM(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) * datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))) AS sy2,
-         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS DECIMAL(18,0)) AS DECIMAL(38,4))) AS sxy
-  FROM orders GROUP BY o_orderstatus)
+         SUM(p) AS sx,
+         CAST(SUM(cents) AS BIGINT) AS sc,
+         CAST(SUM(v) AS BIGINT) AS sv,
+         CAST(SUM(v * v) AS BIGINT) AS sx2,
+         CAST(SUM(d) AS BIGINT) AS sy,
+         CAST(SUM(d * d) AS BIGINT) AS sy2,
+         CAST(SUM(v * d) AS BIGINT) AS sxy
+  FROM q GROUP BY o_orderstatus)
 SELECT o_orderstatus, n_orders,
        CAST(sx AS VARCHAR) AS sum_price,
-       CAST(sx AS DOUBLE) / n_orders AS mean_price,
-       (CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_orders) / n_orders AS var_price,
-       (n_orders * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-         / (sqrt(n_orders * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       CAST(sc AS DOUBLE) / 100 / n_orders AS mean_price,
+       (CAST(sx2 AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n_orders) / n_orders AS var_price,
+       (n_orders * CAST(sxy AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (sqrt(n_orders * CAST(sx2 AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
             * sqrt(n_orders * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_price_day
 FROM g"""
 
