@@ -102,12 +102,18 @@ object Sketches {
       width: Int): DataFrame = {
     val pos = h60(concat(col("j").cast("string"), lit(":"),
       col("event_type"))) % width
-    events
-      .select(col("event_type"),
+    // aggregate per type BEFORE hashing: cell count = Σ counts of the
+    // types hashing there, so exploding the tiny per-type frame (|types|
+    // × depth rows) is cell-for-cell identical to exploding the event
+    // stream — but the md5 position hash runs |types|·depth times
+    // instead of |events|·depth, and the only event-volume-sized work
+    // left is the map-side-combined type count
+    events.groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+      .select(col("event_type"), col("c"),
         explode(sequence(lit(0), lit(depth - 1))).as("j"))
-      .select(col("event_type"), col("j"), pos.as("pos"))
+      .select(col("c"), col("j"), pos.as("pos"))
       .groupBy(col("j"), col("pos"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("c")).as("cnt"))
   }
 
   /** Point-query `keys` against a counter frame: min across the depth
