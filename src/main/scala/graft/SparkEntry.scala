@@ -195,7 +195,8 @@ object SparkEntry {
     "text_bigrams" -> ((s, d) => TextOps.bigrams(docs(s, d))),
     // unigram-LM surprisal quality score in integer bits
     "text_surprisal" -> ((s, d) => TextOps.unigramSurprisal(docs(s, d))),
-    "corpus_contamination" -> ((s, d) => TextOps.benchmarkContamination(docs(s, d))),
+    "corpus_contamination" -> ((s, d) =>
+      TextOps.benchmarkContaminationFrom(shSixGrams(s, d))),
     // temperature-scaled per-source mixing weights (α = 0.5)
     "corpus_mixture" -> ((s, d) => TextOps.mixtureWeights(docs(s, d))),
     "sample_hash" -> ((s, d) => TextOps.hashSample(docs(s, d))),
@@ -342,6 +343,8 @@ object SparkEntry {
       EmbedOps.coarseCentroids(emb(s, d)))
   private def shTf(s: SparkSession, d: String): DataFrame =
     Artifacts.frame(s, d, "text/term_freq")(TextOps.termFrequencies(docs(s, d)))
+  private def shSixGrams(s: SparkSession, d: String): DataFrame =
+    Artifacts.frame(s, d, "text/shingles6")(TextOps.sixGramShingles(docs(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

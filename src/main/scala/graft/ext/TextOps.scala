@@ -554,17 +554,32 @@ object TextOps {
     * suites are tiny next to the corpus) — broadcastable, or a bloom
     * filter feeding the scan at 100 TB; the join is equi on the
     * shingle string, and per-doc distinct shingles bound the fan-out. */
-  def benchmarkContamination(documents: DataFrame): DataFrame = {
+  def benchmarkContamination(documents: DataFrame): DataFrame =
+    benchmarkContaminationFrom(sixGramShingles(documents))
+
+  /** (doc_id, s): each document's DISTINCT 6-token shingles, exploded —
+    * the frame both sides of the contamination join read. Exposed so a
+    * suite builds it once (SparkEntry memoizes it): the two consumers
+    * are projections of the SAME frame, and the lambda-bearing shingle
+    * expression gets fresh ExprIds per construction, so without sharing
+    * the tokenize→shingle→explode pass runs twice. */
+  def sixGramShingles(documents: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val sh = transform(
       sequence(lit(1), greatest(size(toks) - 5, lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(6))))
-    val exploded = documents.select(col("doc_id"),
-      explode(array_distinct(sh)).as("s"))
+    documents.select(col("doc_id"), explode(array_distinct(sh)).as("s"))
+  }
+
+  /** [[benchmarkContamination]] over a prebuilt [[sixGramShingles]]
+    * frame. The benchmark side is eval-suite-sized (tiny next to the
+    * corpus) — broadcast, exactly the shape the scale note above
+    * promises. */
+  def benchmarkContaminationFrom(exploded: DataFrame): DataFrame = {
     val bench = exploded.filter(col("doc_id") % 11 === 0)
       .select(col("s")).distinct()
     exploded.filter(col("doc_id") % 11 =!= 0)
-      .join(bench, Seq("s"))
+      .join(broadcast(bench), Seq("s"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_benchmark_shingles"))
   }
