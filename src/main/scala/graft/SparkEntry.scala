@@ -231,10 +231,12 @@ object SparkEntry {
     "dedup_pagerank" -> ((s, d) => DedupOps.nearDupPageRankFrom(
       docs(s, d).select(org.apache.spark.sql.functions.col("doc_id")),
       shPairs(s, d, 0.5))),
-    "dedup_incremental" -> ((s, d) => DedupOps.incrementalNewDocs(docs(s, d))),
+    "dedup_incremental" -> ((s, d) =>
+      DedupOps.incrementalNewDocsFrom(docs(s, d), shDigests(s, d))),
     // same semantics behind a broadcast Bloom prefilter (exact result;
     // the codegen'd probe prunes the anti-join input inside the scan)
-    "dedup_incremental_bloom" -> ((s, d) => DedupOps.incrementalNewDocsBloom(docs(s, d))),
+    "dedup_incremental_bloom" -> ((s, d) =>
+      DedupOps.incrementalNewDocsBloomFrom(docs(s, d), shDigests(s, d))),
     "dedup_incremental_near" -> ((s, d) =>
       DedupOps.incrementalNewNearDocsFrom(docs(s, d), shSets(s, d), shBands(s, d), 0.5)),
     // full curation composite: exact dup → near dup → quality → keep,
@@ -345,6 +347,11 @@ object SparkEntry {
     Artifacts.frame(s, d, "text/term_freq")(TextOps.termFrequencies(docs(s, d)))
   private def shSixGrams(s: SparkSession, d: String): DataFrame =
     Artifacts.frame(s, d, "text/shingles6")(TextOps.sixGramShingles(docs(s, d)))
+  // the incremental-dedup premise: the stored corpus's digest index is
+  // a persisted table, probed (not rebuilt) by every incoming batch
+  private def shDigests(s: SparkSession, d: String): DataFrame =
+    Artifacts.frame(s, d, "dedup/stored_digests")(
+      DedupOps.storedDigestIndex(docs(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
