@@ -151,12 +151,19 @@ object EventOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wLag = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val gapUs = gapMinutes * 60L * 1000000L
+    // every funnel stage references this frame, and the 2-window
+    // sessionization is the expensive subtree — a LAZY localCheckpoint
+    // makes all stage references share one computed RDD within the
+    // query's single action (vs re-running the window pass per stage),
+    // without cache()'s cross-call storage leak: the blocks die with
+    // the plan object
     val sess = events
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
       .withColumn("new_sess",
         when(unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(wLag) > gapUs,
           lit(1L)).otherwise(lit(0L)))
       .withColumn("session_id", sum(col("new_sess")).over(w))
+      .localCheckpoint(false)
     var cur = sess.filter(col("event_type") === stages.head)
       .groupBy(col("user_id"), col("session_id")).agg(min(col("ts")).as("t1"))
     stages.tail.zipWithIndex.foreach { case (st, i) =>
