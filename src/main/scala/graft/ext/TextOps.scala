@@ -650,9 +650,14 @@ object TextOps {
     * per-segment canonical pick is min(struct(doc_id, pos)) — one
     * map-side-combinable aggregate; nothing is ever all-pairs. */
   def paragraphDedup(documents: DataFrame, w: Int = 8): DataFrame = {
+    // both the canonical pick and the join-back read this frame; the
+    // lambda-bearing segment explode defeats exchange reuse, so a lazy
+    // localCheckpoint shares one computed RDD instead of segmenting +
+    // hashing the corpus twice (same pattern as sessionFunnel)
     val occ = documents.select(col("doc_id"),
         posexplode(segmentsOf(w)).as(Seq("pos", "seg")))
       .select(col("doc_id"), col("pos"), md5(col("seg").cast("binary")).as("seg_md5"))
+      .localCheckpoint(false)
     val canon = occ.groupBy(col("seg_md5"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
     occ.join(canon, Seq("seg_md5"))
