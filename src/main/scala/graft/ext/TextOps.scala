@@ -572,14 +572,16 @@ object TextOps {
   }
 
   /** [[benchmarkContamination]] over a prebuilt [[sixGramShingles]]
-    * frame. The benchmark side is eval-suite-sized (tiny next to the
-    * corpus) — broadcast, exactly the shape the scale note above
-    * promises. */
+    * frame. A REAL benchmark side is eval-suite-sized (tiny next to
+    * the corpus) and size estimation broadcasts it on its own; the
+    * hint stays out deliberately because this fixture's benchmark
+    * (doc_id % 11) grows WITH the corpus — a hard-coded broadcast
+    * would OOM exactly where the operator is supposed to scale. */
   def benchmarkContaminationFrom(exploded: DataFrame): DataFrame = {
     val bench = exploded.filter(col("doc_id") % 11 === 0)
       .select(col("s")).distinct()
     exploded.filter(col("doc_id") % 11 =!= 0)
-      .join(broadcast(bench), Seq("s"))
+      .join(bench, Seq("s"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_benchmark_shingles"))
   }
