@@ -12,6 +12,14 @@ import org.apache.spark.sql.SparkSession
   * directory), so the timed numbers measure steady-state execution on
   * cold data, the quantity that scales to a real cluster. */
 object Bench {
+
+  /** One interleaved pass over the full query set: its wall time, each
+    * query's elapsed seconds, and each failure's message. A query that
+    * throws is recorded as an ERROR for that pass — never as a timing
+    * sample — so a broken query can't masquerade as a fast one. */
+  private case class Pass(wall: Double, samples: Map[String, Double],
+      errs: Map[String, String])
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
@@ -39,8 +47,18 @@ object Bench {
     GraftLog.applyLevel(spark)
 
     // optional subset for focused A/B timing (unset → all, the driver
-    // path); warmup honors the same filter so a subset run stays short
-    val only = sys.env.get("GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // path); warmup honors the same filter so a subset run stays short.
+    // Names are trimmed and validated up front: a typo must fail the
+    // run loudly, not silently benchmark zero queries.
+    val only = sys.env.get("GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"GRAFT_BENCH_ONLY names not in SparkEntry.queries: " +
+          unknown.toSeq.sorted.mkString(", "))
+      require(o.nonEmpty, "GRAFT_BENCH_ONLY is set but selects no queries")
+    }
     def selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
@@ -57,14 +75,28 @@ object Bench {
     // slow phase can span minutes. Per-query back-to-back repeats land
     // both samples of one query inside the same slow phase, so instead
     // the iterations are INTERLEAVED — full passes over the whole query
-    // set — and each query reports the MEDIAN of its three samples:
-    // a slow phase poisons at most one pass, and the median rejects
-    // that outlier. Two back-to-back runs of identical code should now
-    // agree per-query to within normal jitter.
-    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // set — and each query reports the MEDIAN of its samples: a slow
+    // phase poisons at most one pass, and the median rejects that
+    // outlier. Defense for a slow phase spanning MULTIPLE passes (the
+    // r10 driver artifact: a host phase covered all three static
+    // passes): each pass records its own wall time, and any pass >2×
+    // the fastest pass of the same mode is marked CONTENDED and its
+    // samples excluded from the medians (unless a query only ever ran
+    // inside contended passes, in which case its own samples are all we
+    // have). The artifact carries `pass_wall_sec` + `contended_passes`
+    // so a downstream reader can judge run quality directly.
+    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        ((System.nanoTime() - t0) / 1e9, None)
+      } catch {
+        case e: Throwable =>
+          ((System.nanoTime() - t0) / 1e9, Some(
+            e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("").replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)))
+      }
     }
     // Alphabetical, NOT map order: Map iteration order reshuffles when
     // queries are added, silently moving the one-time shared-artifact
@@ -72,20 +104,50 @@ object Bench {
     // first — which the cross-round regression diff then misreads as a
     // query regression. A stable order keeps attribution comparable.
     val names = selected.keys.toVector.sorted
-    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
-    val samples = collection.mutable.Map.empty[String, List[Double]]
-    for (_ <- 0 until iterations; name <- names) {
-      val t = timed(SparkEntry.queries(name))
-      samples(name) = t :: samples.getOrElse(name, Nil)
+
+    def runPasses(iters: Int): Vector[Pass] = (0 until iters).toVector.map { _ =>
+      val p0 = System.nanoTime()
+      val ss = Map.newBuilder[String, Double]
+      val es = Map.newBuilder[String, String]
+      for (name <- names) timed(SparkEntry.queries(name)) match {
+        case (t, None)      => ss += name -> t
+        case (_, Some(msg)) => es += name -> msg
+      }
+      Pass((System.nanoTime() - p0) / 1e9, ss.result(), es.result())
     }
-    def median(xs: List[Double]): Double = {
+    def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    val results = names.map(n => n -> median(samples(n))).toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    /** (per-query medians over non-contended passes, per-query error
+      * message for queries with no successful sample, contended pass
+      * indices). */
+    def stats(passes: Vector[Pass])
+        : (Map[String, Double], Map[String, String], Vector[Int]) = {
+      if (passes.isEmpty) return (Map.empty, Map.empty, Vector.empty)
+      val fastest = passes.map(_.wall).min
+      val contended = passes.zipWithIndex
+        .collect { case (p, i) if p.wall > 2 * fastest => i }
+      val clean = passes.zipWithIndex
+        .collect { case (p, i) if !contended.contains(i) => p }
+      val meds = Map.newBuilder[String, Double]
+      val errs = Map.newBuilder[String, String]
+      for (n <- names) {
+        val good = clean.flatMap(_.samples.get(n))
+        val any = passes.flatMap(_.samples.get(n))
+        if (good.nonEmpty) meds += n -> median(good)
+        else if (any.nonEmpty) meds += n -> median(any) // only contended data
+        else errs += n -> passes.flatMap(_.errs.get(n)).head
+      }
+      (meds.result(), errs.result(), contended)
+    }
+
+    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val passes = runPasses(iterations)
+    val (results, errors, contendedIdx) = stats(passes)
+    val qs = names.flatMap(n => results.get(n).map(v => s"\"" + n + "\":" + v))
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.sum
 
     // AQE-on variant: the numbers behind the "keep AQE on a real
     // cluster" doc claim above. `spark.sql.adaptive.enabled` is a
@@ -95,33 +157,37 @@ object Bench {
     // next to the static numbers. Skippable via
     // SPARK_GRAFT_BENCH_AQE_ITERS=0 for quick local loops.
     val aqeIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_AQE_ITERS", "3").toInt
-    val aqeSamples = collection.mutable.Map.empty[String, List[Double]]
-    if (aqeIters > 0) {
+    val aqePasses = if (aqeIters > 0) {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
-      for (_ <- 0 until aqeIters; name <- names) {
-        val t = timed(SparkEntry.queries(name))
-        aqeSamples(name) = t :: aqeSamples.getOrElse(name, Nil)
-      }
+      val ps = runPasses(aqeIters)
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-    }
-    val aqeResults = if (aqeIters > 0) names.map(n => n -> median(aqeSamples(n))).toMap
-      else Map.empty[String, Double]
-    val aqeQs = aqeResults.map { case (k, v) => s"\"" + k + "\":" + v }
+      ps
+    } else Vector.empty[Pass]
+    val (aqeResults, aqeErrors, aqeContendedIdx) = stats(aqePasses)
+    val aqeQs = names.flatMap(n => aqeResults.get(n).map(v => s"\"" + n + "\":" + v))
       .mkString("{", ",", "}")
     val aqeTotal = aqeResults.values.sum
 
     // ---- complete per-query artifact file + regression diff ----------
     // The driver stores only a ~2000-char stdout tail, which cannot hold
-    // 86 full-precision entries — so the full result set is persisted to
-    // a JSON file in the repo (committed per round, the judge-readable
+    // 100+ full-precision entries — so the full result set is persisted
+    // to a JSON file in the repo (committed per round, the judge-readable
     // artifact) and diffed against the previous run's file: any query
     // >1.5× slower AND >0.25 s absolute (the absolute floor keeps
-    // 10-ms-scale host jitter out) is flagged as a regression.
-    // a GRAFT_BENCH_ONLY subset run must never clobber the full round
-    // artifact (it is also the regression-diff baseline)
+    // 10-ms-scale host jitter out) is flagged as a regression. Errored
+    // queries are excluded from totals and the diff, and surface in
+    // `errors` / error_count instead.
+    // A GRAFT_BENCH_ONLY subset run must never clobber the full round
+    // artifact (it is also the regression-diff baseline), and its
+    // scratch file is keyed by the subset so a stale prior from a
+    // DIFFERENT subset can't mint phantom regressions.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      if (only.isDefined) "/tmp/bench_subset.json"
-      else "bench_results/bench_latest.json")
+      only match {
+        case Some(o) =>
+          val key = java.lang.Integer.toHexString(o.toSeq.sorted.mkString(",").hashCode)
+          s"/tmp/bench_subset_$key.json"
+        case None => "bench_results/bench_latest.json"
+      })
     val outFile = new java.io.File(outPath).getAbsoluteFile
     val prior: Map[String, Double] =
       if (outFile.isFile) {
@@ -140,18 +206,25 @@ object Bench {
         } catch { case _: Throwable => Map.empty[String, Double] }
       } else Map.empty
     val regressions = names.flatMap { n =>
-      prior.get(n).collect {
-        case p if results(n) > p * 1.5 && results(n) - p > 0.25 =>
-          (n, p, results(n))
-      }
+      for (c <- results.get(n); p <- prior.get(n)
+           if c > p * 1.5 && c - p > 0.25) yield (n, p, c)
     }
     val regJson = regressions.map { case (n, p, c) =>
       f"""{"query":"$n","prev":$p%.3f,"now":$c%.3f,"ratio":${c / p}%.2f}"""
     }.mkString("[", ",", "]")
+    def secArr(xs: Seq[Double]) = xs.map(w => f"$w%.2f").mkString("[", ",", "]")
+    def idxArr(xs: Seq[Int]) = xs.mkString("[", ",", "]")
+    val errJson = (errors ++ aqeErrors.map { case (k, v) => s"aqe:$k" -> v })
+      .toSeq.sorted.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
     val fileJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""warmup_sec":$warmupSec,"aqe_total_sec":$aqeTotal,""" +
         s""""aqe_queries":$aqeQs,"sf":"$sfDir","iterations":$iterations,""" +
+        s""""pass_wall_sec":${secArr(passes.map(_.wall))},""" +
+        s""""contended_passes":${idxArr(contendedIdx)},""" +
+        s""""aqe_pass_wall_sec":${secArr(aqePasses.map(_.wall))},""" +
+        s""""aqe_contended_passes":${idxArr(aqeContendedIdx)},""" +
+        s""""errors":$errJson,"error_count":${errors.size + aqeErrors.size},""" +
         s""""prior_total_sec":${prior.values.sum},"regressions":$regJson}"""
     Option(outFile.getParentFile).foreach(_.mkdirs())
     java.nio.file.Files.write(outFile.toPath,
@@ -160,14 +233,19 @@ object Bench {
     // The full contract line first (complete data for any consumer that
     // captures whole stdout), then a COMPACT summary as the LAST line —
     // small enough to survive a tail capture intact: totals, the 5
-    // slowest queries, the regression count, and the artifact path.
+    // slowest queries, regression/error/contention counts, and the
+    // artifact path.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_sec":$warmupSec,"aqe_total_sec":$aqeTotal,"aqe_queries":$aqeQs,"sf":"$sfDir"}""")
     val top5 = results.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${names.size},"slowest":$top5,"aqe_total_sec":$aqeTotal%.2f,"warmup_sec":$warmupSec%.1f,"regression_count":${regressions.size},"detail":"$outPath","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${names.size},"slowest":$top5,"aqe_total_sec":$aqeTotal%.2f,"warmup_sec":$warmupSec%.1f,"regression_count":${regressions.size},"error_count":${errors.size + aqeErrors.size},"pass_wall_sec":${secArr(passes.map(_.wall))},"contended_passes":${idxArr(contendedIdx)},"aqe_contended_passes":${idxArr(aqeContendedIdx)},"detail":"$outPath","sf":"$sfDir"}""")
     if (regressions.nonEmpty)
       System.err.println(s"[graft.bench] ${regressions.size} regression(s) vs prior run: " +
         regressions.map { case (n, p, c) => f"$n $p%.2f→$c%.2f" }.mkString(", "))
+    if (errors.nonEmpty || aqeErrors.nonEmpty)
+      System.err.println(s"[graft.bench] ${errors.size + aqeErrors.size} query error(s): " +
+        (errors ++ aqeErrors.map { case (k, v) => s"aqe:$k" -> v })
+          .toSeq.sorted.map { case (k, v) => s"$k ($v)" }.mkString("; "))
     spark.stop()
   }
 }

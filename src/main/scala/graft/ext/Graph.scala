@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components over an undirected pair graph —
@@ -19,14 +19,24 @@ import org.apache.spark.sql.functions._
   * chain case.
   *
   * Scale posture: every step is an equi join + groupBy on the vertex
-  * id — hash-partitioned, no driver-side data. The driver checks only
-  * a converged flag (`isEmpty` on the changed-label frame). State per
-  * round is one (id, label) frame, cached and explicitly unpersisted
-  * when superseded.
+  * id — hash-partitioned, no driver-side data. Each round is ONE
+  * driver barrier: the convergence flag rides the round's
+  * materialization job as an `observe()` side aggregate (a
+  * CollectMetricsExec accumulator), so there is no separate per-round
+  * `isEmpty` probe job. State per round is one (id, label) frame,
+  * cached and explicitly unpersisted when superseded.
   *
   * Deterministic: component id = min vertex id of the component.
   */
 object Graph {
+
+  /** Read a metric published by an `observe()` side aggregate; an
+    * aggregate over zero matching rows surfaces as null → `orElse`. */
+  private def metricLong(obs: Observation, key: String, orElse: Long): Long =
+    obs.get.get(key) match {
+      case Some(v: Number) => v.longValue()
+      case _               => orElse
+    }
 
   /** Connected components of the graph over `vertices` (first column =
     * vertex id) with undirected edges given by `pairs` (first two
@@ -48,8 +58,7 @@ object Graph {
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nlabel"))
       // the pre-round label rides along as `old`, so the convergence
-      // check below is a filter on the already-materialized frame, not
-      // an extra per-round join
+      // signal is computable inside the round's own job (observe below)
       val stepped = labels.select(col("id"), col("label").as("old"))
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("old"),
@@ -64,16 +73,23 @@ object Graph {
       // tolerant dir every few rounds (localCheckpoint trades
       // executor-loss recomputability for speed — the standard
       // iterative-graph trade).
+      //
+      // The convergence flag is an observe() side aggregate of this
+      // SAME job (computed in the tasks, delivered by accumulator), so
+      // the round costs exactly one driver barrier — no follow-up
+      // isEmpty scan.
+      val obs = Observation()
       val next = stepped.join(
           stepped.select(col("id").as("label"), col("label").as("jump")),
           Seq("label"), "left")
         .select(col("id"), col("old"),
           least(col("label"), coalesce(col("jump"), col("label"))).as("label"))
+        .observe(obs, max(when(col("label") =!= col("old"), lit(1L))
+          .otherwise(lit(0L))).as("changed"))
         .localCheckpoint()
-      val t0 = System.nanoTime()
-      converged = next.filter(col("label") =!= col("old")).isEmpty
+      converged = metricLong(obs, "changed", orElse = 0L) == 0L
       if (sys.env.contains("GRAFT_CC_LOG"))
-        println(f"[graft.cc] round $iters%d converged=$converged ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        println(s"[graft.cc] round $iters converged=$converged")
       labels.unpersist()
       labels = next
       iters += 1
@@ -109,22 +125,33 @@ object Graph {
     *
     * Dangling mass: each round, the total rank of out-degree-0 nodes
     * (graph sinks; on the symmetrized near-dup graph, exactly the
-    * isolated docs) is summed into a 1-row frame and every node
-    * receives its `dm div n` share inside the damped term — the
-    * standard uniform-teleport treatment, without which total mass
-    * drains through sinks and the ranking degrades to in-degree
-    * counting. With it, Σr is invariant round over round up to the
-    * documented ≤(2n+1)-unit truncation leak (one div per node for the
-    * share, one per damped term, one for the base) — the
-    * mass-conservation property ExtOpsSpec asserts on a sink graph.
+    * isolated docs) is redistributed uniformly — every node receives
+    * `dm div n` inside the damped term — the standard uniform-teleport
+    * treatment, without which total mass drains through sinks and the
+    * ranking degrades to in-degree counting. With it, Σr is invariant
+    * round over round up to the documented ≤(2n+1)-unit truncation
+    * leak (one div per node for the share, one per damped term, one
+    * for the base) — the mass-conservation property ExtOpsSpec asserts
+    * on a sink graph.
     *
-    * Scale posture per round: one equi join ranks⋈edges on the vertex
-    * id + one map-side-combinable groupBy(dst) — the same shape as
-    * [[connectedComponents]]' rounds, with the same per-round
-    * localCheckpoint lineage control — plus one 1-row aggregate over
-    * the (already materialized) ranks frame for the dangling sum,
-    * broadcast back. Degrees computed once. No driver-side data beyond
-    * the tiny doc count. */
+    * Scale posture per round — ONE driver barrier: the round's
+    * localCheckpoint job. Everything else rides that job:
+    *   - out-degree is carried as a column on the rank spine (joined
+    *     once, before the loop), so sinks are deg-null rows of the
+    *     frame we materialize anyway;
+    *   - the NEXT round's dangling mass is an observe() side aggregate
+    *     (`sum(r) where deg is null`) of the same job, delivered by
+    *     accumulator — no per-round anti-join or broadcast exchange;
+    *   - the fixed-point flag (`max(r != old)`) rides the same
+    *     observe(), so the early exit costs nothing.
+    * The dangling share and the damping base enter the projection as
+    * driver literals (the node count is read once, up front), which
+    * Catalyst constant-folds — replacing the two per-round crossJoins
+    * of the previous design. The per-round data-path work is one equi
+    * join ranks⋈edges + one map-side-combinable groupBy(dst), same
+    * shape as [[connectedComponents]]' rounds, with the same
+    * localCheckpoint lineage control. No driver-side data beyond the
+    * two scalar metrics and the node count. */
   def pageRankDirected(vertices: DataFrame, directedEdges: DataFrame,
       iters: Int = 3): DataFrame = {
     val Scale = 1000000000000L
@@ -133,41 +160,45 @@ object Graph {
       col(directedEdges.columns(1)).as("dst")).cache()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
     val nodes = vertices.select(col(vertices.columns(0)).as("id"))
-    val nTotal = broadcast(nodes.agg(count(lit(1)).as("n")))
-    var ranks = nodes.crossJoin(nTotal)
-      .select(col("id"), expr(s"${Scale}L div n").as("r"))
+    // Node count as a driver scalar, read once: Scale div n (the
+    // uniform start rank) and the damping base become literals in every
+    // round's projection. Same integer semantics as computing them
+    // relationally (both operands non-negative, truncating division).
+    val n = nodes.count()
+    val r0 = Scale / n
+    val base = (15L * r0) / 100L
+    var obs = Observation()
+    var ranks = nodes
+      .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left")
+      .select(col("id"), lit(r0).as("r"), col("deg"))
+      .observe(obs, sum(when(col("deg").isNull, col("r"))).as("dm"))
       .localCheckpoint()
-    // Early exit on an exact fixed point: arithmetic is all-integer, so
-    // if a round changes NO rank, every later round reproduces the same
-    // frame bit-for-bit — stopping early is result-identical to the
-    // oracle's fixed `iters` rounds. The check is a filter over the
-    // already-localCheckpointed (id, old, r) frame (same trick as
-    // [[connectedComponents]]), not an extra join.
+    var dm = metricLong(obs, "dm", orElse = 0L) // no sinks → null → 0
     var round = 0
     var fixedPoint = false
     while (round < iters && !fixedPoint) {
-      // rank parked on sinks this round (nodes with no out-edge);
-      // sum fits a long: Σr ≤ Scale = 10¹²
-      val dangling = broadcast(ranks
-        .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
-        .agg(coalesce(sum(col("r")), lit(0L)).as("dm")))
+      // deg rides the rank spine, so the contribution r div deg needs
+      // no separate degree join (sinks never match: they have no
+      // out-edge rows by definition)
       val inflow = edges
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
-        .join(deg, Seq("src"))
         .select(col("dst").as("id"), expr("r div deg").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("inflow"))
-      // `ranks` carries exactly the node set, so it doubles as the node
-      // spine — the previous rank rides along as `old` with no extra join
-      ranks = ranks.select(col("id"), col("r").as("old"))
-        .crossJoin(nTotal).crossJoin(dangling)
+      obs = Observation()
+      ranks = ranks.select(col("id"), col("r").as("old"), col("deg"))
         .join(inflow, Seq("id"), "left")
-        .select(col("id"), col("old"),
-          (expr(s"(15 * (${Scale}L div n)) div 100") +
-            expr("(85 * (coalesce(inflow, 0L) + dm div n)) div 100")).as("r"))
+        .select(col("id"), col("old"), col("deg"),
+          (lit(base) + expr(s"(85 * (coalesce(inflow, 0L) + ${dm / n}L)) div 100"))
+            .as("r"))
+        .observe(obs,
+          sum(when(col("deg").isNull, col("r"))).as("dm"),
+          max(when(col("r") =!= col("old"), lit(1L)).otherwise(lit(0L)))
+            .as("changed"))
         .localCheckpoint()
+      dm = metricLong(obs, "dm", orElse = 0L)
       round += 1
-      if (round < iters) { // last round's check would be pure cost
-        fixedPoint = ranks.filter(col("r") =!= col("old")).isEmpty
+      if (round < iters) { // last round's flag would be pure reading
+        fixedPoint = metricLong(obs, "changed", orElse = 1L) == 0L
         if (sys.env.contains("GRAFT_CC_LOG"))
           println(s"[graft.pr] round $round fixedPoint=$fixedPoint")
       }
