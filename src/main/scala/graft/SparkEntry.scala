@@ -166,6 +166,53 @@ object SparkEntry {
         AND l_discount BETWEEN 0.04 AND 0.06
         AND l_quantity < 24
       GROUP BY l_returnflag""")),
+    // SQL-text twins of four DataFrame operator families — same
+    // registered views, same native-function registry, so a user typing
+    // ANSI SQL exercises the identical Catalyst path (pushdown, window
+    // planning, Expand) the DataFrame API gets. Each has its own
+    // independent DuckDB oracle row.
+    "sql_window_top_orders" -> ((s, d) => GraftSql.sql(s, d, """
+      SELECT o_custkey, o_orderkey, o_totalprice AS total_price, rank
+      FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        FROM orders)
+      WHERE rank <= 3""")),
+    "sql_grouping_sets" -> ((s, d) => GraftSql.sql(s, d, """
+      SELECT o_orderstatus AS order_status, o_orderpriority AS order_priority,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS revenue,
+             count(*) AS n_orders
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""")),
+    "sql_dedup_exact" -> ((s, d) => GraftSql.sql(s, d, """
+      SELECT doc_id, md5(text) AS content_md5,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_doc_id,
+             count(*) OVER (PARTITION BY md5(text)) AS group_size,
+             doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+      FROM documents""")),
+    "sql_events_funnel" -> ((s, d) => GraftSql.sql(s, d, """
+      WITH ev AS (SELECT * FROM events WHERE event_id % 5 = 0),
+      s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM ev
+        WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (
+        SELECT s1.user_id, s1.t1,
+               min(CASE WHEN e.ts > s1.t1 THEN e.ts END) AS t2
+        FROM s1 LEFT JOIN ev e
+          ON e.user_id = s1.user_id AND e.event_type = 'click'
+        GROUP BY s1.user_id, s1.t1),
+      s3 AS (
+        SELECT s2.user_id, s2.t2,
+               min(CASE WHEN e.ts > s2.t2 THEN e.ts END) AS t3
+        FROM s2 LEFT JOIN ev e
+          ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        GROUP BY s2.user_id, s2.t2)
+      SELECT CASE WHEN t3 IS NOT NULL THEN 3
+                  WHEN t2 IS NOT NULL THEN 2
+                  ELSE 1 END AS funnel_stage,
+             count(*) AS n_users
+      FROM s3 GROUP BY 1""")),
 
     // ---- text analysis over `documents` -------------------------------
     // The testdata tables are single parquet files → a single input
@@ -411,6 +458,13 @@ WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
   AND l_discount BETWEEN 0.04 AND 0.06
   AND l_quantity < 24
 GROUP BY l_returnflag""",
+    // The SQL-text twins re-use the proven oracle formulations of the
+    // operators they mirror — the twin and the DataFrame original must
+    // agree with the SAME independent DuckDB answer.
+    "sql_window_top_orders" -> OracleSqlExt.windowTopOrders,
+    "sql_grouping_sets" -> OracleSqlExt.aggGroupingSets,
+    "sql_dedup_exact" -> OracleSqlExt.dedupExact,
+    "sql_events_funnel" -> OracleSqlExt.eventsFunnel,
 
     "text_stats" -> OracleSqlExt.textStats,
     "text_quality" -> OracleSqlExt.textQuality,
