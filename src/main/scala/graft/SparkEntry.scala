@@ -40,20 +40,27 @@ object SparkEntry {
     * expressions get fresh ExprIds per construction, which defeats
     * canonical plan matching. */
   private val decidedMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def decided(s: SparkSession, dir: String): DataFrame = {
-    // Bounded: Verify/Bench touch ≤3 (session, dir) pairs; a long-lived
-    // session cycling many dirs would otherwise pin every cached frame.
-    // The memo is purely a perf memo, so wholesale eviction is safe —
-    // unpersist releases the executor-memory blocks with the entries.
-    if (decidedMemo.size > 8) {
-      decidedMemo.foreach { case (k, df) =>
-        scala.util.Try(df.unpersist()); decidedMemo.remove(k)
-      }
+    scala.collection.mutable.LinkedHashMap.empty[(SparkSession, String), DataFrame]
+  private def decided(s: SparkSession, dir: String): DataFrame =
+    decidedMemo.synchronized {
+      decidedMemo.getOrElse((s, dir), {
+        // Bounded, OLDEST-FIRST (LinkedHashMap preserves insertion
+        // order): Verify/Bench touch ≤3 (session, dir) pairs; a
+        // long-lived session cycling many dirs evicts the least
+        // recently inserted frame — never the entry about to be built,
+        // and never the whole memo at once. The memo is purely a perf
+        // memo, so eviction is safe — unpersist releases the
+        // executor-memory blocks with the entry.
+        while (decidedMemo.size >= 8) {
+          val (k, old) = decidedMemo.head
+          scala.util.Try(old.unpersist())
+          decidedMemo.remove(k)
+        }
+        val df = MatchPipeline.decide(envelope(s, dir)).cache()
+        decidedMemo.put((s, dir), df)
+        df
+      })
     }
-    decidedMemo.getOrElseUpdate((s, dir),
-      MatchPipeline.decide(envelope(s, dir)).cache())
-  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

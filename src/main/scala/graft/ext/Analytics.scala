@@ -192,9 +192,13 @@ object Analytics {
     // twice — observed as last-ulp var/corr drift at sf0.1). Dollar
     // quantization shifts var by O(1/12) against var ~10¹⁰ — the same
     // documented trade as [[graft.ext.EventOps]]' quantized anomaly
-    // moments. Overflow: Σv² ≤ n·(6·10⁵)² stays inside int64 through
-    // ~10⁹ rows per group; beyond that this profile coarsens its unit,
-    // the same dial.
+    // moments. Overflow: with v ≤ 6·10⁵ dollars, v² ≤ 3.6·10¹¹, so
+    // Σv² stays inside int64 only through ~2.5·10⁷ rows per group —
+    // and past that bound non-ANSI Spark WRAPS silently while the
+    // DuckDB oracle promotes/errors, so the engines diverge rather
+    // than both degrade. Beyond ~10⁷ rows/group, coarsen the unit
+    // (whole-dollar → 10²-dollar shifts the bound 10⁴×) or turn on
+    // spark.sql.ansi.enabled to fail loudly.
     val g = orders
       .select(col("o_orderstatus"), price.as("p"), day.as("d"))
       .withColumn("cents", expr("CAST(p * 100 AS BIGINT)"))

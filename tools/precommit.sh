@@ -4,5 +4,5 @@
 # bar for claims; this catches the cheap-and-common failure (a main-only
 # refactor that strands a spec) in ~30 s. Skip with GRAFT_SKIP_PRECOMMIT=1.
 [ -n "$GRAFT_SKIP_PRECOMMIT" ] && exit 0
-cd /root/repo
+cd "$(git rev-parse --show-toplevel)"
 exec sbt -batch Test/compile
