@@ -355,7 +355,9 @@ object SparkEntry {
     // REAL AVI decode (VideoCodec): RIFF chunk walk + DIB frame pixels,
     // one row per sampled frame; the oracle recomputes the per-frame
     // channel sums independently
-    "mm_frames" -> ((s, d) => MultiModal.frameStats(docs(s, d)))
+    "mm_frames" -> ((s, d) => MultiModal.frameStats(docs(s, d))),
+    // MJPEG-in-AVI: full baseline-JPEG decode per sampled frame
+    "mm_frames_mjpeg" -> ((s, d) => MultiModal.frameStatsMjpeg(docs(s, d)))
   )
 
   private def docs(s: SparkSession, d: String): DataFrame =
@@ -534,6 +536,7 @@ GROUP BY l_returnflag""",
     "mm_audio" -> OracleSqlExt.mmAudio,
     "mm_features" -> OracleSqlExt.mmFeatures,
     "mm_resize" -> OracleSqlExt.mmResize,
-    "mm_frames" -> OracleSqlExt.mmFrames
+    "mm_frames" -> OracleSqlExt.mmFrames,
+    "mm_frames_mjpeg" -> OracleSqlExt.mmFramesMjpeg
   )
 }

@@ -364,4 +364,38 @@ object MultiModal {
     import documents.sparkSession.implicits._
     decodeVideoFrames(videoTable(documents)).toDF()
   }
+
+  /** Per-frame constant gray for the MJPEG clips. Constant frames make
+    * every 8×8 block DC-only, and DC-only blocks at unit quantizers
+    * round-trip baseline JPEG EXACTLY ([[JpegCodec]] doc) — so the
+    * oracle reproduces the decoded channel sums arithmetically even
+    * though the codec is lossy in general. */
+  private[ext] def mjpegGrayOf(id: Long, f: Int): Int =
+    ((id * 37 + f * 41) % 256).toInt
+
+  /** Synthesize REAL MJPEG-AVI bytes for the video-typed docs: same
+    * RIFF skeleton as [[videoTable]], but each `00dc` chunk is a
+    * complete baseline JPEG ([[VideoCodec.encodeMjpegAvi]] →
+    * [[JpegCodec.encodeGray]]) — entropy-coded Huffman data, byte
+    * stuffing, variable chunk sizes with RIFF pad bytes. */
+  def mjpegVideoTable(documents: DataFrame): Dataset[VideoFile] = {
+    import documents.sparkSession.implicits._
+    documents.filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val (w, h) = geomOf(id)
+        val (nf, uspf) = videoGeomOf(id)
+        VideoFile(id, VideoCodec.encodeMjpegAvi(w, h, uspf, nf,
+          (f, _) => mjpegGrayOf(id, f), withJunkChunk = id % 6 == 2))
+      }
+  }
+
+  /** The oracle-gated real-MJPEG-decode query (`mm_frames_mjpeg`): the
+    * same frame-sampling shape as `mm_frames`, but every sampled frame
+    * travelled through a FULL baseline-JPEG decode (marker parse, DHT
+    * Huffman decode, dequantize, IDCT) before its channel sums. */
+  def frameStatsMjpeg(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    decodeVideoFrames(mjpegVideoTable(documents)).toDF()
+  }
 }

@@ -45,6 +45,9 @@ object VideoCodec {
 
   private val HeaderListBytes = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
 
+  /** biCompression fourcc for Motion-JPEG frame chunks ('MJPG' LE). */
+  val MjpgFourcc: Int = 0x47504a4d
+
   /** Encode a frame-pixel function ((r, g, b) for frame f, row-major
     * pixel index p) as an uncompressed AVI. `withJunkChunk` inserts an
     * odd-sized vendor chunk between `hdrl` and `movi` to exercise the
@@ -53,11 +56,37 @@ object VideoCodec {
   def encodeAvi(w: Int, h: Int, microSecPerFrame: Int, nFrames: Int,
       px: (Int, Int) => (Int, Int, Int),
       withJunkChunk: Boolean = false): Array[Byte] = {
-    val rowSize = ((w * 3 + 3) / 4) * 4
-    val frameSize = rowSize * h
+    val frames = Array.tabulate(nFrames)(f =>
+      ImageCodec.encodeDibPixels(w, h, p => px(f, p)))
+    buildAvi(w, h, microSecPerFrame, frames,
+      handler = "DIB ", biCompression = 0, chunkId = "00db", withJunkChunk)
+  }
+
+  /** Encode a grayscale frame function (gray 0..255 for frame f,
+    * row-major pixel index p) as an MJPEG AVI: same RIFF skeleton,
+    * `strf.biCompression = 'MJPG'`, and each `00dc` chunk one complete
+    * baseline JPEG from [[JpegCodec]]. Frame chunks are variable-size
+    * (entropy-coded), so odd-sized chunks get the RIFF pad byte —
+    * gated data exercises that path for free. */
+  def encodeMjpegAvi(w: Int, h: Int, microSecPerFrame: Int, nFrames: Int,
+      gray: (Int, Int) => Int,
+      withJunkChunk: Boolean = false): Array[Byte] = {
+    val frames = Array.tabulate(nFrames)(f =>
+      JpegCodec.encodeGray(w, h, p => gray(f, p)))
+    buildAvi(w, h, microSecPerFrame, frames,
+      handler = "MJPG", biCompression = MjpgFourcc, chunkId = "00dc", withJunkChunk)
+  }
+
+  /** The shared RIFF/AVI writer both encoders use: fixed header
+    * skeleton, variable-size frame chunks with RIFF pad bytes. */
+  private def buildAvi(w: Int, h: Int, microSecPerFrame: Int,
+      frames: Array[Array[Byte]], handler: String, biCompression: Int,
+      chunkId: String, withJunkChunk: Boolean): Array[Byte] = {
+    val nFrames = frames.length
+    val maxFrame = if (nFrames == 0) 0 else frames.map(_.length).max
     val junkPayload = 7 // odd on purpose: forces a pad byte
     val junkSize = if (withJunkChunk) 8 + junkPayload + 1 else 0
-    val moviListBytes = 4 + nFrames * (8 + frameSize)
+    val moviListBytes = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
     val riffSize = 4 + (8 + HeaderListBytes) + junkSize + (8 + moviListBytes)
     val out = new Array[Byte](8 + riffSize)
     var pos = 0
@@ -83,19 +112,19 @@ object VideoCodec {
     putTag("LIST"); putLe32(HeaderListBytes); putTag("hdrl")
     putTag("avih"); putLe32(56)
     putLe32(microSecPerFrame)
-    putLe32(if (microSecPerFrame > 0) frameSize * (1000000 / microSecPerFrame) else 0)
+    putLe32(if (microSecPerFrame > 0) maxFrame * (1000000 / microSecPerFrame) else 0)
     putLe32(0)                 // padding granularity
     putLe32(0x10)              // AVIF_HASINDEX-free; 0x10 = not interleaved
     putLe32(nFrames)
     putLe32(0)                 // initial frames
     putLe32(1)                 // streams
-    putLe32(frameSize)         // suggested buffer size
+    putLe32(maxFrame)          // suggested buffer size
     putLe32(w); putLe32(h)
     putLe32(0); putLe32(0); putLe32(0); putLe32(0) // reserved[4]
 
     putTag("LIST"); putLe32(4 + (8 + 56) + (8 + 40)); putTag("strl")
     putTag("strh"); putLe32(56)
-    putTag("vids"); putTag("DIB ")
+    putTag("vids"); putTag(handler)
     putLe32(0)                 // flags
     putLe16(0); putLe16(0)     // priority, language
     putLe32(0)                 // initial frames
@@ -103,7 +132,7 @@ object VideoCodec {
     putLe32(1000000)           // rate → fps = rate/scale
     putLe32(0)                 // start
     putLe32(nFrames)           // length (in frames)
-    putLe32(frameSize)         // suggested buffer size
+    putLe32(maxFrame)          // suggested buffer size
     putLe32(-1)                // quality (default)
     putLe32(0)                 // sample size (varies)
     putLe16(0); putLe16(0); putLe16(w); putLe16(h) // rcFrame
@@ -112,8 +141,8 @@ object VideoCodec {
     putLe32(w); putLe32(h)     // positive height → bottom-up frames
     putLe16(1)                 // planes
     putLe16(24)                // bits per pixel
-    putLe32(0)                 // BI_RGB, uncompressed
-    putLe32(frameSize)
+    putLe32(biCompression)     // 0 = BI_RGB, or a codec fourcc
+    putLe32(maxFrame)
     putLe32(0); putLe32(0); putLe32(0); putLe32(0)
 
     if (withJunkChunk) {
@@ -124,10 +153,10 @@ object VideoCodec {
     putTag("LIST"); putLe32(moviListBytes); putTag("movi")
     var f = 0
     while (f < nFrames) {
-      putTag("00db"); putLe32(frameSize)
-      val frame = ImageCodec.encodeDibPixels(w, h, p => px(f, p))
-      System.arraycopy(frame, 0, out, pos, frameSize)
-      pos += frameSize
+      val frame = frames(f)
+      putTag(chunkId); putLe32(frame.length)
+      System.arraycopy(frame, 0, out, pos, frame.length)
+      pos += frame.length + (frame.length & 1) // RIFF pad byte on odd sizes
       f += 1
     }
     out
@@ -152,6 +181,7 @@ object VideoCodec {
     var declaredFrames = -1
     var w = -1
     var rawH = 0
+    var biCompression = -1
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
 
     // One chunk walker for every nesting level — RIFF is the same
@@ -181,19 +211,32 @@ object VideoCodec {
             w = le32(body + 4)
             rawH = le32(body + 8)
             val bpp = le16(body + 14)
-            val compression = le32(body + 16)
-            require(bpp == 24, s"only 24-bit DIB frames supported, bpp=$bpp")
-            require(compression == 0,
-              s"only uncompressed (BI_RGB) frames supported, compression=$compression")
+            biCompression = le32(body + 16)
+            require(biCompression == 0 || biCompression == MjpgFourcc,
+              s"only uncompressed (BI_RGB) or MJPG frames supported, " +
+                s"compression=$biCompression")
+            if (biCompression == 0)
+              require(bpp == 24, s"only 24-bit DIB frames supported, bpp=$bpp")
           case "00db" | "00dc" =>
             require(w > 0, "frame chunk before the strf stream header")
             val h = math.abs(rawH)
-            val rowSize = ((w * 3 + 3) / 4) * 4
-            require(size >= rowSize * h,
-              s"truncated frame: need ${rowSize * h}, have $size")
-            frames += ImageCodec.decodeDibPixels(
-              java.util.Arrays.copyOfRange(bytes, body, body + size),
-              0, w, h, topDown = rawH < 0)
+            if (biCompression == MjpgFourcc) {
+              // one complete baseline JPEG per chunk; its OWN geometry
+              // must agree with the stream header or the clip is
+              // malformed (quarantine, not a guess)
+              val g = JpegCodec.decodeGray(
+                java.util.Arrays.copyOfRange(bytes, body, body + size))
+              require(g.width == w && g.height == h,
+                s"MJPEG frame geometry ${g.width}x${g.height} != stream ${w}x$h")
+              frames += g.pixels.map(v => (v << 16) | (v << 8) | v)
+            } else {
+              val rowSize = ((w * 3 + 3) / 4) * 4
+              require(size >= rowSize * h,
+                s"truncated frame: need ${rowSize * h}, have $size")
+              frames += ImageCodec.decodeDibPixels(
+                java.util.Arrays.copyOfRange(bytes, body, body + size),
+                0, w, h, topDown = rawH < 0)
+            }
           case _ => () // strh, JUNK, idx1, vendor chunks: skip by size
         }
         pos = body + size + (size & 1) // RIFF pad byte on odd sizes

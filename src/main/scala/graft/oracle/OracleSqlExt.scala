@@ -1054,6 +1054,31 @@ SELECT fr.doc_id, CAST(fr.nf AS INT) AS n_frames, CAST(fr.f AS INT) AS frame_idx
        CAST((p.sum_r + p.sum_g + p.sum_b) // (3 * fr.w * fr.h) AS BIGINT) AS brightness_q
 FROM fr JOIN px p ON p.doc_id = fr.doc_id AND p.f = fr.f"""
 
+  /** Mirror of MultiModal.frameStatsMjpeg: the clips carry per-frame
+    * CONSTANT gray (mjpegGrayOf), so every 8×8 block is DC-only and
+    * the baseline-JPEG round trip is exact — the oracle recomputes
+    * each sampled frame's sums as w·h·gray arithmetically while the
+    * Spark side reports what a FULL JPEG decode (Huffman, dequantize,
+    * IDCT) parsed out of real MJPEG-AVI bytes. brightness_q =
+    * (3·g·w·h) // (3·w·h) = g exactly. */
+  val mmFramesMjpeg: String = """
+WITH v AS (
+  SELECT doc_id, doc_id % 6 + 2 AS w, doc_id % 4 + 2 AS h,
+         doc_id % 5 + 2 AS nf, 40000 + (doc_id % 3) * 10000 AS uspf
+  FROM documents WHERE doc_id % 3 = 2),
+fr AS (
+  SELECT v.doc_id, v.w, v.h, v.nf, v.uspf, t.f,
+         (v.doc_id * 37 + t.f * 41) % 256 AS g
+  FROM v, UNNEST(range(0, v.nf, 2)) t(f))
+SELECT fr.doc_id, CAST(fr.nf AS INT) AS n_frames, CAST(fr.f AS INT) AS frame_idx,
+       CAST(fr.w AS INT) AS width, CAST(fr.h AS INT) AS height,
+       CAST(fr.nf * fr.uspf AS BIGINT) AS duration_us,
+       CAST(fr.w * fr.h * fr.g AS BIGINT) AS sum_r,
+       CAST(fr.w * fr.h * fr.g AS BIGINT) AS sum_g,
+       CAST(fr.w * fr.h * fr.g AS BIGINT) AS sum_b,
+       CAST(fr.g AS BIGINT) AS brightness_q
+FROM fr"""
+
   /** Mirror of MultiModal.decodedFeatures — but NOT by parsing the
     * binary: the oracle recomputes each channel sum from the pixel
     * formula (MultiModal.pixelOf) the synthesizer encoded. The Spark
