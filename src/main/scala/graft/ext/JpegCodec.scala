@@ -1,32 +1,46 @@
 package graft.ext
 
-/** Pure-JVM baseline JPEG codec (grayscale, ITU T.81 sequential DCT):
-  * the entropy layer MJPEG-in-AVI frames need, with no native codec
-  * libraries. Everything here is the public interchange format —
-  * canonical Huffman codes built from DHT (bits, values) exactly as
-  * Annex C specifies, the Annex K.3 luminance code tables, the Annex A
-  * zigzag order, and the 8×8 type-II DCT.
+/** Pure-JVM baseline JPEG codec (ITU T.81 sequential DCT): the entropy
+  * layer MJPEG-in-AVI frames need, with no native codec libraries.
+  * Everything here is the public interchange format — canonical
+  * Huffman codes built from DHT (bits, values) exactly as Annex C
+  * specifies, the Annex K.3 luminance code tables, the Annex A zigzag
+  * order, the 8×8 type-II DCT, interleaved multi-component MCUs with
+  * per-component sampling factors and DC predictors, and the JFIF
+  * YCbCr color transform.
   *
-  * Scope (honest boundary, enforced with clear errors, mirroring
-  * [[VideoCodec]]'s quarantine contract): single-component 8-bit
-  * baseline only. Progressive (SOF2), multi-component color scans,
-  * arithmetic coding, and restart intervals are REJECTED, not guessed
-  * at — this codec exists for the MJPEG gate, where the muxer writes
-  * grayscale frames.
+  * Supported profile: 8-bit baseline, 1 component (grayscale) or 3
+  * components (YCbCr) with sampling factors in {1, 2} — i.e. 4:4:4,
+  * 4:2:2, and 4:2:0, which covers what real MJPEG muxers emit. Chroma
+  * upsampling is nearest-neighbor (sample replication).
   *
-  * Exactness: encode→decode is bit-exact on frames whose 8×8 blocks
-  * are constant — a constant block's FDCT is DC-only, the unit
-  * quantizers hold it exactly, and the IDCT of a lone DC term is the
-  * constant again (double-precision error ~1e-13, far under the final
-  * round) — which is what lets `mm_frames_mjpeg` hash-gate real JPEG
-  * parsing against an arithmetic SQL oracle. On arbitrary content the
-  * round trip is the usual lossy DCT quantization (unit tables keep it
-  * within ±2/pixel, spec-asserted).
+  * Scope boundary (honest, enforced with clear errors, mirroring
+  * [[VideoCodec]]'s quarantine contract): progressive (SOF2),
+  * arithmetic coding, restart intervals, 16-bit quantizers, and
+  * sampling factors >2 are REJECTED, not guessed at.
+  *
+  * Exactness: encode→decode is bit-exact on frames whose blocks are
+  * constant — a constant block's FDCT is DC-only, the unit quantizers
+  * hold it exactly, and the IDCT of a lone DC term is the constant
+  * again (double-precision error ~1e-13, far under the final round).
+  * For COLOR frames the same holds when R=G=B (gray-valued color): the
+  * JFIF transform maps them to Y=g, Cb=Cr=128 exactly (coefficient
+  * rows sum to 1 and 0), chroma subsampling of a constant plane is the
+  * constant, and the inverse transform at Cb=Cr=128 is the identity on
+  * Y — which is what lets `mm_frames_mjpeg` hash-gate a full color
+  * 4:2:0 decode against an arithmetic SQL oracle. On arbitrary content
+  * the round trip is the usual lossy DCT quantization (unit tables
+  * keep luma within ±2/pixel; chroma subsampling additionally averages
+  * 2×2 neighborhoods — both spec-asserted).
   */
 object JpegCodec {
 
   /** A decoded grayscale image: row-major top-down, values 0..255. */
   final case class Gray(width: Int, height: Int, pixels: Array[Int])
+
+  /** A decoded image as packed 0xRRGGBB ints, row-major top-down —
+    * [[ImageCodec]]'s normal form (grayscale sources replicate). */
+  final case class Rgb(width: Int, height: Int, pixels: Array[Int])
 
   // ---- public constants of the format --------------------------------
 
@@ -181,14 +195,201 @@ object JpegCodec {
     s
   }
 
-  // ---- encoder -------------------------------------------------------
+  // ---- shared block coding -------------------------------------------
+
+  /** FDCT an 8×8 level-shifted block into natural-order coefficients,
+    * unit-quantized; AC magnitudes clamped to category 10 (±1023), the
+    * largest the Annex K AC table can code — reachable only by
+    * adversarial ±128 checkerboards at unit quantizers; real encoders
+    * avoid it via >1 high-frequency quantizers. */
+  private def fdctQuantize(block: Array[Double], coef: Array[Int]): Unit = {
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            s += block(yy * 8 + xx) * CosT(xx)(u) * CosT(yy)(v)
+            xx += 1
+          }
+          yy += 1
+        }
+        val q = math.round(0.25 * cFac(u) * cFac(v) * s).toInt
+        coef(v * 8 + u) =
+          if (v == 0 && u == 0) q else math.max(-1023, math.min(1023, q))
+        u += 1
+      }
+      v += 1
+    }
+  }
+
+  /** Huffman-encode one quantized block; returns the new DC predictor. */
+  private def encodeBlock(bw: BitWriter, coef: Array[Int], pred: Int,
+      dcCodes: Map[Int, (Int, Int)], acCodes: Map[Int, (Int, Int)]): Int = {
+    def put(codes: Map[Int, (Int, Int)], sym: Int): Unit = {
+      val (c, l) = codes(sym); bw.write(c, l)
+    }
+    def putBits(v: Int, s: Int): Unit =
+      if (s > 0) bw.write(if (v >= 0) v else v + (1 << s) - 1, s)
+    val diff = coef(0) - pred
+    val s0 = category(diff)
+    put(dcCodes, s0); putBits(diff, s0)
+    var k = 1
+    var run = 0
+    while (k < 64) {
+      val c = coef(Zigzag(k))
+      if (c == 0) run += 1
+      else {
+        while (run > 15) { put(acCodes, 0xf0); run -= 16 }
+        val s = category(c)
+        put(acCodes, (run << 4) | s); putBits(c, s)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) put(acCodes, 0x00) // EOB
+    coef(0)
+  }
+
+  /** Decode one block's coefficients (dequantized, natural order);
+    * returns the new DC predictor. */
+  private def decodeBlock(in: BitReader, coef: Array[Int], pred: Int,
+      dcDec: HuffDecoder, acDec: HuffDecoder, qt: Array[Int]): Int = {
+    java.util.Arrays.fill(coef, 0)
+    val t = dcDec.decode(in)
+    require(t <= 11, s"DC category $t out of range")
+    val dc = pred + extend(in.receive(t), t)
+    coef(0) = dc * qt(0)
+    var k = 1
+    var done = false
+    while (k < 64 && !done) {
+      val rs = acDec.decode(in)
+      if (rs == 0x00) done = true // EOB
+      else if (rs == 0xf0) k += 16 // ZRL
+      else {
+        k += rs >> 4
+        require(k < 64, "AC run overflows the block")
+        coef(Zigzag(k)) = extend(in.receive(rs & 0xf), rs & 0xf) * qt(k)
+        k += 1
+      }
+    }
+    dc
+  }
+
+  /** IDCT + level shift + clamp one block into a plane at (px0, py0). */
+  private def idctInto(coef: Array[Int], plane: Array[Int], planeW: Int,
+      px0: Int, py0: Int): Unit = {
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            val c = coef(v * 8 + u)
+            if (c != 0) s += cFac(u) * cFac(v) * c * CosT(x)(u) * CosT(y)(v)
+            u += 1
+          }
+          v += 1
+        }
+        val value = math.round(0.25 * s).toInt + 128
+        plane((py0 + y) * planeW + (px0 + x)) = math.max(0, math.min(255, value))
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  // ---- encoders ------------------------------------------------------
 
   /** Encode a grayscale image (`px`: row-major index → 0..255) as a
     * baseline JFIF JPEG with UNIT quantizers (quality-100 shape): SOI,
     * APP0, DQT, SOF0, DHT×2, SOS, entropy data, EOI. Partial edge
     * MCUs are edge-replicated, the standard muxer treatment. */
-  def encodeGray(w: Int, h: Int, px: Int => Int): Array[Byte] = {
+  def encodeGray(w: Int, h: Int, px: Int => Int): Array[Byte] =
+    encodeBaseline(w, h, nComp = 1,
+      (p, c) => { val _ = c; px(p) })
+
+  /** Encode an RGB image (`px`: row-major index → (r, g, b)) as a
+    * baseline color JPEG — YCbCr via the JFIF transform, 4:2:0 chroma
+    * subsampling when `subsample` (2×2 mean, edge-replicated) else
+    * 4:4:4. All components share the unit quantizer and the luminance
+    * code tables (legal: components reference table ids). */
+  def encodeColor(w: Int, h: Int, px: Int => (Int, Int, Int),
+      subsample: Boolean = true): Array[Byte] = {
+    // precompute the YCbCr planes once (rounded ints, the values the
+    // DCT sees); BT.601/JFIF full-range transform
+    val yP = new Array[Int](w * h)
+    val cbP = new Array[Int](w * h)
+    val crP = new Array[Int](w * h)
+    var p = 0
+    while (p < w * h) {
+      val (r, g, b) = px(p)
+      yP(p) = clamp8(math.round(0.299 * r + 0.587 * g + 0.114 * b).toInt)
+      cbP(p) = clamp8(math.round(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b).toInt)
+      crP(p) = clamp8(math.round(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b).toInt)
+      p += 1
+    }
+    if (subsample) {
+      // chroma planes at half resolution: 2×2 mean with replication
+      val cw = (w + 1) / 2
+      val ch = (h + 1) / 2
+      def shrink(src: Array[Int]): Array[Int] = {
+        val out = new Array[Int](cw * ch)
+        var cy = 0
+        while (cy < ch) {
+          var cx = 0
+          while (cx < cw) {
+            var sum = 0
+            var dy = 0
+            while (dy < 2) {
+              var dx = 0
+              while (dx < 2) {
+                val sx = math.min(cx * 2 + dx, w - 1)
+                val sy = math.min(cy * 2 + dy, h - 1)
+                sum += src(sy * w + sx)
+                dx += 1
+              }
+              dy += 1
+            }
+            out(cy * cw + cx) = (sum + 2) / 4
+            cx += 1
+          }
+          cy += 1
+        }
+        out
+      }
+      val cb2 = shrink(cbP)
+      val cr2 = shrink(crP)
+      encodeBaseline(w, h, nComp = 3, (p, c) => c match {
+        case 0 => yP(p); case 1 => cb2(p); case _ => cr2(p)
+      }, samp = Array((2, 2), (1, 1), (1, 1)),
+        compDims = Array((w, h), (cw, ch), (cw, ch)))
+    } else
+      encodeBaseline(w, h, nComp = 3, (p, c) => c match {
+        case 0 => yP(p); case 1 => cbP(p); case _ => crP(p)
+      })
+  }
+
+  private def clamp8(v: Int): Int = math.max(0, math.min(255, v))
+
+  /** The shared baseline encoder: `sample(p, c)` reads component `c`'s
+    * plane at ITS OWN resolution (`compDims(c)`), row-major index `p`.
+    * `samp` gives per-component (h, v) sampling factors. */
+  private def encodeBaseline(w: Int, h: Int, nComp: Int,
+      sample: (Int, Int) => Int,
+      samp: Array[(Int, Int)] = null,
+      compDims: Array[(Int, Int)] = null): Array[Byte] = {
     require(w > 0 && h > 0, s"bad geometry ${w}x$h")
+    val sf = if (samp != null) samp else Array.fill(nComp)((1, 1))
+    val dims = if (compDims != null) compDims else Array.fill(nComp)((w, h))
+    val maxH = sf.map(_._1).max
+    val maxV = sf.map(_._2).max
     val out = new java.io.ByteArrayOutputStream(1024)
     def u8(v: Int): Unit = out.write(v & 0xff)
     def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
@@ -200,92 +401,64 @@ object JpegCodec {
     u16(0x0102); u8(0); u16(1); u16(1); u8(0); u8(0)
     marker(0xdb); u16(67); u8(0x00) // DQT: 8-bit table 0, all ones
     (0 until 64).foreach(_ => u8(1))
-    marker(0xc0); u16(11) // SOF0: 8-bit, 1 component, no subsampling
-    u8(8); u16(h); u16(w); u8(1); u8(1); u8(0x11); u8(0)
+    marker(0xc0); u16(8 + 3 * nComp) // SOF0
+    u8(8); u16(h); u16(w); u8(nComp)
+    var c = 0
+    while (c < nComp) {
+      u8(c + 1); u8((sf(c)._1 << 4) | sf(c)._2); u8(0)
+      c += 1
+    }
     def dht(tcTh: Int, bits: Array[Int], vals: Array[Int]): Unit = {
       marker(0xc4); u16(2 + 1 + 16 + vals.length); u8(tcTh)
       bits.foreach(u8); vals.foreach(u8)
     }
     dht(0x00, DcBits, DcVals)
     dht(0x10, AcBits, AcVals)
-    marker(0xda); u16(8) // SOS
-    u8(1); u8(1); u8(0x00); u8(0); u8(63); u8(0)
+    marker(0xda); u16(6 + 2 * nComp) // SOS
+    u8(nComp)
+    c = 0
+    while (c < nComp) { u8(c + 1); u8(0x00); c += 1 }
+    u8(0); u8(63); u8(0)
 
     val dcCodes = canonicalCodes(DcBits, DcVals)
     val acCodes = canonicalCodes(AcBits, AcVals)
     val bw = new BitWriter(out)
-    def writeCoded(codes: Map[Int, (Int, Int)], sym: Int): Unit = {
-      val (c, l) = codes(sym); bw.write(c, l)
-    }
-    def writeValueBits(v: Int, s: Int): Unit =
-      if (s > 0) bw.write(if (v >= 0) v else v + (1 << s) - 1, s)
-
-    val mcuX = (w + 7) / 8
-    val mcuY = (h + 7) / 8
+    val mcuX = (w + 8 * maxH - 1) / (8 * maxH)
+    val mcuY = (h + 8 * maxV - 1) / (8 * maxV)
     val block = new Array[Double](64)
     val coef = new Array[Int](64)
-    var pred = 0
+    val preds = new Array[Int](nComp)
     var my = 0
     while (my < mcuY) {
       var mx = 0
       while (mx < mcuX) {
-        var y = 0
-        while (y < 8) {
-          val sy = math.min(my * 8 + y, h - 1)
-          var x = 0
-          while (x < 8) {
-            val sx = math.min(mx * 8 + x, w - 1)
-            block(y * 8 + x) = px(sy * w + sx) - 128.0 // level shift
-            x += 1
-          }
-          y += 1
-        }
-        // FDCT (natural order: vfreq*8 + ufreq), unit quantization
-        var v = 0
-        while (v < 8) {
-          var u = 0
-          while (u < 8) {
-            var s = 0.0
-            var yy = 0
-            while (yy < 8) {
-              var xx = 0
-              while (xx < 8) {
-                s += block(yy * 8 + xx) * CosT(xx)(u) * CosT(yy)(v)
-                xx += 1
+        c = 0
+        while (c < nComp) {
+          val (hc, vc) = sf(c)
+          val (cw, ch) = dims(c)
+          var by = 0
+          while (by < vc) {
+            var bx = 0
+            while (bx < hc) {
+              var y = 0
+              while (y < 8) {
+                val sy = math.min((my * vc + by) * 8 + y, ch - 1)
+                var x = 0
+                while (x < 8) {
+                  val sx = math.min((mx * hc + bx) * 8 + x, cw - 1)
+                  block(y * 8 + x) = sample(sy * cw + sx, c) - 128.0
+                  x += 1
+                }
+                y += 1
               }
-              yy += 1
+              fdctQuantize(block, coef)
+              preds(c) = encodeBlock(bw, coef, preds(c), dcCodes, acCodes)
+              bx += 1
             }
-            val q = math.round(0.25 * cFac(u) * cFac(v) * s).toInt
-            // AC magnitudes are clamped to category 10 (±1023), the
-            // largest the Annex K AC table can code — reachable only
-            // by adversarial ±128 checkerboards at unit quantizers;
-            // real encoders avoid it via >1 high-frequency quantizers.
-            coef(v * 8 + u) =
-              if (v == 0 && u == 0) q else math.max(-1023, math.min(1023, q))
-            u += 1
+            by += 1
           }
-          v += 1
+          c += 1
         }
-        // DC: category-coded difference from the previous block's DC
-        val diff = coef(0) - pred
-        pred = coef(0)
-        val s0 = category(diff)
-        writeCoded(dcCodes, s0); writeValueBits(diff, s0)
-        // AC: (run, size) pairs in zigzag order, ZRL for 16 zeros, EOB
-        var k = 1
-        var run = 0
-        while (k < 64) {
-          val c = coef(Zigzag(k))
-          if (c == 0) run += 1
-          else {
-            while (run > 15) { writeCoded(acCodes, 0xf0); run -= 16 }
-            val s = category(c)
-            writeCoded(acCodes, (run << 4) | s); writeValueBits(c, s)
-            run = 0
-          }
-          k += 1
-        }
-        if (run > 0) writeCoded(acCodes, 0x00) // EOB
         mx += 1
       }
       my += 1
@@ -297,12 +470,76 @@ object JpegCodec {
 
   // ---- decoder -------------------------------------------------------
 
-  /** Decode a single-component baseline JPEG. Throws
-    * IllegalArgumentException on anything outside the supported
-    * profile (progressive, color, restart intervals, truncation,
-    * runaway Huffman codes) — unknown media routes to quarantine,
-    * never guesses. */
+  private final case class Comp(id: Int, h: Int, v: Int, tq: Int)
+
+  /** Decode a single-component baseline JPEG to gray. */
   def decodeGray(bytes: Array[Byte]): Gray = {
+    val (w, h, comps, planes, planeWs) = decodePlanes(bytes)
+    require(comps.length == 1,
+      s"only single-component expected here, got ${comps.length}")
+    val out = new Array[Int](w * h)
+    val pw = planeWs(0)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { out(y * w + x) = planes(0)(y * pw + x); x += 1 }
+      y += 1
+    }
+    Gray(w, h, out)
+  }
+
+  /** Decode a 1- or 3-component baseline JPEG to packed RGB. Chroma
+    * planes are upsampled by sample replication; the inverse JFIF
+    * transform at Cb=Cr=128 is the identity on Y, so gray-valued color
+    * frames decode bit-exactly (object doc). */
+  def decodeRgb(bytes: Array[Byte]): Rgb = {
+    val (w, h, comps, planes, planeWs) = decodePlanes(bytes)
+    val out = new Array[Int](w * h)
+    if (comps.length == 1) {
+      val pw = planeWs(0)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = planes(0)(y * pw + x)
+          out(y * w + x) = (g << 16) | (g << 8) | g
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      val maxH = comps.map(_.h).max
+      val maxV = comps.map(_.v).max
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          def at(ci: Int): Int = {
+            val cc = comps(ci)
+            planes(ci)((y * cc.v / maxV) * planeWs(ci) + (x * cc.h / maxH))
+          }
+          val yy = at(0)
+          val cb = at(1) - 128
+          val cr = at(2) - 128
+          val r = clamp8(math.round(yy + 1.402 * cr).toInt)
+          val g = clamp8(math.round(yy - 0.344136 * cb - 0.714136 * cr).toInt)
+          val b = clamp8(math.round(yy + 1.772 * cb).toInt)
+          out(y * w + x) = (r << 16) | (g << 8) | b
+          x += 1
+        }
+        y += 1
+      }
+    }
+    Rgb(w, h, out)
+  }
+
+  /** Parse markers + entropy-decode the scan into per-component planes
+    * (at each component's own subsampled resolution, padded to whole
+    * blocks). Throws IllegalArgumentException on anything outside the
+    * supported profile — unknown media routes to quarantine, never
+    * guesses. */
+  private def decodePlanes(bytes: Array[Byte])
+      : (Int, Int, Array[Comp], Array[Array[Int]], Array[Int]) = {
     require(bytes.length >= 4, "too short for a JPEG")
     def u8(off: Int): Int = bytes(off) & 0xff
     def u16(off: Int): Int = (u8(off) << 8) | u8(off + 1)
@@ -311,15 +548,12 @@ object JpegCodec {
     var pos = 2
     var w = -1
     var h = -1
-    var qTableId = -1
+    var comps: Array[Comp] = null
     val qTables = new Array[Array[Int]](4)
-    var dcDec: HuffDecoder = null
-    var acDec: HuffDecoder = null
     val dhtStore = new Array[HuffDecoder](8) // (class<<2)|id
-    var sawSos = false
-    var pixels: Array[Int] = null
+    var result: (Array[Array[Int]], Array[Int]) = null
 
-    while (!sawSos) {
+    while (result == null) {
       require(pos + 2 <= bytes.length, "truncated before SOS")
       require(u8(pos) == 0xff, f"expected marker, got 0x${u8(pos)}%02x at $pos")
       val m = u8(pos + 1)
@@ -352,11 +586,19 @@ object JpegCodec {
               require(w > 0 && h > 0 && w <= 65500 && h <= 65500,
                 s"bad geometry ${w}x$h")
               val nc = u8(body + 5)
-              require(nc == 1,
-                s"only single-component (grayscale) scans supported, got $nc")
-              require(u8(body + 7) == 0x11,
-                "subsampled single component is malformed")
-              qTableId = u8(body + 8)
+              require(nc == 1 || nc == 3,
+                s"only 1 (gray) or 3 (YCbCr) components supported, got $nc")
+              comps = Array.tabulate(nc) { i =>
+                val off = body + 6 + 3 * i
+                val hv = u8(off + 1)
+                val comp = Comp(u8(off), hv >> 4, hv & 0xf, u8(off + 2))
+                require(comp.h >= 1 && comp.h <= 2 && comp.v >= 1 && comp.v <= 2,
+                  s"sampling factors ${comp.h}x${comp.v} unsupported (1-2 only)")
+                comp
+              }
+              if (nc == 1)
+                require(comps(0).h == 1 && comps(0).v == 1,
+                  "subsampled single component is malformed")
             case 0xc2 =>
               throw new IllegalArgumentException("progressive JPEG (SOF2) unsupported")
             case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
@@ -379,18 +621,31 @@ object JpegCodec {
             case 0xdd =>
               throw new IllegalArgumentException("restart intervals (DRI) unsupported")
             case 0xda => // SOS: header, then entropy-coded data
-              require(u8(body) == 1, "only single-component scans supported")
-              val tdTa = u8(body + 2)
-              require(u8(body + 3) == 0 && u8(body + 4) == 63 && u8(body + 5) == 0,
-                "not a sequential full-spectrum scan")
-              require(w > 0, "SOS before SOF")
-              dcDec = dhtStore(0 | (tdTa >> 4))
-              acDec = dhtStore(4 | (tdTa & 0xf))
-              require(dcDec != null && acDec != null, "scan references missing DHT")
-              val qt = qTables(qTableId)
-              require(qt != null, "scan references missing DQT")
-              pixels = decodeScan(bytes, end, w, h, qt, dcDec, acDec)
-              sawSos = true
+              require(comps != null, "SOS before SOF")
+              val ns = u8(body)
+              require(ns == comps.length, "partial (non-interleaved) scans unsupported")
+              val dcDecs = new Array[HuffDecoder](comps.length)
+              val acDecs = new Array[HuffDecoder](comps.length)
+              var i = 0
+              while (i < ns) {
+                val cid = u8(body + 1 + 2 * i)
+                val tdTa = u8(body + 2 + 2 * i)
+                val ci = comps.indexWhere(_.id == cid)
+                require(ci >= 0, s"scan references unknown component $cid")
+                dcDecs(ci) = dhtStore(0 | (tdTa >> 4))
+                acDecs(ci) = dhtStore(4 | (tdTa & 0xf))
+                require(dcDecs(ci) != null && acDecs(ci) != null,
+                  "scan references missing DHT")
+                i += 1
+              }
+              require(u8(body + 1 + 2 * ns) == 0 && u8(body + 2 + 2 * ns) == 63 &&
+                u8(body + 3 + 2 * ns) == 0, "not a sequential full-spectrum scan")
+              val qts = comps.map { cc =>
+                val qt = qTables(cc.tq)
+                require(qt != null, "scan references missing DQT")
+                qt
+              }
+              result = decodeScan(bytes, end, w, h, comps, qts, dcDecs, acDecs)
             case _ if (m >= 0xe0 && m <= 0xef) || m == 0xfe => () // APPn / COM
             case other =>
               throw new IllegalArgumentException(f"unsupported marker 0xff$other%02x")
@@ -398,83 +653,56 @@ object JpegCodec {
           pos = end
       }
     }
-    Gray(w, h, pixels)
+    (w, h, comps, result._1, result._2)
   }
 
-  /** Entropy-decode all MCUs starting at `scanStart`, then require a
-    * clean EOI. Returns row-major top-down pixels (edge MCUs cropped). */
+  /** Entropy-decode all interleaved MCUs, then require a clean EOI.
+    * Returns per-component planes (own resolution, whole-block padded)
+    * and their widths. */
   private def decodeScan(bytes: Array[Byte], scanStart: Int, w: Int, h: Int,
-      qt: Array[Int], dcDec: HuffDecoder, acDec: HuffDecoder): Array[Int] = {
+      comps: Array[Comp], qts: Array[Array[Int]],
+      dcDecs: Array[HuffDecoder], acDecs: Array[HuffDecoder])
+      : (Array[Array[Int]], Array[Int]) = {
     val in = new BitReader(bytes, scanStart)
-    val mcuX = (w + 7) / 8
-    val mcuY = (h + 7) / 8
-    val pixels = new Array[Int](w * h)
+    val maxH = comps.map(_.h).max
+    val maxV = comps.map(_.v).max
+    val mcuX = (w + 8 * maxH - 1) / (8 * maxH)
+    val mcuY = (h + 8 * maxV - 1) / (8 * maxV)
+    val planeWs = comps.map(cc => mcuX * 8 * cc.h)
+    val planeHs = comps.map(cc => mcuY * 8 * cc.v)
+    val planes = Array.tabulate(comps.length)(i =>
+      new Array[Int](planeWs(i) * planeHs(i)))
     val coef = new Array[Int](64)
-    var pred = 0
+    val preds = new Array[Int](comps.length)
     var my = 0
     while (my < mcuY) {
       var mx = 0
       while (mx < mcuX) {
-        java.util.Arrays.fill(coef, 0)
-        val t = dcDec.decode(in)
-        require(t <= 11, s"DC category $t out of range")
-        pred += extend(in.receive(t), t)
-        coef(0) = pred * qt(0)
-        var k = 1
-        var done = false
-        while (k < 64 && !done) {
-          val rs = acDec.decode(in)
-          val r = rs >> 4
-          val s = rs & 0xf
-          if (rs == 0x00) done = true // EOB
-          else if (rs == 0xf0) k += 16 // ZRL
-          else {
-            k += r
-            require(k < 64, "AC run overflows the block")
-            coef(Zigzag(k)) = extend(in.receive(s), s) * qt(k)
-            k += 1
-          }
-        }
-        // IDCT + level shift + clamp, cropped placement
-        var y = 0
-        while (y < 8) {
-          val py = my * 8 + y
-          if (py < h) {
-            var x = 0
-            while (x < 8) {
-              val pxx = mx * 8 + x
-              if (pxx < w) {
-                var s = 0.0
-                var v = 0
-                while (v < 8) {
-                  var u = 0
-                  while (u < 8) {
-                    val c = coef(v * 8 + u)
-                    if (c != 0) s += cFac(u) * cFac(v) * c * CosT(x)(u) * CosT(y)(v)
-                    u += 1
-                  }
-                  v += 1
-                }
-                val value = math.round(0.25 * s).toInt + 128
-                pixels(py * w + pxx) = math.max(0, math.min(255, value))
-                x += 1
-              } else x = 8
+        var ci = 0
+        while (ci < comps.length) {
+          val cc = comps(ci)
+          var by = 0
+          while (by < cc.v) {
+            var bx = 0
+            while (bx < cc.h) {
+              preds(ci) = decodeBlock(in, coef, preds(ci), dcDecs(ci), acDecs(ci), qts(ci))
+              idctInto(coef, planes(ci), planeWs(ci),
+                (mx * cc.h + bx) * 8, (my * cc.v + by) * 8)
+              bx += 1
             }
+            by += 1
           }
-          y += 1
+          ci += 1
         }
         mx += 1
       }
       my += 1
     }
-    // after the last MCU: optional 1-bit padding, then EOI
-    var p = in.pos
-    require(p + 2 <= bytes.length, "truncated after entropy data (missing EOI)")
-    if (u8b(bytes, p) != 0xff) p += 1 // a final pad-bits byte already consumed partially
-    require(p + 2 <= bytes.length && u8b(bytes, p) == 0xff &&
-      u8b(bytes, p + 1) == 0xd9, "missing EOI after scan")
-    pixels
+    // after the last MCU: optional pad bits already consumed with the
+    // final data byte, so the next bytes must be EOI
+    val p = in.pos
+    require(p + 2 <= bytes.length && (bytes(p) & 0xff) == 0xff &&
+      (bytes(p + 1) & 0xff) == 0xd9, "missing EOI after scan")
+    (planes, planeWs)
   }
-
-  private def u8b(bytes: Array[Byte], off: Int): Int = bytes(off) & 0xff
 }

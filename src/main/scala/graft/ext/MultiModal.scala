@@ -365,19 +365,24 @@ object MultiModal {
     decodeVideoFrames(videoTable(documents)).toDF()
   }
 
-  /** Per-frame constant gray for the MJPEG clips. Constant frames make
-    * every 8×8 block DC-only, and DC-only blocks at unit quantizers
-    * round-trip baseline JPEG EXACTLY ([[JpegCodec]] doc) — so the
-    * oracle reproduces the decoded channel sums arithmetically even
-    * though the codec is lossy in general. */
+  /** Per-frame constant gray for the MJPEG clips. Constant gray-valued
+    * frames (R=G=B) survive the whole lossy color pipeline EXACTLY
+    * ([[JpegCodec]] doc): the JFIF transform maps them to Y=g,
+    * Cb=Cr=128; 4:2:0 subsampling of constant planes is the constant;
+    * every block is DC-only at unit quantizers; and the inverse
+    * transform at Cb=Cr=128 is the identity — so the oracle reproduces
+    * the decoded channel sums arithmetically even though the codec is
+    * lossy in general. */
   private[ext] def mjpegGrayOf(id: Long, f: Int): Int =
     ((id * 37 + f * 41) % 256).toInt
 
   /** Synthesize REAL MJPEG-AVI bytes for the video-typed docs: same
     * RIFF skeleton as [[videoTable]], but each `00dc` chunk is a
-    * complete baseline JPEG ([[VideoCodec.encodeMjpegAvi]] →
-    * [[JpegCodec.encodeGray]]) — entropy-coded Huffman data, byte
-    * stuffing, variable chunk sizes with RIFF pad bytes. */
+    * complete baseline COLOR 4:2:0 JPEG
+    * ([[VideoCodec.encodeMjpegAviColor]] → [[JpegCodec.encodeColor]])
+    * — interleaved YCbCr MCUs, per-component DC predictors,
+    * entropy-coded Huffman data, byte stuffing, variable chunk sizes
+    * with RIFF pad bytes. The wire shape real capture-card MJPEG uses. */
   def mjpegVideoTable(documents: DataFrame): Dataset[VideoFile] = {
     import documents.sparkSession.implicits._
     documents.filter(col("doc_id") % 3 === 2)
@@ -385,15 +390,17 @@ object MultiModal {
       .map { id =>
         val (w, h) = geomOf(id)
         val (nf, uspf) = videoGeomOf(id)
-        VideoFile(id, VideoCodec.encodeMjpegAvi(w, h, uspf, nf,
-          (f, _) => mjpegGrayOf(id, f), withJunkChunk = id % 6 == 2))
+        VideoFile(id, VideoCodec.encodeMjpegAviColor(w, h, uspf, nf,
+          (f, _) => { val g = mjpegGrayOf(id, f); (g, g, g) },
+          subsample = true, withJunkChunk = id % 6 == 2))
       }
   }
 
   /** The oracle-gated real-MJPEG-decode query (`mm_frames_mjpeg`): the
     * same frame-sampling shape as `mm_frames`, but every sampled frame
-    * travelled through a FULL baseline-JPEG decode (marker parse, DHT
-    * Huffman decode, dequantize, IDCT) before its channel sums. */
+    * travelled through a FULL baseline color JPEG decode (marker
+    * parse, DHT Huffman decode, interleaved 4:2:0 MCUs, dequantize,
+    * IDCT, chroma upsample, YCbCr→RGB) before its channel sums. */
   def frameStatsMjpeg(documents: DataFrame): DataFrame = {
     import documents.sparkSession.implicits._
     decodeVideoFrames(mjpegVideoTable(documents)).toDF()

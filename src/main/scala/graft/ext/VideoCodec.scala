@@ -77,6 +77,18 @@ object VideoCodec {
       handler = "MJPG", biCompression = MjpgFourcc, chunkId = "00dc", withJunkChunk)
   }
 
+  /** Color MJPEG variant: each `00dc` chunk a baseline YCbCr JPEG
+    * (4:2:0 when `subsample`, else 4:4:4) — the wire shape real webcam
+    * / capture-card MJPEG uses. */
+  def encodeMjpegAviColor(w: Int, h: Int, microSecPerFrame: Int, nFrames: Int,
+      px: (Int, Int) => (Int, Int, Int), subsample: Boolean = true,
+      withJunkChunk: Boolean = false): Array[Byte] = {
+    val frames = Array.tabulate(nFrames)(f =>
+      JpegCodec.encodeColor(w, h, p => px(f, p), subsample))
+    buildAvi(w, h, microSecPerFrame, frames,
+      handler = "MJPG", biCompression = MjpgFourcc, chunkId = "00dc", withJunkChunk)
+  }
+
   /** The shared RIFF/AVI writer both encoders use: fixed header
     * skeleton, variable-size frame chunks with RIFF pad bytes. */
   private def buildAvi(w: Int, h: Int, microSecPerFrame: Int,
@@ -221,14 +233,15 @@ object VideoCodec {
             require(w > 0, "frame chunk before the strf stream header")
             val h = math.abs(rawH)
             if (biCompression == MjpgFourcc) {
-              // one complete baseline JPEG per chunk; its OWN geometry
-              // must agree with the stream header or the clip is
-              // malformed (quarantine, not a guess)
-              val g = JpegCodec.decodeGray(
+              // one complete baseline JPEG per chunk (gray or YCbCr,
+              // incl. 4:2:0); its OWN geometry must agree with the
+              // stream header or the clip is malformed (quarantine,
+              // not a guess)
+              val g = JpegCodec.decodeRgb(
                 java.util.Arrays.copyOfRange(bytes, body, body + size))
               require(g.width == w && g.height == h,
                 s"MJPEG frame geometry ${g.width}x${g.height} != stream ${w}x$h")
-              frames += g.pixels.map(v => (v << 16) | (v << 8) | v)
+              frames += g.pixels
             } else {
               val rowSize = ((w * 3 + 3) / 4) * 4
               require(size >= rowSize * h,

