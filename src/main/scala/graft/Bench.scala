@@ -11,14 +11,55 @@ import org.apache.spark.sql.SparkSession
   * target-SF data caches cold (the fixture/cache memos key on the data
   * directory), so the timed numbers measure steady-state execution on
   * cold data, the quantity that scales to a real cluster. */
-object Bench {
+/** The pure sample-reduction half of [[Bench]], separated so its
+  * branches (contended-pass exclusion, the all-contended and
+  * only-contended-data fallbacks, error propagation) are unit-testable
+  * without a SparkSession. */
+object BenchStats {
 
   /** One interleaved pass over the full query set: its wall time, each
     * query's elapsed seconds, and each failure's message. A query that
     * throws is recorded as an ERROR for that pass — never as a timing
     * sample — so a broken query can't masquerade as a fast one. */
-  private case class Pass(wall: Double, samples: Map[String, Double],
+  final case class Pass(wall: Double, samples: Map[String, Double],
       errs: Map[String, String])
+
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  /** (per-query medians over non-contended passes, per-query error
+    * message for queries with no successful sample, contended pass
+    * indices). A pass is CONTENDED when its wall time exceeds 2× the
+    * fastest pass — unless every pass would be (a uniformly loaded
+    * host is indistinguishable from a uniformly slow one, so nothing
+    * is excluded). A query whose only samples sit inside contended
+    * passes keeps those samples: degraded data beats no data, and the
+    * pass indices in the artifact flag the quality. */
+  def stats(names: Seq[String], passes: Vector[Pass])
+      : (Map[String, Double], Map[String, String], Vector[Int]) = {
+    if (passes.isEmpty) return (Map.empty, Map.empty, Vector.empty)
+    val fastest = passes.map(_.wall).min
+    val contended = passes.zipWithIndex
+      .collect { case (p, i) if p.wall > 2 * fastest => i }
+    val clean = passes.zipWithIndex
+      .collect { case (p, i) if !contended.contains(i) => p }
+    val meds = Map.newBuilder[String, Double]
+    val errs = Map.newBuilder[String, String]
+    for (n <- names) {
+      val good = clean.flatMap(_.samples.get(n))
+      val any = passes.flatMap(_.samples.get(n))
+      if (good.nonEmpty) meds += n -> median(good)
+      else if (any.nonEmpty) meds += n -> median(any) // only contended data
+      else passes.flatMap(_.errs.get(n)).headOption.foreach(errs += n -> _)
+    }
+    (meds.result(), errs.result(), contended)
+  }
+}
+
+object Bench {
+  import BenchStats.{Pass, stats}
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -115,36 +156,9 @@ object Bench {
       }
       Pass((System.nanoTime() - p0) / 1e9, ss.result(), es.result())
     }
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
-    }
-    /** (per-query medians over non-contended passes, per-query error
-      * message for queries with no successful sample, contended pass
-      * indices). */
-    def stats(passes: Vector[Pass])
-        : (Map[String, Double], Map[String, String], Vector[Int]) = {
-      if (passes.isEmpty) return (Map.empty, Map.empty, Vector.empty)
-      val fastest = passes.map(_.wall).min
-      val contended = passes.zipWithIndex
-        .collect { case (p, i) if p.wall > 2 * fastest => i }
-      val clean = passes.zipWithIndex
-        .collect { case (p, i) if !contended.contains(i) => p }
-      val meds = Map.newBuilder[String, Double]
-      val errs = Map.newBuilder[String, String]
-      for (n <- names) {
-        val good = clean.flatMap(_.samples.get(n))
-        val any = passes.flatMap(_.samples.get(n))
-        if (good.nonEmpty) meds += n -> median(good)
-        else if (any.nonEmpty) meds += n -> median(any) // only contended data
-        else errs += n -> passes.flatMap(_.errs.get(n)).head
-      }
-      (meds.result(), errs.result(), contended)
-    }
-
     val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val passes = runPasses(iterations)
-    val (results, errors, contendedIdx) = stats(passes)
+    val (results, errors, contendedIdx) = stats(names, passes)
     val qs = names.flatMap(n => results.get(n).map(v => s"\"" + n + "\":" + v))
       .mkString("{", ",", "}")
     val total = results.values.sum
@@ -163,7 +177,7 @@ object Bench {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       ps
     } else Vector.empty[Pass]
-    val (aqeResults, aqeErrors, aqeContendedIdx) = stats(aqePasses)
+    val (aqeResults, aqeErrors, aqeContendedIdx) = stats(names, aqePasses)
     val aqeQs = names.flatMap(n => aqeResults.get(n).map(v => s"\"" + n + "\":" + v))
       .mkString("{", ",", "}")
     val aqeTotal = aqeResults.values.sum
