@@ -11,13 +11,14 @@ package graft.ext
   *
   * Supported profile: 8-bit baseline, 1 component (grayscale) or 3
   * components (YCbCr) with sampling factors in {1, 2} — i.e. 4:4:4,
-  * 4:2:2, and 4:2:0, which covers what real MJPEG muxers emit. Chroma
-  * upsampling is nearest-neighbor (sample replication).
+  * 4:2:2, and 4:2:0 — plus DRI restart intervals (RSTn resync markers
+  * with DC-predictor resets), which covers what real MJPEG muxers
+  * emit. Chroma upsampling is nearest-neighbor (sample replication).
   *
   * Scope boundary (honest, enforced with clear errors, mirroring
   * [[VideoCodec]]'s quarantine contract): progressive (SOF2),
-  * arithmetic coding, restart intervals, 16-bit quantizers, and
-  * sampling factors >2 are REJECTED, not guessed at.
+  * arithmetic coding, 16-bit quantizers, and sampling factors >2 are
+  * REJECTED, not guessed at.
   *
   * Exactness: encode→decode is bit-exact on frames whose blocks are
   * constant — a constant block's FDCT is DC-only, the unit quantizers
@@ -146,6 +147,16 @@ object JpegCodec {
   private final class BitReader(bytes: Array[Byte], var pos: Int) {
     private var cur = 0
     private var n = 0
+    /** At a restart point: drop any pad bits of the current byte and
+      * consume the expected RSTn marker (F.2.1.3.1). */
+    def expectRestart(idx: Int): Unit = {
+      n = 0
+      require(pos + 2 <= bytes.length, "truncated at restart marker")
+      val m = ((bytes(pos) & 0xff) << 8) | (bytes(pos + 1) & 0xff)
+      require(m == 0xffd0 + idx,
+        f"expected RST$idx%d (0xff${0xd0 + idx}%02x), got 0x$m%04x")
+      pos += 2
+    }
     def readBit(): Int = {
       if (n == 0) {
         require(pos < bytes.length, "truncated entropy stream")
@@ -311,9 +322,10 @@ object JpegCodec {
     * baseline JFIF JPEG with UNIT quantizers (quality-100 shape): SOI,
     * APP0, DQT, SOF0, DHT×2, SOS, entropy data, EOI. Partial edge
     * MCUs are edge-replicated, the standard muxer treatment. */
-  def encodeGray(w: Int, h: Int, px: Int => Int): Array[Byte] =
+  def encodeGray(w: Int, h: Int, px: Int => Int,
+      restartInterval: Int = 0): Array[Byte] =
     encodeBaseline(w, h, nComp = 1,
-      (p, c) => { val _ = c; px(p) })
+      (p, c) => { val _ = c; px(p) }, restartInterval = restartInterval)
 
   /** Encode an RGB image (`px`: row-major index → (r, g, b)) as a
     * baseline color JPEG — YCbCr via the JFIF transform, 4:2:0 chroma
@@ -321,7 +333,7 @@ object JpegCodec {
     * 4:4:4. All components share the unit quantizer and the luminance
     * code tables (legal: components reference table ids). */
   def encodeColor(w: Int, h: Int, px: Int => (Int, Int, Int),
-      subsample: Boolean = true): Array[Byte] = {
+      subsample: Boolean = true, restartInterval: Int = 0): Array[Byte] = {
     // precompute the YCbCr planes once (rounded ints, the values the
     // DCT sees); BT.601/JFIF full-range transform
     val yP = new Array[Int](w * h)
@@ -369,11 +381,12 @@ object JpegCodec {
       encodeBaseline(w, h, nComp = 3, (p, c) => c match {
         case 0 => yP(p); case 1 => cb2(p); case _ => cr2(p)
       }, samp = Array((2, 2), (1, 1), (1, 1)),
-        compDims = Array((w, h), (cw, ch), (cw, ch)))
+        compDims = Array((w, h), (cw, ch), (cw, ch)),
+        restartInterval = restartInterval)
     } else
       encodeBaseline(w, h, nComp = 3, (p, c) => c match {
         case 0 => yP(p); case 1 => cbP(p); case _ => crP(p)
-      })
+      }, restartInterval = restartInterval)
   }
 
   private def clamp8(v: Int): Int = math.max(0, math.min(255, v))
@@ -384,7 +397,8 @@ object JpegCodec {
   private def encodeBaseline(w: Int, h: Int, nComp: Int,
       sample: (Int, Int) => Int,
       samp: Array[(Int, Int)] = null,
-      compDims: Array[(Int, Int)] = null): Array[Byte] = {
+      compDims: Array[(Int, Int)] = null,
+      restartInterval: Int = 0): Array[Byte] = {
     require(w > 0 && h > 0, s"bad geometry ${w}x$h")
     val sf = if (samp != null) samp else Array.fill(nComp)((1, 1))
     val dims = if (compDims != null) compDims else Array.fill(nComp)((w, h))
@@ -414,6 +428,9 @@ object JpegCodec {
     }
     dht(0x00, DcBits, DcVals)
     dht(0x10, AcBits, AcVals)
+    if (restartInterval > 0) { // DRI: resync marker every Ri MCUs
+      marker(0xdd); u16(4); u16(restartInterval)
+    }
     marker(0xda); u16(6 + 2 * nComp) // SOS
     u8(nComp)
     c = 0
@@ -428,6 +445,8 @@ object JpegCodec {
     val block = new Array[Double](64)
     val coef = new Array[Int](64)
     val preds = new Array[Int](nComp)
+    var mcuDone = 0
+    var restartIdx = 0
     var my = 0
     while (my < mcuY) {
       var mx = 0
@@ -458,6 +477,16 @@ object JpegCodec {
             by += 1
           }
           c += 1
+        }
+        mcuDone += 1
+        // between restart intervals (never after the last MCU): pad to
+        // a byte boundary, emit RSTn (n cycling 0-7), reset predictors
+        if (restartInterval > 0 && mcuDone % restartInterval == 0 &&
+            mcuDone < mcuX * mcuY) {
+          bw.finish()
+          marker(0xd0 + restartIdx)
+          restartIdx = (restartIdx + 1) % 8
+          java.util.Arrays.fill(preds, 0)
         }
         mx += 1
       }
@@ -551,6 +580,7 @@ object JpegCodec {
     var comps: Array[Comp] = null
     val qTables = new Array[Array[Int]](4)
     val dhtStore = new Array[HuffDecoder](8) // (class<<2)|id
+    var restartInterval = 0
     var result: (Array[Array[Int]], Array[Int]) = null
 
     while (result == null) {
@@ -618,8 +648,9 @@ object JpegCodec {
                 dhtStore((tc << 2) | th) = new HuffDecoder(bits, vals)
                 p += 17 + nv
               }
-            case 0xdd =>
-              throw new IllegalArgumentException("restart intervals (DRI) unsupported")
+            case 0xdd => // DRI: restart every Ri MCUs (0 disables)
+              require(len == 4, s"bad DRI length $len")
+              restartInterval = u16(body)
             case 0xda => // SOS: header, then entropy-coded data
               require(comps != null, "SOS before SOF")
               val ns = u8(body)
@@ -645,7 +676,8 @@ object JpegCodec {
                 require(qt != null, "scan references missing DQT")
                 qt
               }
-              result = decodeScan(bytes, end, w, h, comps, qts, dcDecs, acDecs)
+              result = decodeScan(bytes, end, w, h, comps, qts, dcDecs, acDecs,
+                restartInterval)
             case _ if (m >= 0xe0 && m <= 0xef) || m == 0xfe => () // APPn / COM
             case other =>
               throw new IllegalArgumentException(f"unsupported marker 0xff$other%02x")
@@ -661,7 +693,8 @@ object JpegCodec {
     * and their widths. */
   private def decodeScan(bytes: Array[Byte], scanStart: Int, w: Int, h: Int,
       comps: Array[Comp], qts: Array[Array[Int]],
-      dcDecs: Array[HuffDecoder], acDecs: Array[HuffDecoder])
+      dcDecs: Array[HuffDecoder], acDecs: Array[HuffDecoder],
+      restartInterval: Int)
       : (Array[Array[Int]], Array[Int]) = {
     val in = new BitReader(bytes, scanStart)
     val maxH = comps.map(_.h).max
@@ -674,6 +707,8 @@ object JpegCodec {
       new Array[Int](planeWs(i) * planeHs(i)))
     val coef = new Array[Int](64)
     val preds = new Array[Int](comps.length)
+    var mcuDone = 0
+    var restartIdx = 0
     var my = 0
     while (my < mcuY) {
       var mx = 0
@@ -693,6 +728,15 @@ object JpegCodec {
             by += 1
           }
           ci += 1
+        }
+        mcuDone += 1
+        // DRI: between intervals the stream is byte-aligned on an RSTn
+        // marker (n cycling 0-7) and DC predictors reset (F.2.1.3.1)
+        if (restartInterval > 0 && mcuDone % restartInterval == 0 &&
+            mcuDone < mcuX * mcuY) {
+          in.expectRestart(restartIdx)
+          restartIdx = (restartIdx + 1) % 8
+          java.util.Arrays.fill(preds, 0)
         }
         mx += 1
       }

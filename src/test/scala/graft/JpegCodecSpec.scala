@@ -120,6 +120,31 @@ class JpegCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { JpegCodec.decodeGray(overrun) }
   }
 
+  test("DRI restart intervals round-trip (gray and color 4:2:0) and reject bad RSTn") {
+    // 33x17 gray → 15 MCUs; Ri=4 → 3 restarts incl. predictor resets
+    val (w, h) = (33, 17)
+    val px = (p: Int) => (p * 29 + 17) % 256
+    val jpeg = JpegCodec.encodeGray(w, h, px, restartInterval = 4)
+    val plain = JpegCodec.encodeGray(w, h, px)
+    assert(jpeg.length > plain.length) // DRI segment + RST markers present
+    val dec = JpegCodec.decodeGray(jpeg)
+    val ref = JpegCodec.decodeGray(plain)
+    assert(dec.pixels.sameElements(ref.pixels)) // restarts are transparent
+    // color 4:2:0 with restarts, block-constant gray values → exact
+    val g = 166
+    val cj = JpegCodec.encodeColor(40, 24, _ => (g, g, g),
+      subsample = true, restartInterval = 2)
+    assert(JpegCodec.decodeRgb(cj).pixels
+      .forall(_ == ((g << 16) | (g << 8) | g)))
+    // corrupt the first restart marker's index (RST0 → RST5): refused
+    val bad = jpeg.clone()
+    val rst = (0 until bad.length - 1).find(i =>
+      (bad(i) & 0xff) == 0xff && (bad(i + 1) & 0xff) == 0xd0).get
+    bad(rst + 1) = 0xd5.toByte
+    val e = intercept[IllegalArgumentException] { JpegCodec.decodeGray(bad) }
+    assert(e.getMessage.contains("RST"))
+  }
+
   test("MJPEG-AVI: constant-gray frames decode exactly through the container walk") {
     val (w, h, nf) = (11, 6, 4)
     def gray(f: Int) = (40 + f * 50) % 256
