@@ -378,11 +378,16 @@ object MultiModal {
 
   /** Synthesize REAL MJPEG-AVI bytes for the video-typed docs: same
     * RIFF skeleton as [[videoTable]], but each `00dc` chunk is a
-    * complete baseline COLOR 4:2:0 JPEG
-    * ([[VideoCodec.encodeMjpegAviColor]] → [[JpegCodec.encodeColor]])
-    * — interleaved YCbCr MCUs, per-component DC predictors,
-    * entropy-coded Huffman data, byte stuffing, variable chunk sizes
-    * with RIFF pad bytes. The wire shape real capture-card MJPEG uses. */
+    * complete baseline COLOR JPEG ([[VideoCodec.encodeMjpegAviColor]]
+    * → [[JpegCodec.encodeColor]]) — interleaved YCbCr MCUs,
+    * per-component DC predictors, entropy-coded Huffman data, byte
+    * stuffing, variable chunk sizes with RIFF pad bytes. The wire
+    * shape real capture-card MJPEG uses — and, like [[videoTable]]'s
+    * JUNK chunks, the encoding VARIES deterministically by doc so the
+    * hash gate exercises every decode path on real data: docs
+    * alternate 4:2:0 vs 4:4:4 (`id % 2`), and `id % 4 == 3` docs write
+    * DRI restart intervals (decoded pixels are identical either way,
+    * so one arithmetic oracle covers all variants). */
   def mjpegVideoTable(documents: DataFrame): Dataset[VideoFile] = {
     import documents.sparkSession.implicits._
     documents.filter(col("doc_id") % 3 === 2)
@@ -392,7 +397,9 @@ object MultiModal {
         val (nf, uspf) = videoGeomOf(id)
         VideoFile(id, VideoCodec.encodeMjpegAviColor(w, h, uspf, nf,
           (f, _) => { val g = mjpegGrayOf(id, f); (g, g, g) },
-          subsample = true, withJunkChunk = id % 6 == 2))
+          subsample = id % 2 == 0,
+          restartInterval = if (id % 4 == 3) 1 else 0,
+          withJunkChunk = id % 6 == 2))
       }
   }
 

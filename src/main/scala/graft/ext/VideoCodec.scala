@@ -82,9 +82,10 @@ object VideoCodec {
     * / capture-card MJPEG uses. */
   def encodeMjpegAviColor(w: Int, h: Int, microSecPerFrame: Int, nFrames: Int,
       px: (Int, Int) => (Int, Int, Int), subsample: Boolean = true,
+      restartInterval: Int = 0,
       withJunkChunk: Boolean = false): Array[Byte] = {
     val frames = Array.tabulate(nFrames)(f =>
-      JpegCodec.encodeColor(w, h, p => px(f, p), subsample))
+      JpegCodec.encodeColor(w, h, p => px(f, p), subsample, restartInterval))
     buildAvi(w, h, microSecPerFrame, frames,
       handler = "MJPG", biCompression = MjpgFourcc, chunkId = "00dc", withJunkChunk)
   }
