@@ -171,6 +171,52 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("property: random block-constant images are exact across dims/modes/DRI") {
+    val rnd = new scala.util.Random(1117)
+    (1 to 25).foreach { _ =>
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(30)
+      val blockVals = Array.fill(((w + 7) / 8 + 1) * ((h + 7) / 8 + 1))(rnd.nextInt(256))
+      val gray = (p: Int) =>
+        blockVals(((p / w) / 8) * ((w + 7) / 8 + 1) + (p % w) / 8)
+      val ri = rnd.nextInt(3) // 0 = no DRI
+      rnd.nextInt(3) match {
+        case 0 => // grayscale
+          val dec = JpegCodec.decodeGray(JpegCodec.encodeGray(w, h, gray, ri))
+          (0 until w * h).foreach(p =>
+            assert(dec.pixels(p) == gray(p), s"gray ${w}x$h ri=$ri p=$p"))
+        case 1 => // color 4:4:4 — per-BLOCK constant survives (no subsampling)
+          val dec = JpegCodec.decodeRgb(JpegCodec.encodeColor(w, h,
+            p => { val g = gray(p); (g, g, g) }, subsample = false,
+            restartInterval = ri))
+          (0 until w * h).foreach { p =>
+            val g = gray(p)
+            assert(dec.pixels(p) == ((g << 16) | (g << 8) | g),
+              s"444 ${w}x$h ri=$ri p=$p")
+          }
+        case _ => // color 4:2:0 — whole-frame constant survives subsampling
+          val g = blockVals(0)
+          val dec = JpegCodec.decodeRgb(JpegCodec.encodeColor(w, h,
+            _ => (g, g, g), subsample = true, restartInterval = ri))
+          assert(dec.pixels.forall(_ == ((g << 16) | (g << 8) | g)),
+            s"420 ${w}x$h ri=$ri")
+      }
+    }
+  }
+
+  test("property: random arbitrary gray content stays within ±2 across dims and DRI") {
+    val rnd = new scala.util.Random(2203)
+    (1 to 10).foreach { _ =>
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(30)
+      val img = Array.fill(w * h)(rnd.nextInt(256))
+      val ri = rnd.nextInt(3)
+      val dec = JpegCodec.decodeGray(JpegCodec.encodeGray(w, h, img, ri))
+      (0 until w * h).foreach(p =>
+        assert(math.abs(dec.pixels(p) - img(p)) <= 2, s"${w}x$h ri=$ri p=$p"))
+    }
+  }
+
   test("MJPEG-AVI: frame-geometry mismatch vs the stream header is refused") {
     // splice a 8x8 JPEG into a stream declared 11x6
     val avi = VideoCodec.encodeMjpegAvi(11, 6, 40000, 1, (_, _) => 99)
