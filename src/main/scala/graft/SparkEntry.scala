@@ -348,6 +348,8 @@ object SparkEntry {
     // REAL BMP/PPM decode (ImageCodec): genuine encoded bytes parsed
     // header+pixels; the oracle recomputes the pixel sums independently
     "mm_decode" -> ((s, d) => MultiModal.decodedFeatures(docs(s, d))),
+    // JPEG stills through the same image plumbing (SOI magic dispatch)
+    "mm_decode_jpeg" -> ((s, d) => MultiModal.decodedJpegFeatures(docs(s, d))),
     "mm_audio" -> ((s, d) => MultiModal.decodedAudio(docs(s, d))),
     // pseudo-decode plumbing (only video decode remains stubbed)
     "mm_features" -> ((s, d) => MultiModal.features(docs(s, d))),
@@ -533,6 +535,7 @@ GROUP BY l_returnflag""",
     "embed_sq8" -> OracleSqlExt.embedSq8,
 
     "mm_decode" -> OracleSqlExt.mmDecode,
+    "mm_decode_jpeg" -> OracleSqlExt.mmDecodeJpeg,
     "mm_audio" -> OracleSqlExt.mmAudio,
     "mm_features" -> OracleSqlExt.mmFeatures,
     "mm_resize" -> OracleSqlExt.mmResize,

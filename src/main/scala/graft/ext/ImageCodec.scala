@@ -102,7 +102,12 @@ object ImageCodec {
     require(bytes.length >= 2, "image too short for any magic")
     if (bytes(0) == 'P'.toByte && bytes(1) == '6'.toByte) decodePpm(bytes)
     else if (bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte) decodeBmp(bytes)
-    else throw new IllegalArgumentException(
+    else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
+      // JPEG SOI: route to the baseline entropy codec; its packed-RGB
+      // normal form is this codec's pixel layout already
+      val j = JpegCodec.decodeRgb(bytes)
+      Image("jpeg", j.width, j.height, j.pixels)
+    } else throw new IllegalArgumentException(
       f"unknown image magic 0x${bytes(0)}%02x${bytes(1)}%02x")
   }
 

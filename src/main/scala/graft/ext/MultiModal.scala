@@ -220,6 +220,51 @@ object MultiModal {
     decodeImages(imageTable(documents)).toDF()
   }
 
+  /** Geometry for the JPEG stills: MULTI-MCU frames (up to 3×2 blocks
+    * with non-multiple-of-8 edges) so DC-prediction chains across
+    * blocks, partial edge MCUs, and output crop all sit under the
+    * hash gate — unlike the tiny single-block video frames. */
+  private[ext] def jpegGeomOf(id: Long): (Int, Int) =
+    ((8 + (id % 3) * 5).toInt, (6 + (id % 2) * 7).toInt)
+
+  /** Per-8×8-block constant gray for the JPEG stills — block-varying
+    * (so DC diffs are non-zero along the scan) yet DC-only per block,
+    * which keeps the lossy codec exact ([[JpegCodec]] doc). */
+  private[ext] def jpegBlockGrayOf(id: Long, bx: Int, by: Int): Int =
+    ((id * 19 + bx * 47 + by * 89) % 256).toInt
+
+  /** Synthesize REAL baseline-JPEG stills for the image-typed docs,
+    * with deterministic encoding variety (the [[mjpegVideoTable]]
+    * pattern): `id % 5 == 0` docs are single-component grayscale, the
+    * rest color — 4:2:0 vs 4:4:4 by `id % 2` — and `id % 4 == 3` docs
+    * carry DRI restart intervals. Decoded pixels are identical across
+    * variants, so one arithmetic oracle gates every path. */
+  def jpegImageTable(documents: DataFrame): Dataset[ImageFile] = {
+    import documents.sparkSession.implicits._
+    documents.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val (w, h) = jpegGeomOf(id)
+        val px = (p: Int) => jpegBlockGrayOf(id, (p % w) / 8, (p / w) / 8)
+        val ri = if (id % 4 == 3) 1 else 0
+        val bytes =
+          if (id % 5 == 0) JpegCodec.encodeGray(w, h, px, ri)
+          else JpegCodec.encodeColor(w, h,
+            p => { val g = px(p); (g, g, g) },
+            subsample = id % 2 == 0, restartInterval = ri)
+        ImageFile(id, "jpeg", bytes)
+      }
+  }
+
+  /** The oracle-gated JPEG-still decode query (`mm_decode_jpeg`):
+    * [[decodeImages]] unchanged — [[ImageCodec.decode]] dispatches on
+    * the SOI magic — so JPEG rides the exact same typed-Dataset +
+    * mapPartitions plumbing as BMP/PPM. */
+  def decodedJpegFeatures(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    decodeImages(jpegImageTable(documents)).toDF()
+  }
+
   /** Deterministic PCM16 sample function for doc `id`: an integer
     * residue mapped into the full signed 16-bit range, so the oracle
     * reproduces every sample (and thus every statistic) with a formula

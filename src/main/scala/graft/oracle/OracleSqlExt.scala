@@ -1079,6 +1079,31 @@ SELECT fr.doc_id, CAST(fr.nf AS INT) AS n_frames, CAST(fr.f AS INT) AS frame_idx
        CAST(fr.g AS BIGINT) AS brightness_q
 FROM fr"""
 
+  /** Mirror of MultiModal.decodedJpegFeatures: the stills carry
+    * per-8×8-block constant gray (jpegBlockGrayOf), so the lossy
+    * baseline-JPEG round trip is exact and the oracle recomputes each
+    * channel sum from the block formula over the pixel range — while
+    * the Spark side reports what a full JPEG decode (gray and color,
+    * 4:2:0/4:4:4, DRI variants) parsed out of real bytes. */
+  val mmDecodeJpeg: String = """
+WITH v AS (
+  SELECT doc_id, 8 + (doc_id % 3) * 5 AS w, 6 + (doc_id % 2) * 7 AS h
+  FROM documents WHERE doc_id % 3 = 0),
+px AS (
+  SELECT v.doc_id,
+         SUM((v.doc_id * 19 + ((t.p % v.w) // 8) * 47
+              + ((t.p // v.w) // 8) * 89) % 256) AS s
+  FROM v, UNNEST(range(0, v.w * v.h)) t(p)
+  GROUP BY v.doc_id)
+SELECT v.doc_id, 'jpeg' AS format,
+       CAST(v.w AS INT) AS width, CAST(v.h AS INT) AS height,
+       CAST(v.w * v.h AS BIGINT) AS n_pixels,
+       CAST(p.s AS BIGINT) AS sum_r,
+       CAST(p.s AS BIGINT) AS sum_g,
+       CAST(p.s AS BIGINT) AS sum_b,
+       CAST((3 * p.s) // (3 * v.w * v.h) AS BIGINT) AS brightness_q
+FROM v JOIN px p ON p.doc_id = v.doc_id"""
+
   /** Mirror of MultiModal.decodedFeatures — but NOT by parsing the
     * binary: the oracle recomputes each channel sum from the pixel
     * formula (MultiModal.pixelOf) the synthesizer encoded. The Spark

@@ -73,6 +73,13 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("ImageCodec.decode dispatches on the SOI magic and keeps the packed layout") {
+    val jpeg = JpegCodec.encodeColor(13, 9, _ => (88, 88, 88))
+    val img = graft.ext.ImageCodec.decode(jpeg)
+    assert(img.format == "jpeg" && img.width == 13 && img.height == 9)
+    assert((img.r(0), img.g(0), img.b(0)) == ((88, 88, 88)))
+  }
+
   test("decodeRgb on a grayscale (1-component) JPEG replicates channels") {
     val jpeg = JpegCodec.encodeGray(9, 5, p => (p * 13 + 5) % 256)
     val g = JpegCodec.decodeGray(jpeg)
