@@ -351,6 +351,8 @@ object SparkEntry {
     // JPEG stills through the same image plumbing (SOI magic dispatch)
     "mm_decode_jpeg" -> ((s, d) => MultiModal.decodedJpegFeatures(docs(s, d))),
     "mm_audio" -> ((s, d) => MultiModal.decodedAudio(docs(s, d))),
+    // G.711 µ-law WAV: lossy companding, oracle replays the formulas
+    "mm_audio_mulaw" -> ((s, d) => MultiModal.decodedMulawAudio(docs(s, d))),
     // pseudo-decode plumbing (only video decode remains stubbed)
     "mm_features" -> ((s, d) => MultiModal.features(docs(s, d))),
     "mm_resize" -> ((s, d) => MultiModal.resizePlan(docs(s, d))),
@@ -537,6 +539,7 @@ GROUP BY l_returnflag""",
     "mm_decode" -> OracleSqlExt.mmDecode,
     "mm_decode_jpeg" -> OracleSqlExt.mmDecodeJpeg,
     "mm_audio" -> OracleSqlExt.mmAudio,
+    "mm_audio_mulaw" -> OracleSqlExt.mmAudioMulaw,
     "mm_features" -> OracleSqlExt.mmFeatures,
     "mm_resize" -> OracleSqlExt.mmResize,
     "mm_frames" -> OracleSqlExt.mmFrames,

@@ -326,6 +326,32 @@ object MultiModal {
     decodeAudio(audioTable(documents)).toDF()
   }
 
+  /** Synthesize REAL G.711 µ-law WAV bytes for the audio-typed docs —
+    * format tag 7, one code byte per sample, a `fact` chunk (always)
+    * and a JUNK chunk (every other doc) for the decoder's
+    * skip-by-size path. Same sample formula as [[audioTable]]; the
+    * bytes on the wire are the COMPRESSED codes. */
+  def mulawAudioTable(documents: DataFrame): Dataset[AudioFile] = {
+    import documents.sparkSession.implicits._
+    documents.filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val (n, rate) = audioGeomOf(id)
+        AudioFile(id, AudioCodec.encodeWavMulaw(rate,
+          Array.tabulate(n)(sampleOf(id)), withJunkChunk = id % 6 == 1))
+      }
+  }
+
+  /** The oracle-gated µ-law decode query (`mm_audio_mulaw`): the same
+    * statistics shape as `mm_audio`, but every sample travelled
+    * through the lossy 8-bit companding — the oracle replays the pure
+    * integer compress∘expand formulas in SQL, so the gate verifies the
+    * companding pipeline bit-exactly despite the loss. */
+  def decodedMulawAudio(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    decodeAudio(mulawAudioTable(documents)).toDF()
+  }
+
   /** Resize planning (pure metadata, no pixel work): scale the longer
     * side to 224 preserving aspect ratio, integer floor — the shape of
     * a preprocessing stage that runs before batched decode. */

@@ -1168,6 +1168,61 @@ FROM a
 JOIN st ON st.doc_id = a.doc_id
 JOIN zc ON zc.doc_id = a.doc_id"""
 
+  /** Mirror of MultiModal.decodedMulawAudio: the G.711 µ-law pipeline
+    * is lossy, but compress∘expand is a PURE INTEGER function —
+    * biased-magnitude segment/mantissa quantization then exact
+    * reconstruction — so the oracle replays both formulas over the
+    * sample formula and the stats hash-gate despite the loss. p2 is
+    * 2^exponent as a CASE over the segment boundaries; mantissa =
+    * (mag // (8·p2)) % 16; decoded = ±(((mant·8)+132)·p2 − 132).
+    * All operands non-negative where divided, so `//` ≡ Spark's
+    * integer semantics on the Scala side. */
+  val mmAudioMulaw: String = """
+WITH a AS (
+  SELECT doc_id, doc_id % 50 + 20 AS n, 8000 + (doc_id % 4) * 4000 AS rate
+  FROM documents WHERE doc_id % 3 = 1),
+s0 AS (
+  SELECT a.doc_id, t.i, (a.doc_id * 37 + t.i * 13) % 65536 - 32768 AS raw
+  FROM a, UNNEST(range(0, a.n)) t(i)),
+m AS (
+  SELECT doc_id, i,
+         CASE WHEN raw < 0 THEN -1 ELSE 1 END AS sgn,
+         LEAST(abs(raw), 32635) + 132 AS mag
+  FROM s0),
+e AS (
+  SELECT doc_id, i, sgn, mag,
+         CASE WHEN mag >= 16384 THEN 128 WHEN mag >= 8192 THEN 64
+              WHEN mag >= 4096 THEN 32 WHEN mag >= 2048 THEN 16
+              WHEN mag >= 1024 THEN 8 WHEN mag >= 512 THEN 4
+              WHEN mag >= 256 THEN 2 ELSE 1 END AS p2
+  FROM m),
+s AS (
+  SELECT doc_id, i,
+         sgn * ((((mag // (8 * p2)) % 16) * 8 + 132) * p2 - 132) AS v
+  FROM e),
+st AS (
+  SELECT doc_id, COUNT(*) AS n_samples,
+         CAST(MAX(abs(v)) AS BIGINT) AS peak_abs,
+         CAST(SUM(abs(v)) AS BIGINT) AS sum_abs,
+         CAST(SUM(v * v) AS BIGINT) AS energy
+  FROM s GROUP BY doc_id),
+zc AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN (v < 0) <> (pv < 0) THEN 1 ELSE 0 END)
+              AS BIGINT) AS zero_crossings
+  FROM (SELECT doc_id, v,
+               lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        FROM s)
+  GROUP BY doc_id)
+SELECT a.doc_id,
+       CAST(a.rate AS BIGINT) AS sample_rate,
+       st.n_samples,
+       CAST(st.n_samples * 1000000 // a.rate AS BIGINT) AS duration_us,
+       st.peak_abs, st.sum_abs, st.energy, zc.zero_crossings
+FROM a
+JOIN st ON st.doc_id = a.doc_id
+JOIN zc ON zc.doc_id = a.doc_id"""
+
   /** Mirror of Layout.eventZValues: Morton interleave of (user_id,
     * minutes since the corpus epoch [[graft.ext.Layout.TimeEpochMicros]]
     * — epoch-relative so the 16-bit time key doesn't wrap), the

@@ -59,4 +59,41 @@ class AudioCodecSpec extends SparkSpec {
         s.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)))
     }
   }
+
+  test("µ-law: every code except negative zero is a fixed point of compress∘expand") {
+    (0 to 255).foreach { u =>
+      val s = AudioCodec.mulawExpand(u)
+      assert(s >= -32124 && s <= 32124)
+      if (u != 0x7f) // 0x7f (negative zero) decodes to 0 → re-encodes 0xff
+        assert(AudioCodec.mulawCompress(s) == u, f"code 0x$u%02x")
+    }
+    // known vectors: digital silence and the extremes
+    assert(AudioCodec.mulawCompress(0) == 0xff)
+    assert(AudioCodec.mulawExpand(0xff) == 0)
+    assert(AudioCodec.mulawExpand(0x80) == 32124)  // max positive
+    assert(AudioCodec.mulawExpand(0x00) == -32124) // max negative
+    assert(AudioCodec.mulawCompress(32767) == 0x80) // clips to top segment
+    assert(AudioCodec.mulawCompress(-32768) == 0x00)
+  }
+
+  test("µ-law WAV roundtrip equals per-sample expand(compress(s)), with fact+JUNK chunks") {
+    val samples = Array.tabulate(45)(i => (((i * 977 + 13) % 65536) - 32768).toShort)
+    for (junk <- Seq(false, true)) {
+      val w = AudioCodec.decodeWav(
+        AudioCodec.encodeWavMulaw(8000, samples, withJunkChunk = junk))
+      assert(w.sampleRate == 8000 && w.channels == 1)
+      assert(w.samples.length == samples.length)
+      samples.indices.foreach { i =>
+        val expected = AudioCodec.mulawExpand(AudioCodec.mulawCompress(samples(i).toInt))
+        assert(w.samples(i) == expected, s"junk=$junk i=$i")
+      }
+    }
+    // quantization error bound: within a segment the step is 8·2^exp,
+    // so |decoded − s| < max step (~2048 at the top segment) but tight
+    // at small amplitudes (≤ 4 below |s| ≈ 124)
+    (-120 to 120).foreach { s =>
+      val d = AudioCodec.mulawExpand(AudioCodec.mulawCompress(s))
+      assert(math.abs(d - s) <= 4, s"s=$s d=$d")
+    }
+  }
 }
