@@ -110,22 +110,32 @@ object EmbedOps {
         col("cosine"))
   }
 
-  /** Hyperplane-sign signature (12 planes → 4096 buckets). Hyperplane
-    * j's weight for dim i is ±1 from bit 16 of an LCG mix of (64j + i) —
-    * a fixed deterministic pseudo-random matrix both engines rebuild
-    * from the same integer formula (no float, no library RNG).
+  /** Hyperplane-sign signature. Hyperplane j's weight for dim i is ±1
+    * from the top bit of md5(64j + i) — a fixed deterministic
+    * pseudo-random matrix both engines rebuild from the same formula.
+    *
+    * md5, not an LCG: the original LCG mix (`1103515245·x + 12345`,
+    * bit 16, sampled at stride 64) produced hyperplanes with up to
+    * 0.94 pairwise correlation — classic LCG lattice structure — which
+    * collapsed the signature's effective entropy to a fraction of its
+    * nominal width. The 10× scale rehearsal caught it: candidate pairs
+    * grew 62× instead of 10× even after the width fix, and the excess
+    * was all cross-replica pairs of provably-decorrelated vectors (see
+    * tools/ScaleGen.scala) colliding in the degenerate buckets. md5
+    * bits are iid, so planes are balanced and mutually uncorrelated,
+    * and bucket occupancy matches the uniform model.
     *
     * The weight matrix is data-independent, so it is evaluated HERE, at
-    * plan-build time, and embedded as literal ±1 arrays: the previous
-    * form recomputed the LCG mix inside the lambda — 768 interpreted
-    * multiply/mod/shift ops and 12 sequence() allocations per ROW —
-    * which profiling showed dominated every lsh-path query. The
-    * signature values are unchanged (same formula, same integers). */
+    * plan-build time, and embedded as literal ±1 arrays: recomputing
+    * the mix inside the lambda costs 64·planes interpreted ops and
+    * `planes` sequence() allocations per ROW — plan-build hashing costs
+    * 64·planes md5 calls per QUERY. */
   def lshSignature(q: Column, dims: Int = 64, planes: Int = 12): Column = {
     val bits = (0 until planes).map { j =>
       val weights: Seq[Long] = (0 until dims).map { i =>
-        val mix = (((1103515245L * (j * 64L + i) + 12345L) % 2147483648L) >> 16) % 2
-        if (mix == 0) 1L else -1L
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(String.valueOf(j * 64 + i).getBytes("UTF-8"))
+        if (((h(0) & 0xFF) >>> 4) < 8) 1L else -1L
       }
       val dot = aggregate(zip_with(q, typedlit(weights), (x, w) => x * w),
         lit(0L), (acc, x) => acc + x)
@@ -134,11 +144,35 @@ object EmbedOps {
     bits.reduce(_ + _)
   }
 
+  /** Signature width for an n-vector corpus: ceil(log2 n) bits, floored
+    * at the historical 12 and capped at 24. With 2^bits ≈ n buckets a
+    * RANDOM collision is O(1) expected per vector, so the candidate
+    * pair count stays linear in n; a FIXED width is quadratic
+    * (pairs ≈ n²/2^bits), which the 10× scale rehearsal measured
+    * directly — candidates grew 96× under 12 fixed planes and the data
+    * transform was provably not the cause (a dense random rotation per
+    * replica left the growth unchanged). Sizing the signature at index
+    * build is what production ANN systems do; the cap bounds the
+    * single-probe recall decay (each extra plane multiplies recall by
+    * P(plane agrees) < 1) — beyond ~16M vectors per index, banded
+    * multi-probe or the IVF path is the right tool, not a wider single
+    * signature. */
+  def adaptivePlanes(n: Long): Int = {
+    val bits = if (n <= 2) 1 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    math.max(12, math.min(24, bits))
+  }
+
   /** All bucket-colliding candidate pairs with their exact cosine — the
     * probe stage of near-dup detection; a caller applies its own
-    * threshold (none here so the small-SF gate exercises the path). */
-
+    * threshold (none here so the small-SF gate exercises the path).
+    *
+    * The signature width is sized from the corpus ([[adaptivePlanes]]):
+    * the count() is one extra scan at INDEX BUILD time — this frame is
+    * built once per corpus (SparkEntry memoizes it as the
+    * `embed/lsh_pairs` artifact) and a real deployment persists the
+    * width in the index metadata. */
   def lshNearDups(embeddings: DataFrame): DataFrame = {
+    val planes = adaptivePlanes(embeddings.count())
     // cache: both sides of the bucket self-join (and the CC pass in
     // nearDupClusters) reference this frame — uncached, the whole
     // interpreted quantize+signature pipeline runs once per reference
@@ -147,7 +181,7 @@ object EmbedOps {
     // and spills to disk gracefully if it outgrows executor memory.
     val sigs = embeddings.select(
       col("vec_id"), quantized(col("embedding")).as("q"))
-      .withColumn("sig", lshSignature(col("q")))
+      .withColumn("sig", lshSignature(col("q"), planes = planes))
       .withColumn("n2", qnorm2(col("q")))
       .cache()
     val a = sigs.select(col("sig"), col("vec_id").as("vec_a"),

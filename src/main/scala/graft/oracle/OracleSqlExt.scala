@@ -1376,13 +1376,25 @@ WHERE rank <= 5"""
 
   /** Hyperplane-signature CTEs (dots → sig), shared by the LSH pair
     * and cluster oracles. */
+  // signature width mirrors EmbedOps.adaptivePlanes: ceil(log2 n)
+  // clamped to [12, 24], computed from the same corpus the signatures
+  // index — both engines derive the width from COUNT(*), so they agree
+  // at every scale factor, not just the verified one. Plane weights
+  // mirror EmbedOps.lshSignature: ±1 from the top bit of md5(64j + i)
+  // (first hex digit < '8'), built once in their own CTE.
   private val lshSigCtes: String = """,
+nb AS (
+  SELECT GREATEST(12, LEAST(24, CAST(CEIL(LOG2(COUNT(*))) AS INT))) AS planes
+  FROM embeddings),
+w AS (
+  SELECT j, list_transform(range(0, 64), i ->
+           CASE WHEN substr(md5(CAST(j * 64 + i AS VARCHAR)), 1, 1)
+                     IN ('0','1','2','3','4','5','6','7')
+                THEN 1 ELSE -1 END) AS wts
+  FROM (SELECT UNNEST(range(0, nb.planes)) AS j FROM nb)),
 dots AS (
-  SELECT vec_id, j,
-         list_sum(list_transform(range(0, 64),
-           i -> CASE WHEN (((1103515245 * (j * 64 + i) + 12345) % 2147483648) >> 16) % 2 = 0
-                     THEN qv[i + 1] ELSE -qv[i + 1] END)) AS dotj
-  FROM q, UNNEST(range(0, 12)) t(j)),
+  SELECT vec_id, j, list_dot_product(qv, w.wts) AS dotj
+  FROM q, w),
 sig AS (
   SELECT vec_id,
          CAST(SUM(CASE WHEN dotj > 0 THEN (1::BIGINT << j) ELSE 0 END)

@@ -165,4 +165,19 @@ class KMeansSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"))
     assert(!plan.contains("Window"))
   }
+
+  test("lsh signature width: ceil(log2 n) clamped to [12, 24]") {
+    // fixed-width signatures make bucket-collision candidates quadratic
+    // in corpus size (pairs ~ n^2 / 2^bits); sizing bits ~ log2(n) at
+    // index build keeps expected random collisions O(1) per vector —
+    // the 10x scale rehearsal measured 96x candidate growth before
+    // this policy and ~linear growth after.
+    assert(EmbedOps.adaptivePlanes(0) == 12)
+    assert(EmbedOps.adaptivePlanes(200) == 12)   // driver's sf0.01 scale
+    assert(EmbedOps.adaptivePlanes(2000) == 12)  // sf0.1: unchanged width
+    assert(EmbedOps.adaptivePlanes(4096) == 12)  // exact power boundary
+    assert(EmbedOps.adaptivePlanes(4097) == 13)
+    assert(EmbedOps.adaptivePlanes(20000) == 15) // the 10x rehearsal corpus
+    assert(EmbedOps.adaptivePlanes(1L << 40) == 24) // capped: banded/IVF territory
+  }
 }
