@@ -6,12 +6,13 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev tool: dump formatted physical plans for the flagship queries to a
   * file (PLANS.md source material). Run:
-  *   runMain graft.tools.PlanDump <outFile> [query,query,...]
+  *   runMain graft.tools.PlanDump <outFile> [query,query,...] [dataDir]
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/plans.txt")
-    val only = args.drop(1).headOption.map(_.split(",").toSet)
+    val only = args.drop(1).headOption.filter(_.nonEmpty).map(_.split(",").toSet)
+    val dir = args.drop(2).headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -23,7 +24,7 @@ object PlanDump {
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .toSeq.sortBy(_._1)
       .foreach { case (name, fn) =>
-        val df = fn(spark, "/root/testdata/sf0.001")
+        val df = fn(spark, dir)
         sb.append(s"===== $name =====\n")
         sb.append(df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
