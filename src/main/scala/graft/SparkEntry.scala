@@ -247,6 +247,14 @@ object SparkEntry {
     "text_pack_sequences" -> ((s, d) => TextOps.packSequences(docs(s, d))),
     // BPE merge-candidate bigram stats, top-10 per language
     "text_bigrams" -> ((s, d) => TextOps.bigrams(docs(s, d))),
+    // integer PMI-lift collocations, top-10 per language
+    "text_pmi" -> ((s, d) => TextOps.collocations(docs(s, d))),
+    // per-lang unigram entropy / vocabulary diversity profile
+    "text_entropy" -> ((s, d) => TextOps.unigramEntropy(docs(s, d))),
+    // per-lang percentile quality gating (keep the top 75% by score)
+    "corpus_quality_gate" -> ((s, d) => TextOps.qualityGate(docs(s, d))),
+    // PII detection + in-place scrubbing (email/phone/IP), zero-shuffle
+    "text_pii_scrub" -> ((s, d) => TextOps.piiScrub(docs(s, d))),
     // unigram-LM surprisal quality score in integer bits
     "text_surprisal" -> ((s, d) => TextOps.unigramSurprisal(docs(s, d))),
     "corpus_contamination" -> ((s, d) =>
@@ -492,6 +500,10 @@ GROUP BY l_returnflag""",
     "corpus_shards_global" -> OracleSqlExt.corpusShardsGlobal,
     "text_pack_sequences" -> OracleSqlExt.textPackSequences,
     "text_bigrams" -> OracleSqlExt.textBigrams,
+    "text_pmi" -> OracleSqlExt.textPmi,
+    "text_entropy" -> OracleSqlExt.textEntropy,
+    "corpus_quality_gate" -> OracleSqlExt.corpusQualityGate,
+    "text_pii_scrub" -> OracleSqlExt.textPiiScrub,
     "text_surprisal" -> OracleSqlExt.textSurprisal,
     "corpus_contamination" -> OracleSqlExt.corpusContamination,
     "corpus_mixture" -> OracleSqlExt.corpusMixture,

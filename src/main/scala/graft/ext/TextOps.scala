@@ -334,6 +334,158 @@ object TextOps {
       .filter(col("rank") <= k)
   }
 
+  /** Top collocations per language by integer PMI-lift — the
+    * association-mining step behind phrase detection (word2vec's
+    * phrase pass, collocation extraction for tokenizer vocab): rank
+    * adjacent pairs by how much more often they co-occur than their
+    * unigram frequencies predict, lift = p(xy)/(p(x)·p(y)) =
+    * c_xy·N/(c_x·c_y) with N the language's token count. PMI is
+    * log(lift); since log is monotone the integer milli-lift
+    * `(c_xy·N·1000) div (c_x·c_y)` ranks identically and hash-gates
+    * exactly (no float log). `minPair` suppresses the classic PMI
+    * pathology of rare-pair explosions.
+    *
+    * Overflow: c_xy·N·1000 ≤ N²·1000; int64 holds up to N ≈ 3·10⁷
+    * tokens per language — beyond that, promote the numerator to
+    * DECIMAL. Stated bound, same trade as the moments query.
+    *
+    * Scale posture: two map-side-combinable explode→aggregates (pairs
+    * and unigrams, both vocab-sized outputs), two hash joins keyed by
+    * (lang, token) — the Zipf-hot token rows are already aggregated to
+    * one row per key, so no skew amplification — and the per-lang
+    * top-k window runs over the pair vocabulary, not the corpus. */
+  def collocations(documents: DataFrame, k: Int = 10,
+      minPair: Long = 3L): DataFrame = {
+    val toks = tokens(col("text"))
+    val pairs = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("t1"),
+          element_at(toks, i + 1).as("t2"))))
+      .otherwise(array().cast("array<struct<t1:string,t2:string>>"))
+    val pc = documents.select(col("lang"), explode(pairs).as("p"))
+      .select(col("lang"), col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .groupBy(col("lang"), col("t1"), col("t2"))
+      .agg(count(lit(1)).as("n_pair"))
+    val uni = documents.select(col("lang"), explode(toks).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("n_tok"))
+    val tot = uni.groupBy(col("lang")).agg(sum(col("n_tok")).as("n_lang"))
+    pc.filter(col("n_pair") >= minPair)
+      .join(uni.select(col("lang"), col("tok").as("t1"),
+        col("n_tok").as("n_t1")), Seq("lang", "t1"))
+      .join(uni.select(col("lang"), col("tok").as("t2"),
+        col("n_tok").as("n_t2")), Seq("lang", "t2"))
+      .join(tot, Seq("lang"))
+      .withColumn("lift_milli",
+        expr("(n_pair * n_lang * 1000) div (n_t1 * n_t2)"))
+      .withColumn("rank", expr("row_number() over (partition by lang " +
+        "order by lift_milli desc, n_pair desc, t1, t2)"))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("t1"), col("t2"), col("n_pair"),
+        col("n_t1"), col("n_t2"), col("lift_milli"), col("rank"))
+  }
+
+  /** Per-language unigram diversity profile — the dataset-card entropy
+    * row (is this slice boilerplate or varied?): vocabulary size,
+    * type-token ratio, and corpus unigram entropy in quantized integer
+    * bits, H ≈ Σ_tok c·(⌊log₂N⌋−⌊log₂c⌋)/N — the same
+    * highest-set-bit log as [[unigramSurprisal]] (length(bin(n))−1
+    * cancels in the difference), so the numerator is an exact int64
+    * sum and the only doubles are the two final per-row divisions.
+    *
+    * Scale posture: one explode→(lang, tok) hash aggregate (vocab-
+    * sized), a per-lang rollup of that, and a vocab-sized join back —
+    * all map-side combinable; nothing is per-document after the first
+    * aggregate. */
+  def unigramEntropy(documents: DataFrame): DataFrame = {
+    val tok = documents.select(col("lang"),
+      explode(tokens(col("text"))).as("tok"))
+    val counts = tok.groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val tot = counts.groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"))
+    counts.join(tot, Seq("lang"))
+      .select(col("lang"), col("n_tokens"), col("vocab"),
+        (col("c") * (length(expr("bin(n_tokens)")) - length(expr("bin(c)")))
+          .cast("long")).as("bits"))
+      .groupBy(col("lang"), col("n_tokens"), col("vocab"))
+      .agg(sum(col("bits")).as("total_bits"))
+      .select(col("lang"), col("n_tokens"), col("vocab"), col("total_bits"),
+        (col("total_bits").cast("double") / col("n_tokens"))
+          .as("bits_per_token"),
+        (col("vocab").cast("double") / col("n_tokens"))
+          .as("type_token_ratio"))
+  }
+
+  /** Per-language percentile quality gating — "keep the top `keepPct`%
+    * of each language by quality score", the threshold form every
+    * curated-corpus recipe applies after scoring (C4/CCNet keep the
+    * high-quality tail per language, not a global cut that would
+    * empty low-resource languages).
+    *
+    * The cutoff is percentile_disc by rank arithmetic over the
+    * AGGREGATED per-(lang, score) counts — the same trick as
+    * [[graft.ext.Analytics.statusPercentiles]]: the cumulative window
+    * runs over the distinct-score frame (vocabulary of scores), never
+    * over documents, so one language being 90% of the corpus doesn't
+    * put 90% of the corpus in one window partition. Keep semantics are
+    * `score ≥ threshold` where threshold is the score at rank
+    * ⌈keepPct%·n⌉ from the top — boundary ties all survive
+    * (deterministic, side-effect of percentile_disc; stated). */
+  def qualityGate(documents: DataFrame, keepPct: Int = 75): DataFrame = {
+    val q = documents.select(col("doc_id"), col("lang"))
+      .join(qualityScore(documents), Seq("doc_id"))
+    val scoreCounts = q.groupBy(col("lang"), col("quality_score"))
+      .agg(count(lit(1)).as("c"))
+    // rank from the top: docs with score >= this one
+    val cum = scoreCounts
+      .withColumn("cum", expr("sum(c) over (partition by lang " +
+        "order by quality_score desc rows between unbounded preceding " +
+        "and current row)"))
+      .withColumn("n_lang", expr("sum(c) over (partition by lang)"))
+    val thr = cum
+      .filter(col("cum") >= expr(s"(n_lang * $keepPct + 99) div 100"))
+      .groupBy(col("lang"))
+      .agg(max(col("quality_score")).as("threshold"),
+        max(col("n_lang")).as("n_lang"))
+    q.join(broadcast(thr), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("quality_score"),
+        col("threshold"), col("n_lang"),
+        (col("quality_score") >= col("threshold")).as("keep"))
+  }
+
+  /** PII detection + scrubbing — the privacy pass every released
+    * training corpus runs (C4 removed pages with blocklisted strings;
+    * modern curation redacts emails/phones/IPs in place): count and
+    * mask three pattern families with anchors chosen to be
+    * semantics-identical between Java regex (Spark) and RE2 (DuckDB
+    * oracle) — no backrefs, no lookaround, POSIX classes only.
+    *
+    * Scale posture: a pure per-row projection — zero shuffle, zero
+    * state; the regexes are compiled once per task and the scan stays
+    * inside whole-stage codegen. At 100 TB this is the cheapest kind
+    * of pass there is (bandwidth-bound), which is why production
+    * pipelines fuse it with the first read. */
+  def piiScrub(documents: DataFrame): DataFrame = {
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val phone = "\\+?[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
+    val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    // Column-form regexp_count (not expr()-embedded SQL text: the SQL
+    // string literal would re-process the pattern's backslashes)
+    def nMatches(pat: String): Column =
+      regexp_count(col("text"), lit(pat))
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), email, "<EMAIL>"),
+        phone, "<PHONE>"),
+      ip, "<IP>")
+    documents.select(col("doc_id"), col("lang"),
+      nMatches(email).as("n_emails"),
+      nMatches(phone).as("n_phones"),
+      nMatches(ip).as("n_ips"),
+      (nMatches(email) + nMatches(phone) + nMatches(ip) > 0).as("has_pii"),
+      md5(scrubbed.cast("binary")).as("scrubbed_md5"))
+  }
+
   /** Temperature-scaled data-mixing weights per corpus source: the
     * sampling proportions a training run draws each domain with,
     * w_s = n_s^α / Σ n^α over BPE-estimated token counts, α = 0.5

@@ -416,6 +416,105 @@ SELECT doc_id, COUNT(*) AS n_tokens,
        CAST(SUM(bits) AS DOUBLE) / COUNT(*) AS bits_per_token
 FROM b GROUP BY doc_id"""
 
+  /** Mirror of TextOps.collocations: adjacent-pair and unigram counts
+    * per language, integer milli-lift (c_xy·N·1000)//(c_x·c_y) — both
+    * engines' integer division agrees on the non-negative operands —
+    * and the same (lift, n_pair, t1, t2) deterministic top-10. */
+  val textPmi: String = """
+WITH t AS (SELECT lang, string_split(text, ' ') AS tk FROM documents),
+pg AS (
+  SELECT lang, tk[i] AS t1, tk[i + 1] AS t2
+  FROM t, UNNEST(range(1, len(tk))) u(i)),
+pc AS (SELECT lang, t1, t2, COUNT(*) AS n_pair FROM pg GROUP BY lang, t1, t2),
+uni AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+uc AS (SELECT lang, tok, COUNT(*) AS n_tok FROM uni GROUP BY lang, tok),
+tot AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS n_lang FROM uc GROUP BY lang),
+j AS (
+  SELECT p.lang, p.t1, p.t2, p.n_pair, a.n_tok AS n_t1, b.n_tok AS n_t2,
+         CAST((p.n_pair * x.n_lang * 1000) // (a.n_tok * b.n_tok) AS BIGINT)
+           AS lift_milli
+  FROM pc p
+  JOIN uc a ON a.lang = p.lang AND a.tok = p.t1
+  JOIN uc b ON b.lang = p.lang AND b.tok = p.t2
+  JOIN tot x ON x.lang = p.lang
+  WHERE p.n_pair >= 3)
+SELECT lang, t1, t2, n_pair, n_t1, n_t2, lift_milli, rank FROM (
+  SELECT j.*, row_number() OVER (PARTITION BY lang
+    ORDER BY lift_milli DESC, n_pair DESC, t1, t2) AS rank
+  FROM j)
+WHERE rank <= 10"""
+
+  /** Mirror of TextOps.unigramEntropy: per-(lang, tok) counts, integer-
+    * bit entropy numerator (same highest-set-bit log as textSurprisal),
+    * two final divisions only. */
+  val textEntropy: String = """
+WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+cnt AS (SELECT lang, tok, COUNT(*) AS c FROM tok GROUP BY lang, tok),
+tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS vocab
+        FROM cnt GROUP BY lang),
+b AS (
+  SELECT c.lang, t.n_tokens, t.vocab,
+         c.c * CAST(length(bin(t.n_tokens)) - length(bin(c.c)) AS BIGINT) AS bits
+  FROM cnt c JOIN tot t USING (lang))
+SELECT lang, n_tokens, vocab,
+       CAST(SUM(bits) AS BIGINT) AS total_bits,
+       CAST(SUM(bits) AS DOUBLE) / n_tokens AS bits_per_token,
+       CAST(vocab AS DOUBLE) / n_tokens AS type_token_ratio
+FROM b GROUP BY lang, n_tokens, vocab"""
+
+  /** Mirror of TextOps.qualityGate: the shared quality formula,
+    * percentile_disc-by-rank-arithmetic over per-(lang, score) counts,
+    * keep = score ≥ threshold. */
+  // def, not val: references `occ`, declared further down the object —
+  // a val here would read null during object init
+  def corpusQualityGate: String = s"""
+WITH q AS (
+  SELECT doc_id, lang,
+         least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100) * 0.4
+         + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) * 0.4
+         + least(1.0, CAST(${occ("the ", 4)} + ${occ("a ", 2)} AS DOUBLE) / 5) * 0.2
+           AS quality_score
+  FROM documents),
+sc AS (SELECT lang, quality_score, COUNT(*) AS c FROM q GROUP BY lang, quality_score),
+cum AS (
+  SELECT lang, quality_score, c,
+         SUM(c) OVER (PARTITION BY lang ORDER BY quality_score DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY lang) AS n_lang
+  FROM sc),
+thr AS (
+  SELECT lang, MAX(quality_score) AS threshold,
+         CAST(MAX(n_lang) AS BIGINT) AS n_lang
+  FROM cum WHERE cum >= (n_lang * 75 + 99) // 100
+  GROUP BY lang)
+SELECT q.doc_id, q.lang, q.quality_score, t.threshold, t.n_lang,
+       q.quality_score >= t.threshold AS keep
+FROM q JOIN thr t USING (lang)"""
+
+  /** Mirror of TextOps.piiScrub. The patterns avoid every Java-vs-RE2
+    * divergence (no backrefs/lookaround); DuckDB regexp_replace needs
+    * the explicit 'g' flag to match Spark's replace-all. */
+  val textPiiScrub: String = {
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val phone = "\\+?[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
+    val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    s"""
+SELECT doc_id, lang,
+       len(regexp_extract_all(text, '$email')) AS n_emails,
+       len(regexp_extract_all(text, '$phone')) AS n_phones,
+       len(regexp_extract_all(text, '$ip')) AS n_ips,
+       len(regexp_extract_all(text, '$email'))
+         + len(regexp_extract_all(text, '$phone'))
+         + len(regexp_extract_all(text, '$ip')) > 0 AS has_pii,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '$email', '<EMAIL>', 'g'),
+               '$phone', '<PHONE>', 'g'),
+             '$ip', '<IP>', 'g')) AS scrubbed_md5
+FROM documents"""
+  }
+
   /** Mirror of TextOps.benchmarkContamination: corpus docs sharing an
     * 8-token shingle with the doc_id%97=0 benchmark set. */
   val corpusContamination: String = """

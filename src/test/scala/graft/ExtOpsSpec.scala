@@ -621,4 +621,83 @@ class ExtOpsSpec extends SparkSpec {
       assert(m >= -1.0 && m <= 1.0)
     }
   }
+
+  private def langDocs(rows: (Long, String, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang")
+  }
+
+  test("collocations rank the always-together pair by exact integer lift") {
+    // en corpus: 12 tokens, 'peanut butter' adjacent 3×; every other
+    // adjacent pair occurs < 3 times and is suppressed by minPair.
+    val out = TextOps.collocations(langDocs(
+        (1L, "peanut butter x y", "en"),
+        (2L, "peanut butter x z", "en"),
+        (3L, "peanut butter y z", "en")))
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("t1") == "peanut" && r.getAs[String]("t2") == "butter")
+    assert(r.getAs[Long]("n_pair") == 3L)
+    assert(r.getAs[Long]("n_t1") == 3L && r.getAs[Long]("n_t2") == 3L)
+    // lift_milli = (3 · 12 · 1000) div (3 · 3)
+    assert(r.getAs[Long]("lift_milli") == 4000L)
+    assert(r.getAs[Int]("rank") == 1)
+  }
+
+  test("unigram entropy: zero for a constant stream, log2(n) bits for uniform") {
+    val m = TextOps.unigramEntropy(langDocs(
+        (1L, "a a a a", "en"),     // N=4, one type → 0 bits
+        (2L, "a b c d", "de")))    // N=4, uniform over 4 → 2 bits/token
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("vocab"),
+         r.getAs[Long]("total_bits"), r.getAs[Double]("bits_per_token"),
+         r.getAs[Double]("type_token_ratio"))).toMap
+    assert(m("en") == (4L, 1L, 0L, 0.0, 0.25))
+    assert(m("de") == (4L, 4L, 8L, 2.0, 1.0))
+  }
+
+  test("quality gate keeps the per-lang top 75% and drops the low tail") {
+    // Four docs with strictly increasing quality (longer + more diverse
+    // + stopwords); ceil(0.75·4) = 3 → the single worst doc is dropped.
+    val out = TextOps.qualityGate(langDocs(
+        (1L, "x x", "en"),
+        (2L, "the quick brown fox jumps", "en"),
+        (3L, "the quick brown fox jumps over a lazy dog today", "en"),
+        (4L, "the quick brown fox jumps over a lazy dog while the sun " +
+          "sets behind a quiet hill and evening birds return home", "en")))
+      .collect()
+    assert(out.length == 4)
+    assert(out.forall(_.getAs[Long]("n_lang") == 4L))
+    val byId = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Double]("quality_score"), r.getAs[Boolean]("keep"))).toMap
+    val worst = byId.minBy(_._2._1)._1
+    assert(worst == 1L && !byId(1L)._2)
+    assert(Seq(2L, 3L, 4L).forall(byId(_)._2))
+    // threshold is the 3rd-highest score — every survivor is ≥ it
+    val thr = out.head.getAs[Double]("threshold")
+    assert(byId.filter(_._2._2).values.forall(_._1 >= thr))
+  }
+
+  test("pii scrub counts and masks emails, phones, and IPs; clean text untouched") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val m = TextOps.piiScrub(langDocs(
+        (1L, "contact me.now+x@sub.example.com today", "en"),
+        (2L, "call +1-555-0100 or 555-123-4567 now", "en"),
+        (3L, "server 10.0.0.1 and 192.168.1.255 up", "en"),
+        (4L, "perfectly clean text here", "en")))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_emails"), r.getAs[Int]("n_phones"),
+         r.getAs[Int]("n_ips"), r.getAs[Boolean]("has_pii"),
+         r.getAs[String]("scrubbed_md5"))).toMap
+    assert(m(1L)._1 == 1 && m(1L)._4)
+    assert(m(1L)._5 == md5hex("contact <EMAIL> today"))
+    assert(m(2L)._2 == 1 && m(2L)._4)  // +1-555-0100 is not a 3-3/4-4 shape
+    assert(m(2L)._5 == md5hex("call +1-555-0100 or <PHONE> now"))
+    assert(m(3L)._3 == 2 && m(3L)._4)
+    assert(m(3L)._5 == md5hex("server <IP> and <IP> up"))
+    assert(m(4L) == ((0, 0, 0, false, md5hex("perfectly clean text here"))))
+  }
 }
