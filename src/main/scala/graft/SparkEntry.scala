@@ -283,6 +283,10 @@ object SparkEntry {
     // ---- deduplication over `documents` -------------------------------
     "dedup_exact" -> ((s, d) => shExact(s, d)),
     "dedup_minhash" -> ((s, d) => shPairs(s, d, 0.5)),
+    // estimator accuracy eval: signature-estimated vs exact Jaccard per
+    // LSH candidate pair (false positives kept — jaccard 0 rows count)
+    "dedup_minhash_est" -> ((s, d) =>
+      DedupOps.minhashEstimateEvalFrom(shSets(s, d), shSigs(s, d), shBands(s, d))),
     "dedup_simhash" -> ((s, d) => DedupOps.simhashDups(docs(s, d))),
     "dedup_simhash_k" -> ((s, d) => DedupOps.simhashHammingPairs(docs(s, d))),
     "dedup_ngram" -> ((s, d) =>
@@ -346,6 +350,8 @@ object SparkEntry {
       emb(s, d), shExactTopK(s, d), shPq(s, d), coarse = shCoarse(s, d))),
     // int8 scalar quantization + exact integer reconstruction error
     "embed_sq8" -> ((s, d) => EmbedOps.scalarQuantize8(emb(s, d))),
+    // per-label dataset-card profile of the embedding store
+    "embed_norm_profile" -> ((s, d) => EmbedOps.normProfile(emb(s, d))),
     // native codegen'd cosine expression — fully hash-gated: the
     // float-product/double-left-fold accumulation is reproduced
     // bit-for-bit by the oracle's list_reduce (see
@@ -520,6 +526,7 @@ GROUP BY l_returnflag""",
 
     "dedup_exact" -> OracleSqlExt.dedupExact,
     "dedup_minhash" -> OracleSqlExt.dedupMinhash,
+    "dedup_minhash_est" -> OracleSqlExt.dedupMinhashEst,
     "dedup_simhash" -> OracleSqlExt.dedupSimhash,
     "dedup_simhash_k" -> OracleSqlExt.dedupSimhashK,
     "dedup_ngram" -> OracleSqlExt.dedupNgram,
@@ -547,6 +554,7 @@ GROUP BY l_returnflag""",
     "embed_pq_recall" -> OracleSqlExt.embedPqRecall,
     "embed_ivfpq_recall" -> OracleSqlExt.embedIvfPqRecall,
     "embed_sq8" -> OracleSqlExt.embedSq8,
+    "embed_norm_profile" -> OracleSqlExt.embedNormProfile,
 
     "mm_decode" -> OracleSqlExt.mmDecode,
     "mm_decode_jpeg" -> OracleSqlExt.mmDecodeJpeg,

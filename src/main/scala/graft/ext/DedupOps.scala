@@ -275,6 +275,58 @@ object DedupOps {
     jaccardVerify(cand, sets, threshold)
   }
 
+  /** MinHash estimator accuracy eval: for every LSH candidate pair, the
+    * signature-estimated Jaccard (matching-minima fraction, the
+    * statistic the banding THRESHOLD is derived from) next to the exact
+    * shingle Jaccard and their absolute error — the measurement that
+    * decides whether NumHashes is large enough before trusting the
+    * estimate at corpus scale (same role as [[graft.ext.EmbedOps]]'
+    * PQ/IVF recall evals on the ANN side).
+    *
+    * Exactness: `matches` is an integer positional compare of the two
+    * md5-derived signatures; est/exact/err are three deterministic
+    * single-op doubles. Zero-intersection candidates are KEPT (exact
+    * Jaccard 0 via left join + coalesce) — an estimator eval that
+    * silently dropped the estimator's false positives would flatter it.
+    *
+    * Scale posture: the candidate join is the triangle-salted band
+    * self-join every other minhash consumer uses; signatures attach by
+    * two equi joins on doc id (8 longs of payload per row), and the
+    * verify side reuses the relational intersection count. */
+  def minhashEstimateEvalFrom(sets: DataFrame, sigs: DataFrame,
+      bands: DataFrame): DataFrame = {
+    val cand = saltedSelfPairs(bands, "band", "doc_id")
+    val sigArr = sigs.filter(col("mh0").isNotNull).select(col("doc_id"),
+      array((0 until NumHashes).map(j => col(s"mh$j")): _*).as("sig"))
+    val withSig = cand
+      .join(sigArr.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        Seq("doc_a"))
+      .join(sigArr.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        Seq("doc_b"))
+      .withColumn("matches", aggregate(
+        zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v))
+    val ex = sets.select(col("doc_id"), explode(col("sh")).as("s"))
+    val inter = cand
+      .join(ex.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
+      .join(ex.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ni"))
+    val sizes = sets.select(col("doc_id"), col("n_sh"))
+    withSig.join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("ni"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+        Seq("doc_b"))
+      .withColumn("est_jaccard", col("matches").cast("double") / NumHashes)
+      .withColumn("jaccard", col("ni").cast("double") /
+        (col("n_a") + col("n_b") - col("ni")).cast("double"))
+      .select(col("doc_a"), col("doc_b"), col("matches"),
+        col("est_jaccard"), col("jaccard"),
+        abs(col("est_jaccard") - col("jaccard")).as("abs_err"))
+  }
+
   /** Near-duplicate CLUSTERS: connected components over the MinHash pair
     * graph ([[Graph.connectedComponents]] — min-label propagation with
     * pointer jumping, O(log diameter) distributed rounds) — the step a

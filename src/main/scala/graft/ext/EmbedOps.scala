@@ -745,6 +745,30 @@ object EmbedOps {
         col("err2"),
         (col("err2").cast("double") / 64).as("mse_per_dim"))
 
+  /** Per-label embedding table diagnostics — the dataset-card row of an
+    * embedding store (and the pre-flight read before choosing an ANN
+    * index): vector counts, dimensionality consistency (min=max=dims
+    * proves no ragged rows made it past ingestion), and the quantized
+    * squared-norm distribution. Un-normalized embedding models show up
+    * here as a wide norm range; a norm collapse (all ≈ equal) says the
+    * table was already L2-normalized and dot product ≡ cosine.
+    *
+    * Exactness: norms are the suite's standard integer quantization, so
+    * min/max/sum are exact int64 and the single mean division is the
+    * only double. Scale posture: one map-side-combinable aggregate over
+    * a scan; output is nlist-sized. */
+  def normProfile(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("label"),
+      size(col("embedding")).as("dims"),
+      qnorm2(quantized(col("embedding"))).as("n2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("dims")).as("min_dims"), max(col("dims")).as("max_dims"),
+        min(col("n2")).as("min_norm2"), max(col("n2")).as("max_norm2"),
+        sum(col("n2")).as("sum_norm2"))
+      .withColumn("mean_norm2",
+        col("sum_norm2").cast("double") / col("n_vecs"))
+
   /** IVF-style top-k: the coarse quantizer is the `label` column — each
     * query searches only its own partition (1/10th of the corpus here;
     * 1/nlist in general). The exact analog of probing one inverted

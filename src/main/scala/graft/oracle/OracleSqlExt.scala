@@ -781,6 +781,40 @@ JOIN dsz za ON za.doc_id = i.doc_a
 JOIN dsz zb ON zb.doc_id = i.doc_b
 WHERE CAST(ni AS DOUBLE) / CAST(za.n + zb.n - ni AS DOUBLE) >= 0.5"""
 
+  /** Mirror of DedupOps.minhashEstimateEvalFrom. The candidate join
+    * matches band index AND band string (the Spark side prefixes the
+    * index onto the bucket key); zero-intersection candidates survive
+    * via the left join + coalesce. */
+  val dedupMinhashEst: String = shingleCtes + minhashSigCtes(8) + minhashBandCtes + """,
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.band = b.band AND a.doc_id < b.doc_id),
+m AS (
+  SELECT c.doc_a, c.doc_b,
+         SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS matches
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+  GROUP BY c.doc_a, c.doc_b),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS ni
+  FROM cand c
+  JOIN dsh x ON x.doc_id = c.doc_a
+  JOIN dsh y ON y.doc_id = c.doc_b AND y.s = x.s
+  GROUP BY c.doc_a, c.doc_b)
+SELECT m.doc_a, m.doc_b, CAST(m.matches AS INT) AS matches,
+       CAST(m.matches AS DOUBLE) / 8 AS est_jaccard,
+       CAST(COALESCE(i.ni, 0) AS DOUBLE)
+         / CAST(za.n + zb.n - COALESCE(i.ni, 0) AS DOUBLE) AS jaccard,
+       abs(CAST(m.matches AS DOUBLE) / 8
+           - CAST(COALESCE(i.ni, 0) AS DOUBLE)
+             / CAST(za.n + zb.n - COALESCE(i.ni, 0) AS DOUBLE)) AS abs_err
+FROM m
+LEFT JOIN inter i ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b
+JOIN dsz za ON za.doc_id = m.doc_a
+JOIN dsz zb ON zb.doc_id = m.doc_b"""
+
   /** Connected components over the minhash pair graph: recursive
     * transitive closure (tiny graph — pairs above threshold), component
     * id = min reachable doc_id, singletons via the documents left join.
@@ -1695,6 +1729,21 @@ c AS (
 SELECT vec_id, CAST(scale AS BIGINT) AS scale, max_code, err2,
        CAST(err2 AS DOUBLE) / 64 AS mse_per_dim
 FROM c"""
+
+  /** Mirror of EmbedOps.normProfile: per-label counts, dim-consistency
+    * min/max, and the exact quantized squared-norm distribution. */
+  val embedNormProfile: String = quantCte + """,
+n AS (
+  SELECT q.label, CAST(len(e.embedding) AS INT) AS dims,
+         CAST(list_sum(list_transform(q.qv, x -> x * x)) AS BIGINT) AS n2
+  FROM q JOIN embeddings e USING (vec_id))
+SELECT label, COUNT(*) AS n_vecs,
+       MIN(dims) AS min_dims, MAX(dims) AS max_dims,
+       CAST(MIN(n2) AS BIGINT) AS min_norm2,
+       CAST(MAX(n2) AS BIGINT) AS max_norm2,
+       CAST(SUM(n2) AS BIGINT) AS sum_norm2,
+       CAST(SUM(n2) AS DOUBLE) / COUNT(*) AS mean_norm2
+FROM n GROUP BY label"""
 
   /** 64-dim integer squared L2 between a query vector and a coarse
     * centroid list. */

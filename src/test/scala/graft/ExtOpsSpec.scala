@@ -622,6 +622,47 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("minhash estimator eval: exact 1.0 on identical docs, bounded error, FPs kept") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val d = docs(1L -> base, 2L -> base,
+      3L -> "the quick brown fox jumps over the lazy dog again and again tonight",
+      4L -> "completely different content about database engines and query plans")
+    val sigs = DedupOps.minhashSignatures(d).cache()
+    val out = DedupOps.minhashEstimateEvalFrom(
+      DedupOps.shingleSets(d), sigs, DedupOps.bandKeysFrom(sigs))
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Int]("matches"), r.getAs[Double]("est_jaccard"),
+         r.getAs[Double]("jaccard"), r.getAs[Double]("abs_err"))).toMap
+    // identical docs: every signature position matches, both jaccards 1
+    assert(out((1L, 2L)) == ((8, 1.0, 1.0, 0.0)))
+    // the near pair is a candidate; its estimate is a valid fraction and
+    // err is consistent with the two reported values
+    assert(out.contains((1L, 3L)) || out.contains((2L, 3L)))
+    out.values.foreach { case (m, est, j, err) =>
+      assert(m >= 0 && m <= 8 && est == m / 8.0)
+      assert(j >= 0.0 && j <= 1.0)
+      assert(err == math.abs(est - j))
+    }
+    // the unrelated doc never collides with the near-dup group
+    assert(!out.keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("embedding norm profile: exact per-label counts, dims, and norm stats") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f), 0),   // n2 = 1000²
+      (2L, Array(0.0f, 2.0f), 0),   // n2 = 2000²
+      (3L, Array(1.0f, 1.0f), 1))   // n2 = 2·1000²
+      .toDF("vec_id", "embedding", "label")
+    val m = EmbedOps.normProfile(e).collect()
+      .map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Int]("min_dims"), r.getAs[Int]("max_dims"),
+         r.getAs[Long]("min_norm2"), r.getAs[Long]("max_norm2"),
+         r.getAs[Long]("sum_norm2"), r.getAs[Double]("mean_norm2"))).toMap
+    assert(m(0) == ((2L, 2, 2, 1000000L, 4000000L, 5000000L, 2500000.0)))
+    assert(m(1) == ((1L, 2, 2, 2000000L, 2000000L, 2000000L, 2000000.0)))
+  }
+
   private def langDocs(rows: (Long, String, String)*) = {
     import spark.implicits._
     rows.toDF("doc_id", "text", "lang")
