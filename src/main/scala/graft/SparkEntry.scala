@@ -87,6 +87,9 @@ object SparkEntry {
     "q5_region_volume" -> ((s, d) => Analytics.regionVolume(
       Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
       Tables.supplier(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    // Q14 promo share: broadcast part dim + conditional aggregate
+    "q14_promo" -> ((s, d) => Analytics.promoRevenue(
+      Tables.part(s, d), Tables.lineitem(s, d))),
     "window_top_orders" -> ((s, d) => Analytics.topOrdersPerCustomer(Tables.orders(s, d))),
     "window_running_spend" -> ((s, d) => Analytics.runningSpend(Tables.orders(s, d))),
     "window_range_frame" -> ((s, d) => Analytics.rangeFrameSpend(Tables.orders(s, d))),
@@ -441,6 +444,7 @@ object SparkEntry {
     "q1_pricing" -> OracleSqlExt.q1Pricing,
     "q3_shipping" -> OracleSqlExt.q3Shipping,
     "q5_region_volume" -> OracleSqlExt.q5RegionVolume,
+    "q14_promo" -> OracleSqlExt.q14Promo,
     "window_top_orders" -> OracleSqlExt.windowTopOrders,
     "window_running_spend" -> OracleSqlExt.windowRunningSpend,
     "window_range_frame" -> OracleSqlExt.windowRangeFrame,

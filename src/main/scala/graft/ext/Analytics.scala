@@ -127,6 +127,39 @@ object Analytics {
       .select(col("nation"), col("revenue_d").cast("string").as("revenue"))
   }
 
+  /** TPC-H Q14-shaped promo revenue share: one ship-month of the fact
+    * table (pushed-down timestamp range → partition/row-group pruning
+    * at scale) broadcast-joined to the fixed-cardinality `part` dim,
+    * then a conditional aggregate — the classic "small-dim attribute
+    * routes a fact measure" shape. `part` carries an explicit
+    * broadcast hint because its cardinality is a catalog constant
+    * (like region/nation), not a scale-factor variable; the projection
+    * is cut to the two needed columns before the hint so the broadcast
+    * ships 2 columns, not 6.
+    *
+    * The promo sum uses null-skipping SUM(CASE …) with no ELSE — both
+    * engines skip nulls identically — and the share is one double
+    * division of the two exact decimal sums. */
+  def promoRevenue(part: DataFrame, lineitem: DataFrame): DataFrame = {
+    val disc = dec("l_extendedprice") *
+      (lit(1).cast("decimal(3,2)") - dec("l_discount", 4))
+    lineitem
+      .filter(col("l_shipdate") >= lit("1995-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-10-01").cast("timestamp"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", disc)).as("promo_d"),
+        sum(disc).as("total_d"),
+        count(lit(1)).as("n_items"))
+      .select(
+        col("promo_d").cast("string").as("promo_revenue"),
+        col("total_d").cast("string").as("total_revenue"),
+        (lit(100.0) * col("promo_d").cast("double") /
+          col("total_d").cast("double")).as("promo_pct"),
+        col("n_items"))
+  }
+
   /** Ranking window: top-3 orders per customer by value — row_number over
     * a per-key window (shuffles once on o_custkey). */
   def topOrdersPerCustomer(orders: DataFrame): DataFrame = {

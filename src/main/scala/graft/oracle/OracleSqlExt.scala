@@ -23,6 +23,28 @@ FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus"""
 
+  /** Mirror of Analytics.promoRevenue (TPC-H Q14 shape): same decimal
+    * lattice as q1Pricing, null-skipping promo CASE, one double
+    * division for the share. */
+  val q14Promo: String = """
+SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+         THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+              * (1 - CAST(l.l_discount AS DECIMAL(4,2))) END) AS VARCHAR)
+         AS promo_revenue,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+              * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS VARCHAR)
+         AS total_revenue,
+       100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+         THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+              * (1 - CAST(l.l_discount AS DECIMAL(4,2))) END) AS DOUBLE)
+         / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+              * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+         AS promo_pct,
+       count(*) AS n_items
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'"""
+
   val q3Shipping: String = """
 SELECT o_orderkey, CAST(revenue AS VARCHAR) AS revenue, order_date, order_priority
 FROM (

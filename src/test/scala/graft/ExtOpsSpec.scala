@@ -135,6 +135,24 @@ class ExtOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("count_order") == 2L)
   }
 
+  test("q14 promo share: conditional decimal sums and the exact percentage") {
+    import spark.implicits._
+    val part = Seq((1L, "PROMO"), (2L, "STANDARD")).toDF("p_partkey", "p_type")
+    val li = Seq(
+      // in-window: promo 100.00 at 10% disc → 90.00; standard 50.00 → 45.00
+      (1L, "1995-09-10 00:00:00", 100.0, 0.10),
+      (2L, "1995-09-20 00:00:00", 50.0, 0.10),
+      // out-of-window row must be filtered
+      (1L, "1995-10-02 00:00:00", 999.0, 0.0))
+      .toDF("l_partkey", "ship", "l_extendedprice", "l_discount")
+      .withColumn("l_shipdate", col("ship").cast("timestamp"))
+    val r = Analytics.promoRevenue(part, li).collect().head
+    assert(r.getAs[String]("promo_revenue") == "90.0000")
+    assert(r.getAs[String]("total_revenue") == "135.0000")
+    assert(r.getAs[Double]("promo_pct") == 100.0 * 90.0 / 135.0)
+    assert(r.getAs[Long]("n_items") == 2L)
+  }
+
   test("cube emits the full grouping lattice incl. grand total") {
     import spark.implicits._
     val o = Seq(("O", "1-URGENT", 10.0), ("O", "2-HIGH", 20.0), ("F", "1-URGENT", 30.0))
