@@ -271,6 +271,9 @@ object SparkEntry {
     "sample_mixture" -> ((s, d) => TextOps.mixtureSample(docs(s, d))),
     // integer-bit tf-idf: top distinctive terms per document
     "text_tfidf" -> ((s, d) => TextOps.tfidfTermsFrom(shTf(s, d), docs(s, d))),
+    // tokenizer-apply: df-ranked vocab ids + ordered-sequence md5
+    "text_vocab_encode" -> ((s, d) =>
+      TextOps.vocabEncodeFrom(shTf(s, d), docs(s, d))),
     // rational-idf BM25 keyword retrieval over the shared posting frame
     "text_bm25" -> ((s, d) => TextOps.bm25TopDocsFrom(shTf(s, d), docs(s, d))),
     // per-lang token-length histogram (dataset-card distribution table)
@@ -300,6 +303,10 @@ object SparkEntry {
     "dedup_pagerank" -> ((s, d) => DedupOps.nearDupPageRankFrom(
       docs(s, d).select(org.apache.spark.sql.functions.col("doc_id")),
       shPairs(s, d, 0.5))),
+    // triangle/wedge structure stats of the near-dup graph
+    // (degree-ordered forward counting over the shared pair frame)
+    "dedup_graph_triangles" -> ((s, d) =>
+      ext.Graph.triangleStats(shPairs(s, d, 0.5))),
     "dedup_incremental" -> ((s, d) =>
       DedupOps.incrementalNewDocsFrom(docs(s, d), shDigests(s, d))),
     // same semantics behind a broadcast Bloom prefilter (exact result;
@@ -520,6 +527,7 @@ GROUP BY l_returnflag""",
     "sample_hash" -> OracleSqlExt.textHashSample,
     "sample_mixture" -> OracleSqlExt.corpusMixtureSample,
     "text_tfidf" -> OracleSqlExt.textTfidf,
+    "text_vocab_encode" -> OracleSqlExt.textVocabEncode,
     "text_bm25" -> OracleSqlExt.textBm25,
     "text_length_histogram" -> OracleSqlExt.textLengthHistogram,
     "text_paragraph_dedup" -> OracleSqlExt.textParagraphDedup,
@@ -536,6 +544,7 @@ GROUP BY l_returnflag""",
     "dedup_ngram" -> OracleSqlExt.dedupNgram,
     "dedup_clusters" -> OracleSqlExt.dedupClusters,
     "dedup_pagerank" -> OracleSqlExt.dedupPagerank,
+    "dedup_graph_triangles" -> OracleSqlExt.dedupGraphTriangles,
     "dedup_incremental" -> OracleSqlExt.dedupIncremental,
     // the bloom is a pure prefilter: the exact-SQL oracle is identical
     "dedup_incremental_bloom" -> OracleSqlExt.dedupIncremental,

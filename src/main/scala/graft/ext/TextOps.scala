@@ -560,6 +560,53 @@ object TextOps {
   def tfidfTerms(documents: DataFrame, k: Int = 3): DataFrame =
     tfidfTermsFrom(termFrequencies(documents), documents, k)
 
+  /** Vocabulary encoding — the tokenizer-apply step between curation
+    * and sequence packing: map every token to its id in a fixed-size
+    * frequency vocabulary (rank by document frequency, deterministic
+    * term tie-break; OOV → id 0) and report per document the token/OOV
+    * counts plus an md5 fingerprint of the POSITION-ORDERED id
+    * sequence — the content-addressable identity of the encoded sample
+    * that downstream packing/shuffling jobs can verify against.
+    *
+    * Built over the suite's shared [[termFrequencies]] posting frame —
+    * the vocabulary derivation is one vocab-sized aggregate of it, not
+    * a second corpus scan.
+    *
+    * Scale posture: the vocabulary is catalog-sized (`vocabSize` rows)
+    * and broadcasts; the encode join is a per-token equi probe of that
+    * broadcast, and the per-doc reassembly sorts each doc's (pos, id)
+    * list INSIDE the row (sort_array after collect) — no corpus-wide
+    * ordering anywhere. At real vocab sizes (50k-100k) the broadcast
+    * is a few MB — still a map-side join. */
+  def vocabEncodeFrom(tf: DataFrame, documents: DataFrame,
+      vocabSize: Int = 100): DataFrame = {
+    // global row_number + rank<=k rewrites to WindowGroupLimit: each
+    // map partition pre-selects its local top-k before the single
+    // merge, so the "global window" never sees the full term vocab
+    // (same plan guarantee KMeansSpec asserts for balancedSample)
+    val vocab = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .withColumn("token_id", expr(
+        "row_number() over (order by df desc, term)"))
+      .filter(col("token_id") <= vocabSize)
+      .select(col("term"), col("token_id"))
+    val pos = documents.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+    pos.join(broadcast(vocab), Seq("term"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("token_id"), lit(0)).as("id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("id") === 0, 1L).otherwise(0L)).as("n_oov"),
+        md5(concat_ws(",",
+          transform(sort_array(collect_list(struct(col("pos"), col("id")))),
+            e => e.getField("id").cast("string"))).cast("binary"))
+          .as("ids_md5"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"),
+        col("ids_md5"))
+  }
+
   /** [[tfidfTerms]] over a precomputed [[termFrequencies]] frame. */
   def tfidfTermsFrom(tf: DataFrame, documents: DataFrame,
       k: Int = 3): DataFrame = {

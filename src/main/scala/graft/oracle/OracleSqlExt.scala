@@ -438,6 +438,33 @@ SELECT doc_id, COUNT(*) AS n_tokens,
        CAST(SUM(bits) AS DOUBLE) / COUNT(*) AS bits_per_token
 FROM b GROUP BY doc_id"""
 
+  /** Mirror of TextOps.vocabEncodeFrom: df-ranked top-100 vocabulary,
+    * positional encode with OOV→0, and the md5 of the position-ordered
+    * id sequence. */
+  val textVocabEncode: String = """
+WITH tf AS (
+  SELECT doc_id, tok AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok),
+v AS (
+  SELECT term, token_id FROM (
+    SELECT term, row_number() OVER (ORDER BY df DESC, term) AS token_id
+    FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term))
+  WHERE token_id <= 100),
+pos AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS term
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       UNNEST(range(1, len(t) + 1)) u(i)),
+enc AS (
+  SELECT p.doc_id, p.pos, COALESCE(v.token_id, 0) AS id
+  FROM pos p LEFT JOIN v ON v.term = p.term)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS oov_rate,
+       md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos)) AS ids_md5
+FROM enc GROUP BY doc_id"""
+
   /** Mirror of TextOps.collocations: adjacent-pair and unigram counts
     * per language, integer milli-lift (c_xy·N·1000)//(c_x·c_y) — both
     * engines' integer division agrees on the non-negative operands —
@@ -876,6 +903,58 @@ SELECT doc_id, cluster_id,
        count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
        doc_id = cluster_id AS is_canonical
 FROM lab"""
+
+  /** The minhash verified-pair CTE chain alone (threshold 0.5) — the
+    * edge list the graph-statistic oracles build on. */
+  private val pairsCtes: String = shingleCtes + minhashSigCtes(8) + minhashBandCtes + """,
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS ni
+  FROM cand c
+  JOIN dsh x ON x.doc_id = c.doc_a
+  JOIN dsh y ON y.doc_id = c.doc_b AND y.s = x.s
+  GROUP BY c.doc_a, c.doc_b),
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN dsz za ON za.doc_id = i.doc_a
+  JOIN dsz zb ON zb.doc_id = i.doc_b
+  WHERE CAST(ni AS DOUBLE) / CAST(za.n + zb.n - ni AS DOUBLE) >= 0.5)"""
+
+  /** Mirror of Graph.triangleStats over the minhash near-dup pairs:
+    * same (degree, id) orientation, same forward-count triple join,
+    * same integer wedge sum and single final division. */
+  val dedupGraphTriangles: String = pairsCtes + """,
+deg AS (
+  SELECT id, COUNT(*) AS deg FROM (
+    SELECT doc_a AS id FROM pairs
+    UNION ALL SELECT doc_b FROM pairs) GROUP BY id),
+o AS (
+  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.doc_a < p.doc_b)
+              THEN p.doc_a ELSE p.doc_b END AS src,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.doc_a < p.doc_b)
+              THEN p.doc_b ELSE p.doc_a END AS dst
+  FROM pairs p
+  JOIN deg da ON da.id = p.doc_a
+  JOIN deg db ON db.id = p.doc_b),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM o o1
+  JOIN o o2 ON o2.src = o1.src AND o2.dst <> o1.dst
+  JOIN o o3 ON o3.src = o1.dst AND o3.dst = o2.dst),
+vw AS (
+  SELECT COUNT(*) AS n_vertices,
+         CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+  FROM deg),
+ne AS (SELECT COUNT(*) AS n_edges FROM pairs)
+SELECT vw.n_vertices, ne.n_edges, vw.n_wedges, t.n_triangles,
+       CASE WHEN vw.n_wedges > 0
+            THEN CAST(3.0 AS DOUBLE) * t.n_triangles / vw.n_wedges
+            ELSE CAST(0.0 AS DOUBLE) END
+         AS global_clustering
+FROM ne, vw, tri t"""
 
   /** Mirror of ext.Corpus.cleanDecisions: the dedup-cluster labeling
     * (shared CTE chain), exact-dup flag, and quality score fused into

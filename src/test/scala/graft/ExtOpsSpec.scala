@@ -665,6 +665,45 @@ class ExtOpsSpec extends SparkSpec {
     assert(!out.keys.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("vocab encode: df-ranked ids, OOV zeros, position-ordered fingerprint") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val d = docs(1L -> "a b c", 2L -> "a b a")
+    // df: a=2, b=2, c=1 → vocab(2) = {a→1, b→2}; c is OOV
+    val m = TextOps.vocabEncodeFrom(TextOps.termFrequencies(d), d, vocabSize = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+         r.getAs[Double]("oov_rate"), r.getAs[String]("ids_md5"))).toMap
+    assert(m(1L) == ((3L, 1L, 1.0 / 3, md5hex("1,2,0"))))
+    assert(m(2L) == ((3L, 0L, 0.0, md5hex("1,2,1"))))
+  }
+
+  test("triangle stats: forward counting matches hand-counted graphs") {
+    import spark.implicits._
+    def stats(edges: (Long, Long)*) = {
+      val df = edges.toSeq.toDF("doc_a", "doc_b")
+      ext.Graph.triangleStats(df).collect().head
+    }
+    // triangle + pendant: T=1, degrees (2,2,3,1) → wedges 1+1+3+0=5
+    val r1 = stats(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 4L)
+    assert(r1.getAs[Long]("n_vertices") == 4L)
+    assert(r1.getAs[Long]("n_edges") == 4L)
+    assert(r1.getAs[Long]("n_wedges") == 5L)
+    assert(r1.getAs[Long]("n_triangles") == 1L)
+    assert(r1.getAs[Double]("global_clustering") == 3.0 / 5)
+    // K4: every wedge closes — T=4, wedges=12, coefficient exactly 1
+    val r2 = stats(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L)
+    assert(r2.getAs[Long]("n_triangles") == 4L)
+    assert(r2.getAs[Long]("n_wedges") == 12L)
+    assert(r2.getAs[Double]("global_clustering") == 1.0)
+    // star hub: wedges but no triangles → coefficient 0
+    val r3 = stats(1L -> 2L, 1L -> 3L, 1L -> 4L, 1L -> 5L)
+    assert(r3.getAs[Long]("n_triangles") == 0L)
+    assert(r3.getAs[Long]("n_wedges") == 6L)
+    assert(r3.getAs[Double]("global_clustering") == 0.0)
+  }
+
   test("embedding norm profile: exact per-label counts, dims, and norm stats") {
     import spark.implicits._
     val e = Seq(
