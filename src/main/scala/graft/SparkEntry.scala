@@ -253,13 +253,13 @@ object SparkEntry {
     // integer PMI-lift collocations, top-10 per language
     "text_pmi" -> ((s, d) => TextOps.collocations(docs(s, d))),
     // per-lang unigram entropy / vocabulary diversity profile
-    "text_entropy" -> ((s, d) => TextOps.unigramEntropy(docs(s, d))),
+    "text_entropy" -> ((s, d) => TextOps.unigramEntropyFrom(shTf(s, d), docs(s, d))),
     // per-lang percentile quality gating (keep the top 75% by score)
     "corpus_quality_gate" -> ((s, d) => TextOps.qualityGate(docs(s, d))),
     // PII detection + in-place scrubbing (email/phone/IP), zero-shuffle
     "text_pii_scrub" -> ((s, d) => TextOps.piiScrub(docs(s, d))),
     // unigram-LM surprisal quality score in integer bits
-    "text_surprisal" -> ((s, d) => TextOps.unigramSurprisal(docs(s, d))),
+    "text_surprisal" -> ((s, d) => TextOps.unigramSurprisalFrom(shTf(s, d))),
     "corpus_contamination" -> ((s, d) =>
       TextOps.benchmarkContaminationFrom(shSixGrams(s, d))),
     // temperature-scaled per-source mixing weights (α = 0.5)

@@ -297,16 +297,24 @@ object TextOps {
     * count frame broadcasts while small; at web-corpus vocab it
     * becomes a shuffle join on the token (Zipf-hot tokens are exactly
     * the well-estimated ones, and AQE's skew split handles "the"). */
-  def unigramSurprisal(documents: DataFrame): DataFrame = {
-    val tok = documents.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    val counts = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val total = tok.select(count(lit(1)).as("n_total"))
-    tok.join(counts, Seq("tok"))
+  def unigramSurprisal(documents: DataFrame): DataFrame =
+    unigramSurprisalFrom(termFrequencies(documents))
+
+  /** [[unigramSurprisal]] over a precomputed [[termFrequencies]] frame:
+    * every per-token quantity folds through the tf weights (corpus
+    * count c = Σ tf, per-doc bit sum = Σ tf·bits), so the whole query
+    * is aggregates of the shared posting frame — no second corpus
+    * explode; result row-identical to the explode form. */
+  def unigramSurprisalFrom(tf: DataFrame): DataFrame = {
+    val counts = tf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
+    val total = counts.select(sum(col("c")).as("n_total"))
+    tf.join(counts, Seq("term"))
       .crossJoin(broadcast(total))
-      .select(col("doc_id"),
-        (length(expr("bin(n_total)")) - length(expr("bin(c)"))).cast("long").as("bits"))
+      .select(col("doc_id"), col("tf"),
+        (col("tf") * (length(expr("bin(n_total)")) - length(expr("bin(c)")))
+          .cast("long")).as("bits"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("total_bits"))
+      .agg(sum(col("tf")).as("n_tokens"), sum(col("bits")).as("total_bits"))
       .select(col("doc_id"), col("n_tokens"), col("total_bits"),
         (col("total_bits").cast("double") / col("n_tokens")).as("bits_per_token"))
   }
@@ -396,11 +404,18 @@ object TextOps {
     * sized), a per-lang rollup of that, and a vocab-sized join back —
     * all map-side combinable; nothing is per-document after the first
     * aggregate. */
-  def unigramEntropy(documents: DataFrame): DataFrame = {
-    val tok = documents.select(col("lang"),
-      explode(tokens(col("text"))).as("tok"))
-    val counts = tok.groupBy(col("lang"), col("tok"))
-      .agg(count(lit(1)).as("c"))
+  def unigramEntropy(documents: DataFrame): DataFrame =
+    unigramEntropyFrom(termFrequencies(documents), documents)
+
+  /** [[unigramEntropy]] over a precomputed [[termFrequencies]] frame
+    * (language attached by a doc-keyed join — the posting frame is
+    * term-count-sized, far smaller than the token explode it
+    * replaces); result row-identical to the explode form. */
+  def unigramEntropyFrom(tf: DataFrame, documents: DataFrame): DataFrame = {
+    val counts = tf
+      .join(documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"), col("term"))
+      .agg(sum(col("tf")).as("c"))
     val tot = counts.groupBy(col("lang"))
       .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"))
     counts.join(tot, Seq("lang"))
