@@ -295,6 +295,8 @@ object SparkEntry {
       DedupOps.minhashEstimateEvalFrom(shSets(s, d), shSigs(s, d), shBands(s, d))),
     "dedup_simhash" -> ((s, d) => DedupOps.simhashDups(docs(s, d))),
     "dedup_simhash_k" -> ((s, d) => DedupOps.simhashHammingPairs(docs(s, d))),
+    // wide 60-bit SimHash hamming pairs — the saturation-proof form
+    "dedup_simhash_wide" -> ((s, d) => DedupOps.simhash60HammingPairs(docs(s, d))),
     "dedup_ngram" -> ((s, d) =>
       DedupOps.ngramJaccardPairsFrom(shSets(s, d), shSigs(s, d), 0.3)),
     "dedup_clusters" -> ((s, d) => shClusters(s, d, 0.5)),
@@ -541,6 +543,7 @@ GROUP BY l_returnflag""",
     "dedup_minhash_est" -> OracleSqlExt.dedupMinhashEst,
     "dedup_simhash" -> OracleSqlExt.dedupSimhash,
     "dedup_simhash_k" -> OracleSqlExt.dedupSimhashK,
+    "dedup_simhash_wide" -> OracleSqlExt.dedupSimhashWide,
     "dedup_ngram" -> OracleSqlExt.dedupNgram,
     "dedup_clusters" -> OracleSqlExt.dedupClusters,
     "dedup_pagerank" -> OracleSqlExt.dedupPagerank,

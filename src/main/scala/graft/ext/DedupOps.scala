@@ -414,6 +414,31 @@ object DedupOps {
       .distinct()
   }
 
+  /** [[simhashHammingPairs]] on the WIDE 60-bit signature
+    * ([[graft.functions.SimHash60]]) — the corpus-scale form: the 10×
+    * scale probe measured 32-bit pair output growing 14× at 10× docs
+    * (random collisions are quadratic in corpus size over a fixed
+    * signature space; BENCH_TREND.md r11), and 2³⁰× more signature
+    * space pushes that saturation out past any realistic corpus.
+    * Six 10-bit bands make the probe exact for k ≤ 5 by pigeonhole;
+    * the verify is the same popcount(xor) ≤ k before the distinct. */
+  def simhash60HammingPairs(documents: DataFrame, k: Int = 3): DataFrame = {
+    require(k <= 5, s"6-band 60-bit probing is exact only for k <= 5, got $k")
+    graft.functions.SimHash60.register(documents.sparkSession)
+    val sigs = documents.select(col("doc_id"),
+      expr("simhash60(text)").as("simhash60"))
+    val banded = sigs.select(col("doc_id"), col("simhash60"),
+      explode(array((0 until 6).map(b =>
+        concat_ws("#", lit(b),
+          shiftright(col("simhash60"), b * 10) % 1024)): _*)).as("band"))
+    saltedSelfPairsCarrying(banded, "band", "doc_id", "simhash60")
+      .withColumn("hamming",
+        expr("cast(bit_count(pay_a ^ pay_b) as bigint)"))
+      .filter(col("hamming") <= k)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
+  }
+
   /** SimHash near-duplicate candidates: identical 32-bit signatures.
     * ([[simhashHammingPairs]] generalizes this to hamming-distance-k;
     * identical-signature is the k=0 case.)

@@ -1032,6 +1032,31 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 3"""
 
+  /** Mirror of DedupOps.simhash60HammingPairs: 60-bit signature (first
+    * 15 md5 hex digits per distinct token — positive in a signed
+    * BIGINT), brute-force hamming join independent of the Spark side's
+    * 6×10-bit banded probe (exact for k ≤ 5 by pigeonhole). */
+  val dedupSimhashWide: String = """
+WITH dtok AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM dtok),
+bitsum AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS contrib
+  FROM th, UNNEST(range(0, 60)) t(b)
+  GROUP BY doc_id, b),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN contrib > 0 THEN (1::BIGINT << b) ELSE 0 END)
+              AS BIGINT) AS simhash60
+  FROM bitsum GROUP BY doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash60, b.simhash60)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash60, b.simhash60)) <= 3"""
+
   /** Mirror of DedupOps.ngramJaccardPairs: single-band minhash
     * blocking (band 0 = minhash values j=0,1, the '|'-joined prefix of
     * the full LSH signature) + exact 3-gram Jaccard verify at 0.3. */

@@ -38,6 +38,39 @@ class SimHashSpec extends SparkSpec {
     assert(native == declarative)
   }
 
+  test("simhash60: codegen/interpreted agree; 60-bit range; distinctness by token") {
+    import graft.functions.SimHash60
+    val s = org.apache.spark.unsafe.types.UTF8String.fromString(
+      "a document with some repeated words a document")
+    val interp = SimHash60(
+      org.apache.spark.sql.catalyst.expressions.Literal(s)).eval(null)
+      .asInstanceOf[Long]
+    SimHash60.register(spark)
+    val gen = Seq(s.toString).toDF("s")
+      .withColumn("h", expr("simhash60(s)")).head.getLong(1)
+    assert(interp == gen)
+    assert(interp >= 0L && interp < (1L << 60))
+    // token-multiset invariance (distinct-token fold)
+    val h1 = SimHash60.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("x y z"))
+    val h2 = SimHash60.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("z z y x x"))
+    assert(h1 == h2)
+  }
+
+  test("wide hamming pairs: identical docs at distance 0, banded probe complete at k=3") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "entirely different words about database query planning"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.simhash60HammingPairs(d)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    assert(pairs((1L, 2L)) == 0L)
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
   test("codegen and interpreted eval agree") {
     val s = org.apache.spark.unsafe.types.UTF8String.fromString(
       "a document with some repeated words a document")
