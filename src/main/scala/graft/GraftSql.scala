@@ -29,6 +29,8 @@ object GraftSql {
       graft.functions.CosineSimilarity.register(spark)
       graft.functions.RollingMinHash.register(spark)
       graft.functions.SimHash32.register(spark)
+      graft.functions.SimHash60.register(spark)
+      graft.functions.BloomMightContain.register(spark)
       lastAttached(spark) = dir
     }
   }
