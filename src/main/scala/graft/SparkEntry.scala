@@ -161,6 +161,8 @@ object SparkEntry {
     "events_session_funnel" -> ((s, d) => EventOps.sessionFunnel(Tables.events(s, d))),
     // weekly cohort retention matrix
     "events_retention" -> ((s, d) => EventOps.retentionCohorts(Tables.events(s, d))),
+    // top 3-step event-type paths (flow mining behind Sankey funnels)
+    "events_paths" -> ((s, d) => EventOps.topPaths(Tables.events(s, d))),
     // Morton (Z-order) interleave for two-sided file-stat pruning
     "layout_zorder" -> ((s, d) => ext.Layout.eventZValues(Tables.events(s, d))),
 
@@ -325,6 +327,9 @@ object SparkEntry {
     // over the shared dedup outputs (not a second minhash+CC pass)
     "corpus_dedup_report" -> ((s, d) => ext.Corpus.dedupReportFrom(
       docs(s, d), shExact(s, d), shClusters(s, d, 0.5))),
+    // MERGE INTO relationally: last-write-wins upsert of a change
+    // batch into the corpus snapshot, insert/update/keep labeled
+    "corpus_upsert" -> ((s, d) => ext.Corpus.upsertMerge(docs(s, d))),
     // lexical ⊗ semantic near-dup fusion with per-signal flags
     "corpus_cross_signal" -> ((s, d) => ext.Corpus.crossSignalFrom(
       shPairs(s, d, 0.5), shLsh(s, d), GraftConf.cosineThreshold(s))),
@@ -482,6 +487,7 @@ object SparkEntry {
     "events_funnel" -> OracleSqlExt.eventsFunnel,
     "events_session_funnel" -> OracleSqlExt.eventsSessionFunnel,
     "events_retention" -> OracleSqlExt.eventsRetention,
+    "events_paths" -> OracleSqlExt.eventsPaths,
     "layout_zorder" -> OracleSqlExt.layoutZorder,
     "agg_percentiles" -> OracleSqlExt.aggPercentiles,
     "agg_approx_distinct" -> OracleSqlExt.aggApproxDistinct,
@@ -555,6 +561,7 @@ GROUP BY l_returnflag""",
     "corpus_clean" -> OracleSqlExt.corpusClean,
     "corpus_dedup_report" -> OracleSqlExt.corpusDedupReport,
     "corpus_cross_signal" -> OracleSqlExt.corpusCrossSignal,
+    "corpus_upsert" -> OracleSqlExt.corpusUpsert,
 
     "embed_topk" -> OracleSqlExt.embedTopK,
     "embed_topk_native" -> OracleSqlExt.embedTopKNative,

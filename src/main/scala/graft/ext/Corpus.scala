@@ -189,4 +189,40 @@ object Corpus {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("lang")
       .parquet(path)
+
+  /** MERGE INTO, relationally — last-write-wins upsert of a change
+    * batch into a corpus snapshot, the incremental-table-maintenance
+    * shape every Delta/Iceberg-style MERGE compiles down to: union the
+    * snapshot (version 1) with the batch (version 2: an update slice
+    * with changed text + an insert slice with fresh ids, both derived
+    * deterministically here so the oracle can replay them), shuffle
+    * once on the merge key, keep the max-version row per key, label
+    * each survivor insert/update/keep.
+    *
+    * Scale posture: ONE exchange on the merge key — the same shuffle a
+    * real MERGE pays — with the window frames bounded by versions-per-
+    * key (≤ 2); a lakehouse implementation adds file-level pruning on
+    * top, but the row-level plan is exactly this. */
+  def upsertMerge(documents: DataFrame): DataFrame = {
+    val snapshot = documents
+      .select(col("doc_id"), col("text"), lit(1L).as("version"))
+    val updates = documents.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), reverse(col("text")).as("text"),
+        lit(2L).as("version"))
+    val inserts = documents.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text"),
+        lit(2L).as("version"))
+    val merged = snapshot.unionByName(updates).unionByName(inserts)
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+    merged
+      .withColumn("rn", row_number().over(byKey.orderBy(col("version").desc)))
+      .withColumn("n_versions", count(lit(1)).over(byKey))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("version"),
+        when(col("n_versions") === 2, "update")
+          .when(col("version") === 2, "insert")
+          .otherwise("keep").as("op"),
+        md5(col("text").cast("binary")).as("content_md5"))
+  }
 }

@@ -263,4 +263,29 @@ object EventOps {
       .select(posexplode(col("top")).as(Seq("pos", "event_type")))
       .select((col("pos") + 1).as("rank"), col("event_type"))
   }
+
+  /** Top-k 3-step event-type paths — the path/flow-mining read behind
+    * Sankey funnels ("what do users actually do, in order?"): each
+    * user's event stream in (ts, event_id) order yields its sliding
+    * window of 3 consecutive types; count each path corpus-wide, rank
+    * the top k deterministically.
+    *
+    * Scale posture: ONE exchange on user_id feeds the lead() window
+    * (per-user streams are small — frames never buffer more than a
+    * user), the path count map-side combines to path-vocabulary size,
+    * and the global top-k window rewrites to WindowGroupLimit (partial
+    * per-partition top-k before the single merge). */
+  def topPaths(events: DataFrame, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(w).as("e2"),
+        lead(col("event_type"), 2).over(w).as("e3"))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .withColumn("rank", expr("row_number() over (order by n desc, path)"))
+      .filter(col("rank") <= k)
+  }
 }

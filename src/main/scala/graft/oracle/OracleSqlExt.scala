@@ -438,6 +438,46 @@ SELECT doc_id, COUNT(*) AS n_tokens,
        CAST(SUM(bits) AS DOUBLE) / COUNT(*) AS bits_per_token
 FROM b GROUP BY doc_id"""
 
+  /** Mirror of EventOps.topPaths: per-user lead() windows in
+    * (ts, event_id) order, corpus-wide path counts, deterministic
+    * top-10. */
+  val eventsPaths: String = """
+WITH s AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS e2,
+         lead(event_type, 2) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS e3
+  FROM events),
+c AS (
+  SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+  FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+  GROUP BY 1)
+SELECT path, n, rank FROM (
+  SELECT c.*, row_number() OVER (ORDER BY n DESC, path) AS rank FROM c)
+WHERE rank <= 10"""
+
+  /** Mirror of Corpus.upsertMerge: the same deterministic update/insert
+    * slices, one window per merge key, max-version survivor + op
+    * label. */
+  val corpusUpsert: String = """
+WITH m AS (
+  SELECT doc_id, text, 1 AS version FROM documents
+  UNION ALL
+  SELECT doc_id, reverse(text), 2 FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 10000000, text, 2 FROM documents WHERE doc_id % 5 = 0),
+r AS (
+  SELECT doc_id, text, version,
+         row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_versions
+  FROM m)
+SELECT doc_id, CAST(version AS BIGINT) AS version,
+       CASE WHEN n_versions = 2 THEN 'update'
+            WHEN version = 2 THEN 'insert' ELSE 'keep' END AS op,
+       md5(text) AS content_md5
+FROM r WHERE rn = 1"""
+
   /** Mirror of TextOps.vocabEncodeFrom: df-ranked top-100 vocabulary,
     * positional encode with OOV→0, and the md5 of the position-ordered
     * id sequence. */

@@ -665,6 +665,41 @@ class ExtOpsSpec extends SparkSpec {
     assert(!out.keys.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("top paths: per-user ordered 3-step windows, cross-user counts") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: v>c>p, c>p>v   user 2: v>c>p   user 3: only 2 events
+      (1L, "2024-01-01 00:00:01", 1L, "view"),
+      (2L, "2024-01-01 00:00:02", 1L, "click"),
+      (3L, "2024-01-01 00:00:03", 1L, "purchase"),
+      (4L, "2024-01-01 00:00:04", 1L, "view"),
+      (5L, "2024-01-01 00:00:01", 2L, "view"),
+      (6L, "2024-01-01 00:00:02", 2L, "click"),
+      (7L, "2024-01-01 00:00:03", 2L, "purchase"),
+      (8L, "2024-01-01 00:00:01", 3L, "view"),
+      (9L, "2024-01-01 00:00:02", 3L, "click"))
+      .toDF("event_id", "t", "user_id", "event_type")
+      .withColumn("ts", col("t").cast("timestamp"))
+    val m = ext.EventOps.topPaths(ev).collect()
+      .map(r => r.getAs[String]("path") ->
+        (r.getAs[Long]("n"), r.getAs[Int]("rank"))).toMap
+    assert(m("view>click>purchase") == ((2L, 1)))
+    assert(m("click>purchase>view") == ((1L, 2)))
+    assert(m.size == 2)  // user 3 has no 3-step window
+  }
+
+  test("upsert merge: max-version wins, ops labeled insert/update/keep") {
+    // ids 1..5: 3 gets an update (%3), 5 spawns an insert (%5)
+    val d = docs(1L -> "one", 2L -> "two", 3L -> "drow", 4L -> "four", 5L -> "five")
+    val m = ext.Corpus.upsertMerge(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("version"), r.getAs[String]("op"))).toMap
+    assert(m(1L) == ((1L, "keep")))
+    assert(m(3L) == ((2L, "update")))   // reversed text wins at v2
+    assert(m(10000005L) == ((2L, "insert")))
+    assert(m.size == 6)  // 5 snapshot keys + 1 insert
+  }
+
   test("vocab encode: df-ranked ids, OOV zeros, position-ordered fingerprint") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
