@@ -193,12 +193,15 @@ object Bench {
     // `errors` / error_count instead.
     // A GRAFT_BENCH_ONLY subset run must never clobber the full round
     // artifact (it is also the regression-diff baseline), and its
-    // scratch file is keyed by the subset so a stale prior from a
-    // DIFFERENT subset can't mint phantom regressions.
+    // scratch file is keyed by the subset AND the SF dir — the same
+    // subset at a different scale factor is a different experiment,
+    // not a prior (two probe runs colliding on one file once cost the
+    // first run's per-query detail).
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       only match {
         case Some(o) =>
-          val key = java.lang.Integer.toHexString(o.toSeq.sorted.mkString(",").hashCode)
+          val key = java.lang.Integer.toHexString(
+            (o.toSeq.sorted.mkString(",") + "@" + sfDir).hashCode)
           s"/tmp/bench_subset_$key.json"
         case None => "bench_results/bench_latest.json"
       })

@@ -6,10 +6,11 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In, StringStartsWith}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -51,16 +52,29 @@ object ShardStreamSource {
     if (path == null || !Files.isDirectory(Paths.get(path))) Seq.empty
     else Files.list(Paths.get(path)).iterator().asScala
       .filter(p => Files.isRegularFile(p))
+      // metadata, never data: commit manifests (_manifest-*) and any
+      // hidden/staging entries — same convention as Hadoop outputs
+      .filter { p =>
+        val n = p.getFileName.toString
+        !n.startsWith("_") && !n.startsWith(".")
+      }
       .map(_.toString).toSeq.sorted
 }
 
-private class ShardTable(path: String) extends Table with SupportsRead {
+private class ShardTable(path: String) extends Table
+    with SupportsRead with SupportsWrite {
   override def name(): String = s"dynamo_shards($path)"
   override def schema(): StructType = ShardStreamSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      // the writer consumes only the `value` column (validated in
+      // ShardWriteBuilder.build) — callers may carry extra fields
+      TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ShardScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new ShardWriteBuilder(path, info)
 }
 
 /** Filter pushdown on the provenance column: predicates on `shard_file`

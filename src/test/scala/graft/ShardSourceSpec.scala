@@ -164,4 +164,60 @@ class ShardSourceSpec extends SparkSpec {
       assert(status("g18") == "processing")
     } finally q2.stop()
   }
+
+  test("batch write: staged two-phase commit publishes shards + manifest, round-trips") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sink").toString
+    val values = (1 to 20).map(i => s"""{"k":$i}""")
+    values.toDF("value").repartition(4)
+      .write.format(classOf[ShardStreamSource].getName)
+      .option("path", dir).mode("append").save()
+    val files = Files.list(Paths.get(dir)).iterator()
+    val names = Iterator.continually(files)
+      .takeWhile(_.hasNext).map(_.next().getFileName.toString).toSeq
+    assert(names.count(_.startsWith("shard-")) == 4)
+    assert(names.count(_.startsWith("_manifest-")) == 1)
+    assert(!names.exists(_.startsWith(".staging")) ||
+      Files.list(Paths.get(dir, ".staging")).count() == 0)
+    // manifest row counts total the write
+    val manifest = Files.readAllLines(
+      Paths.get(dir, names.find(_.startsWith("_manifest-")).get))
+    assert(manifest.size == 4)
+    // the reader sees exactly the written payloads and never the manifest
+    val back = spark.read.format(classOf[ShardStreamSource].getName)
+      .option("path", dir).load()
+    assert(back.select("value").as[String].collect().sorted
+      === values.sorted.toArray)
+    assert(back.select("shard_file").distinct().count() == 4)
+  }
+
+  test("batch write: extra columns are accepted, only `value` lands in the shard") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sink2").toString
+    Seq(("""{"a":1}""", "ignored", 7L)).toDF("value", "extra", "n")
+      .write.format(classOf[ShardStreamSource].getName)
+      .option("path", dir).mode("append").save()
+    val back = spark.read.format(classOf[ShardStreamSource].getName)
+      .option("path", dir).load()
+    assert(back.select("value").as[String].collect().toSeq ==
+      Seq("""{"a":1}"""))
+  }
+
+  test("batch write: aborted task leaves no staged or visible output") {
+    import graft.sources.{ShardCommitMessage, ShardWriterFactory}
+    val dir = Files.createTempDirectory("graft-sink3").toString
+    val factory = ShardWriterFactory(dir, "test-write", 0)
+    val w = factory.createWriter(0, 42L)
+    w.write(org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString("{}")))
+    w.abort()
+    // staged file gone; nothing published; a second attempt can retry
+    assert(Files.list(Paths.get(dir, ".staging", "test-write")).count() == 0)
+    val w2 = factory.createWriter(0, 43L)
+    w2.write(org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString("""{"ok":1}""")))
+    val msg = w2.commit().asInstanceOf[ShardCommitMessage]
+    assert(msg.rows == 1L && msg.partitionId == 0)
+    assert(Files.isRegularFile(Paths.get(msg.stagedPath)))
+  }
 }
