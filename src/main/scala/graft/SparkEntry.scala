@@ -381,6 +381,8 @@ object SparkEntry {
     "mm_decode" -> ((s, d) => MultiModal.decodedFeatures(docs(s, d))),
     // JPEG stills through the same image plumbing (SOI magic dispatch)
     "mm_decode_jpeg" -> ((s, d) => MultiModal.decodedJpegFeatures(docs(s, d))),
+    // GIF87a: real variable-width LZW decompression + palette mapping
+    "mm_decode_gif" -> ((s, d) => MultiModal.decodedGifFeatures(docs(s, d))),
     "mm_audio" -> ((s, d) => MultiModal.decodedAudio(docs(s, d))),
     // G.711 µ-law WAV: lossy companding, oracle replays the formulas
     "mm_audio_mulaw" -> ((s, d) => MultiModal.decodedMulawAudio(docs(s, d))),
@@ -581,6 +583,7 @@ GROUP BY l_returnflag""",
 
     "mm_decode" -> OracleSqlExt.mmDecode,
     "mm_decode_jpeg" -> OracleSqlExt.mmDecodeJpeg,
+    "mm_decode_gif" -> OracleSqlExt.mmDecodeGif,
     "mm_audio" -> OracleSqlExt.mmAudio,
     "mm_audio_mulaw" -> OracleSqlExt.mmAudioMulaw,
     "mm_features" -> OracleSqlExt.mmFeatures,

@@ -107,7 +107,9 @@ object ImageCodec {
       // normal form is this codec's pixel layout already
       val j = JpegCodec.decodeRgb(bytes)
       Image("jpeg", j.width, j.height, j.pixels)
-    } else throw new IllegalArgumentException(
+    } else if (bytes(0) == 'G'.toByte && bytes(1) == 'I'.toByte)
+      GifCodec.decode(bytes)
+    else throw new IllegalArgumentException(
       f"unknown image magic 0x${bytes(0)}%02x${bytes(1)}%02x")
   }
 

@@ -265,6 +265,39 @@ object MultiModal {
     decodeImages(jpegImageTable(documents)).toDF()
   }
 
+  /** GIF geometry: large enough (up to 34×26 = 884 px) that the LZW
+    * stream crosses the 512-code width boundary on real images. */
+  private[ext] def gifGeomOf(id: Long): (Int, Int) =
+    ((10 + (id % 5) * 6).toInt, (8 + (id % 3) * 9).toInt)
+
+  /** Palette index of row-major pixel p — the arithmetic the oracle
+    * replays; palette entry i decodes to (i, 7i mod 256, 13i mod 256). */
+  private[ext] def gifIdxOf(id: Long)(p: Int): Int =
+    ((id * 31 + p * 5) % 256).toInt
+
+  /** Synthesize REAL GIF87a bytes (256-color global table, genuine
+    * variable-width LZW with sub-block framing) for the image-typed
+    * docs through [[GifCodec]]'s encoder. */
+  def gifImageTable(documents: DataFrame): Dataset[ImageFile] = {
+    import documents.sparkSession.implicits._
+    documents.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val (w, h) = gifGeomOf(id)
+        ImageFile(id, "gif", GifCodec.encode(w, h, gifIdxOf(id),
+          i => (i, (i * 7) % 256, (i * 13) % 256)))
+      }
+  }
+
+  /** The oracle-gated GIF decode query (`mm_decode_gif`): LZW
+    * decompression + palette mapping through the same typed-Dataset +
+    * mapPartitions plumbing ([[ImageCodec.decode]] dispatches on the
+    * GIF signature), pixel-exact against the arithmetic oracle. */
+  def decodedGifFeatures(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    decodeImages(gifImageTable(documents)).toDF()
+  }
+
   /** Deterministic PCM16 sample function for doc `id`: an integer
     * residue mapped into the full signed 16-bit range, so the oracle
     * reproduces every sample (and thus every statistic) with a formula

@@ -1430,6 +1430,32 @@ SELECT i.doc_id, i.format, CAST(i.w AS INT) AS width,
        CAST((p.sum_r + p.sum_g + p.sum_b) // (3 * i.w * i.h) AS BIGINT) AS brightness_q
 FROM img i JOIN px p ON p.doc_id = i.doc_id"""
 
+  /** Mirror of MultiModal.decodedGifFeatures: geometry + palette-index
+    * arithmetic replayed over range(0, w·h). The Spark side reports
+    * what GifCodec PARSED out of real LZW-compressed GIF87a bytes, so
+    * equality verifies header parse, variable-width LZW decompression,
+    * sub-block reassembly, and palette mapping pixel-exactly. */
+  val mmDecodeGif: String = """
+WITH img AS (
+  SELECT doc_id, 10 + (doc_id % 5) * 6 AS w, 8 + (doc_id % 3) * 9 AS h
+  FROM documents WHERE doc_id % 3 = 0),
+px AS (
+  SELECT i.doc_id,
+         SUM((i.doc_id * 31 + t.p * 5) % 256) AS sum_r,
+         SUM(((i.doc_id * 31 + t.p * 5) % 256 * 7) % 256) AS sum_g,
+         SUM(((i.doc_id * 31 + t.p * 5) % 256 * 13) % 256) AS sum_b
+  FROM img i, UNNEST(range(0, i.w * i.h)) t(p)
+  GROUP BY i.doc_id)
+SELECT i.doc_id, 'gif' AS format, CAST(i.w AS INT) AS width,
+       CAST(i.h AS INT) AS height,
+       CAST(i.w * i.h AS BIGINT) AS n_pixels,
+       CAST(p.sum_r AS BIGINT) AS sum_r,
+       CAST(p.sum_g AS BIGINT) AS sum_g,
+       CAST(p.sum_b AS BIGINT) AS sum_b,
+       CAST((p.sum_r + p.sum_g + p.sum_b) // (3 * i.w * i.h) AS BIGINT)
+         AS brightness_q
+FROM img i JOIN px p ON p.doc_id = i.doc_id"""
+
   /** Mirror of MultiModal.decodedAudio: recomputes the decoded-sample
     * statistics from the generation formula (MultiModal.sampleOf /
     * audioGeomOf). The Spark side reports what AudioCodec PARSED out of

@@ -243,4 +243,31 @@ class PropertySpec extends SparkSpec {
       assert(out.forall(_._2 <= idfMax * 2200000L), s"seed=$seed over bound")
     }
   }
+
+  test("GIF LZW roundtrip is pixel-exact on random images incl. width growth and dict reset") {
+    import graft.ext.{GifCodec, ImageCodec}
+    val r = new Random(1234)
+    // sizes chosen to cross the 9->10->11-bit widths and, in the
+    // low-color cases, long-chain dictionaries; the 80x64 random-color
+    // image emits ~1 code per pixel, overflowing the 4096-entry
+    // dictionary and forcing the Clear-reset path
+    val cases = Seq(
+      (1, 1, 256), (3, 2, 256), (17, 13, 256), (34, 26, 256),
+      (40, 30, 4), (100, 80, 2), (80, 64, 256))
+    for ((w, h, colors) <- cases) {
+      val px = Array.fill(w * h)(r.nextInt(colors))
+      val pal = Array.tabulate(256)(i => (i, (i * 3) % 256, (i * 11) % 256))
+      val bytes = GifCodec.encode(w, h, px(_), pal(_))
+      val img = ImageCodec.decode(bytes)
+      assert(img.format == "gif" && img.width == w && img.height == h)
+      var p = 0
+      while (p < w * h) {
+        val (er, eg, eb) = pal(px(p))
+        assert(img.r(p) == er && img.g(p) == eg && img.b(p) == eb,
+          s"pixel $p of ${w}x$h/$colors")
+        p += 1
+      }
+    }
+  }
+
 }
