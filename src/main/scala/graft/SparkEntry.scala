@@ -90,6 +90,8 @@ object SparkEntry {
     // Q14 promo share: broadcast part dim + conditional aggregate
     "q14_promo" -> ((s, d) => Analytics.promoRevenue(
       Tables.part(s, d), Tables.lineitem(s, d))),
+    // frequent part pairs within orders (Apriori-pruned basket mining)
+    "orders_basket" -> ((s, d) => Analytics.basketPairs(Tables.lineitem(s, d))),
     "window_top_orders" -> ((s, d) => Analytics.topOrdersPerCustomer(Tables.orders(s, d))),
     "window_running_spend" -> ((s, d) => Analytics.runningSpend(Tables.orders(s, d))),
     "window_range_frame" -> ((s, d) => Analytics.rangeFrameSpend(Tables.orders(s, d))),
@@ -461,6 +463,7 @@ object SparkEntry {
     "q3_shipping" -> OracleSqlExt.q3Shipping,
     "q5_region_volume" -> OracleSqlExt.q5RegionVolume,
     "q14_promo" -> OracleSqlExt.q14Promo,
+    "orders_basket" -> OracleSqlExt.ordersBasket,
     "window_top_orders" -> OracleSqlExt.windowTopOrders,
     "window_running_spend" -> OracleSqlExt.windowRunningSpend,
     "window_range_frame" -> OracleSqlExt.windowRangeFrame,

@@ -127,6 +127,47 @@ object Analytics {
       .select(col("nation"), col("revenue_d").cast("string").as("revenue"))
   }
 
+  /** Market-basket pair mining (frequent itemsets at k = 2): which
+    * parts co-occur in the same order more often than chance — the
+    * association-rules read behind recommendations, with support and
+    * the same integer milli-lift convention as
+    * [[graft.ext.TextOps.collocations]].
+    *
+    * Scale posture — the Apriori move: singleton counts prune the item
+    * list BEFORE the within-order pair join, and the prune is provably
+    * semantics-free because pair support ≤ min(singleton supports) —
+    * a part below `minSupport` cannot participate in any surviving
+    * pair. The pair join is an equi self-join on the order key with
+    * per-order fan-out bounded by basket size (catalog-bounded, not
+    * corpus-bounded), counts map-side combine to pair-vocabulary size,
+    * and the global top-k is a WindowGroupLimit. */
+  def basketPairs(lineitem: DataFrame, minSupport: Long = 3L,
+      k: Int = 10): DataFrame = {
+    val items = lineitem
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+    val freq = items.groupBy(col("part"))
+      .agg(count(lit(1)).as("n_part"))
+      .filter(col("n_part") >= minSupport)
+    val pruned = items.join(freq, Seq("part"))
+    val total = items.agg(countDistinct(col("okey")).as("n_orders"))
+    pruned.select(col("okey"), col("part").as("part_a"), col("n_part").as("n_a"))
+      .join(pruned.select(col("okey"), col("part").as("part_b"),
+        col("n_part").as("n_b")), Seq("okey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .crossJoin(broadcast(total))
+      .withColumn("lift_milli",
+        expr("(support * n_orders * 1000) div (n_a * n_b)"))
+      .withColumn("rank", expr("row_number() over (order by support desc, " +
+        "part_a, part_b)"))
+      .filter(col("rank") <= k)
+      .select(col("part_a"), col("part_b"), col("support"),
+        col("n_a"), col("n_b"), col("lift_milli"), col("rank"))
+  }
+
   /** TPC-H Q14-shaped promo revenue share: one ship-month of the fact
     * table (pushed-down timestamp range → partition/row-group pruning
     * at scale) broadcast-joined to the fixed-cardinality `part` dim,

@@ -23,6 +23,32 @@ FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus"""
 
+  /** Mirror of Analytics.basketPairs (no Apriori prune — provably the
+    * same output since pair support ≤ min(singleton supports)). */
+  val ordersBasket: String = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+f AS (SELECT part, COUNT(*) AS n_part FROM items GROUP BY part),
+tot AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM items),
+p AS (
+  SELECT a.part AS part_a, b.part AS part_b, COUNT(*) AS support
+  FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+  GROUP BY a.part, b.part),
+j AS (
+  SELECT p.part_a, p.part_b, p.support, fa.n_part AS n_a, fb.n_part AS n_b,
+         CAST((p.support * t.n_orders * 1000) // (fa.n_part * fb.n_part)
+              AS BIGINT) AS lift_milli
+  FROM p
+  JOIN f fa ON fa.part = p.part_a
+  JOIN f fb ON fb.part = p.part_b
+  CROSS JOIN tot t
+  WHERE p.support >= 3)
+SELECT part_a, part_b, support, n_a, n_b, lift_milli, rank FROM (
+  SELECT j.*, row_number() OVER (ORDER BY support DESC, part_a, part_b)
+    AS rank
+  FROM j)
+WHERE rank <= 10"""
+
   /** Mirror of Analytics.promoRevenue (TPC-H Q14 shape): same decimal
     * lattice as q1Pricing, null-skipping promo CASE, one double
     * division for the share. */

@@ -135,6 +135,26 @@ class ExtOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("count_order") == 2L)
   }
 
+  test("basket pairs: support counts, Apriori prune is semantics-free, exact lift") {
+    import spark.implicits._
+    // 4 orders; parts (1,2) co-occur 3x, (1,3) once, part 9 below support
+    val li = Seq(
+      (100L, 1L), (100L, 2L), (100L, 9L),
+      (200L, 1L), (200L, 2L),
+      (300L, 1L), (300L, 2L),
+      (400L, 1L), (400L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = Analytics.basketPairs(li, minSupport = 3L).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getAs[Long]("part_a"), r.getAs[Long]("part_b")) == ((1L, 2L)))
+    assert(r.getAs[Long]("support") == 3L)
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 3L)
+    // lift = (3 pairs * 4 orders * 1000) div (4 * 3)
+    assert(r.getAs[Long]("lift_milli") == 1000L)
+    assert(r.getAs[Int]("rank") == 1)
+  }
+
   test("q14 promo share: conditional decimal sums and the exact percentage") {
     import spark.implicits._
     val part = Seq((1L, "PROMO"), (2L, "STANDARD")).toDF("p_partkey", "p_type")
