@@ -90,6 +90,19 @@ object SparkEntry {
     // Q14 promo share: broadcast part dim + conditional aggregate
     "q14_promo" -> ((s, d) => Analytics.promoRevenue(
       Tables.part(s, d), Tables.lineitem(s, d))),
+    // Q4 priority check: EXISTS → left-semi with a residual non-equi predicate
+    "q4_priority" -> ((s, d) => Analytics.orderPriorityCheck(
+      Tables.orders(s, d), Tables.lineitem(s, d))),
+    // Q10 returned items: 4-way join, broadcast nation, top-20
+    "q10_returned" -> ((s, d) => Analytics.returnedItemReport(
+      Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
+      Tables.nation(s, d))),
+    // Q18 large orders: HAVING-subquery semi filter over fact aggregate
+    "q18_large_orders" -> ((s, d) => Analytics.largeVolumeOrders(
+      Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    // Q19 disjunctive brand/size/quantity predicates over a broadcast join
+    "q19_brand_revenue" -> ((s, d) => Analytics.brandRevenue(
+      Tables.part(s, d), Tables.lineitem(s, d))),
     // frequent part pairs within orders (Apriori-pruned basket mining)
     "orders_basket" -> ((s, d) => Analytics.basketPairs(Tables.lineitem(s, d))),
     "window_top_orders" -> ((s, d) => Analytics.topOrdersPerCustomer(Tables.orders(s, d))),
@@ -154,6 +167,8 @@ object SparkEntry {
     "diag_key_skew" -> ((s, d) => ext.Skew.keySkewReport(Tables.events(s, d))),
     // one-pass dataset-card profile: nulls/cardinalities/ranges
     "diag_profile" -> ((s, d) => ext.Diagnostics.tableProfile(Tables.events(s, d))),
+    // equi-depth histogram: the range-partition planner's ground truth
+    "diag_histogram" -> ((s, d) => ext.Diagnostics.equiDepthHistogram(Tables.orders(s, d))),
     // ordered funnel: view → click → purchase, count per reached depth
     // (deterministic 1-in-5 event sample so every depth is populated
     // at gate SF — the full stream funnels everyone to depth 3)
@@ -303,6 +318,9 @@ object SparkEntry {
     "dedup_simhash_wide" -> ((s, d) => DedupOps.simhash60HammingPairs(docs(s, d))),
     "dedup_ngram" -> ((s, d) =>
       DedupOps.ngramJaccardPairsFrom(shSets(s, d), shSigs(s, d), 0.3)),
+    // asymmetric containment (short-doc-inside-long-doc) near-dup pairs
+    "dedup_containment" -> ((s, d) =>
+      DedupOps.containmentPairsFrom(shSets(s, d), shSigs(s, d), 0.6)),
     "dedup_clusters" -> ((s, d) => shClusters(s, d, 0.5)),
     // integer-exact PageRank over the near-dup graph (hub centrality),
     // derived from the suite's shared verified pair frame
@@ -463,6 +481,10 @@ object SparkEntry {
     "q3_shipping" -> OracleSqlExt.q3Shipping,
     "q5_region_volume" -> OracleSqlExt.q5RegionVolume,
     "q14_promo" -> OracleSqlExt.q14Promo,
+    "q4_priority" -> OracleSqlExt.q4Priority,
+    "q10_returned" -> OracleSqlExt.q10Returned,
+    "q18_large_orders" -> OracleSqlExt.q18LargeOrders,
+    "q19_brand_revenue" -> OracleSqlExt.q19BrandRevenue,
     "orders_basket" -> OracleSqlExt.ordersBasket,
     "window_top_orders" -> OracleSqlExt.windowTopOrders,
     "window_running_spend" -> OracleSqlExt.windowRunningSpend,
@@ -489,6 +511,7 @@ object SparkEntry {
     "sketch_kmv_overlap" -> OracleSqlExt.sketchKmvOverlap,
     "diag_key_skew" -> OracleSqlExt.diagKeySkew,
     "diag_profile" -> OracleSqlExt.diagProfile,
+    "diag_histogram" -> OracleSqlExt.diagHistogram,
     "events_funnel" -> OracleSqlExt.eventsFunnel,
     "events_session_funnel" -> OracleSqlExt.eventsSessionFunnel,
     "events_retention" -> OracleSqlExt.eventsRetention,
@@ -556,6 +579,7 @@ GROUP BY l_returnflag""",
     "dedup_simhash_k" -> OracleSqlExt.dedupSimhashK,
     "dedup_simhash_wide" -> OracleSqlExt.dedupSimhashWide,
     "dedup_ngram" -> OracleSqlExt.dedupNgram,
+    "dedup_containment" -> OracleSqlExt.dedupContainment,
     "dedup_clusters" -> OracleSqlExt.dedupClusters,
     "dedup_pagerank" -> OracleSqlExt.dedupPagerank,
     "dedup_graph_triangles" -> OracleSqlExt.dedupGraphTriangles,

@@ -485,6 +485,118 @@ object Analytics {
       .orderBy(col("order_status"))
   }
 
+  /** TPC-H Q4-shaped order-priority check: one quarter of orders,
+    * kept iff ANY of their lineitems shipped more than 60 days after
+    * the order date (the trimmed schema has no l_commitdate /
+    * l_receiptdate, so "shipped late vs the order date" stands in for
+    * Q4's commit-vs-receipt lateness — same EXISTS shape), counted per
+    * priority.
+    *
+    * Scale posture: the EXISTS is a LEFT SEMI join — Spark's semi join
+    * short-circuits per probe key (no fact×fact row explosion, output
+    * bounded by the orders side) and the non-equi lateness predicate
+    * rides the equi join as a residual filter, not a cartesian. The
+    * date filter prunes the orders side at the scan. */
+  def orderPriorityCheck(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      .join(lineitem.select(col("l_orderkey"), col("l_shipdate")),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority").as("order_priority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("order_priority"))
+
+  /** TPC-H Q18-shaped large-volume orders: orders whose total lineitem
+    * quantity exceeds a threshold, joined back to customer and
+    * lineitem for the report row.
+    *
+    * Scale posture: the HAVING subquery is a map-side-combinable
+    * aggregate over lineitem that yields a TINY key list (46 keys at
+    * sf0.01); joining the fact tables against it is a broadcast-able
+    * semi filter — AQE broadcasts the aggregated side, so neither fact
+    * table reshuffles against the other before the filter has cut
+    * them. The quantity re-aggregation then runs over only the
+    * surviving rows. */
+  def largeVolumeOrders(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, minQty: Double = 300.0): DataFrame = {
+    val big = lineitem.groupBy(col("l_orderkey"))
+      .agg(sum(dec("l_quantity")).as("qty_d"))
+      .filter(col("qty_d") > lit(minQty).cast("decimal(18,2)"))
+    orders
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_totalprice").as("total_price"),
+        col("qty_d").cast("string").as("total_qty"))
+      .orderBy(col("total_price").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q19-shaped disjunctive-predicate join: revenue from three
+    * OR'd (brand, size, quantity) branches — the classic "discount
+    * revenue from qualified parts" shape whose point is predicate
+    * handling: each branch pairs a dimension predicate (brand/size)
+    * with a fact predicate (quantity), and the OR of the three must
+    * not break the equi join underneath.
+    *
+    * Scale posture: the join stays a single broadcast hash join on
+    * p_partkey (part is catalog-constant, 2-column projection before
+    * the hint); the disjunction is evaluated post-join inside codegen.
+    * The common `l_quantity <= 30` envelope of the three branches is
+    * ALSO applied standalone before the join — a derived conjunct the
+    * optimizer cannot infer from the OR — so the fact scan prunes to
+    * the quantity envelope at the parquet reader. */
+  def brandRevenue(part: DataFrame, lineitem: DataFrame): DataFrame = {
+    def branch(brand: String, qLo: Int, qHi: Int, sizeHi: Int) =
+      col("p_brand") === brand &&
+        col("l_quantity").between(qLo, qHi) &&
+        col("p_size").between(1, sizeHi)
+    lineitem
+      .filter(col("l_quantity") <= 30)
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"),
+        col("p_size"))), col("l_partkey") === col("p_partkey"))
+      .filter(branch("Brand#12", 1, 11, 5) ||
+        branch("Brand#23", 10, 20, 10) ||
+        branch("Brand#4", 20, 30, 15))
+      .agg(
+        sum(dec("l_extendedprice") *
+          (lit(1).cast("decimal(3,2)") - dec("l_discount", 4))).as("rev_d"),
+        count(lit(1)).as("n_items"))
+      .select(col("rev_d").cast("string").as("revenue"), col("n_items"))
+  }
+
+  /** TPC-H Q10-shaped returned-item report: top-20 customers by revenue
+    * lost to returns in one quarter, with nation context.
+    *
+    * Scale posture: orders prunes on the date range at the scan, the
+    * returnflag filter prunes lineitem at the scan (PushedFilters),
+    * nation is broadcast (catalog-constant); customer is left unhinted
+    * per module policy (scale-growing side — AQE decides). The top-20
+    * is a TakeOrdered over the aggregated frame, not a global sort. */
+  def returnedItemReport(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, nation: DataFrame): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .join(lineitem.filter(col("l_returnflag") === "R"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(dec("l_extendedprice") *
+        (lit(1).cast("decimal(3,2)") - dec("l_discount", 4))).as("rev_d"))
+      .orderBy(col("rev_d").desc, col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"),
+        col("rev_d").cast("string").as("revenue"),
+        col("c_acctbal").as("acct_bal"), col("n_name").as("nation"))
+
   /** Set operations: customers with BUILDING-segment accounts EXCEPT those
     * who placed an open ('O') order, plus the INTERSECT of high-balance
     * customers with order placers. The anti-join shape the reference has;

@@ -492,6 +492,52 @@ object DedupOps {
     jaccardVerify(cand, sets, threshold)
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs: C(A⊆B) = |sh(A)∩sh(B)| /
+    * |sh(A)| — the overlap measure that catches a short document
+    * embedded verbatim inside a long one, which symmetric Jaccard
+    * misses entirely (a 100-line doc quoted inside a 10 000-line doc
+    * has Jaccard ≈ 0.01 but containment ≈ 1.0). This is the dedup
+    * axis for quote-heavy / boilerplate-wrapped web corpora, where the
+    * decision is usually "drop the contained doc, keep the container".
+    *
+    * Candidates come from the same single-band minhash blocking as
+    * [[ngramJaccardPairsFrom]] (uniform band keys — no Zipf skew
+    * reaches the blocking key) and the verify is the same relational
+    * intersection count; only the final normalization differs: both
+    * directed containments are emitted, plus the max as the pair
+    * score. Note minhash LSH recall is driven by JACCARD, so extreme
+    * size-ratio pairs (tiny A in huge B) need the band probability of
+    * their Jaccard — a production sweep at 100 TB would add a
+    * suffix-prefix band family; the blocked shape is unchanged. */
+  def containmentPairs(documents: DataFrame, threshold: Double = 0.6): DataFrame =
+    containmentPairsFrom(withShingleSets(documents).cache(),
+      minhashSignatures(documents), threshold)
+
+  /** [[containmentPairs]] over precomputed shingle-set and signature
+    * frames (shared-build contract of the `*From` family). */
+  def containmentPairsFrom(sets: DataFrame, signatures: DataFrame,
+      threshold: Double): DataFrame = {
+    val keyed = signatures.filter(col("mh0").isNotNull)
+      .select(col("band0").as("block_key"), col("doc_id"))
+    val cand = saltedSelfPairs(keyed, "block_key", "doc_id")
+    val ex = sets.select(col("doc_id"), explode(col("sh")).as("s"))
+    val sizes = sets.select(col("doc_id"), col("n_sh"))
+    cand
+      .join(ex.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
+      .join(ex.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ni"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+        Seq("doc_b"))
+      .withColumn("cont_in_b", col("ni").cast("double") / col("n_a").cast("double"))
+      .withColumn("cont_in_a", col("ni").cast("double") / col("n_b").cast("double"))
+      .withColumn("containment", greatest(col("cont_in_a"), col("cont_in_b")))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        col("cont_in_b"), col("cont_in_a"), col("containment"))
+  }
+
   /** First-token blocking + exact Jaccard verify — the pre-round-7 form
     * of [[ngramJaccardPairs]], retained ONLY as the skew demonstration
     * for DedupSkewSpec: the first token is Zipf-distributed, so one

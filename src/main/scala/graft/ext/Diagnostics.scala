@@ -41,4 +41,74 @@ object Diagnostics {
       max(col("user_id")).as("max_user_id"),
       min(col("value")).as("min_value"),
       max(col("value")).as("max_value"))
+
+  /** Equi-DEPTH histogram of order value: `buckets` bins holding equal
+    * ROW counts (vs the equi-width bins of `text_length_histogram`) —
+    * the distribution read that sizes range partitions: each bucket's
+    * [lo, hi] is the value range one of `buckets` equal-sized range
+    * partitions would cover, which is exactly what a range-partitioned
+    * write or a range-join needs to plan balanced tasks.
+    *
+    * Semantics are exactly ntile(buckets) over the total order
+    * (o_totalprice, o_orderkey) — the unique tie-break makes bucket
+    * membership engine-independent, and the oracle IS that one-line
+    * ntile. But Spark executes an ORDER-BY-only window by moving the
+    * whole table to ONE partition (WindowExec warns; single task, the
+    * exact anti-pattern), so the build computes the global row number
+    * with the same two-phase distributed prefix sum as
+    * [[TextOps.globalTokenShards]]: range-partition + in-partition
+    * scan-carry for local ranks, then the per-PARTITION counts (32
+    * rows, not table rows) cumsum into partition offsets and
+    * broadcast-join back — the table shuffles exactly once, every
+    * stage parallel. The ntile bucket then falls out of rank
+    * arithmetic: with q = N div B, r = N mod B, the first r buckets
+    * hold q+1 rows — integer ops on non-negative values, so Spark
+    * `div` and the oracle's ntile agree bit-for-bit. */
+  def equiDepthHistogram(orders: DataFrame, buckets: Int = 10,
+      partitions: Int = 32): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val local = orders
+      .select(col("o_totalprice"), col("o_orderkey")).as[(Double, Long)]
+      .repartitionByRange(partitions, col("o_totalprice"), col("o_orderkey"))
+      .sortWithinPartitions(col("o_totalprice"), col("o_orderkey"))
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val first = it.next()
+          // data-derived chunk key (the chunk's lowest key pair), NOT
+          // TaskContext.getPartitionId — see globalTokenShards' note
+          val (kp, kk) = first
+          var rank = 0L
+          (Iterator.single(first) ++ it).map { case (p, k) =>
+            rank += 1; (kp, kk, p, k, rank)
+          }
+        }
+      }.toDF("pkey_price", "pkey_okey", "o_totalprice", "o_orderkey", "local_rank")
+      .localCheckpoint() // pin: offsets subtree + probe side share lineage
+    val offsets = local.groupBy(col("pkey_price"), col("pkey_okey"))
+      .agg(count(lit(1)).as("part_total"))
+      .withColumn("part_offset", expr(
+        "sum(part_total) over (order by pkey_price, pkey_okey " +
+          "rows between unbounded preceding and current row) - part_total"))
+      .withColumn("n_total", expr("sum(part_total) over ()"))
+      .select(col("pkey_price"), col("pkey_okey"),
+        col("part_offset"), col("n_total"))
+    local.join(broadcast(offsets), Seq("pkey_price", "pkey_okey"))
+      .withColumn("rn", col("part_offset") + col("local_rank"))
+      .withColumn("q", expr(s"n_total div $buckets"))
+      .withColumn("r", expr(s"n_total % $buckets"))
+      .withColumn("bucket",
+        when(col("rn") <= col("r") * (col("q") + 1),
+          expr("(rn - 1) div (q + 1) + 1"))
+          .otherwise(expr(
+            "r + (rn - r * (q + 1) - 1) div greatest(q, 1) + 1"))
+          .cast("int"))
+      .groupBy(col("bucket"))
+      .agg(
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("bucket"))
+  }
 }

@@ -102,6 +102,74 @@ WHERE r.r_name = 'ASIA'
   AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
 GROUP BY n.n_name"""
 
+  /** Mirror of Analytics.orderPriorityCheck (TPC-H Q4 shape on the
+    * trimmed schema): EXISTS with a correlated non-equi lateness
+    * predicate. Timestamp + INTERVAL arithmetic is exact in both
+    * engines. */
+  val q4Priority: String = """
+SELECT o_orderpriority AS order_priority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority"""
+
+  /** Mirror of Analytics.largeVolumeOrders (TPC-H Q18 shape): HAVING
+    * subquery over exact decimal quantity sums, top-20 by
+    * (o_totalprice DESC, o_orderkey). */
+  val q18LargeOrders: String = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+       o.o_totalprice AS total_price,
+       CAST(b.qty_d AS VARCHAR) AS total_qty
+FROM orders o
+JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_d
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300.00) b
+  ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 20"""
+
+  /** Mirror of Analytics.brandRevenue (TPC-H Q19 shape): three OR'd
+    * (brand, quantity, size) branches over the part join, exact
+    * decimal revenue. */
+  val q19BrandRevenue: String = """
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+              * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS VARCHAR)
+         AS revenue,
+       count(*) AS n_items
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11
+        AND p.p_size BETWEEN 1 AND 5)
+   OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20
+        AND p.p_size BETWEEN 1 AND 10)
+   OR (p.p_brand = 'Brand#4' AND l.l_quantity BETWEEN 20 AND 30
+        AND p.p_size BETWEEN 1 AND 15)"""
+
+  /** Mirror of Analytics.returnedItemReport (TPC-H Q10 shape): returned
+    * lineitems in one quarter, revenue per customer, top-20 with
+    * (revenue DESC, c_custkey) tie-break. */
+  val q10Returned: String = """
+SELECT c_custkey, c_name, CAST(rev_d AS VARCHAR) AS revenue,
+       acct_bal, nation
+FROM (
+  SELECT c.c_custkey, c.c_name, c.c_acctbal AS acct_bal, n.n_name AS nation,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS rev_d
+  FROM orders o
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+    AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    AND l.l_returnflag = 'R'
+  GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+  ORDER BY rev_d DESC, c.c_custkey
+  LIMIT 20)"""
+
   /** Mirror of Analytics.orderMoments: INT64 power sums (exact cents
     * for sum/mean, floor-div whole dollars for the second moments —
     * `//` ≡ Spark `div` on non-negative cents), doubles only in the
@@ -1145,6 +1213,36 @@ FROM inter i
 JOIN dsz za ON za.doc_id = i.doc_a
 JOIN dsz zb ON zb.doc_id = i.doc_b
 WHERE CAST(ni AS DOUBLE) / CAST(za.n + zb.n - ni AS DOUBLE) >= 0.3"""
+
+  /** Mirror of DedupOps.containmentPairs: the dedupNgram candidate
+    * chain (band-0 minhash blocking + relational intersection count)
+    * with containment normalization — ni/n per side, max as the pair
+    * score, threshold 0.6. Each containment is one int64→double
+    * conversion pair and one IEEE division — bit-identical across
+    * engines. */
+  val dedupContainment: String = shingleCtes + minhashSigCtes(2) + """,
+keyed AS (
+  SELECT doc_id, string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j) AS block_key
+  FROM sig GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM keyed a JOIN keyed b ON a.block_key = b.block_key AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS ni
+  FROM cand c
+  JOIN dsh x ON x.doc_id = c.doc_a
+  JOIN dsh y ON y.doc_id = c.doc_b AND y.s = x.s
+  GROUP BY c.doc_a, c.doc_b)
+SELECT doc_a, doc_b, cont_in_b, cont_in_a,
+       greatest(cont_in_a, cont_in_b) AS containment
+FROM (
+  SELECT i.doc_a, i.doc_b,
+         CAST(ni AS DOUBLE) / CAST(za.n AS DOUBLE) AS cont_in_b,
+         CAST(ni AS DOUBLE) / CAST(zb.n AS DOUBLE) AS cont_in_a
+  FROM inter i
+  JOIN dsz za ON za.doc_id = i.doc_a
+  JOIN dsz zb ON zb.doc_id = i.doc_b)
+WHERE greatest(cont_in_a, cont_in_b) >= 0.6"""
 
   /** Mirror of DedupOps.nearDupPageRank (3 iterations, scale 10¹²):
     * the minhash pair chain nested as a derived table, then the power
@@ -2299,4 +2397,17 @@ SELECT COUNT(*)::BIGINT AS n_rows,
        MIN(user_id) AS min_user_id, MAX(user_id) AS max_user_id,
        MIN(value) AS min_value, MAX(value) AS max_value
 FROM events"""
+
+  /** Mirror of Diagnostics.equiDepthHistogram: ntile(10) over the
+    * (o_totalprice, o_orderkey) total order — identical bucket
+    * membership in both engines because the order is total — then
+    * raw min/max and an exact count per bucket. */
+  val diagHistogram: String = """
+SELECT bucket, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+       COUNT(*)::BIGINT AS n_rows
+FROM (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+  FROM orders)
+GROUP BY bucket"""
 }
