@@ -293,6 +293,9 @@ object SparkEntry {
     // tokenizer-apply: df-ranked vocab ids + ordered-sequence md5
     "text_vocab_encode" -> ((s, d) =>
       TextOps.vocabEncodeFrom(shTf(s, d), docs(s, d))),
+    // BPE merge-rule training: 3 corpus-wide merge rounds over the
+    // vocab-sized word-frequency frame (one corpus scan total)
+    "text_bpe_train" -> ((s, d) => TextOps.bpeTrainMerges(docs(s, d))),
     // rational-idf BM25 keyword retrieval over the shared posting frame
     "text_bm25" -> ((s, d) => TextOps.bm25TopDocsFrom(shTf(s, d), docs(s, d))),
     // per-lang token-length histogram (dataset-card distribution table)
@@ -564,6 +567,7 @@ GROUP BY l_returnflag""",
     "sample_mixture" -> OracleSqlExt.corpusMixtureSample,
     "text_tfidf" -> OracleSqlExt.textTfidf,
     "text_vocab_encode" -> OracleSqlExt.textVocabEncode,
+    "text_bpe_train" -> OracleSqlExt.textBpeTrain,
     "text_bm25" -> OracleSqlExt.textBm25,
     "text_length_histogram" -> OracleSqlExt.textLengthHistogram,
     "text_paragraph_dedup" -> OracleSqlExt.textParagraphDedup,

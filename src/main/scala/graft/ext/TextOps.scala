@@ -1026,4 +1026,75 @@ object TextOps {
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
   }
+
+  /** Distributed BPE merge-rule TRAINING — the actual tokenizer-
+    * training loop (Sennrich et al. 2016, "Neural Machine Translation
+    * of Rare Words with Subword Units") run as Spark aggregates: per
+    * round, count adjacent token-pair frequencies corpus-wide, pick
+    * the most frequent pair (ties broken by pair string — both engines
+    * binary-collate ASCII identically), and merge it greedily
+    * left-to-right inside every word. Emits the learned merge table
+    * (rank, pair, merged token, corpus pair count) — the artifact a
+    * real tokenizer ships.
+    *
+    * Scale posture — why this trains on 100 TB: the corpus is scanned
+    * exactly ONCE (the word-frequency count, map-side combinable);
+    * every merge round then operates on the VOCAB-sized (word, freq)
+    * frame — the same word-level pre-tokenization real BPE trainers
+    * use, orders of magnitude smaller than the corpus and independent
+    * of corpus growth beyond vocabulary saturation. Per round: one
+    * pair-count aggregate + top-1 (a 1-row frame, localCheckpointed so
+    * the final union never re-derives it), then the greedy merge as a
+    * per-row `aggregate()` fold with the pair broadcast in — two
+    * driver barriers per round, inherent to the sequential dependence
+    * of merge r+1 on merge r (the same bounded-rounds posture as
+    * [[Graph.pageRank]]).
+    *
+    * The fold IS one-pass greedy left-to-right ("a a a" + (a,a) →
+    * ["aa","a"], "a b a b" + (a,b) → ["ab","ab"]): a merged token can
+    * never create a NEW occurrence of its own pair (a+b ≠ a and
+    * a+b ≠ b, tokens are non-empty), so single-pass and
+    * repeat-until-fixpoint coincide — the oracle exploits the same
+    * invariant. */
+  def bpeTrainMerges(documents: DataFrame, rounds: Int = 3): DataFrame = {
+    val words = documents
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      // (?!^) splits before every char — but it also matches at END of
+      // string, and Spark's split keeps trailing empties (Java split
+      // with limit -1), so strip the empty edge token explicitly
+      .select(expr("filter(split(word, '(?!^)'), t -> t != '')").as("toks"),
+        col("freq"))
+    var cur = words.localCheckpoint()
+    val merges = (1 to rounds).map { r =>
+      val best = cur
+        .select(col("freq"), explode(expr(
+          "zip_with(slice(toks, 1, size(toks) - 1), " +
+            "slice(toks, 2, size(toks) - 1), (a, b) -> concat(a, ' ', b))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("pair"))
+        .limit(1)
+        .select(
+          split(col("pair"), " ").getItem(0).as("bp_a"),
+          split(col("pair"), " ").getItem(1).as("bp_b"),
+          col("pair_count"))
+        .localCheckpoint() // 1 row; pins the round's winner for the union
+      cur = cur.crossJoin(broadcast(best))
+        .select(expr(
+          """aggregate(toks, cast(array() as array<string>),
+            |  (acc, t) -> case when size(acc) > 0
+            |      and element_at(acc, -1) = bp_a and t = bp_b
+            |    then concat(slice(acc, 1, size(acc) - 1),
+            |                array(concat(bp_a, bp_b)))
+            |    else concat(acc, array(t)) end)""".stripMargin).as("toks"),
+          col("freq"))
+        .localCheckpoint()
+      best.select(lit(r).as("merge_rank"),
+        col("bp_a").as("pair_left"), col("bp_b").as("pair_right"),
+        concat(col("bp_a"), col("bp_b")).as("merged"), col("pair_count"))
+    }
+    merges.reduce(_ unionAll _)
+  }
 }

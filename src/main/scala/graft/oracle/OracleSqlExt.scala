@@ -2398,6 +2398,44 @@ SELECT COUNT(*)::BIGINT AS n_rows,
        MIN(value) AS min_value, MAX(value) AS max_value
 FROM events"""
 
+  /** Mirror of TextOps.bpeTrainMerges: 3 unrolled BPE rounds. Each
+    * round: adjacent-pair counts weighted by word frequency, top-1 by
+    * (count DESC, pair), then the greedy left-to-right merge as a
+    * list_reduce fold (tokens lifted to singleton lists so the
+    * accumulator type is uniform — DuckDB's reduce seeds with the
+    * first element). Single-pass ≡ fixpoint by the merged-token
+    * invariant documented on the Spark side. */
+  val textBpeTrain: String = {
+    def round(i: Int): String = s""",
+p$i AS (
+  SELECT pair, SUM(freq)::BIGINT AS pair_count FROM (
+    SELECT unnest(list_transform(range(1, len(toks)),
+             k -> toks[k] || ' ' || toks[k+1])) AS pair, freq
+    FROM w${i - 1}) u GROUP BY pair),
+b$i AS (
+  SELECT string_split(pair, ' ')[1] AS bp_a,
+         string_split(pair, ' ')[2] AS bp_b, pair_count
+  FROM p$i ORDER BY pair_count DESC, pair LIMIT 1),
+w$i AS (
+  SELECT list_reduce(list_transform(toks, t -> [t]),
+           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.bp_a
+                             AND x[1] = b.bp_b
+                         THEN acc[1:len(acc)-1] || [b.bp_a || b.bp_b]
+                         ELSE acc || x END) AS toks, freq
+  FROM w${i - 1}, b$i b)"""
+    """
+WITH w0 AS (
+  SELECT string_split(word, '') AS toks, count(*)::BIGINT AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) u
+  WHERE word <> ''
+  GROUP BY word)""" +
+      (1 to 3).map(round).mkString +
+      (1 to 3).map(i =>
+        s"""SELECT $i AS merge_rank, bp_a AS pair_left, bp_b AS pair_right,
+           |       bp_a || bp_b AS merged, pair_count FROM b$i""".stripMargin)
+        .mkString("\n", "\nUNION ALL\n", "")
+  }
+
   /** Mirror of Diagnostics.equiDepthHistogram: ntile(10) over the
     * (o_totalprice, o_orderkey) total order — identical bucket
     * membership in both engines because the order is total — then

@@ -853,4 +853,57 @@ class ExtOpsSpec extends SparkSpec {
     assert(m(3L)._5 == md5hex("server <IP> and <IP> up"))
     assert(m(4L) == ((0, 0, 0, false, md5hex("perfectly clean text here"))))
   }
+
+  test("containment catches a contained doc that symmetric Jaccard misses") {
+    val long = "the quick brown fox jumps over the lazy dog near the quiet " +
+      "river bank at dawn every single day"
+    val contained = long.split(" ").drop(8).mkString(" ") // suffix: J≈0.53
+    val other = "completely different content about database engines today"
+    val d = docs(1L -> long, 2L -> contained, 3L -> other)
+    val cont = DedupOps.containmentPairs(d, threshold = 0.6).collect()
+    assert(cont.length == 1)
+    val r = cont.head
+    assert((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) == ((1L, 2L)))
+    assert(r.getAs[Double]("containment") == 1.0) // all of doc 2 is in doc 1
+    // the symmetric measure at the same cut rejects this pair
+    val jac = DedupOps.ngramJaccardPairs(d, threshold = 0.6).collect()
+    assert(!jac.exists(x => x.getAs[Long]("doc_a") == 1L &&
+      x.getAs[Long]("doc_b") == 2L))
+  }
+
+  test("equi-depth histogram matches ntile semantics without a global window") {
+    import spark.implicits._
+    // 23 rows, 10 buckets → q=2, r=3: buckets 1-3 hold 3 rows, 4-10 hold 2
+    val orders = (1 to 23).map(i =>
+        (i.toLong, 1L, "O", i * 10.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "x"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val h = graft.ext.Diagnostics.equiDepthHistogram(orders, buckets = 10,
+        partitions = 4)
+      .collect().map(r => (r.getAs[Int]("bucket"), r.getAs[Double]("lo"),
+        r.getAs[Double]("hi"), r.getAs[Long]("n_rows")))
+    assert(h.length == 10)
+    assert(h.take(3).forall(_._4 == 3L) && h.drop(3).forall(_._4 == 2L))
+    assert(h.head == ((1, 10.0, 30.0, 3L)))
+    assert(h.last == ((10, 220.0, 230.0, 2L)))
+    // buckets tile the sorted domain: each lo is the previous hi + 10
+    assert(h.sliding(2).forall { case Array(a, b) => b._2 > a._3; case _ => true })
+  }
+
+  test("BPE training learns merges in frequency order, greedy left-to-right") {
+    // corpus: "abab" ×3, "aaa" ×2 → round-1 pairs: (a,b)=6, (b,a)=3,
+    // (a,a)=4 → merge 1 = (a,b)→ab with count 6. After merging,
+    // "abab"→[ab,ab], "aaa"→[a,a,a] (untouched) → round-2 pairs:
+    // (ab,ab)=3, (a,a)=4 → merge 2 = (a,a)→aa count 4, and "aaa"
+    // folds GREEDILY to [aa,a] (not [a,aa]). Round 3: (ab,ab)=3 beats
+    // (aa,a)=2 → merge 3 = (ab,ab) count 3.
+    val m = TextOps.bpeTrainMerges(docs(
+        1L -> "abab abab", 2L -> "abab aaa", 3L -> "aaa"), rounds = 3)
+      .collect().map(r => r.getAs[Int]("merge_rank") ->
+        (r.getAs[String]("pair_left"), r.getAs[String]("pair_right"),
+         r.getAs[String]("merged"), r.getAs[Long]("pair_count"))).toMap
+    assert(m(1) == (("a", "b", "ab", 6L)))
+    assert(m(2) == (("a", "a", "aa", 4L)))
+    assert(m(3) == (("ab", "ab", "abab", 3L)))
+  }
 }
