@@ -296,6 +296,10 @@ object SparkEntry {
     // BPE merge-rule training: 3 corpus-wide merge rounds over the
     // vocab-sized word-frequency frame (one corpus scan total)
     "text_bpe_train" -> ((s, d) => TextOps.bpeTrainMerges(docs(s, d))),
+    // sparse tf-vector cosine near-dups via rare-term inverted-index
+    // blocking (integer milli-cos² — no floats anywhere)
+    "text_sparse_neardup" -> ((s, d) =>
+      TextOps.sparseCosineNearDupsFrom(shTf(s, d), docs(s, d))),
     // rational-idf BM25 keyword retrieval over the shared posting frame
     "text_bm25" -> ((s, d) => TextOps.bm25TopDocsFrom(shTf(s, d), docs(s, d))),
     // per-lang token-length histogram (dataset-card distribution table)
@@ -406,6 +410,7 @@ object SparkEntry {
     "mm_decode_jpeg" -> ((s, d) => MultiModal.decodedJpegFeatures(docs(s, d))),
     // GIF87a: real variable-width LZW decompression + palette mapping
     "mm_decode_gif" -> ((s, d) => MultiModal.decodedGifFeatures(docs(s, d))),
+    "mm_decode_png" -> ((s, d) => MultiModal.decodedPngFeatures(docs(s, d))),
     "mm_audio" -> ((s, d) => MultiModal.decodedAudio(docs(s, d))),
     // G.711 µ-law WAV: lossy companding, oracle replays the formulas
     "mm_audio_mulaw" -> ((s, d) => MultiModal.decodedMulawAudio(docs(s, d))),
@@ -568,6 +573,7 @@ GROUP BY l_returnflag""",
     "text_tfidf" -> OracleSqlExt.textTfidf,
     "text_vocab_encode" -> OracleSqlExt.textVocabEncode,
     "text_bpe_train" -> OracleSqlExt.textBpeTrain,
+    "text_sparse_neardup" -> OracleSqlExt.textSparseNeardup,
     "text_bm25" -> OracleSqlExt.textBm25,
     "text_length_histogram" -> OracleSqlExt.textLengthHistogram,
     "text_paragraph_dedup" -> OracleSqlExt.textParagraphDedup,
@@ -615,6 +621,7 @@ GROUP BY l_returnflag""",
     "mm_decode" -> OracleSqlExt.mmDecode,
     "mm_decode_jpeg" -> OracleSqlExt.mmDecodeJpeg,
     "mm_decode_gif" -> OracleSqlExt.mmDecodeGif,
+    "mm_decode_png" -> OracleSqlExt.mmDecodePng,
     "mm_audio" -> OracleSqlExt.mmAudio,
     "mm_audio_mulaw" -> OracleSqlExt.mmAudioMulaw,
     "mm_features" -> OracleSqlExt.mmFeatures,

@@ -109,6 +109,8 @@ object ImageCodec {
       Image("jpeg", j.width, j.height, j.pixels)
     } else if (bytes(0) == 'G'.toByte && bytes(1) == 'I'.toByte)
       GifCodec.decode(bytes)
+    else if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'.toByte)
+      PngCodec.decode(bytes)
     else throw new IllegalArgumentException(
       f"unknown image magic 0x${bytes(0)}%02x${bytes(1)}%02x")
   }

@@ -298,6 +298,35 @@ object MultiModal {
     decodeImages(gifImageTable(documents)).toDF()
   }
 
+  /** PNG geometry: h ≥ 6 so the encoder's per-row `row % 5` filter
+    * cycle puts every one of the five filter types (None/Sub/Up/
+    * Average/Paeth) inside every image — the whole unfilter surface
+    * sits under one hash gate. */
+  private[ext] def pngGeomOf(id: Long): (Int, Int) =
+    ((9 + (id % 4) * 5).toInt, (6 + (id % 5) * 3).toInt)
+
+  /** Synthesize REAL PNG bytes (zlib DEFLATE, chunk CRCs, split IDAT)
+    * for the image-typed docs through [[PngCodec]]'s encoder; pixels
+    * reuse the [[pixelOf]] formula so the oracle is pure arithmetic. */
+  def pngImageTable(documents: DataFrame): Dataset[ImageFile] = {
+    import documents.sparkSession.implicits._
+    documents.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val (w, h) = pngGeomOf(id)
+        ImageFile(id, "png", PngCodec.encode(w, h, pixelOf(id)))
+      }
+  }
+
+  /** The oracle-gated PNG decode query (`mm_decode_png`): DEFLATE +
+    * per-row unfilter + CRC walk through the same typed-Dataset +
+    * mapPartitions plumbing ([[ImageCodec.decode]] dispatches on the
+    * \x89PNG signature), pixel-exact against the arithmetic oracle. */
+  def decodedPngFeatures(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    decodeImages(pngImageTable(documents)).toDF()
+  }
+
   /** Deterministic PCM16 sample function for doc `id`: an integer
     * residue mapped into the full signed 16-bit range, so the oracle
     * reproduces every sample (and thus every statistic) with a formula

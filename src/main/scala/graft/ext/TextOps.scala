@@ -1027,6 +1027,73 @@ object TextOps {
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
   }
 
+  /** Sparse-vector near-dup pairs over the INVERTED INDEX — the
+    * lexical complement of the dense-embedding ANN family: document
+    * similarity as tf-vector cosine, with candidate generation by
+    * shared RARE terms (2 ≤ df ≤ dfMax) instead of minhash bands.
+    * This is the posting-list self-join every search engine's
+    * "more-like-this" runs, and it catches topical near-dups whose
+    * shingle Jaccard is low (same vocabulary, different order).
+    *
+    * Exactness without floats: cosine² is a RATIONAL of integer tf
+    * sums — (Σ tf_a·tf_b)² / (Σtf_a² · Σtf_b²) — so the emitted score
+    * is integer milli-cos² via `div`: bit-identical cross-engine, and
+    * cos² ≥ t² ⇔ cos ≥ t on nonnegative tf vectors. Overflow bound:
+    * dot²·1000 needs dot < 3·10⁶ — docs of ~50k tokens of one
+    * repeated term; promote to DECIMAL beyond that (stated trade,
+    * same as the moments query).
+    *
+    * Scale posture: the df ≤ dfMax cap bounds every blocking
+    * posting-list at dfMax rows, so the per-term pair fan-out is
+    * ≤ dfMax²/2 — linear in vocabulary size, NO salted join needed
+    * (the cap is the skew control; contrast the uncapped first-token
+    * demo in DedupOps). The verify dot product joins the candidate
+    * pairs back through the SAME posting frame on (doc, term) — all
+    * hash-partitioned aggregates over already-aggregated frames.
+    *
+    * The cap is CORPUS-RELATIVE — greatest(n_docs div 16, 10) — the
+    * same fixed-width-fails lesson as the LSH signature width (10×
+    * probe, r11): this synthetic corpus draws from a tiny dense
+    * vocabulary whose every term's df grows linearly with corpus
+    * size, so a constant cap selects nothing at 10×. On a real Zipf
+    * web corpus the rare tail is scale-free and a small CONSTANT cap
+    * (10-50) is the production setting — the relative form here
+    * degrades to "the rarest 1/16th quantile of terms", which is the
+    * honest analog. The 1-row count crossJoins in as a broadcast —
+    * no driver-side collect. */
+  def sparseCosineNearDupsFrom(tf: DataFrame, documents: DataFrame,
+      milliCos2Min: Long = 250L): DataFrame = {
+    val cap = documents.agg(
+      greatest(expr("count(1) div 16"), lit(10L)).as("df_max"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val rare = tf
+      .join(df.crossJoin(broadcast(cap))
+        .filter(col("df") >= 2 && col("df") <= col("df_max"))
+        .select(col("term")), Seq("term"))
+      .select(col("term"), col("doc_id"))
+    val cand = rare.select(col("term"), col("doc_id").as("doc_a"))
+      .join(rare.select(col("term"), col("doc_id").as("doc_b")), Seq("term"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val norms = tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("tf")).as("norm2"))
+    cand
+      .join(tf.select(col("doc_id").as("doc_a"), col("term"),
+        col("tf").as("tf_a")), Seq("doc_a"))
+      .join(tf.select(col("doc_id").as("doc_b"), col("term"),
+        col("tf").as("tf_b")), Seq("doc_b", "term"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("tf_a") * col("tf_b")).as("dot"))
+      .join(norms.select(col("doc_id").as("doc_a"), col("norm2").as("na")),
+        Seq("doc_a"))
+      .join(norms.select(col("doc_id").as("doc_b"), col("norm2").as("nb")),
+        Seq("doc_b"))
+      .withColumn("milli_cos2", expr("(dot * dot * 1000) div (na * nb)"))
+      .filter(col("milli_cos2") >= milliCos2Min)
+      .select(col("doc_a"), col("doc_b"), col("dot"), col("milli_cos2"))
+  }
+
   /** Distributed BPE merge-rule TRAINING — the actual tokenizer-
     * training loop (Sennrich et al. 2016, "Neural Machine Translation
     * of Rare Words with Subword Units") run as Spark aggregates: per

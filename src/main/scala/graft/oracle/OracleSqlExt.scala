@@ -1580,6 +1580,31 @@ SELECT i.doc_id, 'gif' AS format, CAST(i.w AS INT) AS width,
          AS brightness_q
 FROM img i JOIN px p ON p.doc_id = i.doc_id"""
 
+  /** Mirror of MultiModal.decodedPngFeatures: same pixel formula as
+    * mm_decode (MultiModal.pixelOf), PNG geometry. The Spark side
+    * reports what PngCodec PARSED out of real DEFLATE+filtered bytes,
+    * so equality verifies signature/CRC/inflate/unfilter exactly. */
+  val mmDecodePng: String = """
+WITH img AS (
+  SELECT doc_id, 9 + (doc_id % 4) * 5 AS w, 6 + (doc_id % 5) * 3 AS h
+  FROM documents WHERE doc_id % 3 = 0),
+px AS (
+  SELECT i.doc_id,
+         SUM((i.doc_id * 31 + t.p * 7) % 256) AS sum_r,
+         SUM((i.doc_id * 17 + t.p * 11) % 256) AS sum_g,
+         SUM((i.doc_id * 13 + t.p * 5) % 256) AS sum_b
+  FROM img i, UNNEST(range(0, i.w * i.h)) t(p)
+  GROUP BY i.doc_id)
+SELECT i.doc_id, 'png' AS format, CAST(i.w AS INT) AS width,
+       CAST(i.h AS INT) AS height,
+       CAST(i.w * i.h AS BIGINT) AS n_pixels,
+       CAST(p.sum_r AS BIGINT) AS sum_r,
+       CAST(p.sum_g AS BIGINT) AS sum_g,
+       CAST(p.sum_b AS BIGINT) AS sum_b,
+       CAST((p.sum_r + p.sum_g + p.sum_b) // (3 * i.w * i.h) AS BIGINT)
+         AS brightness_q
+FROM img i JOIN px p ON p.doc_id = i.doc_id"""
+
   /** Mirror of MultiModal.decodedAudio: recomputes the decoded-sample
     * statistics from the generation formula (MultiModal.sampleOf /
     * audioGeomOf). The Spark side reports what AudioCodec PARSED out of
@@ -2397,6 +2422,37 @@ SELECT COUNT(*)::BIGINT AS n_rows,
        MIN(user_id) AS min_user_id, MAX(user_id) AS max_user_id,
        MIN(value) AS min_value, MAX(value) AS max_value
 FROM events"""
+
+  /** Mirror of TextOps.sparseCosineNearDupsFrom: rare-term (2 ≤ df ≤
+    * 10) blocking over the posting frame, integer dot product and
+    * norms, milli-cos² ≥ 250 via floor division. */
+  val textSparseNeardup: String = """
+WITH nd AS (SELECT greatest(count(*) // 16, 10) AS df_max FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) u
+  GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+rare AS (
+  SELECT tf.term, tf.doc_id FROM tf JOIN df USING (term), nd
+  WHERE df.df BETWEEN 2 AND nd.df_max),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rare a JOIN rare b ON a.term = b.term AND a.doc_id < b.doc_id),
+norms AS (SELECT doc_id, SUM(tf * tf)::BIGINT AS norm2 FROM tf GROUP BY doc_id),
+dots AS (
+  SELECT c.doc_a, c.doc_b, SUM(x.tf * y.tf)::BIGINT AS dot
+  FROM cand c
+  JOIN tf x ON x.doc_id = c.doc_a
+  JOIN tf y ON y.doc_id = c.doc_b AND y.term = x.term
+  GROUP BY c.doc_a, c.doc_b)
+SELECT doc_a, doc_b, dot, milli_cos2 FROM (
+  SELECT d.doc_a, d.doc_b, d.dot,
+         (d.dot * d.dot * 1000) // (na.norm2 * nb.norm2) AS milli_cos2
+  FROM dots d
+  JOIN norms na ON na.doc_id = d.doc_a
+  JOIN norms nb ON nb.doc_id = d.doc_b)
+WHERE milli_cos2 >= 250"""
 
   /** Mirror of TextOps.bpeTrainMerges: 3 unrolled BPE rounds. Each
     * round: adjacent-pair counts weighted by word frequency, top-1 by

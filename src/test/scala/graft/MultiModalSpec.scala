@@ -195,4 +195,36 @@ class MultiModalSpec extends SparkSpec {
     assert(body.contains(""""galleryUrl":"https://hapzea.com/gallery/ev18/g18""""))
     assert(row.getAs[Int]("delay_seconds") == 5)
   }
+
+  test("PNG roundtrips all five filters and rejects CRC/truncation/color-type") {
+    import graft.ext.PngCodec
+    // 6 rows → filter cycle None/Sub/Up/Average/Paeth/None all present
+    def pix(p: Int): (Int, Int, Int) = ((p * 7) % 256, (p * 11) % 256, (p * 5) % 256)
+    val bytes = PngCodec.encode(5, 6, pix)
+    val img = PngCodec.decode(bytes)
+    assert(img.format == "png" && img.width == 5 && img.height == 6)
+    (0 until 30).foreach { p =>
+      assert((img.r(p), img.g(p), img.b(p)) == pix(p), s"pixel $p")
+    }
+    // flip one IDAT payload byte → the chunk CRC must catch it
+    val corrupt = bytes.clone()
+    val idat = (0 until corrupt.length - 3).find(i =>
+      corrupt(i) == 'I' && corrupt(i + 1) == 'D' &&
+      corrupt(i + 2) == 'A' && corrupt(i + 3) == 'T').get
+    corrupt(idat + 4) = (corrupt(idat + 4) ^ 0x01).toByte
+    val e = intercept[IllegalArgumentException] { PngCodec.decode(corrupt) }
+    assert(e.getMessage.contains("CRC"))
+    // truncation mid-chunk is a parse error, not a short image
+    intercept[IllegalArgumentException] { PngCodec.decode(bytes.dropRight(16)) }
+    // color type 6 (RGBA) must be refused, not misread as RGB
+    val rgba = bytes.clone()
+    rgba(8 + 8 + 9) = 6 // IHDR data byte 9 = color type
+    val crc = new java.util.zip.CRC32()
+    crc.update(rgba, 8 + 4, 4 + 13) // re-seal IHDR so only the type differs
+    val cv = crc.getValue
+    var i = 0
+    while (i < 4) { rgba(8 + 8 + 13 + i) = ((cv >> (24 - 8 * i)) & 0xff).toByte; i += 1 }
+    val e2 = intercept[IllegalArgumentException] { PngCodec.decode(rgba) }
+    assert(e2.getMessage.contains("truecolor"))
+  }
 }
