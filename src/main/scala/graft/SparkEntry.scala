@@ -338,6 +338,8 @@ object SparkEntry {
     // (degree-ordered forward counting over the shared pair frame)
     "dedup_graph_triangles" -> ((s, d) =>
       ext.Graph.triangleStats(shPairs(s, d, 0.5))),
+    // bounded 2-core peeling: the densely-duplicated template core
+    "dedup_kcore" -> ((s, d) => ext.Graph.kCore(shPairs(s, d, 0.5))),
     "dedup_incremental" -> ((s, d) =>
       DedupOps.incrementalNewDocsFrom(docs(s, d), shDigests(s, d))),
     // same semantics behind a broadcast Bloom prefilter (exact result;
@@ -592,6 +594,7 @@ GROUP BY l_returnflag""",
     "dedup_containment" -> OracleSqlExt.dedupContainment,
     "dedup_clusters" -> OracleSqlExt.dedupClusters,
     "dedup_pagerank" -> OracleSqlExt.dedupPagerank,
+    "dedup_kcore" -> OracleSqlExt.dedupKcore,
     "dedup_graph_triangles" -> OracleSqlExt.dedupGraphTriangles,
     "dedup_incremental" -> OracleSqlExt.dedupIncremental,
     // the bloom is a pure prefilter: the exact-SQL oracle is identical

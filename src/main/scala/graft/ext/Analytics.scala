@@ -143,9 +143,15 @@ object Analytics {
     * and the global top-k is a WindowGroupLimit. */
   def basketPairs(lineitem: DataFrame, minSupport: Long = 3L,
       k: Int = 10): DataFrame = {
+    // lazy localCheckpoint: `items` feeds four subtrees (freq, total,
+    // both sides of the pair self-join) whose differing projections
+    // defeat exchange reuse — without the pin the lineitem scan and
+    // the distinct shuffle run four times (same pattern as
+    // paragraphDedup / sessionFunnel)
     val items = lineitem
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
       .distinct()
+      .localCheckpoint(false)
     val freq = items.groupBy(col("part"))
       .agg(count(lit(1)).as("n_part"))
       .filter(col("n_part") >= minSupport)

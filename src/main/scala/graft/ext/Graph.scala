@@ -259,6 +259,50 @@ object Graph {
           .otherwise(lit(0.0)).as("global_clustering"))
   }
 
+  /** Bounded k-core peeling over an undirected pair graph: per round,
+    * drop every vertex whose degree in the CURRENT graph is < k and
+    * induce the subgraph on the survivors; after `rounds` peels, emit
+    * the remaining vertices with their induced degree. On the near-dup
+    * graph the surviving core is the densely-interlinked template
+    * farm — the doc set where per-pair dedup decisions stop making
+    * sense and a cluster-level keep/drop policy takes over (clusters
+    * give membership; the core gives DENSITY).
+    *
+    * Bounded rounds, honestly: r peels compute the true k-core iff
+    * peeling has reached its fixpoint by round r (true on near-dup
+    * graphs, whose cores are near-cliques — one peel removes the
+    * pendant fringe, the second confirms); otherwise the result is the
+    * round-r OVER-approximation (supersets of the core), exactly what
+    * the unrolled oracle replays. No fixed-point probe job at small
+    * `rounds` — the r10 verdict's pagerank lesson: a probe that can
+    * save at most one round is not worth a barrier every round.
+    *
+    * Scale posture per round — ONE driver barrier (the induced-edge
+    * frame's eager localCheckpoint; same lineage-truncation rationale
+    * as [[connectedComponents]]): a map-side-combinable degree
+    * aggregate and two left-semi joins of the edge frame against the
+    * survivor list, all hash-partitioned on vertex id, no driver-side
+    * data. */
+  def kCore(pairs: DataFrame, k: Int = 2, rounds: Int = 3): DataFrame = {
+    val p = pairs.select(col(pairs.columns(0)).as("src"),
+      col(pairs.columns(1)).as("dst"))
+    var e = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      val surv = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("src").as("v"))
+      val next = e
+        .join(surv.select(col("v").as("src")), Seq("src"), "left_semi")
+        .join(surv.select(col("v").as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint()
+      e = next
+      r += 1
+    }
+    e.groupBy(col("src").as("doc_id")).agg(count(lit(1)).as("deg"))
+  }
+
   /** (id, cluster_id, cluster_size, is_canonical) from a components
     * labeling — the presentation both near-dup cluster queries share.
     * `idName` renames the generic vertex column for the caller. */

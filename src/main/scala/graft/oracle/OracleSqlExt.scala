@@ -1244,6 +1244,27 @@ FROM (
   JOIN dsz zb ON zb.doc_id = i.doc_b)
 WHERE greatest(cont_in_a, cont_in_b) >= 0.6"""
 
+  /** Mirror of Graph.kCore over the verified minhash pair graph:
+    * 3 peel rounds unrolled — per round the degree aggregate, the
+    * deg ≥ 2 survivor filter, and the induced-subgraph semi joins —
+    * then final induced degrees. */
+  val dedupKcore: String = {
+    def peel(i: Int): String = s""",
+d$i AS (SELECT src, COUNT(*) AS deg FROM e${i - 1} GROUP BY src),
+s$i AS (SELECT src AS v FROM d$i WHERE deg >= 2),
+e$i AS (
+  SELECT e.src, e.dst FROM e${i - 1} e
+  WHERE e.src IN (SELECT v FROM s$i) AND e.dst IN (SELECT v FROM s$i))"""
+    s"""
+WITH kc_pairs AS (
+  SELECT doc_a, doc_b FROM ($dedupMinhash)),
+e0 AS (
+  SELECT doc_a AS src, doc_b AS dst FROM kc_pairs
+  UNION ALL SELECT doc_b, doc_a FROM kc_pairs)""" +
+      (1 to 3).map(peel).mkString + """
+SELECT src AS doc_id, COUNT(*)::BIGINT AS deg FROM e3 GROUP BY src"""
+  }
+
   /** Mirror of DedupOps.nearDupPageRank (3 iterations, scale 10¹²):
     * the minhash pair chain nested as a derived table, then the power
     * iteration unrolled — every division has non-negative operands so

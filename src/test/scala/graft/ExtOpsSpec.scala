@@ -890,6 +890,19 @@ class ExtOpsSpec extends SparkSpec {
     assert(h.sliding(2).forall { case Array(a, b) => b._2 > a._3; case _ => true })
   }
 
+  test("k-core peeling strips pendant chains and keeps the dense core") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant chain 3-4-5: the 2-core is the
+    // triangle. One peel drops 5 (deg 1), the second drops 4 (deg
+    // fell to 1), the third confirms — exactly the bounded 3 rounds.
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("doc_a", "doc_b")
+    val core = graft.ext.Graph.kCore(pairs, k = 2, rounds = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("deg"))
+      .toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("BPE training learns merges in frequency order, greedy left-to-right") {
     // corpus: "abab" ×3, "aaa" ×2 → round-1 pairs: (a,b)=6, (b,a)=3,
     // (a,a)=4 → merge 1 = (a,b)→ab with count 6. After merging,
