@@ -281,6 +281,8 @@ object SparkEntry {
     "text_surprisal" -> ((s, d) => TextOps.unigramSurprisalFrom(shTf(s, d))),
     "corpus_contamination" -> ((s, d) =>
       TextOps.benchmarkContaminationFrom(shSixGrams(s, d))),
+    // surgical span-level excision plan (merge overlapping 6-gram hits)
+    "corpus_decontam_spans" -> ((s, d) => TextOps.decontaminateSpans(docs(s, d))),
     // temperature-scaled per-source mixing weights (α = 0.5)
     "corpus_mixture" -> ((s, d) => TextOps.mixtureWeights(docs(s, d))),
     "sample_hash" -> ((s, d) => TextOps.hashSample(docs(s, d))),
@@ -569,6 +571,7 @@ GROUP BY l_returnflag""",
     "text_pii_scrub" -> OracleSqlExt.textPiiScrub,
     "text_surprisal" -> OracleSqlExt.textSurprisal,
     "corpus_contamination" -> OracleSqlExt.corpusContamination,
+    "corpus_decontam_spans" -> OracleSqlExt.corpusDecontamSpans,
     "corpus_mixture" -> OracleSqlExt.corpusMixture,
     "sample_hash" -> OracleSqlExt.textHashSample,
     "sample_mixture" -> OracleSqlExt.corpusMixtureSample,

@@ -800,6 +800,61 @@ object TextOps {
       .agg(count(lit(1)).as("n_benchmark_shingles"))
   }
 
+  /** SPAN-level benchmark decontamination — the surgical form of
+    * [[benchmarkContamination]]: instead of flagging whole documents,
+    * locate WHICH token ranges the benchmark shingles cover, merge
+    * overlapping hits into maximal contaminated spans, and report the
+    * excision plan per document (span count, contaminated token count,
+    * surviving-clean fraction). This is how production decontamination
+    * actually ships — dropping a 10k-token doc for one quoted eval
+    * question destroys yield; cutting the 6-token span keeps it.
+    *
+    * Span merge without self-joins: matches are fixed-length (6-token)
+    * intervals, so sorted by start position the running maximum of
+    * span ends is just the previous start + 5 — a new span begins
+    * exactly when `pos - lag(pos) > 5`. One per-doc window (shuffle on
+    * doc_id), a flag-cumsum island id, and two integer aggregates.
+    * All arithmetic is integer (milli clean-ratio via `div`), so the
+    * full excision plan hash-gates cross-engine.
+    *
+    * Scale posture: the position explode is corpus-shaped (rows ≈
+    * tokens) but immediately semi-filtered by the benchmark join —
+    * only MATCHED positions reach the window, and real contamination
+    * is sparse (‰-level), so the windowed frame is tiny relative to
+    * the corpus. The benchmark side stays unhinted for the same
+    * reason as [[benchmarkContaminationFrom]]. */
+  def decontaminateSpans(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col("text"))
+    val withPos = documents.select(col("doc_id"), size(toks).as("n_tokens"),
+        posexplode(transform(sequence(lit(1), greatest(size(toks) - 5, lit(1))),
+          i => concat_ws(" ", slice(toks, i, lit(6))))).as(Seq("idx", "s")))
+      .select(col("doc_id"), col("n_tokens"), (col("idx") + 1).as("pos"), col("s"))
+    val bench = withPos.filter(col("doc_id") % 11 === 0)
+      .select(col("s")).distinct()
+    val hits = withPos.filter(col("doc_id") % 11 =!= 0)
+      .join(bench, Seq("s"))
+      .select(col("doc_id"), col("n_tokens"), col("pos")).distinct()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = hits
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) > 5, 1L)
+          .otherwise(when(lag(col("pos"), 1).over(w).isNull, 1L).otherwise(0L)))
+      .withColumn("island", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("n_tokens"), col("island"))
+      .agg(min(col("pos")).as("start"),
+        least(max(col("pos")) + 5, col("n_tokens").cast("long")).as("end"),
+        count(lit(1)).as("n_hits"))
+    spans.groupBy(col("doc_id"), col("n_tokens"))
+      .agg(
+        sum(col("n_hits")).as("n_matches"),
+        count(lit(1)).as("n_spans"),
+        sum(col("end") - col("start") + 1).as("n_tokens_contaminated"))
+      .withColumn("clean_milli", expr(
+        "(1000 * (n_tokens - n_tokens_contaminated)) div n_tokens"))
+  }
+
   /** Canonical-form fingerprint (md5 of the normalized text) plus a
     * shingle fingerprint: the minimum md5 over all 3-token shingles —
     * the min-hash form of a rolling-window content signature, robust to

@@ -714,6 +714,44 @@ FROM sh JOIN bench USING (s)
 WHERE doc_id % 11 <> 0
 GROUP BY doc_id"""
 
+  /** Mirror of TextOps.decontaminateSpans: positioned 6-gram hits vs
+    * the benchmark set, fixed-length-interval island merge via the
+    * lag-gap flag cumsum, integer span arithmetic and milli ratio. */
+  val corpusDecontamSpans: String = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+shp AS (
+  SELECT doc_id, n AS n_tokens, i AS pos, array_to_string(t[i:i+5], ' ') AS s
+  FROM toks, UNNEST(range(1, greatest(n - 5, 1) + 1)) u(i)),
+bench AS (SELECT DISTINCT s FROM shp WHERE doc_id % 11 = 0),
+hits AS (
+  SELECT DISTINCT doc_id, n_tokens, pos
+  FROM shp JOIN bench USING (s) WHERE doc_id % 11 <> 0),
+brk AS (
+  SELECT doc_id, n_tokens, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+               OR pos - lag(pos) OVER w > 5 THEN 1 ELSE 0 END AS brk
+  FROM hits
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+isl AS (
+  SELECT doc_id, n_tokens, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM brk),
+sp AS (
+  SELECT doc_id, n_tokens, island, MIN(pos) AS s0,
+         least(MAX(pos) + 5, n_tokens) AS e0, COUNT(*) AS n_hits
+  FROM isl GROUP BY doc_id, n_tokens, island)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(SUM(n_hits) AS BIGINT) AS n_matches,
+       COUNT(*)::BIGINT AS n_spans,
+       CAST(SUM(e0 - s0 + 1) AS BIGINT) AS n_tokens_contaminated,
+       CAST((1000 * (n_tokens - SUM(e0 - s0 + 1))) // n_tokens AS BIGINT)
+         AS clean_milli
+FROM sp GROUP BY doc_id, n_tokens"""
+
   val textNormalize: String = """
 WITH n AS (
   SELECT doc_id,

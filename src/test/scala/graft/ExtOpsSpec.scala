@@ -890,6 +890,27 @@ class ExtOpsSpec extends SparkSpec {
     assert(h.sliding(2).forall { case Array(a, b) => b._2 > a._3; case _ => true })
   }
 
+  test("span decontamination merges overlapping hits and counts excised tokens") {
+    // doc 11 is the benchmark (doc_id % 11 == 0); doc 1 embeds the
+    // benchmark's 8-token text at positions 3..10 AND 16..23 of a
+    // 25-token doc: each embedding yields 3 consecutive 6-gram hits
+    // (starts p, p+1, p+2) that must merge into ONE 8-token span.
+    val benchText = "q1 q2 q3 q4 q5 q6 q7 q8"
+    val filler = (1 to 2).map(i => s"f$i").mkString(" ")
+    val doc1 = s"$filler $benchText $filler " +
+      s"a b c $benchText"  // spans [3,10] and [16,23], 2 clean gaps
+    val r = TextOps.decontaminateSpans(docs(11L -> benchText, 1L -> doc1))
+      .collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("doc_id") == 1L)
+    assert(row.getAs[Int]("n_tokens") == 23)
+    assert(row.getAs[Long]("n_spans") == 2L)
+    assert(row.getAs[Long]("n_matches") == 6L) // 3 shingle starts per span
+    assert(row.getAs[Long]("n_tokens_contaminated") == 16L)
+    assert(row.getAs[Long]("clean_milli") == 1000L * 7 / 23)
+  }
+
   test("k-core peeling strips pendant chains and keeps the dense core") {
     import spark.implicits._
     // triangle {1,2,3} + pendant chain 3-4-5: the 2-core is the
