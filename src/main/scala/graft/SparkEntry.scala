@@ -182,6 +182,8 @@ object SparkEntry {
     "events_paths" -> ((s, d) => EventOps.topPaths(Tables.events(s, d))),
     // Morton (Z-order) interleave for two-sided file-stat pruning
     "layout_zorder" -> ((s, d) => ext.Layout.eventZValues(Tables.events(s, d))),
+    // per-file footer-stats pruning report: zorder vs time-sorted layout
+    "layout_skipping" -> ((s, d) => ext.Layout.skippingStats(Tables.events(s, d))),
 
     // ---- SQL surface: ANSI SQL text through GraftSql ------------------
     "sql_q6_forecast" -> ((s, d) => GraftSql.sql(s, d, """
@@ -330,6 +332,9 @@ object SparkEntry {
     // asymmetric containment (short-doc-inside-long-doc) near-dup pairs
     "dedup_containment" -> ((s, d) =>
       DedupOps.containmentPairsFrom(shSets(s, d), shSigs(s, d), 0.6)),
+    // fuzzy-match family: prefix levenshtein over the shared band index
+    "dedup_editdist" -> ((s, d) =>
+      DedupOps.editDistancePairsFrom(docs(s, d), shSigs(s, d))),
     "dedup_clusters" -> ((s, d) => shClusters(s, d, 0.5)),
     // integer-exact PageRank over the near-dup graph (hub centrality),
     // derived from the suite's shared verified pair frame
@@ -529,6 +534,7 @@ object SparkEntry {
     "events_retention" -> OracleSqlExt.eventsRetention,
     "events_paths" -> OracleSqlExt.eventsPaths,
     "layout_zorder" -> OracleSqlExt.layoutZorder,
+    "layout_skipping" -> OracleSqlExt.layoutSkipping,
     "agg_percentiles" -> OracleSqlExt.aggPercentiles,
     "agg_approx_distinct" -> OracleSqlExt.aggApproxDistinct,
     "agg_percentiles_approx" -> OracleSqlExt.aggPercentilesApprox,
@@ -595,6 +601,7 @@ GROUP BY l_returnflag""",
     "dedup_simhash_wide" -> OracleSqlExt.dedupSimhashWide,
     "dedup_ngram" -> OracleSqlExt.dedupNgram,
     "dedup_containment" -> OracleSqlExt.dedupContainment,
+    "dedup_editdist" -> OracleSqlExt.dedupEditdist,
     "dedup_clusters" -> OracleSqlExt.dedupClusters,
     "dedup_pagerank" -> OracleSqlExt.dedupPagerank,
     "dedup_kcore" -> OracleSqlExt.dedupKcore,

@@ -82,4 +82,69 @@ object Layout {
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(path)
+
+  /** Data-skipping effectiveness report — the NUMBER the layout
+    * decision is made on: simulate the per-file min/max footer stats
+    * of two layouts of the same events (the Z-curve segments of
+    * [[eventZValues]] vs a plain time-sorted layout), and evaluate
+    * which files a scan could prune for a user-range predicate and a
+    * time-range predicate. The Z-order rows skip on BOTH predicates;
+    * the time-sorted rows skip only on time, with every file spanning
+    * the full user range — the measured version of this module's
+    * header claim, as one oracle-gated query.
+    *
+    * Files are EQUI-WIDTH curve/time segments (`value div width`) —
+    * the deterministic stand-in for range-partition boundaries that
+    * needs no global sort and no sampling; sparse segments simply
+    * produce no row. One corpus scan: the two layout assignments
+    * explode from the same row (2 rows out per event), then one
+    * map-side-combinable stats aggregate per (layout, file). All
+    * arithmetic integer, skip flags boolean — full hash gate.
+    *
+    * Keys are MIN-MAX NORMALIZED into the full 16-bit domain before
+    * interleaving — the step every production z-order performs (as
+    * range-binning / rank mapping) and the step that building this
+    * query EXPOSED as load-bearing: interleaving RAW values places a
+    * key's entropy at bit positions set by its magnitude, so a
+    * 150-value user key (8 bits) never reaches the curve's high
+    * positions and prefix segmentation degenerates to time-only
+    * splits — measured as skip_user = 0 on every file. Normalized,
+    * the top segment bits alternate between both dimensions' top bits
+    * and both predicates prune. The (min, max) pair is a 1-row
+    * aggregate crossJoined in as a broadcast — corpus-derived, no
+    * driver collect, same pattern as the sparse-neardup df cap. */
+  def skippingStats(events: DataFrame, files: Int = 64,
+      uLo: Long = 40L, uHi: Long = 80L,
+      tLo: Long = 14400L, tHi: Long = 15840L): DataFrame = {
+    val zSeg = 4294967296L / files
+    val tSeg = 65536L / files
+    val base = events.select(col("user_id"),
+      expr(s"greatest(0L, (unix_micros(ts) - ${TimeEpochMicros}L) div 60000000)")
+        .as("tmin"))
+    val ranges = base.agg(
+      min(col("user_id")).as("u_min"), max(col("user_id")).as("u_max"),
+      min(col("tmin")).as("t_min"), max(col("tmin")).as("t_max"))
+    base.crossJoin(broadcast(ranges))
+      .withColumn("su", expr(
+        "((user_id - u_min) * 65535) div greatest(u_max - u_min, 1)"))
+      .withColumn("st", expr(
+        "((tmin - t_min) * 65535) div greatest(t_max - t_min, 1)"))
+      .withColumn("zval", zvalue2(col("su"), col("st")))
+      .select(col("user_id"), col("tmin"), explode(array(
+        struct(lit("zorder").as("layout"),
+          expr(s"zval div $zSeg").as("file_id")),
+        struct(lit("timesort").as("layout"),
+          expr(s"tmin div $tSeg").as("file_id")))).as("lf"))
+      .select(col("lf.layout").as("layout"), col("lf.file_id").as("file_id"),
+        col("user_id"), col("tmin"))
+      .groupBy(col("layout"), col("file_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user"),
+        min(col("tmin")).as("min_tmin"), max(col("tmin")).as("max_tmin"))
+      .withColumn("skip_user",
+        col("max_user") < uLo || col("min_user") > uHi)
+      .withColumn("skip_time",
+        col("max_tmin") < tLo || col("min_tmin") > tHi)
+  }
 }

@@ -1252,6 +1252,25 @@ JOIN dsz za ON za.doc_id = i.doc_a
 JOIN dsz zb ON zb.doc_id = i.doc_b
 WHERE CAST(ni AS DOUBLE) / CAST(za.n + zb.n - ni AS DOUBLE) >= 0.3"""
 
+  /** Mirror of DedupOps.editDistancePairsFrom: band-0 minhash
+    * candidates + unit-cost levenshtein over the 80-char prefix,
+    * threshold 20 — Wagner-Fischer is exact integer in both engines. */
+  val dedupEditdist: String = shingleCtes + minhashSigCtes(2) + """,
+keyed AS (
+  SELECT doc_id, string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j) AS block_key
+  FROM sig GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM keyed a JOIN keyed b ON a.block_key = b.block_key AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(edit_dist AS INT) AS edit_dist FROM (
+  SELECT c.doc_a, c.doc_b,
+         levenshtein(substr(da.text, 1, 80), substr(db.text, 1, 80))
+           AS edit_dist
+  FROM cand c
+  JOIN documents da ON da.doc_id = c.doc_a
+  JOIN documents db ON db.doc_id = c.doc_b)
+WHERE edit_dist <= 20"""
+
   /** Mirror of DedupOps.containmentPairs: the dedupNgram candidate
     * chain (band-0 minhash blocking + relational intersection count)
     * with containment normalization — ni/n per side, max as the pair
@@ -1776,6 +1795,44 @@ z3 AS (SELECT event_id, (va | (va << 2)) & 858993459 AS va,
 z4 AS (SELECT event_id, (va | (va << 1)) & 1431655765 AS va,
               (vb | (vb << 1)) & 1431655765 AS vb FROM z3)
 SELECT event_id, CAST(va | (vb << 1) AS BIGINT) AS zval FROM z4"""
+
+  /** Mirror of Layout.skippingStats: the zorder spread chain shared
+    * with layoutZorder, both layout assignments unioned, per-(layout,
+    * file) min/max stats and the two prune booleans. */
+  val layoutSkipping: String = s"""
+WITH b0 AS (
+  SELECT user_id,
+         (greatest(0, (epoch_us(ts) - ${graft.ext.Layout.TimeEpochMicros}) // 60000000)) AS tmin
+  FROM events),
+rng AS (
+  SELECT MIN(user_id) AS u_min, MAX(user_id) AS u_max,
+         MIN(tmin) AS t_min, MAX(tmin) AS t_max FROM b0),
+z0 AS (
+  SELECT user_id, tmin,
+         (((user_id - u_min) * 65535) // greatest(u_max - u_min, 1)) & 65535 AS va,
+         (((tmin - t_min) * 65535) // greatest(t_max - t_min, 1)) & 65535 AS vb
+  FROM b0, rng),
+z1 AS (SELECT user_id, tmin, (va | (va << 8)) & 16711935 AS va,
+              (vb | (vb << 8)) & 16711935 AS vb FROM z0),
+z2 AS (SELECT user_id, tmin, (va | (va << 4)) & 252645135 AS va,
+              (vb | (vb << 4)) & 252645135 AS vb FROM z1),
+z3 AS (SELECT user_id, tmin, (va | (va << 2)) & 858993459 AS va,
+              (vb | (vb << 2)) & 858993459 AS vb FROM z2),
+z4 AS (SELECT user_id, tmin, (va | (va << 1)) & 1431655765 AS va,
+              (vb | (vb << 1)) & 1431655765 AS vb FROM z3),
+zv AS (SELECT user_id, tmin, (va | (vb << 1)) AS zval FROM z4),
+assigned AS (
+  SELECT 'zorder' AS layout, zval // 67108864 AS file_id, user_id, tmin FROM zv
+  UNION ALL
+  SELECT 'timesort', tmin // 1024, user_id, tmin FROM zv)
+SELECT layout, CAST(file_id AS BIGINT) AS file_id,
+       COUNT(*)::BIGINT AS n_rows,
+       MIN(user_id) AS min_user, MAX(user_id) AS max_user,
+       CAST(MIN(tmin) AS BIGINT) AS min_tmin,
+       CAST(MAX(tmin) AS BIGINT) AS max_tmin,
+       (MAX(user_id) < 40 OR MIN(user_id) > 80) AS skip_user,
+       (MAX(tmin) < 14400 OR MIN(tmin) > 15840) AS skip_time
+FROM assigned GROUP BY layout, file_id"""
 
   /** Mirror of Sketches.kmvDistinct(k=64): k smallest distinct 60-bit
     * md5 values, estimate (k−1)·2⁶⁰/v_k — one double multiply + one
