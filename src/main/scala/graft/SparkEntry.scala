@@ -216,6 +216,37 @@ object SparkEntry {
              count(*) AS n_orders
       FROM orders
       GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""")),
+    // correlated EXISTS in SQL text: exercises Catalyst's
+    // RewritePredicateSubquery decorrelation (→ left-semi with the
+    // correlated non-equi predicate as residual), a planner path the
+    // DataFrame twin q4_priority constructs by hand
+    "sql_q4_exists" -> ((s, d) => GraftSql.sql(s, d, """
+      SELECT o_orderpriority AS order_priority, count(*) AS order_count
+      FROM orders o
+      WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS)
+      GROUP BY o_orderpriority
+      ORDER BY order_priority""")),
+    // IN over an aggregated subquery: the HAVING-semi-filter shape of
+    // q18_large_orders as parsed SQL (RewritePredicateSubquery again,
+    // this time uncorrelated → semi join against the aggregate)
+    "sql_q18_in" -> ((s, d) => GraftSql.sql(s, d, """
+      SELECT c.c_name, c.c_custkey, o.o_orderkey,
+             date_format(o.o_orderdate, 'yyyy-MM-dd') AS order_date,
+             o.o_totalprice AS total_price,
+             CAST(b.qty_d AS STRING) AS total_qty
+      FROM orders o
+      JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_d
+            FROM lineitem GROUP BY l_orderkey) b ON b.l_orderkey = o.o_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300.00)
+      ORDER BY o.o_totalprice DESC, o.o_orderkey
+      LIMIT 20""")),
     "sql_dedup_exact" -> ((s, d) => GraftSql.sql(s, d, """
       SELECT doc_id, md5(text) AS content_md5,
              min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_doc_id,
@@ -556,6 +587,8 @@ GROUP BY l_returnflag""",
     "sql_window_top_orders" -> OracleSqlExt.windowTopOrders,
     "sql_grouping_sets" -> OracleSqlExt.aggGroupingSets,
     "sql_dedup_exact" -> OracleSqlExt.dedupExact,
+    "sql_q4_exists" -> OracleSqlExt.q4Priority,
+    "sql_q18_in" -> OracleSqlExt.q18LargeOrders,
     "sql_events_funnel" -> OracleSqlExt.eventsFunnel,
 
     "text_stats" -> OracleSqlExt.textStats,
