@@ -334,7 +334,7 @@ object SparkEntry {
     // sparse tf-vector cosine near-dups via rare-term inverted-index
     // blocking (integer milli-cos² — no floats anywhere)
     "text_sparse_neardup" -> ((s, d) =>
-      TextOps.sparseCosineNearDupsFrom(shTf(s, d), docs(s, d))),
+      TextOps.sparseCosineNearDupsFrom(shTf(s, d), shSigs(s, d))),
     // rational-idf BM25 keyword retrieval over the shared posting frame
     "text_bm25" -> ((s, d) => TextOps.bm25TopDocsFrom(shTf(s, d), docs(s, d))),
     // per-lang token-length histogram (dataset-card distribution table)

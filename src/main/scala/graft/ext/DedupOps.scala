@@ -68,6 +68,13 @@ object DedupOps {
     * band collision. Only worth it for payloads of a few bytes (a
     * simhash word); wide payloads (minhash arrays) should keep the
     * join-back form. */
+  /** [[saltedSelfPairs]] for sibling modules building their own verify
+    * measure over the shared blocking index (TextOps' sparse-cosine
+    * verify). */
+  private[ext] def bandSelfPairs(keyed: DataFrame, bucketCol: String,
+      idCol: String): DataFrame =
+    saltedSelfPairs(keyed, bucketCol, idCol)
+
   private def saltedSelfPairsCarrying(keyed: DataFrame, bucketCol: String,
       idCol: String, payCol: String): DataFrame = {
     val s = SaltBuckets

@@ -1098,39 +1098,27 @@ object TextOps {
     * repeated term; promote to DECIMAL beyond that (stated trade,
     * same as the moments query).
     *
-    * Scale posture: the df ≤ dfMax cap bounds every blocking
-    * posting-list at dfMax rows, so the per-term pair fan-out is
-    * ≤ dfMax²/2 — linear in vocabulary size, NO salted join needed
-    * (the cap is the skew control; contrast the uncapped first-token
-    * demo in DedupOps). The verify dot product joins the candidate
-    * pairs back through the SAME posting frame on (doc, term) — all
-    * hash-partitioned aggregates over already-aggregated frames.
-    *
-    * The cap is CORPUS-RELATIVE — greatest(n_docs div 16, 10) — the
-    * same fixed-width-fails lesson as the LSH signature width (10×
-    * probe, r11): this synthetic corpus draws from a tiny dense
-    * vocabulary whose every term's df grows linearly with corpus
-    * size, so a constant cap selects nothing at 10×. On a real Zipf
-    * web corpus the rare tail is scale-free and a small CONSTANT cap
-    * (10-50) is the production setting — the relative form here
-    * degrades to "the rarest 1/16th quantile of terms", which is the
-    * honest analog. The 1-row count crossJoins in as a broadcast —
-    * no driver-side collect. */
-  def sparseCosineNearDupsFrom(tf: DataFrame, documents: DataFrame,
+    * Scale posture — candidates come from the SAME uniform minhash
+    * band-0 blocking index as the Jaccard / containment / edit-
+    * distance families ("one LSH index, many verify measures"): band
+    * keys are hash outputs, so block sizes track true-duplicate
+    * density, not vocabulary statistics. The first cut of this
+    * operator blocked on rare terms (df ≤ n/16) instead — and the 10×
+    * scale probe KILLED it: this synthetic corpus draws from a small
+    * dense vocabulary whose every df grows linearly with corpus size,
+    * so the corpus-relative cap admits (n/16)²-sized posting
+    * self-joins — quadratic candidate growth, measured as a probe
+    * timeout. On a real Zipf corpus a small CONSTANT df cap (10-50)
+    * is the production rare-term setting; on any corpus the band
+    * index is the shape that survives, so it is the shape shipped.
+    * The verify dot product joins the candidate pairs back through
+    * the posting frame on (doc, term) — hash-partitioned aggregates
+    * over already-aggregated frames. */
+  def sparseCosineNearDupsFrom(tf: DataFrame, signatures: DataFrame,
       milliCos2Min: Long = 250L): DataFrame = {
-    val cap = documents.agg(
-      greatest(expr("count(1) div 16"), lit(10L)).as("df_max"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val rare = tf
-      .join(df.crossJoin(broadcast(cap))
-        .filter(col("df") >= 2 && col("df") <= col("df_max"))
-        .select(col("term")), Seq("term"))
-      .select(col("term"), col("doc_id"))
-    val cand = rare.select(col("term"), col("doc_id").as("doc_a"))
-      .join(rare.select(col("term"), col("doc_id").as("doc_b")), Seq("term"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
+    val keyed = signatures.filter(col("mh0").isNotNull)
+      .select(col("band0").as("block_key"), col("doc_id"))
+    val cand = DedupOps.bandSelfPairs(keyed, "block_key", "doc_id")
     val norms = tf.groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("tf")).as("norm2"))
     cand

@@ -2539,22 +2539,20 @@ SELECT COUNT(*)::BIGINT AS n_rows,
        MIN(value) AS min_value, MAX(value) AS max_value
 FROM events"""
 
-  /** Mirror of TextOps.sparseCosineNearDupsFrom: rare-term (2 ≤ df ≤
-    * 10) blocking over the posting frame, integer dot product and
+  /** Mirror of TextOps.sparseCosineNearDupsFrom: band-0 minhash
+    * candidates (shared blocking-index CTEs), integer dot product and
     * norms, milli-cos² ≥ 250 via floor division. */
-  val textSparseNeardup: String = """
-WITH nd AS (SELECT greatest(count(*) // 16, 10) AS df_max FROM documents),
+  val textSparseNeardup: String = shingleCtes + minhashSigCtes(2) + """,
+keyed AS (
+  SELECT doc_id, string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j) AS block_key
+  FROM sig GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM keyed a JOIN keyed b ON a.block_key = b.block_key AND a.doc_id < b.doc_id),
 tf AS (
   SELECT doc_id, term, count(*)::BIGINT AS tf
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) u
   GROUP BY doc_id, term),
-df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
-rare AS (
-  SELECT tf.term, tf.doc_id FROM tf JOIN df USING (term), nd
-  WHERE df.df BETWEEN 2 AND nd.df_max),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM rare a JOIN rare b ON a.term = b.term AND a.doc_id < b.doc_id),
 norms AS (SELECT doc_id, SUM(tf * tf)::BIGINT AS norm2 FROM tf GROUP BY doc_id),
 dots AS (
   SELECT c.doc_a, c.doc_b, SUM(x.tf * y.tf)::BIGINT AS dot
