@@ -331,6 +331,8 @@ object SparkEntry {
     // BPE merge-rule training: 3 corpus-wide merge rounds over the
     // vocab-sized word-frequency frame (one corpus scan total)
     "text_bpe_train" -> ((s, d) => TextOps.bpeTrainMerges(docs(s, d))),
+    // bit-reproducible distributed training: integer batch perceptron
+    "text_perceptron_train" -> ((s, d) => TextOps.perceptronTrain(docs(s, d))),
     // sparse tf-vector cosine near-dups via rare-term inverted-index
     // blocking (integer milli-cos² — no floats anywhere)
     "text_sparse_neardup" -> ((s, d) =>
@@ -617,6 +619,7 @@ GROUP BY l_returnflag""",
     "text_tfidf" -> OracleSqlExt.textTfidf,
     "text_vocab_encode" -> OracleSqlExt.textVocabEncode,
     "text_bpe_train" -> OracleSqlExt.textBpeTrain,
+    "text_perceptron_train" -> OracleSqlExt.textPerceptronTrain,
     "text_sparse_neardup" -> OracleSqlExt.textSparseNeardup,
     "text_bm25" -> OracleSqlExt.textBm25,
     "text_length_histogram" -> OracleSqlExt.textLengthHistogram,

@@ -1137,6 +1137,59 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"), col("dot"), col("milli_cos2"))
   }
 
+  /** Distributed batch-perceptron TRAINING — the second model-training
+    * loop (after [[bpeTrainMerges]]): learn integer weights separating
+    * English from non-English documents on surface statistics, with
+    * the classic batch perceptron update w ← w + Σ_{misclassified} y·x
+    * run as one map-side-combinable aggregate per round. Everything is
+    * 64-bit integer (features are counts, margins are dot products,
+    * updates are sums), so the full training trajectory — weights AND
+    * mistake counts per round — hash-gates against the SQL oracle
+    * exactly: a bit-reproducible training run, the property real
+    * distributed training infra fights for.
+    *
+    * Scale posture: the feature frame is computed once (one corpus
+    * scan, then localCheckpoint); each round is ONE job — a crossJoin
+    * with the broadcast 1-row weight frame and a conditional-sum
+    * aggregate (partial+final, map-side combined). Rounds are
+    * inherently sequential (w_{t+1} needs w_t), the same bounded-
+    * barrier posture as BPE/PageRank/k-core. */
+  def perceptronTrain(documents: DataFrame, rounds: Int = 3): DataFrame = {
+    val toksCol = split(col("text"), " ")
+    val feats = documents.select(
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+      lit(1L).as("x0"),
+      size(toksCol).cast("long").as("x1"),
+      expr("length(text) div 10").as("x2"),
+      expr("size(filter(split(text, ' '), t -> length(t) > 6))")
+        .cast("long").as("x3"))
+      .localCheckpoint()
+    var w = feats.sparkSession.range(1).select(
+      lit(0L).as("w0"), lit(0L).as("w1"), lit(0L).as("w2"), lit(0L).as("w3"))
+      .localCheckpoint()
+    val out = (1 to rounds).map { r =>
+      val margin = col("y") *
+        (col("w0") * col("x0") + col("w1") * col("x1") +
+          col("w2") * col("x2") + col("w3") * col("x3"))
+      def upd(i: Int) =
+        sum(when(margin <= 0, col("y") * col(s"x$i")).otherwise(lit(0L)))
+          .as(s"d$i")
+      val step = feats.crossJoin(broadcast(w))
+        .agg(upd(0), upd(1), upd(2), upd(3),
+          sum(when(margin <= 0, 1L).otherwise(0L)).as("n_mistakes"))
+        .crossJoin(broadcast(w))
+        .select(
+          (col("w0") + col("d0")).as("w0"), (col("w1") + col("d1")).as("w1"),
+          (col("w2") + col("d2")).as("w2"), (col("w3") + col("d3")).as("w3"),
+          col("n_mistakes"))
+        .localCheckpoint() // 1 row; pins round t for round t+1 and the union
+      w = step.select(col("w0"), col("w1"), col("w2"), col("w3"))
+      step.select(lit(r).as("round"), col("n_mistakes"),
+        col("w0"), col("w1"), col("w2"), col("w3"))
+    }
+    out.reduce(_ unionAll _)
+  }
+
   /** Distributed BPE merge-rule TRAINING — the actual tokenizer-
     * training loop (Sennrich et al. 2016, "Neural Machine Translation
     * of Rare Words with Subword Units") run as Spark aggregates: per

@@ -2568,6 +2568,49 @@ SELECT doc_a, doc_b, dot, milli_cos2 FROM (
   JOIN norms nb ON nb.doc_id = d.doc_b)
 WHERE milli_cos2 >= 250"""
 
+  /** Mirror of TextOps.perceptronTrain: 3 unrolled batch-perceptron
+    * rounds over integer surface features — each round one
+    * conditional-sum aggregate against the previous round's 1-row
+    * weight relation. Margin/update arithmetic is pure int64. */
+  val textPerceptronTrain: String = {
+    def round(i: Int): String = s""",
+w$i AS (
+  SELECT w.w0 + SUM(CASE WHEN f.y * (w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2
+                                     + w.w3*f.x3) <= 0
+                    THEN f.y * f.x0 ELSE 0 END) AS w0,
+         w.w1 + SUM(CASE WHEN f.y * (w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2
+                                     + w.w3*f.x3) <= 0
+                    THEN f.y * f.x1 ELSE 0 END) AS w1,
+         w.w2 + SUM(CASE WHEN f.y * (w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2
+                                     + w.w3*f.x3) <= 0
+                    THEN f.y * f.x2 ELSE 0 END) AS w2,
+         w.w3 + SUM(CASE WHEN f.y * (w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2
+                                     + w.w3*f.x3) <= 0
+                    THEN f.y * f.x3 ELSE 0 END) AS w3,
+         SUM(CASE WHEN f.y * (w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2
+                              + w.w3*f.x3) <= 0 THEN 1 ELSE 0 END)
+           AS n_mistakes
+  FROM feats f, w${i - 1} w
+  GROUP BY w.w0, w.w1, w.w2, w.w3)"""
+    """
+WITH feats AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END::BIGINT AS y,
+         1::BIGINT AS x0,
+         len(string_split(text, ' '))::BIGINT AS x1,
+         (length(text) // 10)::BIGINT AS x2,
+         len(list_filter(string_split(text, ' '), t -> len(t) > 6))::BIGINT AS x3
+  FROM documents),
+w0 AS (SELECT 0::BIGINT AS w0, 0::BIGINT AS w1, 0::BIGINT AS w2,
+              0::BIGINT AS w3)""" +
+      (1 to 3).map(round).mkString +
+      (1 to 3).map(i =>
+        s"""SELECT $i AS round, CAST(n_mistakes AS BIGINT) AS n_mistakes,
+           |       CAST(w0 AS BIGINT) AS w0, CAST(w1 AS BIGINT) AS w1,
+           |       CAST(w2 AS BIGINT) AS w2, CAST(w3 AS BIGINT) AS w3
+           |FROM w$i""".stripMargin)
+        .mkString("\n", "\nUNION ALL\n", "")
+  }
+
   /** Mirror of TextOps.bpeTrainMerges: 3 unrolled BPE rounds. Each
     * round: adjacent-pair counts weighted by word frequency, top-1 by
     * (count DESC, pair), then the greedy left-to-right merge as a

@@ -890,6 +890,23 @@ class ExtOpsSpec extends SparkSpec {
     assert(h.sliding(2).forall { case Array(a, b) => b._2 > a._3; case _ => true })
   }
 
+  test("batch perceptron reproduces the hand-computed training trajectory") {
+    import spark.implicits._
+    // doc1: en, x=[1,2,0,0], y=+1 ; doc2: de, x=[1,3,0,0], y=-1
+    // r1: w=0 → all margins 0 → 2 mistakes, w=[0,-1,0,0]
+    // r2: doc1 margin -2 (mistake), doc2 margin +3 → w=[1,1,0,0]
+    // r3: doc1 margin +3, doc2 margin -4 (mistake) → w=[0,-2,0,0]
+    val d = Seq((1L, "aa bb", "en"), (2L, "cc dd ee", "de"))
+      .toDF("doc_id", "text", "lang")
+    val t = TextOps.perceptronTrain(d, rounds = 3)
+      .collect().map(r => r.getAs[Int]("round") ->
+        (r.getAs[Long]("n_mistakes"), r.getAs[Long]("w0"),
+         r.getAs[Long]("w1"), r.getAs[Long]("w2"), r.getAs[Long]("w3"))).toMap
+    assert(t(1) == ((2L, 0L, -1L, 0L, 0L)))
+    assert(t(2) == ((1L, 1L, 1L, 0L, 0L)))
+    assert(t(3) == ((1L, 0L, -2L, 0L, 0L)))
+  }
+
   test("span decontamination merges overlapping hits and counts excised tokens") {
     // doc 11 is the benchmark (doc_id % 11 == 0); doc 1 embeds the
     // benchmark's 8-token text at positions 3..10 AND 16..23 of a
