@@ -247,6 +247,14 @@ object SparkEntry {
         HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300.00)
       ORDER BY o.o_totalprice DESC, o.o_orderkey
       LIMIT 20""")),
+    // correlated SCALAR subquery: RewriteCorrelatedScalarSubquery turns
+    // the per-row min lookup into an aggregate + join — the third
+    // decorrelation path (after EXISTS and IN) exercised as SQL text
+    "sql_q2_mincost" -> ((s, d) => GraftSql.sql(s, d, """
+      SELECT p.p_type, p.p_partkey, p.p_retailprice AS retail_price
+      FROM part p
+      WHERE p.p_retailprice = (SELECT min(p2.p_retailprice)
+                               FROM part p2 WHERE p2.p_type = p.p_type)""")),
     "sql_dedup_exact" -> ((s, d) => GraftSql.sql(s, d, """
       SELECT doc_id, md5(text) AS content_md5,
              min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_doc_id,
@@ -590,6 +598,7 @@ GROUP BY l_returnflag""",
     "sql_grouping_sets" -> OracleSqlExt.aggGroupingSets,
     "sql_dedup_exact" -> OracleSqlExt.dedupExact,
     "sql_q4_exists" -> OracleSqlExt.q4Priority,
+    "sql_q2_mincost" -> OracleSqlExt.q2MinCost,
     "sql_q18_in" -> OracleSqlExt.q18LargeOrders,
     "sql_events_funnel" -> OracleSqlExt.eventsFunnel,
 

@@ -116,6 +116,16 @@ WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
                 AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
 GROUP BY o_orderpriority"""
 
+  /** Mirror of sql_q2_mincost (TPC-H Q2's correlated-scalar-subquery
+    * shape on the trimmed schema): per-type min retail price lookup.
+    * Raw double equality — both engines compare the same parquet
+    * values, no arithmetic. */
+  val q2MinCost: String = """
+SELECT p.p_type, p.p_partkey, p.p_retailprice AS retail_price
+FROM part p
+WHERE p.p_retailprice = (SELECT min(p2.p_retailprice)
+                         FROM part p2 WHERE p2.p_type = p.p_type)"""
+
   /** Mirror of Analytics.largeVolumeOrders (TPC-H Q18 shape): HAVING
     * subquery over exact decimal quantity sums, top-20 by
     * (o_totalprice DESC, o_orderkey). */
