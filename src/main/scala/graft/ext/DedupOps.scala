@@ -60,6 +60,21 @@ object DedupOps {
       .distinct()
   }
 
+  /** Candidate pairs from band-0 of a [[minhashSignatures]] frame —
+    * THE shared single-band blocking step of the pair-verify family
+    * ("one LSH index, many verify measures": Jaccard, containment,
+    * edit-distance, and TextOps' sparse-cosine all consume this one
+    * definition). mh0-null (shingle-less) docs are excluded: they
+    * would all share one degenerate block — a single bucket holding
+    * every trivial doc, O(n²) pairs at corpus scale — and each
+    * oracle's sig CTE has no rows for them anyway. The block self-join
+    * is triangle-salted ([[saltedSelfPairs]]). */
+  private[ext] def band0Candidates(signatures: DataFrame): DataFrame =
+    saltedSelfPairs(
+      signatures.filter(col("mh0").isNotNull)
+        .select(col("band0").as("block_key"), col("doc_id")),
+      "block_key", "doc_id")
+
   /** [[saltedSelfPairs]] variant that carries a small per-id payload
     * column through the pair generation (pay_a/pay_b aligned with the
     * doc_a < doc_b normalization) and SKIPS the final distinct: the
@@ -68,13 +83,6 @@ object DedupOps {
     * band collision. Only worth it for payloads of a few bytes (a
     * simhash word); wide payloads (minhash arrays) should keep the
     * join-back form. */
-  /** [[saltedSelfPairs]] for sibling modules building their own verify
-    * measure over the shared blocking index (TextOps' sparse-cosine
-    * verify). */
-  private[ext] def bandSelfPairs(keyed: DataFrame, bucketCol: String,
-      idCol: String): DataFrame =
-    saltedSelfPairs(keyed, bucketCol, idCol)
-
   private def saltedSelfPairsCarrying(keyed: DataFrame, bucketCol: String,
       idCol: String, payCol: String): DataFrame = {
     val s = SaltBuckets
@@ -200,7 +208,20 @@ object DedupOps {
     * block key (measured 650s vs seconds at sf0.1). Pairs with an empty
     * intersection drop out, which any threshold > 0 implies anyway. */
   private def jaccardVerify(cand: DataFrame, sets: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    intersectionCounts(cand, sets)
+      .withColumn("jaccard",
+        col("ni").cast("double") /
+          (col("n_a") + col("n_b") - col("ni")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+  /** (doc_a, doc_b, ni, n_a, n_b): the shared relational
+    * intersection-count core both normalizations (Jaccard,
+    * containment) derive from — ONE definition of the tuned verify
+    * shape (the scaladoc above explains why it must stay relational;
+    * measured 650s vs seconds for the per-pair expression form). */
+  private def intersectionCounts(cand: DataFrame, sets: DataFrame): DataFrame = {
     val ex = sets.select(col("doc_id"), explode(col("sh")).as("s"))
     val sizes = sets.select(col("doc_id"), col("n_sh"))
     cand
@@ -211,11 +232,6 @@ object DedupOps {
         Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
         Seq("doc_b"))
-      .withColumn("jaccard",
-        col("ni").cast("double") /
-          (col("n_a") + col("n_b") - col("ni")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   /** MinHash/LSH near-duplicate pairs: docs sharing any band bucket,
@@ -489,15 +505,8 @@ object DedupOps {
     * frames — band 0 of the shared signature build is the blocking
     * key, so the suite's one signature pass also feeds this query. */
   def ngramJaccardPairsFrom(sets: DataFrame, signatures: DataFrame,
-      threshold: Double): DataFrame = {
-    // mh0-null (shingle-less) docs would all share block_key "" —
-    // one degenerate O(n²) block; the oracle's sig CTE has no rows for
-    // them, so excluding them matches its semantics (see [[bandKeysFrom]]).
-    val keyed = signatures.filter(col("mh0").isNotNull)
-      .select(col("band0").as("block_key"), col("doc_id"))
-    val cand = saltedSelfPairs(keyed, "block_key", "doc_id")
-    jaccardVerify(cand, sets, threshold)
-  }
+      threshold: Double): DataFrame =
+    jaccardVerify(band0Candidates(signatures), sets, threshold)
 
   /** Asymmetric CONTAINMENT near-dup pairs: C(A⊆B) = |sh(A)∩sh(B)| /
     * |sh(A)| — the overlap measure that catches a short document
@@ -523,27 +532,14 @@ object DedupOps {
   /** [[containmentPairs]] over precomputed shingle-set and signature
     * frames (shared-build contract of the `*From` family). */
   def containmentPairsFrom(sets: DataFrame, signatures: DataFrame,
-      threshold: Double): DataFrame = {
-    val keyed = signatures.filter(col("mh0").isNotNull)
-      .select(col("band0").as("block_key"), col("doc_id"))
-    val cand = saltedSelfPairs(keyed, "block_key", "doc_id")
-    val ex = sets.select(col("doc_id"), explode(col("sh")).as("s"))
-    val sizes = sets.select(col("doc_id"), col("n_sh"))
-    cand
-      .join(ex.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
-      .join(ex.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ni"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
-        Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
-        Seq("doc_b"))
+      threshold: Double): DataFrame =
+    intersectionCounts(band0Candidates(signatures), sets)
       .withColumn("cont_in_b", col("ni").cast("double") / col("n_a").cast("double"))
       .withColumn("cont_in_a", col("ni").cast("double") / col("n_b").cast("double"))
       .withColumn("containment", greatest(col("cont_in_a"), col("cont_in_b")))
       .filter(col("containment") >= threshold)
       .select(col("doc_a"), col("doc_b"),
         col("cont_in_b"), col("cont_in_a"), col("containment"))
-  }
 
   /** Edit-distance near-dup pairs — the FUZZY-MATCH family (OCR noise,
     * typo farms, template fills) that set-overlap measures miss: two
@@ -561,12 +557,9 @@ object DedupOps {
     * and run every verifier over its candidate stream). */
   def editDistancePairsFrom(documents: DataFrame, signatures: DataFrame,
       maxDist: Int = 20, prefixLen: Int = 80): DataFrame = {
-    val keyed = signatures.filter(col("mh0").isNotNull)
-      .select(col("band0").as("block_key"), col("doc_id"))
-    val cand = saltedSelfPairs(keyed, "block_key", "doc_id")
     val pre = documents.select(col("doc_id"),
       substring(col("text"), 1, prefixLen).as("pre"))
-    cand
+    band0Candidates(signatures)
       .join(pre.select(col("doc_id").as("doc_a"), col("pre").as("pre_a")),
         Seq("doc_a"))
       .join(pre.select(col("doc_id").as("doc_b"), col("pre").as("pre_b")),

@@ -96,10 +96,15 @@ object Layout {
     * Files are EQUI-WIDTH curve/time segments (`value div width`) —
     * the deterministic stand-in for range-partition boundaries that
     * needs no global sort and no sampling; sparse segments simply
-    * produce no row. One corpus scan: the two layout assignments
-    * explode from the same row (2 rows out per event), then one
-    * map-side-combinable stats aggregate per (layout, file). All
-    * arithmetic integer, skip flags boolean — full hash gate.
+    * produce no row. TWO corpus scans: one for the 1-row min/max
+    * ranges aggregate, one for the main pipeline (the two layout
+    * assignments explode from the same row — 2 rows out per event —
+    * then one map-side-combinable stats aggregate per (layout,
+    * file)). Materializing the corpus to avoid the first scan would
+    * cost more than the scan; in production the min/max come from
+    * table metadata (footer stats / catalog) and the first scan
+    * disappears entirely. All arithmetic integer, skip flags boolean
+    * — full hash gate.
     *
     * Keys are MIN-MAX NORMALIZED into the full 16-bit domain before
     * interleaving — the step every production z-order performs (as

@@ -134,9 +134,13 @@ object PngCodec {
     var done = false
     while (!done) {
       require(pos + 8 <= bytes.length, "truncated PNG chunk header")
-      val len = u32(pos).toInt
+      // length check in Long: a crafted 32-bit length near Int.MaxValue
+      // would overflow `pos + 12 + len` in Int arithmetic and slip past
+      // the bound straight into an ArrayIndexOutOfBounds
+      val lenL = u32(pos)
       val kind = new String(bytes, pos + 4, 4, "US-ASCII")
-      require(pos + 12 + len <= bytes.length, s"truncated $kind chunk")
+      require(pos + 12L + lenL <= bytes.length, s"truncated $kind chunk")
+      val len = lenL.toInt
       val crc = new CRC32()
       crc.update(bytes, pos + 4, 4 + len)
       require(crc.getValue == u32(pos + 8 + len),

@@ -830,6 +830,10 @@ object TextOps {
         posexplode(transform(sequence(lit(1), greatest(size(toks) - 5, lit(1))),
           i => concat_ws(" ", slice(toks, i, lit(6))))).as(Seq("idx", "s")))
       .select(col("doc_id"), col("n_tokens"), (col("idx") + 1).as("pos"), col("s"))
+      // the bench and hits branches filter this frame differently, which
+      // defeats exchange reuse — without the pin the corpus-shaped
+      // tokenize+posexplode runs twice (same pattern as basketPairs)
+      .localCheckpoint(false)
     val bench = withPos.filter(col("doc_id") % 11 === 0)
       .select(col("s")).distinct()
     val hits = withPos.filter(col("doc_id") % 11 =!= 0)
@@ -1116,9 +1120,7 @@ object TextOps {
     * over already-aggregated frames. */
   def sparseCosineNearDupsFrom(tf: DataFrame, signatures: DataFrame,
       milliCos2Min: Long = 250L): DataFrame = {
-    val keyed = signatures.filter(col("mh0").isNotNull)
-      .select(col("band0").as("block_key"), col("doc_id"))
-    val cand = DedupOps.bandSelfPairs(keyed, "block_key", "doc_id")
+    val cand = DedupOps.band0Candidates(signatures)
     val norms = tf.groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("tf")).as("norm2"))
     cand
