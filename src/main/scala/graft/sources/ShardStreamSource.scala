@@ -8,7 +8,8 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In, StringStartsWith}
@@ -93,10 +94,32 @@ private class ShardTable(path: String) extends Table
   * wrong at any scale). */
 private[graft] class ShardScanBuilder(path: String)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = ShardStreamSource.schema
   private var limit: Int = Int.MaxValue
+  private var countStarAggs: Int = 0
+
+  /** Aggregate pushdown (SupportsPushDownAggregates): ungrouped
+    * COUNT(*) is answered per shard file from the line count alone —
+    * no row ever materializes through the reader, the moral
+    * equivalent of a shard service's ItemCount metadata call. PARTIAL
+    * pushdown (supportCompletePushDown = false): the scan emits one
+    * partial-count row per file and Spark's final aggregate sums
+    * them, so file-filter pruning composes and correctness never
+    * depends on this source seeing every file in one place. Grouped
+    * or non-count aggregates are declined and run post-scan. Spark
+    * only attempts this when every filter was fully pushed, so the
+    * count is never taken over rows a residual would have dropped. */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val ok = aggregation.groupByExpressions().isEmpty &&
+      aggregation.aggregateExpressions().nonEmpty &&
+      aggregation.aggregateExpressions().forall(_.isInstanceOf[CountStar])
+    if (ok) countStarAggs = aggregation.aggregateExpressions().length
+    ok
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -123,7 +146,49 @@ private[graft] class ShardScanBuilder(path: String)
     rest
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new ShardScan(path, pushed, required, limit)
+  override def build(): Scan =
+    if (countStarAggs > 0) new ShardCountScan(path, pushed, countStarAggs)
+    else new ShardScan(path, pushed, required, limit)
+}
+
+/** The scan a pushed COUNT(*) builds: one partial-count row per
+  * (filter-surviving) shard file, schema = one LongType per pushed
+  * CountStar. Batch-only — aggregate pushdown never applies to the
+  * micro-batch path. */
+private[graft] class ShardCountScan(path: String, pushed: Array[Filter],
+    nAggs: Int) extends Scan {
+  override def readSchema(): StructType =
+    StructType((0 until nAggs).map(i => StructField(s"count_$i", LongType)))
+  private def keep(file: String): Boolean = pushed.forall {
+    case EqualTo("shard_file", v: String)   => file == v
+    case In("shard_file", vs)               => vs.contains(file)
+    case StringStartsWith("shard_file", p)  => file.startsWith(p)
+    case _ => true
+  }
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      ShardStreamSource.sortedShards(path).filter(keep)
+        .map(ShardPartition).toArray
+    override def createReaderFactory(): PartitionReaderFactory =
+      new ShardCountReaderFactory(nAggs)
+  }
+}
+
+private class ShardCountReaderFactory(nAggs: Int) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[ShardPartition].file
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = !emitted && { emitted = true; true }
+      override def get(): InternalRow = {
+        var n = 0L
+        val s = Files.lines(Paths.get(file), StandardCharsets.UTF_8)
+        try n = s.count() finally s.close()
+        InternalRow.fromSeq(Seq.fill(nAggs)(n))
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private[graft] class ShardScan(path: String,

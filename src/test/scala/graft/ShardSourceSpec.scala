@@ -65,6 +65,40 @@ class ShardSourceSpec extends SparkSpec {
     assert(rows == Set("r18", "r19", "r20"))
   }
 
+  test("batch read answers COUNT(*) from the source without materializing rows") {
+    val dir = Files.createTempDirectory("graft-shards-agg").toString
+    writeShard(dir, "shard-000.json", Seq(18L, 19L))
+    writeShard(dir, "shard-001.json", Seq(20L))
+    writeShard(dir, "other-000.json", Seq(21L))
+    val df = spark.read.format(classOf[ShardStreamSource].getName)
+      .option("path", dir).load()
+
+    // plain count: the scan relation's read schema must be the pushed
+    // partial-count column, NOT the row schema — proof the aggregate
+    // reached the source and no `value` string was ever built
+    val q = df.groupBy().count()
+    val scanSchemas = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.readSchema()
+    }
+    assert(scanSchemas.nonEmpty)
+    assert(scanSchemas.head.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType))
+    assert(!scanSchemas.head.fieldNames.contains("value"))
+    assert(q.collect().head.getLong(0) == 4L)
+
+    // composes with pushed file filters: count only the pruned files
+    val filtered = df.filter(col("shard_file").startsWith(s"$dir/shard-"))
+      .groupBy().count()
+    assert(filtered.collect().head.getLong(0) == 3L)
+
+    // grouped aggregates are declined: the full row scan still works
+    val grouped = df.groupBy(col("shard_file")).count()
+      .collect().map(r => r.getString(0).split('/').last -> r.getLong(1)).toMap
+    assert(grouped == Map("shard-000.json" -> 2L, "shard-001.json" -> 1L,
+      "other-000.json" -> 1L))
+  }
+
   test("batch read prunes unrequested columns down to the reader") {
     val dir = Files.createTempDirectory("graft-shards-prune").toString
     writeShard(dir, "shard-000.json", Seq(18L, 19L))
