@@ -115,6 +115,8 @@ object SparkEntry {
       Tables.orders(s, d))),
     "setop_segments" -> ((s, d) => Analytics.segmentSetOps(
       Tables.customer(s, d), Tables.orders(s, d))),
+    // bag-semantics EXCEPT ALL / INTERSECT ALL with multiplicities
+    "setop_multiset" -> ((s, d) => Analytics.multisetPartOps(Tables.lineitem(s, d))),
     "cube_status_priority" -> ((s, d) => Analytics.statusPriorityCube(Tables.orders(s, d))),
     // arbitrary grouping-sets lattice (pruned at plan time, one Expand)
     "agg_grouping_sets" -> ((s, d) => Analytics.statusPrioritySets(Tables.orders(s, d))),
@@ -551,6 +553,7 @@ object SparkEntry {
     "pivot_status" -> OracleSqlExt.pivotStatus,
     "rollup_revenue" -> OracleSqlExt.rollupRevenue,
     "setop_segments" -> OracleSqlExt.setopSegments,
+    "setop_multiset" -> OracleSqlExt.setopMultiset,
     "cube_status_priority" -> OracleSqlExt.cubeStatusPriority,
     "agg_grouping_sets" -> OracleSqlExt.aggGroupingSets,
 

@@ -618,4 +618,29 @@ object Analytics {
       .unionAll(highBal.intersect(openCust)
         .withColumn("set_kind", lit("highbal_open")))
   }
+
+  /** MULTISET set operations — the bag semantics [[segmentSetOps]]'
+    * distinct forms cannot express: EXCEPT ALL subtracts
+    * MULTIPLICITIES (a part returned 5 times minus accepted 3 times
+    * survives twice), INTERSECT ALL keeps the min multiplicity. The
+    * per-part surviving multiplicity is the actual inventory/recon
+    * number; a distinct EXCEPT would collapse it to membership.
+    *
+    * Scale posture: Spark plans both as hash aggregations of
+    * per-side counts on the key (one shuffle each) — bag semantics
+    * cost the same as distinct semantics, there is no row-by-row
+    * matching. The grouped output keeps the result frame small and
+    * hash-gateable. */
+  def multisetPartOps(lineitem: DataFrame): DataFrame = {
+    val ret = lineitem.filter(col("l_returnflag") === "R")
+      .select(col("l_partkey"))
+    val acc = lineitem.filter(col("l_returnflag") === "A")
+      .select(col("l_partkey"))
+    ret.exceptAll(acc)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("multiplicity"))
+      .withColumn("set_kind", lit("returned_minus_accepted"))
+      .unionAll(ret.intersectAll(acc)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("multiplicity"))
+        .withColumn("set_kind", lit("returned_and_accepted")))
+  }
 }

@@ -116,6 +116,27 @@ WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
                 AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
 GROUP BY o_orderpriority"""
 
+  /** Mirror of Analytics.multisetPartOps: EXCEPT ALL / INTERSECT ALL
+    * bag semantics, surviving multiplicity per part. */
+  val setopMultiset: String = """
+SELECT l_partkey, CAST(multiplicity AS BIGINT) AS multiplicity, set_kind
+FROM (
+  SELECT l_partkey, COUNT(*) AS multiplicity,
+         'returned_minus_accepted' AS set_kind
+  FROM (
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    EXCEPT ALL
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A')
+  GROUP BY l_partkey
+  UNION ALL
+  SELECT l_partkey, COUNT(*) AS multiplicity,
+         'returned_and_accepted' AS set_kind
+  FROM (
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT ALL
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A')
+  GROUP BY l_partkey)"""
+
   /** Mirror of sql_q2_mincost (TPC-H Q2's correlated-scalar-subquery
     * shape on the trimmed schema): per-type min retail price lookup.
     * Raw double equality — both engines compare the same parquet
