@@ -270,4 +270,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("PNG roundtrip is pixel-exact on random images across all filter rows") {
+    import graft.ext.{ImageCodec, PngCodec}
+    val r = new Random(4321)
+    // h >= 6 exercises every filter type (row % 5); the 1xN / Nx1
+    // degenerate shapes stress the left/up predecessor edge cases
+    // (a=0 column, b=0 row); random bytes are the worst case for the
+    // Paeth/Average arithmetic (no structure to hide a sign bug);
+    // sizes large enough that the DEFLATE stream splits across the
+    // two-IDAT path
+    val cases = Seq((1, 8), (9, 1), (2, 6), (16, 11), (33, 7), (24, 26))
+    for ((w, h) <- cases) {
+      val px = Array.fill(w * h)((r.nextInt(256), r.nextInt(256), r.nextInt(256)))
+      val bytes = PngCodec.encode(w, h, px(_))
+      val img = ImageCodec.decode(bytes)
+      assert(img.format == "png" && img.width == w && img.height == h)
+      var p = 0
+      while (p < w * h) {
+        assert((img.r(p), img.g(p), img.b(p)) == px(p),
+          s"pixel $p of ${w}x$h")
+        p += 1
+      }
+    }
+  }
+
 }
