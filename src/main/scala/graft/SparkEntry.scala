@@ -390,6 +390,10 @@ object SparkEntry {
       ext.Graph.triangleStats(shPairs(s, d, 0.5))),
     // bounded 2-core peeling: the densely-duplicated template core
     "dedup_kcore" -> ((s, d) => ext.Graph.kCore(shPairs(s, d, 0.5))),
+    // plurality-label communities: density granularity vs CC's reachability
+    "dedup_communities" -> ((s, d) => ext.Graph.labelPropagation(
+      docs(s, d).select(org.apache.spark.sql.functions.col("doc_id")),
+      shPairs(s, d, 0.5))),
     "dedup_incremental" -> ((s, d) =>
       DedupOps.incrementalNewDocsFrom(docs(s, d), shDigests(s, d))),
     // same semantics behind a broadcast Bloom prefilter (exact result;
@@ -653,6 +657,7 @@ GROUP BY l_returnflag""",
     "dedup_clusters" -> OracleSqlExt.dedupClusters,
     "dedup_pagerank" -> OracleSqlExt.dedupPagerank,
     "dedup_kcore" -> OracleSqlExt.dedupKcore,
+    "dedup_communities" -> OracleSqlExt.dedupCommunities,
     "dedup_graph_triangles" -> OracleSqlExt.dedupGraphTriangles,
     "dedup_incremental" -> OracleSqlExt.dedupIncremental,
     // the bloom is a pure prefilter: the exact-SQL oracle is identical

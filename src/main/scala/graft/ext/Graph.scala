@@ -303,6 +303,61 @@ object Graph {
     e.groupBy(col("src").as("doc_id")).agg(count(lit(1)).as("deg"))
   }
 
+  /** Synchronous label-propagation communities (LPA), bounded rounds:
+    * each round every vertex adopts its neighborhood's PLURALITY label
+    * (most frequent; ties → smallest label). Where
+    * [[connectedComponents]] answers reachability — two clusters
+    * bridged by one accidental pair collapse into one component — LPA
+    * answers density: the bridge cannot outvote either side's
+    * internal edges, so the two communities keep distinct labels.
+    * That is the right granularity for choosing dedup KEEP sets on a
+    * template-farm graph.
+    *
+    * Determinism, honestly: synchronous LPA on e.g. a bipartite pair
+    * can oscillate forever — there is no convergence guarantee — so
+    * the operator is DEFINED as exactly `rounds` synchronous updates
+    * with a total tie-break (count DESC, label ASC), which makes the
+    * output a pure function of the graph that the unrolled oracle
+    * replays. Plurality choice per vertex is a single max(struct(cnt,
+    * -label)) aggregate — no window, no row_number.
+    *
+    * Scale posture per round — ONE barrier (the labels frame's eager
+    * localCheckpoint; lineage-truncation rationale as
+    * [[connectedComponents]]): an edges⋈labels equi join, a
+    * (dst, label) count aggregate (map-side combinable), the argmax
+    * aggregate, and a left join back to carry isolated vertices. */
+  def labelPropagation(vertices: DataFrame, pairs: DataFrame,
+      rounds: Int = 3): DataFrame = {
+    val p = pairs.select(col(pairs.columns(0)).as("src"),
+      col(pairs.columns(1)).as("dst"))
+    val edges = p.unionByName(
+      p.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(false)
+    var labels = vertices.select(col(vertices.columns(0)).as("id"))
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      val votes = edges
+        .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("best"))
+        .select(col("dst").as("id"), (-col("best.neg")).as("vote"))
+      labels = labels
+        .join(votes, Seq("id"), "left")
+        .select(col("id"), coalesce(col("vote"), col("label")).as("label"))
+        .localCheckpoint()
+      r += 1
+    }
+    val sizes = labels.groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("community_size"))
+    labels.select(col("id").as("doc_id"), col("label").as("community"))
+      .join(sizes, Seq("community"))
+      .select(col("doc_id"), col("community"), col("community_size"))
+  }
+
   /** (id, cluster_id, cluster_size, is_canonical) from a components
     * labeling — the presentation both near-dup cluster queries share.
     * `idName` renames the generic vertex column for the caller. */

@@ -1353,6 +1353,39 @@ e0 AS (
 SELECT src AS doc_id, COUNT(*)::BIGINT AS deg FROM e3 GROUP BY src"""
   }
 
+  /** Mirror of Graph.labelPropagation over the verified minhash pair
+    * graph: 3 synchronous rounds unrolled, plurality vote per vertex
+    * via row_number (count DESC, label ASC — the same total order as
+    * the Spark side's max(struct(cnt, -label))). */
+  val dedupCommunities: String = {
+    def round(i: Int): String = s""",
+v$i AS (
+  SELECT e.dst, l.label, COUNT(*) AS cnt
+  FROM e0 e JOIN l${i - 1} l ON l.id = e.src
+  GROUP BY e.dst, l.label),
+b$i AS (
+  SELECT dst AS id, label AS vote FROM (
+    SELECT dst, label,
+           row_number() OVER (PARTITION BY dst
+                              ORDER BY cnt DESC, label ASC) AS rn
+    FROM v$i) x WHERE rn = 1),
+l$i AS (
+  SELECT l.id, COALESCE(b.vote, l.label) AS label
+  FROM l${i - 1} l LEFT JOIN b$i b ON b.id = l.id)"""
+    s"""
+WITH lp_pairs AS (
+  SELECT doc_a, doc_b FROM ($dedupMinhash)),
+e0 AS (
+  SELECT doc_a AS src, doc_b AS dst FROM lp_pairs
+  UNION ALL SELECT doc_b, doc_a FROM lp_pairs),
+l0 AS (SELECT doc_id AS id, doc_id AS label FROM documents)""" +
+      (1 to 3).map(round).mkString + """
+SELECT l.id AS doc_id, l.label AS community, s.community_size
+FROM l3 l
+JOIN (SELECT label AS community, COUNT(*)::BIGINT AS community_size
+      FROM l3 GROUP BY label) s ON s.community = l.label"""
+  }
+
   /** Mirror of DedupOps.nearDupPageRank (3 iterations, scale 10¹²):
     * the minhash pair chain nested as a derived table, then the power
     * iteration unrolled — every division has non-negative operands so

@@ -941,6 +941,27 @@ class ExtOpsSpec extends SparkSpec {
     assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("label propagation keeps bridged communities apart where CC merges them") {
+    import spark.implicits._
+    // barbell: triangles {1,2,3} and {4,5,6} bridged by 3-4. CC
+    // collapses everything to component 1; LPA's plurality vote lets
+    // neither side's single bridge edge outvote the triangle's two
+    // internal edges → labels [1,1,1,3,3,3] after 3 synchronous
+    // rounds (hand-computed with the count DESC, label ASC tie-break)
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val verts = (1L to 6L).toDF("doc_id")
+    val lpa = graft.ext.Graph.labelPropagation(verts, pairs, rounds = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("community"), r.getAs[Long]("community_size"))).toMap
+    assert(lpa == Map(
+      1L -> (1L, 3L), 2L -> (1L, 3L), 3L -> (1L, 3L),
+      4L -> (3L, 3L), 5L -> (3L, 3L), 6L -> (3L, 3L)))
+    val cc = graft.ext.Graph.connectedComponents(verts, pairs)
+      .collect().map(_.getAs[Long]("label")).toSet
+    assert(cc == Set(1L)) // reachability: one component
+  }
+
   test("BPE training learns merges in frequency order, greedy left-to-right") {
     // corpus: "abab" ×3, "aaa" ×2 → round-1 pairs: (a,b)=6, (b,a)=3,
     // (a,a)=4 → merge 1 = (a,b)→ab with count 6. After merging,
