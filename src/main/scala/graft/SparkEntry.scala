@@ -419,6 +419,8 @@ object SparkEntry {
 
     // ---- similarity search over `embeddings` --------------------------
     "embed_topk" -> ((s, d) => shExactTopK(s, d)),
+    // recommender objective: max-inner-product top-k, pure integer dot
+    "embed_mips_topk" -> ((s, d) => EmbedOps.mipsTopK(emb(s, d))),
     "embed_lsh_neardup" -> ((s, d) => shLsh(s, d)),
     // Matryoshka-style two-stage retrieval: 16-dim-prefix coarse rank,
     // full-dim rerank of the surviving candidates
@@ -669,6 +671,7 @@ GROUP BY l_returnflag""",
     "corpus_upsert" -> OracleSqlExt.corpusUpsert,
 
     "embed_topk" -> OracleSqlExt.embedTopK,
+    "embed_mips_topk" -> OracleSqlExt.embedMipsTopk,
     "embed_topk_native" -> OracleSqlExt.embedTopKNative,
     "embed_prefix_rerank" -> OracleSqlExt.embedPrefixRerank,
     "embed_lsh_neardup" -> OracleSqlExt.embedLshNearDups,

@@ -67,6 +67,37 @@ object EmbedOps {
         col("cosine"))
   }
 
+  /** Max-inner-product top-k (MIPS) — the RECOMMENDER retrieval
+    * objective, distinct from cosine: dot product rewards magnitude
+    * (a popular item with a long vector wins ties a unit-normalized
+    * search would not), which is exactly what matrix-factorization
+    * scores mean. Same broadcast-queries × corpus-scan shape as
+    * [[bruteForceTopK]], but the score is the PURE INTEGER quantized
+    * dot — no sqrt, no division, no float anywhere, so the entire
+    * ranking hash-gates with zero IEEE caveats.
+    *
+    * Scale path, documented: MIPS reduces to cosine search by the
+    * norm-augmentation trick (append sqrt(M² − ‖x‖²) to each corpus
+    * vector, 0 to queries), after which the IVF/PQ machinery above
+    * applies unchanged; the reduction's sqrt makes it float-bearing,
+    * so the oracle-gated form here is the exact integer baseline the
+    * approximate forms would be measured against (the same
+    * baseline-vs-recall pairing as [[pqRecall]]). */
+  def mipsTopK(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val base = embeddings.select(
+      col("vec_id"), quantized(col("embedding")).as("q"))
+    val queries = base.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("vec_id"))
+    base.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("dot", qdot(col("qq"), col("q")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("dot"))
+  }
+
   /** Two-stage prefix-dimension retrieval — the Matryoshka-embedding
     * serving pattern: stage 1 ranks EVERY corpus vector by cosine over
     * only the first `prefixDims` dimensions (MRL-trained embeddings

@@ -1966,6 +1966,22 @@ ranked AS (
   FROM scored)
 SELECT query_id, rank, vec_id AS neighbor_id, cosine FROM ranked WHERE rank <= 5"""
 
+  /** Mirror of EmbedOps.mipsTopK: pure integer quantized dot product,
+    * rank by (dot DESC, vec_id) — no float anywhere. */
+  val embedMipsTopk: String = quantCte + """,
+qs AS (SELECT vec_id AS query_id, qv AS qq FROM q WHERE vec_id % 97 = 0),
+scored AS (
+  SELECT qs.query_id, q.vec_id,
+         CAST(list_sum(list_transform(range(1, 65),
+                i -> qs.qq[i] * q.qv[i])) AS BIGINT) AS dot
+  FROM q, qs WHERE q.vec_id <> qs.query_id),
+ranked AS (
+  SELECT query_id, vec_id, dot,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, rank, vec_id AS neighbor_id, dot FROM ranked WHERE rank <= 5"""
+
   /** Mirror of EmbedOps.bruteForceTopKNative — the RAW-float path,
     * reproduced bit-for-bit: the native expression computes each term
     * as a FLOAT multiply (Java float·float rounds to float before the
