@@ -171,6 +171,10 @@ object SparkEntry {
     "diag_profile" -> ((s, d) => ext.Diagnostics.tableProfile(Tables.events(s, d))),
     // equi-depth histogram: the range-partition planner's ground truth
     "diag_histogram" -> ((s, d) => ext.Diagnostics.equiDepthHistogram(Tables.orders(s, d))),
+    // declarative pre-commit data-quality gate (Deequ shape, one query)
+    "diag_checks" -> ((s, d) => ext.Diagnostics.qualityChecks(
+      Tables.orders(s, d), Tables.customer(s, d), Tables.lineitem(s, d),
+      Tables.events(s, d))),
     // ordered funnel: view → click → purchase, count per reached depth
     // (deterministic 1-in-5 event sample so every depth is populated
     // at gate SF — the full stream funnels everyone to depth 3)
@@ -579,6 +583,7 @@ object SparkEntry {
     "diag_key_skew" -> OracleSqlExt.diagKeySkew,
     "diag_profile" -> OracleSqlExt.diagProfile,
     "diag_histogram" -> OracleSqlExt.diagHistogram,
+    "diag_checks" -> OracleSqlExt.diagChecks,
     "events_funnel" -> OracleSqlExt.eventsFunnel,
     "events_session_funnel" -> OracleSqlExt.eventsSessionFunnel,
     "events_retention" -> OracleSqlExt.eventsRetention,

@@ -42,6 +42,49 @@ object Diagnostics {
       min(col("value")).as("min_value"),
       max(col("value")).as("max_value"))
 
+  /** Declarative data-quality check suite — the validation gate a
+    * training pipeline runs BEFORE committing a 100-TB job to a
+    * snapshot (the Deequ/Great-Expectations shape, as one relational
+    * query): each row is (check, observed, threshold, passed), so the
+    * gate is `filter(!passed).isEmpty` and the report is the table.
+    *
+    * Checks: primary-key uniqueness (duplicate order keys), referential
+    * integrity orders→customer (dangling FK count via left anti join),
+    * null rate of events.user_id (integer milli-rate vs budget), and
+    * the lineitem quantity domain (violations of [1, 50]).
+    *
+    * Scale posture: the three single-table checks are one
+    * map-side-combinable aggregate over their table each; the RI check
+    * is a left-anti equi join (AQE broadcasts the customer key side
+    * while it fits). Everything integer → full hash gate. */
+  def qualityChecks(orders: DataFrame, customer: DataFrame,
+      lineitem: DataFrame, events: DataFrame,
+      nullBudgetMilli: Long = 100L): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val pkDups = orders.agg(
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("observed"))
+      .select(lit("orders_pk_unique").as("check_name"), col("observed"),
+        lit(0L).as("threshold"))
+    val danglingFk = orders.join(customer.select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("observed"))
+      .select(lit("orders_customer_ri").as("check_name"), col("observed"),
+        lit(0L).as("threshold"))
+    val nullRate = events.agg(
+      expr("(1000 * sum(case when user_id is null then 1 else 0 end)) div count(1)")
+        .as("observed"))
+      .select(lit("events_user_null_milli").as("check_name"), col("observed"),
+        lit(nullBudgetMilli).as("threshold"))
+    val qtyDomain = lineitem.agg(
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+        .otherwise(0L)).as("observed"))
+      .select(lit("lineitem_qty_domain").as("check_name"), col("observed"),
+        lit(0L).as("threshold"))
+    pkDups.unionAll(danglingFk).unionAll(nullRate).unionAll(qtyDomain)
+      .withColumn("passed", col("observed") <= col("threshold"))
+  }
+
   /** Equi-DEPTH histogram of order value: `buckets` bins holding equal
     * ROW counts (vs the equi-width bins of `text_length_histogram`) —
     * the distribution read that sizes range partitions: each bucket's

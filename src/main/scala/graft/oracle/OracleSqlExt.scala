@@ -2729,6 +2729,31 @@ WITH w0 AS (
         .mkString("\n", "\nUNION ALL\n", "")
   }
 
+  /** Mirror of Diagnostics.qualityChecks: four (check, observed,
+    * threshold, passed) rows — PK uniqueness, FK integrity via anti
+    * join, integer milli null-rate, value domain. */
+  val diagChecks: String = """
+SELECT check_name, CAST(observed AS BIGINT) AS observed,
+       CAST(threshold AS BIGINT) AS threshold,
+       observed <= threshold AS passed
+FROM (
+  SELECT 'orders_pk_unique' AS check_name,
+         COUNT(*) - COUNT(DISTINCT o_orderkey) AS observed, 0 AS threshold
+  FROM orders
+  UNION ALL
+  SELECT 'orders_customer_ri',
+         (SELECT COUNT(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey)), 0
+  UNION ALL
+  SELECT 'events_user_null_milli',
+         (SELECT (1000 * SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END))
+                 // COUNT(*) FROM events), 100
+  UNION ALL
+  SELECT 'lineitem_qty_domain',
+         (SELECT SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                          THEN 1 ELSE 0 END) FROM lineitem), 0) t"""
+
   /** Mirror of Diagnostics.equiDepthHistogram: ntile(10) over the
     * (o_totalprice, o_orderkey) total order — identical bucket
     * membership in both engines because the order is total — then
