@@ -117,6 +117,9 @@ object SparkEntry {
       Tables.customer(s, d), Tables.orders(s, d))),
     // bag-semantics EXCEPT ALL / INTERSECT ALL with multiplicities
     "setop_multiset" -> ((s, d) => Analytics.multisetPartOps(Tables.lineitem(s, d))),
+    // Q16 shape: count-DISTINCT-per-group over the broadcast part dim
+    "q16_supplier_variety" -> ((s, d) => Analytics.supplierVariety(
+      Tables.part(s, d), Tables.lineitem(s, d))),
     "cube_status_priority" -> ((s, d) => Analytics.statusPriorityCube(Tables.orders(s, d))),
     // arbitrary grouping-sets lattice (pruned at plan time, one Expand)
     "agg_grouping_sets" -> ((s, d) => Analytics.statusPrioritySets(Tables.orders(s, d))),
@@ -332,6 +335,8 @@ object SparkEntry {
     "corpus_decontam_spans" -> ((s, d) => TextOps.decontaminateSpans(docs(s, d))),
     // temperature-scaled per-source mixing weights (α = 0.5)
     "corpus_mixture" -> ((s, d) => TextOps.mixtureWeights(docs(s, d))),
+    // frozen 80/10/10 split assignment (key-pure hash; append-stable)
+    "sample_splits" -> ((s, d) => TextOps.datasetSplits(docs(s, d))),
     "sample_hash" -> ((s, d) => TextOps.hashSample(docs(s, d))),
     "sample_stratified" -> ((s, d) => TextOps.stratifiedSample(docs(s, d))),
     // materialized temperature mixture: per-source hash sample at the
@@ -564,6 +569,7 @@ object SparkEntry {
     "rollup_revenue" -> OracleSqlExt.rollupRevenue,
     "setop_segments" -> OracleSqlExt.setopSegments,
     "setop_multiset" -> OracleSqlExt.setopMultiset,
+    "q16_supplier_variety" -> OracleSqlExt.q16SupplierVariety,
     "cube_status_priority" -> OracleSqlExt.cubeStatusPriority,
     "agg_grouping_sets" -> OracleSqlExt.aggGroupingSets,
 
@@ -638,6 +644,7 @@ GROUP BY l_returnflag""",
     "corpus_decontam_spans" -> OracleSqlExt.corpusDecontamSpans,
     "corpus_mixture" -> OracleSqlExt.corpusMixture,
     "sample_hash" -> OracleSqlExt.textHashSample,
+    "sample_splits" -> OracleSqlExt.sampleSplits,
     "sample_mixture" -> OracleSqlExt.corpusMixtureSample,
     "text_tfidf" -> OracleSqlExt.textTfidf,
     "text_vocab_encode" -> OracleSqlExt.textVocabEncode,

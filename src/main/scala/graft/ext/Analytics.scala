@@ -619,6 +619,25 @@ object Analytics {
         .withColumn("set_kind", lit("highbal_open")))
   }
 
+  /** TPC-H Q16-shaped supplier variety: distinct suppliers per
+    * (brand, type) over a size-banded part slice — the
+    * count-DISTINCT-per-group shape at fact scale. Spark plans the
+    * distinct as a two-phase aggregate (partial distinct on
+    * (brand, type, suppkey), then the count) — the dedup happens
+    * map-side before the exchange, so the shuffle carries the
+    * DISTINCT key set, not fact rows. part is broadcast (catalog
+    * constant, 4-column projection). Deterministic top-20 tie-break
+    * on the group key. */
+  def supplierVariety(part: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(part.filter(col("p_size").between(1, 15))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
+      .limit(20)
+
   /** MULTISET set operations — the bag semantics [[segmentSetOps]]'
     * distinct forms cannot express: EXCEPT ALL subtracts
     * MULTIPLICITIES (a part returned 5 times minus accepted 3 times

@@ -41,6 +41,31 @@ object TextOps {
           16, 10).cast("bigint") % 100 < pct)
       .select(col("doc_id"), col("lang"), col("n_chars"))
 
+  /** Deterministic TRAIN/VALID/TEST split — the assignment every
+    * training corpus needs frozen before anything else touches it:
+    * the same key-pure md5 residue as [[hashSample]] cut at 80/90, so
+    * membership is a pure function of doc_id (reproducible across
+    * runs/engines/partitionings, stable under corpus growth — an
+    * appended doc never moves an existing one between splits, the
+    * property a random split destroys). Emitted as per-(split, lang)
+    * counts + each split's min/max residue as the audit columns; the
+    * splits are disjoint and exhaustive BY CONSTRUCTION (one residue,
+    * three half-open ranges). */
+  def datasetSplits(documents: DataFrame): DataFrame = {
+    val residue = conv(substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("bigint") % 100
+    documents
+      .withColumn("res", residue)
+      .withColumn("split",
+        when(col("res") < 80, "train")
+          .otherwise(when(col("res") < 90, "valid").otherwise("test")))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("res")).as("min_residue"),
+        max(col("res")).as("max_residue"))
+  }
+
   /** Stratified deterministic sampling: a per-language keep rate (the
     * usual rebalancing move when one language dominates a crawl),
     * decided by the same key-pure hash as [[hashSample]] — so each

@@ -116,6 +116,35 @@ WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
                 AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
 GROUP BY o_orderpriority"""
 
+  /** Mirror of Analytics.supplierVariety (TPC-H Q16 shape): distinct
+    * suppliers per (brand, type), size-banded, top-20 with group-key
+    * tie-break. */
+  val q16SupplierVariety: String = """
+SELECT p.p_brand, p.p_type,
+       COUNT(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_size BETWEEN 1 AND 15
+GROUP BY p.p_brand, p.p_type
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type
+LIMIT 20"""
+
+  /** Mirror of TextOps.datasetSplits: same md5-residue hash as
+    * sampleHash, three half-open ranges at 80/90, per-(split, lang)
+    * counts with residue-range audit columns. */
+  val sampleSplits: String = """
+SELECT split, lang, COUNT(*)::BIGINT AS n_docs,
+       CAST(MIN(res) AS BIGINT) AS min_residue,
+       CAST(MAX(res) AS BIGINT) AS max_residue
+FROM (
+  SELECT lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+           AS res
+  FROM documents) t
+CROSS JOIN LATERAL (SELECT CASE WHEN res < 80 THEN 'train'
+                                WHEN res < 90 THEN 'valid'
+                                ELSE 'test' END AS split) s
+GROUP BY split, lang"""
+
   /** Mirror of Analytics.multisetPartOps: EXCEPT ALL / INTERSECT ALL
     * bag semantics, surviving multiplicity per part. */
   val setopMultiset: String = """
