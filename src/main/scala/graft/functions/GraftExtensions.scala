@@ -11,6 +11,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * CosineSimilarity.register is the equivalent runtime form. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // plan-level scale lint (opt-in; see the rule's scaladoc)
+    ext.injectOptimizerRule { session =>
+      graft.plans.NoGlobalWindowGuard(k =>
+        session.conf.getOption(k))
+    }
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(

@@ -941,6 +941,26 @@ class ExtOpsSpec extends SparkSpec {
     assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("scale guard rejects ORDER-BY-only windows when enabled, passes otherwise") {
+    import spark.implicits._
+    val df = Seq((1L, 2.0), (2L, 1.0)).toDF("k", "v")
+    val global = df.select(expr("row_number() over (order by v)").as("rn"))
+    val partitioned = df.select(
+      expr("row_number() over (partition by k order by v)").as("rn"))
+    val on = graft.plans.NoGlobalWindowGuard(key =>
+      if (key == "spark.graft.guards.failOnGlobalWindow") Some("true") else None)
+    val e = intercept[IllegalStateException] {
+      on(global.queryExecution.analyzed)
+    }
+    assert(e.getMessage.contains("single-partition"))
+    on(partitioned.queryExecution.analyzed) // partitioned window passes
+    val off = graft.plans.NoGlobalWindowGuard(_ => None)
+    off(global.queryExecution.analyzed) // guard disabled: no throw
+    // the extensions installer wires the rule without erroring
+    new graft.functions.GraftExtensions()
+      .apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("label propagation keeps bridged communities apart where CC merges them") {
     import spark.implicits._
     // barbell: triangles {1,2,3} and {4,5,6} bridged by 3-4. CC
