@@ -60,8 +60,6 @@ object Diagnostics {
   def qualityChecks(orders: DataFrame, customer: DataFrame,
       lineitem: DataFrame, events: DataFrame,
       nullBudgetMilli: Long = 100L): DataFrame = {
-    val spark = orders.sparkSession
-    import spark.implicits._
     val pkDups = orders.agg(
       (count(lit(1)) - countDistinct(col("o_orderkey"))).as("observed"))
       .select(lit("orders_pk_unique").as("check_name"), col("observed"),
@@ -82,7 +80,12 @@ object Diagnostics {
       .select(lit("lineitem_qty_domain").as("check_name"), col("observed"),
         lit(0L).as("threshold"))
     pkDups.unionAll(danglingFk).unionAll(nullRate).unionAll(qtyDomain)
-      .withColumn("passed", col("observed") <= col("threshold"))
+      // NULL-safe: an EMPTY checked table makes sum()/div-count NULL,
+      // and NULL <= threshold is NULL — which filter(!passed) silently
+      // treats as passing, the one direction a DQ gate must never
+      // fail in. A missing table is a FAILED check.
+      .withColumn("passed",
+        coalesce(col("observed") <= col("threshold"), lit(false)))
   }
 
   /** Equi-DEPTH histogram of order value: `buckets` bins holding equal

@@ -34,11 +34,18 @@ object TextOps {
     * engines, partitionings and retries, and composable (a 10% sample is
     * a superset-invariant of a 5% one with the same hash). This is how a
     * training pipeline takes a stable corpus slice at 100 TB. */
+  /** The key-pure sampling residue in [0, 100): md5 of the doc_id —
+    * ONE definition, because [[hashSample]], [[stratifiedSample]] and
+    * [[datasetSplits]] all PROMISE the same hash (superset-invariance
+    * across rates, append-stable splits) and that only holds if a
+    * width tweak cannot hit one copy and miss another. */
+  private def keyResidue: Column =
+    conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+      16, 10).cast("bigint") % 100
+
   def hashSample(documents: DataFrame, pct: Int = 10): DataFrame =
     documents
-      .filter(
-        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
-          16, 10).cast("bigint") % 100 < pct)
+      .filter(keyResidue < pct)
       .select(col("doc_id"), col("lang"), col("n_chars"))
 
   /** Deterministic TRAIN/VALID/TEST split — the assignment every
@@ -52,11 +59,8 @@ object TextOps {
     * splits are disjoint and exhaustive BY CONSTRUCTION (one residue,
     * three half-open ranges). */
   def datasetSplits(documents: DataFrame): DataFrame = {
-    val residue = conv(substring(
-      md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
-      .cast("bigint") % 100
     documents
-      .withColumn("res", residue)
+      .withColumn("res", keyResidue)
       .withColumn("split",
         when(col("res") < 80, "train")
           .otherwise(when(col("res") < 90, "valid").otherwise("test")))

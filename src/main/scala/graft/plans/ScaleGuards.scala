@@ -34,7 +34,8 @@ case class NoGlobalWindowGuard(getConf: String => Option[String])
     extends Rule[LogicalPlan] {
 
   private def enabled: Boolean =
-    getConf("spark.graft.guards.failOnGlobalWindow").contains("true")
+    getConf("spark.graft.guards.failOnGlobalWindow")
+      .exists(_.equalsIgnoreCase("true"))
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (enabled) plan.foreach {

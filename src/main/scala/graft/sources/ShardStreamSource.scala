@@ -60,6 +60,17 @@ object ShardStreamSource {
         !n.startsWith("_") && !n.startsWith(".")
       }
       .map(_.toString).toSeq.sorted
+
+  /** The pushed shard_file filters as a file predicate — ONE
+    * definition shared by the row scan and the count scan, so a new
+    * supported filter shape cannot make their prunings diverge. */
+  private[sources] def keepFile(pushed: Array[Filter])(file: String): Boolean =
+    pushed.forall {
+      case EqualTo("shard_file", v: String)   => file == v
+      case In("shard_file", vs)               => vs.contains(file)
+      case StringStartsWith("shard_file", p)  => file.startsWith(p)
+      case _ => true
+    }
 }
 
 private class ShardTable(path: String) extends Table
@@ -159,15 +170,10 @@ private[graft] class ShardCountScan(path: String, pushed: Array[Filter],
     nAggs: Int) extends Scan {
   override def readSchema(): StructType =
     StructType((0 until nAggs).map(i => StructField(s"count_$i", LongType)))
-  private def keep(file: String): Boolean = pushed.forall {
-    case EqualTo("shard_file", v: String)   => file == v
-    case In("shard_file", vs)               => vs.contains(file)
-    case StringStartsWith("shard_file", p)  => file.startsWith(p)
-    case _ => true
-  }
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      ShardStreamSource.sortedShards(path).filter(keep)
+      ShardStreamSource.sortedShards(path)
+        .filter(ShardStreamSource.keepFile(pushed))
         .map(ShardPartition).toArray
     override def createReaderFactory(): PartitionReaderFactory =
       new ShardCountReaderFactory(nAggs)
@@ -199,15 +205,9 @@ private[graft] class ShardScan(path: String,
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new ShardMicroBatchStream(path, required)
 
-  private def keep(file: String): Boolean = pushed.forall {
-    case EqualTo("shard_file", v: String)   => file == v
-    case In("shard_file", vs)               => vs.contains(file)
-    case StringStartsWith("shard_file", p)  => file.startsWith(p)
-    case _ => true
-  }
-
   private[graft] def prunedFiles: Seq[String] =
-    ShardStreamSource.sortedShards(path).filter(keep)
+    ShardStreamSource.sortedShards(path)
+      .filter(ShardStreamSource.keepFile(pushed))
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =

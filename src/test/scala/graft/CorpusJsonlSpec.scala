@@ -33,9 +33,10 @@ class CorpusJsonlSpec extends SparkSpec {
       .map(r => r.getAs[String]("reason") -> r.getAs[String]("raw_line"))
     assert(q.length == 2)
     val byReason = q.toMap
-    // the malformed line is preserved BYTE-FOR-BYTE for repair
+    // BOTH quarantine classes preserve the input line BYTE-FOR-BYTE
     assert(byReason("malformed_json") == """{"doc_id": 3, "text": "trunca""")
-    assert(byReason("missing_required_field").contains(""""doc_id":4"""))
+    assert(byReason("missing_required_field") ==
+      """{"doc_id": 4, "lang": "en", "source": "web", "n_chars": 0}""")
   }
 
   test("write/read round-trips the documents frame") {
