@@ -36,7 +36,18 @@ object BenchStats {
     * host is indistinguishable from a uniformly slow one, so nothing
     * is excluded). A query whose only samples sit inside contended
     * passes keeps those samples: degraded data beats no data, and the
-    * pass indices in the artifact flag the quality. */
+    * pass indices in the artifact flag the quality.
+    *
+    * Sub-threshold contamination trim (the r11 blind spot): a pass at
+    * 1.67× the fastest clears the 2× cutoff yet inflated r11's
+    * committed static total ~12% above its final quiet pass. So after
+    * pass-level exclusion, each query additionally drops its single
+    * SLOWEST surviving sample whenever ≥3 survive — the median of the
+    * remainder can't be dragged up by one moderately-loaded pass,
+    * while a genuinely slow query (slow in EVERY pass) is untouched
+    * because its remaining samples are just as slow. Never applied
+    * below 3 samples: with 2, dropping the max would report the
+    * fastest-ever time, an optimistic bias worse than the noise. */
   def stats(names: Seq[String], passes: Vector[Pass])
       : (Map[String, Double], Map[String, String], Vector[Int]) = {
     if (passes.isEmpty) return (Map.empty, Map.empty, Vector.empty)
@@ -45,13 +56,18 @@ object BenchStats {
       .collect { case (p, i) if p.wall > 2 * fastest => i }
     val clean = passes.zipWithIndex
       .collect { case (p, i) if !contended.contains(i) => p }
+    def trimmed(xs: Seq[Double]): Seq[Double] =
+      if (xs.size >= 3) {
+        val drop = xs.indexOf(xs.max) // one instance only, ties kept
+        xs.patch(drop, Nil, 1)
+      } else xs
     val meds = Map.newBuilder[String, Double]
     val errs = Map.newBuilder[String, String]
     for (n <- names) {
       val good = clean.flatMap(_.samples.get(n))
       val any = passes.flatMap(_.samples.get(n))
-      if (good.nonEmpty) meds += n -> median(good)
-      else if (any.nonEmpty) meds += n -> median(any) // only contended data
+      if (good.nonEmpty) meds += n -> median(trimmed(good))
+      else if (any.nonEmpty) meds += n -> median(trimmed(any)) // only contended data
       else passes.flatMap(_.errs.get(n)).headOption.foreach(errs += n -> _)
     }
     (meds.result(), errs.result(), contended)

@@ -376,9 +376,17 @@ object SparkEntry {
     "dedup_minhash_est" -> ((s, d) =>
       DedupOps.minhashEstimateEvalFrom(shSets(s, d), shSigs(s, d), shBands(s, d))),
     "dedup_simhash" -> ((s, d) => DedupOps.simhashDups(docs(s, d))),
-    "dedup_simhash_k" -> ((s, d) => DedupOps.simhashHammingPairs(docs(s, d))),
-    // wide 60-bit SimHash hamming pairs — the saturation-proof form
-    "dedup_simhash_wide" -> ((s, d) => DedupOps.simhash60HammingPairs(docs(s, d))),
+    // the default hamming-k answer rides the WIDE 60-bit signature —
+    // the 10x probe measured the 32-bit form's pair output growing 14x
+    // at 10x docs (fixed-width saturation), so the scale-safe path is
+    // the user-facing one; the 32-bit variant stays below as an
+    // explicitly-named compact demo
+    "dedup_simhash_k" -> ((s, d) => DedupOps.simhash60HammingPairs(docs(s, d))),
+    // wide form at its exactness bound (6x10-bit banding, k = 5)
+    "dedup_simhash_wide" -> ((s, d) =>
+      DedupOps.simhash60HammingPairs(docs(s, d), k = 5)),
+    // compact 32-bit demo (saturates at corpus scale — see BENCH_TREND)
+    "dedup_simhash_compact" -> ((s, d) => DedupOps.simhashHammingPairs(docs(s, d))),
     "dedup_ngram" -> ((s, d) =>
       DedupOps.ngramJaccardPairsFrom(shSets(s, d), shSigs(s, d), 0.3)),
     // asymmetric containment (short-doc-inside-long-doc) near-dup pairs
@@ -665,6 +673,7 @@ GROUP BY l_returnflag""",
     "dedup_simhash" -> OracleSqlExt.dedupSimhash,
     "dedup_simhash_k" -> OracleSqlExt.dedupSimhashK,
     "dedup_simhash_wide" -> OracleSqlExt.dedupSimhashWide,
+    "dedup_simhash_compact" -> OracleSqlExt.dedupSimhashCompact,
     "dedup_ngram" -> OracleSqlExt.dedupNgram,
     "dedup_containment" -> OracleSqlExt.dedupContainment,
     "dedup_editdist" -> OracleSqlExt.dedupEditdist,

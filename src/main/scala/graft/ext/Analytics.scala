@@ -138,20 +138,43 @@ object Analytics {
     * semantics-free because pair support ≤ min(singleton supports) —
     * a part below `minSupport` cannot participate in any surviving
     * pair. The pair join is an equi self-join on the order key with
-    * per-order fan-out bounded by basket size (catalog-bounded, not
-    * corpus-bounded), counts map-side combine to pair-vocabulary size,
-    * and the global top-k is a WindowGroupLimit. */
+    * per-order fan-out bounded by basket size, counts map-side combine
+    * to pair-vocabulary size, and the global top-k is a
+    * WindowGroupLimit.
+    *
+    * Basket-size cap — a LOUD cap, not a silent one: basket-size² pair
+    * fan-out is fine for organic orders (TPC-H baskets are ≤7 items)
+    * but one pathological order — a crawler cart with 10⁴ items —
+    * would emit 10⁸ pairs from a single key, and the salted join
+    * bounds per-task cost, not pair count. Orders with more than
+    * `maxBasket` distinct parts are excluded from the analysis
+    * entirely (all their stats, not just their pairs, so support/lift
+    * stay internally consistent over the capped universe), and the
+    * excluded-order count rides on EVERY output row as
+    * `orders_dropped` — part of the oracle-gated result, so a nonzero
+    * drop is hash-checked cross-engine, never swallowed into a log
+    * nobody reads. Pair output is bounded by maxBasket² per order. */
   def basketPairs(lineitem: DataFrame, minSupport: Long = 3L,
-      k: Int = 10): DataFrame = {
-    // lazy localCheckpoint: `items` feeds four subtrees (freq, total,
-    // both sides of the pair self-join) whose differing projections
-    // defeat exchange reuse — without the pin the lineitem scan and
-    // the distinct shuffle run four times (same pattern as
-    // paragraphDedup / sessionFunnel)
-    val items = lineitem
+      k: Int = 10, maxBasket: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // lazy localCheckpoint: `sized` feeds five subtrees (freq, total,
+    // both sides of the pair self-join, the drop counter) whose
+    // differing projections defeat exchange reuse — without the pin
+    // the lineitem scan and the distinct shuffle run five times (same
+    // pattern as paragraphDedup / sessionFunnel). The basket-size
+    // window repartitions the pin onto okey — the same key the pair
+    // self-join needs, so the cap's shuffle replaces (not adds to)
+    // the join's.
+    val sized = lineitem
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
       .distinct()
+      .withColumn("basket_n", count(lit(1)).over(
+        Window.partitionBy(col("okey"))))
       .localCheckpoint(false)
+    val dropped = sized.filter(col("basket_n") > maxBasket)
+      .agg(countDistinct(col("okey")).as("orders_dropped"))
+    val items = sized.filter(col("basket_n") <= maxBasket)
+      .select(col("okey"), col("part"))
     val freq = items.groupBy(col("part"))
       .agg(count(lit(1)).as("n_part"))
       .filter(col("n_part") >= minSupport)
@@ -170,8 +193,11 @@ object Analytics {
       .withColumn("rank", expr("row_number() over (order by support desc, " +
         "part_a, part_b)"))
       .filter(col("rank") <= k)
+      // the loud cap: one broadcast scalar stamped on the ≤k rows
+      .crossJoin(broadcast(dropped))
       .select(col("part_a"), col("part_b"), col("support"),
-        col("n_a"), col("n_b"), col("lift_milli"), col("rank"))
+        col("n_a"), col("n_b"), col("lift_milli"), col("rank"),
+        col("orders_dropped"))
   }
 
   /** TPC-H Q14-shaped promo revenue share: one ship-month of the fact

@@ -25,6 +25,11 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   */
 object PngCodec {
 
+  /** Decode-side geometry cap: 64 Mpx ≈ 192 MB of RGB — generous for
+    * any training-corpus image, far below what overflows Int stride
+    * math or blows an executor's task memory. */
+  private[ext] val MaxPixels: Long = 64L * 1024 * 1024
+
   private val Signature: Array[Byte] =
     Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
@@ -150,6 +155,13 @@ object PngCodec {
           require(len == 13, s"bad IHDR length $len")
           w = u32(pos + 8).toInt; h = u32(pos + 12).toInt
           require(w > 0 && h > 0, s"bad PNG geometry ${w}x$h")
+          // bound the PRODUCT in Long before any allocation: a crafted
+          // IHDR with w near 2^30 overflows `w * 3` / `(stride+1) * h`
+          // in Int arithmetic (negative-size or multi-GB allocation —
+          // a decompression bomb), which a decoder running inside an
+          // executor task must refuse cleanly, not OOM the JVM
+          require(w.toLong * h <= MaxPixels,
+            s"PNG geometry ${w}x$h exceeds $MaxPixels-pixel decode cap")
           val depth = bytes(pos + 16) & 0xff
           val color = bytes(pos + 17) & 0xff
           val interlace = bytes(pos + 20) & 0xff

@@ -850,22 +850,33 @@ object TextOps {
     * tokens) but immediately semi-filtered by the benchmark join —
     * only MATCHED positions reach the window, and real contamination
     * is sparse (‰-level), so the windowed frame is tiny relative to
-    * the corpus. The benchmark side stays unhinted for the same
-    * reason as [[benchmarkContaminationFrom]]. */
+    * the corpus. Only the BENCHMARK shingle set is materialized
+    * (eval suites are ~‰ of the corpus — here 1/11 of docs): the two
+    * branches now read their own filtered document scans, so the
+    * corpus-shaped tokenize+posexplode streams through exactly one
+    * un-materialized pass and nothing corpus-sized is ever pinned.
+    * (r11 pinned the shared corpus-shaped frame instead — the suite's
+    * one storage-amplifying step, flagged by the round-11 bench.)
+    * The benchmark side stays unhinted for the same reason as
+    * [[benchmarkContaminationFrom]]. */
   def decontaminateSpans(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = tokens(col("text"))
-    val withPos = documents.select(col("doc_id"), size(toks).as("n_tokens"),
-        posexplode(transform(sequence(lit(1), greatest(size(toks) - 5, lit(1))),
-          i => concat_ws(" ", slice(toks, i, lit(6))))).as(Seq("idx", "s")))
-      .select(col("doc_id"), col("n_tokens"), (col("idx") + 1).as("pos"), col("s"))
-      // the bench and hits branches filter this frame differently, which
-      // defeats exchange reuse — without the pin the corpus-shaped
-      // tokenize+posexplode runs twice (same pattern as basketPairs)
-      .localCheckpoint(false)
-    val bench = withPos.filter(col("doc_id") % 11 === 0)
+    def positionedShingles(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), size(toks).as("n_tokens"),
+          posexplode(transform(sequence(lit(1), greatest(size(toks) - 5, lit(1))),
+            i => concat_ws(" ", slice(toks, i, lit(6))))).as(Seq("idx", "s")))
+        .select(col("doc_id"), col("n_tokens"), (col("idx") + 1).as("pos"),
+          col("s"))
+    // the bench side needs only the distinct shingle STRINGS — skip
+    // the positional explode entirely and ride sixGramShingles' per-doc
+    // array_distinct, which shrinks the global distinct's input
+    val bench = sixGramShingles(documents.filter(col("doc_id") % 11 === 0))
       .select(col("s")).distinct()
-    val hits = withPos.filter(col("doc_id") % 11 =!= 0)
+      // pin the SMALL side only: it's re-read nowhere, but the pinned
+      // stats let the join pick its build side from a known size
+      .localCheckpoint(false)
+    val hits = positionedShingles(documents.filter(col("doc_id") % 11 =!= 0))
       .join(bench, Seq("s"))
       .select(col("doc_id"), col("n_tokens"), col("pos")).distinct()
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))

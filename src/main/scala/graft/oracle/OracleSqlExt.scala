@@ -24,10 +24,20 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus"""
 
   /** Mirror of Analytics.basketPairs (no Apriori prune — provably the
-    * same output since pair support ≤ min(singleton supports)). */
+    * same output since pair support ≤ min(singleton supports)). The
+    * basket-size cap (maxBasket = 1024) is mirrored faithfully even
+    * though no TPC-H order comes near it — the two engines must agree
+    * on the capped universe by construction, not by luck. */
   val ordersBasket: String = """
-WITH items AS (
-  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+WITH sized AS (
+  SELECT okey, part, COUNT(*) OVER (PARTITION BY okey) AS basket_n
+  FROM (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+        FROM lineitem)),
+dropped AS (
+  SELECT COUNT(DISTINCT okey) AS orders_dropped
+  FROM sized WHERE basket_n > 1024),
+items AS (
+  SELECT okey, part FROM sized WHERE basket_n <= 1024),
 f AS (SELECT part, COUNT(*) AS n_part FROM items GROUP BY part),
 tot AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM items),
 p AS (
@@ -43,10 +53,12 @@ j AS (
   JOIN f fb ON fb.part = p.part_b
   CROSS JOIN tot t
   WHERE p.support >= 3)
-SELECT part_a, part_b, support, n_a, n_b, lift_milli, rank FROM (
+SELECT part_a, part_b, support, n_a, n_b, lift_milli, rank, orders_dropped
+FROM (
   SELECT j.*, row_number() OVER (ORDER BY support DESC, part_a, part_b)
     AS rank
   FROM j)
+CROSS JOIN dropped
 WHERE rank <= 10"""
 
   /** Mirror of Analytics.promoRevenue (TPC-H Q14 shape): same decimal
@@ -1255,20 +1267,21 @@ sig AS (
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash32
 FROM sig a JOIN sig b ON a.simhash32 = b.simhash32 AND a.doc_id < b.doc_id"""
 
-  /** Brute-force all-pairs hamming join — independent of the Spark
-    * side's banded probe, which is exact for k ≤ 3 by pigeonhole, so
-    * the two must agree row-for-row. Quadratic is fine at oracle SF. */
-  val dedupSimhashK: String = simhashCtes + """
+  /** Brute-force all-pairs hamming join over the COMPACT 32-bit
+    * signature (the saturating demo form — see BENCH_TREND r11) —
+    * independent of the Spark side's banded probe, which is exact for
+    * k ≤ 3 by pigeonhole, so the two must agree row-for-row.
+    * Quadratic is fine at oracle SF. */
+  val dedupSimhashCompact: String = simhashCtes + """
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash32, b.simhash32)) AS BIGINT) AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 3"""
 
-  /** Mirror of DedupOps.simhash60HammingPairs: 60-bit signature (first
-    * 15 md5 hex digits per distinct token — positive in a signed
-    * BIGINT), brute-force hamming join independent of the Spark side's
-    * 6×10-bit banded probe (exact for k ≤ 5 by pigeonhole). */
-  val dedupSimhashWide: String = """
+  /** 60-bit signature CTEs (first 15 md5 hex digits per distinct
+    * token — positive in a signed BIGINT), shared by the wide-simhash
+    * mirrors below. */
+  private val simhash60Ctes: String = """
 WITH dtok AS (
   SELECT DISTINCT doc_id, tok
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
@@ -1283,11 +1296,22 @@ sig AS (
   SELECT doc_id,
          CAST(SUM(CASE WHEN contrib > 0 THEN (1::BIGINT << b) ELSE 0 END)
               AS BIGINT) AS simhash60
-  FROM bitsum GROUP BY doc_id)
+  FROM bitsum GROUP BY doc_id)"""
+
+  private def simhash60Pairs(k: Int): String = simhash60Ctes + s"""
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash60, b.simhash60)) AS BIGINT) AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash60, b.simhash60)) <= 3"""
+WHERE bit_count(xor(a.simhash60, b.simhash60)) <= $k"""
+
+  /** Mirror of DedupOps.simhash60HammingPairs at the default k = 3 —
+    * the scale-safe signature now answers the default `dedup_simhash_k`
+    * query; brute-force hamming join independent of the Spark side's
+    * 6×10-bit banded probe. */
+  val dedupSimhashK: String = simhash60Pairs(3)
+
+  /** The wide probe at its pigeonhole exactness bound, k = 5. */
+  val dedupSimhashWide: String = simhash60Pairs(5)
 
   /** Mirror of DedupOps.ngramJaccardPairs: single-band minhash
     * blocking (band 0 = minhash values j=0,1, the '|'-joined prefix of
@@ -2760,11 +2784,15 @@ WITH w0 AS (
 
   /** Mirror of Diagnostics.qualityChecks: four (check, observed,
     * threshold, passed) rows — PK uniqueness, FK integrity via anti
-    * join, integer milli null-rate, value domain. */
+    * join, integer milli null-rate, value domain. The COALESCE
+    * mirrors the Spark side's fail-closed NULL gate: an empty checked
+    * table yields NULL `observed`, and a DQ gate must read that as
+    * FAILED in both engines, not diverge in exactly the
+    * missing-table case. */
   val diagChecks: String = """
 SELECT check_name, CAST(observed AS BIGINT) AS observed,
        CAST(threshold AS BIGINT) AS threshold,
-       observed <= threshold AS passed
+       COALESCE(observed <= threshold, false) AS passed
 FROM (
   SELECT 'orders_pk_unique' AS check_name,
          COUNT(*) - COUNT(DISTINCT o_orderkey) AS observed, 0 AS threshold

@@ -7,11 +7,12 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Literal, NamedReference, Transform, Expression => V2Expression}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownV2Filters}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.sources.{EqualTo, Filter, In, StringStartsWith}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -104,9 +105,10 @@ private class ShardTable(path: String) extends Table
   * key list (a scan that reads all columns for a 2-column projection is
   * wrong at any scale). */
 private[graft] class ShardScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownFilters
+    extends ScanBuilder with SupportsPushDownV2Filters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownAggregates {
+  private var pushedPreds: Array[Predicate] = Array.empty
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = ShardStreamSource.schema
   private var limit: Int = Int.MaxValue
@@ -121,8 +123,13 @@ private[graft] class ShardScanBuilder(path: String)
     * them, so file-filter pruning composes and correctness never
     * depends on this source seeing every file in one place. Grouped
     * or non-count aggregates are declined and run post-scan. Spark
-    * only attempts this when every filter was fully pushed, so the
-    * count is never taken over rows a residual would have dropped. */
+    * only attempts this when every filter was fully pushed — which is
+    * why filter pushdown below speaks V2 predicates: V1-pushed
+    * filters linger in the plan as residuals and made Spark skip this
+    * path for every FILTERED count (r11 advisory); with V2 the
+    * pushed-and-removed file predicates compose with the count scan,
+    * and the count is never taken over rows a residual would have
+    * dropped. */
   override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     val ok = aggregation.groupByExpressions().isEmpty &&
@@ -144,6 +151,46 @@ private[graft] class ShardScanBuilder(path: String)
     false
   }
 
+  private def fieldName(e: V2Expression): Option[String] = e match {
+    case f: NamedReference if f.fieldNames.length == 1 =>
+      Some(f.fieldNames.head)
+    case _ => None
+  }
+  private def strLit(e: V2Expression): Option[String] = e match {
+    case l: Literal[_] if l.dataType == StringType && l.value != null =>
+      Some(l.value.toString)
+    case _ => None
+  }
+
+  /** V2 predicate → the V1 [[Filter]] shapes [[ShardStreamSource
+    * .keepFile]] evaluates; None for anything this source can't prove
+    * it evaluates exactly (those return to Spark as residuals). */
+  private def toShardFilter(p: Predicate): Option[Filter] = p.name() match {
+    case "=" => p.children() match {
+      // catalyst normalizes attr-literal comparisons to attr-first,
+      // but accept both orders rather than depend on it
+      case Array(c, v) =>
+        (for (n <- fieldName(c); s <- strLit(v)) yield EqualTo(n, s))
+          .orElse(for (n <- fieldName(v); s <- strLit(c)) yield EqualTo(n, s))
+      case _ => None
+    }
+    case "IN" => p.children() match {
+      case arr if arr.length >= 2 =>
+        for {
+          n <- fieldName(arr.head)
+          vs <- Option(arr.tail.map(strLit))
+            .filter(_.forall(_.isDefined))
+        } yield In(n, vs.map(_.get: Any))
+      case _ => None
+    }
+    case "STARTS_WITH" => p.children() match {
+      case Array(c, v) =>
+        for (n <- fieldName(c); s <- strLit(v)) yield StringStartsWith(n, s)
+      case _ => None
+    }
+    case _ => None
+  }
+
   private def supported(f: Filter): Boolean = f match {
     case EqualTo("shard_file", _: String) => true
     case In("shard_file", _)              => true
@@ -151,12 +198,26 @@ private[graft] class ShardScanBuilder(path: String)
     case _ => false
   }
 
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (sup, rest) = filters.partition(supported)
-    pushed = sup
-    rest
+  /** V2 predicate pushdown (SupportsPushDownV2Filters, not the V1
+    * Filter interface): the practical difference is TRUST. With V1
+    * filters Spark keeps every pushed filter in the plan as a
+    * post-scan residual, and the presence of that residual makes
+    * V2ScanRelationPushDown skip aggregate pushdown entirely — so a
+    * filtered COUNT(*) never reached [[ShardCountScan]]. With V2
+    * predicates Spark removes fully-pushed predicates from the plan,
+    * which is sound here because every accepted shape is a predicate
+    * on the per-file-constant `shard_file` column: pruning FILES via
+    * [[ShardStreamSource.keepFile]] IS exact row-level evaluation.
+    * Anything not file-constant is returned as residual and evaluated
+    * post-scan by Spark. */
+  override def pushPredicates(predicates: Array[Predicate]): Array[Predicate] = {
+    val translated = predicates.map(p =>
+      p -> toShardFilter(p).filter(supported))
+    pushedPreds = translated.collect { case (p, Some(_)) => p }
+    pushed = translated.collect { case (_, Some(f)) => f }
+    translated.collect { case (p, None) => p }
   }
-  override def pushedFilters(): Array[Filter] = pushed
+  override def pushedPredicates(): Array[Predicate] = pushedPreds
   override def build(): Scan =
     if (countStarAggs > 0) new ShardCountScan(path, pushed, countStarAggs)
     else new ShardScan(path, pushed, required, limit)

@@ -28,7 +28,61 @@ class BenchStatsSpec extends AnyFunSuite {
       Pass(14.0, Map("a" -> 2.0), Map.empty))
     val (meds, _, contended) = stats(Seq("a"), passes)
     assert(contended.isEmpty)
-    assert(meds("a") == 1.5)
+    // no pass excluded, but the per-query trim still drops the single
+    // slowest of the 3 samples → median of the remaining two
+    assert(meds("a") == median(Seq(1.0, 1.5)))
+  }
+
+  test("r11 profile: a 1.67x pass under the 2x cutoff cannot inflate the median") {
+    // the round-11 static passes — pass 0 at 1.67x the fastest sat
+    // under the contention threshold and inflated committed medians
+    // ~12%; the per-query max-sample trim closes exactly this gap
+    val passes = Vector(
+      Pass(112.47, Map("a" -> 1.90, "b" -> 3.03), Map.empty),
+      Pass(77.75, Map("a" -> 1.25, "b" -> 1.20), Map.empty),
+      Pass(67.19, Map("a" -> 1.20, "b" -> 1.17), Map.empty))
+    val (meds, _, contended) = stats(names, passes)
+    assert(contended.isEmpty) // 112.47 < 2 * 67.19: no pass-level exclusion
+    // medians reflect only the two quiet passes
+    assert(meds("a") == median(Seq(1.25, 1.20)))
+    assert(meds("b") == median(Seq(1.20, 1.17)))
+  }
+
+  test("trim needs >= 3 samples: with 2 the max is kept (no optimistic bias)") {
+    val passes = Vector(
+      Pass(10.0, Map("a" -> 1.0), Map.empty),
+      Pass(11.0, Map("a" -> 3.0), Map.empty))
+    val (meds, _, _) = stats(Seq("a"), passes)
+    assert(meds("a") == median(Seq(1.0, 3.0))) // 2.0, not 1.0
+  }
+
+  test("a genuinely slow query (slow in every pass) is untouched by the trim") {
+    val passes = Vector(
+      Pass(10.0, Map("a" -> 5.0), Map.empty),
+      Pass(11.0, Map("a" -> 5.0), Map.empty),
+      Pass(12.0, Map("a" -> 5.0), Map.empty))
+    val (meds, _, _) = stats(Seq("a"), passes)
+    assert(meds("a") == 5.0)
+  }
+
+  test("trim drops exactly one instance of the max when tied") {
+    val passes = Vector(
+      Pass(10.0, Map("a" -> 4.0), Map.empty),
+      Pass(11.0, Map("a" -> 4.0), Map.empty),
+      Pass(12.0, Map("a" -> 1.0), Map.empty))
+    val (meds, _, _) = stats(Seq("a"), passes)
+    assert(meds("a") == median(Seq(4.0, 1.0))) // one 4.0 survives
+  }
+
+  test("trim applies to the only-contended-data fallback too") {
+    val passes = Vector(
+      Pass(10.0, Map("a" -> 1.0), Map.empty),
+      Pass(40.0, Map("b" -> 9.0), Map.empty), // contended
+      Pass(41.0, Map("b" -> 6.0), Map.empty), // contended
+      Pass(42.0, Map("b" -> 6.5), Map.empty)) // contended
+    val (meds, _, contended) = stats(names, passes)
+    assert(contended == Vector(1, 2, 3))
+    assert(meds("b") == median(Seq(6.0, 6.5))) // 9.0 trimmed
   }
 
   test("a query sampled only inside contended passes keeps its degraded samples") {

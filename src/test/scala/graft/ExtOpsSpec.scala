@@ -155,6 +155,40 @@ class ExtOpsSpec extends SparkSpec {
     assert(r.getAs[Int]("rank") == 1)
   }
 
+  test("basket pairs: an oversized basket is excluded entirely and loudly counted") {
+    import spark.implicits._
+    // an organic pattern — (1,2) co-occur in 3 small orders — plus one
+    // pathological crawler cart: order 999 holds cap+1 distinct parts,
+    // which uncapped would emit (cap+1)·cap/2 pairs on its own, every
+    // one clearing minSupport = 1
+    val cap = 8
+    val organic = Seq(
+      (100L, 1L), (100L, 2L),
+      (200L, 1L), (200L, 2L),
+      (300L, 1L), (300L, 2L))
+    val cart = (0 until cap + 1).map(i => (999L, 1000L + i))
+    val li = (organic ++ cart).toDF("l_orderkey", "l_partkey")
+    val out = Analytics.basketPairs(li, minSupport = 1L, k = 1000,
+      maxBasket = cap).collect()
+    // pair output is bounded by cap²: the cart's parts contribute
+    // NOTHING — not pairs, not supports, not the order universe
+    assert(out.length <= cap * cap)
+    assert(!out.exists(r => r.getAs[Long]("part_a") >= 1000L ||
+      r.getAs[Long]("part_b") >= 1000L))
+    val r = out.find(x => x.getAs[Long]("part_a") == 1L &&
+      x.getAs[Long]("part_b") == 2L).get
+    assert(r.getAs[Long]("support") == 3L)
+    // n_orders excludes the dropped cart → lift over the capped universe
+    assert(r.getAs[Long]("lift_milli") == 1000L) // (3*3*1000) div (3*3)
+    // the loud part: the drop count rides on every output row
+    assert(out.forall(_.getAs[Long]("orders_dropped") == 1L))
+    // and with a generous cap nothing is dropped
+    val uncapped = Analytics.basketPairs(li, minSupport = 1L, k = 1000,
+      maxBasket = 1024).collect()
+    assert(uncapped.forall(_.getAs[Long]("orders_dropped") == 0L))
+    assert(uncapped.exists(r => r.getAs[Long]("part_a") >= 1000L))
+  }
+
   test("q14 promo share: conditional decimal sums and the exact percentage") {
     import spark.implicits._
     val part = Seq((1L, "PROMO"), (2L, "STANDARD")).toDF("p_partkey", "p_type")

@@ -46,13 +46,22 @@ class ShardSourceSpec extends SparkSpec {
     writeShard(dir, "shard-001.json", Seq(20L))
     writeShard(dir, "other-000.json", Seq(21L))
 
-    // unit level: the ScanBuilder prunes planned partitions
+    // unit level: the ScanBuilder prunes planned partitions. Predicates
+    // arrive in V2 form (SupportsPushDownV2Filters) — build them the
+    // way catalyst's translation does: column ref + string literal.
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    def strPred(name: String, column: String, v: String) = new Predicate(name,
+      Array(Expressions.column(column), Expressions.literal(v)))
     val b = new graft.sources.ShardScanBuilder(dir)
-    val residual = b.pushFilters(Array(
-      org.apache.spark.sql.sources.StringStartsWith("shard_file", s"$dir/shard-"),
-      org.apache.spark.sql.sources.EqualTo("line_no", 0L))) // unsupported → residual
-    assert(residual.toSeq == Seq(org.apache.spark.sql.sources.EqualTo("line_no", 0L)))
-    assert(b.pushedFilters().length == 1)
+    val unsupported = new Predicate("=",
+      Array(Expressions.column("line_no"),
+        Expressions.literal(java.lang.Long.valueOf(0L))))
+    val residual = b.pushPredicates(Array(
+      strPred("STARTS_WITH", "shard_file", s"$dir/shard-"),
+      unsupported)) // non-shard_file → residual
+    assert(residual.toSeq == Seq(unsupported))
+    assert(b.pushedPredicates().length == 1)
     val planned = b.build().asInstanceOf[graft.sources.ShardScan].prunedFiles
     assert(planned == Seq(s"$dir/shard-000.json", s"$dir/shard-001.json"))
 
@@ -87,10 +96,29 @@ class ShardSourceSpec extends SparkSpec {
     assert(!scanSchemas.head.fieldNames.contains("value"))
     assert(q.collect().head.getLong(0) == 4L)
 
-    // composes with pushed file filters: count only the pruned files
+    // composes with pushed file filters: count only the pruned files,
+    // and the FILTERED count must still build the partial-count scan —
+    // this is what V2 predicate pushdown buys (under the V1 Filter
+    // interface the pushed filter lingered as a plan residual and
+    // Spark skipped aggregate pushdown for every filtered count)
     val filtered = df.filter(col("shard_file").startsWith(s"$dir/shard-"))
       .groupBy().count()
+    val filteredScans = filtered.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.readSchema()
+    }
+    assert(filteredScans.nonEmpty)
+    assert(!filteredScans.head.fieldNames.contains("value"),
+      "filtered COUNT(*) fell back to a row scan — aggregate pushdown lost")
     assert(filtered.collect().head.getLong(0) == 3L)
+
+    // equality and IN predicates prune too (the other keepFile shapes)
+    val eq = df.filter(col("shard_file") === s"$dir/shard-001.json")
+      .groupBy().count()
+    assert(eq.collect().head.getLong(0) == 1L)
+    val in = df.filter(col("shard_file").isin(
+      s"$dir/shard-000.json", s"$dir/other-000.json")).groupBy().count()
+    assert(in.collect().head.getLong(0) == 3L)
 
     // grouped aggregates are declined: the full row scan still works
     val grouped = df.groupBy(col("shard_file")).count()
