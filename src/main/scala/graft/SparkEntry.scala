@@ -292,6 +292,81 @@ object SparkEntry {
                   ELSE 1 END AS funnel_stage,
              count(*) AS n_users
       FROM s3 GROUP BY 1""")),
+    // the LSH band join + relational Jaccard verify, as pure SQL text:
+    // proof the SQL surface reaches the banding machinery (the r11
+    // sql_* twins were all TPC-H/window/funnel shapes). Same
+    // double-hash family / band layout as DedupOps.minhashSignatures;
+    // must agree row-for-row with the dedup_minhash oracle.
+    "sql_dedup_minhash" -> ((s, d) => GraftSql.sql(s, d, """
+      WITH toks AS (
+        SELECT doc_id, split(text, ' ') AS t FROM documents),
+      sh AS (
+        SELECT doc_id, concat_ws(' ', slice(t, i, 3)) AS s
+        FROM toks
+        LATERAL VIEW explode(sequence(1, greatest(size(t) - 2, 1))) u AS i),
+      dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+      dsz AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+      hashes AS (
+        SELECT doc_id, s,
+               CAST(conv(substring(md5(CAST(s AS BINARY)), 1, 8), 16, 10)
+                    AS BIGINT) AS h1,
+               CAST(conv(substring(md5(CAST(s AS BINARY)), 9, 8), 16, 10)
+                    AS BIGINT) AS h2
+        FROM sh),
+      sig AS (
+        SELECT doc_id, j, min((h1 + j * h2) % 4294967311) AS mh
+        FROM hashes LATERAL VIEW explode(sequence(0, 7)) t AS j
+        GROUP BY doc_id, j),
+      bands AS (
+        SELECT doc_id,
+               concat_ws('#', b, concat_ws('|', mh_even, mh_odd)) AS band
+        FROM (SELECT doc_id, j div 2 AS b,
+                     min(CASE WHEN j % 2 = 0 THEN mh END) AS mh_even,
+                     min(CASE WHEN j % 2 = 1 THEN mh END) AS mh_odd
+              FROM sig GROUP BY doc_id, j div 2)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.doc_id < b.doc_id),
+      inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS ni
+        FROM cand c
+        JOIN dsh x ON x.doc_id = c.doc_a
+        JOIN dsh y ON y.doc_id = c.doc_b AND y.s = x.s
+        GROUP BY c.doc_a, c.doc_b)
+      SELECT i.doc_a, i.doc_b,
+             CAST(ni AS DOUBLE) / CAST(za.n + zb.n - ni AS DOUBLE) AS jaccard
+      FROM inter i
+      JOIN dsz za ON za.doc_id = i.doc_a
+      JOIN dsz zb ON zb.doc_id = i.doc_b
+      WHERE CAST(ni AS DOUBLE) / CAST(za.n + zb.n - ni AS DOUBLE) >= 0.5""")),
+    // rational-idf BM25 as SQL text over the same posting shape the
+    // DataFrame path shares (termFrequencies): exact-integer scoring,
+    // so the twin hash-gates against the text_bm25 oracle
+    "sql_text_bm25" -> ((s, d) => GraftSql.sql(s, d, """
+      WITH tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, explode(split(text, ' ')) AS term
+              FROM documents)
+        GROUP BY doc_id, term),
+      dl AS (SELECT doc_id, CAST(size(split(text, ' ')) AS BIGINT) AS dl
+             FROM documents),
+      tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t_tokens,
+                     count(*) AS n_docs FROM dl),
+      qtf AS (SELECT * FROM tf WHERE term IN ('dup', 'spark', 'data')),
+      dfq AS (SELECT term, count(*) AS df FROM qtf GROUP BY term),
+      scored AS (
+        SELECT q.doc_id, dl.dl,
+               ((1000 * (2 * t.n_docs + 1)) div (2 * f.df + 1))
+                 * ((1000000 * 44 * t.t_tokens * q.tf)
+                    div (20 * t.t_tokens * q.tf + 6 * t.t_tokens
+                         + 18 * dl.dl * t.n_docs)) AS term_score
+        FROM qtf q JOIN dfq f USING (term) JOIN dl USING (doc_id)
+        CROSS JOIN tot t)
+      SELECT doc_id, dl, count(*) AS n_hit,
+             CAST(sum(term_score) AS BIGINT) AS score
+      FROM scored GROUP BY doc_id, dl
+      ORDER BY score DESC, doc_id LIMIT 20""")),
 
     // ---- text analysis over `documents` -------------------------------
     // The testdata tables are single parquet files → a single input
@@ -629,6 +704,8 @@ GROUP BY l_returnflag""",
     "sql_q2_mincost" -> OracleSqlExt.q2MinCost,
     "sql_q18_in" -> OracleSqlExt.q18LargeOrders,
     "sql_events_funnel" -> OracleSqlExt.eventsFunnel,
+    "sql_dedup_minhash" -> OracleSqlExt.dedupMinhash,
+    "sql_text_bm25" -> OracleSqlExt.textBm25,
 
     "text_stats" -> OracleSqlExt.textStats,
     "text_quality" -> OracleSqlExt.textQuality,

@@ -860,14 +860,6 @@ object TextOps {
     * The benchmark side stays unhinted for the same reason as
     * [[benchmarkContaminationFrom]]. */
   def decontaminateSpans(documents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = tokens(col("text"))
-    def positionedShingles(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), size(toks).as("n_tokens"),
-          posexplode(transform(sequence(lit(1), greatest(size(toks) - 5, lit(1))),
-            i => concat_ws(" ", slice(toks, i, lit(6))))).as(Seq("idx", "s")))
-        .select(col("doc_id"), col("n_tokens"), (col("idx") + 1).as("pos"),
-          col("s"))
     // the bench side needs only the distinct shingle STRINGS — skip
     // the positional explode entirely and ride sixGramShingles' per-doc
     // array_distinct, which shrinks the global distinct's input
@@ -876,8 +868,26 @@ object TextOps {
       // pin the SMALL side only: it's re-read nowhere, but the pinned
       // stats let the join pick its build side from a known size
       .localCheckpoint(false)
-    val hits = positionedShingles(documents.filter(col("doc_id") % 11 =!= 0))
-      .join(bench, Seq("s"))
+    decontaminateSpansAgainst(documents.filter(col("doc_id") % 11 =!= 0), bench)
+  }
+
+  /** The span-merge core of [[decontaminateSpans]] against an EXPLICIT
+    * benchmark shingle frame (one string column `s`) — the face the
+    * streaming layer ([[graft.streaming.CorpusIngest]]) probes its
+    * STORED eval-shingle index through, so batch and stream share one
+    * definition of "contaminated span" and cannot drift. */
+  def decontaminateSpansAgainst(documents: DataFrame,
+      benchShingles: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col("text"))
+    val positioned = documents
+      .select(col("doc_id"), size(toks).as("n_tokens"),
+        posexplode(transform(sequence(lit(1), greatest(size(toks) - 5, lit(1))),
+          i => concat_ws(" ", slice(toks, i, lit(6))))).as(Seq("idx", "s")))
+      .select(col("doc_id"), col("n_tokens"), (col("idx") + 1).as("pos"),
+        col("s"))
+    val hits = positioned
+      .join(benchShingles.select(col("s")), Seq("s"))
       .select(col("doc_id"), col("n_tokens"), col("pos")).distinct()
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val spans = hits

@@ -238,6 +238,72 @@ object CorpusIngest {
       }
       .start()
 
+  /** Publish (or refresh) the stored eval-shingle index the streaming
+    * decontamination layer probes: the distinct 6-gram shingles of the
+    * benchmark suite, one string column `s`. Eval suites are tiny next
+    * to the corpus and change rarely (a new benchmark release), so a
+    * full overwrite per release is the right cadence — the per-batch
+    * path only ever READS this. */
+  def writeEvalIndex(benchDocs: DataFrame, decontamDir: String): Unit =
+    graft.ext.TextOps.sixGramShingles(benchDocs)
+      .select(col("s")).distinct()
+      .write.mode(SaveMode.Overwrite).parquet(s"$decontamDir/eval_shingles")
+
+  /** Streaming benchmark decontamination — the contamination layer of
+    * the ingest family: each micro-batch of incoming documents is
+    * probed against the STORED eval-shingle index
+    * ([[writeEvalIndex]]), and every contaminated doc's span-level
+    * excision plan (the exact
+    * [[graft.ext.TextOps.decontaminateSpansAgainst]] report — span
+    * count, contaminated token count, clean fraction) is appended to
+    * `reports/`. Sharing that one span-merge core means a doc flagged
+    * by the stream carries the same excision plan the batch query
+    * would produce — stream ≡ batch by construction, and the spec
+    * pins it.
+    *
+    * Effectively-once: the append runs under [[TxnLog.runOnce]], so a
+    * replayed micro-batch after a crash between write and
+    * checkpoint-commit is skipped. A missing eval index means no
+    * benchmark is registered yet: nothing is flagged (decontamination
+    * against an empty suite is vacuous), and the batch commits as
+    * processed.
+    *
+    * Scale posture: per batch, work is |batch| docs shingled once +
+    * one equi join against an eval-sized index (broadcastable in
+    * practice; unhinted for the same reason as the batch op) + the
+    * span window over MATCHED positions only — never a corpus rescan,
+    * nothing corpus-shaped materialized. */
+  def decontamBatch(batch: DataFrame, batchId: Long,
+      decontamDir: String): Long = {
+    val spark = batch.sparkSession
+    val reportsDir = s"$decontamDir/reports"
+    val evalDir = s"$decontamDir/eval_shingles"
+    var flagged = 0L
+    TxnLog.runOnce(s"$decontamDir/_txn", batchId) {
+      readIfAny(spark, evalDir).foreach { evalIdx =>
+        // pinned before the count+write act on one evaluation, like
+        // every ingest path here
+        val report = graft.ext.TextOps
+          .decontaminateSpansAgainst(batch, evalIdx)
+          .localCheckpoint()
+        flagged = report.count()
+        if (flagged > 0)
+          report.write.mode(SaveMode.Append).parquet(reportsDir)
+      }
+    }
+    flagged
+  }
+
+  /** Streaming entry for the decontamination layer. */
+  def startDecontam(docs: DataFrame, decontamDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        decontamBatch(batch, batchId, decontamDir); ()
+      }
+      .start()
+
   /** Streaming KMV cardinality-sketch maintenance: each micro-batch
     * merges the stored k-minimum-values sketch with the batch's
     * content hashes — union + re-take-k, the KMV merge law

@@ -140,6 +140,57 @@ class CorpusIngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$corpusDir/data").count() == 2)
   }
 
+  test("streaming decontamination reports equal the batch span reports; replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-decontam").toString
+    val checkpoint = Files.createTempDirectory("graft-decontam-ck").toString
+    // the registered benchmark: one 6-token eval question
+    val evalDocs = Seq((1000L, "q1 q2 q3 q4 q5 q6")).toDF("doc_id", "text")
+    CorpusIngest.writeEvalIndex(evalDocs, dir)
+
+    // corpus docs: A quotes the eval question mid-document, B is clean,
+    // C (second batch) quotes it twice with a >5-token gap → two spans
+    val docA = (2L, "a1 a2 a3 q1 q2 q3 q4 q5 q6 a4 a5 a6")
+    val docB = (3L, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12")
+    val docC = (4L, "q1 q2 q3 q4 q5 q6 c1 c2 c3 c4 c5 c6 c7 " +
+      "q1 q2 q3 q4 q5 q6")
+    val input = MemoryStream[(Long, String)]
+    val q = CorpusIngest.startDecontam(
+      input.toDF().toDF("doc_id", "text"), dir, checkpoint)
+    try {
+      input.addData(docA, docB)
+      q.processAllAvailable()
+      input.addData(docC)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) = (
+      r.getAs[Long]("doc_id"), r.getAs[Int]("n_tokens"),
+      r.getAs[Long]("n_matches"), r.getAs[Long]("n_spans"),
+      r.getAs[Long]("n_tokens_contaminated"), r.getAs[Long]("clean_milli"))
+    val streamed = spark.read.parquet(s"$dir/reports").collect().map(key).toSet
+
+    // stream ≡ batch: the union of per-batch reports must equal one
+    // batch run of the SAME core over all docs and the stored index
+    val all = Seq(docA, docB, docC).toDF("doc_id", "text")
+    val evalIdx = spark.read.parquet(s"$dir/eval_shingles")
+    val batchRun = graft.ext.TextOps
+      .decontaminateSpansAgainst(all, evalIdx).collect().map(key).toSet
+    assert(streamed == batchRun)
+
+    // the reports themselves: A one 6-token span (clean 500‰ of 12
+    // tokens), C two spans (12 of 19 contaminated), B absent
+    assert(streamed == Set(
+      (2L, 12, 1L, 1L, 6L, 500L),
+      (4L, 19, 2L, 2L, 12L, 368L)))
+
+    // crash-replay of a committed batch id: marker exists → no work,
+    // report table unchanged
+    val replayed = Seq(docA, docB).toDF("doc_id", "text")
+    assert(CorpusIngest.decontamBatch(replayed, 0L, dir) == 0L)
+    assert(spark.read.parquet(s"$dir/reports").count() == 2)
+  }
+
   test("streaming KMV sketch over batches equals the batch sketch over the whole corpus") {
     import org.apache.spark.sql.functions._
     val sketchDir = Files.createTempDirectory("graft-kmv").toString
