@@ -408,6 +408,8 @@ object SparkEntry {
       TextOps.benchmarkContaminationFrom(shSixGrams(s, d))),
     // surgical span-level excision plan (merge overlapping 6-gram hits)
     "corpus_decontam_spans" -> ((s, d) => TextOps.decontaminateSpans(docs(s, d))),
+    // APPLY the excision plan: cleaned text with contaminated spans cut
+    "corpus_decontam_excise" -> ((s, d) => TextOps.decontaminateExcise(docs(s, d))),
     // temperature-scaled per-source mixing weights (α = 0.5)
     "corpus_mixture" -> ((s, d) => TextOps.mixtureWeights(docs(s, d))),
     // frozen 80/10/10 split assignment (key-pure hash; append-stable)
@@ -727,6 +729,7 @@ GROUP BY l_returnflag""",
     "text_surprisal" -> OracleSqlExt.textSurprisal,
     "corpus_contamination" -> OracleSqlExt.corpusContamination,
     "corpus_decontam_spans" -> OracleSqlExt.corpusDecontamSpans,
+    "corpus_decontam_excise" -> OracleSqlExt.corpusDecontamExcise,
     "corpus_mixture" -> OracleSqlExt.corpusMixture,
     "sample_hash" -> OracleSqlExt.textHashSample,
     "sample_splits" -> OracleSqlExt.sampleSplits,

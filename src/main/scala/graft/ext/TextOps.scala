@@ -877,6 +877,22 @@ object TextOps {
     * STORED eval-shingle index through, so batch and stream share one
     * definition of "contaminated span" and cannot drift. */
   def decontaminateSpansAgainst(documents: DataFrame,
+      benchShingles: DataFrame): DataFrame =
+    contaminatedSpansAgainst(documents, benchShingles)
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(
+        sum(col("n_hits")).as("n_matches"),
+        count(lit(1)).as("n_spans"),
+        sum(col("end") - col("start") + 1).as("n_tokens_contaminated"))
+      .withColumn("clean_milli", expr(
+        "(1000 * (n_tokens - n_tokens_contaminated)) div n_tokens"))
+
+  /** The merged contaminated INTERVALS themselves — one row per
+    * maximal span: (doc_id, n_tokens, island, start, end, n_hits).
+    * Shared by the per-doc report ([[decontaminateSpansAgainst]]) and
+    * the surgical application ([[decontaminateExciseAgainst]]), so the
+    * plan and its execution cannot disagree about what a span is. */
+  def contaminatedSpansAgainst(documents: DataFrame,
       benchShingles: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = tokens(col("text"))
@@ -890,7 +906,7 @@ object TextOps {
       .join(benchShingles.select(col("s")), Seq("s"))
       .select(col("doc_id"), col("n_tokens"), col("pos")).distinct()
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val spans = hits
+    hits
       .withColumn("brk",
         when(col("pos") - lag(col("pos"), 1).over(w) > 5, 1L)
           .otherwise(when(lag(col("pos"), 1).over(w).isNull, 1L).otherwise(0L)))
@@ -900,13 +916,48 @@ object TextOps {
       .agg(min(col("pos")).as("start"),
         least(max(col("pos")) + 5, col("n_tokens").cast("long")).as("end"),
         count(lit(1)).as("n_hits"))
-    spans.groupBy(col("doc_id"), col("n_tokens"))
-      .agg(
-        sum(col("n_hits")).as("n_matches"),
-        count(lit(1)).as("n_spans"),
-        sum(col("end") - col("start") + 1).as("n_tokens_contaminated"))
-      .withColumn("clean_milli", expr(
-        "(1000 * (n_tokens - n_tokens_contaminated)) div n_tokens"))
+  }
+
+  /** APPLY the excision plan — the step after [[decontaminateSpans]]'
+    * report: re-emit each corpus document with every contaminated span
+    * cut out (clean docs pass through byte-identical), plus the cut
+    * count and the cleaned text's md5 (the content-addressable
+    * identity downstream ingest would dedup on). This is the operator
+    * that actually SAVES the 10k-token doc a whole-doc filter would
+    * discard for one quoted eval question.
+    *
+    * The cut itself is a per-doc array expression — `filter` over the
+    * token array with an `exists` probe into that doc's merged
+    * interval list — so no corpus-shaped explode happens on the apply
+    * side at all: the only exploded frame is the hits side inside
+    * [[contaminatedSpansAgainst]], already semi-filtered by the
+    * benchmark join. The interval list per doc is spans-sized (a few
+    * entries), so the join that attaches it is a contaminated-docs
+    * frame against the corpus — broadcastable in practice, unhinted
+    * for the same fixture-growth reason as the bench set. */
+  def decontaminateExciseAgainst(documents: DataFrame,
+      benchShingles: DataFrame): DataFrame = {
+    val cuts = contaminatedSpansAgainst(documents, benchShingles)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("start"), col("end"))).as("cut"))
+    val toks = tokens(col("text"))
+    documents.join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("cut").isNull, col("text")).otherwise(concat_ws(" ",
+          filter(toks, (t, i) => !exists(col("cut"), c =>
+            (i + lit(1)) >= c.getField("start") &&
+              (i + lit(1)) <= c.getField("end"))))).as("clean_text"),
+        coalesce(size(col("cut")), lit(0)).as("n_spans_cut"))
+      .withColumn("clean_md5", md5(col("clean_text").cast("binary")))
+  }
+
+  /** [[decontaminateExciseAgainst]] with the fixture's benchmark split
+    * (doc_id % 11), mirroring [[decontaminateSpans]]. */
+  def decontaminateExcise(documents: DataFrame): DataFrame = {
+    val bench = sixGramShingles(documents.filter(col("doc_id") % 11 === 0))
+      .select(col("s")).distinct()
+      .localCheckpoint(false)
+    decontaminateExciseAgainst(documents.filter(col("doc_id") % 11 =!= 0), bench)
   }
 
   /** Canonical-form fingerprint (md5 of the normalized text) plus a

@@ -824,6 +824,66 @@ SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
          AS clean_milli
 FROM sp GROUP BY doc_id, n_tokens"""
 
+  /** Mirror of TextOps.decontaminateExcise: same span CTEs as
+    * corpusDecontamSpans, then the apply side — contaminated docs are
+    * re-tokenized with positions, covered positions dropped, the rest
+    * re-joined in pos order; untouched docs pass through
+    * byte-identical (never reconstructed, so odd spacing survives
+    * exactly as in the Spark identity branch). A fully-covered doc
+    * yields the empty string via the COALESCE, matching Spark's
+    * concat_ws over an empty filtered array. */
+  val corpusDecontamExcise: String = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+shp AS (
+  SELECT doc_id, n AS n_tokens, i AS pos, array_to_string(t[i:i+5], ' ') AS s
+  FROM toks, UNNEST(range(1, greatest(n - 5, 1) + 1)) u(i)),
+bench AS (SELECT DISTINCT s FROM shp WHERE doc_id % 11 = 0),
+hits AS (
+  SELECT DISTINCT doc_id, n_tokens, pos
+  FROM shp JOIN bench USING (s) WHERE doc_id % 11 <> 0),
+brk AS (
+  SELECT doc_id, n_tokens, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+               OR pos - lag(pos) OVER w > 5 THEN 1 ELSE 0 END AS brk
+  FROM hits
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+isl AS (
+  SELECT doc_id, n_tokens, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM brk),
+sp AS (
+  SELECT doc_id, n_tokens, island, MIN(pos) AS s0,
+         least(MAX(pos) + 5, n_tokens) AS e0
+  FROM isl GROUP BY doc_id, n_tokens, island),
+nsp AS (SELECT doc_id, COUNT(*) AS n_spans_cut FROM sp GROUP BY doc_id),
+ptok AS (
+  SELECT tk.doc_id, u.i AS pos, tk.t[u.i] AS tok
+  FROM toks tk JOIN nsp ON nsp.doc_id = tk.doc_id,
+       UNNEST(range(1, tk.n + 1)) u(i)),
+kept AS (
+  SELECT p.doc_id, p.pos, p.tok
+  FROM ptok p
+  WHERE NOT EXISTS (SELECT 1 FROM sp
+                    WHERE sp.doc_id = p.doc_id
+                      AND p.pos BETWEEN sp.s0 AND sp.e0)),
+cl AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+       CASE WHEN nsp.doc_id IS NULL THEN d.text
+            ELSE COALESCE(cl.clean_text, '') END AS clean_text,
+       CAST(COALESCE(nsp.n_spans_cut, 0) AS INT) AS n_spans_cut,
+       md5(CASE WHEN nsp.doc_id IS NULL THEN d.text
+                ELSE COALESCE(cl.clean_text, '') END) AS clean_md5
+FROM documents d
+LEFT JOIN nsp ON nsp.doc_id = d.doc_id
+LEFT JOIN cl ON cl.doc_id = d.doc_id
+WHERE d.doc_id % 11 <> 0"""
+
   val textNormalize: String = """
 WITH n AS (
   SELECT doc_id,

@@ -226,5 +226,19 @@ class MultiModalSpec extends SparkSpec {
     while (i < 4) { rgba(8 + 8 + 13 + i) = ((cv >> (24 - 8 * i)) & 0xff).toByte; i += 1 }
     val e2 = intercept[IllegalArgumentException] { PngCodec.decode(rgba) }
     assert(e2.getMessage.contains("truecolor"))
+
+    // decompression bomb: a crafted IHDR with w = 2^30 would overflow
+    // `w * 3` in Int and allocate multi-GB buffers — the geometry cap
+    // must refuse it cleanly BEFORE any allocation
+    val bomb = bytes.clone()
+    bomb(8 + 8) = 0x40.toByte // width bytes 0..3 → 0x40000000
+    bomb(8 + 8 + 1) = 0; bomb(8 + 8 + 2) = 0; bomb(8 + 8 + 3) = 0
+    val crc3 = new java.util.zip.CRC32()
+    crc3.update(bomb, 8 + 4, 4 + 13)
+    val cv3 = crc3.getValue
+    var j = 0
+    while (j < 4) { bomb(8 + 8 + 13 + j) = ((cv3 >> (24 - 8 * j)) & 0xff).toByte; j += 1 }
+    val e3 = intercept[IllegalArgumentException] { PngCodec.decode(bomb) }
+    assert(e3.getMessage.contains("decode cap"))
   }
 }
