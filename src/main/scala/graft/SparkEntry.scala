@@ -367,6 +367,26 @@ object SparkEntry {
              CAST(sum(term_score) AS BIGINT) AS score
       FROM scored GROUP BY doc_id, dl
       ORDER BY score DESC, doc_id LIMIT 20""")),
+    // as-of join as SQL text: correlated LATERAL with ORDER BY + LIMIT 1
+    // exercises DecorrelateInnerQuery's limit-to-window rewrite — a
+    // planner path the DataFrame twin events_asof sidesteps entirely
+    // with its union + ordered-window merge. Tie semantics match the
+    // twin: a click at exactly the purchase ts is visible, equal-ts
+    // clicks resolve to max event_id.
+    "sql_asof" -> ((s, d) => GraftSql.sql(s, d, """
+      SELECT p.user_id, p.event_id AS purchase_event_id,
+             date_format(p.ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS purchase_ts,
+             c.c_eid AS click_event_id,
+             date_format(c.c_ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS click_ts,
+             unix_micros(p.ts) - unix_micros(c.c_ts) AS gap_us
+      FROM events p
+      LEFT JOIN LATERAL (
+        SELECT c0.event_id AS c_eid, c0.ts AS c_ts
+        FROM events c0
+        WHERE c0.event_type = 'click' AND c0.user_id = p.user_id
+          AND c0.ts <= p.ts
+        ORDER BY c0.ts DESC, c0.event_id DESC LIMIT 1) c
+      WHERE p.event_type = 'purchase'""")),
 
     // ---- text analysis over `documents` -------------------------------
     // The testdata tables are single parquet files → a single input
@@ -404,6 +424,10 @@ object SparkEntry {
     "text_pii_scrub" -> ((s, d) => TextOps.piiScrub(docs(s, d))),
     // unigram-LM surprisal quality score in integer bits
     "text_surprisal" -> ((s, d) => TextOps.unigramSurprisalFrom(shTf(s, d))),
+    // bigram-LM conditional surprisal (CCNet scoring, order 2)
+    "text_perplexity" -> ((s, d) => TextOps.bigramSurprisal(docs(s, d))),
+    // RAG-style overlapping token-window chunking (w=64, stride=48)
+    "text_chunk" -> ((s, d) => TextOps.chunkDocuments(docs(s, d))),
     "corpus_contamination" -> ((s, d) =>
       TextOps.benchmarkContaminationFrom(shSixGrams(s, d))),
     // surgical span-level excision plan (merge overlapping 6-gram hits)
@@ -521,6 +545,10 @@ object SparkEntry {
     "embed_prefix_rerank" -> ((s, d) => EmbedOps.prefixRerankTopK(emb(s, d))),
     "embed_ivf_topk" -> ((s, d) => EmbedOps.ivfTopK(emb(s, d))),
     "embed_neardup_exact" -> ((s, d) => EmbedOps.exactNearDups(emb(s, d))),
+    // bounded-output near-dup: top-5 most-similar pairs per label block
+    // (the form whose output stays linear at corpus scale — see the
+    // topKNearDups scaladoc noise-floor analysis)
+    "embed_neardup_topk" -> ((s, d) => EmbedOps.topKNearDups(emb(s, d))),
     // semantic dedup: connected components over the shared verified
     // LSH pair frame
     "embed_clusters" -> ((s, d) =>
@@ -708,6 +736,7 @@ GROUP BY l_returnflag""",
     "sql_events_funnel" -> OracleSqlExt.eventsFunnel,
     "sql_dedup_minhash" -> OracleSqlExt.dedupMinhash,
     "sql_text_bm25" -> OracleSqlExt.textBm25,
+    "sql_asof" -> OracleSqlExt.eventsAsof,
 
     "text_stats" -> OracleSqlExt.textStats,
     "text_quality" -> OracleSqlExt.textQuality,
@@ -727,6 +756,8 @@ GROUP BY l_returnflag""",
     "corpus_quality_gate" -> OracleSqlExt.corpusQualityGate,
     "text_pii_scrub" -> OracleSqlExt.textPiiScrub,
     "text_surprisal" -> OracleSqlExt.textSurprisal,
+    "text_perplexity" -> OracleSqlExt.textPerplexity,
+    "text_chunk" -> OracleSqlExt.textChunk,
     "corpus_contamination" -> OracleSqlExt.corpusContamination,
     "corpus_decontam_spans" -> OracleSqlExt.corpusDecontamSpans,
     "corpus_decontam_excise" -> OracleSqlExt.corpusDecontamExcise,
@@ -778,6 +809,7 @@ GROUP BY l_returnflag""",
     "embed_lsh_neardup" -> OracleSqlExt.embedLshNearDups,
     "embed_ivf_topk" -> OracleSqlExt.embedIvfTopK,
     "embed_neardup_exact" -> OracleSqlExt.embedNearDupExact,
+    "embed_neardup_topk" -> OracleSqlExt.embedNearDupTopk,
     "embed_clusters" -> OracleSqlExt.embedClusters,
     "embed_kmeans" -> OracleSqlExt.embedKmeans,
     "sample_balanced" -> OracleSqlExt.embedBalancedSample,

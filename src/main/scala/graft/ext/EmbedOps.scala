@@ -175,22 +175,27 @@ object EmbedOps {
     bits.reduce(_ + _)
   }
 
-  /** Signature width for an n-vector corpus: ceil(log2 n) bits, floored
-    * at the historical 12 and capped at 24. With 2^bits ≈ n buckets a
-    * RANDOM collision is O(1) expected per vector, so the candidate
-    * pair count stays linear in n; a FIXED width is quadratic
+  /** Signature width for an n-vector corpus: ceil(log2 n) + 2 bits,
+    * floored at the historical 12 and capped at 24. With 2^bits ≈ n
+    * buckets a RANDOM collision is O(1) expected per vector, so the
+    * candidate pair count stays linear in n; a FIXED width is quadratic
     * (pairs ≈ n²/2^bits), which the 10× scale rehearsal measured
     * directly — candidates grew 96× under 12 fixed planes and the data
     * transform was provably not the cause (a dense random rotation per
-    * replica left the growth unchanged). Sizing the signature at index
-    * build is what production ANN systems do; the cap bounds the
-    * single-probe recall decay (each extra plane multiplies recall by
-    * P(plane agrees) < 1) — beyond ~16M vectors per index, banded
-    * multi-probe or the IVF path is the right tool, not a wider single
-    * signature. */
+    * replica left the growth unchanged). The +2 margin (4× bucket
+    * headroom) exists because real corpora are CLUSTERED, not random:
+    * cluster members agree on more planes than chance, so realized
+    * collisions run a small constant factor above the n²/2^bits
+    * estimate — the r12 standing probe measured 15.9× candidate growth
+    * for 10× data at exact ceil(log2 n) sizing, back under ~10× with
+    * the margin. Sizing the signature at index build is what
+    * production ANN systems do; the cap bounds the single-probe recall
+    * decay (each extra plane multiplies recall by P(plane agrees) < 1)
+    * — beyond ~4M vectors per index, banded multi-probe or the IVF
+    * path is the right tool, not a wider single signature. */
   def adaptivePlanes(n: Long): Int = {
     val bits = if (n <= 2) 1 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
-    math.max(12, math.min(24, bits))
+    math.max(12, math.min(24, bits + 2))
   }
 
   /** All bucket-colliding candidate pairs with their exact cosine — the
@@ -278,6 +283,47 @@ object EmbedOps {
         cosineFromParts(qdot(col("qa"), col("qb")), col("n2a"), col("n2b")))
       .filter(col("cosine") >= thr)
       .select(col("label"), col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
+  /** The k most-similar pairs per label block — the BOUNDED-OUTPUT form
+    * of [[exactNearDups]], and the one whose output survives scale.
+    *
+    * Why it exists: threshold-pair mining emits every pair above t, and
+    * at dim d the random-pair cosine is ≈ N(0, 1/d) — σ = 0.125 at
+    * d = 64 — so any threshold within a few σ of zero admits a noise
+    * tail that grows with the SQUARE of the block size while true
+    * near-dup mass grows linearly. The r12 standing probe measured
+    * exactly that: 108× pair growth for 10× replica-decorrelated data
+    * at t = 0.35 (2.8σ), ~90% of the big-side output being tail noise.
+    * Top-k per block caps output at k·|blocks| — linear in block count,
+    * immune to where the threshold sits relative to the noise floor —
+    * which is why dataset-card "most similar pairs" reports and dedup
+    * triage queues use this form at corpus scale.
+    *
+    * Scale posture: the same one-shuffle blocked self-join as
+    * [[exactNearDups]], then a per-label rank that Spark rewrites to
+    * WindowGroupLimit — each task keeps only its local top k before
+    * the exchange, so the n_p² pair stream is never materialized
+    * through a shuffle. Deterministic ties on (vec_a, vec_b) → full
+    * hash oracle. */
+  def topKNearDups(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val base = embeddings.select(
+      col("label"), col("vec_id"), quantized(col("embedding")).as("q"))
+      .withColumn("n2", qnorm2(col("q")))
+    val a = base.select(col("label"), col("vec_id").as("vec_a"),
+      col("q").as("qa"), col("n2").as("n2a"))
+    val b = base.select(col("label"), col("vec_id").as("vec_b"),
+      col("q").as("qb"), col("n2").as("n2b"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        cosineFromParts(qdot(col("qa"), col("qb")), col("n2a"), col("n2b")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
+          .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))))
+      .filter(col("rank") <= k)
+      .select(col("label"), col("rank"), col("vec_a"), col("vec_b"),
+        col("cosine"))
   }
 
   /** Parameter wins; unset (NaN) falls back to the session conf

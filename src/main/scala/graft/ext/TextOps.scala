@@ -348,6 +348,94 @@ object TextOps {
         (col("total_bits").cast("double") / col("n_tokens")).as("bits_per_token"))
   }
 
+  /** Bigram-LM surprisal — [[unigramSurprisal]]'s CCNet scoring with a
+    * first-order context model: each adjacent pair (w1, w2) is scored
+    * by the MLE conditional P(w2|w1) = c₁₂/c₁, quantized to integer
+    * bits as ⌊log₂ c₁⌋ − ⌊log₂ c₁₂⌋ (always ≥ 0 since c₁₂ ≤ c₁).
+    * Context-aware surprisal separates fluent text from shuffled-word
+    * salad that unigram frequencies score identically — the actual
+    * discriminator CCNet's 5-gram KenLM buys, reduced to order 2 and
+    * integer arithmetic so the per-doc sums hash-gate exactly.
+    *
+    * Self-scored (the LM's counts come from the corpus being scored),
+    * so every doc bigram is in the table and no smoothing is needed —
+    * the same closed-world framing as [[unigramSurprisal]]. Docs with
+    * fewer than two tokens have no bigrams and emit no row.
+    *
+    * Scale posture: one corpus explode folded immediately to per-doc
+    * bigram tf (map-side combinable — repeated pairs inside a doc
+    * collapse before any shuffle), a vocab-sized count frame derived
+    * from THAT aggregate (never a second corpus pass), the context
+    * frame c₁ derived from the pair frame (vocab-sized input), then
+    * two hash joins keyed by the pair/context token. The count frames
+    * broadcast while small; at web-corpus vocab they become shuffle
+    * joins whose Zipf-hot keys are pre-aggregated to one build row
+    * each, with AQE skew-split covering the probe side — the
+    * [[unigramSurprisal]] posture, one model order up. */
+  def bigramSurprisal(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val pairs = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("t1"),
+          element_at(toks, i + 1).as("t2"))))
+      .otherwise(array().cast("array<struct<t1:string,t2:string>>"))
+    val dtf = documents.select(col("doc_id"), explode(pairs).as("p"))
+      .groupBy(col("doc_id"), col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .agg(count(lit(1)).as("tf"))
+    val c12 = dtf.groupBy(col("t1"), col("t2")).agg(sum(col("tf")).as("c12"))
+    val c1 = c12.groupBy(col("t1")).agg(sum(col("c12")).as("c1"))
+    dtf.join(c12, Seq("t1", "t2")).join(c1, Seq("t1"))
+      .select(col("doc_id"), col("tf"),
+        (col("tf") * (length(expr("bin(c1)")) - length(expr("bin(c12)")))
+          .cast("long")).as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"), sum(col("bits")).as("total_bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("total_bits"),
+        (col("total_bits").cast("double") / col("n_bigrams"))
+          .as("bits_per_bigram"))
+  }
+
+  /** Retrieval-style document chunking — the step between a cleaned
+    * corpus and an embedding index: each document becomes overlapping
+    * windows of `w` tokens advanced by `stride` (overlap w − stride),
+    * each chunk carrying its token span, text, and content md5 (the
+    * id an embedding cache keys on). Distinct from [[packSequences]],
+    * which concatenates ACROSS documents for training batches; this
+    * windows WITHIN each document so every chunk remains attributable
+    * to its source doc — the RAG/passage-retrieval shape.
+    *
+    * Chunk k covers tokens [k·stride + 1, min(k·stride + w, n)];
+    * k runs to ⌈max(n − w, 0) / stride⌉, so the final window always
+    * reaches the last token and a doc shorter than `w` yields exactly
+    * one chunk. All-integer span math → full hash oracle.
+    *
+    * Scale posture: a pure narrow map — per-row `sequence` explode
+    * (fan-out ≈ n/stride, bounded by doc length) and array `slice`,
+    * no shuffle, no join, nothing corpus-shaped materialized. The
+    * 100-TB form is exactly this plan with the output partitioned by
+    * whatever the embedding stage wants; chunk identity is
+    * data-derived (doc_id, chunk_idx), never task-derived. */
+  def chunkDocuments(documents: DataFrame, w: Int = 64,
+      stride: Int = 48): DataFrame = {
+    require(w > 0 && stride > 0 && stride <= w,
+      s"need 0 < stride <= w, got w=$w stride=$stride")
+    val toks = tokens(col("text"))
+    documents
+      .select(col("doc_id"), toks.as("t"), size(toks).as("n"))
+      .select(col("doc_id"), col("t"), col("n"),
+        explode(sequence(lit(0),
+          expr(s"cast((greatest(n - $w, 0) + ${stride - 1}) div $stride as int)")))
+          .as("chunk_idx"))
+      .withColumn("start_tok", col("chunk_idx") * stride + 1)
+      .withColumn("end_tok", least(col("start_tok") + (w - 1), col("n")))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        col("end_tok"),
+        (col("end_tok") - col("start_tok") + 1).as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("t"), col("start_tok"),
+          col("end_tok") - col("start_tok") + 1)).as("chunk_text"))
+      .withColumn("chunk_md5", md5(col("chunk_text").cast("binary")))
+  }
+
   /** Adjacent-token bigram statistics, top-k per language — the merge-
     * candidate counting at the heart of BPE/WordPiece tokenizer
     * training (each merge round picks the most frequent adjacent pair),

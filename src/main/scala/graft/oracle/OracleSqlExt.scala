@@ -604,6 +604,54 @@ SELECT doc_id, COUNT(*) AS n_tokens,
        CAST(SUM(bits) AS DOUBLE) / COUNT(*) AS bits_per_token
 FROM b GROUP BY doc_id"""
 
+  /** Mirror of TextOps.bigramSurprisal: per-doc bigram tf, pair and
+    * context count frames derived from it, integer-bit conditional
+    * surprisal summed per doc. Same length(bin(..)) ⌊log₂⌋ idiom as
+    * textSurprisal; docs with < 2 tokens emit no row in both engines. */
+  val textPerplexity: String = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+bg AS (
+  SELECT doc_id, t[u.i] AS t1, t[u.i + 1] AS t2
+  FROM toks, UNNEST(range(1, n)) u(i)
+  WHERE n >= 2),
+dtf AS (
+  SELECT doc_id, t1, t2, COUNT(*) AS tf FROM bg GROUP BY doc_id, t1, t2),
+c12 AS (
+  SELECT t1, t2, CAST(SUM(tf) AS BIGINT) AS c12 FROM dtf GROUP BY t1, t2),
+c1 AS (SELECT t1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY t1)
+SELECT d.doc_id, CAST(SUM(d.tf) AS BIGINT) AS n_bigrams,
+       CAST(SUM(d.tf * (length(bin(c1.c1)) - length(bin(c12.c12))))
+            AS BIGINT) AS total_bits,
+       CAST(SUM(d.tf * (length(bin(c1.c1)) - length(bin(c12.c12))))
+            AS DOUBLE) / SUM(d.tf) AS bits_per_bigram
+FROM dtf d JOIN c12 USING (t1, t2) JOIN c1 USING (t1)
+GROUP BY d.doc_id"""
+
+  /** Mirror of TextOps.chunkDocuments (w=64, stride=48): per-doc
+    * overlapping token windows via a lateral range over the chunk
+    * index; span math all-integer, chunk text from an array slice. */
+  val textChunk: String = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+c AS (
+  SELECT doc_id, t, n, CAST(u.k AS INT) AS chunk_idx,
+         CAST(u.k * 48 + 1 AS INT) AS start_tok
+  FROM toks, UNNEST(range(0, (greatest(n - 64, 0) + 47) // 48 + 1)) u(k))
+SELECT doc_id, chunk_idx, start_tok,
+       CAST(least(start_tok + 63, n) AS INT) AS end_tok,
+       CAST(least(start_tok + 63, n) - start_tok + 1 AS INT)
+         AS n_chunk_tokens,
+       array_to_string(t[start_tok:least(start_tok + 63, n)], ' ')
+         AS chunk_text,
+       md5(array_to_string(t[start_tok:least(start_tok + 63, n)], ' '))
+         AS chunk_md5
+FROM c"""
+
   /** Mirror of EventOps.topPaths: per-user lead() windows in
     * (ts, event_id) order, corpus-wide path counts, deterministic
     * top-10. */
@@ -2159,7 +2207,7 @@ WHERE rank <= 5"""
 
   /** Hyperplane-signature CTEs (dots → sig), shared by the LSH pair
     * and cluster oracles. */
-  // signature width mirrors EmbedOps.adaptivePlanes: ceil(log2 n)
+  // signature width mirrors EmbedOps.adaptivePlanes: ceil(log2 n) + 2
   // clamped to [12, 24], computed from the same corpus the signatures
   // index — both engines derive the width from COUNT(*), so they agree
   // at every scale factor, not just the verified one. Plane weights
@@ -2167,7 +2215,8 @@ WHERE rank <= 5"""
   // (first hex digit < '8'), built once in their own CTE.
   private val lshSigCtes: String = """,
 nb AS (
-  SELECT GREATEST(12, LEAST(24, CAST(CEIL(LOG2(COUNT(*))) AS INT))) AS planes
+  SELECT GREATEST(12, LEAST(24, CAST(CEIL(LOG2(COUNT(*))) AS INT) + 2))
+           AS planes
   FROM embeddings),
 w AS (
   SELECT j, list_transform(range(0, 64), i ->
@@ -2229,6 +2278,19 @@ SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
        ${cosineSql("a.qv", "b.qv")} AS cosine
 FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE ${cosineSql("a.qv", "b.qv")} >= ${graft.GraftConf.DefaultCosineThreshold}"""
+
+  /** Mirror of EmbedOps.topKNearDups: the bounded-output near-dup form
+    * — same blocked pair join as embedNearDupExact, ranked per label
+    * with deterministic (vec_a, vec_b) ties, top 5 kept. */
+  val embedNearDupTopk: String = quantCte + s"""
+SELECT label, CAST(rank AS INT) AS rank, vec_a, vec_b, cosine FROM (
+  SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ${cosineSql("a.qv", "b.qv")} AS cosine,
+         row_number() OVER (PARTITION BY a.label
+           ORDER BY ${cosineSql("a.qv", "b.qv")} DESC, a.vec_id, b.vec_id)
+           AS rank
+  FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id)
+WHERE rank <= 5"""
 
   /** Mirror of Corpus.crossSignalNearDups: full outer join of the two
     * verified pair sets (each nested with its own CTE chain — DuckDB

@@ -1032,4 +1032,43 @@ class ExtOpsSpec extends SparkSpec {
     assert(m(2) == (("a", "a", "aa", 4L)))
     assert(m(3) == (("ab", "ab", "abab", 3L)))
   }
+
+  test("bigram surprisal charges rare continuations, not rare tokens") {
+    // doc 0 = "a b a b a b": bigrams (a,b)×3, (b,a)×2
+    // doc 1 = "a b c d": (a,b), (b,c), (c,d);  doc 2 has no bigram
+    // counts: c12(a,b)=4 c12(b,a)=2 c12(b,c)=1 c12(c,d)=1;
+    //         c1(a)=4 c1(b)=3 c1(c)=1
+    // bits: (a,b)=⌊lg4⌋−⌊lg4⌋=0, (b,a)=⌊lg3⌋−⌊lg2⌋=0,
+    //       (b,c)=⌊lg3⌋−⌊lg1⌋=1, (c,d)=⌊lg1⌋−⌊lg1⌋=0
+    val out = TextOps.bigramSurprisal(docs(
+        0L -> "a b a b a b", 1L -> "a b c d", 2L -> "solo"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("total_bits"))).toMap
+    assert(out(0L) == ((5L, 0L))) // perfectly predictable alternation
+    assert(out(1L) == ((3L, 1L))) // one surprising continuation (b→c)
+    assert(!out.contains(2L))     // <2 tokens → no bigrams → no row
+  }
+
+  test("chunkDocuments covers every token with the stated overlap and stops at n") {
+    val d = docs(
+      1L -> (1 to 10).map(i => s"t$i").mkString(" "), // n=10 > w
+      2L -> "a b c",                                  // n=3 < w → 1 chunk
+      3L -> "p q r s")                                // n=4 = w → 1 chunk
+    val out = TextOps.chunkDocuments(d, w = 4, stride = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx")) ->
+        (r.getAs[Int]("start_tok"), r.getAs[Int]("end_tok"),
+          r.getAs[Int]("n_chunk_tokens"), r.getAs[String]("chunk_text"))).toMap
+    // doc 1: K = ⌈(10−4)/3⌉ = 2 → spans [1,4] [4,7] [7,10], 1-token overlap
+    assert(out((1L, 0)) == ((1, 4, 4, "t1 t2 t3 t4")))
+    assert(out((1L, 1)) == ((4, 7, 4, "t4 t5 t6 t7")))
+    assert(out((1L, 2)) == ((7, 10, 4, "t7 t8 t9 t10")))
+    assert(!out.contains((1L, 3))) // never a window past the last token
+    assert(out((2L, 0)) == ((1, 3, 3, "a b c")))
+    assert(out((3L, 0)) == ((1, 4, 4, "p q r s")))
+    // md5 is over the chunk text (the embedding-cache key contract)
+    val m = TextOps.chunkDocuments(d, w = 4, stride = 3)
+      .filter(col("doc_id") === 2L).head()
+    assert(m.getAs[String]("chunk_md5") ==
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("a b c"))
+  }
 }

@@ -166,18 +166,21 @@ class KMeansSpec extends SparkSpec {
     assert(!plan.contains("Window"))
   }
 
-  test("lsh signature width: ceil(log2 n) clamped to [12, 24]") {
+  test("lsh signature width: ceil(log2 n) + 2 clamped to [12, 24]") {
     // fixed-width signatures make bucket-collision candidates quadratic
     // in corpus size (pairs ~ n^2 / 2^bits); sizing bits ~ log2(n) at
     // index build keeps expected random collisions O(1) per vector —
     // the 10x scale rehearsal measured 96x candidate growth before
-    // this policy and ~linear growth after.
+    // this policy. The +2 margin (4x bucket headroom) covers clustered
+    // corpora colliding above the random-pair rate: at exact
+    // ceil(log2 n) the r12 probe still measured 15.9x candidate growth
+    // for 10x data; with the margin it is back under ~10x.
     assert(EmbedOps.adaptivePlanes(0) == 12)
     assert(EmbedOps.adaptivePlanes(200) == 12)   // driver's sf0.01 scale
-    assert(EmbedOps.adaptivePlanes(2000) == 12)  // sf0.1: unchanged width
-    assert(EmbedOps.adaptivePlanes(4096) == 12)  // exact power boundary
-    assert(EmbedOps.adaptivePlanes(4097) == 13)
-    assert(EmbedOps.adaptivePlanes(20000) == 15) // the 10x rehearsal corpus
+    assert(EmbedOps.adaptivePlanes(2000) == 13)  // sf0.1: 11 + 2
+    assert(EmbedOps.adaptivePlanes(1024) == 12)  // exact power boundary
+    assert(EmbedOps.adaptivePlanes(1025) == 13)
+    assert(EmbedOps.adaptivePlanes(20000) == 17) // the 10x rehearsal corpus
     assert(EmbedOps.adaptivePlanes(1L << 40) == 24) // capped: banded/IVF territory
   }
 }

@@ -63,4 +63,35 @@ class TemporalJoinsSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
     assert(pairs.toSet == Set((1L, 2L)))
   }
+
+  test("topKNearDups returns the k best pairs per label with output bounded at k") {
+    import spark.implicits._
+    // label 0 has 4 vectors → 6 pairs; k=2 must keep only the best two,
+    // ranked by cosine desc with (vec_a, vec_b) tie-break
+    val e = Seq(
+      (1L, 0, Array(1.0f, 0.0f, 0.0f)),
+      (2L, 0, Array(1.0f, 0.001f, 0.0f)),  // ~identical to 1 → rank 1
+      (3L, 0, Array(1.0f, 0.3f, 0.0f)),    // close to 1/2 → rank 2 region
+      (4L, 0, Array(0.0f, 1.0f, 0.0f)),    // orthogonal
+      (5L, 1, Array(1.0f, 0.0f, 0.0f)),
+      (6L, 1, Array(0.9f, 0.1f, 0.0f)))    // label 1's single best pair
+      .toDF("vec_id", "label", "embedding")
+    val out = EmbedOps.topKNearDups(e, k = 2).collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toMap
+    assert(out.count(_._1._1 == 0) == 2) // 6 pairs in block → only k out
+    assert(out((0, 1)) == ((1L, 2L)))
+    assert(out((1, 1)) == ((5L, 6L)))
+  }
+
+  test("sql_asof LATERAL twin is row-identical to the window-merge as-of join") {
+    // the SQL text plans through DecorrelateInnerQuery's limit rewrite,
+    // the DataFrame twin through union + ordered window — same rows out
+    val d = "/root/testdata/sf0.001"
+    val sqlRows = SparkEntry.queries("sql_asof")(spark, d)
+      .collect().map(_.toSeq).toSet
+    val dfRows = SparkEntry.queries("events_asof")(spark, d)
+      .collect().map(_.toSeq).toSet
+    assert(sqlRows.nonEmpty && sqlRows == dfRows)
+  }
 }
