@@ -367,6 +367,27 @@ object SparkEntry {
              CAST(sum(term_score) AS BIGINT) AS score
       FROM scored GROUP BY doc_id, dl
       ORDER BY score DESC, doc_id LIMIT 20""")),
+    // chunking as SQL text: LATERAL VIEW explode over the computed
+    // chunk-index range — the generator-expression surface (posexplode
+    // family) reached from parsed SQL; hash-gates against the same
+    // oracle as the DataFrame twin text_chunk
+    "sql_chunk" -> ((s, d) => GraftSql.sql(s, d, """
+      SELECT doc_id, chunk_idx, start_tok, end_tok,
+             end_tok - start_tok + 1 AS n_chunk_tokens,
+             concat_ws(' ', slice(t, start_tok, end_tok - start_tok + 1))
+               AS chunk_text,
+             md5(cast(concat_ws(' ',
+               slice(t, start_tok, end_tok - start_tok + 1)) AS binary))
+               AS chunk_md5
+      FROM (
+        SELECT doc_id, t, n, chunk_idx,
+               chunk_idx * 48 + 1 AS start_tok,
+               least(chunk_idx * 48 + 64, n) AS end_tok
+        FROM (SELECT doc_id, split(text, ' ') AS t,
+                     size(split(text, ' ')) AS n
+              FROM documents)
+        LATERAL VIEW explode(sequence(0,
+          cast((greatest(n - 64, 0) + 47) div 48 AS int))) c AS chunk_idx)""")),
     // as-of join as SQL text: correlated LATERAL with ORDER BY + LIMIT 1
     // exercises DecorrelateInnerQuery's limit-to-window rewrite — a
     // planner path the DataFrame twin events_asof sidesteps entirely
@@ -430,10 +451,14 @@ object SparkEntry {
     "text_chunk" -> ((s, d) => TextOps.chunkDocuments(docs(s, d))),
     "corpus_contamination" -> ((s, d) =>
       TextOps.benchmarkContaminationFrom(shSixGrams(s, d))),
-    // surgical span-level excision plan (merge overlapping 6-gram hits)
-    "corpus_decontam_spans" -> ((s, d) => TextOps.decontaminateSpans(docs(s, d))),
+    // surgical span-level excision plan (merge overlapping 6-gram hits);
+    // probes the shared memoized shingle index — positions are only
+    // exploded for docs the phase-1 semi join already flagged
+    "corpus_decontam_spans" -> ((s, d) =>
+      TextOps.decontaminateSpansFrom(shSixGrams(s, d), docs(s, d))),
     // APPLY the excision plan: cleaned text with contaminated spans cut
-    "corpus_decontam_excise" -> ((s, d) => TextOps.decontaminateExcise(docs(s, d))),
+    "corpus_decontam_excise" -> ((s, d) =>
+      TextOps.decontaminateExciseFrom(shSixGrams(s, d), docs(s, d))),
     // temperature-scaled per-source mixing weights (α = 0.5)
     "corpus_mixture" -> ((s, d) => TextOps.mixtureWeights(docs(s, d))),
     // frozen 80/10/10 split assignment (key-pure hash; append-stable)
@@ -737,6 +762,7 @@ GROUP BY l_returnflag""",
     "sql_dedup_minhash" -> OracleSqlExt.dedupMinhash,
     "sql_text_bm25" -> OracleSqlExt.textBm25,
     "sql_asof" -> OracleSqlExt.eventsAsof,
+    "sql_chunk" -> OracleSqlExt.textChunk,
 
     "text_stats" -> OracleSqlExt.textStats,
     "text_quality" -> OracleSqlExt.textQuality,

@@ -828,10 +828,10 @@ WITH toks AS (
 sh AS (
   SELECT DISTINCT doc_id, array_to_string(t[i:i+5], ' ') AS s
   FROM toks, UNNEST(range(1, greatest(n - 5, 1) + 1)) u(i)),
-bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 11 = 0)
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 11 = 0 AND doc_id < 5000)
 SELECT doc_id, count(*) AS n_benchmark_shingles
 FROM sh JOIN bench USING (s)
-WHERE doc_id % 11 <> 0
+WHERE (doc_id % 11 <> 0 OR doc_id >= 5000)
 GROUP BY doc_id"""
 
   /** Mirror of TextOps.decontaminateSpans: positioned 6-gram hits vs
@@ -845,10 +845,10 @@ WITH toks AS (
 shp AS (
   SELECT doc_id, n AS n_tokens, i AS pos, array_to_string(t[i:i+5], ' ') AS s
   FROM toks, UNNEST(range(1, greatest(n - 5, 1) + 1)) u(i)),
-bench AS (SELECT DISTINCT s FROM shp WHERE doc_id % 11 = 0),
+bench AS (SELECT DISTINCT s FROM shp WHERE doc_id % 11 = 0 AND doc_id < 5000),
 hits AS (
   SELECT DISTINCT doc_id, n_tokens, pos
-  FROM shp JOIN bench USING (s) WHERE doc_id % 11 <> 0),
+  FROM shp JOIN bench USING (s) WHERE (doc_id % 11 <> 0 OR doc_id >= 5000)),
 brk AS (
   SELECT doc_id, n_tokens, pos,
          CASE WHEN lag(pos) OVER w IS NULL
@@ -888,10 +888,10 @@ WITH toks AS (
 shp AS (
   SELECT doc_id, n AS n_tokens, i AS pos, array_to_string(t[i:i+5], ' ') AS s
   FROM toks, UNNEST(range(1, greatest(n - 5, 1) + 1)) u(i)),
-bench AS (SELECT DISTINCT s FROM shp WHERE doc_id % 11 = 0),
+bench AS (SELECT DISTINCT s FROM shp WHERE doc_id % 11 = 0 AND doc_id < 5000),
 hits AS (
   SELECT DISTINCT doc_id, n_tokens, pos
-  FROM shp JOIN bench USING (s) WHERE doc_id % 11 <> 0),
+  FROM shp JOIN bench USING (s) WHERE (doc_id % 11 <> 0 OR doc_id >= 5000)),
 brk AS (
   SELECT doc_id, n_tokens, pos,
          CASE WHEN lag(pos) OVER w IS NULL
@@ -930,7 +930,7 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN nsp ON nsp.doc_id = d.doc_id
 LEFT JOIN cl ON cl.doc_id = d.doc_id
-WHERE d.doc_id % 11 <> 0"""
+WHERE (d.doc_id % 11 <> 0 OR d.doc_id >= 5000)"""
 
   val textNormalize: String = """
 WITH n AS (
