@@ -388,26 +388,41 @@ object SparkEntry {
               FROM documents)
         LATERAL VIEW explode(sequence(0,
           cast((greatest(n - 64, 0) + 47) div 48 AS int))) c AS chunk_idx)""")),
-    // as-of join as SQL text: correlated LATERAL with ORDER BY + LIMIT 1
-    // exercises DecorrelateInnerQuery's limit-to-window rewrite — a
-    // planner path the DataFrame twin events_asof sidesteps entirely
-    // with its union + ordered-window merge. Tie semantics match the
-    // twin: a click at exactly the purchase ts is visible, equal-ts
-    // clicks resolve to max event_id.
+    // as-of join as SQL text, the distributed-merge form: union the two
+    // event roles, one ordered window per user with an ignore-nulls
+    // running last — ONE hash exchange, no join node, the same plan
+    // family as the DataFrame twin but built by the SQL parser +
+    // analyzer (FILTER clauses, IGNORE NULLS, frame syntax). The
+    // "obvious" SQL spelling — correlated LATERAL + ORDER BY + LIMIT 1
+    // — was tried and measured first: Spark 4.1 plans it as a
+    // BroadcastNestedLoopJoin over clicks × purchases (no limit
+    // decorrelation), which is quadratic and stalled the sf0.1 bench;
+    // the window form is what an as-of should compile to at any scale.
+    // Tie semantics match the twin: a click at exactly the purchase ts
+    // is visible (side orders clicks first), equal-ts clicks resolve
+    // to max event_id.
     "sql_asof" -> ((s, d) => GraftSql.sql(s, d, """
-      SELECT p.user_id, p.event_id AS purchase_event_id,
-             date_format(p.ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS purchase_ts,
-             c.c_eid AS click_event_id,
-             date_format(c.c_ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS click_ts,
-             unix_micros(p.ts) - unix_micros(c.c_ts) AS gap_us
-      FROM events p
-      LEFT JOIN LATERAL (
-        SELECT c0.event_id AS c_eid, c0.ts AS c_ts
-        FROM events c0
-        WHERE c0.event_type = 'click' AND c0.user_id = p.user_id
-          AND c0.ts <= p.ts
-        ORDER BY c0.ts DESC, c0.event_id DESC LIMIT 1) c
-      WHERE p.event_type = 'purchase'""")),
+      SELECT user_id, event_id AS purchase_event_id,
+             date_format(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS purchase_ts,
+             click_event_id,
+             date_format(click_ts_t, 'yyyy-MM-dd HH:mm:ss.SSSSSS')
+               AS click_ts,
+             unix_micros(ts) - unix_micros(click_ts_t) AS gap_us
+      FROM (
+        SELECT user_id, ts, event_id, side,
+               last(c_ts) IGNORE NULLS OVER w AS click_ts_t,
+               last(c_eid) IGNORE NULLS OVER w AS click_event_id
+        FROM (
+          SELECT user_id, ts, event_id, 0 AS side, ts AS c_ts,
+                 event_id AS c_eid
+          FROM events WHERE event_type = 'click'
+          UNION ALL
+          SELECT user_id, ts, event_id, 1 AS side,
+                 CAST(NULL AS timestamp) AS c_ts, CAST(NULL AS bigint) AS c_eid
+          FROM events WHERE event_type = 'purchase')
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      WHERE side = 1""")),
 
     // ---- text analysis over `documents` -------------------------------
     // The testdata tables are single parquet files → a single input
