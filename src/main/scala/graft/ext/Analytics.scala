@@ -165,8 +165,14 @@ object Analytics {
     // window repartitions the pin onto okey — the same key the pair
     // self-join needs, so the cap's shuffle replaces (not adds to)
     // the join's.
+    // repartition by okey FIRST: hash(okey) satisfies the distinct's
+    // ClusteredDistribution(okey, part) (subset rule) AND the window's
+    // okey partitioning AND the pair self-join's key, so the fact table
+    // crosses exactly ONE exchange — distinct-then-window would pay two
+    // (an (okey, part) exchange, then an okey re-exchange).
     val sized = lineitem
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .repartition(col("okey"))
       .distinct()
       .withColumn("basket_n", count(lit(1)).over(
         Window.partitionBy(col("okey"))))
@@ -175,9 +181,14 @@ object Analytics {
       .agg(countDistinct(col("okey")).as("orders_dropped"))
     val items = sized.filter(col("basket_n") <= maxBasket)
       .select(col("okey"), col("part"))
+    // pin the vocab-sized prune frame: `pruned` feeds BOTH sides of the
+    // pair self-join, and without the pin each side re-runs the full
+    // items aggregate underneath its own broadcast (measured as two
+    // identical Exchange+HashAggregate subtrees in the r12 plan audit)
     val freq = items.groupBy(col("part"))
       .agg(count(lit(1)).as("n_part"))
       .filter(col("n_part") >= minSupport)
+      .localCheckpoint(false)
     val pruned = items.join(freq, Seq("part"))
     val total = items.agg(countDistinct(col("okey")).as("n_orders"))
     pruned.select(col("okey"), col("part").as("part_a"), col("n_part").as("n_a"))

@@ -379,17 +379,28 @@ object TextOps {
         i => struct(element_at(toks, i).as("t1"),
           element_at(toks, i + 1).as("t2"))))
       .otherwise(array().cast("array<struct<t1:string,t2:string>>"))
+    // the per-doc fold is ALSO the sharing point: dtf's aggregate
+    // exchange is canonical-identical under both consumers (the pair
+    // counts and the scoring join), so ReuseExchange materializes the
+    // corpus-shaped frame once in shuffle files — no block-manager pin
+    // of anything corpus-sized, unlike a raw-occurrence checkpoint
     val dtf = documents.select(col("doc_id"), explode(pairs).as("p"))
       .groupBy(col("doc_id"), col("p.t1").as("t1"), col("p.t2").as("t2"))
       .agg(count(lit(1)).as("tf"))
     val c12 = dtf.groupBy(col("t1"), col("t2")).agg(sum(col("tf")).as("c12"))
     val c1 = c12.groupBy(col("t1")).agg(sum(col("c12")).as("c1"))
-    dtf.join(c12, Seq("t1", "t2")).join(c1, Seq("t1"))
-      .select(col("doc_id"), col("tf"),
-        (col("tf") * (length(expr("bin(c1)")) - length(expr("bin(c12)")))
-          .cast("long")).as("bits"))
+    // fold the context counts into the PAIR frame first (vocab × vocab
+    // join between two aggregated frames), so the corpus-sized
+    // occurrence probe pays exactly ONE join — and never a t1-keyed
+    // one, whose Zipf-hot context keys would be the skewed probe side
+    val pairBits = c12.join(c1, Seq("t1"))
+      .select(col("t1"), col("t2"),
+        (length(expr("bin(c1)")) - length(expr("bin(c12)")))
+          .cast("long").as("pair_bits"))
+    dtf.join(pairBits, Seq("t1", "t2"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("tf")).as("n_bigrams"), sum(col("bits")).as("total_bits"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * col("pair_bits")).as("total_bits"))
       .select(col("doc_id"), col("n_bigrams"), col("total_bits"),
         (col("total_bits").cast("double") / col("n_bigrams"))
           .as("bits_per_bigram"))
