@@ -153,6 +153,11 @@ object SparkEntry {
 
     // ---- temporal joins (as-of / range) over `events` -----------------
     "events_asof" -> ((s, d) => TemporalJoins.clickAsOfPurchase(Tables.events(s, d))),
+    // the same as-of through the NATIVE operator (custom LogicalPlan +
+    // strategy + sorted-merge SparkPlan) — one exchange per side,
+    // constant merge state; hash-gated against the same oracle
+    "events_asof_native" -> ((s, d) =>
+      TemporalJoins.clickAsOfPurchaseNative(Tables.events(s, d))),
     "events_range" -> ((s, d) => TemporalJoins.clicksAfterPurchase(Tables.events(s, d))),
     // explicit two-phase salted aggregation (result ≡ plain groupBy)
     "events_salted_counts" -> ((s, d) => ext.Skew.saltedTypeCounts(Tables.events(s, d))),
@@ -732,6 +737,7 @@ object SparkEntry {
     "events_first" -> OracleSqlExt.eventsFirst,
     "events_props_json" -> OracleSqlExt.eventsPropsJson,
     "events_asof" -> OracleSqlExt.eventsAsof,
+    "events_asof_native" -> OracleSqlExt.eventsAsof,
     "events_range" -> OracleSqlExt.eventsRange,
     "events_salted_counts" -> OracleSqlExt.eventsSaltedCounts,
     "events_anomalies" -> OracleSqlExt.eventsAnomalies,

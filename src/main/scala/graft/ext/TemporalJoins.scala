@@ -75,4 +75,26 @@ object TemporalJoins {
       .select(col("user_id"), col("purchase_event_id"), col("click_event_id"),
         (unix_micros(col("c_ts")) - unix_micros(col("p_ts"))).as("gap_us"))
   }
+
+  /** [[clickAsOfPurchase]] through the NATIVE as-of operator
+    * ([[graft.plans.AsOfJoin]] — custom LogicalPlan + strategy +
+    * sorted-merge SparkPlan) instead of the union + window rewrite:
+    * same rows, same oracle, different engine path. Ties match the
+    * twin (at-ts click visible via <=, equal-ts clicks resolve to max
+    * event_id via the right-side tie-break ordering). */
+  def clickAsOfPurchaseNative(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"),
+        col("event_id").as("c_eid"))
+    graft.plans.AsOfJoin
+      .asOf(purchases, clicks, Seq("user_id"), "ts", "c_ts", Seq("c_eid"))
+      .select(col("user_id"),
+        col("event_id").as("purchase_event_id"),
+        date_format(col("ts"), fmt).as("purchase_ts"),
+        col("c_eid").as("click_event_id"),
+        date_format(col("c_ts"), fmt).as("click_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+  }
 }

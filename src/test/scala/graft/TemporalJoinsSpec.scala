@@ -84,6 +84,40 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out((1, 1)) == ((5L, 6L)))
   }
 
+  test("native as-of exec matches the window twin's semantics on ties and misses") {
+    val r = TemporalJoins.clickAsOfPurchaseNative(events(
+      (1L, "2024-01-01 10:00:00", 7L, "click"),
+      (2L, "2024-01-01 10:05:00", 7L, "click"),
+      (3L, "2024-01-01 10:07:00", 7L, "purchase"),
+      (4L, "2024-01-01 10:09:00", 7L, "click"),     // after: must not attach
+      (6L, "2024-01-01 10:07:00", 7L, "click"),     // at the purchase ts: visible
+      (5L, "2024-01-01 09:00:00", 8L, "purchase"))) // no prior click
+      .collect().map(r => r.getAs[Long]("purchase_event_id") ->
+        Option(r.getAs[java.lang.Long]("click_event_id"))).toMap
+    assert(r(3L).contains(6L)) // the at-ts click wins (<= and newest)
+    assert(r(5L).isEmpty)
+  }
+
+  test("native as-of plans as AsOfJoinExec with one exchange per side") {
+    val df = TemporalJoins.clickAsOfPurchaseNative(events(
+      (1L, "2024-01-01 10:00:00", 7L, "click"),
+      (2L, "2024-01-01 10:05:00", 7L, "purchase")))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("NestedLoop"))
+    // one hash exchange per side, nothing else moves data
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2, plan)
+  }
+
+  test("native as-of is row-identical to the window twin on real data") {
+    val d = "/root/testdata/sf0.001"
+    val native = SparkEntry.queries("events_asof_native")(spark, d)
+      .collect().map(_.toSeq).toSet
+    val twin = SparkEntry.queries("events_asof")(spark, d)
+      .collect().map(_.toSeq).toSet
+    assert(native.nonEmpty && native == twin)
+  }
+
   test("sql_asof LATERAL twin is row-identical to the window-merge as-of join") {
     // the SQL text plans through DecorrelateInnerQuery's limit rewrite,
     // the DataFrame twin through union + ordered window — same rows out
