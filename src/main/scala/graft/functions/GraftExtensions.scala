@@ -16,6 +16,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.plans.NoGlobalWindowGuard(k =>
         session.conf.getOption(k))
     }
+    // physical planning for the native as-of join (AsOfJoin.asOf also
+    // self-installs via experimental.extraStrategies at first use —
+    // this is the build-time form for spark.sql.extensions deployment)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(
