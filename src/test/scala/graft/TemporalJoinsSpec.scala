@@ -109,6 +109,29 @@ class TemporalJoinsSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2, plan)
   }
 
+  test("native as-of equals the window twin on a seeded adversarial fixture") {
+    // 60 users x dense timestamp collisions across 8 shuffle partitions:
+    // every merge-edge at once — equal-ts click+purchase, several equal-ts
+    // clicks (tie on event_id), users with no clicks, clicks-only users,
+    // multiple purchases sharing one prior click, and purchases at the
+    // partition's first row. The window twin is the executable spec.
+    val rnd = new scala.util.Random(42)
+    val rows = (1L to 2000L).map { id =>
+      val user = rnd.nextInt(60).toLong
+      val t = new Timestamp(1700000000000L + rnd.nextInt(500) * 1000L)
+      val typ = if (rnd.nextInt(3) == 0) "purchase" else "click"
+      (id, t, user, typ)
+    }
+    import spark.implicits._
+    val e = rows.toDF("event_id", "ts", "user_id", "event_type")
+      .repartition(8)
+    val native = TemporalJoins.clickAsOfPurchaseNative(e)
+      .collect().map(_.toSeq).toSet
+    val twin = TemporalJoins.clickAsOfPurchase(e)
+      .collect().map(_.toSeq).toSet
+    assert(native.size > 100 && native == twin)
+  }
+
   test("native as-of is row-identical to the window twin on real data") {
     val d = "/root/testdata/sf0.001"
     val native = SparkEntry.queries("events_asof_native")(spark, d)
