@@ -158,6 +158,10 @@ object SparkEntry {
     // constant merge state; hash-gated against the same oracle
     "events_asof_native" -> ((s, d) =>
       TemporalJoins.clickAsOfPurchaseNative(Tables.events(s, d))),
+    // as-of with a 10-minute freshness bound (merge_asof tolerance):
+    // a stale prior click attributes as no click
+    "events_asof_tolerance" -> ((s, d) => TemporalJoins
+      .clickAsOfPurchaseNative(Tables.events(s, d), Some(600000000L))),
     "events_range" -> ((s, d) => TemporalJoins.clicksAfterPurchase(Tables.events(s, d))),
     // explicit two-phase salted aggregation (result ≡ plain groupBy)
     "events_salted_counts" -> ((s, d) => ext.Skew.saltedTypeCounts(Tables.events(s, d))),
@@ -738,6 +742,7 @@ object SparkEntry {
     "events_props_json" -> OracleSqlExt.eventsPropsJson,
     "events_asof" -> OracleSqlExt.eventsAsof,
     "events_asof_native" -> OracleSqlExt.eventsAsof,
+    "events_asof_tolerance" -> OracleSqlExt.eventsAsofTolerance,
     "events_range" -> OracleSqlExt.eventsRange,
     "events_salted_counts" -> OracleSqlExt.eventsSaltedCounts,
     "events_anomalies" -> OracleSqlExt.eventsAnomalies,

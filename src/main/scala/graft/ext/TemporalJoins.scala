@@ -82,14 +82,25 @@ object TemporalJoins {
     * same rows, same oracle, different engine path. Ties match the
     * twin (at-ts click visible via <=, equal-ts clicks resolve to max
     * event_id via the right-side tie-break ordering). */
-  def clickAsOfPurchaseNative(events: DataFrame): DataFrame = {
+  def clickAsOfPurchaseNative(events: DataFrame): DataFrame =
+    clickAsOfPurchaseNative(events, None)
+
+  /** [[clickAsOfPurchaseNative]] with a freshness bound: a prior click
+    * older than `toleranceUs` at purchase time attributes as NO click
+    * (pandas merge_asof `tolerance` / kdb window-join semantics — an
+    * attribution model where week-old clicks don't earn credit). The
+    * bound is enforced inside the merge at emit time, one long
+    * compare; None = unbounded, row-identical to the plain form. */
+  def clickAsOfPurchaseNative(events: DataFrame,
+      toleranceUs: Option[Long]): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id"))
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("c_ts"),
         col("event_id").as("c_eid"))
     graft.plans.AsOfJoin
-      .asOf(purchases, clicks, Seq("user_id"), "ts", "c_ts", Seq("c_eid"))
+      .asOf(purchases, clicks, Seq("user_id"), "ts", "c_ts", Seq("c_eid"),
+        toleranceUs)
       .select(col("user_id"),
         col("event_id").as("purchase_event_id"),
         date_format(col("ts"), fmt).as("purchase_ts"),

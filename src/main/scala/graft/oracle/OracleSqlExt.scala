@@ -480,6 +480,19 @@ SELECT user_id, event_id AS purchase_event_id,
        epoch_us(ts) - epoch_us(click_ts_t) AS gap_us
 FROM filled WHERE side = 1"""
 
+  /** Mirror of TemporalJoins.clickAsOfPurchaseNative(tolerance=10min):
+    * the plain as-of, then matches older than the bound nulled —
+    * click columns AND gap together, the all-or-nothing emit the
+    * merge's tolerance check performs. */
+  val eventsAsofTolerance: String = s"""
+WITH base AS ($eventsAsof)
+SELECT user_id, purchase_event_id, purchase_ts,
+       CASE WHEN gap_us <= 600000000 THEN click_event_id END
+         AS click_event_id,
+       CASE WHEN gap_us <= 600000000 THEN click_ts END AS click_ts,
+       CASE WHEN gap_us <= 600000000 THEN gap_us END AS gap_us
+FROM base"""
+
   val eventsRange: String = """
 SELECT p.user_id, p.event_id AS purchase_event_id, c.event_id AS click_event_id,
        epoch_us(c.ts) - epoch_us(p.ts) AS gap_us

@@ -48,7 +48,9 @@ object AsOfJoin {
     * table are safe. */
   def asOf(left: DataFrame, right: DataFrame, on: Seq[String],
       leftTsCol: String, rightTsCol: String,
-      rightTie: Seq[String] = Nil): DataFrame = {
+      rightTie: Seq[String] = Nil,
+      toleranceUs: Option[Long] = None): DataFrame = {
+    toleranceUs.foreach(t => require(t >= 0, s"negative tolerance $t"))
     require(on.nonEmpty, "as-of join needs at least one equi key")
     val spark =
       left.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -76,7 +78,8 @@ object AsOfJoin {
     org.apache.spark.sql.GraftPlanBridge.ofRows(spark,
       AsOfJoinPlan(left.queryExecution.analyzed,
         rightFresh.queryExecution.analyzed,
-        lKeys, rKeys, lTs, rTs, rightTie.map(attr(rightFresh, _)), keep))
+        lKeys, rKeys, lTs, rTs, rightTie.map(attr(rightFresh, _)), keep,
+        toleranceUs))
   }
 }
 
@@ -88,7 +91,7 @@ object AsOfJoin {
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTs: Expression, rightTs: Expression, rightTie: Seq[Expression],
-    keepRight: Seq[Attribute]) extends BinaryNode {
+    keepRight: Seq[Attribute], toleranceUs: Option[Long]) extends BinaryNode {
   // nullability forced HERE, not on the stored attrs: the analyzer
   // re-resolves attribute expressions against child outputs, which
   // would quietly restore the right side's non-nullable flags
@@ -102,9 +105,9 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
 /** Planner strategy: one logical form, one physical form. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lts, rts, tie, keep) =>
-      AsOfJoinExec(lk, rk, lts, rts, tie, keep, planLater(l), planLater(r)) ::
-        Nil
+    case AsOfJoinPlan(l, r, lk, rk, lts, rts, tie, keep, tol) =>
+      AsOfJoinExec(lk, rk, lts, rts, tie, keep, tol,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -120,7 +123,8 @@ object AsOfJoinStrategy extends SparkStrategy {
   * as-of safe where a buffering window would spill. */
 case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTs: Expression, rightTs: Expression, rightTie: Seq[Expression],
-    keepRight: Seq[Attribute], left: SparkPlan, right: SparkPlan)
+    keepRight: Seq[Attribute], toleranceUs: Option[Long],
+    left: SparkPlan, right: SparkPlan)
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -156,6 +160,9 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     val lTsExpr = leftTs
     val rTsExpr = rightTs
     val outAttrs = output
+    // tolerance as a primitive: MaxValue = unbounded, so the emit
+    // check is one branchless long compare in the match path
+    val tolUs = toleranceUs.getOrElse(Long.MaxValue)
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
@@ -178,6 +185,7 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
         // carried latest match: copies, valid across lookahead advances
         private var matched: InternalRow = _
         private var matchedKey: InternalRow = _
+        private var matchedTs: Long = Long.MinValue
 
         private def advanceRight(): Unit =
           rRow = if (rIter.hasNext) rIter.next() else null
@@ -200,13 +208,18 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
               else if (rTsV.asInstanceOf[Long] <= lTsV.asInstanceOf[Long]) {
                 // at-or-before: newest-so-far (sorted ts asc, tie asc)
                 matched = rRow.copy(); matchedKey = lKey.copy()
+                matchedTs = rTsV.asInstanceOf[Long]
                 advanceRight()
               } else done = true
             }
           }
+          // tolerance: the newest at-or-before match may still be too
+          // old (left ts only grows, so a rejected match can only be
+          // resurrected by a NEWER right row, which overwrites it)
           val m =
             if (matched != null && matchedKey != null &&
-              keyOrd.compare(matchedKey, lKey) == 0) matched
+              keyOrd.compare(matchedKey, lKey) == 0 &&
+              lTsV.asInstanceOf[Long] - matchedTs <= tolUs) matched
             else nullRight
           numOut += 1
           resultProj(joined(l, m))

@@ -109,6 +109,24 @@ class TemporalJoinsSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2, plan)
   }
 
+  test("native as-of tolerance nulls stale matches without touching fresh ones") {
+    val e = events(
+      (1L, "2024-01-01 09:40:00", 7L, "click"),    // 27 min before: stale
+      (3L, "2024-01-01 10:07:00", 7L, "purchase"),
+      (2L, "2024-01-01 10:00:00", 8L, "click"),    // 7 min before: fresh
+      (4L, "2024-01-01 10:07:00", 8L, "purchase"))
+    val r = TemporalJoins.clickAsOfPurchaseNative(e, Some(600000000L)) // 10 min
+      .collect().map(r => r.getAs[Long]("purchase_event_id") ->
+        Option(r.getAs[java.lang.Long]("click_event_id"))).toMap
+    assert(r(3L).isEmpty)        // beyond tolerance: attributes nothing
+    assert(r(4L).contains(2L))   // inside tolerance: unchanged
+    // unbounded form must keep the stale match
+    val u = TemporalJoins.clickAsOfPurchaseNative(e)
+      .collect().map(r => r.getAs[Long]("purchase_event_id") ->
+        Option(r.getAs[java.lang.Long]("click_event_id"))).toMap
+    assert(u(3L).contains(1L))
+  }
+
   test("native as-of equals the window twin on a seeded adversarial fixture") {
     // 60 users x dense timestamp collisions across 8 shuffle partitions:
     // every merge-edge at once — equal-ts click+purchase, several equal-ts
