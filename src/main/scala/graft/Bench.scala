@@ -41,13 +41,16 @@ object BenchStats {
     * Sub-threshold contamination trim (the r11 blind spot): a pass at
     * 1.67× the fastest clears the 2× cutoff yet inflated r11's
     * committed static total ~12% above its final quiet pass. So after
-    * pass-level exclusion, each query additionally drops its single
-    * SLOWEST surviving sample whenever ≥3 survive — the median of the
-    * remainder can't be dragged up by one moderately-loaded pass,
-    * while a genuinely slow query (slow in EVERY pass) is untouched
-    * because its remaining samples are just as slow. Never applied
-    * below 3 samples: with 2, dropping the max would report the
-    * fastest-ever time, an optimistic bias worse than the noise. */
+    * pass-level exclusion, each query drops its single SLOWEST
+    * surviving sample when ≥3 survive AND that sample is an actual
+    * outlier — strictly above 1.2× the median of the remaining
+    * samples. The conditional matters (r12 advice): an unconditional
+    * max-drop on 3 clean samples reports the mean of the two fastest,
+    * biasing every committed number low; with the outlier gate, three
+    * clean samples keep their true median and only a contaminated max
+    * is discarded. Never applied below 3 samples: with 2, dropping
+    * the max would report the fastest-ever time, an optimistic bias
+    * worse than the noise. */
   def stats(names: Seq[String], passes: Vector[Pass])
       : (Map[String, Double], Map[String, String], Vector[Int]) = {
     if (passes.isEmpty) return (Map.empty, Map.empty, Vector.empty)
@@ -59,7 +62,10 @@ object BenchStats {
     def trimmed(xs: Seq[Double]): Seq[Double] =
       if (xs.size >= 3) {
         val drop = xs.indexOf(xs.max) // one instance only, ties kept
-        xs.patch(drop, Nil, 1)
+        val rest = xs.patch(drop, Nil, 1)
+        // outlier gate: keep all samples unless the max genuinely
+        // sticks out from the rest (clean runs keep their true median)
+        if (xs.max > 1.2 * median(rest)) rest else xs
       } else xs
     val meds = Map.newBuilder[String, Double]
     val errs = Map.newBuilder[String, String]
@@ -172,8 +178,23 @@ object Bench {
       }
       Pass((System.nanoTime() - p0) / 1e9, ss.result(), es.result())
     }
+    // Top-up: when contention exclusion would leave <3 surviving
+    // passes, run extra passes (bounded at +2) so the median + outlier
+    // trim keep enough samples — otherwise the exclusion defense goes
+    // inert exactly when it fires (r12 driver run: one excluded pass
+    // left 2 samples and a 1.38×-slow survivor dragged every median).
+    // Only when ≥3 passes were requested: quick local loops stay quick.
+    def passesWithTopUp(iters: Int): Vector[Pass] = {
+      var ps = runPasses(iters)
+      var extra = 0
+      while (iters >= 3 && extra < 2 && {
+        val (_, _, contended) = stats(names, ps)
+        ps.size - contended.size < 3
+      }) { ps = ps ++ runPasses(1); extra += 1 }
+      ps
+    }
     val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
-    val passes = runPasses(iterations)
+    val passes = passesWithTopUp(iterations)
     val (results, errors, contendedIdx) = stats(names, passes)
     val qs = names.flatMap(n => results.get(n).map(v => s"\"" + n + "\":" + v))
       .mkString("{", ",", "}")
@@ -189,7 +210,7 @@ object Bench {
     val aqeIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_AQE_ITERS", "3").toInt
     val aqePasses = if (aqeIters > 0) {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
-      val ps = runPasses(aqeIters)
+      val ps = passesWithTopUp(aqeIters)
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       ps
     } else Vector.empty[Pass]

@@ -191,7 +191,8 @@ object Analytics {
       .localCheckpoint(false)
     val pruned = items.join(freq, Seq("part"))
     val total = items.agg(countDistinct(col("okey")).as("n_orders"))
-    pruned.select(col("okey"), col("part").as("part_a"), col("n_part").as("n_a"))
+    val ranked = pruned
+      .select(col("okey"), col("part").as("part_a"), col("n_part").as("n_a"))
       .join(pruned.select(col("okey"), col("part").as("part_b"),
         col("n_part").as("n_b")), Seq("okey"))
       .filter(col("part_a") < col("part_b"))
@@ -204,8 +205,14 @@ object Analytics {
       .withColumn("rank", expr("row_number() over (order by support desc, " +
         "part_a, part_b)"))
       .filter(col("rank") <= k)
-      // the loud cap: one broadcast scalar stamped on the ≤k rows
-      .crossJoin(broadcast(dropped))
+    // the loud cap, made unconditional (r12 advice): a LEFT join FROM
+    // the one-row drop scalar guarantees the count reaches the output
+    // even when the cap/minSupport eliminate every pair — a nonzero
+    // drop over an empty pair set emits one null-pair row instead of
+    // silently vanishing. The trailing filter keeps the truly-empty
+    // case (no pairs, no drops) empty, as before.
+    dropped.join(broadcast(ranked), lit(true), "left")
+      .filter(col("part_a").isNotNull || col("orders_dropped") > 0)
       .select(col("part_a"), col("part_b"), col("support"),
         col("n_a"), col("n_b"), col("lift_milli"), col("rank"),
         col("orders_dropped"))

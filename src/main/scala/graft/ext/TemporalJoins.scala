@@ -37,7 +37,12 @@ object TemporalJoins {
     * a click at exactly the purchase timestamp is visible (side orders
     * clicks first); equal-timestamp clicks resolve to the max event_id. */
   def clickAsOfPurchase(events: DataFrame): DataFrame = {
-    val clicks = events.filter(col("event_type") === "click")
+    // null-ts clicks are dropped up front: they carry a non-null c_eid,
+    // so without the filter `last(c_eid, ignoreNulls)` would attribute
+    // them — diverging from the as-of contract (and the native exec),
+    // where a row with no timestamp can never be "at or before" anything
+    val clicks = events.filter(col("event_type") === "click" &&
+        col("ts").isNotNull)
       .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("side"),
         col("ts").as("c_ts"), col("event_id").as("c_eid"))
     val purchases = events.filter(col("event_type") === "purchase")

@@ -54,12 +54,13 @@ j AS (
   CROSS JOIN tot t
   WHERE p.support >= 3)
 SELECT part_a, part_b, support, n_a, n_b, lift_milli, rank, orders_dropped
-FROM (
-  SELECT j.*, row_number() OVER (ORDER BY support DESC, part_a, part_b)
-    AS rank
-  FROM j)
-CROSS JOIN dropped
-WHERE rank <= 10"""
+FROM dropped LEFT JOIN (
+  SELECT * FROM (
+    SELECT j.*, row_number() OVER (ORDER BY support DESC, part_a, part_b)
+      AS rank
+    FROM j)
+  WHERE rank <= 10) ON TRUE
+WHERE part_a IS NOT NULL OR orders_dropped > 0"""
 
   /** Mirror of Analytics.promoRevenue (TPC-H Q14 shape): same decimal
     * lattice as q1Pricing, null-skipping promo CASE, one double

@@ -67,6 +67,14 @@ object AsOfJoin {
           s"column $n not found in ${df.columns.mkString(",")}"))
     val lKeys = on.map(attr(left, _))
     val rKeys = on.map(attr(rightFresh, _))
+    // key types must agree pairwise: the merge compares raw UnsafeRow
+    // key projections with one natural ordering, so an int-vs-long
+    // mismatch would produce garbage comparisons, not a cast
+    lKeys.zip(rKeys).foreach { case (lk, rk) =>
+      require(lk.dataType == rk.dataType,
+        s"as-of key type mismatch: ${lk.name}:${lk.dataType} vs " +
+          s"${rk.name}:${rk.dataType} — cast one side before joining")
+    }
     val lTs = attr(left, leftTsCol)
     val rTs = attr(rightFresh, rightTsCol)
     Seq(lTs, rTs).foreach(a => require(
@@ -215,9 +223,14 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
           }
           // tolerance: the newest at-or-before match may still be too
           // old (left ts only grows, so a rejected match can only be
-          // resurrected by a NEWER right row, which overwrites it)
+          // resurrected by a NEWER right row, which overwrites it).
+          // lTsV != null is checked EXPLICITLY: null would unbox to 0L
+          // in the subtraction, and while NULLS FIRST ordering means a
+          // null-ts left row can't follow a carried same-key match
+          // today, the no-match contract must not hang on sort-order
+          // reasoning alone.
           val m =
-            if (matched != null && matchedKey != null &&
+            if (lTsV != null && matched != null && matchedKey != null &&
               keyOrd.compare(matchedKey, lKey) == 0 &&
               lTsV.asInstanceOf[Long] - matchedTs <= tolUs) matched
             else nullRight

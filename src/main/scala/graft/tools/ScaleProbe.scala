@@ -166,7 +166,8 @@ object ScaleProbe {
   $body
   }
 }"""
-    Files.createDirectories(Paths.get(outPath).getParent)
+    // getParent is null for a bare filename (cwd-relative) — skip mkdir
+    Option(Paths.get(outPath).getParent).foreach(Files.createDirectories(_))
     Files.write(Paths.get(outPath), json.getBytes(StandardCharsets.UTF_8))
     println(json)
     println(s"[scaleprobe] wrote $outPath; ${flags.size} superlinear-row flag(s)" +

@@ -56,6 +56,18 @@ class BenchStatsSpec extends AnyFunSuite {
     assert(meds("a") == median(Seq(1.0, 3.0))) // 2.0, not 1.0
   }
 
+  test("three clean samples keep their true median (trim is outlier-gated, not unconditional)") {
+    // r12 advice: an unconditional max-drop on clean samples reports
+    // the mean of the two fastest, biasing every committed number low.
+    // 1.15 <= 1.2 x median(1.0, 1.1): not an outlier, nothing dropped.
+    val passes = Vector(
+      Pass(10.0, Map("a" -> 1.0), Map.empty),
+      Pass(10.5, Map("a" -> 1.1), Map.empty),
+      Pass(10.2, Map("a" -> 1.15), Map.empty))
+    val (meds, _, _) = stats(Seq("a"), passes)
+    assert(meds("a") == 1.1)
+  }
+
   test("a genuinely slow query (slow in every pass) is untouched by the trim") {
     val passes = Vector(
       Pass(10.0, Map("a" -> 5.0), Map.empty),

@@ -133,10 +133,15 @@ class TemporalJoinsSpec extends SparkSpec {
     // clicks (tie on event_id), users with no clicks, clicks-only users,
     // multiple purchases sharing one prior click, and purchases at the
     // partition's first row. The window twin is the executable spec.
+    // ~2.5% of rows get a NULL timestamp (both clicks and purchases):
+    // the contract says a null-ts click never attributes and a null-ts
+    // purchase never matches — pinned here against the window twin, so
+    // neither engine may rely on implicit NULLS FIRST reasoning alone.
     val rnd = new scala.util.Random(42)
     val rows = (1L to 2000L).map { id =>
       val user = rnd.nextInt(60).toLong
-      val t = new Timestamp(1700000000000L + rnd.nextInt(500) * 1000L)
+      val t = if (rnd.nextInt(40) == 0) null
+        else new Timestamp(1700000000000L + rnd.nextInt(500) * 1000L)
       val typ = if (rnd.nextInt(3) == 0) "purchase" else "click"
       (id, t, user, typ)
     }
@@ -148,6 +153,18 @@ class TemporalJoinsSpec extends SparkSpec {
     val twin = TemporalJoins.clickAsOfPurchase(e)
       .collect().map(_.toSeq).toSet
     assert(native.size > 100 && native == twin)
+    // null-ts purchases are present and all of them attribute nothing
+    val nullTs = native.filter(_(2) == null)
+    assert(nullTs.nonEmpty && nullTs.forall(_(3) == null))
+    // same contract under a tolerance bound (the emit-check null guard):
+    // a null-ts purchase must not inherit a carried same-key match
+    val tol = TemporalJoins.clickAsOfPurchaseNative(e, Some(500000000000L))
+      .collect().map(_.toSeq).toSet
+    assert(tol == native) // tolerance covers the whole fixture span
+    val tight = TemporalJoins.clickAsOfPurchaseNative(e, Some(10000000L))
+      .collect().map(_.toSeq)
+    assert(tight.filter(_(2) == null).forall(_(3) == null))
+    assert(tight.forall(r => r(5) == null || r(5).asInstanceOf[Long] <= 10000000L))
   }
 
   test("native as-of is row-identical to the window twin on real data") {
@@ -159,9 +176,11 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(native.nonEmpty && native == twin)
   }
 
-  test("sql_asof LATERAL twin is row-identical to the window-merge as-of join") {
-    // the SQL text plans through DecorrelateInnerQuery's limit rewrite,
-    // the DataFrame twin through union + ordered window — same rows out
+  test("sql_asof SQL twin is row-identical to the window-merge as-of join") {
+    // the SQL text spells the same union + ordered-window merge the
+    // DataFrame twin uses (the correlated LATERAL ... LIMIT 1 form was
+    // abandoned: Spark 4.1 plans it as a quadratic
+    // BroadcastNestedLoopJoin — see BENCH_TREND r12) — same rows out
     val d = "/root/testdata/sf0.001"
     val sqlRows = SparkEntry.queries("sql_asof")(spark, d)
       .collect().map(_.toSeq).toSet
