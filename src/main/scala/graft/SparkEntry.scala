@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.{Analytics, DedupOps, EmbedOps, EventOps, MultiModal, TemporalJoins, TextOps}
+import graft.ext.{Analytics, DedupOps, EmbedIndex, EmbedOps, EventOps, MultiModal, TemporalJoins, TextOps}
 import graft.oracle.{OracleSql, OracleSqlExt}
 import graft.pipeline.{MatchFixture, MatchPipeline}
 
@@ -621,6 +621,18 @@ object SparkEntry {
     // both probing the same trained model
     "embed_ivfpq_recall" -> ((s, d) => EmbedOps.ivfPqRecallCompareFrom(
       emb(s, d), shExactTopK(s, d), shPq(s, d), coarse = shCoarse(s, d))),
+    // PERSISTED-index search: codebooks/codes/coarse stats LOADED from
+    // the parquet index store (train-once artifact — EmbedIndex), the
+    // corpus never rescanned or retrained; same ranking contract and
+    // oracle as embed_ivfpq_topk
+    "embed_index_persisted" -> ((s, d) =>
+      EmbedIndex.search(s, shIndexFull(s, d), idxQueries(s, d))),
+    // incremental maintenance: base-segment build + frozen-codebook
+    // append of the delta; coarse centroids derive from the exactly-
+    // merged integer sums, so the merged-index search hash-matches a
+    // from-scratch SQL oracle
+    "embed_index_incremental" -> ((s, d) =>
+      EmbedIndex.search(s, shIndexIncr(s, d), idxQueries(s, d))),
     // int8 scalar quantization + exact integer reconstruction error
     "embed_sq8" -> ((s, d) => EmbedOps.scalarQuantize8(emb(s, d))),
     // per-label dataset-card profile of the embedding store
@@ -693,6 +705,33 @@ object SparkEntry {
   private def shCoarse(s: SparkSession, d: String): DataFrame =
     Artifacts.frame(s, d, "embed/coarse_centroids")(
       EmbedOps.coarseCentroids(emb(s, d)))
+  // persisted IVF-PQ index (EmbedIndex): built ONCE per (session, dir)
+  // into an immutable marker-committed store under java.io.tmpdir;
+  // every search then reads codes + codebooks off the store instead of
+  // retraining — the artifact contract a real deployment has, where
+  // the index outlives the session that trained it
+  private def idxQueries(s: SparkSession, d: String): DataFrame = {
+    val f = org.apache.spark.sql.functions
+    emb(s, d).filter(f.col("vec_id") % 97 === 0)
+      .select(f.col("vec_id"), f.col("embedding"))
+  }
+  private def indexRoot(d: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_embed_index/" +
+      java.lang.Integer.toHexString(d.hashCode)
+  private def shIndexFull(s: SparkSession, d: String): String =
+    Artifacts.obj(s, d, "embed/index_full") {
+      val dir = indexRoot(d) + "/full"
+      EmbedIndex.build(emb(s, d), dir)
+      dir
+    }
+  private def shIndexIncr(s: SparkSession, d: String): String =
+    Artifacts.obj(s, d, "embed/index_incr") {
+      val dir = indexRoot(d) + "/incr"
+      val vid = org.apache.spark.sql.functions.col("vec_id")
+      EmbedIndex.build(emb(s, d).filter(vid % 5 =!= 0), dir)
+      EmbedIndex.append(emb(s, d).filter(vid % 5 === 0), dir)
+      dir
+    }
   private def shTf(s: SparkSession, d: String): DataFrame =
     Artifacts.frame(s, d, "text/term_freq")(TextOps.termFrequencies(docs(s, d)))
   private def shSixGrams(s: SparkSession, d: String): DataFrame =
@@ -869,6 +908,10 @@ GROUP BY l_returnflag""",
     "embed_ivfpq_topk" -> OracleSqlExt.embedIvfPqTopK,
     "embed_pq_recall" -> OracleSqlExt.embedPqRecall,
     "embed_ivfpq_recall" -> OracleSqlExt.embedIvfPqRecall,
+    // the persisted index serves the SAME ranking as the in-session
+    // IVF-PQ — one oracle gates both engine paths
+    "embed_index_persisted" -> OracleSqlExt.embedIvfPqTopK,
+    "embed_index_incremental" -> OracleSqlExt.embedIvfPqIncremental,
     "embed_sq8" -> OracleSqlExt.embedSq8,
     "embed_norm_profile" -> OracleSqlExt.embedNormProfile,
 

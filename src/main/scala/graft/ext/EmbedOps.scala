@@ -546,14 +546,35 @@ object EmbedOps {
     * [[pqTopKFrom]] / [[ivfPqTopKFrom]] and both recall evals. Caches
     * `subs`/`codes` (caller-managed lifetime, see [[kmeansAssignments]])
     * and eagerly checkpoints the m×ksub codebook. */
+  /** (vec_id, sub, q): the `m` per-subspace integer subvectors of each
+    * embedding — the shared front half of PQ training, frozen-codebook
+    * encoding ([[encodePq]]), and query-side ADC-table construction
+    * ([[ivfPqSearch]]). */
+  def pqSubvectors(embeddings: DataFrame, m: Int = 4,
+      dsub: Int = 16): DataFrame = {
+    val base = embeddings.select(
+      col("vec_id"), quantized(col("embedding")).as("q"))
+    base.select(col("vec_id"), explode(array((0 until m).map(s =>
+      struct(lit(s).as("sub"), slice(col("q"), s * dsub + 1, dsub).as("q"))): _*)).as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.q").as("q"))
+  }
+
+  /** Encode vectors against an EXISTING (frozen) codebook — the append
+    * path of a persisted index ([[EmbedIndex]]): new corpus segments
+    * get codes without retraining. Freezing is the production
+    * contract — codebook drift is a monitored retrain *decision*, not
+    * a per-append side effect, and frozen codebooks are what make old
+    * and new codes comparable inside one ADC scan. */
+  def encodePq(embeddings: DataFrame, cents: DataFrame,
+      m: Int = 4, dsub: Int = 16): DataFrame =
+    assignStep(pqSubvectors(embeddings, m, dsub), cents, Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("centroid_id"))
+
   def trainPq(embeddings: DataFrame, m: Int = 4, dsub: Int = 16,
       ksub: Int = 8): PqModel = {
     val base = embeddings.select(
       col("vec_id"), quantized(col("embedding")).as("q"))
-    val subs = base.select(col("vec_id"), explode(array((0 until m).map(s =>
-      struct(lit(s).as("sub"), slice(col("q"), s * dsub + 1, dsub).as("q"))): _*)).as("e"))
-      .select(col("vec_id"), col("e.sub").as("sub"), col("e.q").as("q"))
-      .cache()
+    val subs = pqSubvectors(embeddings, m, dsub).cache()
     val seedIds = base.orderBy(col("vec_id")).limit(ksub)
       .select(col("vec_id").as("centroid_id"))
     val seeds = subs.join(broadcast(seedIds),
@@ -636,10 +657,23 @@ object EmbedOps {
     * against one index should build it once and pass it to the `*From`
     * variants — SparkEntry memoizes it next to the PqModel. */
   def coarseCentroids(embeddings: DataFrame): DataFrame =
+    coarseCentroidsFromSums(coarseSums(embeddings))
+
+  /** (label, i, s, n): per-list per-dimension integer sums + counts —
+    * the SUFFICIENT STATISTICS behind [[coarseCentroids]]. Persisting
+    * these instead of the derived centroids is what makes the index
+    * incrementally maintainable: sums merge exactly under addition, so
+    * centroids after an append are bit-identical to a full recompute
+    * over base+delta ([[EmbedIndex.append]]). */
+  def coarseSums(embeddings: DataFrame): DataFrame =
     embeddings.select(col("label"), quantized(col("embedding")).as("q"))
       .select(col("label"), posexplode(col("q")).as(Seq("i", "x")))
       .groupBy(col("label"), col("i"))
       .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+
+  /** Derive the per-list floor-mean centroids from stored sums. */
+  def coarseCentroidsFromSums(sums: DataFrame): DataFrame =
+    sums
       .withColumn("c", expr("(s - pmod(s, n)) div n"))
       .groupBy(col("label"))
       .agg(transform(
@@ -692,6 +726,61 @@ object EmbedOps {
         codes("label") === tables("plabel"))
       .filter(col("vec_id") =!= col("query_id"))
       // label is functionally dependent on vec_id (the neighbor's list)
+      .groupBy(col("query_id"), col("vec_id"), col("label"))
+      .agg(sum(col("dt")).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("label"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("adist"))
+  }
+
+  /** IVF-PQ search against LOADED index artifacts — the read path of
+    * the persisted index ([[EmbedIndex]]). `queries` carry raw
+    * embeddings (ADC needs each query's exact subvectors); `cents` /
+    * `codes` / `coarse` come off the index store, so the search never
+    * touches the raw corpus vectors — the property that lets 1000
+    * searchers share one compact index instead of re-deriving it.
+    * `codes` must carry the inverted-list `label` per row (the index
+    * writes it with the codes). Output contract and ranking are
+    * identical to [[ivfPqTopKFrom]] over the same corpus: same window,
+    * same integer ADC arithmetic, same oracle.
+    *
+    * Scale posture: cents (m·ksub rows), coarse (nlist rows) and the
+    * per-query distance tables (|queries|·m·ksub·nprobe rows) are all
+    * broadcast; the corpus-sized codes frame streams through ONE
+    * broadcast-hash join + one aggregate — no corpus shuffle besides
+    * the (query, vec) partial-aggregated exchange. */
+  def ivfPqSearch(queries: DataFrame, cents: DataFrame, codes: DataFrame,
+      coarse: DataFrame, k: Int = 5, nprobe: Int = 2,
+      m: Int = 4, dsub: Int = 16): DataFrame = {
+    val d2 = aggregate(
+      zip_with(col("q"), col("cv"), (x, c) => (x - c) * (x - c)),
+      lit(0L), (acc, x) => acc + x)
+    val dt = pqSubvectors(queries, m, dsub)
+      .join(broadcast(cents), Seq("sub"))
+      .withColumn("dt", d2)
+      .select(col("vec_id").as("query_id"), col("sub").as("qsub"),
+        col("centroid_id").as("qcid"), col("dt"))
+    val qq = queries.select(col("vec_id").as("query_id"),
+      quantized(col("embedding")).as("qq"))
+    val cd2 = aggregate(
+      zip_with(col("qq"), col("ccv"), (x, c) => (x - c) * (x - c)),
+      lit(0L), (acc, x) => acc + x)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cd2"), col("label"))
+    val probes = qq.crossJoin(broadcast(coarse))
+      .withColumn("cd2", cd2)
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("label").as("plabel"))
+    val tables = dt.join(probes, Seq("query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("vec_id"))
+    codes.join(broadcast(tables),
+      codes("sub") === tables("qsub") &&
+        codes("centroid_id") === tables("qcid") &&
+        codes("label") === tables("plabel"))
+      .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"), col("label"))
       .agg(sum(col("dt")).as("adist"))
       .withColumn("rank", row_number().over(w))

@@ -2380,28 +2380,34 @@ WHERE rk <= 20"""
   private def pqD2Sql(s: String, c: String): String =
     s"CAST(list_sum(list_transform(range(1, 17), i -> ($s[i] - $c[i]) * ($s[i] - $c[i]))) AS BIGINT)"
 
-  /** Nearest-centroid-per-(vector, subspace) CTE body against `cents`. */
-  private def pqAssignSql(cents: String): String = s"""
+  /** Nearest-centroid-per-(vector, subspace) CTE body: assign `src`'s
+    * subvectors against codebook `cents`. */
+  private def pqAssignSql(cents: String, src: String = "subs"): String = s"""
   SELECT vec_id, sub, centroid_id FROM (
     SELECT vec_id, sub, centroid_id,
            row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, centroid_id) AS rn
     FROM (SELECT s.vec_id, s.sub, c.centroid_id, ${pqD2Sql("s.sq", "c.cv")} AS d2
-          FROM subs s JOIN $cents c ON c.sub = s.sub))
+          FROM $src s JOIN $cents c ON c.sub = s.sub))
   WHERE rn = 1"""
 
   /** Shared PQ codebook CTEs: slice into 4 subspaces, one Lloyd round
-    * per subspace, encode the corpus (`codes`). */
-  private def pqTrainCtes: String = s""",
+    * per subspace TRAINED on the rows satisfying `trainPred` (TRUE =
+    * whole corpus), then encode the WHOLE corpus against the resulting
+    * codebook (`codes`) — the frozen-codebook contract of the
+    * persisted incremental index, degenerate when trainPred is TRUE. */
+  private def pqTrainCtesWhere(trainPred: String): String = s""",
 subs AS (
   SELECT vec_id, label, t.sub, list_slice(qv, t.sub * 16 + 1, t.sub * 16 + 16) AS sq
   FROM q, UNNEST(range(0, 4)) t(sub)),
+tsubs AS (SELECT * FROM subs WHERE $trainPred),
 seeds AS (
   SELECT s.sub, s.vec_id AS centroid_id, s.sq AS cv
-  FROM subs s WHERE s.vec_id IN (SELECT vec_id FROM q ORDER BY vec_id LIMIT 8)),
-a0 AS (${pqAssignSql("seeds")}),
+  FROM tsubs s WHERE s.vec_id IN (
+    SELECT vec_id FROM q WHERE $trainPred ORDER BY vec_id LIMIT 8)),
+a0 AS (${pqAssignSql("seeds", "tsubs")}),
 s_c1 AS (
   SELECT a.sub, a.centroid_id, t.i, SUM(s.sq[t.i]) AS s, COUNT(*) AS n
-  FROM a0 a JOIN subs s ON s.vec_id = a.vec_id AND s.sub = a.sub,
+  FROM a0 a JOIN tsubs s ON s.vec_id = a.vec_id AND s.sub = a.sub,
        UNNEST(range(1, 17)) t(i)
   GROUP BY a.sub, a.centroid_id, t.i),
 p_c1 AS (
@@ -2412,6 +2418,8 @@ c1 AS (
   SELECT c.sub, c.centroid_id, COALESCE(p.cv, c.cv) AS cv
   FROM seeds c LEFT JOIN p_c1 p ON p.sub = c.sub AND p.centroid_id = c.centroid_id),
 codes AS (${pqAssignSql("c1")})"""
+
+  private def pqTrainCtes: String = pqTrainCtesWhere("TRUE")
 
   /** Mirror of EmbedOps.pqTopK(m=4, dsub=16, ksub=8, k=5): shared
     * codebook train/encode, then asymmetric-distance top-5 — every
@@ -2480,7 +2488,13 @@ FROM n GROUP BY label"""
     * codebook + codes; coarse centroids are per-label integer
     * floor-means, each query probes its `nprobe` nearest lists, and
     * the ADC join carries the probed label as a third equi key. */
-  def embedIvfPqTopKAt(nprobe: Int): String = quantCte + pqTrainCtes + s""",
+  def embedIvfPqTopKAt(nprobe: Int): String =
+    quantCte + pqTrainCtes + ivfPqSearchTail(nprobe)
+
+  /** The IVF-PQ search tail shared by the in-session and persisted-
+    * index oracles: coarse floor-mean centroids over the FULL corpus,
+    * nprobe nearest lists per query, ADC inside probed lists, top-5. */
+  private def ivfPqSearchTail(nprobe: Int): String = s""",
 coarse AS (
   SELECT label, list(CAST((s - ((s % n) + n) % n) // n AS BIGINT) ORDER BY i) AS ccv
   FROM (SELECT label, t.i, SUM(qv[t.i]) AS s, COUNT(*) AS n
@@ -2516,6 +2530,15 @@ SELECT query_id, label, rank, vec_id AS neighbor_id, adist FROM (
 WHERE rank <= 5"""
 
   val embedIvfPqTopK: String = embedIvfPqTopKAt(2)
+
+  /** Mirror of the persisted index's INCREMENTAL path
+    * (EmbedIndex.build on vec_id % 5 <> 0, then append of the rest):
+    * codebooks trained on the base segment only and FROZEN, the whole
+    * corpus encoded against them, coarse centroids over base+delta
+    * (the index's exact integer sums-merge equals this full
+    * recompute), same multi-probe ADC search. */
+  val embedIvfPqIncremental: String =
+    quantCte + pqTrainCtesWhere("vec_id % 5 <> 0") + ivfPqSearchTail(2)
 
   /** Mirror of EmbedOps.ivfPqRecallCompare(k=5): exact global top-5 vs
     * the IVF-PQ search at nprobe 1 and 2 — final-top-k hits per query

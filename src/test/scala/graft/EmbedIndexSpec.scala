@@ -1,0 +1,134 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.ext.{EmbedIndex, EmbedOps}
+
+/** The persisted IVF-PQ index: parity with the in-session search,
+  * exactness of the frozen-codebook incremental append, marker-gated
+  * crash atomicity, and the broadcast-only search plan. */
+class EmbedIndexSpec extends SparkSpec {
+
+  private def tmpDir(tag: String): String = {
+    val d = Files.createTempDirectory(s"graft_idx_$tag")
+    d.toFile.deleteOnExit()
+    d.toString + "/idx"
+  }
+
+  private def emb(rows: (Long, Int, Array[Float])*) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "label", "embedding")
+  }
+
+  /** 40 vectors in 4 dims, 2 labels, clustered per label — enough
+    * structure that ADC rankings are non-trivial but tiny enough that
+    * every path runs in milliseconds. vec_id 0 is the one query
+    * (0 % 97 == 0). */
+  private def fixture = {
+    val rnd = new scala.util.Random(7)
+    emb((0L until 40L).map { id =>
+      val label = (id % 2).toInt
+      (id, label, Array.tabulate(4)(d =>
+        (if (d == label * 2) 1.0f else 0.1f) + rnd.nextFloat() * 0.4f))
+    }: _*)
+  }
+
+  private def searchSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  test("persisted search equals the in-session IVF-PQ on real data") {
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, d)
+    val dir = tmpDir("real")
+    EmbedIndex.build(e, dir)
+    val queries = e.filter(org.apache.spark.sql.functions.col("vec_id") % 97 === 0)
+      .select("vec_id", "embedding")
+    val persisted = searchSet(EmbedIndex.search(spark, dir, queries))
+    val inSession = searchSet(
+      EmbedOps.ivfPqTopKFrom(e, EmbedOps.trainPq(e),
+        coarse = EmbedOps.coarseCentroids(e)))
+    assert(persisted.nonEmpty && persisted == inSession)
+  }
+
+  test("append encodes with FROZEN codebooks and merges coarse sums exactly") {
+    import org.apache.spark.sql.functions.col
+    val all = fixture
+    val base = all.filter(col("vec_id") % 5 =!= 0)
+    val delta = all.filter(col("vec_id") % 5 === 0)
+    val dir = tmpDir("incr")
+    EmbedIndex.build(base, dir, m = 2, dsub = 2, ksub = 4)
+    EmbedIndex.append(delta, dir)
+    val st = EmbedIndex.load(spark, dir)
+    // codes: identical to a frozen-codebook encode of the FULL corpus
+    // (base codes from training + delta codes from append = one encode)
+    val expectCodes = EmbedOps.encodePq(all, st.cents, m = 2, dsub = 2)
+      .join(all.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .collect().map(_.toSeq).toSet
+    assert(st.codes.collect().map(_.toSeq).toSet == expectCodes)
+    // coarse centroids: the incremental sums merge is EXACT — equal to
+    // a from-scratch recompute over base+delta
+    val gotCoarse = st.coarse.collect()
+      .map(r => r.getAs[Int]("label") -> r.getSeq[Long](1)).toMap
+    val wantCoarse = EmbedOps.coarseCentroids(all).collect()
+      .map(r => r.getAs[Int]("label") -> r.getSeq[Long](1)).toMap
+    assert(gotCoarse == wantCoarse)
+    // the merged-index search equals a search over directly-computed
+    // artifacts of the same (frozen-codebook) semantics
+    val queries = all.filter(col("vec_id") % 97 === 0)
+      .select("vec_id", "embedding")
+    val got = searchSet(EmbedIndex.search(spark, dir, queries))
+    val want = searchSet(EmbedOps.ivfPqSearch(queries, st.cents,
+      EmbedOps.encodePq(all, st.cents, m = 2, dsub = 2)
+        .join(all.select(col("vec_id"), col("label")), Seq("vec_id")),
+      EmbedOps.coarseCentroids(all), m = 2, dsub = 2))
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("two appends produce three visible segments; versioned sums advance") {
+    import org.apache.spark.sql.functions.col
+    val all = fixture
+    val dir = tmpDir("multi")
+    EmbedIndex.build(all.filter(col("vec_id") < 20), dir, m = 2, dsub = 2, ksub = 4)
+    EmbedIndex.append(all.filter(col("vec_id") >= 20 && col("vec_id") < 30), dir)
+    EmbedIndex.append(all.filter(col("vec_id") >= 30), dir)
+    assert(EmbedIndex.committedSegs(dir) == Seq(0L, 1L, 2L))
+    val st = EmbedIndex.load(spark, dir)
+    assert(st.codes.select("vec_id").distinct().count() == 40)
+    // latest sums cover the whole corpus
+    val wantCoarse = EmbedOps.coarseCentroids(all).collect()
+      .map(r => r.getAs[Int]("label") -> r.getSeq[Long](1)).toMap
+    val gotCoarse = st.coarse.collect()
+      .map(r => r.getAs[Int]("label") -> r.getSeq[Long](1)).toMap
+    assert(gotCoarse == wantCoarse)
+  }
+
+  test("a torn append (data without marker, marker without data) is invisible") {
+    import org.apache.spark.sql.functions.col
+    val all = fixture
+    val dir = tmpDir("torn")
+    EmbedIndex.build(all.filter(col("vec_id") < 30), dir, m = 2, dsub = 2, ksub = 4)
+    val queries = all.filter(col("vec_id") % 97 === 0)
+      .select("vec_id", "embedding")
+    val before = searchSet(EmbedIndex.search(spark, dir, queries))
+    // torn write: segment + sums dirs exist but the marker never landed
+    Files.createDirectories(Paths.get(dir, "seg-1"))
+    Files.createDirectories(Paths.get(dir, "sums-1"))
+    // stray marker: marker exists but its data dirs don't
+    Files.write(Paths.get(dir, "_commits", "seg-7"), Array.emptyByteArray)
+    assert(EmbedIndex.committedSegs(dir) == Seq(0L))
+    assert(searchSet(EmbedIndex.search(spark, dir, queries)) == before)
+  }
+
+  test("persisted search plan is broadcast-only: no shuffle join, no cartesian") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("plan")
+    EmbedIndex.build(fixture, dir, m = 2, dsub = 2, ksub = 4)
+    val queries = fixture.filter(col("vec_id") % 97 === 0)
+      .select("vec_id", "embedding")
+    val plan = EmbedIndex.search(spark, dir, queries)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+}
