@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, BoundReference, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -176,8 +176,16 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
       val keyOrd =
         RowOrdering.createNaturalAscendingOrdering(lKeyExprs.map(_.dataType))
-      val lTsBound = BindReferences.bindReference(lTsExpr, lOut)
-      val rTsBound = BindReferences.bindReference(rTsExpr, rOut)
+      // primitive timestamp ordinals, not Expression.eval: the merge
+      // reads a timestamp up to twice per row pair and eval boxes a
+      // java.lang.Long each read — pure interpreter overhead in the hot
+      // loop. Both ts exprs are child attributes (asOf validates the
+      // types), and Timestamp/Long both store a long, so isNullAt +
+      // getLong carry the whole contract allocation-free.
+      val lTsOrd = BindReferences.bindReference(lTsExpr, lOut)
+        .asInstanceOf[BoundReference].ordinal
+      val rTsOrd = BindReferences.bindReference(rTsExpr, rOut)
+        .asInstanceOf[BoundReference].ordinal
       val nullRight = new GenericInternalRow(rOut.length)
       val joined = new JoinedRow
       // bind against NULLABLE-forced right attrs: the original right
@@ -203,20 +211,21 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
         override def next(): InternalRow = {
           val l = lIter.next()
           val lKey = lKeyProj(l)
-          val lTsV = lTsBound.eval(l) // null ts on the left: no match
-          var done = lTsV == null
+          val lTsNull = l.isNullAt(lTsOrd) // null ts on the left: no match
+          val lTs = if (lTsNull) 0L else l.getLong(lTsOrd)
+          var done = lTsNull
           while (!done && rRow != null) {
             val c = keyOrd.compare(rKeyProj(rRow), lKey)
             if (c < 0) { // right behind on key: its matches are stale
               matched = null; advanceRight()
             } else if (c > 0) done = true
+            else if (rRow.isNullAt(rTsOrd)) advanceRight() // null right ts
             else {
-              val rTsV = rTsBound.eval(rRow)
-              if (rTsV == null) advanceRight() // null right ts: skip
-              else if (rTsV.asInstanceOf[Long] <= lTsV.asInstanceOf[Long]) {
+              val rTs = rRow.getLong(rTsOrd)
+              if (rTs <= lTs) {
                 // at-or-before: newest-so-far (sorted ts asc, tie asc)
                 matched = rRow.copy(); matchedKey = lKey.copy()
-                matchedTs = rTsV.asInstanceOf[Long]
+                matchedTs = rTs
                 advanceRight()
               } else done = true
             }
@@ -224,15 +233,15 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
           // tolerance: the newest at-or-before match may still be too
           // old (left ts only grows, so a rejected match can only be
           // resurrected by a NEWER right row, which overwrites it).
-          // lTsV != null is checked EXPLICITLY: null would unbox to 0L
-          // in the subtraction, and while NULLS FIRST ordering means a
-          // null-ts left row can't follow a carried same-key match
-          // today, the no-match contract must not hang on sort-order
-          // reasoning alone.
+          // !lTsNull is checked EXPLICITLY: a null left ts must emit
+          // no match by contract, and while NULLS FIRST ordering means
+          // a null-ts left row can't follow a carried same-key match
+          // today, the contract must not hang on sort-order reasoning
+          // alone.
           val m =
-            if (lTsV != null && matched != null && matchedKey != null &&
+            if (!lTsNull && matched != null && matchedKey != null &&
               keyOrd.compare(matchedKey, lKey) == 0 &&
-              lTsV.asInstanceOf[Long] - matchedTs <= tolUs) matched
+              lTs - matchedTs <= tolUs) matched
             else nullRight
           numOut += 1
           resultProj(joined(l, m))
