@@ -109,21 +109,62 @@ object EmbedIndex {
     * the marker last. Readers racing the append see the previous
     * segment set until the marker lands. */
   def append(delta: DataFrame, dir: String): Unit = {
-    val spark = delta.sparkSession
     val segs = committedSegs(dir)
     require(segs.nonEmpty, s"no committed index at $dir — build() first")
-    val next = segs.last + 1
+    appendAt(delta, dir, segs, segs.last + 1)
+  }
+
+  /** Idempotent per-micro-batch append — the STREAMING maintenance
+    * entry ([[startAppend]]). The segment id derives from the batch id
+    * (seg-0 is the build), so a batch replayed after a crash
+    * re-commits the SAME segment instead of double-appending — the
+    * batch-id guard that makes [[graft.streaming.CorpusIngest]]'s
+    * sketch stores replay-safe, load-bearing here for the same reason
+    * (codes would duplicate, sums would double-count). A torn dir from
+    * the crashed attempt is overwritten; a batch-id behind the
+    * committed high-water mark (a stream restarted with a FRESH
+    * checkpoint against a populated index) fails loudly rather than
+    * silently rewriting history. */
+  def appendBatch(delta: DataFrame, dir: String, batchId: Long): Unit = {
+    val segs = committedSegs(dir)
+    require(segs.nonEmpty, s"no committed index at $dir — build() first")
+    val segId = 1 + batchId
+    if (!segs.contains(segId)) {
+      require(segId > segs.last,
+        s"batch $batchId maps to segment $segId behind committed " +
+          s"high-water seg-${segs.last} at $dir — one stream checkpoint " +
+          "per index lifetime")
+      appendAt(delta, dir, segs, segId)
+    }
+  }
+
+  /** Maintain the persisted index from an embedding stream
+    * (vec_id, label, embedding): one replay-safe segment per
+    * micro-batch. Searchers polling [[search]] between batches always
+    * see a complete committed prefix. */
+  def startAppend(vectors: DataFrame, dir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatch(batch, dir, batchId); ()
+      }
+      .start()
+
+  private def appendAt(delta: DataFrame, dir: String, segs: Seq[Long],
+      segId: Long): Unit = {
+    val spark = delta.sparkSession
     val (m, dsub) = readMeta(dir)
     val cents = spark.read.parquet(s"$dir/cents")
     EmbedOps.encodePq(delta, cents, m, dsub)
       .join(delta.select(col("vec_id"), col("label")), Seq("vec_id"))
-      .write.parquet(s"$dir/seg-$next")
+      .write.mode("overwrite").parquet(s"$dir/seg-$segId")
     spark.read.parquet(s"$dir/sums-${segs.last}")
       .unionByName(EmbedOps.coarseSums(delta))
       .groupBy(col("label"), col("i"))
       .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
-      .write.parquet(s"$dir/sums-$next")
-    Files.write(commitDir(dir).resolve(s"seg-$next"), Array.emptyByteArray)
+      .write.mode("overwrite").parquet(s"$dir/sums-$segId")
+    Files.write(commitDir(dir).resolve(s"seg-$segId"), Array.emptyByteArray)
     ()
   }
 

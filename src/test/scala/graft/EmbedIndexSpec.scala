@@ -119,6 +119,58 @@ class EmbedIndexSpec extends SparkSpec {
     assert(searchSet(EmbedIndex.search(spark, dir, queries)) == before)
   }
 
+  test("appendBatch is replay-safe: a re-delivered batch id commits nothing new") {
+    import org.apache.spark.sql.functions.col
+    val all = fixture
+    val dir = tmpDir("replay")
+    EmbedIndex.build(all.filter(col("vec_id") < 30), dir, m = 2, dsub = 2, ksub = 4)
+    val delta = all.filter(col("vec_id") >= 30)
+    EmbedIndex.appendBatch(delta, dir, batchId = 0)
+    val afterFirst = EmbedIndex.load(spark, dir).codes.count()
+    // crash-replay of the same micro-batch: same id, same data
+    EmbedIndex.appendBatch(delta, dir, batchId = 0)
+    assert(EmbedIndex.committedSegs(dir) == Seq(0L, 1L))
+    assert(EmbedIndex.load(spark, dir).codes.count() == afterFirst)
+    // an uncommitted batch id BEHIND the committed high-water mark (a
+    // stream restarted with a fresh checkpoint against a populated
+    // index) must fail loudly, not silently rewrite committed history:
+    // commit batch 2 (leaving a hole at segment 2), then offer batch 1
+    EmbedIndex.appendBatch(delta, dir, batchId = 2)
+    intercept[IllegalArgumentException] {
+      EmbedIndex.appendBatch(delta, dir, batchId = 1)
+    }
+  }
+
+  test("streaming maintenance: per-batch appends converge to the batch-built state") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = fixture
+    val dir = tmpDir("stream")
+    EmbedIndex.build(all.filter(col("vec_id") < 20), dir, m = 2, dsub = 2, ksub = 4)
+    val rows = all.filter(col("vec_id") >= 20).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val input = MemoryStream[(Long, Int, Array[Float])]
+    val ckpt = Files.createTempDirectory("graft_idx_ckpt").toString
+    val q = EmbedIndex.startAppend(
+      input.toDF().toDF("vec_id", "label", "embedding"), dir, ckpt)
+    try {
+      input.addData(rows.filter(_._1 < 30).toSeq)
+      q.processAllAvailable()
+      input.addData(rows.filter(_._1 >= 30).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val st = EmbedIndex.load(spark, dir)
+    assert(st.codes.select("vec_id").distinct().count() == 40)
+    // the streamed index's coarse state equals a from-scratch recompute
+    val wantCoarse = EmbedOps.coarseCentroids(all).collect()
+      .map(r => r.getAs[Int]("label") -> r.getSeq[Long](1)).toMap
+    val gotCoarse = st.coarse.collect()
+      .map(r => r.getAs[Int]("label") -> r.getSeq[Long](1)).toMap
+    assert(gotCoarse == wantCoarse)
+  }
+
   test("persisted search plan is broadcast-only: no shuffle join, no cartesian") {
     import org.apache.spark.sql.functions.col
     val dir = tmpDir("plan")
