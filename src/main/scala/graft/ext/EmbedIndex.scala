@@ -1,6 +1,6 @@
 package graft.ext
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -12,19 +12,28 @@ import org.apache.spark.sql.functions._
   * has no ANN at all (its one lookup is the keyed dedup query,
   * index.js:107-141); this is the LLM-pipeline extension surface.
   *
-  * On-disk layout (all parquet, under `dir`):
+  * On-disk layout (parquet dirs + tiny text files, under `dir`):
   * {{{
-  *   cents/        (sub, centroid_id, cv)           codebooks — written once, FROZEN
-  *   seg-<id>/     (vec_id, sub, centroid_id, label) one code segment per build/append
-  *   sums-<id>/    (label, i, s, n)                  CUMULATIVE coarse sufficient stats
-  *   _commits/seg-<id>                               zero-byte marker, written LAST
+  *   meta                       PQ geometry (m, dsub) — written once
+  *   cents/                     (sub, centroid_id, cv) codebooks — FROZEN
+  *   seg-<id>/                  (vec_id, sub, centroid_id, label) code segment
+  *   sums-<id>/                 (label, i, s, n) CUMULATIVE coarse stats
+  *   _commits/manifest-<gen>    the commit: which segments + sums are live
   * }}}
   *
-  * Crash-atomic publish (same marker discipline as
-  * [[graft.streaming.CorpusIngest]]'s sketch store): data dirs are
-  * immutable once written, and a segment exists only when its marker
-  * AND both dirs do — a writer dying mid-append leaves a torn,
-  * invisible segment; readers keep serving the previous state.
+  * Commit protocol — MANIFEST GENERATIONS (Iceberg-style, single-file
+  * atomicity): data dirs are immutable once written and carry no
+  * authority; the only source of truth is the highest-generation
+  * manifest, a small text file listing the live segment ids, the live
+  * sums id, and the segment-id high-water mark. Every commit (build,
+  * append, streamed batch, compaction) writes its data dirs FIRST,
+  * then publishes a NEW manifest via write-temp + atomic rename. A
+  * writer dying mid-operation leaves orphan dirs and no manifest — a
+  * torn write is invisible, readers keep serving the previous
+  * generation. Compaction is what the manifest protocol buys: folding
+  * N segments into one is a single manifest swap, impossible to make
+  * atomic with per-segment commit markers (removing N markers while
+  * adding one cannot be one filesystem operation).
   *
   * Incremental maintenance contract: appends encode the delta with the
   * FROZEN codebooks ([[EmbedOps.encodePq]]) and merge the coarse
@@ -35,7 +44,9 @@ import org.apache.spark.sql.functions._
   * SQL oracle. Codes are append-only segments: an append writes
   * O(|delta|) code rows + an nlist×dims sums frame, never rewrites the
   * corpus — the 100-TB property (re-encoding 100 TB per append would
-  * be a rebuild in disguise).
+  * be a rebuild in disguise). Read amplification from many small
+  * streamed segments is bounded by [[compact]], which rewrites codes
+  * rows but never touches raw vectors.
   *
   * What appends do NOT do: retrain codebooks or re-list old vectors.
   * Quantization drift under a shifting distribution is a monitored
@@ -44,8 +55,15 @@ import org.apache.spark.sql.functions._
   */
 object EmbedIndex {
 
-  /** The loaded read-view of an index version: frozen codebooks, the
-    * union of committed code segments, derived coarse centroids, and
+  /** One committed generation: live code segments, the live sums id,
+    * and `high` — the highest segment id EVER committed (survives
+    * compaction, so replayed stream batches stay recognizable after
+    * their segments were folded away). */
+  final case class Manifest(gen: Long, high: Long, sumsId: Long,
+      segs: Seq[Long])
+
+  /** The loaded read-view of an index generation: frozen codebooks,
+    * the union of live code segments, derived coarse centroids, and
     * the stored PQ geometry (searchers must slice queries exactly the
     * way the index was built — it rides with the index, not the
     * caller). */
@@ -54,21 +72,43 @@ object EmbedIndex {
 
   private def commitDir(dir: String) = Paths.get(dir, "_commits")
 
-  /** Committed segment ids: marker present AND both data dirs present
-    * (a torn write without its marker — or a marker whose dirs were
-    * lost — is invisible). */
-  def committedSegs(dir: String): Seq[Long] =
-    if (!Files.exists(commitDir(dir))) Seq.empty
+  /** The current committed manifest, if any generation has published
+    * (atomic rename means a manifest file is complete or absent —
+    * never torn). */
+  def manifest(dir: String): Option[Manifest] =
+    if (!Files.exists(commitDir(dir))) None
     else {
       import scala.jdk.CollectionConverters._
-      Files.list(commitDir(dir)).iterator().asScala
+      val gens = Files.list(commitDir(dir)).iterator().asScala
         .map(_.getFileName.toString)
-        .collect { case s if s.startsWith("seg-") =>
-          s.stripPrefix("seg-").toLong }
-        .filter(id => Files.exists(Paths.get(dir, s"seg-$id")) &&
-          Files.exists(Paths.get(dir, s"sums-$id")))
+        .collect { case s if s.startsWith("manifest-") =>
+          s.stripPrefix("manifest-").toLong }
         .toSeq.sorted
+      gens.lastOption.map(readManifest(dir, _))
     }
+
+  private def readManifest(dir: String, gen: Long): Manifest = {
+    val kv = new String(Files.readAllBytes(
+      commitDir(dir).resolve(s"manifest-$gen")), "UTF-8")
+      .linesIterator.filter(_.contains("="))
+      .map { l => val Array(k, v) = l.split("=", 2); k -> v.trim }
+      .toMap
+    Manifest(gen, kv("high").toLong, kv("sums").toLong,
+      kv("segs").split(",").filter(_.nonEmpty).map(_.toLong).toSeq)
+  }
+
+  /** Publish a manifest generation: write to a temp name, atomic-rename
+    * into place — the single filesystem operation every commit rides. */
+  private def publish(dir: String, m: Manifest): Unit = {
+    Files.createDirectories(commitDir(dir))
+    val body = s"high=${m.high}\nsums=${m.sumsId}\n" +
+      s"segs=${m.segs.mkString(",")}\n"
+    val tmp = commitDir(dir).resolve(s".manifest-${m.gen}.tmp")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    Files.move(tmp, commitDir(dir).resolve(s"manifest-${m.gen}"),
+      StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
 
   private def wipe(dir: String): Unit = {
     val d = Paths.get(dir)
@@ -80,8 +120,7 @@ object EmbedIndex {
 
   /** Train on `embeddings` and atomically REPLACE the index at `dir`:
     * codebooks, segment 0's codes (with their inverted-list label),
-    * and the coarse sufficient statistics. The commit marker goes last;
-    * a crash before it leaves no readable index. */
+    * the coarse sufficient statistics, and generation-0's manifest. */
   def build(embeddings: DataFrame, dir: String, m: Int = 4,
       dsub: Int = 16, ksub: Int = 8): Unit = {
     wipe(dir)
@@ -95,9 +134,7 @@ object EmbedIndex {
         .join(embeddings.select(col("vec_id"), col("label")), Seq("vec_id"))
         .write.parquet(s"$dir/seg-0")
       EmbedOps.coarseSums(embeddings).write.parquet(s"$dir/sums-0")
-      Files.createDirectories(commitDir(dir))
-      Files.write(commitDir(dir).resolve("seg-0"), Array.emptyByteArray)
-      ()
+      publish(dir, Manifest(gen = 0, high = 0, sumsId = 0, segs = Seq(0)))
     } finally {
       // build is one-shot: the trainPq caches have served their writes
       pq.subs.unpersist(); pq.codes.unpersist(); ()
@@ -105,13 +142,14 @@ object EmbedIndex {
   }
 
   /** Append `delta` as a new segment: encode with the frozen codebooks,
-    * write O(|delta|) code rows, merge the coarse sums exactly, commit
-    * the marker last. Readers racing the append see the previous
-    * segment set until the marker lands. */
+    * write O(|delta|) code rows, merge the coarse sums exactly, publish
+    * the next manifest generation. Readers racing the append see the
+    * previous generation until the rename lands. */
   def append(delta: DataFrame, dir: String): Unit = {
-    val segs = committedSegs(dir)
-    require(segs.nonEmpty, s"no committed index at $dir — build() first")
-    appendAt(delta, dir, segs, segs.last + 1)
+    val man = manifest(dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed index at $dir — build() first"))
+    appendAt(delta, dir, man, man.high + 1)
   }
 
   /** Idempotent per-micro-batch append — the STREAMING maintenance
@@ -120,28 +158,31 @@ object EmbedIndex {
     * re-commits the SAME segment instead of double-appending — the
     * batch-id guard that makes [[graft.streaming.CorpusIngest]]'s
     * sketch stores replay-safe, load-bearing here for the same reason
-    * (codes would duplicate, sums would double-count). A torn dir from
-    * the crashed attempt is overwritten; a batch-id behind the
-    * committed high-water mark (a stream restarted with a FRESH
-    * checkpoint against a populated index) fails loudly rather than
-    * silently rewriting history. */
+    * (codes would duplicate, sums would double-count). The replay
+    * check is against `high`, not the live segment list, so it
+    * survives compaction folding old segments away. A torn dir from a
+    * crashed attempt is overwritten; a batch id that maps BEHIND the
+    * high-water mark without being a replay (a stream restarted with a
+    * FRESH checkpoint against a populated index) fails loudly rather
+    * than silently rewriting history. */
   def appendBatch(delta: DataFrame, dir: String, batchId: Long): Unit = {
-    val segs = committedSegs(dir)
-    require(segs.nonEmpty, s"no committed index at $dir — build() first")
+    val man = manifest(dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed index at $dir — build() first"))
     val segId = 1 + batchId
-    if (!segs.contains(segId)) {
-      require(segId > segs.last,
-        s"batch $batchId maps to segment $segId behind committed " +
-          s"high-water seg-${segs.last} at $dir — one stream checkpoint " +
-          "per index lifetime")
-      appendAt(delta, dir, segs, segId)
-    }
+    if (segId > man.high) {
+      require(segId == man.high + 1,
+        s"batch $batchId maps to segment $segId but the committed " +
+          s"high-water is seg-${man.high} at $dir — a gap means lost " +
+          "batches; one stream checkpoint per index lifetime")
+      appendAt(delta, dir, man, segId)
+    } // segId <= high: replayed batch, already committed — no-op
   }
 
   /** Maintain the persisted index from an embedding stream
     * (vec_id, label, embedding): one replay-safe segment per
     * micro-batch. Searchers polling [[search]] between batches always
-    * see a complete committed prefix. */
+    * see a complete committed generation. */
   def startAppend(vectors: DataFrame, dir: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     vectors.writeStream
@@ -151,7 +192,7 @@ object EmbedIndex {
       }
       .start()
 
-  private def appendAt(delta: DataFrame, dir: String, segs: Seq[Long],
+  private def appendAt(delta: DataFrame, dir: String, man: Manifest,
       segId: Long): Unit = {
     val spark = delta.sparkSession
     val (m, dsub) = readMeta(dir)
@@ -159,13 +200,49 @@ object EmbedIndex {
     EmbedOps.encodePq(delta, cents, m, dsub)
       .join(delta.select(col("vec_id"), col("label")), Seq("vec_id"))
       .write.mode("overwrite").parquet(s"$dir/seg-$segId")
-    spark.read.parquet(s"$dir/sums-${segs.last}")
+    spark.read.parquet(s"$dir/sums-${man.sumsId}")
       .unionByName(EmbedOps.coarseSums(delta))
       .groupBy(col("label"), col("i"))
       .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
       .write.mode("overwrite").parquet(s"$dir/sums-$segId")
-    Files.write(commitDir(dir).resolve(s"seg-$segId"), Array.emptyByteArray)
-    ()
+    publish(dir, Manifest(gen = man.gen + 1, high = segId,
+      sumsId = segId, segs = man.segs :+ segId))
+  }
+
+  /** Fold all live segments into one: rewrites code rows (never raw
+    * vectors), then swaps the manifest in one rename — the atomic
+    * multi-segment replace the manifest protocol exists for. Results
+    * are identical by construction (same rows, one dir); sums are
+    * untouched. Old segment dirs become garbage for [[vacuum]]. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val man = manifest(dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed index at $dir"))
+    if (man.segs.size > 1) {
+      val segId = man.high + 1
+      spark.read.parquet(man.segs.map(id => s"$dir/seg-$id"): _*)
+        .write.mode("overwrite").parquet(s"$dir/seg-$segId")
+      publish(dir, Manifest(gen = man.gen + 1, high = segId,
+        sumsId = man.sumsId, segs = Seq(segId)))
+    }
+  }
+
+  /** Delete data dirs and manifests no longer referenced by the
+    * current generation. Separated from [[compact]] (and from every
+    * commit) so a deployment can impose a grace period for readers
+    * still scanning an older generation — deletion is the only
+    * non-reversible step in the protocol. */
+  def vacuum(dir: String): Unit = {
+    manifest(dir).foreach { man =>
+      import scala.jdk.CollectionConverters._
+      val live = man.segs.map(id => s"seg-$id").toSet ++
+        Set(s"sums-${man.sumsId}", "cents", "meta", "_commits")
+      Files.list(Paths.get(dir)).iterator().asScala.toList
+        .filterNot(p => live.contains(p.getFileName.toString))
+        .foreach(p => wipe(p.toString))
+      Files.list(commitDir(dir)).iterator().asScala.toList
+        .filter(_.getFileName.toString != s"manifest-${man.gen}")
+        .foreach(p => { Files.deleteIfExists(p); () })
+    }
   }
 
   private def readMeta(dir: String): (Int, Int) = {
@@ -176,17 +253,18 @@ object EmbedIndex {
     (kv("m"), kv("dsub"))
   }
 
-  /** Load the committed read-view: all committed code segments, the
-    * frozen codebooks, and centroids derived from the latest sums. */
+  /** Load the committed read-view: the current generation's live code
+    * segments, the frozen codebooks, and centroids derived from the
+    * live sums. */
   def load(spark: SparkSession, dir: String): State = {
-    val segs = committedSegs(dir)
-    require(segs.nonEmpty, s"no committed index at $dir")
+    val man = manifest(dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed index at $dir"))
     val (m, dsub) = readMeta(dir)
     State(
       cents = spark.read.parquet(s"$dir/cents"),
-      codes = spark.read.parquet(segs.map(id => s"$dir/seg-$id"): _*),
+      codes = spark.read.parquet(man.segs.map(id => s"$dir/seg-$id"): _*),
       coarse = EmbedOps.coarseCentroidsFromSums(
-        spark.read.parquet(s"$dir/sums-${segs.last}")),
+        spark.read.parquet(s"$dir/sums-${man.sumsId}")),
       m = m, dsub = dsub)
   }
 

@@ -91,7 +91,7 @@ class EmbedIndexSpec extends SparkSpec {
     EmbedIndex.build(all.filter(col("vec_id") < 20), dir, m = 2, dsub = 2, ksub = 4)
     EmbedIndex.append(all.filter(col("vec_id") >= 20 && col("vec_id") < 30), dir)
     EmbedIndex.append(all.filter(col("vec_id") >= 30), dir)
-    assert(EmbedIndex.committedSegs(dir) == Seq(0L, 1L, 2L))
+    assert(EmbedIndex.manifest(dir).get.segs == Seq(0L, 1L, 2L))
     val st = EmbedIndex.load(spark, dir)
     assert(st.codes.select("vec_id").distinct().count() == 40)
     // latest sums cover the whole corpus
@@ -100,9 +100,29 @@ class EmbedIndexSpec extends SparkSpec {
     val gotCoarse = st.coarse.collect()
       .map(r => r.getAs[Int]("label") -> r.getSeq[Long](1)).toMap
     assert(gotCoarse == wantCoarse)
+    // compaction folds the three segments into one in a single
+    // manifest swap; results are identical, then vacuum reclaims the
+    // dead dirs and the index still serves
+    val queries = all.filter(col("vec_id") % 97 === 0)
+      .select("vec_id", "embedding")
+    val before = searchSet(EmbedIndex.search(spark, dir, queries))
+    EmbedIndex.compact(spark, dir)
+    val manC = EmbedIndex.manifest(dir).get
+    assert(manC.segs == Seq(3L) && manC.high == 3L)
+    assert(searchSet(EmbedIndex.search(spark, dir, queries)) == before)
+    EmbedIndex.vacuum(dir)
+    assert(!Files.exists(Paths.get(dir, "seg-0")) &&
+      !Files.exists(Paths.get(dir, "seg-1")) &&
+      !Files.exists(Paths.get(dir, "seg-2")))
+    assert(searchSet(EmbedIndex.search(spark, dir, queries)) == before)
+    // a replayed stream batch whose segment was compacted away is still
+    // recognized as committed (the check is against `high`, not the
+    // live list): no duplicate append
+    EmbedIndex.appendBatch(all.filter(col("vec_id") >= 30), dir, batchId = 1)
+    assert(EmbedIndex.manifest(dir).get == manC)
   }
 
-  test("a torn append (data without marker, marker without data) is invisible") {
+  test("a torn append (data dirs without a manifest, abandoned manifest temp) is invisible") {
     import org.apache.spark.sql.functions.col
     val all = fixture
     val dir = tmpDir("torn")
@@ -110,12 +130,15 @@ class EmbedIndexSpec extends SparkSpec {
     val queries = all.filter(col("vec_id") % 97 === 0)
       .select("vec_id", "embedding")
     val before = searchSet(EmbedIndex.search(spark, dir, queries))
-    // torn write: segment + sums dirs exist but the marker never landed
+    // torn write: segment + sums dirs exist but no manifest generation
+    // ever referenced them
     Files.createDirectories(Paths.get(dir, "seg-1"))
     Files.createDirectories(Paths.get(dir, "sums-1"))
-    // stray marker: marker exists but its data dirs don't
-    Files.write(Paths.get(dir, "_commits", "seg-7"), Array.emptyByteArray)
-    assert(EmbedIndex.committedSegs(dir) == Seq(0L))
+    // abandoned manifest temp (writer died before the atomic rename):
+    // not a manifest, never read
+    Files.write(Paths.get(dir, "_commits", ".manifest-9.tmp"),
+      "high=9\nsums=9\nsegs=9\n".getBytes("UTF-8"))
+    assert(EmbedIndex.manifest(dir).get.segs == Seq(0L))
     assert(searchSet(EmbedIndex.search(spark, dir, queries)) == before)
   }
 
@@ -129,15 +152,12 @@ class EmbedIndexSpec extends SparkSpec {
     val afterFirst = EmbedIndex.load(spark, dir).codes.count()
     // crash-replay of the same micro-batch: same id, same data
     EmbedIndex.appendBatch(delta, dir, batchId = 0)
-    assert(EmbedIndex.committedSegs(dir) == Seq(0L, 1L))
+    assert(EmbedIndex.manifest(dir).get.segs == Seq(0L, 1L))
     assert(EmbedIndex.load(spark, dir).codes.count() == afterFirst)
-    // an uncommitted batch id BEHIND the committed high-water mark (a
-    // stream restarted with a fresh checkpoint against a populated
-    // index) must fail loudly, not silently rewrite committed history:
-    // commit batch 2 (leaving a hole at segment 2), then offer batch 1
-    EmbedIndex.appendBatch(delta, dir, batchId = 2)
+    // a batch id AHEAD of the high-water mark (skipped batches — a
+    // desynced checkpoint) must fail loudly, not leave a silent gap
     intercept[IllegalArgumentException] {
-      EmbedIndex.appendBatch(delta, dir, batchId = 1)
+      EmbedIndex.appendBatch(delta, dir, batchId = 5)
     }
   }
 
