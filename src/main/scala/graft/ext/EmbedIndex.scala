@@ -256,9 +256,25 @@ object EmbedIndex {
   /** Load the committed read-view: the current generation's live code
     * segments, the frozen codebooks, and centroids derived from the
     * live sums. */
-  def load(spark: SparkSession, dir: String): State = {
-    val man = manifest(dir).getOrElse(
-      throw new IllegalArgumentException(s"no committed index at $dir"))
+  def load(spark: SparkSession, dir: String): State =
+    loadAt(spark, dir, manifest(dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed index at $dir")))
+
+  /** TIME-TRAVEL read: load a specific retained generation. Immutable
+    * data dirs + generation-named manifests make every un-vacuumed
+    * generation a consistent snapshot — a reader pinned to gen G sees
+    * exactly the index as of G's commit, regardless of concurrent
+    * appends or compactions (the same pinned-snapshot contract a table
+    * format gives its readers). Fails loudly when the generation was
+    * vacuumed away. */
+  def loadAt(spark: SparkSession, dir: String, gen: Long): State = {
+    require(Files.exists(commitDir(dir).resolve(s"manifest-$gen")),
+      s"generation $gen at $dir does not exist or was vacuumed")
+    loadAt(spark, dir, readManifest(dir, gen))
+  }
+
+  private def loadAt(spark: SparkSession, dir: String,
+      man: Manifest): State = {
     val (m, dsub) = readMeta(dir)
     State(
       cents = spark.read.parquet(s"$dir/cents"),

@@ -122,6 +122,33 @@ class EmbedIndexSpec extends SparkSpec {
     assert(EmbedIndex.manifest(dir).get == manC)
   }
 
+  test("time-travel: a retained generation reads as its historical snapshot") {
+    import org.apache.spark.sql.functions.col
+    val all = fixture
+    val dir = tmpDir("travel")
+    val base = all.filter(col("vec_id") < 30)
+    EmbedIndex.build(base, dir, m = 2, dsub = 2, ksub = 4)
+    val queries = all.filter(col("vec_id") % 97 === 0)
+      .select("vec_id", "embedding")
+    val atGen0 = searchSet(EmbedOps.ivfPqSearch(queries,
+      EmbedIndex.load(spark, dir).cents, EmbedIndex.load(spark, dir).codes,
+      EmbedIndex.load(spark, dir).coarse, m = 2, dsub = 2))
+    EmbedIndex.append(all.filter(col("vec_id") >= 30), dir)
+    // current generation sees the append; gen 0 still reads the
+    // pre-append snapshot, byte-identical
+    val st0 = EmbedIndex.loadAt(spark, dir, gen = 0)
+    assert(st0.codes.select("vec_id").distinct().count() == 30)
+    assert(searchSet(EmbedOps.ivfPqSearch(queries, st0.cents, st0.codes,
+      st0.coarse, m = 2, dsub = 2)) == atGen0)
+    assert(EmbedIndex.load(spark, dir).codes
+      .select("vec_id").distinct().count() == 40)
+    // vacuum retains only the current generation; gen 0 now fails loudly
+    EmbedIndex.vacuum(dir)
+    intercept[IllegalArgumentException] {
+      EmbedIndex.loadAt(spark, dir, gen = 0)
+    }
+  }
+
   test("a torn append (data dirs without a manifest, abandoned manifest temp) is invisible") {
     import org.apache.spark.sql.functions.col
     val all = fixture
