@@ -301,6 +301,126 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of join matches the batch as-of frame once purchases finalize") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Long)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type", "event_id")
+    val q = graft.streaming.AsOfStream.clickAsOfPurchaseStream(events)
+      .writeStream
+      .outputMode(OutputMode.Append).format("memory").queryName("asof_stream_test")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    // u1: at-ts tie (click 5/6 at exactly the purchase ts — max eid 6
+    // wins, and the at-ts click IS visible); u2: purchase with no prior
+    // click (nulls), later purchase sees the in-between click; u3:
+    // OUT-OF-ORDER — its purchase arrives a batch before its earlier
+    // click, which must still attribute (the watermark hasn't passed)
+    val data = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, "click", 1L),
+      (ts("2024-01-01 10:00:10"), 1L, "click", 5L),
+      (ts("2024-01-01 10:00:10"), 1L, "click", 6L),
+      (ts("2024-01-01 10:00:10"), 1L, "purchase", 100L),
+      (ts("2024-01-01 10:05:00"), 1L, "purchase", 101L),
+      (ts("2024-01-01 10:02:00"), 2L, "purchase", 200L),
+      (ts("2024-01-01 10:30:00"), 2L, "click", 7L),
+      (ts("2024-01-01 10:31:00"), 2L, "purchase", 201L),
+      (ts("2024-01-01 10:20:00"), 3L, "purchase", 300L))
+    val late = (ts("2024-01-01 10:10:00"), 3L, "click", 8L)
+    try {
+      input.addData(data: _*)
+      q.processAllAvailable()
+      // u3's earlier click arrives in a LATER batch but inside the
+      // watermark horizon — the as-of result must still see it
+      input.addData(late)
+      q.processAllAvailable()
+      assert(spark.table("asof_stream_test").count() == 0) // nothing final yet
+      // sentinel clicks push the watermark past every purchase; the
+      // second batch fires the event-time drain timers
+      input.addData((ts("2024-01-01 20:00:00"), 999L, "click", 900L))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 21:00:00"), 999L, "click", 901L))
+      q.processAllAvailable()
+      val cols = Seq("user_id", "purchase_event_id", "purchase_ts",
+        "click_event_id", "click_ts", "gap_us")
+      def toSet(df: org.apache.spark.sql.DataFrame) =
+        df.select(cols.head, cols.tail: _*).collect()
+          .map(r => cols.indices.map(i =>
+            if (r.isNullAt(i)) null else r.get(i).toString)).toSet
+      val streamed = toSet(spark.table("asof_stream_test"))
+      val batch = toSet(graft.ext.TemporalJoins.clickAsOfPurchase(
+        (data :+ late).toDF("ts", "user_id", "event_type", "event_id")))
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(streamed.size == 5)
+      // the at-ts equal-timestamp tie resolved to max event_id (6)
+      assert(spark.table("asof_stream_test")
+        .filter("purchase_event_id = 100").head().getAs[Long]("click_event_id") == 6L)
+    } finally q.stop()
+  }
+
+  test("as-of step: clicks behind the watermark compact losslessly to one entry") {
+    import graft.streaming.{AsOfBuf, AsOfEvent, AsOfStream, ClickRef, PurchaseRef}
+    def click(us: Long, eid: Long) = AsOfEvent(1L, 0, us, eid, null)
+    def purchase(us: Long, eid: Long) = AsOfEvent(1L, 1, us, eid, null)
+    val empty = AsOfBuf(None, Nil, Nil, Long.MinValue)
+    // five clicks, watermark passes the first four → state holds ONE
+    // compacted best (max ts, then max eid) + the single live click
+    val (s1, e1, _) = AsOfStream.step(empty,
+      Seq(click(100L, 1), click(200L, 2), click(200L, 9), click(150L, 3),
+        click(900L, 4)),
+      wmUs = 500L, toleranceUs = None, idleTtlUs = None)
+    assert(e1.isEmpty)
+    assert(s1.get.best.contains(ClickRef(200L, 9))) // ts tie → max eid
+    assert(s1.get.clicks == List(ClickRef(900L, 4)))
+    // losslessness: a purchase finalizing after compaction attributes
+    // exactly as the uncompacted history would (200/9 at ts 600, the
+    // live 900-click invisible at-or-before 600)
+    val (s2, e2, _) = AsOfStream.step(s1.get, Seq(purchase(600L, 50)),
+      wmUs = 1000L, toleranceUs = None, idleTtlUs = None)
+    assert(e2.map(r => (r.purchase_event_id, r.click_event_id, r.click_ts_us)) ==
+      Seq((50L, Some(9L), Some(200L))))
+    // ...and a purchase at-or-after the live click sees it
+    val (_, e3, _) = AsOfStream.step(s2.get, Seq(purchase(950L, 51)),
+      wmUs = 2000L, toleranceUs = None, idleTtlUs = None)
+    assert(e3.map(r => (r.purchase_event_id, r.click_event_id)) ==
+      Seq((51L, Some(4L))))
+    // pending purchases ahead of the watermark stay buffered with a
+    // drain timer at the earliest one
+    val (s4, e4, t4) = AsOfStream.step(empty,
+      Seq(purchase(800L, 60), purchase(400L, 61)), wmUs = 100L,
+      toleranceUs = None, idleTtlUs = None)
+    assert(e4.isEmpty && s4.get.pending.map(_.eid).toSet == Set(60L, 61L))
+    assert(t4.contains(400L))
+  }
+
+  test("as-of step: tolerance rejects stale matches; idle TTL drops the key") {
+    import graft.streaming.{AsOfBuf, AsOfEvent, AsOfStream, ClickRef}
+    def purchase(us: Long, eid: Long) = AsOfEvent(1L, 1, us, eid, null)
+    val withBest = AsOfBuf(Some(ClickRef(100L, 1)), Nil, Nil, 100L)
+    // gap 900us > tolerance 500us → no attribution; inside → attributes
+    val (_, stale, _) = AsOfStream.step(withBest, Seq(purchase(1000L, 70)),
+      wmUs = 2000L, toleranceUs = Some(500L), idleTtlUs = None)
+    assert(stale.map(r => (r.purchase_event_id, r.click_event_id)) ==
+      Seq((70L, None)))
+    val (_, fresh, _) = AsOfStream.step(withBest, Seq(purchase(550L, 71)),
+      wmUs = 2000L, toleranceUs = Some(500L), idleTtlUs = None)
+    assert(fresh.map(_.click_event_id) == Seq(Some(1L)))
+    // without a TTL the one-row best persists (Flink temporal-join
+    // default); with a TTL the key drops once the watermark passes
+    // lastSeen + ttl — the idle-retention trade-off, made explicit
+    val (keep, _, _) = AsOfStream.step(withBest, Nil, wmUs = 1_000_000L,
+      toleranceUs = None, idleTtlUs = None)
+    assert(keep.contains(withBest))
+    val (dropped, _, _) = AsOfStream.step(withBest, Nil, wmUs = 1_000_000L,
+      toleranceUs = None, idleTtlUs = Some(1000L))
+    assert(dropped.isEmpty)
+    // ...but a key still inside its TTL survives, with the TTL timer armed
+    val (alive, _, timer) = AsOfStream.step(withBest, Nil, wmUs = 500L,
+      toleranceUs = None, idleTtlUs = Some(1000L))
+    assert(alive.nonEmpty && timer.contains(1100L))
+  }
+
   test("typed top-K aggregator keeps K best with deterministic ties") {
     import spark.implicits._
     val ds = Seq(
