@@ -103,6 +103,37 @@ object SparkEntry {
     // Q19 disjunctive brand/size/quantity predicates over a broadcast join
     "q19_brand_revenue" -> ((s, d) => Analytics.brandRevenue(
       Tables.part(s, d), Tables.lineitem(s, d))),
+    // Q7 bilateral nation trade: two broadcast nation roles over the fact chain
+    "q7_nation_trade" -> ((s, d) => Analytics.nationTrade(
+      Tables.nation(s, d), Tables.customer(s, d), Tables.supplier(s, d),
+      Tables.orders(s, d), Tables.lineitem(s, d))),
+    // Q8 market share: conditional aggregate ratio of exact decimal sums
+    "q8_market_share" -> ((s, d) => Analytics.marketShare(
+      Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
+      Tables.supplier(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
+      Tables.part(s, d))),
+    // Q9 profit by supplier nation/year (retail price standing in for supplycost)
+    "q9_profit" -> ((s, d) => Analytics.productProfit(
+      Tables.nation(s, d), Tables.supplier(s, d), Tables.orders(s, d),
+      Tables.lineitem(s, d), Tables.part(s, d))),
+    // Q12 late-shipment priority split: CASE-inside-count conditional agg
+    "q12_late_priority" -> ((s, d) => Analytics.lateShipmentPriority(
+      Tables.orders(s, d), Tables.lineitem(s, d))),
+    // Q13 customer order-count distribution: LEFT join + aggregate-of-aggregate
+    "q13_order_distribution" -> ((s, d) => Analytics.customerOrderDistribution(
+      Tables.customer(s, d), Tables.orders(s, d))),
+    // Q15 top supplier: scalar-subquery max over a per-supplier view
+    "q15_top_supplier" -> ((s, d) => Analytics.topSupplier(
+      Tables.supplier(s, d), Tables.lineitem(s, d))),
+    // Q17 small-quantity revenue: correlated per-part average in exact arithmetic
+    "q17_small_qty" -> ((s, d) => Analytics.smallQuantityRevenue(
+      Tables.part(s, d), Tables.lineitem(s, d))),
+    // Q21 waiting suppliers (adapted): sole-latest shipper of multi-supplier orders
+    "q21_waiting_suppliers" -> ((s, d) => Analytics.waitingSuppliers(
+      Tables.supplier(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    // Q22 dormant high-value customers: scalar avg + anti join per nation
+    "q22_dormant_value" -> ((s, d) => Analytics.dormantValueCustomers(
+      Tables.nation(s, d), Tables.customer(s, d), Tables.orders(s, d))),
     // frequent part pairs within orders (Apriori-pruned basket mining)
     "orders_basket" -> ((s, d) => Analytics.basketPairs(Tables.lineitem(s, d))),
     "window_top_orders" -> ((s, d) => Analytics.topOrdersPerCustomer(Tables.orders(s, d))),
@@ -761,6 +792,15 @@ object SparkEntry {
     "q10_returned" -> OracleSqlExt.q10Returned,
     "q18_large_orders" -> OracleSqlExt.q18LargeOrders,
     "q19_brand_revenue" -> OracleSqlExt.q19BrandRevenue,
+    "q7_nation_trade" -> OracleSqlExt.q7NationTrade,
+    "q8_market_share" -> OracleSqlExt.q8MarketShare,
+    "q9_profit" -> OracleSqlExt.q9Profit,
+    "q12_late_priority" -> OracleSqlExt.q12LatePriority,
+    "q13_order_distribution" -> OracleSqlExt.q13OrderDistribution,
+    "q15_top_supplier" -> OracleSqlExt.q15TopSupplier,
+    "q17_small_qty" -> OracleSqlExt.q17SmallQty,
+    "q21_waiting_suppliers" -> OracleSqlExt.q21WaitingSuppliers,
+    "q22_dormant_value" -> OracleSqlExt.q22DormantValue,
     "orders_basket" -> OracleSqlExt.ordersBasket,
     "window_top_orders" -> OracleSqlExt.windowTopOrders,
     "window_running_spend" -> OracleSqlExt.windowRunningSpend,

@@ -706,4 +706,257 @@ object Analytics {
         .groupBy(col("l_partkey")).agg(count(lit(1)).as("multiplicity"))
         .withColumn("set_kind", lit("returned_and_accepted")))
   }
+
+  private def revenue: Column =
+    dec("l_extendedprice") * (lit(1).cast("decimal(3,2)") - dec("l_discount", 4))
+
+  /** TPC-H Q7-shaped bilateral trade volume: revenue flowing between a
+    * specific (supplier nation, customer nation) pair per ship year,
+    * in both directions. Two independent broadcast nation dims resolve
+    * the two roles; the fact chain shuffles on its natural keys. */
+  def nationTrade(nation: DataFrame, customer: DataFrame, supplier: DataFrame,
+      orders: DataFrame, lineitem: DataFrame,
+      nationA: String = "NATION_1", nationB: String = "NATION_2"): DataFrame = {
+    val pair = Seq(nationA, nationB)
+    val nat = nation.filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = customer
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val supp = supplier
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    lineitem
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(revenue).as("revenue_d"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+        col("revenue_d").cast("string").as("revenue"))
+  }
+
+  /** TPC-H Q8-shaped market share: of all STANDARD-part revenue sold to
+    * customers in one region, the fraction supplied from one nation,
+    * per order year. The share is a single IEEE division of two exact
+    * decimal sums (both also emitted as strings), so the double is
+    * bit-identical cross-engine. Conditional aggregation replaces the
+    * original's CASE-inside-sum verbatim. */
+  def marketShare(region: DataFrame, nation: DataFrame, customer: DataFrame,
+      supplier: DataFrame, orders: DataFrame, lineitem: DataFrame, part: DataFrame,
+      regionName: String = "EUROPE", supplierNation: String = "NATION_3",
+      partType: String = "STANDARD"): DataFrame = {
+    val custNat = broadcast(
+      nation.join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey")))
+    val cust = customer
+      .join(custNat, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val suppNatKey = nation.filter(col("n_name") === supplierNation)
+      .select(col("n_nationkey").as("target_nk"))
+    val supp = supplier
+      .join(broadcast(suppNatKey), col("s_nationkey") === col("target_nk"), "left")
+      .select(col("s_suppkey"), col("target_nk").isNotNull.as("is_target"))
+    lineitem
+      .join(broadcast(part.filter(col("p_type") === partType)
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("is_target"), revenue)
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("nation_rev_d"),
+        sum(revenue).as("total_rev_d"))
+      .orderBy(col("o_year"))
+      .select(col("o_year"),
+        col("nation_rev_d").cast("string").as("nation_revenue"),
+        col("total_rev_d").cast("string").as("total_revenue"),
+        (col("nation_rev_d").cast("double") / col("total_rev_d").cast("double"))
+          .as("mkt_share"))
+  }
+
+  /** TPC-H Q9-shaped profit by supplier nation and year, adapted to the
+    * trimmed schema: with no partsupp table, the cost side is the
+    * part's retail price times quantity (p_retailprice standing in for
+    * ps_supplycost — same join shape, same arithmetic). Parts are
+    * selected by a name substring exactly like the original's
+    * `p_name LIKE '%green%'`. */
+  def productProfit(nation: DataFrame, supplier: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, part: DataFrame,
+      nameFragment: String = "bolt"): DataFrame =
+    lineitem
+      .join(broadcast(part.filter(col("p_name").contains(nameFragment))
+        .select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(supplier.select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(revenue - dec("p_retailprice") * dec("l_quantity"))
+        .as("profit_d"))
+      .orderBy(col("nation"), col("o_year").desc)
+      .select(col("nation"), col("o_year"),
+        col("profit_d").cast("string").as("profit"))
+
+  /** TPC-H Q12-shaped late-shipment priority split, adapted: with no
+    * ship modes or commit/receipt dates, "late" is shipping more than
+    * `lateDays` after the order date, bucketed by ship year. The
+    * CASE-inside-count conditional aggregation is the operator under
+    * test (the original's high/low line counts, verbatim). */
+  def lateShipmentPriority(orders: DataFrame, lineitem: DataFrame,
+      lateDays: Int = 90): DataFrame =
+    lineitem
+      .join(orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >
+        col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
+      .groupBy(year(col("l_shipdate")).as("ship_year"))
+      .agg(
+        count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+          .as("high_line_count"),
+        count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+          .as("low_line_count"))
+      .orderBy(col("ship_year"))
+
+  /** TPC-H Q13-shaped customer order-count distribution: LEFT join so
+    * zero-order customers land in the c_count=0 bucket (the shape the
+    * semi-join family cannot express), then a second aggregate over
+    * the first — two shuffles by construction, both on shrinking
+    * keys. The priority filter stands in for the original's comment
+    * anti-pattern. */
+  def customerOrderDistribution(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.select(col("c_custkey"))
+      .join(orders.filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+        .select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q15-shaped top supplier: quarterly revenue per supplier,
+    * then the supplier(s) achieving the GLOBAL max — the original's
+    * scalar-subquery-on-a-view shape. The max is a scalar aggregate
+    * broadcast back onto the per-supplier frame (NOT a global window:
+    * suppliers grow with scale factor, and an unpartitioned window
+    * would single-task them — the plan NoGlobalWindowGuard exists to
+    * reject). Decimal equality is exact, so ties all emit, ordered by
+    * key. */
+  def topSupplier(supplier: DataFrame, lineitem: DataFrame,
+      qStart: String = "1996-01-01", qEnd: String = "1996-04-01"): DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit(qStart).cast("timestamp") &&
+        col("l_shipdate") < lit(qEnd).cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revenue).as("total_revenue_d"))
+    rev
+      .crossJoin(broadcast(rev.agg(max(col("total_revenue_d")).as("max_rev"))))
+      .filter(col("total_revenue_d") === col("max_rev"))
+      .join(supplier.select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .orderBy(col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_revenue_d").cast("string").as("total_revenue"))
+  }
+
+  /** TPC-H Q17-shaped small-quantity revenue: lineitems of one brand
+    * whose quantity is below 20% of that part's average quantity. The
+    * correlated scalar subquery becomes a per-part aggregate joined
+    * back to the fact — and the 20%-of-average comparison is kept in
+    * EXACT integer/decimal arithmetic (qty < sum/(5·cnt) rewritten as
+    * 5·qty·cnt < sum) so the boundary rows hash-gate identically
+    * cross-engine, where a double `0.2*avg` could flip them. */
+  def smallQuantityRevenue(part: DataFrame, lineitem: DataFrame,
+      brand: String = "Brand#4"): DataFrame = {
+    val brandParts = broadcast(part.filter(col("p_brand") === brand)
+      .select(col("p_partkey")))
+    // stats over ALL lineitems of the brand's parts (the subquery
+    // correlates on the part alone, not the brand filter row)
+    val stats = lineitem
+      .join(brandParts, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey").as("sp_partkey"))
+      .agg(sum(dec("l_quantity")).as("sum_qty_d"),
+        count(lit(1)).as("cnt_qty"))
+    lineitem
+      .join(brandParts, col("l_partkey") === col("p_partkey"))
+      .join(stats, col("l_partkey") === col("sp_partkey"))
+      .filter(dec("l_quantity") * lit(5).cast("decimal(2,0)") * col("cnt_qty") <
+        col("sum_qty_d"))
+      .agg(sum(dec("l_extendedprice")).as("rev_d"), count(lit(1)).as("n_lines"))
+      .select(col("rev_d").cast("string").as("small_qty_revenue"),
+        (col("rev_d").cast("double") / 7.0).as("avg_yearly"),
+        col("n_lines"))
+  }
+
+  /** TPC-H Q21-shaped waiting-supplier count, adapted: with no
+    * commit/receipt dates, the "supplier who kept the order waiting"
+    * is the SOLE LATEST shipper of a multi-supplier finished order —
+    * their lineitem max ship date equals the order's, strictly later
+    * than every other supplier's. The original's EXISTS/NOT-EXISTS
+    * pair becomes per-(order, supplier) aggregation + one order-keyed
+    * window computing (order max, achiever count, supplier count) in a
+    * single pass — fact rows cross exactly two exchanges. */
+  def waitingSuppliers(supplier: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, k: Int = 20): DataFrame = {
+    val perSupp = lineitem
+      .join(orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("l_shipdate")).as("supp_max_ship"))
+    val w = Window.partitionBy(col("l_orderkey"))
+    val flagged = perSupp
+      .withColumn("order_max_ship", max(col("supp_max_ship")).over(w))
+      .withColumn("n_supps", count(lit(1)).over(w))
+      .withColumn("n_latest", count(when(
+        col("supp_max_ship") === col("order_max_ship"), 1)).over(w))
+      .filter(col("n_supps") > 1 && col("n_latest") === 1 &&
+        col("supp_max_ship") === col("order_max_ship"))
+    flagged
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(supplier.select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(k)
+      .select(col("s_name"), col("numwait"))
+  }
+
+  /** TPC-H Q22-shaped dormant high-value customers: customers with an
+    * account balance above the positive-balance average (scalar
+    * subquery — kept as exact bal·cnt > sum decimal arithmetic so
+    * boundary rows can't flip cross-engine) and NO orders after a
+    * cutoff (anti join), counted per nation with their balance sum.
+    * The nation stands in for the original's phone country code. */
+  def dormantValueCustomers(nation: DataFrame, customer: DataFrame,
+      orders: DataFrame, cutoff: String = "1999-01-01"): DataFrame = {
+    val balStats = customer.filter(col("c_acctbal") > 0)
+      .agg(sum(dec("c_acctbal")).as("sum_bal_d"), count(lit(1)).as("cnt_bal"))
+    val recent = orders
+      .filter(col("o_orderdate") >= lit(cutoff).cast("timestamp"))
+      .select(col("o_custkey"))
+    customer
+      .crossJoin(broadcast(balStats))
+      .filter(dec("c_acctbal") * col("cnt_bal") > col("sum_bal_d"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec("c_acctbal")).as("totacctbal_d"))
+      .orderBy(col("nation"))
+      .select(col("nation"), col("numcust"),
+        col("totacctbal_d").cast("string").as("totacctbal"))
+  }
 }

@@ -129,6 +129,164 @@ WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
                 AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
 GROUP BY o_orderpriority"""
 
+  /** Mirror of Analytics.nationTrade (TPC-H Q7 shape): bilateral
+    * revenue between a nation pair per ship year, both directions. */
+  val q7NationTrade: String = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l.l_shipdate) AS l_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+  AND cn.n_name IN ('NATION_1', 'NATION_2')
+  AND sn.n_name <> cn.n_name
+GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)"""
+
+  /** Mirror of Analytics.marketShare (TPC-H Q8 shape): the share is
+    * the same single double division of the two exact decimal sums
+    * the Spark side performs. */
+  val q8MarketShare: String = """
+SELECT o_year,
+       CAST(nation_rev AS VARCHAR) AS nation_revenue,
+       CAST(total_rev AS VARCHAR) AS total_revenue,
+       CAST(nation_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) AS mkt_share
+FROM (
+  SELECT year(o.o_orderdate) AS o_year,
+         SUM(CASE WHEN sn.n_name = 'NATION_3'
+               THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+               ELSE CAST(0 AS DECIMAL(18,2)) END) AS nation_rev,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS total_rev
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'STANDARD'
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  GROUP BY year(o.o_orderdate))"""
+
+  /** Mirror of Analytics.productProfit (TPC-H Q9 shape on the trimmed
+    * schema: p_retailprice stands in for ps_supplycost). */
+  val q9Profit: String = """
+SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                - CAST(p.p_retailprice AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%bolt%'
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name, year(o.o_orderdate)"""
+
+  /** Mirror of Analytics.lateShipmentPriority (TPC-H Q12 shape):
+    * conditional high/low counts of >90-day-late shipments per year. */
+  val q12LatePriority: String = """
+SELECT year(l.l_shipdate) AS ship_year,
+       COUNT(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+       COUNT(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+GROUP BY year(l.l_shipdate)"""
+
+  /** Mirror of Analytics.customerOrderDistribution (TPC-H Q13 shape):
+    * LEFT join keeps zero-order customers; aggregate of aggregate. */
+  val q13OrderDistribution: String = """
+SELECT c_count, COUNT(*)::BIGINT AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    AND o.o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c.c_custkey)
+GROUP BY c_count"""
+
+  /** Mirror of Analytics.topSupplier (TPC-H Q15 shape): the original's
+    * scalar-subquery-over-a-view spelling; decimal equality is exact
+    * so ties agree with the Spark broadcast-max form. */
+  val q15TopSupplier: String = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_revenue_d
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name,
+       CAST(r.total_revenue_d AS VARCHAR) AS total_revenue
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue_d = (SELECT MAX(total_revenue_d) FROM rev)"""
+
+  /** Mirror of Analytics.smallQuantityRevenue (TPC-H Q17 shape): the
+    * same exact 5*qty*cnt < sum_qty boundary arithmetic. */
+  val q17SmallQty: String = """
+WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'),
+stats AS (
+  SELECT l.l_partkey,
+         SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS sum_qty_d,
+         COUNT(*) AS cnt_qty
+  FROM lineitem l JOIN bp ON l.l_partkey = bp.p_partkey
+  GROUP BY l.l_partkey)
+SELECT CAST(rev_d AS VARCHAR) AS small_qty_revenue,
+       CAST(rev_d AS DOUBLE) / 7.0 AS avg_yearly,
+       n_lines
+FROM (
+  SELECT SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS rev_d,
+         COUNT(*)::BIGINT AS n_lines
+  FROM lineitem l
+  JOIN bp ON l.l_partkey = bp.p_partkey
+  JOIN stats st ON l.l_partkey = st.l_partkey
+  WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * st.cnt_qty < st.sum_qty_d)"""
+
+  /** Mirror of Analytics.waitingSuppliers (TPC-H Q21 shape, adapted):
+    * sole-latest shipper of multi-supplier finished orders. */
+  val q21WaitingSuppliers: String = """
+WITH per AS (
+  SELECT l.l_orderkey, l.l_suppkey, MAX(l.l_shipdate) AS supp_max_ship
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+  GROUP BY l.l_orderkey, l.l_suppkey),
+fl AS (
+  SELECT l_orderkey, l_suppkey, supp_max_ship,
+         MAX(supp_max_ship) OVER w AS order_max_ship,
+         COUNT(*) OVER w AS n_supps
+  FROM per
+  WINDOW w AS (PARTITION BY l_orderkey)),
+fl2 AS (
+  SELECT *,
+         COUNT(CASE WHEN supp_max_ship = order_max_ship THEN 1 END)
+           OVER (PARTITION BY l_orderkey) AS n_latest
+  FROM fl)
+SELECT s.s_name, COUNT(*)::BIGINT AS numwait
+FROM fl2
+JOIN supplier s ON s.s_suppkey = fl2.l_suppkey
+WHERE n_supps > 1 AND n_latest = 1 AND supp_max_ship = order_max_ship
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20"""
+
+  /** Mirror of Analytics.dormantValueCustomers (TPC-H Q22 shape): the
+    * same exact bal*cnt > sum scalar comparison + NOT EXISTS anti. */
+  val q22DormantValue: String = """
+SELECT n.n_name AS nation, COUNT(*)::BIGINT AS numcust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS totacctbal
+FROM customer c
+CROSS JOIN (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal_d, COUNT(*) AS cnt_bal
+  FROM customer WHERE c_acctbal > 0) st
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * st.cnt_bal > st.sum_bal_d
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY n.n_name"""
+
   /** Mirror of Analytics.supplierVariety (TPC-H Q16 shape): distinct
     * suppliers per (brand, type), size-banded, top-20 with group-key
     * tie-break. */
