@@ -134,6 +134,17 @@ object SparkEntry {
     // Q22 dormant high-value customers: scalar avg + anti join per nation
     "q22_dormant_value" -> ((s, d) => Analytics.dormantValueCustomers(
       Tables.nation(s, d), Tables.customer(s, d), Tables.orders(s, d))),
+    // Q6 forecast revenue: triple-pushdown scan + one aggregate
+    "q6_forecast" -> ((s, d) => Analytics.forecastRevenue(Tables.lineitem(s, d))),
+    // Q2 min-cost parts: DataFrame twin of the correlated scalar subquery
+    "q2_min_cost" -> ((s, d) => Analytics.minCostParts(Tables.part(s, d))),
+    // Q11 important stock (adapted): group agg vs broadcast global scalar
+    "q11_important_stock" -> ((s, d) => Analytics.importantStock(
+      Tables.nation(s, d), Tables.supplier(s, d), Tables.lineitem(s, d))),
+    // Q20 dominant promo suppliers (adapted): half-of-total via window
+    "q20_promo_suppliers" -> ((s, d) => Analytics.promoSuppliers(
+      Tables.nation(s, d), Tables.supplier(s, d), Tables.part(s, d),
+      Tables.lineitem(s, d))),
     // frequent part pairs within orders (Apriori-pruned basket mining)
     "orders_basket" -> ((s, d) => Analytics.basketPairs(Tables.lineitem(s, d))),
     "window_top_orders" -> ((s, d) => Analytics.topOrdersPerCustomer(Tables.orders(s, d))),
@@ -235,14 +246,17 @@ object SparkEntry {
     "layout_skipping" -> ((s, d) => ext.Layout.skippingStats(Tables.events(s, d))),
 
     // ---- SQL surface: ANSI SQL text through GraftSql ------------------
+    // r13: the ship-year moved from 1994 (before the generated data's
+    // range — the row was vacuously green on 0 rows) to 1996 so the
+    // gate actually compares values
     "sql_q6_forecast" -> ((s, d) => GraftSql.sql(s, d, """
       SELECT l_returnflag,
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                       * CAST(l_discount AS DECIMAL(4,2))) AS STRING) AS revenue,
              count(*) AS n_items
       FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
-        AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
         AND l_discount BETWEEN 0.04 AND 0.06
         AND l_quantity < 24
       GROUP BY l_returnflag""")),
@@ -801,6 +815,10 @@ object SparkEntry {
     "q17_small_qty" -> OracleSqlExt.q17SmallQty,
     "q21_waiting_suppliers" -> OracleSqlExt.q21WaitingSuppliers,
     "q22_dormant_value" -> OracleSqlExt.q22DormantValue,
+    "q6_forecast" -> OracleSqlExt.q6Forecast,
+    "q2_min_cost" -> OracleSqlExt.q2MinCost,
+    "q11_important_stock" -> OracleSqlExt.q11ImportantStock,
+    "q20_promo_suppliers" -> OracleSqlExt.q20PromoSuppliers,
     "orders_basket" -> OracleSqlExt.ordersBasket,
     "window_top_orders" -> OracleSqlExt.windowTopOrders,
     "window_running_spend" -> OracleSqlExt.windowRunningSpend,
@@ -843,17 +861,7 @@ object SparkEntry {
     "agg_approx_distinct" -> OracleSqlExt.aggApproxDistinct,
     "agg_percentiles_approx" -> OracleSqlExt.aggPercentilesApprox,
     "agg_moments" -> OracleSqlExt.aggMoments,
-    "sql_q6_forecast" -> """
-SELECT l_returnflag,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                * CAST(l_discount AS DECIMAL(4,2))) AS VARCHAR) AS revenue,
-       count(*) AS n_items
-FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
-  AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
-  AND l_discount BETWEEN 0.04 AND 0.06
-  AND l_quantity < 24
-GROUP BY l_returnflag""",
+    "sql_q6_forecast" -> OracleSqlExt.q6Forecast,
     // The SQL-text twins re-use the proven oracle formulations of the
     // operators they mirror — the twin and the DataFrame original must
     // agree with the SAME independent DuckDB answer.

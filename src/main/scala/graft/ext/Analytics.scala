@@ -959,4 +959,112 @@ object Analytics {
       .select(col("nation"), col("numcust"),
         col("totacctbal_d").cast("string").as("totacctbal"))
   }
+
+  /** TPC-H Q6-shaped forecast revenue: one ship year × a narrow
+    * discount band × small quantities, one conditional-free aggregate.
+    * The three predicates all push to the parquet scan (timestamp
+    * range → row-group pruning; the others → row filters), which is
+    * the entire point of the shape: at 100 TB this query reads one
+    * year's row groups of four columns and nothing else. Split by
+    * return flag so the result exercises grouping (the pure-scalar
+    * original is a weaker gate). */
+  def forecastRevenue(lineitem: DataFrame, yStart: String = "1996-01-01",
+      yEnd: String = "1997-01-01"): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit(yStart).cast("timestamp") &&
+        col("l_shipdate") < lit(yEnd).cast("timestamp") &&
+        col("l_discount").between(0.04, 0.06) && col("l_quantity") < 24)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(dec("l_extendedprice") * dec("l_discount", 4)).as("rev_d"),
+        count(lit(1)).as("n_items"))
+      .select(col("l_returnflag"),
+        col("rev_d").cast("string").as("revenue"), col("n_items"))
+
+  /** TPC-H Q2-shaped min-cost lookup (DataFrame twin of the
+    * sql_q2_mincost correlated scalar subquery): parts achieving their
+    * type's minimum retail price. The hand decorrelation is the same
+    * rewrite Catalyst's RewriteCorrelatedScalarSubquery performs on
+    * the SQL form — per-type min aggregate joined back — but here the
+    * aggregate is explicitly broadcast: the distinct-type frame is
+    * catalog-cardinality (dozens of rows at any scale factor), so the
+    * part table never shuffles. Raw double equality on purpose: both
+    * sides are the same parquet value, no arithmetic. */
+  def minCostParts(part: DataFrame): DataFrame = {
+    val mins = part.groupBy(col("p_type").as("mt_type"))
+      .agg(min(col("p_retailprice")).as("min_price"))
+    part
+      .join(broadcast(mins), col("p_type") === col("mt_type") &&
+        col("p_retailprice") === col("min_price"))
+      .select(col("p_type"), col("p_partkey"),
+        col("p_retailprice").as("retail_price"))
+  }
+
+  /** TPC-H Q11-shaped important stock, adapted to the trimmed schema:
+    * with no partsupp, a part's "stock value" at one nation's
+    * suppliers is the shipped value (price × quantity) of that
+    * nation's lineitems; keep parts whose value exceeds 1/`fracDen`
+    * of the national total — the group-aggregate-vs-global-scalar
+    * HAVING shape of the original. All arithmetic is exact int64
+    * CENTS: decimal(18,2)·100 is integral so the cast is lossless,
+    * quantities are integral, and `value·fracDen > total` stays inside
+    * long range out to ~10^15 cents of national volume (document and
+    * widen fracDen per TPC-H's own SF-scaled fraction when the corpus
+    * grows — the original divides its 0.0001 by SF for the same
+    * reason). The scalar total broadcasts; the fact shuffles once, on
+    * l_partkey. */
+  def importantStock(nation: DataFrame, supplier: DataFrame,
+      lineitem: DataFrame, nationName: String = "NATION_1",
+      fracDen: Int = 400): DataFrame = {
+    val supp = supplier
+      .join(broadcast(nation.filter(col("n_name") === nationName)
+        .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val cents = (dec("l_extendedprice") * lit(100).cast("decimal(3,0)"))
+      .cast("long") * col("l_quantity").cast("long")
+    val vals = lineitem
+      .join(supp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(cents).as("value_cents"))
+    val total = vals.agg(sum(col("value_cents")).as("total_cents"))
+    vals.crossJoin(broadcast(total))
+      .filter(col("value_cents") * fracDen > col("total_cents"))
+      .select(col("l_partkey").as("p_partkey"), col("value_cents"))
+  }
+
+  /** TPC-H Q20-shaped dominant promo suppliers, adapted: with no
+    * partsupp availqty, the "supplier with excess stock" is the one
+    * who shipped MORE THAN HALF of a promo part's total quantity in
+    * the target year — the same correlated half-of-total threshold,
+    * re-correlated through one part-keyed window instead of the
+    * original's nested subquery chain. Per-(part, supplier) rows cross
+    * exactly one exchange; the half-of-total comparison is exact
+    * decimal (sum·2 just widens precision); suppliers dedup on a
+    * key-only frame before the dim joins. */
+  def promoSuppliers(nation: DataFrame, supplier: DataFrame, part: DataFrame,
+      lineitem: DataFrame, fragment: String = "bolt",
+      nationName: String = "NATION_1", yStart: String = "1996-01-01",
+      yEnd: String = "1997-01-01"): DataFrame = {
+    val parts = broadcast(part.filter(col("p_name").contains(fragment))
+      .select(col("p_partkey")))
+    val perSupp = lineitem
+      .filter(col("l_shipdate") >= lit(yStart).cast("timestamp") &&
+        col("l_shipdate") < lit(yEnd).cast("timestamp"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(dec("l_quantity")).as("supp_qty_d"))
+    val w = Window.partitionBy(col("l_partkey"))
+    perSupp
+      .withColumn("part_qty_d", sum(col("supp_qty_d")).over(w))
+      .filter(col("supp_qty_d") * lit(2).cast("decimal(1,0)") >
+        col("part_qty_d"))
+      .select(col("l_suppkey")).distinct()
+      .join(supplier.select("s_suppkey", "s_name", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.filter(col("n_name") === nationName)
+        .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .orderBy(col("s_name"))
+      .select(col("s_name"), col("s_suppkey"))
+  }
 }

@@ -3140,4 +3140,61 @@ FROM (
          ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
   FROM orders)
 GROUP BY bucket"""
+
+  /** Mirror of Analytics.forecastRevenue (TPC-H Q6 shape) and its
+    * sql_q6_forecast twin: triple-predicate scan + exact decimal
+    * aggregate, grouped by return flag. */
+  val q6Forecast: String = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(l_discount AS DECIMAL(4,2))) AS VARCHAR) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.04 AND 0.06
+  AND l_quantity < 24
+GROUP BY l_returnflag"""
+
+  /** Mirror of Analytics.importantStock (TPC-H Q11 shape, adapted):
+    * per-part shipped value at one nation's suppliers in exact int64
+    * cents, kept where value exceeds 1/400 of the national total. */
+  val q11ImportantStock: String = """
+WITH vals AS (
+  SELECT l.l_partkey AS p_partkey,
+         SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             * CAST(l.l_quantity AS BIGINT)) AS value_cents
+  FROM lineitem l
+  WHERE l.l_suppkey IN (
+    SELECT s.s_suppkey FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_1')
+  GROUP BY l.l_partkey)
+SELECT p_partkey, CAST(value_cents AS BIGINT) AS value_cents
+FROM vals, (SELECT SUM(value_cents) AS total_cents FROM vals) t
+WHERE value_cents * 400 > total_cents"""
+
+  /** Mirror of Analytics.promoSuppliers (TPC-H Q20 shape, adapted):
+    * suppliers shipping more than half a promo part's year quantity,
+    * restricted to one nation. */
+  val q20PromoSuppliers: String = """
+WITH per_supp AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS supp_qty
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_name LIKE '%bolt%'
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l.l_partkey, l.l_suppkey),
+dom AS (
+  SELECT DISTINCT l_suppkey FROM (
+    SELECT l_suppkey, supp_qty,
+           SUM(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+    FROM per_supp)
+  WHERE supp_qty * 2 > part_qty)
+SELECT s.s_name, s.s_suppkey
+FROM dom
+JOIN supplier s ON dom.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_1'"""
 }
