@@ -318,6 +318,26 @@ object SparkEntry {
       FROM part p
       WHERE p.p_retailprice = (SELECT min(p2.p_retailprice)
                                FROM part p2 WHERE p2.p_type = p.p_type)""")),
+    // correlated scalar AGGREGATES in a comparison (TPC-H Q17's shape):
+    // two correlated subqueries over the same fact, each decorrelated
+    // by RewriteCorrelatedScalarSubquery into an aggregate+join — the
+    // fourth decorrelation path as SQL text (after EXISTS, IN, and the
+    // equality scalar of sql_q2_mincost). The 20%-of-average threshold
+    // stays exact (5·qty·cnt < sum): a double `0.2*avg(...)` would be
+    // summed in shuffle order and could flip boundary rows vs DuckDB.
+    "sql_q17_below_avg" -> ((s, d) => GraftSql.sql(s, d, """
+      SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS STRING)
+               AS small_qty_revenue,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+               AS avg_yearly,
+             count(*) AS n_lines
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#4'
+        AND CAST(l.l_quantity AS DECIMAL(18,2)) * 5 *
+            (SELECT count(*) FROM lineitem l2
+             WHERE l2.l_partkey = l.l_partkey)
+          < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+             FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""")),
     "sql_dedup_exact" -> ((s, d) => GraftSql.sql(s, d, """
       SELECT doc_id, md5(text) AS content_md5,
              min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_doc_id,
@@ -870,6 +890,7 @@ object SparkEntry {
     "sql_dedup_exact" -> OracleSqlExt.dedupExact,
     "sql_q4_exists" -> OracleSqlExt.q4Priority,
     "sql_q2_mincost" -> OracleSqlExt.q2MinCost,
+    "sql_q17_below_avg" -> OracleSqlExt.q17SmallQty,
     "sql_q18_in" -> OracleSqlExt.q18LargeOrders,
     "sql_events_funnel" -> OracleSqlExt.eventsFunnel,
     "sql_dedup_minhash" -> OracleSqlExt.dedupMinhash,

@@ -855,11 +855,16 @@ object Analytics {
     * key. */
   def topSupplier(supplier: DataFrame, lineitem: DataFrame,
       qStart: String = "1996-01-01", qEnd: String = "1996-04-01"): DataFrame = {
+    // lazy localCheckpoint: the supplier-cardinality rev frame feeds
+    // BOTH the scalar max and the equality probe — without the pin the
+    // planner re-derives the aggregate under each consumer and the
+    // quarter of lineitem is scanned twice (the dominant cost at scale)
     val rev = lineitem
       .filter(col("l_shipdate") >= lit(qStart).cast("timestamp") &&
         col("l_shipdate") < lit(qEnd).cast("timestamp"))
       .groupBy(col("l_suppkey"))
       .agg(sum(revenue).as("total_revenue_d"))
+      .localCheckpoint(false)
     rev
       .crossJoin(broadcast(rev.agg(max(col("total_revenue_d")).as("max_rev"))))
       .filter(col("total_revenue_d") === col("max_rev"))
@@ -872,25 +877,23 @@ object Analytics {
 
   /** TPC-H Q17-shaped small-quantity revenue: lineitems of one brand
     * whose quantity is below 20% of that part's average quantity. The
-    * correlated scalar subquery becomes a per-part aggregate joined
-    * back to the fact — and the 20%-of-average comparison is kept in
-    * EXACT integer/decimal arithmetic (qty < sum/(5·cnt) rewritten as
+    * correlated per-part average becomes ONE part-keyed window over
+    * the brand-filtered fact — one lineitem scan and one exchange,
+    * where the textbook decorrelation (aggregate joined back, the
+    * shape sql_q17_below_avg keeps as parsed SQL) scans the fact
+    * twice. The 20%-of-average comparison is kept in EXACT
+    * integer/decimal arithmetic (qty < sum/(5·cnt) rewritten as
     * 5·qty·cnt < sum) so the boundary rows hash-gate identically
     * cross-engine, where a double `0.2*avg` could flip them. */
   def smallQuantityRevenue(part: DataFrame, lineitem: DataFrame,
       brand: String = "Brand#4"): DataFrame = {
     val brandParts = broadcast(part.filter(col("p_brand") === brand)
       .select(col("p_partkey")))
-    // stats over ALL lineitems of the brand's parts (the subquery
-    // correlates on the part alone, not the brand filter row)
-    val stats = lineitem
-      .join(brandParts, col("l_partkey") === col("p_partkey"))
-      .groupBy(col("l_partkey").as("sp_partkey"))
-      .agg(sum(dec("l_quantity")).as("sum_qty_d"),
-        count(lit(1)).as("cnt_qty"))
+    val w = Window.partitionBy(col("l_partkey"))
     lineitem
       .join(brandParts, col("l_partkey") === col("p_partkey"))
-      .join(stats, col("l_partkey") === col("sp_partkey"))
+      .withColumn("sum_qty_d", sum(dec("l_quantity")).over(w))
+      .withColumn("cnt_qty", count(lit(1)).over(w))
       .filter(dec("l_quantity") * lit(5).cast("decimal(2,0)") * col("cnt_qty") <
         col("sum_qty_d"))
       .agg(sum(dec("l_extendedprice")).as("rev_d"), count(lit(1)).as("n_lines"))
@@ -1047,10 +1050,19 @@ object Analytics {
       yEnd: String = "1997-01-01"): DataFrame = {
     val parts = broadcast(part.filter(col("p_name").contains(fragment))
       .select(col("p_partkey")))
+    // partkey-FIRST repartition: the part join is hint-broadcast at
+    // every scale (keys-only projection), so the fact arrives with no
+    // useful partitioning. One explicit l_partkey exchange then serves
+    // both the (part, supplier) aggregate (subset satisfaction) and
+    // the part-keyed window — without it the agg shuffles on the pair
+    // key and the window re-shuffles the result on l_partkey. Forgone
+    // map-side combine costs ~nothing: per-(part, supplier) lineitem
+    // multiplicity is ~1-2 in a single ship year.
     val perSupp = lineitem
       .filter(col("l_shipdate") >= lit(yStart).cast("timestamp") &&
         col("l_shipdate") < lit(yEnd).cast("timestamp"))
       .join(parts, col("l_partkey") === col("p_partkey"))
+      .repartition(col("l_partkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(dec("l_quantity")).as("supp_qty_d"))
     val w = Window.partitionBy(col("l_partkey"))
