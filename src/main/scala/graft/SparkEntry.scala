@@ -554,6 +554,8 @@ object SparkEntry {
     "sample_splits" -> ((s, d) => TextOps.datasetSplits(docs(s, d))),
     "sample_hash" -> ((s, d) => TextOps.hashSample(docs(s, d))),
     "sample_stratified" -> ((s, d) => TextOps.stratifiedSample(docs(s, d))),
+    // fixed-budget weighted sample: integerized bottom-k priorities
+    "sample_weighted" -> ((s, d) => TextOps.weightedSample(docs(s, d))),
     // materialized temperature mixture: per-source hash sample at the
     // mixture-weight rate (floored threshold, key-pure bucket)
     "sample_mixture" -> ((s, d) => TextOps.mixtureSample(docs(s, d))),
@@ -937,6 +939,7 @@ object SparkEntry {
     "text_dup_spans" -> OracleSqlExt.textDupSpans,
     "text_quality_model" -> OracleSqlExt.textQualityModel,
     "sample_stratified" -> OracleSqlExt.sampleStratified,
+    "sample_weighted" -> OracleSqlExt.sampleWeighted,
 
     "dedup_exact" -> OracleSqlExt.dedupExact,
     "dedup_minhash" -> OracleSqlExt.dedupMinhash,

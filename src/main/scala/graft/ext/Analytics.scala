@@ -1005,19 +1005,25 @@ object Analytics {
   /** TPC-H Q11-shaped important stock, adapted to the trimmed schema:
     * with no partsupp, a part's "stock value" at one nation's
     * suppliers is the shipped value (price × quantity) of that
-    * nation's lineitems; keep parts whose value exceeds 1/`fracDen`
-    * of the national total — the group-aggregate-vs-global-scalar
-    * HAVING shape of the original. All arithmetic is exact int64
-    * CENTS: decimal(18,2)·100 is integral so the cast is lossless,
-    * quantities are integral, and `value·fracDen > total` stays inside
-    * long range out to ~10^15 cents of national volume (document and
-    * widen fracDen per TPC-H's own SF-scaled fraction when the corpus
-    * grows — the original divides its 0.0001 by SF for the same
-    * reason). The scalar total broadcasts; the fact shuffles once, on
+    * nation's lineitems; keep parts whose value exceeds `hotMult`/2
+    * times the AVERAGE per-part value — the
+    * group-aggregate-vs-global-scalar HAVING shape of the original,
+    * with the threshold SELF-SCALING where TPC-H's fixed 0.0001
+    * fraction needs manual division by SF (a fixed fraction of a
+    * total spread over SF-many more parts selects nothing at 10×; the
+    * 10× probe caught exactly that with an earlier fixed denominator).
+    * All arithmetic is exact int64 CENTS: decimal(18,2)·100 is
+    * integral so the cast is lossless, quantities are integral, and
+    * the comparison is `value > (total·hotMult) div (2·n_parts)` —
+    * the multiplication rides the TOTAL (bounded ~10^17·hotMult,
+    * inside long range at any SF), never value·n_parts (which would
+    * overflow at ~10^7 parts). The floor division is identical in
+    * both engines, so the boundary is engine-exact. The scalar
+    * (total, count) broadcasts; the fact shuffles once, on
     * l_partkey. */
   def importantStock(nation: DataFrame, supplier: DataFrame,
       lineitem: DataFrame, nationName: String = "NATION_1",
-      fracDen: Int = 400): DataFrame = {
+      hotMult: Int = 7): DataFrame = {
     val supp = supplier
       .join(broadcast(nation.filter(col("n_name") === nationName)
         .select(col("n_nationkey"))),
@@ -1029,9 +1035,11 @@ object Analytics {
       .join(supp, col("l_suppkey") === col("s_suppkey"), "left_semi")
       .groupBy(col("l_partkey"))
       .agg(sum(cents).as("value_cents"))
-    val total = vals.agg(sum(col("value_cents")).as("total_cents"))
+    val total = vals.agg(sum(col("value_cents")).as("total_cents"),
+      count(lit(1)).as("n_parts"))
     vals.crossJoin(broadcast(total))
-      .filter(col("value_cents") * fracDen > col("total_cents"))
+      .filter(col("value_cents") >
+        expr(s"(total_cents * $hotMult) div (2 * n_parts)"))
       .select(col("l_partkey").as("p_partkey"), col("value_cents"))
   }
 

@@ -91,6 +91,38 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("n_chars"))
   }
 
+  /** Deterministic weighted BUDGET sampling: exactly `k` documents,
+    * inclusion biased toward high weight, decided by an integerized
+    * bottom-k priority — the fixed-BUDGET complement of the
+    * rate-based samplers above ("give me 500 docs, favor quality"
+    * vs "keep 10%"). Priority = (h · 10^6) div w, with h the same
+    * key-pure md5 hash family as [[hashSample]] (full 32-bit width,
+    * not mod 100) and w an integer weight ≥ 1 (here a length-derived
+    * quality proxy, 1..50); LOW priority wins, ties break on doc_id.
+    * This is weighted bottom-k sampling — the deterministic cousin of
+    * A-Res reservoir sampling, with the float `u^(1/w)` key replaced
+    * by an integer floor-division so the ranking is bit-identical
+    * across engines (IEEE pow is not correctly rounded and could flip
+    * boundary ranks). Reproducible across runs, partitionings and
+    * retries — the property a rand()-keyed reservoir destroys — and
+    * it plans as a TakeOrdered top-k: per-partition heaps + one
+    * driver merge of k·parts rows, no global sort, no corpus
+    * shuffle. h·10^6 < 2^52, so the product is overflow-safe at any
+    * corpus size (the hash width is fixed, not data-dependent). */
+  def weightedSample(documents: DataFrame, k: Int = 500): DataFrame = {
+    val h = conv(substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("bigint")
+    val w = lit(1L) + least(expr("n_chars div 100"), lit(49L))
+    documents
+      .select(col("doc_id"), col("lang"), w.as("weight"),
+        h.as("h"))
+      .withColumn("priority", expr("(h * 1000000) div weight"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("lang"), col("weight"), col("priority"))
+  }
+
   /** Canonical text normalization — the pass that runs before exact
     * dedup so trivially-different bytes (case, punctuation, whitespace)
     * hash identically: lowercase → non-alphanumerics to spaces →

@@ -3141,6 +3141,19 @@ FROM (
   FROM orders)
 GROUP BY bucket"""
 
+  /** Mirror of TextOps.weightedSample: integerized bottom-k weighted
+    * priorities — same md5-residue family as the other samplers, full
+    * 32-bit width, floor division so the ranking is engine-exact. */
+  val sampleWeighted: String = """
+SELECT doc_id, lang, weight, priority FROM (
+  SELECT doc_id, lang,
+         1 + LEAST(n_chars // 100, 49) AS weight,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          * 1000000) // (1 + LEAST(n_chars // 100, 49)) AS priority
+  FROM documents) t
+ORDER BY priority, doc_id
+LIMIT 500"""
+
   /** Mirror of Analytics.forecastRevenue (TPC-H Q6 shape) and its
     * sql_q6_forecast twin: triple-predicate scan + exact decimal
     * aggregate, grouped by return flag. */
@@ -3158,7 +3171,9 @@ GROUP BY l_returnflag"""
 
   /** Mirror of Analytics.importantStock (TPC-H Q11 shape, adapted):
     * per-part shipped value at one nation's suppliers in exact int64
-    * cents, kept where value exceeds 1/400 of the national total. */
+    * cents, kept above 7/2 of the average per-part value — the
+    * self-scaling threshold, floor-divided identically in both
+    * engines. */
   val q11ImportantStock: String = """
 WITH vals AS (
   SELECT l.l_partkey AS p_partkey,
@@ -3171,8 +3186,10 @@ WITH vals AS (
     WHERE n.n_name = 'NATION_1')
   GROUP BY l.l_partkey)
 SELECT p_partkey, CAST(value_cents AS BIGINT) AS value_cents
-FROM vals, (SELECT SUM(value_cents) AS total_cents FROM vals) t
-WHERE value_cents * 400 > total_cents"""
+FROM vals,
+     (SELECT SUM(value_cents) AS total_cents, COUNT(*) AS n_parts
+      FROM vals) t
+WHERE value_cents > (total_cents * 7) // (2 * n_parts)"""
 
   /** Mirror of Analytics.promoSuppliers (TPC-H Q20 shape, adapted):
     * suppliers shipping more than half a promo part's year quantity,

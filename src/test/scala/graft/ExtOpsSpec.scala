@@ -1071,4 +1071,27 @@ class ExtOpsSpec extends SparkSpec {
     assert(m.getAs[String]("chunk_md5") ==
       org.apache.commons.codec.digest.DigestUtils.md5Hex("a b c"))
   }
+
+  test("weighted sample: integer priorities exact vs a plain-JVM recomputation") {
+    import spark.implicits._
+    // even ids are long docs (weight 50), odd ids short (weight 1) —
+    // with ~uniform hashes the big-weight docs must dominate the budget
+    val d = (1L to 200L)
+      .map(i => (i, "en", if (i % 2 == 0) 10000L else 50L))
+      .toDF("doc_id", "lang", "n_chars")
+    val out = TextOps.weightedSample(d, k = 50).collect()
+    def h(id: Long): Long = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(id.toString).substring(0, 8), 16)
+    def w(n: Long): Long = 1L + math.min(n / 100, 49L)
+    val exp = (1L to 200L)
+      .map(i => (i, h(i) * 1000000L / w(if (i % 2 == 0) 10000L else 50L)))
+      .sortBy(t => (t._2, t._1)).take(50)
+    assert(out.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("priority"))).toSeq == exp)
+    assert(out.count(_.getAs[Long]("doc_id") % 2 == 0) > 40)
+    // determinism: a second run returns the identical list
+    assert(TextOps.weightedSample(d, k = 50).collect()
+      .map(_.getAs[Long]("doc_id")).toSeq == exp.map(_._1))
+  }
 }
