@@ -128,6 +128,9 @@ object SparkEntry {
     // Q17 small-quantity revenue: correlated per-part average in exact arithmetic
     "q17_small_qty" -> ((s, d) => Analytics.smallQuantityRevenue(
       Tables.part(s, d), Tables.lineitem(s, d))),
+    // Q17 in the join-back spelling, collapsed by the WinMagic rule
+    "q17_winmagic" -> ((s, d) => Analytics.smallQuantityRevenueJoinBack(
+      Tables.part(s, d), Tables.lineitem(s, d))),
     // Q21 waiting suppliers (adapted): sole-latest shipper of multi-supplier orders
     "q21_waiting_suppliers" -> ((s, d) => Analytics.waitingSuppliers(
       Tables.supplier(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
@@ -835,6 +838,7 @@ object SparkEntry {
     "q13_order_distribution" -> OracleSqlExt.q13OrderDistribution,
     "q15_top_supplier" -> OracleSqlExt.q15TopSupplier,
     "q17_small_qty" -> OracleSqlExt.q17SmallQty,
+    "q17_winmagic" -> OracleSqlExt.q17SmallQty,
     "q21_waiting_suppliers" -> OracleSqlExt.q21WaitingSuppliers,
     "q22_dormant_value" -> OracleSqlExt.q22DormantValue,
     "q6_forecast" -> OracleSqlExt.q6Forecast,

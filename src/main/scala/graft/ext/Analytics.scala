@@ -902,6 +902,37 @@ object Analytics {
         col("n_lines"))
   }
 
+  /** The textbook JOIN-BACK spelling of Q17 — per-part aggregate
+    * joined back to the fact, the shape [[smallQuantityRevenue]] was
+    * hand-rewritten away from because it scans the fact twice — left
+    * exactly as a user would write it, for the [[graft.plans.WinMagic]]
+    * optimizer rule to rewrite mechanically. The rule collapses it to
+    * the one-scan window form; the same oracle row gates both paths,
+    * and WinMagicSpec asserts the collapsed plan (one lineitem
+    * relation, a Window, no join-back join). Same exact arithmetic. */
+  def smallQuantityRevenueJoinBack(part: DataFrame, lineitem: DataFrame,
+      brand: String = "Brand#4"): DataFrame = {
+    val brandParts = broadcast(part.filter(col("p_brand") === brand)
+      .select(col("p_partkey")))
+    val fact = lineitem.join(brandParts, col("l_partkey") === col("p_partkey"))
+    val stats = fact.groupBy(col("l_partkey"))
+      .agg(sum(dec("l_quantity")).as("sum_qty_d"),
+        count(lit(1)).as("cnt_qty"))
+    // rewrite at the ANALYZED layer: the join-back's two fact subtrees
+    // are still textually identical there, so the rule's sameResult
+    // match sees through the multi-relation core (at optimizer time,
+    // pruning and constraint inference have already decorated each
+    // side differently — WinMagic.rewriteDf's scaladoc)
+    graft.plans.WinMagic.rewriteDf(
+      fact.join(stats, "l_partkey")
+        .filter(dec("l_quantity") * lit(5).cast("decimal(2,0)") *
+          col("cnt_qty") < col("sum_qty_d")))
+      .agg(sum(dec("l_extendedprice")).as("rev_d"), count(lit(1)).as("n_lines"))
+      .select(col("rev_d").cast("string").as("small_qty_revenue"),
+        (col("rev_d").cast("double") / 7.0).as("avg_yearly"),
+        col("n_lines"))
+  }
+
   /** TPC-H Q21-shaped waiting-supplier count, adapted: with no
     * commit/receipt dates, the "supplier who kept the order waiting"
     * is the SOLE LATEST shipper of a multi-supplier finished order —

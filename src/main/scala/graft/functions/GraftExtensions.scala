@@ -16,6 +16,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.plans.NoGlobalWindowGuard(k =>
         session.conf.getOption(k))
     }
+    // WinMagic self-join-back → window rewrite (on by default; kill
+    // switch spark.graft.optimizer.winmagic=false — see the scaladoc)
+    ext.injectOptimizerRule { session =>
+      graft.plans.WinMagicGated(k => session.conf.getOption(k))
+    }
     // physical planning for the native as-of join (AsOfJoin.asOf also
     // self-installs via experimental.extraStrategies at first use —
     // this is the build-time form for spark.sql.extensions deployment)

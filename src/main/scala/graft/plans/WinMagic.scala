@@ -1,0 +1,324 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeMap, AttributeReference, EqualTo, Expression, NamedExpression, PredicateHelper, RowFrame, SpecifiedWindowFrame, UnboundedFollowing, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, Window}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** WinMagic: rewrite a self-join-back aggregate into window functions
+  * (Zuzarte et al., "WinMagic: Subquery Elimination Using Window
+  * Aggregation", SIGMOD 2003 — the published optimization; this is an
+  * independent implementation against the public Catalyst API).
+  *
+  * The shape it eliminates is the one users (and Catalyst's own
+  * scalar-subquery decorrelation) produce for "compare each row to its
+  * group's aggregate":
+  *
+  * {{{
+  *   fact.join(fact.groupBy(k).agg(sum(x) as s), "k")   // two fact scans
+  *   ===>
+  *   fact.withColumn("s", sum(x) over Window.partitionBy(k))  // one
+  * }}}
+  *
+  * Every fact row finds exactly one group row — its own group, which
+  * EXISTS because the aggregate ranges over the same rows — so the
+  * join is a per-row annotation, which is precisely what a window
+  * computes in ONE scan and ONE exchange instead of two scans, two
+  * exchanges and a join. At 100 TB the eliminated scan is the
+  * dominant cost (this library hit the shape by hand in Q17 and
+  * rewrote it manually — ext/Analytics.smallQuantityRevenue's
+  * scaladoc; this rule performs the same rewrite mechanically, so the
+  * SQL-text twin sql_q17_below_avg's decorrelated plan and any user's
+  * join-back get it too).
+  *
+  * Match conditions (all REQUIRED; anything else passes through
+  * untouched — a rewrite rule must be provably sound on the shapes it
+  * claims and silent on everything else):
+  *
+  *  - `Join(L, Aggregate(G, A, R), Inner | LeftOuter, cond)` where
+  *    stripping pure-attribute Projects from L and R yields plans for
+  *    which `sameResult` holds (column pruning interleaves narrowing
+  *    Projects; they change columns, never rows, so they are peeled
+  *    before the row-identity check and the window runs over the
+  *    unpeeled core — the final Project restores the join's exact
+  *    output schema and expr IDs).
+  *  - grouping expressions are plain attributes, every one of them is
+  *    equi-joined (`L.a = agg.g`) and, through the positional
+  *    `sameResult` output mapping, `a` IS `g`'s image on the left —
+  *    i.e. the join key and the grouping key are the same column of
+  *    the same rows, the WinMagic correlation condition.
+  *  - nullable join keys: allowed for Inner (NULL-key rows are
+  *    dropped by the equality join, reproduced exactly by an
+  *    IsNotNull filter under the window); declined for LeftOuter
+  *    (which null-extends those rows, while a window would hand them
+  *    the NULL partition's own aggregates — a different answer).
+  *  - aggregates are non-DISTINCT, FILTER-free Sum/Count/Min/Max/
+  *    Average (the frame-insensitive functions with window forms).
+  *  - residual (non-equi) conjuncts are allowed for Inner joins and
+  *    reapplied as a Filter ABOVE the rewrite (each left row has
+  *    exactly one match, so a residual only filters); LeftOuter with
+  *    a residual null-extends instead of filtering and is declined.
+  *
+  * Deployment mirrors the native as-of join: build-time via
+  * [[graft.functions.GraftExtensions]] (disable with
+  * `spark.graft.optimizer.winmagic=false`), runtime via
+  * [[WinMagic.install]] (`experimental.extraOptimizations`, the
+  * optimizer twin of `extraStrategies`). */
+/** Build-time form for spark.sql.extensions deployment — the rewrite
+  * is on unless `spark.graft.optimizer.winmagic=false` (a kill switch
+  * for triaging a suspected miscompile, the standard courtesy for an
+  * injected rewrite). */
+case class WinMagicGated(getConf: String => Option[String])
+    extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (getConf("spark.graft.optimizer.winmagic")
+      .exists(_.equalsIgnoreCase("false"))) plan
+    else WinMagic(plan)
+}
+
+object WinMagic extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** Runtime registration — idempotent, the extraStrategies pattern.
+    * NOTE the layering caveat: user optimizer rules run LAST, after
+    * column pruning and constraint inference have decorated each side
+    * of a multi-relation core with side-specific Projects and
+    * IsNotNull filters — `peel` absorbs the TOP-LEVEL layers, so
+    * single-relation cores match here, but divergence buried inside a
+    * join subtree defeats `sameResult`. For those, rewrite the
+    * ANALYZED plan instead ([[rewriteDf]]), where both subtrees are
+    * exactly what the user wrote. */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val s = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!s.experimental.extraOptimizations.contains(WinMagic))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ WinMagic
+  }
+
+  /** Apply the rewrite to a DataFrame's ANALYZED plan — the clean
+    * layer where the join-back shape is exactly as written (no
+    * inferred filters, no pruning Projects inside the cores), so
+    * `sameResult` sees through arbitrary core complexity. The
+    * rewritten plan then flows through normal optimization. Returns
+    * the input unchanged when nothing matches. */
+  def rewriteDf(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val analyzed = df.queryExecution.analyzed
+    val rewritten = apply(analyzed)
+    if (rewritten eq analyzed) df
+    else org.apache.spark.sql.GraftPlanBridge.ofRows(df.sparkSession, rewritten)
+  }
+
+  private val wholePartition =
+    SpecifiedWindowFrame(RowFrame, UnboundedPreceding, UnboundedFollowing)
+
+  private def windowable(ae: AggregateExpression): Boolean =
+    !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+      case _: Sum | _: Count | _: Min | _: Max | _: Average => true
+      case _ => false
+    })
+
+  /** Peel pure-attribute Projects (column pruning's narrowing layers —
+    * they change available columns, never rows) AND Filter layers
+    * (constraint inference plants side-specific IsNotNulls; pushdown
+    * places user predicates at different depths per side), collecting
+    * every filter conjunct. The caller compares the bare cores for
+    * row-source identity and re-distributes the collected conditions
+    * soundly: shared ones below the window (they shaped the groups),
+    * left-only ones above it (the aggregate never saw them), and
+    * right-only ones must be key-IsNotNulls (which only ever exclude
+    * the NULL group the join could not match anyway). */
+  private def peel(p: LogicalPlan): (LogicalPlan, Seq[Expression]) =
+    p match {
+      case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+        peel(c)
+      case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+        peel(s.child)
+      case Filter(cond, c) =>
+        val (core, rest) = peel(c)
+        (core, splitConjunctivePredicates(cond) ++ rest)
+      case other => (other, Nil)
+    }
+
+  /** Peel Filter layers sitting between the join and the aggregate
+    * (Catalyst's InferFiltersFromConstraints plants IsNotNull there;
+    * a user HAVING lands there too). They filter GROUPS — after the
+    * rewrite every row wears its group's aggregates, so the same
+    * predicates applied per-row above the window drop exactly the
+    * members of the filtered-out groups (Inner only; LeftOuter would
+    * null-extend instead). */
+  private def peelHaving(p: LogicalPlan): (LogicalPlan, Seq[Expression]) =
+    p match {
+      case Filter(c, child) =>
+        val (core, rest) = peelHaving(child)
+        (core, splitConjunctivePredicates(c) ++ rest)
+      case other => (other, Nil)
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(left, right, jt, Some(cond), _)
+        if jt == Inner || jt == LeftOuter =>
+      val (core, having) = peelHaving(right)
+      core match {
+        case agg @ Aggregate(grouping, aggExprs, aggChild, _)
+            if grouping.nonEmpty &&
+              grouping.forall(_.isInstanceOf[Attribute]) &&
+              (having.isEmpty || jt == Inner) =>
+          rewrite(j, left, agg, grouping.map(_.asInstanceOf[Attribute]),
+            aggExprs, aggChild, jt == Inner, cond, having).getOrElse(j)
+        case _ => j
+      }
+  }
+
+  private def rewrite(j: Join, left: LogicalPlan, agg: Aggregate,
+      grouping: Seq[Attribute], aggExprs: Seq[NamedExpression],
+      aggChild: LogicalPlan, inner: Boolean,
+      cond: Expression, having: Seq[Expression]): Option[LogicalPlan] = {
+    val (coreL, lConds) = peel(left)
+    val (coreR, rCondsRaw) = peel(aggChild)
+    if (!coreL.sameResult(coreR)) return None
+    // positional output mapping between the row-source-identical cores
+    if (coreL.output.length != coreR.output.length) return None
+    val toLeft = AttributeMap(coreR.output.zip(coreL.output))
+    // right-side filter conditions in left attribute terms
+    val rConds = rCondsRaw.map(_.transformUp {
+      case a: Attribute => toLeft.getOrElse(a, a)
+    })
+    if (!rConds.forall(_.references.subsetOf(coreL.outputSet))) return None
+    if (!lConds.forall(_.references.subsetOf(coreL.outputSet))) return None
+
+    // the aggregate-side output attribute for each grouping attribute
+    val groupOut: Map[Attribute, Attribute] = grouping.flatMap { g =>
+      aggExprs.collectFirst {
+        case a: Attribute if a.semanticEquals(g) => g -> a
+        case al @ Alias(a: Attribute, _) if a.semanticEquals(g) =>
+          g -> al.toAttribute
+      }
+    }.toMap
+    if (groupOut.size != grouping.length) return None
+
+    // the DEFINING equalities: L.image(g) = agg.g for each grouping
+    // attribute — the join key and the grouping key must be the same
+    // column of the same rows (the WinMagic correlation condition).
+    // Any OTHER conjunct (non-equi, or an equality on a different
+    // column pair) is residual and survives as a Filter.
+    val defining: Set[(Long, Long)] = grouping.flatMap { g =>
+      toLeft.get(g).map(img => (img.exprId.id, groupOut(g).exprId.id))
+    }.toSet
+    if (defining.size != grouping.length) return None
+    val conjuncts = splitConjunctivePredicates(cond)
+    val (equiDefining, residual) = conjuncts.partition {
+      case EqualTo(a: Attribute, b: Attribute) =>
+        defining.contains((a.exprId.id, b.exprId.id)) ||
+          defining.contains((b.exprId.id, a.exprId.id))
+      case _ => false
+    }
+    if (residual.nonEmpty && !inner) return None
+    // every grouping attribute's defining equality must be present
+    val present = equiDefining.collect {
+      case EqualTo(a: Attribute, b: Attribute) =>
+        Set((a.exprId.id, b.exprId.id), (b.exprId.id, a.exprId.id))
+    }.flatten.toSet
+    if (!defining.subsetOf(present)) return None
+    // NULL keys never satisfy the equality join. For an Inner join
+    // that means null-key rows are DROPPED — reproduced exactly by an
+    // IsNotNull filter under the window (the null partition's rows
+    // vanish; no other partition's aggregate ever saw them). A
+    // LeftOuter join instead null-EXTENDS those rows while a window
+    // would hand them the null-partition aggregates — not expressible
+    // this way, so decline.
+    val nullableKeys = grouping.exists(g => g.nullable || toLeft(g).nullable)
+    if (nullableKeys && !inner) return None
+
+    val partitionKeys: Seq[Expression] = grouping.map(toLeft(_))
+    val spec = WindowSpecDefinition(partitionKeys, Nil, wholePartition)
+
+    // distribute the peeled filter conditions:
+    //  - shared by both sides → below the window (they shaped the
+    //    groups AND the surviving left rows)
+    //  - left-only → above the window (the aggregate never saw them;
+    //    they only select which annotated rows survive)
+    //  - right-only → sound ONLY if they are IsNotNull on a grouping
+    //    key: they exclude exactly the NULL group, whose members the
+    //    equality join could never match anyway (and which the
+    //    nullable-keys IsNotNull filter below already drops)
+    val common = rConds.filter(rc => lConds.exists(_.semanticEquals(rc)))
+    val rOnly = rConds.filterNot(rc => lConds.exists(_.semanticEquals(rc)))
+    val lOnly = lConds.filterNot(lc => rConds.exists(_.semanticEquals(lc)))
+    val rOnlyIsKeyNotNull = rOnly.forall {
+      case org.apache.spark.sql.catalyst.expressions.IsNotNull(a: Attribute)
+        => partitionKeys.exists(_.semanticEquals(a))
+      case _ => false
+    }
+    if (!rOnlyIsKeyNotNull) return None
+    // lOnly is sound for BOTH join types: those predicates sat under
+    // the join on the left input, so they select left rows (never
+    // null-extend), which is exactly what a filter above the
+    // annotation does
+
+    // each aggregate-output column becomes a window alias (aggregates
+    // → window aggregates over the partition, grouping refs → left
+    // attrs), PRESERVING the original exprIds so parents still resolve
+    val windowAliases = collection.mutable.ArrayBuffer.empty[NamedExpression]
+    val projectRight: Seq[NamedExpression] = aggExprs.map { ne =>
+      var ok = true
+      // bottom-up: attributes remap to their left images first, then
+      // each (already-remapped) aggregate wraps into a window function
+      def mapExpr(e: Expression): Expression = {
+        val mapped = e.transformUp {
+          case ae: AggregateExpression =>
+            if (!windowable(ae)) { ok = false; ae }
+            else WindowExpression(ae, spec)
+          case a: Attribute => toLeft.getOrElse(a, a)
+        }
+        // anything still referencing outside the core (an attribute
+        // with no left image) disqualifies the rewrite
+        if (!mapped.references.subsetOf(coreL.outputSet)) ok = false
+        mapped
+      }
+      ne match {
+        case a: Attribute =>
+          val m = toLeft.getOrElse(a, { ok = false; a })
+          if (!ok) return None
+          Alias(m, a.name)(exprId = a.exprId)
+        case al @ Alias(child, name) =>
+          val mapped = mapExpr(child)
+          if (!ok) return None
+          // non-trivial window output rides the Window node; plain
+          // remapped grouping refs can alias directly in the Project
+          if (mapped.exists(_.isInstanceOf[WindowExpression])) {
+            val wa = Alias(mapped, name)(exprId = al.exprId)
+            windowAliases += wa
+            wa.toAttribute
+          } else Alias(mapped, name)(exprId = al.exprId)
+        case _ => return None
+      }
+    }
+
+    val belowConds = common ++ (if (nullableKeys)
+      partitionKeys.map(
+        org.apache.spark.sql.catalyst.expressions.IsNotNull(_)) else Nil)
+    val windowChild =
+      if (belowConds.isEmpty) coreL
+      else Filter(belowConds.reduce(
+        org.apache.spark.sql.catalyst.expressions.And), coreL)
+    val window =
+      if (windowAliases.isEmpty) windowChild
+      else Window(windowAliases.toSeq, partitionKeys, Nil, windowChild)
+    val projected = Project(left.output.map(a => a: NamedExpression) ++
+      projectRight, window)
+    // residual join predicates, peeled group-filters, and left-only
+    // input filters all apply per-row above the annotation
+    // (references resolve: left attrs pass through, aggregate outputs
+    // keep their exprIds)
+    val post = residual ++ having ++ lOnly
+    val rewritten: LogicalPlan =
+      if (post.isEmpty) projected
+      else Filter(post.reduce(
+        org.apache.spark.sql.catalyst.expressions.And), projected)
+    // output contract: same attributes, same order, same exprIds —
+    // decline (never crash) if anything upstream broke the invariant
+    if (rewritten.output.map(_.exprId) != j.output.map(_.exprId)) None
+    else Some(rewritten)
+  }
+}

@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Join, Window}
+import org.apache.spark.sql.functions._
+
+import graft.plans.WinMagic
+
+/** The WinMagic rewrite (self-join-back aggregate → window): fires on
+  * the provable shapes, declines on every unsound one, and never
+  * changes an answer. Values are checked against hand-computed
+  * expectations (not against the rule-off plan, so a miscompile that
+  * broke both paths identically couldn't hide). */
+class WinMagicSpec extends SparkSpec {
+
+  override protected def beforeAll(): Unit = {
+    super.beforeAll()
+    WinMagic.install(spark)
+  }
+
+  private def joins(df: DataFrame) =
+    df.queryExecution.optimizedPlan.collect { case j: Join => j }
+  private def windows(df: DataFrame) =
+    df.queryExecution.optimizedPlan.collect { case w: Window => w }
+
+  private def fact() = {
+    import spark.implicits._
+    Seq((1L, 10.0), (1L, 20.0), (2L, 5.0), (2L, 7.0), (3L, 1.0))
+      .toDF("k", "x")
+  }
+
+  test("inner join-back becomes a window: no join node, exact values") {
+    val f = fact()
+    val agg = f.groupBy("k").agg(sum("x").as("s"), count(lit(1)).as("c"),
+      avg("x").as("a"))
+    val joined = f.join(agg, "k")
+    assert(joins(joined).isEmpty, "join must be rewritten away")
+    assert(windows(joined).nonEmpty, "a window must appear")
+    val rows = joined.collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Double]("x"),
+        r.getAs[Double]("s"), r.getAs[Long]("c"), r.getAs[Double]("a")))
+      .sortBy(t => (t._1, t._2))
+    assert(rows.toSeq == Seq(
+      (1L, 10.0, 30.0, 2L, 15.0), (1L, 20.0, 30.0, 2L, 15.0),
+      (2L, 5.0, 12.0, 2L, 6.0), (2L, 7.0, 12.0, 2L, 6.0),
+      (3L, 1.0, 1.0, 1L, 1.0)))
+  }
+
+  test("left-outer join-back on non-nullable keys also rewrites") {
+    val f = fact()
+    val agg = f.groupBy("k").agg(max("x").as("mx"))
+    val joined = f.join(agg, Seq("k"), "left")
+    assert(joins(joined).isEmpty)
+    val rows = joined.collect().map(r =>
+      (r.getAs[Long]("k"), r.getAs[Double]("x"), r.getAs[Double]("mx")))
+      .sortBy(t => (t._1, t._2))
+    assert(rows.toSeq == Seq((1L, 10.0, 20.0), (1L, 20.0, 20.0),
+      (2L, 5.0, 7.0), (2L, 7.0, 7.0), (3L, 1.0, 1.0)))
+  }
+
+  test("residual predicate in the join condition survives as a filter") {
+    val f = fact()
+    val agg = f.groupBy(col("k").as("gk")).agg(sum("x").as("s"))
+    // the q17 shape: annotate, then keep rows below half the group sum
+    val joined = f.join(agg, f("k") === col("gk") && f("x") * 2 < col("s"))
+    assert(joins(joined).isEmpty)
+    val rows = joined.collect().map(r =>
+      (r.getAs[Long]("k"), r.getAs[Double]("x"))).sortBy(identity)
+    // group sums: k1=30 (10*2<30 ✓, 20*2<30 ✗), k2=12 (5*2<12 ✓,
+    // 7*2<12 ✗), k3=1 (1*2<1 ✗)
+    assert(rows.toSeq == Seq((1L, 10.0), (2L, 5.0)))
+  }
+
+  test("nullable keys: inner rewrites with a null-key drop, left outer declines") {
+    import spark.implicits._
+    val f = Seq((Some(1L), 10.0), (Some(1L), 20.0), (None, 99.0))
+      .toDF("k", "x")
+    val agg = f.groupBy("k").agg(sum("x").as("s"))
+    val inner = f.join(agg, "k")
+    assert(joins(inner).isEmpty, "inner with nullable keys rewrites")
+    val rows = inner.collect().map(r =>
+      (r.getAs[Long]("k"), r.getAs[Double]("x"), r.getAs[Double]("s")))
+      .sortBy(t => (t._1, t._2))
+    // the null-key row is dropped, exactly as the equality join drops it
+    assert(rows.toSeq == Seq((1L, 10.0, 30.0), (1L, 20.0, 30.0)))
+    val louter = f.join(agg, Seq("k"), "left")
+    assert(joins(louter).nonEmpty, "left outer with nullable keys declines")
+  }
+
+  test("declines: distinct aggregate, different join column, different source") {
+    import spark.implicits._
+    val f = fact()
+    val dAgg = f.groupBy("k").agg(countDistinct("x").as("d"))
+    assert(joins(f.join(dAgg, "k")).nonEmpty, "DISTINCT must decline")
+
+    val f2 = Seq((1L, 2L, 1.0)).toDF("k", "h", "x")
+    val agg2 = f2.groupBy(col("k").as("gk")).agg(sum("x").as("s"))
+    assert(joins(f2.join(agg2, f2("h") === agg2("gk"))).nonEmpty,
+      "joining a different column than the grouping key must decline")
+
+    val other = Seq((1L, 5.0)).toDF("k", "x")
+    val agg3 = other.groupBy("k").agg(sum("x").as("s"))
+    assert(joins(f.join(agg3, "k")).nonEmpty,
+      "an aggregate of a DIFFERENT source must decline")
+  }
+
+  test("parquet round-trip: pruning Projects are peeled, one scan survives") {
+    val dir = java.nio.file.Files.createTempDirectory("winmagic").toString
+    fact().write.mode("overwrite").parquet(dir)
+    val p = spark.read.parquet(dir)
+    val agg = p.groupBy("k").agg(sum("x").as("s"), count(lit(1)).as("c"))
+    val joined = p.join(agg, "k")
+      .filter(col("x") * 5 * col("c") < col("s") * 2)
+      .agg(sum("x").as("small_sum"), count(lit(1)).as("n"))
+    assert(joins(joined).isEmpty, "join-back over parquet must rewrite")
+    // count at the logical layer (AQE wraps the physical tree): the
+    // join-back form reads the relation twice, the rewrite once
+    val scans = joined.queryExecution.optimizedPlan.collectLeaves()
+      .filter(_.nodeName.toLowerCase.contains("relation"))
+    assert(scans.length == 1,
+      s"the rewrite must eliminate the second scan, got ${scans.length}: " +
+        scans.map(_.nodeName).mkString(","))
+    // k1: sum 30, cnt 2 → 10: 100<60 ✗, 20 ✗; k2: sum 12, cnt 2 →
+    // 5: 50<24 ✗...; threshold deliberately tight: x*5*c < s*2 keeps
+    // k1's 10 (100 < 60 false) — recompute: nothing for k1; k2:
+    // 5*10=50 < 24 false. Use exact per-row expectation instead:
+    val expect = Seq((1L, 10.0), (1L, 20.0), (2L, 5.0), (2L, 7.0),
+      (3L, 1.0)).groupBy(_._1).map { case (k, rows) =>
+        val s = rows.map(_._2).sum; val c = rows.length
+        rows.filter(r => r._2 * 5 * c < s * 2).map(_._2)
+      }.flatten.toSeq
+    val r = joined.collect().head
+    if (expect.isEmpty) assert(r.isNullAt(0) && r.getAs[Long]("n") == 0L)
+    else {
+      assert(r.getAs[Double]("small_sum") == expect.sum)
+      assert(r.getAs[Long]("n") == expect.length.toLong)
+    }
+  }
+
+  test("q17 join-back over the real tables collapses to the one-scan window form") {
+    val dir = "/root/testdata/sf0.001"
+    val df = graft.ext.Analytics.smallQuantityRevenueJoinBack(
+      Tables.part(spark, dir), Tables.lineitem(spark, dir))
+    val rels = df.queryExecution.optimizedPlan.collectLeaves()
+      .filter(_.nodeName.toLowerCase.contains("relation"))
+    // one lineitem + one (brand-filtered) part — the join-back form
+    // reads each TWICE
+    assert(rels.length == 2,
+      s"expected 2 relation reads after the rewrite, got ${rels.length}")
+    assert(windows(df).nonEmpty, "the rewrite must produce a window")
+    // and it computes the same answer as the hand-rewritten form
+    val a = df.collect().head
+    val b = graft.ext.Analytics.smallQuantityRevenue(
+      Tables.part(spark, dir), Tables.lineitem(spark, dir)).collect().head
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("kill switch: winmagic=false leaves the join in place") {
+    spark.conf.set("spark.graft.optimizer.winmagic", "false")
+    try {
+      // the gated form is the build-time injection; the runtime
+      // extraOptimizations install ignores the conf by design, so
+      // exercise the gate directly on the logical plan
+      val f = fact()
+      val agg = f.groupBy("k").agg(sum("x").as("s"))
+      val plan = f.join(agg, "k").queryExecution.analyzed
+      val gated = graft.plans.WinMagicGated(k => spark.conf.getOption(k))
+      assert(gated(plan).collect { case j: Join => j }.nonEmpty)
+      spark.conf.set("spark.graft.optimizer.winmagic", "true")
+      assert(gated(plan).collect { case j: Join => j }.isEmpty)
+    } finally spark.conf.unset("spark.graft.optimizer.winmagic")
+  }
+}
