@@ -559,6 +559,8 @@ object SparkEntry {
     "sample_stratified" -> ((s, d) => TextOps.stratifiedSample(docs(s, d))),
     // fixed-budget weighted sample: integerized bottom-k priorities
     "sample_weighted" -> ((s, d) => TextOps.weightedSample(docs(s, d))),
+    // hashing-trick featurization: vocab-free sparse tf vectors
+    "text_hash_features" -> ((s, d) => TextOps.hashFeatures(docs(s, d))),
     // materialized temperature mixture: per-source hash sample at the
     // mixture-weight rate (floored threshold, key-pure bucket)
     "sample_mixture" -> ((s, d) => TextOps.mixtureSample(docs(s, d))),
@@ -944,6 +946,7 @@ object SparkEntry {
     "text_quality_model" -> OracleSqlExt.textQualityModel,
     "sample_stratified" -> OracleSqlExt.sampleStratified,
     "sample_weighted" -> OracleSqlExt.sampleWeighted,
+    "text_hash_features" -> OracleSqlExt.textHashFeatures,
 
     "dedup_exact" -> OracleSqlExt.dedupExact,
     "dedup_minhash" -> OracleSqlExt.dedupMinhash,

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis over the `documents` table: token counting, quality
@@ -121,6 +122,38 @@ object TextOps {
       .orderBy(col("priority"), col("doc_id"))
       .limit(k)
       .select(col("doc_id"), col("lang"), col("weight"), col("priority"))
+  }
+
+  /** Feature hashing (the "hashing trick", Weinberger et al., ICML
+    * 2009): each document becomes a sparse `dim`-bucket term-frequency
+    * vector with the vocabulary REPLACED by a hash — the featurizer
+    * that needs no vocabulary build, no dictionary broadcast, and no
+    * second pass, which is why it is the default first featurizer at
+    * corpus scale (a learned vocab is a corpus-wide groupBy + a
+    * broadcast that grows with the vocabulary; the hash is a codegen'd
+    * per-row expression). Bucket = md5-residue of the token mod `dim`
+    * — the same engine-exact hash family as the samplers, so the
+    * oracle replays it bit-for-bit. Emitted sparse, top-`k` buckets
+    * per doc by (tf DESC, bucket) through WindowGroupLimit — the
+    * bounded-output posture; collisions are the accepted trade and are
+    * deterministic. One explode + one (doc, bucket) aggregate + one
+    * doc-keyed window: the aggregate's exchange on (doc_id, bucket)
+    * is reused by nothing, but the window's doc_id exchange rides the
+    * SAME shrinking per-doc frame — no corpus-sized shuffle. */
+  def hashFeatures(documents: DataFrame, dim: Int = 64, k: Int = 8): DataFrame = {
+    val tf = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("bucket",
+        conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10)
+          .cast("bigint") % dim)
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+    tf.withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("tf").desc, col("bucket"))))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("bucket"), col("tf"), col("rk"))
   }
 
   /** Canonical text normalization — the pass that runs before exact

@@ -3154,6 +3154,23 @@ SELECT doc_id, lang, weight, priority FROM (
 ORDER BY priority, doc_id
 LIMIT 500"""
 
+  /** Mirror of TextOps.hashFeatures: hashing-trick sparse tf vectors,
+    * top-8 of 64 buckets per doc, same md5-residue bucket hash. */
+  val textHashFeatures: String = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS bucket,
+         COUNT(*) AS tf
+  FROM tok WHERE tok <> '' GROUP BY 1, 2),
+r AS (
+  SELECT doc_id, bucket, tf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tf DESC, bucket) AS rk
+  FROM b)
+SELECT doc_id, bucket, tf, CAST(rk AS INT) AS rk FROM r WHERE rk <= 8"""
+
   /** Mirror of Analytics.forecastRevenue (TPC-H Q6 shape) and its
     * sql_q6_forecast twin: triple-predicate scan + exact decimal
     * aggregate, grouped by return flag. */

@@ -1072,6 +1072,24 @@ class ExtOpsSpec extends SparkSpec {
       org.apache.commons.codec.digest.DigestUtils.md5Hex("a b c"))
   }
 
+  test("feature hashing: buckets exact vs plain-JVM md5, top-k order pinned") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "aa bb aa cc aa bb"),  // tf: aa=3, bb=2, cc=1
+      (2L, "dd")
+    ).toDF("doc_id", "text")
+    def bucket(tok: String): Long = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(tok).substring(0, 8), 16) % 64
+    val out = TextOps.hashFeatures(d, dim = 64, k = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bucket"),
+        r.getAs[Long]("tf"), r.getAs[Int]("rk")))
+    // doc 1 keeps its two most frequent buckets (aa then bb); cc cut
+    assert(out.filter(_._1 == 1L).sortBy(_._4).toSeq == Seq(
+      (1L, bucket("aa"), 3L, 1), (1L, bucket("bb"), 2L, 2)))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, bucket("dd"), 1L, 1)))
+  }
+
   test("weighted sample: integer priorities exact vs a plain-JVM recomputation") {
     import spark.implicits._
     // even ids are long docs (weight 50), odd ids short (weight 1) —
