@@ -120,6 +120,101 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 }
 
+/** The per-partition merge state machine, extracted so the volcano
+  * path ([[AsOfJoinExec.doExecute]]) and the whole-stage-codegen path
+  * ([[AsOfJoinExec.doProduce]]) run the SAME statically-compiled,
+  * monomorphic logic — one lookahead right row, one carried match,
+  * constant memory. The generated code calls [[probe]] once per left
+  * row; JIT inlines it, and the old per-row volcano iterator chain
+  * (wrapper Iterator.next → JoinedRow → projection) collapses into
+  * the fused stage. */
+final class AsOfMerger(
+    rIter: Iterator[InternalRow],
+    lKeyProj: UnsafeProjection, rKeyProj: UnsafeProjection,
+    keyOrd: Ordering[InternalRow],
+    lTsOrd: Int, rTsOrd: Int, tolUs: Long,
+    nRightCols: Int, resultProj: UnsafeProjection,
+    numOut: org.apache.spark.sql.execution.metric.SQLMetric) {
+
+  private var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
+  // ALLOCATION-FREE carried state: the sorted-exchange inputs are
+  // UnsafeRows, so the carried match and the previous left key live
+  // in two reused UnsafeRow buffers (copyFrom reuses the backing
+  // array when capacity allows) — the earlier per-candidate
+  // row.copy()/key.copy() cost one allocation per consumed right row,
+  // ~2 per left row on dense matches, a measurable share of the merge
+  // copyFrom REQUIRES a byte-array-backed row (baseOffset must be
+  // BYTE_ARRAY_OFFSET; a bare `new UnsafeRow` has baseOffset 0 and
+  // copyMemory would corrupt the heap) — pointTo an empty array so the
+  // first copyFrom takes the resize path with a valid offset
+  private val matchedBuf = {
+    val r = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(nRightCols)
+    r.pointTo(Array.emptyByteArray, 0)
+    r
+  }
+  private var matchedValid = false
+  private var matchedFallback: InternalRow = _ // non-UnsafeRow inputs
+  private var prevKeyBuf: org.apache.spark.sql.catalyst.expressions.UnsafeRow = _
+  private var prevKeyValid = false
+  private var matchedTs: Long = Long.MinValue
+  private val nullRight = new GenericInternalRow(nRightCols)
+  private val joined = new JoinedRow
+
+  private def advanceRight(): Unit =
+    rRow = if (rIter.hasNext) rIter.next() else null
+
+  private def carry(r: InternalRow): Unit = r match {
+    case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+      matchedBuf.copyFrom(u); matchedFallback = null; matchedValid = true
+    case other =>
+      matchedFallback = other.copy(); matchedValid = true
+  }
+
+  /** The latest same-key right row at-or-before `l`'s timestamp
+    * (within tolerance), joined and projected — or the null-extended
+    * row. The returned UnsafeRow buffer is REUSED across calls. */
+  def probe(l: InternalRow): org.apache.spark.sql.catalyst.expressions.UnsafeRow = {
+    val lKey = lKeyProj(l)
+    // a carried match belongs to the PREVIOUS left key's run; when the
+    // left key changes it must die even if no right row intervened
+    // (the lookahead may already sit past the new key)
+    if (prevKeyValid && keyOrd.compare(prevKeyBuf, lKey) != 0)
+      matchedValid = false
+    if (prevKeyBuf == null) prevKeyBuf = lKey.copy()
+    else prevKeyBuf.copyFrom(lKey)
+    prevKeyValid = true
+    val lTsNull = l.isNullAt(lTsOrd) // null ts on the left: no match
+    val lTs = if (lTsNull) 0L else l.getLong(lTsOrd)
+    var done = lTsNull
+    while (!done && rRow != null) {
+      val c = keyOrd.compare(rKeyProj(rRow), lKey)
+      if (c < 0) { // right behind on key: its matches are stale
+        matchedValid = false; advanceRight()
+      } else if (c > 0) done = true
+      else if (rRow.isNullAt(rTsOrd)) advanceRight() // null right ts
+      else {
+        val rTs = rRow.getLong(rTsOrd)
+        if (rTs <= lTs) {
+          // at-or-before: newest-so-far (sorted ts asc, tie asc)
+          carry(rRow); matchedTs = rTs
+          advanceRight()
+        } else done = true
+      }
+    }
+    // tolerance: the newest at-or-before match may still be too old
+    // (left ts only grows, so a rejected match can only be
+    // resurrected by a NEWER right row, which overwrites it).
+    // !lTsNull is checked EXPLICITLY: a null left ts must emit no
+    // match by contract, independent of NULLS FIRST sort reasoning.
+    val m =
+      if (!lTsNull && matchedValid && lTs - matchedTs <= tolUs)
+        (if (matchedFallback != null) matchedFallback else matchedBuf)
+      else nullRight
+    numOut += 1
+    resultProj(joined(l, m))
+  }
+}
+
 /** Physical sorted-merge as-of join.
   *
   * Execution model: requiredChildDistribution co-partitions the sides
@@ -128,12 +223,22 @@ object AsOfJoinStrategy extends SparkStrategy {
   * by (keys, ts[, tie]); then each partition pair merges with a single
   * lookahead right row and one carried "latest match" copy — constant
   * memory per task regardless of fact sizes, the property that makes
-  * as-of safe where a buffering window would spill. */
+  * as-of safe where a buffering window would spill.
+  *
+  * Codegen: participates in whole-stage codegen the way
+  * SortMergeJoinExec does — both children arrive as input ITERATORS
+  * (`inputRDDs`), not as fused produce chains, and the generated loop
+  * drives the left iterator through [[AsOfMerger.probe]], handing the
+  * projected row to `consume`. Downstream operators (the filter/
+  * project/aggregate above the join) fuse with the merge into one
+  * stage, which is where the measured ~2.4× volcano overhead vs the
+  * window twin lived (PLANS.md "as-of native exec — r13 re-measure"). */
 case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTs: Expression, rightTs: Expression, rightTie: Seq[Expression],
     keepRight: Seq[Attribute], toleranceUs: Option[Long],
     left: SparkPlan, right: SparkPlan)
-    extends BinaryExecNode {
+    extends BinaryExecNode
+    with org.apache.spark.sql.execution.CodegenSupport {
 
   override def output: Seq[Attribute] =
     left.output ++ keepRight.map(_.withNullability(true))
@@ -159,94 +264,83 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
-  override protected def doExecute(): RDD[InternalRow] = {
-    val numOut = longMetric("numOutputRows")
+  /** One merger per partition — built here (a statically-compiled
+    * path shared by both execution modes) and from the generated
+    * class's init (via the exec reference). Projections/orderings are
+    * created per call, so per-task state never crosses threads. */
+  def newMerger(rIter: Iterator[InternalRow]): AsOfMerger = {
     val lOut = left.output
     val rOut = right.output
-    val lKeyExprs = leftKeys
-    val rKeyExprs = rightKeys
-    val lTsExpr = leftTs
-    val rTsExpr = rightTs
-    val outAttrs = output
-    // tolerance as a primitive: MaxValue = unbounded, so the emit
-    // check is one branchless long compare in the match path
-    val tolUs = toleranceUs.getOrElse(Long.MaxValue)
-    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
-      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
-      val keyOrd =
-        RowOrdering.createNaturalAscendingOrdering(lKeyExprs.map(_.dataType))
-      // primitive timestamp ordinals, not Expression.eval: the merge
-      // reads a timestamp up to twice per row pair and eval boxes a
-      // java.lang.Long each read — pure interpreter overhead in the hot
-      // loop. Both ts exprs are child attributes (asOf validates the
-      // types), and Timestamp/Long both store a long, so isNullAt +
-      // getLong carry the whole contract allocation-free.
-      val lTsOrd = BindReferences.bindReference(lTsExpr, lOut)
-        .asInstanceOf[BoundReference].ordinal
-      val rTsOrd = BindReferences.bindReference(rTsExpr, rOut)
-        .asInstanceOf[BoundReference].ordinal
-      val nullRight = new GenericInternalRow(rOut.length)
-      val joined = new JoinedRow
+    // primitive timestamp ordinals, not Expression.eval: the merge
+    // reads a timestamp up to twice per row pair and eval boxes a
+    // java.lang.Long each read. Both ts exprs are child attributes
+    // (asOf validates the types), and Timestamp/Long both store a
+    // long, so isNullAt + getLong carry the whole contract
+    // allocation-free.
+    // COMPILED key ordering (GenerateOrdering — the same generator the
+    // sorts use), not RowOrdering's interpreted compare: the merge
+    // calls it per (left row, lookahead) pair, and an interpreted
+    // expression eval there was the measured residual after the
+    // volcano wrapper was removed
+    val keyOrd = org.apache.spark.sql.catalyst.expressions.codegen
+      .GenerateOrdering.generate(leftKeys.zipWithIndex.map { case (k, i) =>
+        SortOrder(BoundReference(i, k.dataType, nullable = true), Ascending)
+      })
+    new AsOfMerger(
+      rIter,
+      UnsafeProjection.create(leftKeys, lOut),
+      UnsafeProjection.create(rightKeys, rOut),
+      keyOrd,
+      BindReferences.bindReference(leftTs, lOut)
+        .asInstanceOf[BoundReference].ordinal,
+      BindReferences.bindReference(rightTs, rOut)
+        .asInstanceOf[BoundReference].ordinal,
+      // tolerance as a primitive: MaxValue = unbounded, so the emit
+      // check is one branchless long compare in the match path
+      toleranceUs.getOrElse(Long.MaxValue),
+      rOut.length,
       // bind against NULLABLE-forced right attrs: the original right
-      // output may be non-nullable, and a projection bound to it would
-      // elide the null checks the miss row needs
-      val resultProj = UnsafeProjection.create(outAttrs,
-        lOut ++ rOut.map(_.withNullability(true)))
+      // output may be non-nullable, and a projection bound to it
+      // would elide the null checks the miss row needs
+      UnsafeProjection.create(output,
+        lOut ++ rOut.map(_.withNullability(true))),
+      longMetric("numOutputRows"))
+  }
 
-      new Iterator[InternalRow] {
-        // one-row right lookahead (NOT copied — consumed or compared
-        // before the iterator reuses it)
-        private var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
-        // carried latest match: copies, valid across lookahead advances
-        private var matched: InternalRow = _
-        private var matchedKey: InternalRow = _
-        private var matchedTs: Long = Long.MinValue
-
-        private def advanceRight(): Unit =
-          rRow = if (rIter.hasNext) rIter.next() else null
-
-        override def hasNext: Boolean = lIter.hasNext
-
-        override def next(): InternalRow = {
-          val l = lIter.next()
-          val lKey = lKeyProj(l)
-          val lTsNull = l.isNullAt(lTsOrd) // null ts on the left: no match
-          val lTs = if (lTsNull) 0L else l.getLong(lTsOrd)
-          var done = lTsNull
-          while (!done && rRow != null) {
-            val c = keyOrd.compare(rKeyProj(rRow), lKey)
-            if (c < 0) { // right behind on key: its matches are stale
-              matched = null; advanceRight()
-            } else if (c > 0) done = true
-            else if (rRow.isNullAt(rTsOrd)) advanceRight() // null right ts
-            else {
-              val rTs = rRow.getLong(rTsOrd)
-              if (rTs <= lTs) {
-                // at-or-before: newest-so-far (sorted ts asc, tie asc)
-                matched = rRow.copy(); matchedKey = lKey.copy()
-                matchedTs = rTs
-                advanceRight()
-              } else done = true
-            }
-          }
-          // tolerance: the newest at-or-before match may still be too
-          // old (left ts only grows, so a rejected match can only be
-          // resurrected by a NEWER right row, which overwrites it).
-          // !lTsNull is checked EXPLICITLY: a null left ts must emit
-          // no match by contract, and while NULLS FIRST ordering means
-          // a null-ts left row can't follow a carried same-key match
-          // today, the contract must not hang on sort-order reasoning
-          // alone.
-          val m =
-            if (!lTsNull && matched != null && matchedKey != null &&
-              keyOrd.compare(matchedKey, lKey) == 0 &&
-              lTs - matchedTs <= tolUs) matched
-            else nullRight
-          numOut += 1
-          resultProj(joined(l, m))
-        }
-      }
+  override protected def doExecute(): RDD[InternalRow] =
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val merger = newMerger(rIter)
+      lIter.map(merger.probe)
     }
+
+  // ---- whole-stage codegen (the SortMergeJoinExec input model) ------
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  // probe() reuses its UnsafeRow buffer; buffering parents must copy
+  override def needCopyResult: Boolean = true
+
+  override protected def doProduce(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext)
+      : String = {
+    val execRef = ctx.addReferenceObj("asOfExec", this,
+      classOf[AsOfJoinExec].getName)
+    val leftInput = ctx.addMutableState("scala.collection.Iterator",
+      "asofLeftInput", v => s"$v = inputs[0];")
+    val merger = ctx.addMutableState(classOf[AsOfMerger].getName,
+      "asofMerger", v => s"$v = $execRef.newMerger(inputs[1]);")
+    val lRow = ctx.freshName("asofLeftRow")
+    val outRow = ctx.freshName("asofOutRow")
+    s"""
+       |while ($leftInput.hasNext()) {
+       |  org.apache.spark.sql.catalyst.InternalRow $lRow =
+       |    (org.apache.spark.sql.catalyst.InternalRow) $leftInput.next();
+       |  org.apache.spark.sql.catalyst.expressions.UnsafeRow $outRow =
+       |    $merger.probe($lRow);
+       |  ${consume(ctx, null, outRow)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
   }
 }
