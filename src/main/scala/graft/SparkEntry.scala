@@ -207,6 +207,11 @@ object SparkEntry {
     // a stale prior click attributes as no click
     "events_asof_tolerance" -> ((s, d) => TemporalJoins
       .clickAsOfPurchaseNative(Tables.events(s, d), Some(600000000L))),
+    // the BROADCAST physical form of the native as-of (BroadcastHashJoin
+    // analog: right side ships, left side never moves — zero shuffles);
+    // hash-gated against the same oracle as the merge exec
+    "events_asof_broadcast" -> ((s, d) => TemporalJoins
+      .clickAsOfPurchaseNative(Tables.events(s, d), None, broadcastRight = true)),
     "events_range" -> ((s, d) => TemporalJoins.clicksAfterPurchase(Tables.events(s, d))),
     // explicit two-phase salted aggregation (result ≡ plain groupBy)
     "events_salted_counts" -> ((s, d) => ext.Skew.saltedTypeCounts(Tables.events(s, d))),
@@ -867,6 +872,7 @@ object SparkEntry {
     "events_props_json" -> OracleSqlExt.eventsPropsJson,
     "events_asof" -> OracleSqlExt.eventsAsof,
     "events_asof_native" -> OracleSqlExt.eventsAsof,
+    "events_asof_broadcast" -> OracleSqlExt.eventsAsof,
     "events_asof_tolerance" -> OracleSqlExt.eventsAsofTolerance,
     "events_range" -> OracleSqlExt.eventsRange,
     "events_salted_counts" -> OracleSqlExt.eventsSaltedCounts,

@@ -97,7 +97,17 @@ object TemporalJoins {
     * bound is enforced inside the merge at emit time, one long
     * compare; None = unbounded, row-identical to the plain form. */
   def clickAsOfPurchaseNative(events: DataFrame,
-      toleranceUs: Option[Long]): DataFrame = {
+      toleranceUs: Option[Long]): DataFrame =
+    clickAsOfPurchaseNative(events, toleranceUs, broadcastRight = false)
+
+  /** The same as-of contract through [[graft.plans.BroadcastAsOfJoinExec]]
+    * (`broadcastRight = true`): clicks ship to every executor and
+    * purchases are probed in place — zero shuffles, no sort on either
+    * side. The right physical form when the right side is dim-sized
+    * (reference tables, model-version histories); here it doubles as
+    * the oracle-gated correctness twin of the sorted-merge exec. */
+  def clickAsOfPurchaseNative(events: DataFrame,
+      toleranceUs: Option[Long], broadcastRight: Boolean): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id"))
     val clicks = events.filter(col("event_type") === "click")
@@ -105,7 +115,7 @@ object TemporalJoins {
         col("event_id").as("c_eid"))
     graft.plans.AsOfJoin
       .asOf(purchases, clicks, Seq("user_id"), "ts", "c_ts", Seq("c_eid"),
-        toleranceUs)
+        toleranceUs, broadcastRight)
       .select(col("user_id"),
         col("event_id").as("purchase_event_id"),
         date_format(col("ts"), fmt).as("purchase_ts"),

@@ -49,7 +49,8 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, on: Seq[String],
       leftTsCol: String, rightTsCol: String,
       rightTie: Seq[String] = Nil,
-      toleranceUs: Option[Long] = None): DataFrame = {
+      toleranceUs: Option[Long] = None,
+      broadcastRight: Boolean = false): DataFrame = {
     toleranceUs.foreach(t => require(t >= 0, s"negative tolerance $t"))
     require(on.nonEmpty, "as-of join needs at least one equi key")
     val spark =
@@ -87,7 +88,7 @@ object AsOfJoin {
       AsOfJoinPlan(left.queryExecution.analyzed,
         rightFresh.queryExecution.analyzed,
         lKeys, rKeys, lTs, rTs, rightTie.map(attr(rightFresh, _)), keep,
-        toleranceUs))
+        toleranceUs, broadcastRight))
   }
 }
 
@@ -99,7 +100,8 @@ object AsOfJoin {
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTs: Expression, rightTs: Expression, rightTie: Seq[Expression],
-    keepRight: Seq[Attribute], toleranceUs: Option[Long]) extends BinaryNode {
+    keepRight: Seq[Attribute], toleranceUs: Option[Long],
+    broadcastRight: Boolean = false) extends BinaryNode {
   // nullability forced HERE, not on the stored attrs: the analyzer
   // re-resolves attribute expressions against child outputs, which
   // would quietly restore the right side's non-nullable flags
@@ -110,12 +112,21 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     copy(left = newLeft, right = newRight)
 }
 
-/** Planner strategy: one logical form, one physical form. */
+/** Planner strategy: one logical form, two physical forms — the
+  * sorted-merge exec (default: both sides co-partitioned, constant
+  * memory, the 100-TB fact-to-fact shape) and the broadcast exec
+  * (caller-hinted, the BroadcastHashJoin analog: right side ships to
+  * every executor, left side never moves — the fact-to-dimension
+  * shape, e.g. events against a slowly-changing reference table). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lts, rts, tie, keep, tol) =>
-      AsOfJoinExec(lk, rk, lts, rts, tie, keep, tol,
-        planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lts, rts, tie, keep, tol, bcast) =>
+      if (bcast)
+        BroadcastAsOfJoinExec(lk, rk, lts, rts, tie, keep, tol,
+          planLater(l), planLater(r)) :: Nil
+      else
+        AsOfJoinExec(lk, rk, lts, rts, tie, keep, tol,
+          planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -338,6 +349,192 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
        |    (org.apache.spark.sql.catalyst.InternalRow) $leftInput.next();
        |  org.apache.spark.sql.catalyst.expressions.UnsafeRow $outRow =
        |    $merger.probe($lRow);
+       |  ${consume(ctx, null, outRow)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
+}
+
+/** The broadcast as-of probe: a hash index from key to its right rows
+  * sorted by (ts[, tie…]), probed per left row with a binary search
+  * for the last entry at-or-before the left timestamp. Semantics are
+  * row-identical to [[AsOfMerger]] — the last eligible entry in
+  * (ts, tie) ascending order is exactly the match the sorted merge
+  * carries — pinned by the broadcast-vs-native spec on the shared
+  * adversarial fixture. Built once per task from the broadcast array
+  * (the [[BroadcastNestedLoopJoinExec]] cost model: per-task rebuild
+  * is O(|dim| log |dim|), paid only on dim-sized sides by contract). */
+final class BroadcastAsOfProber(
+    rRows: Array[InternalRow],
+    lKeyProj: UnsafeProjection, rKeyProj: UnsafeProjection,
+    bucketOrd: Ordering[InternalRow],
+    lTsOrd: Int, rTsOrd: Int, tolUs: Long,
+    nRightCols: Int, resultProj: UnsafeProjection,
+    numOut: org.apache.spark.sql.execution.metric.SQLMetric) {
+
+  // key → right rows sorted by (ts, tie…); null-ts rows never match,
+  // so they are dropped at build. The parallel long array carries the
+  // timestamps so the probe's binary search never touches a row.
+  private val index = {
+    val m = new java.util.HashMap[
+      org.apache.spark.sql.catalyst.expressions.UnsafeRow,
+      scala.collection.mutable.ArrayBuffer[InternalRow]]()
+    rRows.foreach { r =>
+      if (!r.isNullAt(rTsOrd)) {
+        val k = rKeyProj(r).copy()
+        var b = m.get(k)
+        if (b == null) { b = scala.collection.mutable.ArrayBuffer.empty; m.put(k, b) }
+        b += r
+      }
+    }
+    val out = new java.util.HashMap[
+      org.apache.spark.sql.catalyst.expressions.UnsafeRow,
+      (Array[Long], Array[InternalRow])](Math.max(8, m.size * 2))
+    m.forEach { (k, b) =>
+      val sorted = b.toArray.sorted(bucketOrd)
+      out.put(k, (sorted.map(_.getLong(rTsOrd)), sorted))
+    }
+    out
+  }
+  private val nullRight = new GenericInternalRow(nRightCols)
+  private val joined = new JoinedRow
+
+  /** The latest same-key right row at-or-before `l`'s timestamp
+    * (within tolerance), joined and projected — or the null-extended
+    * row. The returned UnsafeRow buffer is REUSED across calls. */
+  def probe(l: InternalRow): org.apache.spark.sql.catalyst.expressions.UnsafeRow = {
+    var m: InternalRow = nullRight
+    if (!l.isNullAt(lTsOrd)) {
+      val lTs = l.getLong(lTsOrd)
+      val bucket = index.get(lKeyProj(l))
+      if (bucket != null) {
+        val ts = bucket._1
+        // last index with ts <= lTs (upper bound minus one); ties in
+        // ts are adjacent and tie-sorted ascending, so the last
+        // eligible index is the max-tie row among the newest matches
+        var lo = 0; var hi = ts.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (ts(mid) <= lTs) lo = mid + 1 else hi = mid
+        }
+        if (lo > 0 && lTs - ts(lo - 1) <= tolUs) m = bucket._2(lo - 1)
+      }
+    }
+    numOut += 1
+    resultProj(joined(l, m))
+  }
+}
+
+/** Physical broadcast as-of join — the BroadcastHashJoin analog of
+  * [[AsOfJoinExec]], selected by the caller's `broadcastRight` hint
+  * for the fact-to-dimension shape (events against a slowly-changing
+  * reference table: rates, configs, model versions).
+  *
+  * Execution model: the right side ships whole to every executor
+  * (`BroadcastDistribution(IdentityBroadcastMode)` — EnsureRequirements
+  * inserts the one BroadcastExchange), each task hash-indexes it by
+  * key with per-key (ts, tie)-sorted arrays, and the left side streams
+  * through a binary-search probe IN PLACE: zero shuffles, no sort on
+  * either side, left partitioning and ordering preserved verbatim.
+  * At 100 TB this is the difference between re-shuffling the fact on
+  * a key it will never be read by again and not moving it at all —
+  * the same trade BroadcastHashJoin makes, with the probe upgraded
+  * from equality to temporal predecessor search. */
+case class BroadcastAsOfJoinExec(leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTs: Expression, rightTs: Expression, rightTie: Seq[Expression],
+    keepRight: Seq[Attribute], toleranceUs: Option[Long],
+    left: SparkPlan, right: SparkPlan)
+    extends BinaryExecNode
+    with org.apache.spark.sql.execution.CodegenSupport {
+
+  override def output: Seq[Attribute] =
+    left.output ++ keepRight.map(_.withNullability(true))
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of output rows"))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution ::
+      org.apache.spark.sql.catalyst.plans.physical.BroadcastDistribution(
+        org.apache.spark.sql.catalyst.plans.physical.IdentityBroadcastMode) ::
+      Nil
+
+  // the whole point: the left side neither moves nor re-sorts
+  override def outputPartitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  /** Per-task prober over the broadcast rows — called from both
+    * doExecute and the generated class's init. */
+  def buildProber(rRows: Array[InternalRow]): BroadcastAsOfProber = {
+    val lOut = left.output
+    val rOut = right.output
+    val tsTie = rightTs +: rightTie
+    val bucketOrd = org.apache.spark.sql.catalyst.expressions.codegen
+      .GenerateOrdering.generate(tsTie.map(e =>
+        SortOrder(BindReferences.bindReference(e, rOut), Ascending)))
+    new BroadcastAsOfProber(
+      rRows,
+      UnsafeProjection.create(leftKeys, lOut),
+      UnsafeProjection.create(rightKeys, rOut),
+      bucketOrd,
+      BindReferences.bindReference(leftTs, lOut)
+        .asInstanceOf[BoundReference].ordinal,
+      BindReferences.bindReference(rightTs, rOut)
+        .asInstanceOf[BoundReference].ordinal,
+      toleranceUs.getOrElse(Long.MaxValue),
+      rOut.length,
+      UnsafeProjection.create(output,
+        lOut ++ rOut.map(_.withNullability(true))),
+      longMetric("numOutputRows"))
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val bcast = right.executeBroadcast[Array[InternalRow]]()
+    left.execute().mapPartitions { lIter =>
+      val prober = buildProber(bcast.value)
+      lIter.map(prober.probe)
+    }
+  }
+
+  // ---- whole-stage codegen (broadcast-side init, left as iterator) --
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] = left.execute() :: Nil
+
+  // probe() reuses its UnsafeRow buffer; buffering parents must copy
+  override def needCopyResult: Boolean = true
+
+  override protected def doProduce(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext)
+      : String = {
+    // executeBroadcast runs HERE, on the driver at codegen time (the
+    // BroadcastHashJoinExec pattern); the generated init only reads
+    // the broadcast value on the executor
+    val bcast = right.executeBroadcast[Array[InternalRow]]()
+    val bTerm = ctx.addReferenceObj("asofBroadcast", bcast,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val execRef = ctx.addReferenceObj("asOfExec", this,
+      classOf[BroadcastAsOfJoinExec].getName)
+    val leftInput = ctx.addMutableState("scala.collection.Iterator",
+      "asofLeftInput", v => s"$v = inputs[0];")
+    val prober = ctx.addMutableState(classOf[BroadcastAsOfProber].getName,
+      "asofProber",
+      v => s"$v = $execRef.buildProber(" +
+        s"(org.apache.spark.sql.catalyst.InternalRow[]) $bTerm.value());")
+    val lRow = ctx.freshName("asofLeftRow")
+    val outRow = ctx.freshName("asofOutRow")
+    s"""
+       |while ($leftInput.hasNext()) {
+       |  org.apache.spark.sql.catalyst.InternalRow $lRow =
+       |    (org.apache.spark.sql.catalyst.InternalRow) $leftInput.next();
+       |  org.apache.spark.sql.catalyst.expressions.UnsafeRow $outRow =
+       |    $prober.probe($lRow);
        |  ${consume(ctx, null, outRow)}
        |  if (shouldStop()) return;
        |}

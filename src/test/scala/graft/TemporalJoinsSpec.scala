@@ -176,6 +176,73 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(native.nonEmpty && native == twin)
   }
 
+  test("broadcast as-of equals the merge exec on the seeded adversarial fixture") {
+    // same fixture class as the native-vs-twin pin: dense ts collisions,
+    // null timestamps both sides, no-click users, equal-ts tie breaks —
+    // the binary-search prober must pick exactly the row the sorted
+    // merge carries, under both tolerance regimes
+    val rnd = new scala.util.Random(43)
+    val rows = (1L to 2000L).map { id =>
+      val user = rnd.nextInt(60).toLong
+      val t = if (rnd.nextInt(40) == 0) null
+        else new Timestamp(1700000000000L + rnd.nextInt(500) * 1000L)
+      val typ = if (rnd.nextInt(3) == 0) "purchase" else "click"
+      (id, t, user, typ)
+    }
+    import spark.implicits._
+    val e = rows.toDF("event_id", "ts", "user_id", "event_type")
+      .repartition(8)
+    val bcast = TemporalJoins
+      .clickAsOfPurchaseNative(e, None, broadcastRight = true)
+      .collect().map(_.toSeq).toSet
+    val merge = TemporalJoins.clickAsOfPurchaseNative(e, None)
+      .collect().map(_.toSeq).toSet
+    assert(bcast.size > 100 && bcast == merge)
+    val bcastTol = TemporalJoins
+      .clickAsOfPurchaseNative(e, Some(10000000L), broadcastRight = true)
+      .collect().map(_.toSeq).toSet
+    val mergeTol = TemporalJoins
+      .clickAsOfPurchaseNative(e, Some(10000000L))
+      .collect().map(_.toSeq).toSet
+    assert(bcastTol == mergeTol)
+  }
+
+  test("broadcast as-of plans with zero shuffles and fuses into codegen") {
+    val df = TemporalJoins.clickAsOfPurchaseNative(events(
+      (1L, "2024-01-01 10:00:00", 7L, "click"),
+      (2L, "2024-01-01 10:05:00", 7L, "purchase")), None,
+      broadcastRight = true)
+    df.collect() // finalize AQE so codegen spans are visible in the plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastAsOfJoin"), plan)
+    // the point of the physical form: one broadcast, ZERO shuffles,
+    // no sort on either side
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("Sort "), plan)
+    // fused into whole-stage codegen (no silent volcano fallback)
+    assert("""\*\(\d+\) BroadcastAsOfJoin""".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("broadcast as-of is row-identical to the window twin on real data, AQE both ways") {
+    val d = "/root/testdata/sf0.001"
+    val twin = SparkEntry.queries("events_asof")(spark, d)
+      .collect().map(_.toSeq).toSet
+    val bcast = SparkEntry.queries("events_asof_broadcast")(spark, d)
+      .collect().map(_.toSeq).toSet
+    assert(bcast.nonEmpty && bcast == twin)
+    val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val aqe = SparkEntry.queries("events_asof_broadcast")(spark, d)
+        .collect().map(_.toSeq).toSet
+      assert(aqe == twin)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("sql_asof SQL twin is row-identical to the window-merge as-of join") {
     // the SQL text spells the same union + ordered-window merge the
     // DataFrame twin uses (the correlated LATERAL ... LIMIT 1 form was
