@@ -115,7 +115,7 @@ object TemporalJoins {
         col("event_id").as("c_eid"))
     graft.plans.AsOfJoin
       .asOf(purchases, clicks, Seq("user_id"), "ts", "c_ts", Seq("c_eid"),
-        toleranceUs, broadcastRight)
+        toleranceUs, Some(broadcastRight)) // pinned: each query name IS one physical form
       .select(col("user_id"),
         col("event_id").as("purchase_event_id"),
         date_format(col("ts"), fmt).as("purchase_ts"),

@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // self-installs via experimental.extraStrategies at first use —
     // this is the build-time form for spark.sql.extensions deployment)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // filter pushdown / key transitivity / column pruning through the
+    // as-of node — injected into the operator-optimization fixed point
+    // so the standard rules carry the pushed pieces into the scans
+    ext.injectOptimizerRule(_ => graft.plans.AsOfPushdown)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(

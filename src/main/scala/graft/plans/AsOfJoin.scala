@@ -45,12 +45,17 @@ object AsOfJoin {
     * row picks the latest right row at-or-before its timestamp. Right
     * KEY columns are dropped from the output (they equal the left's);
     * the right side is re-aliased internally, so self-joins of one
-    * table are safe. */
+    * table are safe.
+    *
+    * `broadcastRight`: None (default) lets the planner choose by the
+    * right side's size statistics against autoBroadcastJoinThreshold —
+    * the JoinSelection model; Some(true)/Some(false) pins the
+    * broadcast / sorted-merge form (a join hint). */
   def asOf(left: DataFrame, right: DataFrame, on: Seq[String],
       leftTsCol: String, rightTsCol: String,
       rightTie: Seq[String] = Nil,
       toleranceUs: Option[Long] = None,
-      broadcastRight: Boolean = false): DataFrame = {
+      broadcastRight: Option[Boolean] = None): DataFrame = {
     toleranceUs.foreach(t => require(t >= 0, s"negative tolerance $t"))
     require(on.nonEmpty, "as-of join needs at least one equi key")
     val spark =
@@ -58,6 +63,9 @@ object AsOfJoin {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(AsOfPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsOfPushdown
     // fresh exprIds on the right so self-joins don't alias attributes
     // (Alias always mints a new id at analysis)
     val rightFresh = right.select(right.columns.map(c =>
@@ -101,7 +109,7 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTs: Expression, rightTs: Expression, rightTie: Seq[Expression],
     keepRight: Seq[Attribute], toleranceUs: Option[Long],
-    broadcastRight: Boolean = false) extends BinaryNode {
+    broadcastRight: Option[Boolean] = None) extends BinaryNode {
   // nullability forced HERE, not on the stored attrs: the analyzer
   // re-resolves attribute expressions against child outputs, which
   // would quietly restore the right side's non-nullable flags
@@ -113,14 +121,23 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
 }
 
 /** Planner strategy: one logical form, two physical forms — the
-  * sorted-merge exec (default: both sides co-partitioned, constant
-  * memory, the 100-TB fact-to-fact shape) and the broadcast exec
-  * (caller-hinted, the BroadcastHashJoin analog: right side ships to
-  * every executor, left side never moves — the fact-to-dimension
-  * shape, e.g. events against a slowly-changing reference table). */
+  * sorted-merge exec (both sides co-partitioned, constant memory, the
+  * 100-TB fact-to-fact shape) and the broadcast exec (the
+  * BroadcastHashJoin analog: right side ships to every executor, left
+  * side never moves — the fact-to-dimension shape, e.g. events against
+  * a slowly-changing reference table).
+  *
+  * Selection is the JoinSelection model: an explicit hint pins the
+  * form; unhinted, the right side's logical size statistics against
+  * `spark.sql.autoBroadcastJoinThreshold` decide — a dim-sized right
+  * broadcasts, anything else (or threshold -1) merges. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lts, rts, tie, keep, tol, bcast) =>
+    case AsOfJoinPlan(l, r, lk, rk, lts, rts, tie, keep, tol, hint) =>
+      val threshold =
+        org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      val bcast = hint.getOrElse(
+        threshold > 0 && r.stats.sizeInBytes <= threshold)
       if (bcast)
         BroadcastAsOfJoinExec(lk, rk, lts, rts, tie, keep, tol,
           planLater(l), planLater(r)) :: Nil

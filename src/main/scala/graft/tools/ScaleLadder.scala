@@ -1,0 +1,158 @@
+package graft.tools
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.{GraftConf, SparkEntry}
+
+/** The scale LADDER: wall-clock growth curves at 1×/3×/10×/30× for the
+  * headline query set — the measured form of "would this survive a
+  * 100× scale-up".
+  *
+  * [[ScaleProbe]] is the standing two-point gate (1× vs 10×) over the
+  * pair-generating queries with an output-row rule; this tool is the
+  * complement: MULTI-POINT wall curves over the cross-family headline
+  * set, so the growth EXPONENT is fitted, not eyeballed from one
+  * ratio. Per query it records the median wall at each rung and fits
+  * α = slope of ln(wall) vs ln(scale) by least squares over the ≥3×
+  * rungs only — the 1× rung is dominated by fixed per-query overhead
+  * (job scheduling, codegen cache hits, shuffle setup) which flattens
+  * the curve and would UNDER-estimate α; the tail rungs are where
+  * per-row cost shows. α ≈ 1 is linear scaling (the null hypothesis
+  * under [[ScaleGen]]'s structure preservation), α sustained above
+  * ~1.3 on a non-trivial wall means the query has a superlinear term
+  * that would compound at 100×, and is flagged.
+  *
+  * Rungs are [[ScaleGen]] replicas, so group sizes and join fan-outs
+  * are scale-invariant by construction — the ladder measures the
+  * ENGINE's scaling, not accidental data-shape drift.
+  *
+  * Run: ScaleLadder [outPath] [names] [dir:replicas,dir:replicas,...]
+  * Env: GRAFT_LADDER_PASSES (default 2 timed passes per rung).
+  */
+object ScaleLadder {
+
+  /** Cross-family headline set: one representative per operator
+    * family whose plan shape differs (scan-agg, multi-join, window,
+    * as-of, sessionization, posting-list text, prefix-sum packing,
+    * LSH dedup, ANN, pair mining). */
+  def headline: Seq[String] = Seq(
+    "q1_pricing",            // scan → one grouped agg
+    "q3_shipping",           // multi-way join + top-k
+    "q18_large_orders",      // agg-filtered semi join
+    "orders_basket",         // capped pair mining
+    "events_asof_native",    // custom sorted-merge exec
+    "events_session",        // gap sessionization window
+    "events_retention",      // cohort self-join
+    "text_bm25",             // shared posting frame ranking
+    "text_perplexity",       // bigram LM scoring
+    "corpus_shards_global",  // distributed prefix sum
+    "dedup_minhash",         // banded LSH self-join
+    "embed_ivf_topk")        // coarse-quantized ANN
+
+  private val AlphaFlag = 1.3
+  private val WallFloor = 2.0 // sec at the top rung; below is jitter
+
+  def main(args: Array[String]): Unit = {
+    val outPath = args.headOption.getOrElse("bench_results/scale_ladder.json")
+    val names = args.drop(1).headOption
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(headline)
+    val ladder = args.drop(2).headOption
+      .map(_.split(",").toSeq.map { s =>
+        val Array(d, r) = s.split(":"); (d, r.toInt)
+      })
+      .getOrElse(Seq(
+        "/root/testdata/sf0.1" -> 1,
+        "/tmp/graft_sf3" -> 3,
+        "/tmp/graft_sf1" -> 10,
+        "/tmp/graft_sf30" -> 30))
+    val passes = sys.env.getOrElse("GRAFT_LADDER_PASSES", "2").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
+
+    // AQE on: the deployment default, and the mode whose runtime
+    // re-planning (skew split, dynamic coalesce) is exactly what the
+    // ladder should exercise at the top rungs
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftConf.validate(spark)
+
+    val samples = collection.mutable.Map
+      .empty[(String, String), Vector[Double]]
+    val rows = collection.mutable.Map.empty[(String, String), Long]
+    // warmup at the SMALLEST rung (JIT + codegen), then interleaved
+    // timed passes rung-major so repeated runs of one query never sit
+    // back to back on a warm page cache
+    for (n <- names) SparkEntry.queries(n)(spark, ladder.head._1).count()
+    for (_ <- 1 to passes; (dir, _) <- ladder; n <- names) {
+      val t0 = System.nanoTime()
+      val c = SparkEntry.queries(n)(spark, dir).count()
+      samples((n, dir)) =
+        samples.getOrElse((n, dir), Vector.empty) :+
+          (System.nanoTime() - t0) / 1e9
+      rows((n, dir)) = c
+    }
+    spark.stop()
+
+    def med(xs: Vector[Double]): Double = graft.BenchStats.median(xs)
+    def fmt(d: Double): String = f"$d%.3f"
+
+    // least-squares slope of ln(wall) on ln(scale) over rungs >= 3x
+    def alpha(points: Seq[(Int, Double)]): Double = {
+      val tail = points.filter(_._1 >= 3)
+      val xs = tail.map(p => math.log(p._1.toDouble))
+      val ys = tail.map(p => math.log(math.max(p._2, 1e-9)))
+      val mx = xs.sum / xs.size; val my = ys.sum / ys.size
+      val num = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+      val den = xs.map(x => (x - mx) * (x - mx)).sum
+      num / den
+    }
+
+    val perQuery = names.map { n =>
+      val walls = ladder.map { case (dir, r) => (r, med(samples((n, dir)))) }
+      val rws = ladder.map { case (dir, _) => rows((n, dir)) }
+      val a = alpha(walls)
+      val topWall = walls.last._2
+      val flagged = a > AlphaFlag && topWall > WallFloor
+      (n, walls, rws, a, flagged)
+    }
+
+    val flags = perQuery.filter(_._5).map(_._1)
+    val body = perQuery.map { case (n, walls, rws, a, f) =>
+      s""""$n":{"wall_sec":[${walls.map(w => fmt(w._2)).mkString(",")}],""" +
+        s""""rows":[${rws.mkString(",")}],""" +
+        s""""alpha":${fmt(a)},"superlinear_wall":$f}"""
+    }.mkString(",\n  ")
+    val totals = ladder.indices.map(i =>
+      perQuery.map(_._2(i)._2).sum)
+    val json =
+      s"""{
+  "probe": "scale ladder over structure-preserving ScaleGen replicas; alpha = least-squares slope of ln(wall) vs ln(scale) over the >=3x rungs (1x rung excluded from the fit: fixed per-query overhead flattens it)",
+  "host": "local[$cpus], AQE on, $passes interleaved passes per rung, per-query medians",
+  "rungs": [${ladder.map(_._2).mkString(",")}],
+  "flag_rule": "alpha > $AlphaFlag and top-rung wall > $WallFloor s",
+  "total_sec_per_rung": [${totals.map(fmt).mkString(",")}],
+  "superlinear_wall_flags": [${flags.map("\"" + _ + "\"").mkString(",")}],
+  "per_query": {
+  $body
+  }
+}"""
+    Option(Paths.get(outPath).getParent).foreach(Files.createDirectories(_))
+    Files.write(Paths.get(outPath), json.getBytes(StandardCharsets.UTF_8))
+    println(json)
+    println(s"[scaleladder] wrote $outPath; ${flags.size} flag(s)" +
+      (if (flags.nonEmpty) s": ${flags.mkString(", ")}" else ""))
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.plans.AsOfJoin
+
+/** Catalyst integration of the native as-of: filter pushdown, key
+  * transitivity, column pruning ([[graft.plans.AsOfPushdown]]) and the
+  * stats-driven broadcast/merge auto-selection. Plan-shape asserts run
+  * against real parquet scans so PushedFilters / ReadSchema are the
+  * genuine artifacts, and every rewrite is gated by a result-identity
+  * check against the rule's kill switch. */
+class AsOfOptimizationsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  override protected def beforeAll(): Unit = {
+    super.beforeAll()
+    // FileScan metadata (PushedFilters / ReadSchema) truncates at 100
+    // chars by default, which would blind the string asserts below
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+  }
+
+  private def purchases: DataFrame =
+    Tables.events(spark, dir).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+  private def clicks: DataFrame =
+    Tables.events(spark, dir).filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"),
+        col("event_id").as("c_eid"), col("props").as("c_props"))
+
+  private def asOfAll: DataFrame =
+    AsOfJoin.asOf(purchases, clicks, Seq("user_id"), "ts", "c_ts",
+      Seq("c_eid"), None, broadcastRight = Some(false))
+
+  /** The FINAL plan section only — AQE's toString also prints the
+    * Initial Plan, which would double every scan-level count. */
+  private def finalPlan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+
+  test("left-only filters push below the as-of and reach the parquet scan, keys clone to the right scan") {
+    val df = asOfAll.filter(col("user_id") === 7L && col("value") > 0.5)
+    df.collect()
+    val plan = finalPlan(df)
+    // the key predicate reaches BOTH scans (left directly, right via
+    // the leftKey -> rightKey transitive clone); the non-key left
+    // predicate reaches the left scan
+    val pushed = "PushedFilters: \\[[^\\]]*".r.findAllIn(plan).toList
+    assert(pushed.count(_.contains("EqualTo(user_id,7)")) == 2, plan)
+    assert(pushed.exists(_.contains("GreaterThan(value,0.5)")), plan)
+    // nothing is filtered above the join anymore
+    assert(!plan.contains("Filter (user_id"), plan)
+  }
+
+  test("right-referencing filters stay above the join (null-extension semantics)") {
+    // click_event_id IS NULL keeps the MISS rows — pushing it to the
+    // right child would be the classic outer-join-filter unsoundness
+    val df = asOfAll.filter(col("c_eid").isNull && col("user_id") < 50L)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Any]("c_eid") == null))
+    val plan = finalPlan(df)
+    val pushed = "PushedFilters: \\[[^\\]]*".r.findAllIn(plan).toList
+    // the left-only half still pushed to both scans (key transitivity)
+    assert(pushed.count(_.contains("LessThan(user_id,50)")) == 2, plan)
+    // the right-referencing half did NOT reach any scan
+    assert(!pushed.exists(_.contains("IsNull")), plan)
+  }
+
+  test("a narrow projection prunes both scan schemas through the as-of") {
+    val df = asOfAll.select(col("user_id"), col("c_eid"))
+    df.collect()
+    val plan = finalPlan(df)
+    val schemas = "ReadSchema: [^\\n]*".r.findAllIn(plan).toList
+    assert(schemas.size == 2, plan)
+    // neither scan reads the columns the projection dropped: value
+    // (left payload) and c_props (right payload renamed from props)
+    assert(!schemas.exists(_.contains("value")), plan)
+    assert(!schemas.exists(_.contains("props")), plan)
+    // keys and timestamps survive for the merge itself
+    assert(schemas.forall(_.contains("user_id")), plan)
+  }
+
+  test("pushdown rewrites are result-identical to the kill-switched plan") {
+    def run(): Set[Seq[Any]] =
+      asOfAll.filter(col("user_id") % 3 === 0)
+        .select(col("user_id"), col("event_id"), col("c_eid"))
+        .collect().map(_.toSeq).toSet
+    val withRule = run()
+    spark.conf.set("spark.graft.optimizer.asofPushdown", "false")
+    try {
+      val without = run()
+      assert(withRule.nonEmpty && withRule == without)
+    } finally spark.conf.unset("spark.graft.optimizer.asofPushdown")
+  }
+
+  test("unhinted as-of picks broadcast for a dim-sized right and merge above threshold") {
+    import spark.implicits._
+    val left = (1L to 100L).map(i =>
+      (i % 5, new Timestamp(1700000000000L + i * 1000), i))
+      .toDF("k", "ts", "lid")
+    val right = Seq((1L, new Timestamp(1700000000000L), 10L))
+      .toDF("k", "r_ts", "rid")
+    val auto = AsOfJoin.asOf(left, right, Seq("k"), "ts", "r_ts")
+    assert(auto.queryExecution.executedPlan.toString
+      .contains("BroadcastAsOfJoin"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val merge = AsOfJoin.asOf(left, right, Seq("k"), "ts", "r_ts")
+      val plan = merge.queryExecution.executedPlan.toString
+      assert(plan.contains("AsOfJoin") && !plan.contains("BroadcastAsOfJoin"),
+        plan)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+}
