@@ -83,6 +83,18 @@ object AsOfJoin {
       require(lk.dataType == rk.dataType,
         s"as-of key type mismatch: ${lk.name}:${lk.dataType} vs " +
           s"${rk.name}:${rk.dataType} — cast one side before joining")
+      // float keys are rejected, not normalized: the planner's
+      // NormalizeFloatingNumbers rewrite (what makes 0.0/-0.0 and NaN
+      // group together in built-in joins) only matches Join/Aggregate/
+      // Window nodes, so here the merge exec's compiled ordering and
+      // the broadcast prober's byte-wise hash map would DISAGREE on
+      // -0.0 vs 0.0. An equi key that needs epsilon semantics is a
+      // modeling bug; an exact float key should be cast/quantized by
+      // the caller, which also makes the contract visible in the plan.
+      require(!lk.dataType.isInstanceOf[org.apache.spark.sql.types.FloatType]
+          && !lk.dataType.isInstanceOf[org.apache.spark.sql.types.DoubleType],
+        s"as-of key ${lk.name} is floating-point (${lk.dataType}); " +
+          "cast to a decimal/integral key before joining")
     }
     val lTs = attr(left, leftTsCol)
     val rTs = attr(rightFresh, rightTsCol)

@@ -96,6 +96,21 @@ class AsOfOptimizationsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.optimizer.asofPushdown")
   }
 
+  test("floating-point as-of keys are rejected at construction") {
+    // the merge exec's compiled ordering groups 0.0 with -0.0; the
+    // broadcast prober's byte-wise hash map would not, and our node
+    // never receives the planner's NormalizeFloatingNumbers rewrite —
+    // so float keys are a construction-time error, not a latent
+    // engine-dependent divergence
+    import spark.implicits._
+    val l = Seq((1.0, new Timestamp(1L), 1L)).toDF("k", "ts", "lid")
+    val r = Seq((1.0, new Timestamp(1L), 2L)).toDF("k", "r_ts", "rid")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(l, r, Seq("k"), "ts", "r_ts")
+    }
+    assert(e.getMessage.contains("floating-point"))
+  }
+
   test("unhinted as-of picks broadcast for a dim-sized right and merge above threshold") {
     import spark.implicits._
     val left = (1L to 100L).map(i =>
