@@ -15,10 +15,24 @@ import graft.{GraftConf, SparkEntry}
   */
 object PlanShapes {
 
-  private val Ops = Seq("BroadcastHashJoin", "SortMergeJoin",
+  val Ops = Seq("BroadcastHashJoin", "SortMergeJoin",
     "ShuffledHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct",
     "BroadcastExchange", "Exchange", "HashAggregate", "SortAggregate",
     "WindowGroupLimit", "Generate")
+
+  /** Scale-deciding operator-NODE counts for one plan string —
+    * line-leading occurrences only (never substring hits inside
+    * argument lists); "Exchange" counts shuffles, not broadcasts.
+    * Shared by this audit tool and PlanShapeSpec's golden pins. */
+  def counts(plan: String): Map[String, Int] = {
+    val lines = plan.linesIterator.toSeq
+    def count(op: String): Int = lines.count { l =>
+      val t = l.dropWhile(c => !c.isLetter)
+      if (op == "Exchange") t.startsWith("Exchange")
+      else t.startsWith(op)
+    }
+    Ops.map(op => op -> count(op)).filter(_._2 > 0).toMap
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -45,16 +59,8 @@ object PlanShapes {
       else {
         val plan = SparkEntry.queries(n)(spark, sfDir)
           .queryExecution.executedPlan.toString
-        val lines = plan.linesIterator.toSeq
-        // count operator NODES (line-leading occurrences), not substring
-        // hits inside argument lists; "Exchange" excludes broadcasts
-        def count(op: String): Int = lines.count { l =>
-          val t = l.dropWhile(c => !c.isLetter)
-          if (op == "Exchange") t.startsWith("Exchange")
-          else t.startsWith(op)
-        }
-        val counts = Ops.map(op => op -> count(op)).filter(_._2 > 0)
-        val body = counts.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+        val body = counts(plan).toSeq.sortBy(_._1)
+          .map { case (k, v) => s""""$k":$v""" }.mkString(",")
         println(s"""{"query":"$n","ops":{$body}}""")
       }
     }
