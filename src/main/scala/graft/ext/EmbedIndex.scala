@@ -14,26 +14,43 @@ import org.apache.spark.sql.functions._
   *
   * On-disk layout (parquet dirs + tiny text files, under `dir`):
   * {{{
-  *   meta                       PQ geometry (m, dsub) — written once
-  *   cents/                     (sub, centroid_id, cv) codebooks — FROZEN
-  *   seg-<id>/                  (vec_id, sub, centroid_id, label) code segment
-  *   sums-<id>/                 (label, i, s, n) CUMULATIVE coarse stats
-  *   _commits/manifest-<gen>    the commit: which segments + sums are live
+  *   e<E>-cents/                (sub, centroid_id, cv) codebooks — FROZEN
+  *   e<E>-seg-<id>/             (vec_id, sub, centroid_id, label) codes
+  *   e<E>-cseg-<gen>/           a compaction-folded code segment
+  *   e<E>-sums-<id>/            (label, i, s, n) CUMULATIVE coarse stats
+  *   _commits/manifest-<gen>    the commit: which dirs are live (+geometry)
   * }}}
   *
   * Commit protocol — MANIFEST GENERATIONS (Iceberg-style, single-file
   * atomicity): data dirs are immutable once written and carry no
   * authority; the only source of truth is the highest-generation
-  * manifest, a small text file listing the live segment ids, the live
-  * sums id, and the segment-id high-water mark. Every commit (build,
-  * append, streamed batch, compaction) writes its data dirs FIRST,
-  * then publishes a NEW manifest via write-temp + atomic rename. A
-  * writer dying mid-operation leaves orphan dirs and no manifest — a
-  * torn write is invisible, readers keep serving the previous
-  * generation. Compaction is what the manifest protocol buys: folding
-  * N segments into one is a single manifest swap, impossible to make
-  * atomic with per-segment commit markers (removing N markers while
-  * adding one cannot be one filesystem operation).
+  * manifest, a small text file naming the live codebook dir, the live
+  * segment dirs, the live sums dir, the PQ geometry, and two counters.
+  * Every commit (build, append, streamed batch, compaction) writes its
+  * data dirs FIRST, then publishes a NEW manifest via write-temp +
+  * atomic rename. A writer dying mid-operation leaves orphan dirs and
+  * no manifest — a torn write is invisible, readers keep serving the
+  * previous generation. Compaction is what the manifest protocol buys:
+  * folding N segments into one is a single manifest swap, impossible
+  * to make atomic with per-segment commit markers.
+  *
+  * Two id namespaces, deliberately DISJOINT:
+  *
+  *  - `high` is the BATCH high-water mark: the highest append-segment
+  *    id ever committed in the current epoch. Only [[build]] (resets
+  *    to 0) and appends (bump by 1) move it; [[compact]] NEVER does.
+  *    Compacted segments live under `cseg-<gen>` names in their own
+  *    namespace, so the batchId→segId mapping of a replaying stream
+  *    survives any number of compactions — a post-compaction
+  *    micro-batch maps to `high+1` and commits, instead of being
+  *    mistaken for an already-committed replay and silently dropped.
+  *  - `epoch` scopes every data-dir name (`e<E>-…`). [[build]] on a
+  *    populated index bumps the epoch and writes a WHOLE NEW
+  *    generation beside the old one — no wipe, so a crash mid-rebuild
+  *    leaves the previous generation fully committed and readers
+  *    (including time-travel readers) never observe a window with no
+  *    index. Old epochs become garbage for [[vacuum]], the only
+  *    destructive step in the protocol.
   *
   * Incremental maintenance contract: appends encode the delta with the
   * FROZEN codebooks ([[EmbedOps.encodePq]]) and merge the coarse
@@ -51,16 +68,20 @@ import org.apache.spark.sql.functions._
   * What appends do NOT do: retrain codebooks or re-list old vectors.
   * Quantization drift under a shifting distribution is a monitored
   * RETRAIN decision ([[EmbedOps.ivfPqRecallCompare]] is the monitor) —
-  * triggering [[build]] again, which atomically replaces the index.
+  * triggering [[build]] again, which publishes the retrained index as
+  * the next generation (a stream maintaining the old epoch must be
+  * restarted with a fresh checkpoint; its first post-rebuild batch
+  * would otherwise trip the epoch guard in [[appendBatch]]).
   */
 object EmbedIndex {
 
-  /** One committed generation: live code segments, the live sums id,
-    * and `high` — the highest segment id EVER committed (survives
-    * compaction, so replayed stream batches stay recognizable after
-    * their segments were folded away). */
-  final case class Manifest(gen: Long, high: Long, sumsId: Long,
-      segs: Seq[Long])
+  /** One committed generation: the live data-dir names, the PQ
+    * geometry, the build epoch, and `high` — the highest APPEND
+    * segment id ever committed this epoch (compaction folds segments
+    * away but never bumps it, so replayed stream batches stay
+    * recognizable and NEW batches stay appendable after a compaction). */
+  final case class Manifest(gen: Long, epoch: Long, high: Long,
+      m: Int, dsub: Int, cents: String, sums: String, segs: Seq[String])
 
   /** The loaded read-view of an index generation: frozen codebooks,
     * the union of live code segments, derived coarse centroids, and
@@ -93,15 +114,17 @@ object EmbedIndex {
       .linesIterator.filter(_.contains("="))
       .map { l => val Array(k, v) = l.split("=", 2); k -> v.trim }
       .toMap
-    Manifest(gen, kv("high").toLong, kv("sums").toLong,
-      kv("segs").split(",").filter(_.nonEmpty).map(_.toLong).toSeq)
+    Manifest(gen, kv("epoch").toLong, kv("high").toLong,
+      kv("m").toInt, kv("dsub").toInt, kv("cents"), kv("sums"),
+      kv("segs").split(",").filter(_.nonEmpty).toSeq)
   }
 
   /** Publish a manifest generation: write to a temp name, atomic-rename
     * into place — the single filesystem operation every commit rides. */
   private def publish(dir: String, m: Manifest): Unit = {
     Files.createDirectories(commitDir(dir))
-    val body = s"high=${m.high}\nsums=${m.sumsId}\n" +
+    val body = s"epoch=${m.epoch}\nhigh=${m.high}\n" +
+      s"m=${m.m}\ndsub=${m.dsub}\ncents=${m.cents}\nsums=${m.sums}\n" +
       s"segs=${m.segs.mkString(",")}\n"
     val tmp = commitDir(dir).resolve(s".manifest-${m.gen}.tmp")
     Files.write(tmp, body.getBytes("UTF-8"))
@@ -118,23 +141,34 @@ object EmbedIndex {
     }
   }
 
-  /** Train on `embeddings` and atomically REPLACE the index at `dir`:
-    * codebooks, segment 0's codes (with their inverted-list label),
-    * the coarse sufficient statistics, and generation-0's manifest. */
+  /** Train on `embeddings` and publish the result as the next
+    * generation at `dir`: codebooks, segment 0's codes (with their
+    * inverted-list label), the coarse sufficient statistics, and the
+    * manifest. A FIRST build commits generation 0; a REBUILD (retrain
+    * trigger) writes everything under a fresh epoch prefix beside the
+    * committed data and swaps the manifest last — the previous
+    * generation stays fully readable (and time-travel-able) through
+    * the entire rebuild, and a crash mid-build leaves it untouched.
+    * Old-epoch data is reclaimed by [[vacuum]]. */
   def build(embeddings: DataFrame, dir: String, m: Int = 4,
       dsub: Int = 16, ksub: Int = 8): Unit = {
-    wipe(dir)
+    val prev = manifest(dir)
+    val gen = prev.map(_.gen + 1).getOrElse(0L)
+    val epoch = prev.map(_.epoch + 1).getOrElse(0L)
     val pq = EmbedOps.trainPq(embeddings, m, dsub, ksub)
     try {
       Files.createDirectories(Paths.get(dir))
-      Files.write(Paths.get(dir, "meta"),
-        s"m=$m\ndsub=$dsub\n".getBytes("UTF-8"))
-      pq.cents.write.parquet(s"$dir/cents")
+      // mode=overwrite: a crashed build retried before any publish
+      // recomputes the same epoch and overwrites its own torn dirs
+      pq.cents.write.mode("overwrite").parquet(s"$dir/e$epoch-cents")
       pq.codes
         .join(embeddings.select(col("vec_id"), col("label")), Seq("vec_id"))
-        .write.parquet(s"$dir/seg-0")
-      EmbedOps.coarseSums(embeddings).write.parquet(s"$dir/sums-0")
-      publish(dir, Manifest(gen = 0, high = 0, sumsId = 0, segs = Seq(0)))
+        .write.mode("overwrite").parquet(s"$dir/e$epoch-seg-0")
+      EmbedOps.coarseSums(embeddings).write.mode("overwrite")
+        .parquet(s"$dir/e$epoch-sums-0")
+      publish(dir, Manifest(gen = gen, epoch = epoch, high = 0,
+        m = m, dsub = dsub, cents = s"e$epoch-cents",
+        sums = s"e$epoch-sums-0", segs = Seq(s"e$epoch-seg-0")))
     } finally {
       // build is one-shot: the trainPq caches have served their writes
       pq.subs.unpersist(); pq.codes.unpersist(); ()
@@ -159,12 +193,19 @@ object EmbedIndex {
     * batch-id guard that makes [[graft.streaming.CorpusIngest]]'s
     * sketch stores replay-safe, load-bearing here for the same reason
     * (codes would duplicate, sums would double-count). The replay
-    * check is against `high`, not the live segment list, so it
-    * survives compaction folding old segments away. A torn dir from a
-    * crashed attempt is overwritten; a batch id that maps BEHIND the
-    * high-water mark without being a replay (a stream restarted with a
-    * FRESH checkpoint against a populated index) fails loudly rather
-    * than silently rewriting history. */
+    * check is against `high`, which counts ONLY append segments —
+    * [[compact]]'s folded segments live in a separate namespace and
+    * never advance it — so the mapping survives compaction in both
+    * directions: a replayed batch whose segment was folded away is
+    * still recognized as committed, and the first NEW batch after a
+    * compaction still maps to `high+1` and commits (with a shared
+    * namespace it would satisfy `segId <= high` and be silently
+    * discarded — permanent data loss under the documented
+    * compact-between-batches usage). A torn dir from a crashed attempt
+    * is overwritten; a batch id that maps BEHIND the high-water mark
+    * without being a replay (a stream restarted with a FRESH
+    * checkpoint against a populated index) fails loudly rather than
+    * silently rewriting history. */
   def appendBatch(delta: DataFrame, dir: String, batchId: Long): Unit = {
     val man = manifest(dir).getOrElse(
       throw new IllegalArgumentException(
@@ -173,8 +214,8 @@ object EmbedIndex {
     if (segId > man.high) {
       require(segId == man.high + 1,
         s"batch $batchId maps to segment $segId but the committed " +
-          s"high-water is seg-${man.high} at $dir — a gap means lost " +
-          "batches; one stream checkpoint per index lifetime")
+          s"high-water is ${man.high} at $dir — a gap means lost " +
+          "batches; one stream checkpoint per index epoch")
       appendAt(delta, dir, man, segId)
     } // segId <= high: replayed batch, already committed — no-op
   }
@@ -195,47 +236,52 @@ object EmbedIndex {
   private def appendAt(delta: DataFrame, dir: String, man: Manifest,
       segId: Long): Unit = {
     val spark = delta.sparkSession
-    val (m, dsub) = readMeta(dir)
-    val cents = spark.read.parquet(s"$dir/cents")
-    EmbedOps.encodePq(delta, cents, m, dsub)
+    val seg = s"e${man.epoch}-seg-$segId"
+    val sums = s"e${man.epoch}-sums-$segId"
+    val cents = spark.read.parquet(s"$dir/${man.cents}")
+    EmbedOps.encodePq(delta, cents, man.m, man.dsub)
       .join(delta.select(col("vec_id"), col("label")), Seq("vec_id"))
-      .write.mode("overwrite").parquet(s"$dir/seg-$segId")
-    spark.read.parquet(s"$dir/sums-${man.sumsId}")
+      .write.mode("overwrite").parquet(s"$dir/$seg")
+    spark.read.parquet(s"$dir/${man.sums}")
       .unionByName(EmbedOps.coarseSums(delta))
       .groupBy(col("label"), col("i"))
       .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
-      .write.mode("overwrite").parquet(s"$dir/sums-$segId")
-    publish(dir, Manifest(gen = man.gen + 1, high = segId,
-      sumsId = segId, segs = man.segs :+ segId))
+      .write.mode("overwrite").parquet(s"$dir/$sums")
+    publish(dir, man.copy(gen = man.gen + 1, high = segId,
+      sums = sums, segs = man.segs :+ seg))
   }
 
   /** Fold all live segments into one: rewrites code rows (never raw
     * vectors), then swaps the manifest in one rename — the atomic
     * multi-segment replace the manifest protocol exists for. Results
-    * are identical by construction (same rows, one dir); sums are
-    * untouched. Old segment dirs become garbage for [[vacuum]]. */
+    * are identical by construction (same rows, one dir); sums and the
+    * batch high-water mark are untouched (the folded segment lives in
+    * the `cseg` namespace precisely so the next stream batch still
+    * maps to `high+1` — see [[appendBatch]]). Old segment dirs become
+    * garbage for [[vacuum]]. */
   def compact(spark: SparkSession, dir: String): Unit = {
     val man = manifest(dir).getOrElse(
       throw new IllegalArgumentException(s"no committed index at $dir"))
     if (man.segs.size > 1) {
-      val segId = man.high + 1
-      spark.read.parquet(man.segs.map(id => s"$dir/seg-$id"): _*)
-        .write.mode("overwrite").parquet(s"$dir/seg-$segId")
-      publish(dir, Manifest(gen = man.gen + 1, high = segId,
-        sumsId = man.sumsId, segs = Seq(segId)))
+      // gen-scoped name: each compaction commits exactly one new gen,
+      // so `cseg-<gen+1>` never collides with an earlier fold
+      val seg = s"e${man.epoch}-cseg-${man.gen + 1}"
+      spark.read.parquet(man.segs.map(n => s"$dir/$n"): _*)
+        .write.mode("overwrite").parquet(s"$dir/$seg")
+      publish(dir, man.copy(gen = man.gen + 1, segs = Seq(seg)))
     }
   }
 
   /** Delete data dirs and manifests no longer referenced by the
-    * current generation. Separated from [[compact]] (and from every
-    * commit) so a deployment can impose a grace period for readers
-    * still scanning an older generation — deletion is the only
-    * non-reversible step in the protocol. */
+    * current generation (including whole superseded build epochs).
+    * Separated from [[compact]]/[[build]] (and from every commit) so a
+    * deployment can impose a grace period for readers still scanning
+    * an older generation — deletion is the only non-reversible step in
+    * the protocol. */
   def vacuum(dir: String): Unit = {
     manifest(dir).foreach { man =>
       import scala.jdk.CollectionConverters._
-      val live = man.segs.map(id => s"seg-$id").toSet ++
-        Set(s"sums-${man.sumsId}", "cents", "meta", "_commits")
+      val live = man.segs.toSet ++ Set(man.sums, man.cents, "_commits")
       Files.list(Paths.get(dir)).iterator().asScala.toList
         .filterNot(p => live.contains(p.getFileName.toString))
         .foreach(p => wipe(p.toString))
@@ -243,14 +289,6 @@ object EmbedIndex {
         .filter(_.getFileName.toString != s"manifest-${man.gen}")
         .foreach(p => { Files.deleteIfExists(p); () })
     }
-  }
-
-  private def readMeta(dir: String): (Int, Int) = {
-    val kv = new String(Files.readAllBytes(Paths.get(dir, "meta")), "UTF-8")
-      .linesIterator.filter(_.contains("="))
-      .map { l => val Array(k, v) = l.split("=", 2); k -> v.trim.toInt }
-      .toMap
-    (kv("m"), kv("dsub"))
   }
 
   /** Load the committed read-view: the current generation's live code
@@ -264,9 +302,9 @@ object EmbedIndex {
     * data dirs + generation-named manifests make every un-vacuumed
     * generation a consistent snapshot — a reader pinned to gen G sees
     * exactly the index as of G's commit, regardless of concurrent
-    * appends or compactions (the same pinned-snapshot contract a table
-    * format gives its readers). Fails loudly when the generation was
-    * vacuumed away. */
+    * appends, compactions, or even full rebuilds (each rebuild's data
+    * lives under its own epoch prefix). Fails loudly when the
+    * generation was vacuumed away. */
   def loadAt(spark: SparkSession, dir: String, gen: Long): State = {
     require(Files.exists(commitDir(dir).resolve(s"manifest-$gen")),
       s"generation $gen at $dir does not exist or was vacuumed")
@@ -274,15 +312,13 @@ object EmbedIndex {
   }
 
   private def loadAt(spark: SparkSession, dir: String,
-      man: Manifest): State = {
-    val (m, dsub) = readMeta(dir)
+      man: Manifest): State =
     State(
-      cents = spark.read.parquet(s"$dir/cents"),
-      codes = spark.read.parquet(man.segs.map(id => s"$dir/seg-$id"): _*),
+      cents = spark.read.parquet(s"$dir/${man.cents}"),
+      codes = spark.read.parquet(man.segs.map(n => s"$dir/$n"): _*),
       coarse = EmbedOps.coarseCentroidsFromSums(
-        spark.read.parquet(s"$dir/sums-${man.sumsId}")),
-      m = m, dsub = dsub)
-  }
+        spark.read.parquet(s"$dir/${man.sums}")),
+      m = man.m, dsub = man.dsub)
 
   /** Search the persisted index: load the committed state and run the
     * broadcast-only ADC search ([[EmbedOps.ivfPqSearch]]). `queries`

@@ -91,7 +91,8 @@ class EmbedIndexSpec extends SparkSpec {
     EmbedIndex.build(all.filter(col("vec_id") < 20), dir, m = 2, dsub = 2, ksub = 4)
     EmbedIndex.append(all.filter(col("vec_id") >= 20 && col("vec_id") < 30), dir)
     EmbedIndex.append(all.filter(col("vec_id") >= 30), dir)
-    assert(EmbedIndex.manifest(dir).get.segs == Seq(0L, 1L, 2L))
+    assert(EmbedIndex.manifest(dir).get.segs ==
+      Seq("e0-seg-0", "e0-seg-1", "e0-seg-2"))
     val st = EmbedIndex.load(spark, dir)
     assert(st.codes.select("vec_id").distinct().count() == 40)
     // latest sums cover the whole corpus
@@ -108,18 +109,81 @@ class EmbedIndexSpec extends SparkSpec {
     val before = searchSet(EmbedIndex.search(spark, dir, queries))
     EmbedIndex.compact(spark, dir)
     val manC = EmbedIndex.manifest(dir).get
-    assert(manC.segs == Seq(3L) && manC.high == 3L)
+    // the fold lives in the cseg namespace; the BATCH high-water mark
+    // is untouched (compaction must never consume append segment ids)
+    assert(manC.segs == Seq("e0-cseg-3") && manC.high == 2L)
     assert(searchSet(EmbedIndex.search(spark, dir, queries)) == before)
     EmbedIndex.vacuum(dir)
-    assert(!Files.exists(Paths.get(dir, "seg-0")) &&
-      !Files.exists(Paths.get(dir, "seg-1")) &&
-      !Files.exists(Paths.get(dir, "seg-2")))
+    assert(!Files.exists(Paths.get(dir, "e0-seg-0")) &&
+      !Files.exists(Paths.get(dir, "e0-seg-1")) &&
+      !Files.exists(Paths.get(dir, "e0-seg-2")))
     assert(searchSet(EmbedIndex.search(spark, dir, queries)) == before)
     // a replayed stream batch whose segment was compacted away is still
     // recognized as committed (the check is against `high`, not the
     // live list): no duplicate append
     EmbedIndex.appendBatch(all.filter(col("vec_id") >= 30), dir, batchId = 1)
     assert(EmbedIndex.manifest(dir).get == manC)
+  }
+
+  test("a NEW stream batch arriving after a compaction commits (no silent drop)") {
+    import org.apache.spark.sql.functions.col
+    val all = fixture
+    val dir = tmpDir("postcompact")
+    EmbedIndex.build(all.filter(col("vec_id") < 20), dir, m = 2, dsub = 2, ksub = 4)
+    EmbedIndex.appendBatch(
+      all.filter(col("vec_id") >= 20 && col("vec_id") < 30), dir, batchId = 0)
+    EmbedIndex.compact(spark, dir)
+    // the documented usage: compact() bounds streamed segments BETWEEN
+    // micro-batches. The next batch (id 1 → segment 2) must append —
+    // with a shared id namespace the fold would have consumed id 2 and
+    // this batch's rows would be silently discarded as a "replay"
+    EmbedIndex.appendBatch(all.filter(col("vec_id") >= 30), dir, batchId = 1)
+    val st = EmbedIndex.load(spark, dir)
+    assert(st.codes.select("vec_id").distinct().count() == 40,
+      "the post-compaction micro-batch was dropped")
+    assert(EmbedIndex.manifest(dir).get.high == 2L)
+    // and the replay of that same batch is still a no-op
+    val manAfter = EmbedIndex.manifest(dir).get
+    EmbedIndex.appendBatch(all.filter(col("vec_id") >= 30), dir, batchId = 1)
+    assert(EmbedIndex.manifest(dir).get == manAfter)
+  }
+
+  test("rebuild publishes a new epoch WITHOUT destroying the committed index") {
+    import org.apache.spark.sql.functions.col
+    val all = fixture
+    val dir = tmpDir("rebuild")
+    EmbedIndex.build(all.filter(col("vec_id") < 30), dir, m = 2, dsub = 2, ksub = 4)
+    val queries = all.filter(col("vec_id") % 97 === 0)
+      .select("vec_id", "embedding")
+    val gen0 = searchSet(EmbedIndex.search(spark, dir, queries))
+    // retrain-triggered rebuild over the full corpus: a NEW generation
+    // under a NEW epoch prefix — the old generation's data dirs are
+    // untouched until vacuum
+    EmbedIndex.build(all, dir, m = 2, dsub = 2, ksub = 4)
+    val man1 = EmbedIndex.manifest(dir).get
+    assert(man1.gen == 1L && man1.epoch == 1L && man1.high == 0L)
+    assert(EmbedIndex.load(spark, dir)
+      .codes.select("vec_id").distinct().count() == 40)
+    // the PRE-REBUILD generation still reads as its historical
+    // snapshot (the atomic-replace contract: readers keep serving the
+    // previous generation through any rebuild)
+    val st0 = EmbedIndex.loadAt(spark, dir, gen = 0)
+    assert(st0.codes.select("vec_id").distinct().count() == 30)
+    assert(searchSet(graft.ext.EmbedOps.ivfPqSearch(queries, st0.cents,
+      st0.codes, st0.coarse, m = 2, dsub = 2)) == gen0)
+    // appends keep working against the rebuilt epoch (a fresh stream
+    // checkpoint starts at batch 0 → segment 1)
+    EmbedIndex.appendBatch(all.filter(col("vec_id") >= 30), dir, batchId = 0)
+    assert(EmbedIndex.manifest(dir).get.high == 1L)
+    // vacuum reclaims the superseded epoch; gen 0 then fails loudly
+    EmbedIndex.vacuum(dir)
+    assert(!Files.exists(Paths.get(dir, "e0-seg-0")) &&
+      !Files.exists(Paths.get(dir, "e0-cents")))
+    intercept[IllegalArgumentException] {
+      EmbedIndex.loadAt(spark, dir, gen = 0)
+    }
+    assert(EmbedIndex.load(spark, dir)
+      .codes.select("vec_id").distinct().count() == 40)
   }
 
   test("time-travel: a retained generation reads as its historical snapshot") {
@@ -159,13 +223,14 @@ class EmbedIndexSpec extends SparkSpec {
     val before = searchSet(EmbedIndex.search(spark, dir, queries))
     // torn write: segment + sums dirs exist but no manifest generation
     // ever referenced them
-    Files.createDirectories(Paths.get(dir, "seg-1"))
-    Files.createDirectories(Paths.get(dir, "sums-1"))
+    Files.createDirectories(Paths.get(dir, "e0-seg-1"))
+    Files.createDirectories(Paths.get(dir, "e0-sums-1"))
     // abandoned manifest temp (writer died before the atomic rename):
     // not a manifest, never read
     Files.write(Paths.get(dir, "_commits", ".manifest-9.tmp"),
-      "high=9\nsums=9\nsegs=9\n".getBytes("UTF-8"))
-    assert(EmbedIndex.manifest(dir).get.segs == Seq(0L))
+      "epoch=0\nhigh=9\nm=2\ndsub=2\ncents=e0-cents\nsums=e0-sums-9\nsegs=e0-seg-9\n"
+        .getBytes("UTF-8"))
+    assert(EmbedIndex.manifest(dir).get.segs == Seq("e0-seg-0"))
     assert(searchSet(EmbedIndex.search(spark, dir, queries)) == before)
   }
 
@@ -179,7 +244,7 @@ class EmbedIndexSpec extends SparkSpec {
     val afterFirst = EmbedIndex.load(spark, dir).codes.count()
     // crash-replay of the same micro-batch: same id, same data
     EmbedIndex.appendBatch(delta, dir, batchId = 0)
-    assert(EmbedIndex.manifest(dir).get.segs == Seq(0L, 1L))
+    assert(EmbedIndex.manifest(dir).get.segs == Seq("e0-seg-0", "e0-seg-1"))
     assert(EmbedIndex.load(spark, dir).codes.count() == afterFirst)
     // a batch id AHEAD of the high-water mark (skipped batches — a
     // desynced checkpoint) must fail loudly, not leave a silent gap
