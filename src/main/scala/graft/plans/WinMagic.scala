@@ -127,14 +127,22 @@ object WinMagic extends Rule[LogicalPlan] with PredicateHelper {
     * soundly: shared ones below the window (they shaped the groups),
     * left-only ones above it (the aggregate never saw them), and
     * right-only ones must be key-IsNotNulls (which only ever exclude
-    * the NULL group the join could not match anyway). */
+    * the NULL group the join could not match anyway).
+    *
+    * Peeling stops at the first NON-DETERMINISTIC Filter (it stays in
+    * the core): relocating such a conjunct — or collapsing the two
+    * per-side evaluations the join-back performs into one — changes
+    * semantics, the same contract that keeps Catalyst's own
+    * PushDownPredicates from moving non-deterministic predicates. The
+    * rewrite then declines outright in [[rewrite]] when a core still
+    * CONTAINS non-determinism (see `hasNonDeterministic`). */
   private def peel(p: LogicalPlan): (LogicalPlan, Seq[Expression]) =
     p match {
       case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
         peel(c)
       case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
         peel(s.child)
-      case Filter(cond, c) =>
+      case Filter(cond, c) if cond.deterministic =>
         val (core, rest) = peel(c)
         (core, splitConjunctivePredicates(cond) ++ rest)
       case other => (other, Nil)
@@ -146,14 +154,24 @@ object WinMagic extends Rule[LogicalPlan] with PredicateHelper {
     * rewrite every row wears its group's aggregates, so the same
     * predicates applied per-row above the window drop exactly the
     * members of the filtered-out groups (Inner only; LeftOuter would
-    * null-extend instead). */
+    * null-extend instead). Non-deterministic HAVING layers stop the
+    * peel, like [[peel]]. */
   private def peelHaving(p: LogicalPlan): (LogicalPlan, Seq[Expression]) =
     p match {
-      case Filter(c, child) =>
+      case Filter(c, child) if c.deterministic =>
         val (core, rest) = peelHaving(child)
         (core, splitConjunctivePredicates(c) ++ rest)
       case other => (other, Nil)
     }
+
+  /** True when the plan evaluates any non-deterministic expression.
+    * A core containing one disqualifies the rewrite even when
+    * `sameResult` holds: the join-back executes the core TWICE with
+    * independent evaluations (two samples), while the window form
+    * would evaluate it once — same-seed reproducibility is a
+    * partitioning accident, not a semantic guarantee. */
+  private def hasNonDeterministic(p: LogicalPlan): Boolean =
+    p.exists(_.expressions.exists(e => !e.deterministic))
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, jt, Some(cond), _)
@@ -177,6 +195,7 @@ object WinMagic extends Rule[LogicalPlan] with PredicateHelper {
     val (coreL, lConds) = peel(left)
     val (coreR, rCondsRaw) = peel(aggChild)
     if (!coreL.sameResult(coreR)) return None
+    if (hasNonDeterministic(coreL) || hasNonDeterministic(coreR)) return None
     // positional output mapping between the row-source-identical cores
     if (coreL.output.length != coreR.output.length) return None
     val toLeft = AttributeMap(coreR.output.zip(coreL.output))
@@ -282,6 +301,10 @@ object WinMagic extends Rule[LogicalPlan] with PredicateHelper {
           if (!ok) return None
           Alias(m, a.name)(exprId = a.exprId)
         case al @ Alias(child, name) =>
+          // a non-deterministic aggregate output (e.g. sum(x)+rand())
+          // evaluates once per GROUP in the join-back but once per ROW
+          // as a window projection — decline
+          if (!child.deterministic) return None
           val mapped = mapExpr(child)
           if (!ok) return None
           // non-trivial window output rides the Window node; plain

@@ -4,19 +4,18 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.plans.logical.{Join, Window}
 import org.apache.spark.sql.functions._
 
-import graft.plans.WinMagic
-
 /** The WinMagic rewrite (self-join-back aggregate → window): fires on
   * the provable shapes, declines on every unsound one, and never
   * changes an answer. Values are checked against hand-computed
   * expectations (not against the rule-off plan, so a miscompile that
-  * broke both paths identically couldn't hide). */
+  * broke both paths identically couldn't hide).
+  *
+  * The rewrite reaches these plans through the shared session's
+  * build-time [[graft.functions.GraftExtensions]] (see [[SparkSpec]])
+  * — NOT a runtime [[WinMagic.install]], which would mutate the shared
+  * session's `experimental.extraOptimizations` and leak the rule into
+  * other suites' plan captures (the r13 suite-order flake). */
 class WinMagicSpec extends SparkSpec {
-
-  override protected def beforeAll(): Unit = {
-    super.beforeAll()
-    WinMagic.install(spark)
-  }
 
   private def joins(df: DataFrame) =
     df.queryExecution.optimizedPlan.collect { case j: Join => j }
@@ -85,6 +84,33 @@ class WinMagicSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, 10.0, 30.0), (1L, 20.0, 30.0)))
     val louter = f.join(agg, Seq("k"), "left")
     assert(joins(louter).nonEmpty, "left outer with nullable keys declines")
+  }
+
+  test("declines: non-deterministic filters never move or collapse") {
+    // a rand()-based sample filter evaluates independently per side in
+    // the join-back; relocating it (or evaluating it once below the
+    // window) changes semantics — the PushDownPredicates contract.
+    // the fact must be SCAN-backed: over a LocalRelation the optimizer
+    // evaluates the ND filter into the relation before any rewrite
+    // sees it (one shared evaluation — sound either way), and it folds
+    // rand() < 2.0 to TRUE outright from the expression's value bounds
+    val dir = java.nio.file.Files.createTempDirectory("winmagic_nd").toString
+    fact().write.mode("overwrite").parquet(dir)
+    val f = spark.read.parquet(dir)
+    val sampled = f.filter(rand(42) < lit(0.99))
+    val agg = sampled.groupBy("k").agg(sum("x").as("s"))
+    assert(joins(sampled.join(agg, "k")).nonEmpty,
+      "a non-deterministic filter in both cores must decline")
+    // ND filter on the LEFT side only: peeling it above the window
+    // would re-evaluate it against annotated rows — must also decline
+    val aggAll = f.groupBy("k").agg(sum("x").as("s"))
+    assert(joins(f.filter(rand(7) < lit(0.99)).join(aggAll, "k")).nonEmpty,
+      "a left-only non-deterministic filter must decline")
+    // ND expression in the aggregate output: the join evaluates it
+    // once per group, a window would re-evaluate per row — decline
+    val ndAgg = f.groupBy("k").agg((sum("x") + rand(3)).as("s"))
+    assert(joins(f.join(ndAgg, "k")).nonEmpty,
+      "a non-deterministic aggregate output must decline")
   }
 
   test("declines: distinct aggregate, different join column, different source") {
