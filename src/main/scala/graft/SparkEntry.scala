@@ -505,6 +505,19 @@ object SparkEntry {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
       WHERE side = 1""")),
+    // the same as-of REACHED FROM SQL TEXT through the native operator:
+    // the asof_join table-valued function (plans/AsOfSql.scala) expands
+    // to AsOfJoinPlan, so this plans AsOfJoinExec/BroadcastAsOfJoinExec
+    // — no union inflation, no window frame — where sql_asof above pays
+    // the union+window spelling. Same oracle as events_asof.
+    "sql_asof_native" -> ((s, d) => GraftSql.sql(s, d, """
+      SELECT user_id, event_id AS purchase_event_id,
+             date_format(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS purchase_ts,
+             c_eid AS click_event_id,
+             date_format(c_ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS click_ts,
+             unix_micros(ts) - unix_micros(c_ts) AS gap_us
+      FROM asof_join('purchases_v', 'clicks_v', 'user_id', 'ts', 'c_ts',
+                     'c_eid')""")),
 
     // ---- text analysis over `documents` -------------------------------
     // The testdata tables are single parquet files → a single input
@@ -792,8 +805,14 @@ object SparkEntry {
     emb(s, d).filter(f.col("vec_id") % 97 === 0)
       .select(f.col("vec_id"), f.col("embedding"))
   }
+  // root is SUFFIXED WITH THE MANIFEST FORMAT VERSION: a library
+  // upgrade that changes the on-disk layout must land in a fresh root
+  // rather than tripping over (or worse, reinterpreting) an index a
+  // previous version committed — EmbedIndex errors loudly on a format
+  // mismatch, and this keeps the driver environment from ever hitting
+  // that error on its own leftover /tmp state
   private def indexRoot(d: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_embed_index/" +
+    s"${sys.props("java.io.tmpdir")}/graft_embed_index_v2/" +
       java.lang.Integer.toHexString(d.hashCode)
   private def shIndexFull(s: SparkSession, d: String): String =
     Artifacts.obj(s, d, "embed/index_full") {
@@ -910,6 +929,7 @@ object SparkEntry {
     "sql_dedup_minhash" -> OracleSqlExt.dedupMinhash,
     "sql_text_bm25" -> OracleSqlExt.textBm25,
     "sql_asof" -> OracleSqlExt.eventsAsof,
+    "sql_asof_native" -> OracleSqlExt.eventsAsof,
     "sql_chunk" -> OracleSqlExt.textChunk,
 
     "text_stats" -> OracleSqlExt.textStats,

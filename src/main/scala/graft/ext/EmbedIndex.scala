@@ -108,12 +108,24 @@ object EmbedIndex {
       gens.lastOption.map(readManifest(dir, _))
     }
 
+  /** Manifest format version. v2 (r14) added `epoch` (rebuild
+    * namespacing), inlined the PQ geometry, and moved segment/sums/
+    * codebook references to explicit dir NAMES (the cseg compaction
+    * namespace). Bumped on any incompatible layout change; a version
+    * mismatch is a LOUD error, never a silent reinterpretation. */
+  private val FormatVersion = 2
+
   private def readManifest(dir: String, gen: Long): Manifest = {
     val kv = new String(Files.readAllBytes(
       commitDir(dir).resolve(s"manifest-$gen")), "UTF-8")
       .linesIterator.filter(_.contains("="))
       .map { l => val Array(k, v) = l.split("=", 2); k -> v.trim }
       .toMap
+    val found = kv.get("format").map(_.toInt).getOrElse(1)
+    if (found != FormatVersion) throw new IllegalStateException(
+      s"index at $dir uses manifest format $found; this build reads " +
+        s"format $FormatVersion — rebuild the index (or read it with a " +
+        "matching library version)")
     Manifest(gen, kv("epoch").toLong, kv("high").toLong,
       kv("m").toInt, kv("dsub").toInt, kv("cents"), kv("sums"),
       kv("segs").split(",").filter(_.nonEmpty).toSeq)
@@ -123,7 +135,7 @@ object EmbedIndex {
     * into place — the single filesystem operation every commit rides. */
   private def publish(dir: String, m: Manifest): Unit = {
     Files.createDirectories(commitDir(dir))
-    val body = s"epoch=${m.epoch}\nhigh=${m.high}\n" +
+    val body = s"format=$FormatVersion\nepoch=${m.epoch}\nhigh=${m.high}\n" +
       s"m=${m.m}\ndsub=${m.dsub}\ncents=${m.cents}\nsums=${m.sums}\n" +
       s"segs=${m.segs.mkString(",")}\n"
     val tmp = commitDir(dir).resolve(s".manifest-${m.gen}.tmp")

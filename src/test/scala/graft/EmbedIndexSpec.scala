@@ -234,6 +234,16 @@ class EmbedIndexSpec extends SparkSpec {
     assert(searchSet(EmbedIndex.search(spark, dir, queries)) == before)
   }
 
+  test("a pre-v2 manifest fails loudly instead of being reinterpreted") {
+    val dir = tmpDir("oldfmt")
+    Files.createDirectories(Paths.get(dir, "_commits"))
+    // the r13 (format-1) manifest layout: no format key, numeric segs
+    Files.write(Paths.get(dir, "_commits", "manifest-0"),
+      "high=0\nsums=0\nsegs=0\n".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] { EmbedIndex.manifest(dir) }
+    assert(e.getMessage.contains("manifest format 1"))
+  }
+
   test("appendBatch is replay-safe: a re-delivered batch id commits nothing new") {
     import org.apache.spark.sql.functions.col
     val all = fixture
