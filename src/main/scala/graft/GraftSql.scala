@@ -26,6 +26,18 @@ object GraftSql {
       }
       // events.ts needs the nanos→µs normalization the typed accessor does
       Tables.events(spark, dir).createOrReplaceTempView("events")
+      // pre-shaped sides for the native as-of TVF (right side renamed:
+      // as-of output keeps right non-key columns, names must not
+      // collide with the left's)
+      Tables.events(spark, dir)
+        .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+        .selectExpr("user_id", "ts", "event_id")
+        .createOrReplaceTempView("purchases_v")
+      Tables.events(spark, dir)
+        .filter(org.apache.spark.sql.functions.col("event_type") === "click")
+        .selectExpr("user_id", "ts AS c_ts", "event_id AS c_eid")
+        .createOrReplaceTempView("clicks_v")
+      graft.plans.AsOfSql.register(spark)
       graft.functions.CosineSimilarity.register(spark)
       graft.functions.RollingMinHash.register(spark)
       graft.functions.SimHash32.register(spark)

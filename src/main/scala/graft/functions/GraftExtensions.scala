@@ -29,6 +29,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // as-of node — injected into the operator-optimization fixed point
     // so the standard rules carry the pushed pieces into the scans
     ext.injectOptimizerRule(_ => graft.plans.AsOfPushdown)
+    // SQL-text spelling of the native as-of join (a TVF expanding to
+    // AsOfJoinPlan); AsOfSql.register is the equivalent runtime form
+    ext.injectTableFunction((
+      FunctionIdentifier(graft.plans.AsOfSql.name),
+      graft.plans.AsOfSql.info,
+      graft.plans.AsOfSql.builder))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(

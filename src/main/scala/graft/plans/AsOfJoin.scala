@@ -385,47 +385,72 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
   }
 }
 
-/** The broadcast as-of probe: a hash index from key to its right rows
-  * sorted by (ts[, tie…]), probed per left row with a binary search
-  * for the last entry at-or-before the left timestamp. Semantics are
-  * row-identical to [[AsOfMerger]] — the last eligible entry in
-  * (ts, tie) ascending order is exactly the match the sorted merge
-  * carries — pinned by the broadcast-vs-native spec on the shared
-  * adversarial fixture. Built once per task from the broadcast array
-  * (the [[BroadcastNestedLoopJoinExec]] cost model: per-task rebuild
-  * is O(|dim| log |dim|), paid only on dim-sized sides by contract). */
+/** The broadcast as-of index: right key → its rows sorted by
+  * (ts[, tie…]) with a parallel long array of the timestamps, so the
+  * probe's binary search never touches a row. Built ONCE PER EXECUTOR
+  * (see the companion's [[GraftAsOfIndex.getOrBuild]] memo) from the
+  * broadcast row array — at thousands of tasks the previous
+  * once-per-task O(|dim| log |dim|) rebuild dominated a dim-sized
+  * probe's setup; memoized, per-task setup is a map lookup.
+  *
+  * Why a per-executor memo rather than shipping the prebuilt index
+  * through a custom `BroadcastMode` (the HashedRelation model, built
+  * once on the driver): `BroadcastExchangeExec` sizes its payload by
+  * matching on `HashedRelation` | `Array[InternalRow]` and throws on
+  * anything else, and `HashedRelation` is a SEALED `execution`-private
+  * trait — there is no public seam for a third relation type. The
+  * executor-side memo reaches the same asymptotic cost (one build per
+  * executor per broadcast) through public API only. */
+final class GraftAsOfIndex(
+    index: java.util.HashMap[
+      org.apache.spark.sql.catalyst.expressions.UnsafeRow,
+      GraftAsOfIndex.Bucket]) {
+  def bucket(key: org.apache.spark.sql.catalyst.expressions.UnsafeRow)
+      : GraftAsOfIndex.Bucket = index.get(key)
+}
+
+object GraftAsOfIndex {
+  /** One key's right rows, (ts, tie…)-ascending, with the timestamp
+    * column extracted for the row-free binary search. */
+  final case class Bucket(ts: Array[Long], rows: Array[InternalRow])
+
+  /** Executor-wide memo: (broadcast row array identity × index spec) →
+    * built index. The outer map is WEAK on the row array — Torrent
+    * broadcast caches one deserialized value per executor, every task
+    * sees that instance, and when the block manager evicts it the memo
+    * entry unpins with it (a re-deserialized array simply rebuilds
+    * once). The inner spec key distinguishes two as-of joins probing
+    * the SAME reused broadcast with different key/ts columns. */
+  private val cache = new java.util.WeakHashMap[Array[InternalRow],
+    java.util.concurrent.ConcurrentHashMap[String, GraftAsOfIndex]]()
+
+  def getOrBuild(rows: Array[InternalRow], spec: String)(
+      build: () => GraftAsOfIndex): GraftAsOfIndex = {
+    val perRows = cache.synchronized {
+      var m = cache.get(rows)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, GraftAsOfIndex]()
+        cache.put(rows, m)
+      }
+      m
+    }
+    perRows.computeIfAbsent(spec, _ => build())
+  }
+}
+
+/** The broadcast as-of probe: binary-searches the executor-memoized
+  * [[GraftAsOfIndex]] for the last same-key entry at-or-before each left
+  * row's timestamp. Semantics are row-identical to [[AsOfMerger]] —
+  * the last eligible entry in (ts, tie) ascending order is exactly
+  * the match the sorted merge carries — pinned by the
+  * broadcast-vs-native spec on the shared adversarial fixture. */
 final class BroadcastAsOfProber(
-    rRows: Array[InternalRow],
-    lKeyProj: UnsafeProjection, rKeyProj: UnsafeProjection,
-    bucketOrd: Ordering[InternalRow],
-    lTsOrd: Int, rTsOrd: Int, tolUs: Long,
+    index: GraftAsOfIndex,
+    lKeyProj: UnsafeProjection,
+    lTsOrd: Int, tolUs: Long,
     nRightCols: Int, resultProj: UnsafeProjection,
     numOut: org.apache.spark.sql.execution.metric.SQLMetric) {
 
-  // key → right rows sorted by (ts, tie…); null-ts rows never match,
-  // so they are dropped at build. The parallel long array carries the
-  // timestamps so the probe's binary search never touches a row.
-  private val index = {
-    val m = new java.util.HashMap[
-      org.apache.spark.sql.catalyst.expressions.UnsafeRow,
-      scala.collection.mutable.ArrayBuffer[InternalRow]]()
-    rRows.foreach { r =>
-      if (!r.isNullAt(rTsOrd)) {
-        val k = rKeyProj(r).copy()
-        var b = m.get(k)
-        if (b == null) { b = scala.collection.mutable.ArrayBuffer.empty; m.put(k, b) }
-        b += r
-      }
-    }
-    val out = new java.util.HashMap[
-      org.apache.spark.sql.catalyst.expressions.UnsafeRow,
-      (Array[Long], Array[InternalRow])](Math.max(8, m.size * 2))
-    m.forEach { (k, b) =>
-      val sorted = b.toArray.sorted(bucketOrd)
-      out.put(k, (sorted.map(_.getLong(rTsOrd)), sorted))
-    }
-    out
-  }
   private val nullRight = new GenericInternalRow(nRightCols)
   private val joined = new JoinedRow
 
@@ -436,9 +461,9 @@ final class BroadcastAsOfProber(
     var m: InternalRow = nullRight
     if (!l.isNullAt(lTsOrd)) {
       val lTs = l.getLong(lTsOrd)
-      val bucket = index.get(lKeyProj(l))
+      val bucket = index.bucket(lKeyProj(l))
       if (bucket != null) {
-        val ts = bucket._1
+        val ts = bucket.ts
         // last index with ts <= lTs (upper bound minus one); ties in
         // ts are adjacent and tie-sorted ascending, so the last
         // eligible index is the max-tie row among the newest matches
@@ -447,7 +472,7 @@ final class BroadcastAsOfProber(
           val mid = (lo + hi) >>> 1
           if (ts(mid) <= lTs) lo = mid + 1 else hi = mid
         }
-        if (lo > 0 && lTs - ts(lo - 1) <= tolUs) m = bucket._2(lo - 1)
+        if (lo > 0 && lTs - ts(lo - 1) <= tolUs) m = bucket.rows(lo - 1)
       }
     }
     numOut += 1
@@ -462,14 +487,18 @@ final class BroadcastAsOfProber(
   *
   * Execution model: the right side ships whole to every executor
   * (`BroadcastDistribution(IdentityBroadcastMode)` — EnsureRequirements
-  * inserts the one BroadcastExchange), each task hash-indexes it by
-  * key with per-key (ts, tie)-sorted arrays, and the left side streams
-  * through a binary-search probe IN PLACE: zero shuffles, no sort on
-  * either side, left partitioning and ordering preserved verbatim.
-  * At 100 TB this is the difference between re-shuffling the fact on
-  * a key it will never be read by again and not moving it at all —
-  * the same trade BroadcastHashJoin makes, with the probe upgraded
-  * from equality to temporal predecessor search. */
+  * inserts the one BroadcastExchange), the FIRST task per executor
+  * hash-indexes it by key with per-key (ts, tie)-sorted arrays, every
+  * later task reuses that index through the [[GraftAsOfIndex]] memo
+  * (per-task probe setup ≈ O(1); see the index scaladoc for why the
+  * build is executor-side rather than a custom driver-side
+  * BroadcastMode), and the left side streams through a binary-search
+  * probe IN PLACE: zero shuffles, no sort on either side, left
+  * partitioning and ordering preserved verbatim. At 100 TB this is
+  * the difference between re-shuffling the fact on a key it will
+  * never be read by again and not moving it at all — the same trade
+  * BroadcastHashJoin makes, with the probe upgraded from equality to
+  * temporal predecessor search. */
 case class BroadcastAsOfJoinExec(leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTs: Expression, rightTs: Expression, rightTie: Seq[Expression],
@@ -499,23 +528,63 @@ case class BroadcastAsOfJoinExec(leftKeys: Seq[Expression],
       newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
-  /** Per-task prober over the broadcast rows — called from both
-    * doExecute and the generated class's init. */
+  /** The memo key distinguishing this exec's index layout on a shared
+    * (reused) broadcast: bound key/ts/tie positions + tie count. Bound
+    * references are position-based, so equal specs mean the same index
+    * bytes regardless of expr ids. */
+  private lazy val indexSpec: String = {
+    val rOut = right.output
+    (rightKeys ++ (rightTs +: rightTie))
+      .map(BindReferences.bindReference(_, rOut).toString)
+      .mkString(";")
+  }
+
+  /** Build the index from the broadcast rows — runs ONCE per executor
+    * per (broadcast, spec) through the [[GraftAsOfIndex]] memo.
+    * Null-ts rows are dropped at build: they can never match. */
+  private def buildIndex(rRows: Array[InternalRow]): GraftAsOfIndex = {
+    val rOut = right.output
+    val rKeyProj = UnsafeProjection.create(rightKeys, rOut)
+    val rTsOrd = BindReferences.bindReference(rightTs, rOut)
+      .asInstanceOf[BoundReference].ordinal
+    val bucketOrd = org.apache.spark.sql.catalyst.expressions.codegen
+      .GenerateOrdering.generate((rightTs +: rightTie).map(e =>
+        SortOrder(BindReferences.bindReference(e, rOut), Ascending)))
+    val m = new java.util.HashMap[
+      org.apache.spark.sql.catalyst.expressions.UnsafeRow,
+      scala.collection.mutable.ArrayBuffer[InternalRow]]()
+    rRows.foreach { r =>
+      if (!r.isNullAt(rTsOrd)) {
+        val k = rKeyProj(r).copy()
+        var b = m.get(k)
+        if (b == null) {
+          b = scala.collection.mutable.ArrayBuffer.empty
+          m.put(k, b)
+        }
+        b += r
+      }
+    }
+    val out = new java.util.HashMap[
+      org.apache.spark.sql.catalyst.expressions.UnsafeRow,
+      GraftAsOfIndex.Bucket](Math.max(8, m.size * 2))
+    m.forEach { (k, b) =>
+      val sorted = b.toArray.sorted(bucketOrd)
+      out.put(k, GraftAsOfIndex.Bucket(sorted.map(_.getLong(rTsOrd)), sorted))
+    }
+    new GraftAsOfIndex(out)
+  }
+
+  /** Per-task prober over the (memoized) executor-local index — called
+    * from both doExecute and the generated class's init. Per task this
+    * creates only the left-side projections; the index build runs on
+    * the first task per executor. */
   def buildProber(rRows: Array[InternalRow]): BroadcastAsOfProber = {
     val lOut = left.output
     val rOut = right.output
-    val tsTie = rightTs +: rightTie
-    val bucketOrd = org.apache.spark.sql.catalyst.expressions.codegen
-      .GenerateOrdering.generate(tsTie.map(e =>
-        SortOrder(BindReferences.bindReference(e, rOut), Ascending)))
     new BroadcastAsOfProber(
-      rRows,
+      GraftAsOfIndex.getOrBuild(rRows, indexSpec)(() => buildIndex(rRows)),
       UnsafeProjection.create(leftKeys, lOut),
-      UnsafeProjection.create(rightKeys, rOut),
-      bucketOrd,
       BindReferences.bindReference(leftTs, lOut)
-        .asInstanceOf[BoundReference].ordinal,
-      BindReferences.bindReference(rightTs, rOut)
         .asInstanceOf[BoundReference].ordinal,
       toleranceUs.getOrElse(Long.MaxValue),
       rOut.length,
@@ -544,7 +613,8 @@ case class BroadcastAsOfJoinExec(leftKeys: Seq[Expression],
       : String = {
     // executeBroadcast runs HERE, on the driver at codegen time (the
     // BroadcastHashJoinExec pattern); the generated init only reads
-    // the broadcast value on the executor
+    // the broadcast value on the executor (buildProber then pulls the
+    // memoized executor-local index)
     val bcast = right.executeBroadcast[Array[InternalRow]]()
     val bTerm = ctx.addReferenceObj("asofBroadcast", bcast,
       classOf[org.apache.spark.broadcast.Broadcast[_]].getName)

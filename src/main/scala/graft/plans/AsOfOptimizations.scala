@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeMap, AttributeSet, Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeMap, AttributeSet, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -33,6 +33,21 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *    substitution. This is the join-condition transitivity Spark
   *    applies to equi-joins, extended to the as-of key; it is what
   *    lets a `user_id`-partitioned right side partition-prune.
+  *
+  * 2b. TIME-BOUND TRANSITIVITY. The as-of predicate itself
+  *    (`rts <= lts`, and `lts − rts <= tolerance` when set) turns a
+  *    pushed LEFT time-range literal into a RIGHT time bound:
+  *    once every surviving left row satisfies `lts ≤ T`, a right row
+  *    with `rts > T` is at-or-before no left row — push `rts ≤ T`;
+  *    and with tolerance t, `lts ≥ T0` bounds useful right rows to
+  *    `rts ≥ T0 − t` (without tolerance an arbitrarily old right row
+  *    can still be somebody's latest match, so no lower bound
+  *    derives). Dropping non-matching right rows is sound because
+  *    as-of emits right columns only through a match — a filtered
+  *    right row changes no output (misses null-extend regardless).
+  *    This is what lets a time-partitioned right side partition-prune
+  *    under a left time-range query — at 100 TB, the difference
+  *    between scanning a week and scanning the archive.
   *
   * 3. COLUMN PRUNING. A Project above the as-of that references a
   *    subset of its output shrinks `keepRight` to the referenced
@@ -82,12 +97,13 @@ object AsOfPushdown extends Rule[LogicalPlan] with PredicateHelper {
             p.references.subsetOf(lKeyAttrs) &&
               // only attr-to-attr key lists substitute soundly
               p.references.forall(r => subst.contains(r)))
+          val rightConds = cloneable.map(_.transform {
+            case attr: Attribute if subst.contains(attr) => subst(attr)
+          }) ++ rightTimeBounds(pushable, a)
           val newRight =
-            if (cloneable.isEmpty) a.right
-            else Filter(cloneable.map(_.transform {
-              case attr: Attribute if subst.contains(attr) => subst(attr)
-            }).reduce(org.apache.spark.sql.catalyst.expressions.And),
-              a.right)
+            if (rightConds.isEmpty) a.right
+            else Filter(rightConds.reduce(
+              org.apache.spark.sql.catalyst.expressions.And), a.right)
           val pushed = a.copy(left = newLeft, right = newRight)
           if (kept.isEmpty) pushed
           else Filter(kept.reduce(org.apache.spark.sql.catalyst
@@ -121,6 +137,47 @@ object AsOfPushdown extends Rule[LogicalPlan] with PredicateHelper {
           a.copy(left = prune(a.left, leftNeeded),
             right = prune(a.right, rightNeeded), keepRight = newKeep))
     }
+
+  /** Rewrite #2b: right time bounds derived from pushed left
+    * time-range conjuncts (see the scaladoc). Only literal bounds on
+    * the left ts ATTRIBUTE derive (both operand orders); the literal's
+    * raw long value transfers because Timestamp and Long timestamps
+    * both store long micros and [[AsOfJoin.asOf]] validated the types.
+    * Lower bounds shift by the tolerance and exist only when one is
+    * set. Strictness carries: `lts > T0` ⇒ `rts > T0 − t` (from
+    * `rts ≥ lts − t > T0 − t`). */
+  private def rightTimeBounds(pushed: Seq[Expression], a: AsOfJoinPlan)
+      : Seq[Expression] = {
+    val rts = a.rightTs
+    def isLts(e: Expression) = e.semanticEquals(a.leftTs)
+    def long(l: Literal): Option[Long] = l.value match {
+      case v: java.lang.Long => Some(v.longValue)
+      case _ => None
+    }
+    def upper(l: Literal, strict: Boolean): Option[Expression] =
+      long(l).map { v =>
+        val lit = Literal(v, rts.dataType)
+        if (strict) LessThan(rts, lit) else LessThanOrEqual(rts, lit)
+      }
+    def lower(l: Literal, strict: Boolean): Option[Expression] =
+      for (t <- a.toleranceUs; v <- long(l)) yield {
+        // guard the shift against Long underflow near MinValue
+        val lit = Literal(
+          if (v < Long.MinValue + t) Long.MinValue else v - t, rts.dataType)
+        if (strict) GreaterThan(rts, lit) else GreaterThanOrEqual(rts, lit)
+      }
+    pushed.flatMap {
+      case LessThanOrEqual(l, lit: Literal) if isLts(l) => upper(lit, strict = false)
+      case LessThan(l, lit: Literal) if isLts(l) => upper(lit, strict = true)
+      case GreaterThanOrEqual(lit: Literal, l) if isLts(l) => upper(lit, strict = false)
+      case GreaterThan(lit: Literal, l) if isLts(l) => upper(lit, strict = true)
+      case GreaterThanOrEqual(l, lit: Literal) if isLts(l) => lower(lit, strict = false)
+      case GreaterThan(l, lit: Literal) if isLts(l) => lower(lit, strict = true)
+      case LessThanOrEqual(lit: Literal, l) if isLts(l) => lower(lit, strict = false)
+      case LessThan(lit: Literal, l) if isLts(l) => lower(lit, strict = true)
+      case _ => None
+    }
+  }
 
   /** True when either child outputs a column neither the parent nor
     * the merge needs — the condition under which pruning changes the

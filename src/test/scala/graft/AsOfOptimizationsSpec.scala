@@ -83,6 +83,48 @@ class AsOfOptimizationsSpec extends SparkSpec {
     assert(schemas.forall(_.contains("user_id")), plan)
   }
 
+  test("a left time range derives right time bounds; a ts-partitioned right side partition-prunes") {
+    import spark.implicits._
+    val base = 1700000000000L
+    def ts(h: Long) = new Timestamp(base + h * 3600L * 1000L)
+    // right side partitioned BY its timestamp column: 6 hourly
+    // partitions — the layout a rates/reference table keeps at scale
+    val rdir = java.nio.file.Files.createTempDirectory("asof_tpart").toString
+    (0L until 6L).flatMap(h => Seq((h % 2, ts(h), h * 10)))
+      .toDF("k", "c_ts", "rate")
+      .write.mode("overwrite").partitionBy("c_ts").parquet(rdir)
+    val right = spark.read.parquet(rdir)
+    val left = (0L until 40L).map(i => (i % 2, ts(i % 6), i))
+      .toDF("k", "ts", "lid")
+    def query() = AsOfJoin.asOf(left, right, Seq("k"), "ts", "c_ts",
+      toleranceUs = Some(3600L * 1000L * 1000L), // 1h in µs
+      broadcastRight = Some(false))
+      .filter(col("ts") >= lit(ts(2)) && col("ts") <= lit(ts(4)))
+    val df = query()
+    val withRule = df.collect().map(_.toSeq).toSet
+    val plan = finalPlan(df)
+    // the derived bounds reach the right scan's PARTITION filters:
+    // upper bound c_ts <= T from ts <= T, lower bound c_ts >= T0 - 1h
+    // from ts >= T0 with the 1h tolerance
+    val pf = "PartitionFilters: \\[[^\\]]*".r.findAllIn(plan).toList
+    assert(pf.exists(s => s.contains("c_ts") && s.contains("<=")), plan)
+    assert(pf.exists(s => s.contains("c_ts") && s.contains(">=")), plan)
+    // and the rewrite is answer-preserving vs the kill-switched plan
+    spark.conf.set("spark.graft.optimizer.asofPushdown", "false")
+    try {
+      val without = query().collect().map(_.toSeq).toSet
+      assert(withRule.nonEmpty && withRule == without)
+    } finally spark.conf.unset("spark.graft.optimizer.asofPushdown")
+    // without tolerance no LOWER bound derives (an arbitrarily old
+    // right row can still be somebody's latest match) — upper only
+    val noTol = AsOfJoin.asOf(left, right, Seq("k"), "ts", "c_ts",
+      broadcastRight = Some(false)).filter(col("ts") <= lit(ts(4)))
+    noTol.collect()
+    val pf2 = "PartitionFilters: \\[[^\\]]*".r.findAllIn(finalPlan(noTol)).toList
+    assert(pf2.exists(s => s.contains("c_ts") && s.contains("<=")), finalPlan(noTol))
+    assert(!pf2.exists(s => s.contains("c_ts") && s.contains(">=")), finalPlan(noTol))
+  }
+
   test("pushdown rewrites are result-identical to the kill-switched plan") {
     def run(): Set[Seq[Any]] =
       asOfAll.filter(col("user_id") % 3 === 0)

@@ -255,4 +255,31 @@ class TemporalJoinsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(sqlRows.nonEmpty && sqlRows == dfRows)
   }
+
+  test("asof_join TVF reaches the NATIVE operator from SQL text") {
+    // the table-valued function (plans/AsOfSql.scala) must plan the
+    // custom exec — not the union+window rewrite — and produce exactly
+    // the native DataFrame entry's rows
+    val d = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("sql_asof_native")(spark, d)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("AsOfJoin"), physical)
+    val sqlRows = df.collect().map(_.toSeq).toSet
+    val dfRows = SparkEntry.queries("events_asof_native")(spark, d)
+      .collect().map(_.toSeq).toSet
+    assert(sqlRows.nonEmpty && sqlRows == dfRows)
+    // argument validation fails loudly with the argument named
+    graft.GraftSql.attach(spark, d)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM asof_join('purchases_v', 'clicks_v', " +
+        "'user_id', 'ts')").collect()
+    }
+    assert(e.getMessage.contains("asof_join"), e.getMessage)
+    // self-join through the TVF: fresh right-side expr ids, no
+    // ambiguous-attribute analysis failure
+    val self = spark.sql(
+      "SELECT * FROM asof_join('purchases_v', 'purchases_v', " +
+        "'user_id', 'ts', 'ts')")
+    assert(self.collect().nonEmpty)
+  }
 }
