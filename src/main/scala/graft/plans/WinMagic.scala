@@ -135,7 +135,23 @@ object WinMagic extends Rule[LogicalPlan] with PredicateHelper {
     * semantics, the same contract that keeps Catalyst's own
     * PushDownPredicates from moving non-deterministic predicates. The
     * rewrite then declines outright in [[rewrite]] when a core still
-    * CONTAINS non-determinism (see `hasNonDeterministic`). */
+    * CONTAINS non-determinism (see `hasNonDeterministic`).
+    *
+    * MULTI-RELATION CORES: peeling recurses through INNER joins —
+    * column pruning and constraint inference decorate each side of a
+    * `fact ⋈ dim` core with side-specific narrowing Projects and
+    * IsNotNull filters at arbitrary depths, which defeats a top-level-
+    * only `sameResult` even when the two cores are the same rows (the
+    * r13 gap: decorrelated SQL over a join only rewrote via the
+    * analyzed-layer escape hatch). Removing a pure-attribute Project
+    * never changes rows (attributes pass through with their expr ids,
+    * so the bare join is still resolved and only WIDER), and for an
+    * inner join σ_p(A) ⋈ B ≡ σ_p(A ⋈ B), so hoisting every collected
+    * conjunct above the stripped core is row-preserving; the caller
+    * re-distributes them and the post-rewrite optimizer iterations
+    * push the survivors back down into the scans. Non-inner joins and
+    * joins with non-deterministic conditions stay opaque (identical
+    * opaque subtrees still compare equal inside `sameResult`). */
   private def peel(p: LogicalPlan): (LogicalPlan, Seq[Expression]) =
     p match {
       case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
@@ -145,6 +161,13 @@ object WinMagic extends Rule[LogicalPlan] with PredicateHelper {
       case Filter(cond, c) if cond.deterministic =>
         val (core, rest) = peel(c)
         (core, splitConjunctivePredicates(cond) ++ rest)
+      case j @ Join(l, r, Inner, cond, _)
+          if cond.forall(_.deterministic) =>
+        // the join CONDITION stays in the node (it defines the rows);
+        // only each side's cosmetic layers peel
+        val (lc, lf) = peel(l)
+        val (rc, rf) = peel(r)
+        (j.copy(left = lc, right = rc), lf ++ rf)
       case other => (other, Nil)
     }
 

@@ -163,6 +163,53 @@ class WinMagicSpec extends SparkSpec {
     }
   }
 
+  test("MULTI-RELATION core: a fact-join-dim join-back rewrites at the optimizer layer") {
+    // the r13 gap: column pruning decorates each side of a fact ⋈ dim
+    // core with side-specific Projects/IsNotNulls, defeating top-level
+    // sameResult — joined cores only rewrote via the analyzed-layer
+    // rewriteDf escape hatch. This goes through the OPTIMIZER (the
+    // shared session's GraftExtensions), on parquet, end to end.
+    val d = "/root/testdata/sf0.001"
+    // built fresh per call: queryExecution memoizes the plan, so the
+    // kill-switch comparison below needs a new DataFrame
+    def build(): DataFrame = {
+      val li = Tables.lineitem(spark, d)
+      val pt = Tables.part(spark, d).filter(col("p_brand") === "Brand#23")
+      val core = li.join(pt, li("l_partkey") === pt("p_partkey"))
+      val agg = core.groupBy(col("l_partkey").as("gk"))
+        .agg(avg("l_quantity").as("aq"), count(lit(1)).as("n"))
+      core.join(agg, col("l_partkey") === col("gk"))
+        .filter(col("l_quantity") < col("aq"))
+        .agg(sum(col("l_extendedprice")).as("below_avg_revenue"),
+          count(lit(1)).as("rows_kept"))
+    }
+    val q = build()
+    // the join-back is gone; only the fact ⋈ dim core join remains
+    assert(joins(q).length == 1,
+      "the join-back over the multi-relation core must be eliminated:\n" +
+        q.queryExecution.optimizedPlan.treeString)
+    assert(windows(q).nonEmpty)
+    // each relation is scanned ONCE (join-back form reads both twice)
+    val scans = q.queryExecution.optimizedPlan.collectLeaves()
+      .filter(_.nodeName.toLowerCase.contains("relation"))
+    assert(scans.length == 2,
+      s"expected 2 scans after the rewrite, got ${scans.length}")
+    // and the answer matches the kill-switched (join-back) plan
+    val got = q.collect().head
+    spark.conf.set("spark.graft.optimizer.winmagic", "false")
+    try {
+      val off = build()
+      assert(joins(off).length == 3, "kill switch must restore the join-back")
+      val want = off.collect().head
+      // double SUM is summation-order-dependent; the two plans reduce
+      // in different orders, so compare within ulp-scale tolerance
+      assert(!got.isNullAt(0) &&
+        math.abs(got.getDouble(0) - want.getDouble(0)) < 1e-6 &&
+        got.getLong(1) == want.getLong(1),
+        s"${got.toSeq} vs ${want.toSeq}")
+    } finally spark.conf.unset("spark.graft.optimizer.winmagic")
+  }
+
   test("q17 join-back over the real tables collapses to the one-scan window form") {
     val dir = "/root/testdata/sf0.001"
     val df = graft.ext.Analytics.smallQuantityRevenueJoinBack(
