@@ -1,0 +1,154 @@
+package graft.tools
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale ladder for the as-of family IN ITS DESIGN REGIME: a DIM-SIZED
+  * right side (a 20k-row rate table: 1k keys × 20 effective-dated
+  * entries) probed by facts growing 1×/3×/10×/30× (1M → 30M rows).
+  *
+  * The r13 broadcast measurement used a corpus-sized right side — the
+  * documented ANTI-case for the broadcast form (shipping a fact-sized
+  * table to every executor is the wrong plan by contract), so it said
+  * nothing about the regime the exec exists for. This ladder runs the
+  * three physical spellings of the same as-of contract on the
+  * fact-probes-dimension shape:
+  *
+  *  - `merge`     — [[graft.plans.AsOfJoinExec]]: both sides hashed +
+  *                  sorted (one exchange each), streaming merge.
+  *  - `broadcast` — [[graft.plans.BroadcastAsOfJoinExec]]: rate table
+  *                  ships once, facts probed IN PLACE (zero fact
+  *                  shuffles), index built once per executor (r14
+  *                  memo).
+  *  - `window`    — the union + last-IGNORE-NULLS ordered-window
+  *                  rewrite ([[graft.ext.TemporalJoins]]'s default
+  *                  spelling): inflates the union with the dim rows,
+  *                  shuffles and sorts the whole union.
+  *
+  * Facts are generated with spark.range (deterministic, no I/O — the
+  * ladder measures the JOIN's scaling, not parquet decode), keys
+  * uniform over the dim keys, timestamps scattered over the rate
+  * table's effective range so ~all probes match. Each form is forced
+  * through a sum(rate) aggregate so every match is actually produced.
+  *
+  * Expectation (the r14 verdict's "done" shape): broadcast α ≈ merge α
+  * ≈ 1 (both linear in facts — the dim is constant), with the
+  * broadcast CONSTANT ahead because the facts never cross an exchange
+  * and never sort. The window form pays the same exchange as merge
+  * plus the union inflation and a wider sort — its constant should
+  * trail. α is fitted exactly like [[ScaleLadder]] (ln-ln least
+  * squares over the ≥3× rungs).
+  *
+  * Run: AsOfLadder [outPath]. Env: GRAFT_LADDER_PASSES (default 2).
+  */
+object AsOfLadder {
+
+  private val DimKeys = 1000
+  private val EntriesPerKey = 20
+  private val BaseFacts = 1000000L
+  private val Rungs = Seq(1, 3, 10, 30)
+
+  def main(args: Array[String]): Unit = {
+    val outPath = args.headOption.getOrElse("bench_results/asof_ladder.json")
+    val passes = sys.env.getOrElse("GRAFT_LADDER_PASSES", "2").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // rate table: 1k keys x 20 entries, effective timestamps spread
+    // over [0, 20e9) us — dim-sized by construction (20k rows)
+    val rates = spark.range(DimKeys.toLong * EntriesPerKey)
+      .select(
+        (col("id") % DimKeys).as("k"),
+        // NB: `/` is double division in Spark SQL — cast back to long
+        ((col("id") / DimKeys).cast("long") * 1000000000L).as("r_ts"),
+        (col("id") * 7 % 1000).cast("double").as("rate"))
+
+    def facts(scale: Int): DataFrame =
+      spark.range(BaseFacts * scale).select(
+        (col("id") % DimKeys).as("k"),
+        // scatter fact timestamps over the rate table's full effective
+        // range (+1 entry period of headroom) with a coprime stride so
+        // every key probes every rate generation
+        ((col("id") * 2654435761L) %
+          (EntriesPerKey.toLong * 1000000000L)).as("ts"))
+
+    def run(df: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.agg(sum(col("rate")), count(lit(1))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    def merge(f: DataFrame): DataFrame =
+      graft.plans.AsOfJoin.asOf(f, rates, Seq("k"), "ts", "r_ts",
+        broadcastRight = Some(false))
+    def bcast(f: DataFrame): DataFrame =
+      graft.plans.AsOfJoin.asOf(f, rates, Seq("k"), "ts", "r_ts",
+        broadcastRight = Some(true))
+    def window(f: DataFrame): DataFrame = {
+      val r = rates.select(col("k"), col("r_ts").as("ts"), lit(0).as("side"),
+        col("r_ts").as("m_ts"), col("rate").as("m_rate"))
+      val l = f.select(col("k"), col("ts"), lit(1).as("side"),
+        lit(null).cast("long").as("m_ts"),
+        lit(null).cast("double").as("m_rate"))
+      val w = Window.partitionBy(col("k")).orderBy(col("ts"), col("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      r.unionByName(l)
+        .withColumn("rate", last(col("m_rate"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+    }
+
+    val forms: Seq[(String, DataFrame => DataFrame)] =
+      Seq("merge" -> merge, "broadcast" -> bcast, "window" -> window)
+
+    // warmup at 1x (codegen + JIT for all three plan families)
+    forms.foreach { case (_, fn) => run(fn(facts(1))) }
+
+    val samples = collection.mutable.Map
+      .empty[(String, Int), Vector[Double]]
+    for (_ <- 1 to passes; r <- Rungs; (name, fn) <- forms)
+      samples((name, r)) =
+        samples.getOrElse((name, r), Vector.empty) :+ run(fn(facts(r)))
+    spark.stop()
+
+    def med(xs: Vector[Double]) = graft.BenchStats.median(xs)
+    def fmt(d: Double) = f"$d%.3f"
+    def alpha(points: Seq[(Int, Double)]): Double = {
+      val tail = points.filter(_._1 >= 3)
+      val xs = tail.map(p => math.log(p._1.toDouble))
+      val ys = tail.map(p => math.log(math.max(p._2, 1e-9)))
+      val mx = xs.sum / xs.size; val my = ys.sum / ys.size
+      xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+        xs.map(x => (x - mx) * (x - mx)).sum
+    }
+
+    val body = forms.map { case (name, _) =>
+      val walls = Rungs.map(r => (r, med(samples((name, r)))))
+      s""""$name":{"wall_sec":[${walls.map(w => fmt(w._2)).mkString(",")}],""" +
+        s""""alpha":${fmt(alpha(walls))}}"""
+    }.mkString(",\n  ")
+    val json =
+      s"""{
+  "probe": "as-of scale ladder in the DIM-SHAPED design regime: ${DimKeys * EntriesPerKey}-row rate table, facts ${BaseFacts} x ${Rungs.mkString("/")}; alpha = ln-ln least-squares over the >=3x rungs",
+  "host": "local[$cpus], AQE on, $passes interleaved passes per rung, medians",
+  "rungs": [${Rungs.mkString(",")}],
+  "forms": {
+  $body
+  }
+}"""
+    Option(Paths.get(outPath).getParent).foreach(Files.createDirectories(_))
+    Files.write(Paths.get(outPath), json.getBytes(StandardCharsets.UTF_8))
+    println(json)
+  }
+}
