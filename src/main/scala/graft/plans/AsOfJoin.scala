@@ -50,7 +50,20 @@ object AsOfJoin {
     * `broadcastRight`: None (default) lets the planner choose by the
     * right side's size statistics against autoBroadcastJoinThreshold —
     * the JoinSelection model; Some(true)/Some(false) pins the
-    * broadcast / sorted-merge form (a join hint). */
+    * broadcast / sorted-merge form (a join hint).
+    *
+    * SESSION MUTATION NOTICE: on first use this method appends
+    * [[AsOfJoinStrategy]] and [[AsOfPushdown]] to the session's
+    * `experimental.extraStrategies`/`extraOptimizations` so the
+    * returned plan is executable without build-time extensions. The
+    * mutation is idempotent, additive, node-scoped (both only act on
+    * [[AsOfJoinPlan]] nodes, which only this method creates), and is
+    * never removed — but it IS session-global state from a library
+    * call: a test or framework that snapshots/restores the
+    * experimental rule lists should prefer deploying
+    * [[graft.functions.GraftExtensions]] via `spark.sql.extensions`,
+    * which registers the same pieces at build time and leaves the
+    * experimental lists untouched. */
   def asOf(left: DataFrame, right: DataFrame, on: Seq[String],
       leftTsCol: String, rightTsCol: String,
       rightTie: Seq[String] = Nil,

@@ -120,9 +120,18 @@ object AsOfLadder {
     for (_ <- 1 to passes; r <- Rungs; (name, fn) <- forms)
       samples((name, r)) =
         samples.getOrElse((name, r), Vector.empty) :+ run(fn(facts(r)))
-    spark.stop()
 
     def med(xs: Vector[Double]) = graft.BenchStats.median(xs)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    def taskWall(parts: Int): Double = {
+      val f = facts(10).repartition(parts)
+      run(bcast(f)) // warm
+      med(Vector.fill(passes)(run(bcast(f))))
+    }
+    val w32 = taskWall(32)
+    val w512 = taskWall(512)
+    spark.stop()
+
     def fmt(d: Double) = f"$d%.3f"
     def alpha(points: Seq[(Int, Double)]): Double = {
       val tail = points.filter(_._1 >= 3)
@@ -138,6 +147,13 @@ object AsOfLadder {
       s""""$name":{"wall_sec":[${walls.map(w => fmt(w._2)).mkString(",")}],""" +
         s""""alpha":${fmt(alpha(walls))}}"""
     }.mkString(",\n  ")
+
+    // ---- per-task setup probe --------------------------------------
+    // If the broadcast prober rebuilt its index per task, multiplying
+    // the task count at FIXED total rows would multiply the total
+    // index-build work 16x; with the per-executor memo the wall should
+    // be ~flat. Same 10M facts, left repartitioned to 32 vs 512
+    // (AQE off for the probe so the 512 tasks stay real).
     val json =
       s"""{
   "probe": "as-of scale ladder in the DIM-SHAPED design regime: ${DimKeys * EntriesPerKey}-row rate table, facts ${BaseFacts} x ${Rungs.mkString("/")}; alpha = ln-ln least-squares over the >=3x rungs",
@@ -145,6 +161,12 @@ object AsOfLadder {
   "rungs": [${Rungs.mkString(",")}],
   "forms": {
   $body
+  },
+  "task_scaling_probe": {
+    "what": "broadcast form, fixed 10M facts, left repartitioned 32 vs 512 tasks — per-task index rebuild would scale the wall ~16x in build cost; the per-executor memo keeps it flat",
+    "wall_sec_32_tasks": ${fmt(w32)},
+    "wall_sec_512_tasks": ${fmt(w512)},
+    "ratio": ${fmt(w512 / w32)}
   }
 }"""
     Option(Paths.get(outPath).getParent).foreach(Files.createDirectories(_))

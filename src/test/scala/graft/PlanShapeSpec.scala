@@ -40,6 +40,10 @@ class PlanShapeSpec extends SparkSpec {
     "events_asof" -> Map("Exchange" -> 1),
     "events_asof_native" -> Map("Exchange" -> 2),
     "events_asof_broadcast" -> Map("BroadcastExchange" -> 1),
+    // the SQL TVF spelling must keep planning the NATIVE operator
+    // (broadcast at this SF by the stats model) — a drift to the
+    // union+window form would show as Exchange/Window counts here
+    "sql_asof_native" -> Map("BroadcastExchange" -> 1),
     "events_asof_tolerance" -> Map("Exchange" -> 2),
     "events_session" -> Map("Exchange" -> 1, "HashAggregate" -> 2),
     "events_retention" -> Map("BroadcastExchange" -> 2,
