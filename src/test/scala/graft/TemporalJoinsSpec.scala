@@ -256,6 +256,29 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(sqlRows.nonEmpty && sqlRows == dfRows)
   }
 
+  test("broadcast as-of index memo: one build per (broadcast rows, index spec)") {
+    import graft.plans.GraftAsOfIndex
+    var builds = 0
+    def build(): GraftAsOfIndex = {
+      builds += 1
+      new GraftAsOfIndex(new java.util.HashMap())
+    }
+    val rows = new Array[org.apache.spark.sql.catalyst.InternalRow](0)
+    val a = GraftAsOfIndex.getOrBuild(rows, "specA")(() => build())
+    val b = GraftAsOfIndex.getOrBuild(rows, "specA")(() => build())
+    assert((a eq b) && builds == 1, "same rows+spec must reuse the index")
+    // a DIFFERENT index spec on the SAME broadcast (a reused exchange
+    // probed by two as-of joins with different key/ts columns) builds
+    // its own index
+    val c = GraftAsOfIndex.getOrBuild(rows, "specB")(() => build())
+    assert(!(c eq a) && builds == 2)
+    // a different row array identity (fresh broadcast / re-deserialized
+    // value) rebuilds once
+    val rows2 = new Array[org.apache.spark.sql.catalyst.InternalRow](0)
+    val d = GraftAsOfIndex.getOrBuild(rows2, "specA")(() => build())
+    assert(!(d eq a) && builds == 3)
+  }
+
   test("asof_join TVF reaches the NATIVE operator from SQL text") {
     // the table-valued function (plans/AsOfSql.scala) must plan the
     // custom exec — not the union+window rewrite — and produce exactly
