@@ -346,6 +346,31 @@ object SparkEntry {
              WHERE l2.l_partkey = l.l_partkey)
           < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
              FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""")),
+    // the REAL-WORLD WinMagic shape, from raw SQL text: a correlated
+    // scalar-subquery threshold whose core is a JOIN (lineitem ⋈
+    // brand-filtered part). Catalyst merges the two subqueries into
+    // one aggregate, decorrelates it into a join-back, and hoists the
+    // dim join ABOVE the join-back — WinMagic's r14 inner-join
+    // rotation re-normalizes that shape and the multi-relation peel
+    // collapses it to ONE pass: 4 scans + 3 joins → 2 scans + 1 join +
+    // 1 window (plan-pinned in WinMagicSpec).
+    // One correlated AVG subquery (a sum+count pair would decorrelate
+    // into a second, COUNT-bug-guarded LeftOuter join-back, which is
+    // out of the rewrite's provable scope). Boundary exactness: the
+    // fixture quantities are integer-valued, so 0.2*avg(qty) can only
+    // sit within rounding distance of an integer threshold when the
+    // average is exact in both engines — the decimal-vs-double avg
+    // difference cannot flip any row (gap ≥ 1/(5·cnt) ≫ rounding).
+    "sql_q17_join_winmagic" -> ((s, d) => GraftSql.sql(s, d, """
+      SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS STRING)
+               AS below_avg_revenue,
+             count(*) AS n_lines
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#23'
+        AND CAST(l.l_quantity AS DECIMAL(18,2)) <
+            (SELECT 0.2 * AVG(CAST(l2.l_quantity AS DECIMAL(18,2)))
+             FROM lineitem l2 JOIN part p2 ON p2.p_partkey = l2.l_partkey
+             WHERE p2.p_brand = 'Brand#23' AND l2.l_partkey = l.l_partkey)""")),
     "sql_dedup_exact" -> ((s, d) => GraftSql.sql(s, d, """
       SELECT doc_id, md5(text) AS content_md5,
              min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_doc_id,
@@ -924,6 +949,7 @@ object SparkEntry {
     "sql_q4_exists" -> OracleSqlExt.q4Priority,
     "sql_q2_mincost" -> OracleSqlExt.q2MinCost,
     "sql_q17_below_avg" -> OracleSqlExt.q17SmallQty,
+    "sql_q17_join_winmagic" -> OracleSqlExt.q17JoinCore,
     "sql_q18_in" -> OracleSqlExt.q18LargeOrders,
     "sql_events_funnel" -> OracleSqlExt.eventsFunnel,
     "sql_dedup_minhash" -> OracleSqlExt.dedupMinhash,

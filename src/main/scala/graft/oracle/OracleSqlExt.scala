@@ -222,6 +222,28 @@ SELECT s.s_suppkey, s.s_name,
 FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
 WHERE r.total_revenue_d = (SELECT MAX(total_revenue_d) FROM rev)"""
 
+  /** Mirror of sql_q17_join_winmagic: a 0.2·avg(qty) correlated
+    * threshold whose core is a JOIN (lineitem ⋈ Brand#23 part) — the
+    * decorrelated-over-a-join WinMagic shape. The boundary cannot
+    * diverge between Spark's decimal avg and DuckDB's double avg on
+    * integer-valued quantities (see the query comment). */
+  val q17JoinCore: String = """
+WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+stats AS (
+  SELECT l.l_partkey,
+         AVG(CAST(l.l_quantity AS DECIMAL(18,2))) AS avg_qty
+  FROM lineitem l JOIN bp ON l.l_partkey = bp.p_partkey
+  GROUP BY l.l_partkey)
+SELECT CAST(rev_d AS VARCHAR) AS below_avg_revenue,
+       n_lines
+FROM (
+  SELECT SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS rev_d,
+         COUNT(*)::BIGINT AS n_lines
+  FROM lineitem l
+  JOIN bp ON l.l_partkey = bp.p_partkey
+  JOIN stats st ON l.l_partkey = st.l_partkey
+  WHERE CAST(l.l_quantity AS DECIMAL(18,2)) < 0.2 * st.avg_qty)"""
+
   /** Mirror of Analytics.smallQuantityRevenue (TPC-H Q17 shape): the
     * same exact 5*qty*cnt < sum_qty boundary arithmetic. */
   val q17SmallQty: String = """

@@ -197,7 +197,13 @@ object WinMagic extends Rule[LogicalPlan] with PredicateHelper {
     p.exists(_.expressions.exists(e => !e.deterministic))
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(left, right, jt, Some(cond), _)
+    case j: Join =>
+      rewriteJoin(j).orElse(rotateAndRewrite(j)).getOrElse(j)
+  }
+
+  /** The direct shape: `Join(L, Aggregate-core)`. */
+  private def rewriteJoin(j: Join): Option[LogicalPlan] = j match {
+    case Join(left, right, jt, Some(cond), _)
         if jt == Inner || jt == LeftOuter =>
       val (core, having) = peelHaving(right)
       core match {
@@ -206,9 +212,59 @@ object WinMagic extends Rule[LogicalPlan] with PredicateHelper {
               grouping.forall(_.isInstanceOf[Attribute]) &&
               (having.isEmpty || jt == Inner) =>
           rewrite(j, left, agg, grouping.map(_.asInstanceOf[Attribute]),
-            aggExprs, aggChild, jt == Inner, cond, having).getOrElse(j)
-        case _ => j
+            aggExprs, aggChild, jt == Inner, cond, having)
+        case _ => None
       }
+    case _ => None
+  }
+
+  /** Pure-attribute Projects / SubqueryAliases only — the cosmetic
+    * layers between two join nodes. */
+  private def stripProjects(p: LogicalPlan): LogicalPlan = p match {
+    case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+      stripProjects(c)
+    case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+      stripProjects(s.child)
+    case other => other
+  }
+
+  private def isAggBack(p: LogicalPlan): Boolean = peelHaving(p)._1 match {
+    case Aggregate(g, _, _, _) =>
+      g.nonEmpty && g.forall(_.isInstanceOf[Attribute])
+    case _ => false
+  }
+
+  /** The JOIN-REORDERED shape scalar-subquery decorrelation over a
+    * multi-relation core produces: the join-back lands directly on the
+    * fact and the core's OTHER relations are joined ABOVE it —
+    * `Join(Join(fact, Agg(fact ⋈ dim)), dim)` — so the direct match
+    * sees a left side (fact alone) that is not the aggregate's core.
+    * Inner joins commute and associate when each condition references
+    * only its own sides, so rotate the outer relation INTO the left
+    * side — `Join(Join(fact, dim), Agg(...))` — and retry the direct
+    * rewrite; a final Project restores the original column order. The
+    * rotation is attempted, never kept: if the rotated shape declines,
+    * the original join tree survives untouched. (One rotation level —
+    * the decorrelated shape hoists exactly the relations of the outer
+    * core, which the recursive `peel` then matches inside the
+    * aggregate's own subtree.) */
+  private def rotateAndRewrite(j: Join): Option[LogicalPlan] = j match {
+    case Join(jl, outer, Inner, Some(ocond), oh) if ocond.deterministic =>
+      stripProjects(jl) match {
+        case Join(ll, lr, Inner, Some(icond), ih)
+            if icond.deterministic && isAggBack(lr) && !isAggBack(outer) &&
+              ocond.references.subsetOf(ll.outputSet ++ outer.outputSet) =>
+          val rotated = Join(
+            Join(ll, outer, Inner, Some(ocond), oh), lr,
+            Inner, Some(icond), ih)
+          rewriteJoin(rotated).map { r =>
+            // the rotation reordered output columns (outer's now sit
+            // before the aggregate's); restore the join's exact output
+            Project(j.output.map(a => a: NamedExpression), r)
+          }
+        case _ => None
+      }
+    case _ => None
   }
 
   private def rewrite(j: Join, left: LogicalPlan, agg: Aggregate,

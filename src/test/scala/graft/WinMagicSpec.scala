@@ -210,6 +210,33 @@ class WinMagicSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.optimizer.winmagic")
   }
 
+  test("decorrelated SQL over a JOIN core collapses via rotation: 4 scans + 3 joins -> 2 + 1") {
+    // the real-world shape: a correlated scalar-subquery threshold
+    // whose core is lineitem ⋈ part. Decorrelation hoists the dim join
+    // ABOVE the join-back (Join(Join(fact, Agg(fact ⋈ dim)), dim)) —
+    // the r14 inner-join rotation re-normalizes it so the
+    // multi-relation rewrite fires from raw SQL text through the
+    // build-time extensions.
+    val d = "/root/testdata/sf0.001"
+    def run() = SparkEntry.queries("sql_q17_join_winmagic")(spark, d)
+    val q = run()
+    assert(joins(q).length == 1,
+      "expected the join-back eliminated, leaving only the core join:\n" +
+        q.queryExecution.optimizedPlan.treeString)
+    assert(windows(q).nonEmpty)
+    val scans = q.queryExecution.optimizedPlan.collectLeaves()
+      .filter(_.nodeName.toLowerCase.contains("relation"))
+    assert(scans.length == 2, s"expected 2 scans, got ${scans.length}")
+    val got = q.collect().head
+    spark.conf.set("spark.graft.optimizer.winmagic", "false")
+    try {
+      val off = run()
+      assert(joins(off).length == 3, "kill switch must restore the join-back")
+      // DECIMAL sum → exact string equality across the two plans
+      assert(got.toSeq == off.collect().head.toSeq && !got.isNullAt(0))
+    } finally spark.conf.unset("spark.graft.optimizer.winmagic")
+  }
+
   test("q17 join-back over the real tables collapses to the one-scan window form") {
     val dir = "/root/testdata/sf0.001"
     val df = graft.ext.Analytics.smallQuantityRevenueJoinBack(
