@@ -234,36 +234,50 @@ object WinMagic extends Rule[LogicalPlan] with PredicateHelper {
     case _ => false
   }
 
+  /** Splice the agg-back edge out of an inner-join spine: find the
+    * first Inner join (searching through cosmetic Projects) whose one
+    * side is an aggregate join-back, remove that edge, and return
+    * (the tree without it, the agg side, the edge's condition, hint).
+    * Each ancestor join survives with its own condition — sound
+    * because inner joins commute/associate when every condition still
+    * sees its referenced attributes, which the caller re-checks via
+    * `missingInput` on the rebuilt tree. */
+  private def spliceAggBack(p: LogicalPlan)
+      : Option[(LogicalPlan, LogicalPlan, Expression,
+        org.apache.spark.sql.catalyst.plans.logical.JoinHint)] =
+    stripProjects(p) match {
+      case Join(l, r, Inner, Some(c), h) if c.deterministic =>
+        if (isAggBack(r)) Some((l, r, c, h))
+        else if (isAggBack(l)) Some((r, l, c, h))
+        else spliceAggBack(l).map { case (rest, agg, ac, ah) =>
+          (Join(rest, r, Inner, Some(c), h), agg, ac, ah)
+        }.orElse(spliceAggBack(r).map { case (rest, agg, ac, ah) =>
+          (Join(l, rest, Inner, Some(c), h), agg, ac, ah)
+        })
+      case _ => None
+    }
+
   /** The JOIN-REORDERED shape scalar-subquery decorrelation over a
     * multi-relation core produces: the join-back lands directly on the
     * fact and the core's OTHER relations are joined ABOVE it —
-    * `Join(Join(fact, Agg(fact ⋈ dim)), dim)` — so the direct match
-    * sees a left side (fact alone) that is not the aggregate's core.
-    * Inner joins commute and associate when each condition references
-    * only its own sides, so rotate the outer relation INTO the left
-    * side — `Join(Join(fact, dim), Agg(...))` — and retry the direct
-    * rewrite; a final Project restores the original column order. The
-    * rotation is attempted, never kept: if the rotated shape declines,
-    * the original join tree survives untouched. (One rotation level —
-    * the decorrelated shape hoists exactly the relations of the outer
-    * core, which the recursive `peel` then matches inside the
-    * aggregate's own subtree.) */
+    * `Join(Join(fact, Agg(fact ⋈ dims…)), dim₁) ⋈ dim₂ …` — so the
+    * direct match sees a left side (the fact alone) that is not the
+    * aggregate's core. Inner joins commute and associate when each
+    * condition references only its own sides, so SPLICE the join-back
+    * edge out of the spine and re-attach it at the top —
+    * `Join(fact ⋈ dims…, Agg(...))` — then retry the direct rewrite;
+    * a final Project restores the original column order. The rotation
+    * is attempted, never kept: a rebuilt tree that dangles a reference
+    * (`missingInput`) or a rewrite that declines leaves the original
+    * join tree untouched. */
   private def rotateAndRewrite(j: Join): Option[LogicalPlan] = j match {
-    case Join(jl, outer, Inner, Some(ocond), oh) if ocond.deterministic =>
-      stripProjects(jl) match {
-        case Join(ll, lr, Inner, Some(icond), ih)
-            if icond.deterministic && isAggBack(lr) && !isAggBack(outer) &&
-              ocond.references.subsetOf(ll.outputSet ++ outer.outputSet) =>
-          val rotated = Join(
-            Join(ll, outer, Inner, Some(ocond), oh), lr,
-            Inner, Some(icond), ih)
-          rewriteJoin(rotated).map { r =>
-            // the rotation reordered output columns (outer's now sit
-            // before the aggregate's); restore the join's exact output
-            Project(j.output.map(a => a: NamedExpression), r)
-          }
-        case _ => None
-      }
+    case Join(_, _, Inner, Some(_), _) =>
+      for {
+        (rest, agg, acond, ahint) <- spliceAggBack(j)
+        rotated = Join(rest, agg, Inner, Some(acond), ahint)
+        if rotated.missingInput.isEmpty
+        r <- rewriteJoin(rotated)
+      } yield Project(j.output.map(a => a: NamedExpression), r)
     case _ => None
   }
 

@@ -237,6 +237,43 @@ class WinMagicSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.optimizer.winmagic")
   }
 
+  test("TWO hoisted dims splice through the spine: 6 scans + 5 joins -> 3 + 2") {
+    // decorrelation over a 3-relation core (lineitem ⋈ part ⋈
+    // supplier) hoists BOTH dim joins above the join-back; the spine
+    // splice must walk through the intermediate join level
+    val d = "/root/testdata/sf0.001"
+    val text = """
+      SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS STRING) AS rev,
+             count(*) AS n
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE p.p_brand = 'Brand#23' AND s.s_nationkey < 13
+        AND CAST(l.l_quantity AS DECIMAL(18,2)) <
+            (SELECT 0.2 * AVG(CAST(l2.l_quantity AS DECIMAL(18,2)))
+             FROM lineitem l2
+             JOIN part p2 ON p2.p_partkey = l2.l_partkey
+             JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+             WHERE p2.p_brand = 'Brand#23' AND s2.s_nationkey < 13
+               AND l2.l_partkey = l.l_partkey)"""
+    def run() = GraftSql.sql(spark, d, text)
+    val q = run()
+    assert(joins(q).length == 2,
+      "expected only the two core joins to survive:\n" +
+        q.queryExecution.optimizedPlan.treeString)
+    assert(windows(q).nonEmpty)
+    val scans = q.queryExecution.optimizedPlan.collectLeaves()
+      .filter(_.nodeName.toLowerCase.contains("relation"))
+    assert(scans.length == 3, s"expected 3 scans, got ${scans.length}")
+    val got = q.collect().head
+    spark.conf.set("spark.graft.optimizer.winmagic", "false")
+    try {
+      val off = run()
+      assert(joins(off).length == 5, "kill switch must restore the join-back")
+      assert(got.toSeq == off.collect().head.toSeq && !got.isNullAt(0))
+    } finally spark.conf.unset("spark.graft.optimizer.winmagic")
+  }
+
   test("q17 join-back over the real tables collapses to the one-scan window form") {
     val dir = "/root/testdata/sf0.001"
     val df = graft.ext.Analytics.smallQuantityRevenueJoinBack(
