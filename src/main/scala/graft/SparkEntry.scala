@@ -615,6 +615,11 @@ object SparkEntry {
     // BPE merge-rule training: 3 corpus-wide merge rounds over the
     // vocab-sized word-frequency frame (one corpus scan total)
     "text_bpe_train" -> ((s, d) => TextOps.bpeTrainMerges(docs(s, d))),
+    // BPE APPLICATION: tokenize the corpus with the trained merge
+    // table — the vocabulary is encoded once (vocab-sized folds) and
+    // the corpus side pays one explode + equi-join + grouped sum
+    "text_bpe_encode" -> ((s, d) =>
+      TextOps.bpeEncodeFrom(docs(s, d), shBpeMerges(s, d))),
     // bit-reproducible distributed training: integer batch perceptron
     "text_perceptron_train" -> ((s, d) => TextOps.perceptronTrain(docs(s, d))),
     // sparse tf-vector cosine near-dups via rare-term inverted-index
@@ -855,6 +860,11 @@ object SparkEntry {
     }
   private def shTf(s: SparkSession, d: String): DataFrame =
     Artifacts.frame(s, d, "text/term_freq")(TextOps.termFrequencies(docs(s, d)))
+  // the trained tokenizer: one training run feeds both the merge-table
+  // query and the corpus encode (a real pipeline trains once, ships
+  // the artifact to every encoder)
+  private def shBpeMerges(s: SparkSession, d: String): DataFrame =
+    Artifacts.frame(s, d, "text/bpe_merges")(TextOps.bpeTrainMerges(docs(s, d)))
   private def shSixGrams(s: SparkSession, d: String): DataFrame =
     Artifacts.frame(s, d, "text/shingles6")(TextOps.sixGramShingles(docs(s, d)))
   // the incremental-dedup premise: the stored corpus's digest index is
@@ -988,6 +998,7 @@ object SparkEntry {
     "text_tfidf" -> OracleSqlExt.textTfidf,
     "text_vocab_encode" -> OracleSqlExt.textVocabEncode,
     "text_bpe_train" -> OracleSqlExt.textBpeTrain,
+    "text_bpe_encode" -> OracleSqlExt.textBpeEncode,
     "text_perceptron_train" -> OracleSqlExt.textPerceptronTrain,
     "text_sparse_neardup" -> OracleSqlExt.textSparseNeardup,
     "text_bm25" -> OracleSqlExt.textBm25,

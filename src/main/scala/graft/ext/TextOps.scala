@@ -1552,7 +1552,7 @@ object TextOps {
       .select(expr("filter(split(word, '(?!^)'), t -> t != '')").as("toks"),
         col("freq"))
     var cur = words.localCheckpoint()
-    val merges = (1 to rounds).map { r =>
+    val mergesOut = (1 to rounds).map { r =>
       val best = cur
         .select(col("freq"), explode(expr(
           "zip_with(slice(toks, 1, size(toks) - 1), " +
@@ -1580,6 +1580,63 @@ object TextOps {
         col("bp_a").as("pair_left"), col("bp_b").as("pair_right"),
         concat(col("bp_a"), col("bp_b")).as("merged"), col("pair_count"))
     }
-    merges.reduce(_ unionAll _)
+    mergesOut.reduce(_ unionAll _)
+  }
+
+  /** BPE APPLICATION — tokenize the corpus with a trained merge table
+    * (the other half of [[bpeTrainMerges]]: training ships the rules,
+    * this is the op that actually runs on the 100 TB). Per document:
+    * the word count, the total BPE token count, and the first word's
+    * token sequence (a value-dense probe of the actual segmentation,
+    * not just its length).
+    *
+    * Scale posture — ENCODE THE VOCABULARY, NOT THE CORPUS: merge
+    * rules apply per word, so each DISTINCT word is folded once
+    * (vocab-sized work, saturating as the corpus grows) and the
+    * corpus-sized side only pays an explode + equi-join against the
+    * encoded vocab + one grouped sum — no per-document iterative work
+    * anywhere, and the join key (word) is the natural hash key. The
+    * merge table itself is collected to the driver and inlined as
+    * literals: it is model-artifact-sized by contract (rank-ordered,
+    * tens of thousands of rows at most — same posture as broadcasting
+    * a codebook), and each rule becomes one `aggregate()` fold over
+    * the vocab frame, applied in rank order exactly as training did —
+    * so an encoded word's tokens are bit-identical to the training
+    * fixpoint for in-vocab words. */
+  def bpeEncodeFrom(documents: DataFrame, merges: DataFrame): DataFrame = {
+    val rules: Seq[(String, String)] = merges
+      .orderBy(col("merge_rank"))
+      .select(col("pair_left"), col("pair_right"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // one greedy left-to-right fold per rule, rank order; Column-lambda
+    // form (not SQL text) so corpus-derived rule tokens need no quoting
+    def fold(toks: Column, a: String, b: String): Column =
+      aggregate(toks, array().cast("array<string>"), (acc, t) =>
+        when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(a) && t === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(t))))
+    val vocab = documents
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "").distinct()
+      .select(col("word"),
+        expr("filter(split(word, '(?!^)'), t -> t != '')").as("toks"))
+    val encoded = rules.foldLeft(vocab) { case (df, (a, b)) =>
+      df.select(col("word"), fold(col("toks"), a, b).as("toks"))
+    }
+    val dw = documents.select(col("doc_id"),
+      expr("filter(split(text, ' '), w -> w != '')").as("ws"))
+    val counts = dw
+      .select(col("doc_id"), explode(col("ws")).as("word"))
+      .join(encoded, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nw"), sum(size(col("toks"))).as("nt"))
+    dw.select(col("doc_id"), element_at(col("ws"), 1).as("word"))
+      .join(encoded, Seq("word"), "left")
+      .select(col("doc_id"), array_join(col("toks"), "|").as("head_tokens"))
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("head_tokens"),
+        coalesce(col("nt"), lit(0L)).as("n_bpe_tokens"),
+        coalesce(col("nw"), lit(0L)).as("n_words"))
   }
 }

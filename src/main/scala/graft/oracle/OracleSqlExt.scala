@@ -3083,6 +3083,67 @@ w0 AS (SELECT 0::BIGINT AS w0, 0::BIGINT AS w1, 0::BIGINT AS w2,
         .mkString("\n", "\nUNION ALL\n", "")
   }
 
+  /** Mirror of TextOps.bpeEncodeFrom: re-derives the 3 trained merge
+    * rules (the same unrolled rounds as [[textBpeTrain]]), encodes the
+    * DISTINCT vocabulary with the same greedy list_reduce fold in rank
+    * order, then aggregates per document — word count, total BPE token
+    * count, and the first word's token sequence joined with '|'. */
+  val textBpeEncode: String = {
+    def trainRound(i: Int): String = s""",
+p$i AS (
+  SELECT pair, SUM(freq)::BIGINT AS pair_count FROM (
+    SELECT unnest(list_transform(range(1, len(toks)),
+             k -> toks[k] || ' ' || toks[k+1])) AS pair, freq
+    FROM w${i - 1}) u GROUP BY pair),
+b$i AS (
+  SELECT string_split(pair, ' ')[1] AS bp_a,
+         string_split(pair, ' ')[2] AS bp_b
+  FROM p$i ORDER BY pair_count DESC, pair LIMIT 1),
+w$i AS (
+  SELECT list_reduce(list_transform(toks, t -> [t]),
+           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.bp_a
+                             AND x[1] = b.bp_b
+                         THEN acc[1:len(acc)-1] || [b.bp_a || b.bp_b]
+                         ELSE acc || x END) AS toks, freq
+  FROM w${i - 1}, b$i b)"""
+    def encodeRound(i: Int): String = s""",
+e$i AS (
+  SELECT word, list_reduce(list_transform(toks, t -> [t]),
+           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.bp_a
+                             AND x[1] = b.bp_b
+                         THEN acc[1:len(acc)-1] || [b.bp_a || b.bp_b]
+                         ELSE acc || x END) AS toks
+  FROM e${i - 1}, b$i b)"""
+    """
+WITH w0 AS (
+  SELECT string_split(word, '') AS toks, count(*)::BIGINT AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) u
+  WHERE word <> ''
+  GROUP BY word)""" +
+      (1 to 3).map(trainRound).mkString + """,
+e0 AS (
+  SELECT DISTINCT word, string_split(word, '') AS toks
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) u
+  WHERE word <> '')""" +
+      (1 to 3).map(encodeRound).mkString + """,
+dw AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+  FROM documents),
+cnt AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_words,
+         SUM(len(toks))::BIGINT AS n_bpe_tokens
+  FROM (SELECT doc_id, unnest(ws) AS word FROM dw) x
+  JOIN e3 USING (word)
+  GROUP BY doc_id)
+SELECT d.doc_id,
+       array_to_string(e.toks, '|') AS head_tokens,
+       COALESCE(c.n_bpe_tokens, 0)::BIGINT AS n_bpe_tokens,
+       COALESCE(c.n_words, 0)::BIGINT AS n_words
+FROM dw d
+LEFT JOIN e3 e ON e.word = d.ws[1]
+LEFT JOIN cnt c USING (doc_id)"""
+  }
+
   /** Mirror of TextOps.bpeTrainMerges: 3 unrolled BPE rounds. Each
     * round: adjacent-pair counts weighted by word frequency, top-1 by
     * (count DESC, pair), then the greedy left-to-right merge as a
