@@ -1595,35 +1595,74 @@ object TextOps {
     * (vocab-sized work, saturating as the corpus grows) and the
     * corpus-sized side only pays an explode + equi-join against the
     * encoded vocab + one grouped sum — no per-document iterative work
-    * anywhere, and the join key (word) is the natural hash key. The
-    * merge table itself is collected to the driver and inlined as
-    * literals: it is model-artifact-sized by contract (rank-ordered,
-    * tens of thousands of rows at most — same posture as broadcasting
-    * a codebook), and each rule becomes one `aggregate()` fold over
-    * the vocab frame, applied in rank order exactly as training did —
-    * so an encoded word's tokens are bit-identical to the training
-    * fixpoint for in-vocab words. */
+    * anywhere, and the join key (word) is the natural hash key.
+    *
+    * Plan depth is O(1) IN THE RULE COUNT: the merge table is
+    * collected once (model-artifact-sized by contract — a real
+    * tokenizer ships 30k–100k merges, a few MB; the collect is the
+    * codebook-broadcast posture, not a corpus collect), broadcast to
+    * executors, and applied inside ONE typed `mapPartitions` over the
+    * distinct-vocab frame — rules in rank order, each a single greedy
+    * left-to-right pass, bit-identical to the training fixpoint for
+    * in-vocab words. The earlier form folded one nested `aggregate()`
+    * Column per rule (plan depth O(#rules)), which stalls Catalyst
+    * analysis/codegen at real rule counts long before data size
+    * matters; the per-word executor loop has no such wall (pinned by
+    * the ≥500-merge ExtOpsSpec case). A per-word token HashSet skips
+    * rules whose operands are absent, so typical per-word cost is
+    * O(|word| + matching rules), not O(#rules). mapPartitions is
+    * justified here exactly as in the binary codecs: a rank-ordered
+    * sequential fold with data-dependent rule skipping has no
+    * bounded-depth Catalyst expression form. */
   def bpeEncodeFrom(documents: DataFrame, merges: DataFrame): DataFrame = {
-    val rules: Seq[(String, String)] = merges
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val rules: Array[(String, String)] = merges
       .orderBy(col("merge_rank"))
       .select(col("pair_left"), col("pair_right"))
-      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
-    // one greedy left-to-right fold per rule, rank order; Column-lambda
-    // form (not SQL text) so corpus-derived rule tokens need no quoting
-    def fold(toks: Column, a: String, b: String): Column =
-      aggregate(toks, array().cast("array<string>"), (acc, t) =>
-        when(size(acc) > 0 &&
-            element_at(acc, -1) === lit(a) && t === lit(b),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-          .otherwise(concat(acc, array(t))))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val bcRules = spark.sparkContext.broadcast(rules)
     val vocab = documents
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "").distinct()
-      .select(col("word"),
-        expr("filter(split(word, '(?!^)'), t -> t != '')").as("toks"))
-    val encoded = rules.foldLeft(vocab) { case (df, (a, b)) =>
-      df.select(col("word"), fold(col("toks"), a, b).as("toks"))
-    }
+      .as[String]
+    val encoded = vocab.mapPartitions { it =>
+      val rs = bcRules.value
+      it.map { word =>
+        // seed: one token per code point — same seeding as the
+        // trainer's split(word, '(?!^)') (regex positions are between
+        // code points, never inside a surrogate pair)
+        var toks: Array[String] =
+          word.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+        val present = new java.util.HashSet[String]()
+        toks.foreach(present.add)
+        var ri = 0
+        while (ri < rs.length) {
+          val (a, b) = rs(ri)
+          if (present.contains(a) && present.contains(b)) {
+            // one greedy left-to-right pass == fixpoint for this rule
+            // (a merged token never recreates its own pair)
+            val buf = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+            var i = 0
+            var merged = false
+            while (i < toks.length) {
+              if (buf.nonEmpty && buf.last == a && toks(i) == b) {
+                buf(buf.length - 1) = a + b
+                merged = true
+              } else buf += toks(i)
+              i += 1
+            }
+            if (merged) {
+              toks = buf.toArray
+              present.clear()
+              toks.foreach(present.add)
+            }
+          }
+          ri += 1
+        }
+        (word, toks.toSeq)
+      }
+    }.toDF("word", "toks")
     val dw = documents.select(col("doc_id"),
       expr("filter(split(text, ' '), w -> w != '')").as("ws"))
     val counts = dw

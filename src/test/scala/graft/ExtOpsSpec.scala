@@ -1033,6 +1033,29 @@ class ExtOpsSpec extends SparkSpec {
     assert(m(3) == (("ab", "ab", "abab", 3L)))
   }
 
+  test("BPE encode survives a 500-merge table with O(1) plan depth") {
+    // one word of 501 strictly-ascending distinct chars: every round's
+    // lexicographically-smallest pair is (prefix, next char), so
+    // training learns exactly 500 prefix-extension merges — a merge
+    // table 167× the shipped default, the scale the chained-select
+    // encoder form stalled on in Catalyst analysis.
+    val cs = (0x100 until 0x100 + 501).map(_.toChar.toString)
+    val word = cs.mkString
+    val m = TextOps.bpeTrainMerges(docs(1L -> word), rounds = 500)
+    assert(m.count() == 500L)
+    // encode: the trained word collapses to ONE token; a word sharing
+    // no rule-left prefix (first char dropped) matches NO rule (the
+    // HashSet skip path); a strict prefix stops at its last learnable
+    // rule and still folds to one token.
+    val enc = TextOps.bpeEncodeFrom(
+      docs(1L -> word, 2L -> cs.drop(1).mkString, 3L -> cs.take(251).mkString),
+      m).collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("head_tokens"), r.getAs[Long]("n_bpe_tokens"))).toMap
+    assert(enc(1L) == ((word, 1L)))
+    assert(enc(2L) == ((cs.drop(1).mkString("|"), 500L)))
+    assert(enc(3L) == ((cs.take(251).mkString, 1L)))
+  }
+
   test("bigram surprisal charges rare continuations, not rare tokens") {
     // doc 0 = "a b a b a b": bigrams (a,b)×3, (b,a)×2
     // doc 1 = "a b c d": (a,b), (b,c), (c,d);  doc 2 has no bigram
