@@ -212,6 +212,17 @@ object SparkEntry {
     // hash-gated against the same oracle as the merge exec
     "events_asof_broadcast" -> ((s, d) => TemporalJoins
       .clickAsOfPurchaseNative(Tables.events(s, d), None, broadcastRight = true)),
+    // merge_asof DIRECTION variants through the native operator:
+    // forward = earliest click at-or-after each purchase (merge exec),
+    // nearest = the closer of prior/next click, distance ties to prior
+    // (broadcast exec) — each hash-gated by its own window-form twin,
+    // so the two new probe paths are pinned on both physical forms
+    "events_asof_fwd" -> ((s, d) => TemporalJoins
+      .clickAsOfPurchaseNative(Tables.events(s, d), None,
+        broadcastRight = false, "forward")),
+    "events_asof_nearest" -> ((s, d) => TemporalJoins
+      .clickAsOfPurchaseNative(Tables.events(s, d), None,
+        broadcastRight = true, "nearest")),
     "events_range" -> ((s, d) => TemporalJoins.clicksAfterPurchase(Tables.events(s, d))),
     // explicit two-phase salted aggregation (result ≡ plain groupBy)
     "events_salted_counts" -> ((s, d) => ext.Skew.saltedTypeCounts(Tables.events(s, d))),
@@ -928,6 +939,8 @@ object SparkEntry {
     "events_asof_native" -> OracleSqlExt.eventsAsof,
     "events_asof_broadcast" -> OracleSqlExt.eventsAsof,
     "events_asof_tolerance" -> OracleSqlExt.eventsAsofTolerance,
+    "events_asof_fwd" -> OracleSqlExt.eventsAsofFwd,
+    "events_asof_nearest" -> OracleSqlExt.eventsAsofNearest,
     "events_range" -> OracleSqlExt.eventsRange,
     "events_salted_counts" -> OracleSqlExt.eventsSaltedCounts,
     "events_anomalies" -> OracleSqlExt.eventsAnomalies,

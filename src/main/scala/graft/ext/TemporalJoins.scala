@@ -107,7 +107,20 @@ object TemporalJoins {
     * (reference tables, model-version histories); here it doubles as
     * the oracle-gated correctness twin of the sorted-merge exec. */
   def clickAsOfPurchaseNative(events: DataFrame,
-      toleranceUs: Option[Long], broadcastRight: Boolean): DataFrame = {
+      toleranceUs: Option[Long], broadcastRight: Boolean): DataFrame =
+    clickAsOfPurchaseNative(events, toleranceUs, broadcastRight, "backward")
+
+  /** [[clickAsOfPurchaseNative]] with a direction
+    * ([[graft.plans.AsOfDirection]] — pandas `merge_asof`'s axis):
+    * "forward" attributes each purchase to the EARLIEST click
+    * at-or-after it (lowest event_id among equal-ts clicks — the
+    * mirror of backward's highest); "nearest" picks whichever prior/
+    * next click is closer in time, distance ties to the prior one.
+    * `gap_us` stays purchase − click, so forward matches show a
+    * negative gap — the sign IS the direction audit column. */
+  def clickAsOfPurchaseNative(events: DataFrame,
+      toleranceUs: Option[Long], broadcastRight: Boolean,
+      direction: String): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id"))
     val clicks = events.filter(col("event_type") === "click")
@@ -115,7 +128,8 @@ object TemporalJoins {
         col("event_id").as("c_eid"))
     graft.plans.AsOfJoin
       .asOf(purchases, clicks, Seq("user_id"), "ts", "c_ts", Seq("c_eid"),
-        toleranceUs, Some(broadcastRight)) // pinned: each query name IS one physical form
+        toleranceUs, Some(broadcastRight), // pinned: each query name IS one physical form
+        direction)
       .select(col("user_id"),
         col("event_id").as("purchase_event_id"),
         date_format(col("ts"), fmt).as("purchase_ts"),

@@ -674,6 +674,81 @@ SELECT user_id, purchase_event_id, purchase_ts,
        CASE WHEN gap_us <= 600000000 THEN gap_us END AS gap_us
 FROM base"""
 
+  /** Window-form twin of the FORWARD-direction native as-of: for each
+    * purchase, the earliest click at-or-after it (lowest event_id
+    * among equal-ts clicks — the mirror of backward's highest). Same
+    * union trick scanned in REVERSE (ts DESC): every row before a
+    * purchase in scan order is at-or-after it; side ASC keeps an
+    * equal-ts click visible, event_id DESC makes the last-seen click
+    * among equal ts the lowest id. gap_us stays purchase − click, so
+    * forward matches are negative — the direction audit column. */
+  val eventsAsofFwd: String = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id, 0 AS side, ts AS c_ts, event_id AS c_eid
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, event_id, 1 AS side, NULL, NULL
+  FROM events WHERE event_type = 'purchase'),
+filled AS (
+  SELECT user_id, ts, event_id, side,
+         last_value(c_ts IGNORE NULLS) OVER w AS click_ts_t,
+         last_value(c_eid IGNORE NULLS) OVER w AS click_event_id
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY ts DESC NULLS LAST, side ASC, event_id DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT user_id, event_id AS purchase_event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       click_event_id,
+       strftime(click_ts_t, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       epoch_us(ts) - epoch_us(click_ts_t) AS gap_us
+FROM filled WHERE side = 1"""
+
+  /** Window-form twin of the NEAREST-direction native as-of: both the
+    * backward window (latest click at-or-before, highest event_id on
+    * ties) and the forward window (earliest at-or-after, lowest id)
+    * computed in one pass, then the closer candidate chosen with
+    * distance ties to the backward one — pandas' prior-row rule. An
+    * equal-ts click lands in BOTH windows at distance 0 and the tie
+    * rule hands it to backward, which is exactly the merge exec's
+    * consume-equal-ts-into-the-carry behavior. */
+  val eventsAsofNearest: String = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id, 0 AS side, ts AS c_ts, event_id AS c_eid
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, event_id, 1 AS side, NULL, NULL
+  FROM events WHERE event_type = 'purchase'),
+filled AS (
+  SELECT user_id, ts, event_id, side,
+         last_value(c_ts IGNORE NULLS) OVER wb AS b_ts,
+         last_value(c_eid IGNORE NULLS) OVER wb AS b_eid,
+         last_value(c_ts IGNORE NULLS) OVER wf AS f_ts,
+         last_value(c_eid IGNORE NULLS) OVER wf AS f_eid
+  FROM tagged
+  WINDOW wb AS (PARTITION BY user_id ORDER BY ts, side, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id
+                ORDER BY ts DESC NULLS LAST, side ASC, event_id DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+chosen AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN b_eid IS NOT NULL AND (f_eid IS NULL
+                   OR epoch_us(ts) - epoch_us(b_ts)
+                      <= epoch_us(f_ts) - epoch_us(ts))
+              THEN b_ts ELSE f_ts END AS click_ts_t,
+         CASE WHEN b_eid IS NOT NULL AND (f_eid IS NULL
+                   OR epoch_us(ts) - epoch_us(b_ts)
+                      <= epoch_us(f_ts) - epoch_us(ts))
+              THEN b_eid ELSE f_eid END AS click_event_id
+  FROM filled WHERE side = 1)
+SELECT user_id, event_id AS purchase_event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       click_event_id,
+       strftime(click_ts_t, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       epoch_us(ts) - epoch_us(click_ts_t) AS gap_us
+FROM chosen"""
+
   val eventsRange: String = """
 SELECT p.user_id, p.event_id AS purchase_event_id, c.event_id AS click_event_id,
        epoch_us(c.ts) - epoch_us(p.ts) AS gap_us

@@ -10,15 +10,47 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.types.{LongType, TimestampType}
 
+/** Direction of the temporal predecessor/successor search — the
+  * pandas `merge_asof(direction=...)` axis, shared by the logical
+  * plan, both physical execs and the SQL TVF.
+  *
+  *  - [[AsOfDirection.Backward]] (default): LAST right row with
+  *    `r_ts <= l_ts`; ties at equal r_ts resolve to the HIGHEST tie.
+  *  - [[AsOfDirection.Forward]]: FIRST right row with `r_ts >= l_ts`;
+  *    ties at equal r_ts resolve to the LOWEST tie (the mirror scan).
+  *  - [[AsOfDirection.Nearest]]: whichever of the backward/forward
+  *    candidates minimizes |r_ts − l_ts|; an exact distance tie
+  *    resolves to the BACKWARD candidate (pandas' prior-row rule).
+  *
+  * Tolerance is direction-relative: backward bounds `l_ts − r_ts`,
+  * forward bounds `r_ts − l_ts`, nearest bounds the absolute gap. */
+sealed abstract class AsOfDirection(val name: String, val code: Int)
+    extends Serializable
+object AsOfDirection {
+  case object Backward extends AsOfDirection("backward", 0)
+  case object Forward extends AsOfDirection("forward", 1)
+  case object Nearest extends AsOfDirection("nearest", 2)
+  def parse(s: String): AsOfDirection = s.toLowerCase match {
+    case "backward" => Backward
+    case "forward" => Forward
+    case "nearest" => Nearest
+    case other => throw new IllegalArgumentException(
+      s"as-of direction must be backward|forward|nearest, got '$other'")
+  }
+}
+
 /** A NATIVE as-of join — the whole-operator extension path (custom
   * LogicalPlan + SparkStrategy + physical SparkPlan), for the one
   * temporal operator Spark has no relational encoding for.
   *
-  * Semantics: for each left row, the LAST right row with the same key
-  * and right_ts <= left_ts (ties within equal right_ts resolve to the
-  * highest `rightTie`), or nulls when no such row exists — exactly
+  * Semantics (default backward direction): for each left row, the
+  * LAST right row with the same key and right_ts <= left_ts (ties
+  * within equal right_ts resolve to the highest `rightTie`), or nulls
+  * when no such row exists — exactly
   * [[graft.ext.TemporalJoins.clickAsOfPurchase]]'s contract, which
-  * re-expresses it as union + ordered window. This operator is the
+  * re-expresses it as union + ordered window. [[AsOfDirection]] flips
+  * the search forward (first at-or-after) or to the nearest of the
+  * two candidates. This operator is the
   * DIRECT physical form: a sorted merge of the two co-partitioned
   * sides with O(1) carried state per key.
   *
@@ -68,7 +100,9 @@ object AsOfJoin {
       leftTsCol: String, rightTsCol: String,
       rightTie: Seq[String] = Nil,
       toleranceUs: Option[Long] = None,
-      broadcastRight: Option[Boolean] = None): DataFrame = {
+      broadcastRight: Option[Boolean] = None,
+      direction: String = "backward"): DataFrame = {
+    val dir = AsOfDirection.parse(direction)
     toleranceUs.foreach(t => require(t >= 0, s"negative tolerance $t"))
     require(on.nonEmpty, "as-of join needs at least one equi key")
     val spark =
@@ -121,7 +155,7 @@ object AsOfJoin {
       AsOfJoinPlan(left.queryExecution.analyzed,
         rightFresh.queryExecution.analyzed,
         lKeys, rKeys, lTs, rTs, rightTie.map(attr(rightFresh, _)), keep,
-        toleranceUs, broadcastRight))
+        toleranceUs, broadcastRight, dir))
   }
 }
 
@@ -134,7 +168,8 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTs: Expression, rightTs: Expression, rightTie: Seq[Expression],
     keepRight: Seq[Attribute], toleranceUs: Option[Long],
-    broadcastRight: Option[Boolean] = None) extends BinaryNode {
+    broadcastRight: Option[Boolean] = None,
+    direction: AsOfDirection = AsOfDirection.Backward) extends BinaryNode {
   // nullability forced HERE, not on the stored attrs: the analyzer
   // re-resolves attribute expressions against child outputs, which
   // would quietly restore the right side's non-nullable flags
@@ -158,17 +193,19 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
   * broadcasts, anything else (or threshold -1) merges. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lts, rts, tie, keep, tol, hint) =>
+    case a: AsOfJoinPlan =>
       val threshold =
         org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
-      val bcast = hint.getOrElse(
-        threshold > 0 && r.stats.sizeInBytes <= threshold)
+      val bcast = a.broadcastRight.getOrElse(
+        threshold > 0 && a.right.stats.sizeInBytes <= threshold)
       if (bcast)
-        BroadcastAsOfJoinExec(lk, rk, lts, rts, tie, keep, tol,
-          planLater(l), planLater(r)) :: Nil
+        BroadcastAsOfJoinExec(a.leftKeys, a.rightKeys, a.leftTs, a.rightTs,
+          a.rightTie, a.keepRight, a.toleranceUs, a.direction,
+          planLater(a.left), planLater(a.right)) :: Nil
       else
-        AsOfJoinExec(lk, rk, lts, rts, tie, keep, tol,
-          planLater(l), planLater(r)) :: Nil
+        AsOfJoinExec(a.leftKeys, a.rightKeys, a.leftTs, a.rightTs,
+          a.rightTie, a.keepRight, a.toleranceUs, a.direction,
+          planLater(a.left), planLater(a.right)) :: Nil
     case _ => Nil
   }
 }
@@ -185,7 +222,7 @@ final class AsOfMerger(
     rIter: Iterator[InternalRow],
     lKeyProj: UnsafeProjection, rKeyProj: UnsafeProjection,
     keyOrd: Ordering[InternalRow],
-    lTsOrd: Int, rTsOrd: Int, tolUs: Long,
+    lTsOrd: Int, rTsOrd: Int, tolUs: Long, direction: Int,
     nRightCols: Int, resultProj: UnsafeProjection,
     numOut: org.apache.spark.sql.execution.metric.SQLMetric) {
 
@@ -223,9 +260,22 @@ final class AsOfMerger(
       matchedFallback = other.copy(); matchedValid = true
   }
 
-  /** The latest same-key right row at-or-before `l`'s timestamp
-    * (within tolerance), joined and projected — or the null-extended
-    * row. The returned UnsafeRow buffer is REUSED across calls. */
+  /** The matching right row for `l` under the configured direction —
+    * backward: latest same-key row at-or-before `l`'s timestamp;
+    * forward: earliest same-key row at-or-after; nearest: the closer
+    * of the two (distance ties → backward) — within tolerance, joined
+    * and projected, or the null-extended row. The returned UnsafeRow
+    * buffer is REUSED across calls.
+    *
+    * All three directions share ONE scan structure: consume right rows
+    * that are strictly behind this (and every later) left row, then
+    * pick between the carried at-or-before match and the un-consumed
+    * lookahead (the at-or-after candidate — sorted (ts, tie) asc, so
+    * the first eligible row is the lowest-tie earliest successor).
+    * Forward discards instead of carrying (a right row with
+    * rTs < lTs can never be at-or-after any later left row either,
+    * since left ts only grows within a key), and treats an equal-ts
+    * row as the lookahead rather than consuming it. */
   def probe(l: InternalRow): org.apache.spark.sql.catalyst.expressions.UnsafeRow = {
     val lKey = lKeyProj(l)
     // a carried match belongs to the PREVIOUS left key's run; when the
@@ -239,6 +289,12 @@ final class AsOfMerger(
     val lTsNull = l.isNullAt(lTsOrd) // null ts on the left: no match
     val lTs = if (lTsNull) 0L else l.getLong(lTsOrd)
     var done = lTsNull
+    // lookahead (forward-candidate) state for this left row: set when
+    // the scan stops at a same-key row with rTs >= lTs (forward) /
+    // rTs > lTs (backward & nearest — the equal-ts row is consumed
+    // into the carried match, whose distance 0 beats any successor)
+    var lookValid = false
+    var lookTs = 0L
     while (!done && rRow != null) {
       val c = keyOrd.compare(rKeyProj(rRow), lKey)
       if (c < 0) { // right behind on key: its matches are stale
@@ -247,11 +303,14 @@ final class AsOfMerger(
       else if (rRow.isNullAt(rTsOrd)) advanceRight() // null right ts
       else {
         val rTs = rRow.getLong(rTsOrd)
-        if (rTs <= lTs) {
+        if (direction == 1) {
+          if (rTs < lTs) advanceRight() // stale for all later left rows too
+          else { lookValid = true; lookTs = rTs; done = true }
+        } else if (rTs <= lTs) {
           // at-or-before: newest-so-far (sorted ts asc, tie asc)
           carry(rRow); matchedTs = rTs
           advanceRight()
-        } else done = true
+        } else { lookValid = true; lookTs = rTs; done = true }
       }
     }
     // tolerance: the newest at-or-before match may still be too old
@@ -259,10 +318,14 @@ final class AsOfMerger(
     // resurrected by a NEWER right row, which overwrites it).
     // !lTsNull is checked EXPLICITLY: a null left ts must emit no
     // match by contract, independent of NULLS FIRST sort reasoning.
-    val m =
-      if (!lTsNull && matchedValid && lTs - matchedTs <= tolUs)
-        (if (matchedFallback != null) matchedFallback else matchedBuf)
-      else nullRight
+    var m: InternalRow = nullRight
+    if (!lTsNull) {
+      val bOk = direction != 1 && matchedValid && lTs - matchedTs <= tolUs
+      val fOk = direction != 0 && lookValid && lookTs - lTs <= tolUs
+      if (bOk && (!fOk || lTs - matchedTs <= lookTs - lTs))
+        m = if (matchedFallback != null) matchedFallback else matchedBuf
+      else if (fOk) m = rRow
+    }
     numOut += 1
     resultProj(joined(l, m))
   }
@@ -289,6 +352,7 @@ final class AsOfMerger(
 case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTs: Expression, rightTs: Expression, rightTie: Seq[Expression],
     keepRight: Seq[Attribute], toleranceUs: Option[Long],
+    direction: AsOfDirection,
     left: SparkPlan, right: SparkPlan)
     extends BinaryExecNode
     with org.apache.spark.sql.execution.CodegenSupport {
@@ -351,6 +415,7 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
       // tolerance as a primitive: MaxValue = unbounded, so the emit
       // check is one branchless long compare in the match path
       toleranceUs.getOrElse(Long.MaxValue),
+      direction.code,
       rOut.length,
       // bind against NULLABLE-forced right attrs: the original right
       // output may be non-nullable, and a projection bound to it
@@ -460,16 +525,28 @@ object GraftAsOfIndex {
 final class BroadcastAsOfProber(
     index: GraftAsOfIndex,
     lKeyProj: UnsafeProjection,
-    lTsOrd: Int, tolUs: Long,
+    lTsOrd: Int, tolUs: Long, direction: Int,
     nRightCols: Int, resultProj: UnsafeProjection,
     numOut: org.apache.spark.sql.execution.metric.SQLMetric) {
 
   private val nullRight = new GenericInternalRow(nRightCols)
   private val joined = new JoinedRow
 
-  /** The latest same-key right row at-or-before `l`'s timestamp
-    * (within tolerance), joined and projected — or the null-extended
-    * row. The returned UnsafeRow buffer is REUSED across calls. */
+  /** The matching right row for `l` under the configured direction —
+    * backward: latest same-key entry at-or-before; forward: earliest
+    * at-or-after; nearest: the closer candidate, distance ties →
+    * backward — within tolerance, joined and projected, or the
+    * null-extended row. The returned UnsafeRow buffer is REUSED
+    * across calls.
+    *
+    * One upper-bound search serves all three: `ub` = first index with
+    * ts > lTs, so `ub-1` is the backward candidate (last occurrence of
+    * the newest eligible ts = highest tie, matching the merge's carry)
+    * and `ub` is nearest's forward candidate (first strictly-after
+    * row = lowest tie; an equal-ts row belongs to the backward side,
+    * whose distance 0 wins any comparison). Pure forward instead needs
+    * the LOWER bound — first index with ts >= lTs — because its
+    * contract is at-or-AFTER with lowest tie among equal ts. */
   def probe(l: InternalRow): org.apache.spark.sql.catalyst.expressions.UnsafeRow = {
     var m: InternalRow = nullRight
     if (!l.isNullAt(lTsOrd)) {
@@ -477,15 +554,27 @@ final class BroadcastAsOfProber(
       val bucket = index.bucket(lKeyProj(l))
       if (bucket != null) {
         val ts = bucket.ts
-        // last index with ts <= lTs (upper bound minus one); ties in
-        // ts are adjacent and tie-sorted ascending, so the last
-        // eligible index is the max-tie row among the newest matches
-        var lo = 0; var hi = ts.length
-        while (lo < hi) {
-          val mid = (lo + hi) >>> 1
-          if (ts(mid) <= lTs) lo = mid + 1 else hi = mid
+        if (direction == 1) {
+          // lower bound: first index with ts >= lTs
+          var lo = 0; var hi = ts.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (ts(mid) < lTs) lo = mid + 1 else hi = mid
+          }
+          if (lo < ts.length && ts(lo) - lTs <= tolUs) m = bucket.rows(lo)
+        } else {
+          // upper bound: first index with ts > lTs
+          var lo = 0; var hi = ts.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (ts(mid) <= lTs) lo = mid + 1 else hi = mid
+          }
+          val bOk = lo > 0 && lTs - ts(lo - 1) <= tolUs
+          val fOk = direction == 2 && lo < ts.length && ts(lo) - lTs <= tolUs
+          if (bOk && (!fOk || lTs - ts(lo - 1) <= ts(lo) - lTs))
+            m = bucket.rows(lo - 1)
+          else if (fOk) m = bucket.rows(lo)
         }
-        if (lo > 0 && lTs - ts(lo - 1) <= tolUs) m = bucket.rows(lo - 1)
       }
     }
     numOut += 1
@@ -516,6 +605,7 @@ case class BroadcastAsOfJoinExec(leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTs: Expression, rightTs: Expression, rightTie: Seq[Expression],
     keepRight: Seq[Attribute], toleranceUs: Option[Long],
+    direction: AsOfDirection,
     left: SparkPlan, right: SparkPlan)
     extends BinaryExecNode
     with org.apache.spark.sql.execution.CodegenSupport {
@@ -600,6 +690,7 @@ case class BroadcastAsOfJoinExec(leftKeys: Seq[Expression],
       BindReferences.bindReference(leftTs, lOut)
         .asInstanceOf[BoundReference].ordinal,
       toleranceUs.getOrElse(Long.MaxValue),
+      direction.code,
       rOut.length,
       UnsafeProjection.create(output,
         lOut ++ rOut.map(_.withNullability(true))),

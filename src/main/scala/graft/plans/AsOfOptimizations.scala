@@ -143,9 +143,21 @@ object AsOfPushdown extends Rule[LogicalPlan] with PredicateHelper {
     * the left ts ATTRIBUTE derive (both operand orders); the literal's
     * raw long value transfers because Timestamp and Long timestamps
     * both store long micros and [[AsOfJoin.asOf]] validated the types.
-    * Lower bounds shift by the tolerance and exist only when one is
-    * set. Strictness carries: `lts > T0` ⇒ `rts > T0 − t` (from
-    * `rts ≥ lts − t > T0 − t`). */
+    * Strictness carries: `lts > T0` ⇒ `rts > T0 − t` (from
+    * `rts ≥ lts − t > T0 − t`).
+    *
+    * DIRECTION decides which bounds derive and how they shift — the
+    * as-of predicate itself is direction-relative:
+    *  - backward (`rts ≤ lts`, gap `lts − rts ≤ t`): a left UPPER
+    *    bound transfers unshifted; a left LOWER bound only exists
+    *    with tolerance, shifted down by t.
+    *  - forward (`rts ≥ lts`, gap `rts − lts ≤ t`): the exact mirror —
+    *    a left LOWER bound transfers unshifted; a left UPPER bound
+    *    only with tolerance, shifted up by t.
+    *  - nearest (|rts − lts| ≤ t): the match may sit on either side,
+    *    so WITHOUT tolerance nothing derives (an arbitrarily old or
+    *    future right row can be somebody's nearest); with tolerance,
+    *    both bounds derive, each shifted outward by t. */
   private def rightTimeBounds(pushed: Seq[Expression], a: AsOfJoinPlan)
       : Seq[Expression] = {
     val rts = a.rightTs
@@ -154,27 +166,44 @@ object AsOfPushdown extends Rule[LogicalPlan] with PredicateHelper {
       case v: java.lang.Long => Some(v.longValue)
       case _ => None
     }
-    def upper(l: Literal, strict: Boolean): Option[Expression] =
-      long(l).map { v =>
-        val lit = Literal(v, rts.dataType)
-        if (strict) LessThan(rts, lit) else LessThanOrEqual(rts, lit)
+    def mkUpper(v: Long, strict: Boolean): Expression = {
+      val lit = Literal(v, rts.dataType)
+      if (strict) LessThan(rts, lit) else LessThanOrEqual(rts, lit)
+    }
+    def mkLower(v: Long, strict: Boolean): Expression = {
+      val lit = Literal(v, rts.dataType)
+      if (strict) GreaterThan(rts, lit) else GreaterThanOrEqual(rts, lit)
+    }
+    // saturating shifts (Long.MinValue/MaxValue stand in for ±∞)
+    def minusT(v: Long, t: Long): Long =
+      if (v < Long.MinValue + t) Long.MinValue else v - t
+    def plusT(v: Long, t: Long): Long =
+      if (v > Long.MaxValue - t) Long.MaxValue else v + t
+    // a pushed left UPPER bound lts ≤/< v → the right bound it implies
+    def fromLeftUpper(l: Literal, strict: Boolean): Option[Expression] =
+      long(l).flatMap { v =>
+        a.direction match {
+          case AsOfDirection.Backward => Some(mkUpper(v, strict))
+          case _ => a.toleranceUs.map(t => mkUpper(plusT(v, t), strict))
+        }
       }
-    def lower(l: Literal, strict: Boolean): Option[Expression] =
-      for (t <- a.toleranceUs; v <- long(l)) yield {
-        // guard the shift against Long underflow near MinValue
-        val lit = Literal(
-          if (v < Long.MinValue + t) Long.MinValue else v - t, rts.dataType)
-        if (strict) GreaterThan(rts, lit) else GreaterThanOrEqual(rts, lit)
+    // a pushed left LOWER bound lts ≥/> v → the right bound it implies
+    def fromLeftLower(l: Literal, strict: Boolean): Option[Expression] =
+      long(l).flatMap { v =>
+        a.direction match {
+          case AsOfDirection.Forward => Some(mkLower(v, strict))
+          case _ => a.toleranceUs.map(t => mkLower(minusT(v, t), strict))
+        }
       }
     pushed.flatMap {
-      case LessThanOrEqual(l, lit: Literal) if isLts(l) => upper(lit, strict = false)
-      case LessThan(l, lit: Literal) if isLts(l) => upper(lit, strict = true)
-      case GreaterThanOrEqual(lit: Literal, l) if isLts(l) => upper(lit, strict = false)
-      case GreaterThan(lit: Literal, l) if isLts(l) => upper(lit, strict = true)
-      case GreaterThanOrEqual(l, lit: Literal) if isLts(l) => lower(lit, strict = false)
-      case GreaterThan(l, lit: Literal) if isLts(l) => lower(lit, strict = true)
-      case LessThanOrEqual(lit: Literal, l) if isLts(l) => lower(lit, strict = false)
-      case LessThan(lit: Literal, l) if isLts(l) => lower(lit, strict = true)
+      case LessThanOrEqual(l, lit: Literal) if isLts(l) => fromLeftUpper(lit, strict = false)
+      case LessThan(l, lit: Literal) if isLts(l) => fromLeftUpper(lit, strict = true)
+      case GreaterThanOrEqual(lit: Literal, l) if isLts(l) => fromLeftUpper(lit, strict = false)
+      case GreaterThan(lit: Literal, l) if isLts(l) => fromLeftUpper(lit, strict = true)
+      case GreaterThanOrEqual(l, lit: Literal) if isLts(l) => fromLeftLower(lit, strict = false)
+      case GreaterThan(l, lit: Literal) if isLts(l) => fromLeftLower(lit, strict = true)
+      case LessThanOrEqual(lit: Literal, l) if isLts(l) => fromLeftLower(lit, strict = false)
+      case LessThan(lit: Literal, l) if isLts(l) => fromLeftLower(lit, strict = true)
       case _ => None
     }
   }

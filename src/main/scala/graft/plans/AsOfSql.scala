@@ -45,20 +45,23 @@ object AsOfSql {
 
   def info: ExpressionInfo = new ExpressionInfo(
     AsOfSql.getClass.getName, name,
-    "asof_join(left, right, keys, left_ts, right_ts[, tie[, tolerance_us]])" +
-      " - for each left row, joins the latest right row with equal keys" +
-      " and right_ts <= left_ts (within tolerance_us when given);" +
-      " table/column arguments are string literals, keys/tie" +
-      " comma-separated")
+    "asof_join(left, right, keys, left_ts, right_ts[, tie[, tolerance_us" +
+      "[, direction]]]) - for each left row, joins the right row with" +
+      " equal keys selected by direction (backward: latest with" +
+      " right_ts <= left_ts, the default; forward: earliest with" +
+      " right_ts >= left_ts; nearest: the closer of the two, distance" +
+      " ties backward), within tolerance_us when given; table/column" +
+      " arguments are string literals, keys/tie comma-separated")
 
   /** The TVF builder (`Seq[Expression] => LogicalPlan`): argument
     * literals in, analyzed native as-of plan out. Errors are
     * IllegalArgumentException with the argument named — surfaced by
     * the analyzer as the function-resolution failure. */
   val builder: Seq[Expression] => LogicalPlan = { args =>
-    require(args.lengthCompare(5) >= 0 && args.lengthCompare(7) <= 0,
-      s"asof_join takes 5-7 arguments " +
-        "(left, right, keys, left_ts, right_ts[, tie[, tolerance_us]]), " +
+    require(args.lengthCompare(5) >= 0 && args.lengthCompare(8) <= 0,
+      s"asof_join takes 5-8 arguments " +
+        "(left, right, keys, left_ts, right_ts[, tie[, tolerance_us" +
+        "[, direction]]]), " +
         s"got ${args.length}")
     def str(i: Int, what: String): String = args(i) match {
       case Literal(v: UTF8String, StringType) if v != null => v.toString
@@ -69,13 +72,17 @@ object AsOfSql {
     def csv(i: Int, what: String): Seq[String] =
       str(i, what).split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val spark = SparkSession.active
-    val tol = if (args.lengthCompare(7) == 0) args(6) match {
+    val tol = if (args.lengthCompare(7) >= 0) args(6) match {
       case Literal(v: Long, LongType) => Some(v)
       case Literal(v: Int, IntegerType) => Some(v.toLong)
+      case Literal(null, _) => None // explicit NULL = unbounded, so the
+      // 8-arg form can set a direction without inventing a tolerance
       case other => throw new IllegalArgumentException(
         s"asof_join: tolerance_us (argument 7) must be an integer " +
-          s"literal, got $other")
+          s"literal or NULL, got $other")
     } else None
+    val dir = if (args.lengthCompare(8) == 0) str(7, "direction")
+      else "backward"
     AsOfJoin.asOf(
       spark.table(str(0, "left table")),
       spark.table(str(1, "right table")),
@@ -83,7 +90,7 @@ object AsOfSql {
       str(3, "left timestamp column"),
       str(4, "right timestamp column"),
       if (args.lengthCompare(6) >= 0) csv(5, "tie list") else Nil,
-      tol).queryExecution.analyzed
+      tol, direction = dir).queryExecution.analyzed
   }
 
   /** Runtime registration into this session's table-function registry

@@ -47,6 +47,91 @@ class AsOfPropertySpec extends SparkSpec {
         col("w_ts").as("r_ts"), col("w_tie").as("tie"), col("w_pay").as("pay"))
   }
 
+  test("18 seeded shapes x 3 directions: execs, pushdown and a JVM reference agree") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1502L)
+    for (i <- 0 until 18; dirName <- Seq("backward", "forward", "nearest")) {
+      val nulls = rnd.nextBoolean()
+      val tol = if (rnd.nextBoolean()) Some(5L + rnd.nextInt(20)) else None
+      val nl = 20 + rnd.nextInt(40)
+      val nr = 10 + rnd.nextInt(30)
+      def key(): Option[Long] =
+        if (nulls && rnd.nextInt(8) == 0) None else Some(rnd.nextInt(5).toLong)
+      def ts(): Option[Long] =
+        if (nulls && rnd.nextInt(10) == 0) None else Some(rnd.nextInt(60).toLong)
+      val lRows = Seq.tabulate(nl)(j => (key(), ts(), j.toLong))
+      val rRows = Seq.tabulate(nr)(j =>
+        (key(), ts(), j.toLong, (j * 7 % 100).toLong))
+      val left = lRows.toDF("k", "ts", "lid")
+      val right = rRows.toDF("k", "r_ts", "tie", "pay")
+
+      // random deterministic filters above the join — the pushdown
+      // rule's direction-aware time-bound derivations fire here
+      val preds = Seq(
+        () => col("ts") <= lit(20L + rnd.nextInt(30).toLong),
+        () => col("ts") >= lit(rnd.nextInt(20).toLong),
+        () => col("k") === lit(rnd.nextInt(5).toLong),
+        () => col("pay").isNull || col("pay") >= 0L,
+        () => col("lid") % 3 =!= 0)
+      val chosen = Seq.fill(rnd.nextInt(3))(preds(rnd.nextInt(preds.length))())
+      def filtered(df: DataFrame): DataFrame =
+        chosen.foldLeft(df)((d, p) => d.filter(p))
+
+      def native(bcast: Boolean): Set[Seq[Any]] =
+        filtered(AsOfJoin.asOf(left, right, Seq("k"), "ts", "r_ts",
+          Seq("tie"), tol, Some(bcast), dirName))
+          .collect().map(_.toSeq).toSet
+
+      // plain-JVM reference: independent of every Spark code path.
+      // Null keys cluster (None == None); null timestamps never match.
+      // backward = max (r_ts, tie) among r_ts <= ts; forward = min
+      // (r_ts, tie) among r_ts >= ts; nearest compares the backward
+      // candidate with the min STRICTLY-after row (an equal-ts row is
+      // backward's, at distance 0) and hands distance ties backward.
+      val refRows = lRows.map { case (k, lts, lid) =>
+        val cands = rRows.filter(r => r._1 == k && r._2.isDefined)
+        val m: Option[(Long, Long, Long)] = lts.flatMap { t =>
+          def within(d: Long) = tol.forall(d <= _)
+          val b = cands.filter(_._2.get <= t)
+            .sortBy(r => (r._2.get, r._3)).lastOption
+            .filter(r => within(t - r._2.get))
+          val fPool =
+            if (dirName == "forward") cands.filter(_._2.get >= t)
+            else cands.filter(_._2.get > t)
+          val f = fPool.sortBy(r => (r._2.get, r._3)).headOption
+            .filter(r => within(r._2.get - t))
+          val pick = dirName match {
+            case "backward" => b
+            case "forward" => f
+            case "nearest" => (b, f) match {
+              case (Some(rb), Some(rf)) =>
+                if (t - rb._2.get <= rf._2.get - t) Some(rb) else Some(rf)
+              case (bb, ff) => bb.orElse(ff)
+            }
+          }
+          pick.map(r => (r._2.get, r._3, r._4))
+        }
+        (k, lts, lid, m.map(_._1), m.map(_._2), m.map(_._3))
+      }
+      val reference = filtered(
+        refRows.toDF("k", "ts", "lid", "r_ts", "tie", "pay"))
+        .collect().map(_.toSeq).toSet
+
+      val merge = native(bcast = false)
+      val broadcast = native(bcast = true)
+      assert(merge == broadcast,
+        s"shape $i dir=$dirName: merge vs broadcast diverged (tol=$tol " +
+          s"nulls=$nulls)")
+      assert(merge == reference,
+        s"shape $i dir=$dirName: native diverged from the JVM reference " +
+          s"(tol=$tol nulls=$nulls):\n native=$merge\n ref=$reference")
+      spark.conf.set("spark.graft.optimizer.asofPushdown", "false")
+      try assert(native(bcast = false) == merge,
+        s"shape $i dir=$dirName: pushdown changed the answer")
+      finally spark.conf.unset("spark.graft.optimizer.asofPushdown")
+    }
+  }
+
   test("30 seeded as-of shapes: pushdown/merge/broadcast/window all agree") {
     import spark.implicits._
     val rnd = new scala.util.Random(1402L)

@@ -205,6 +205,40 @@ class TemporalJoinsSpec extends SparkSpec {
       .clickAsOfPurchaseNative(e, Some(10000000L))
       .collect().map(_.toSeq).toSet
     assert(bcastTol == mergeTol)
+    // direction sweep on the same fixture: the forward mirror scan and
+    // nearest's two-candidate pick must agree across both physical
+    // forms, with and without a tolerance bound, and the sign of
+    // gap_us must audit the direction (backward >= 0, forward <= 0)
+    for (dir <- Seq("forward", "nearest"); tol <- Seq(None, Some(10000000L))) {
+      val b = TemporalJoins
+        .clickAsOfPurchaseNative(e, tol, broadcastRight = true, dir)
+        .collect().map(_.toSeq).toSet
+      val m = TemporalJoins
+        .clickAsOfPurchaseNative(e, tol, broadcastRight = false, dir)
+        .collect().map(_.toSeq).toSet
+      assert(b == m, s"dir=$dir tol=$tol: broadcast vs merge diverged")
+      if (dir == "forward")
+        assert(b.forall(r => r(5) == null || r(5).asInstanceOf[Long] <= 0L))
+      tol.foreach(t => assert(b.forall(r =>
+        r(5) == null || math.abs(r(5).asInstanceOf[Long]) <= t)))
+      assert(b.count(_(3) != null) > 100) // the sweep matched something
+    }
+    // forward ∪ backward bound nearest: every nearest match is one of
+    // the two directional candidates for that purchase
+    val fwd = TemporalJoins
+      .clickAsOfPurchaseNative(e, None, broadcastRight = false, "forward")
+      .collect().map(r => r.getAs[Long]("purchase_event_id") ->
+        Option(r.getAs[java.lang.Long]("click_event_id"))).toMap
+    val near = TemporalJoins
+      .clickAsOfPurchaseNative(e, None, broadcastRight = false, "nearest")
+      .collect().map(r => r.getAs[Long]("purchase_event_id") ->
+        Option(r.getAs[java.lang.Long]("click_event_id"))).toMap
+    val bwd = merge.map(r => r(1).asInstanceOf[Long] ->
+      Option(r(3).asInstanceOf[java.lang.Long])).toMap
+    assert(near.forall { case (pid, c) =>
+      c == bwd(pid) || c == fwd(pid) })
+    // and nearest only goes forward when backward is absent or farther
+    assert(near.exists { case (pid, c) => c != bwd(pid) })
   }
 
   test("broadcast as-of plans with zero shuffles and fuses into codegen") {
@@ -304,5 +338,29 @@ class TemporalJoinsSpec extends SparkSpec {
       "SELECT * FROM asof_join('purchases_v', 'purchases_v', " +
         "'user_id', 'ts', 'ts')")
     assert(self.collect().nonEmpty)
+  }
+
+  test("asof_join TVF direction argument reaches both non-default probes") {
+    val d = "/root/testdata/sf0.001"
+    graft.GraftSql.attach(spark, d)
+    // 8-arg form: NULL tolerance (unbounded) + a direction literal —
+    // must be row-identical to the DataFrame entry of the same direction
+    for (dir <- Seq("forward", "nearest")) {
+      val sqlRows = spark.sql(
+        "SELECT * FROM asof_join('purchases_v', 'clicks_v', 'user_id', " +
+          s"'ts', 'c_ts', 'c_eid', NULL, '$dir')")
+        .collect().map(_.toSeq).toSet
+      val dfRows = graft.plans.AsOfJoin.asOf(
+        spark.table("purchases_v"), spark.table("clicks_v"),
+        Seq("user_id"), "ts", "c_ts", Seq("c_eid"), None, None, dir)
+        .collect().map(_.toSeq).toSet
+      assert(sqlRows.nonEmpty && sqlRows == dfRows, s"dir=$dir")
+    }
+    // a bad direction names the offending value
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM asof_join('purchases_v', 'clicks_v', " +
+        "'user_id', 'ts', 'c_ts', 'c_eid', NULL, 'sideways')").collect()
+    }
+    assert(e.getMessage.contains("sideways"), e.getMessage)
   }
 }
