@@ -365,9 +365,9 @@ object SparkEntry {
     // rotation re-normalizes that shape and the multi-relation peel
     // collapses it to ONE pass: 4 scans + 3 joins → 2 scans + 1 join +
     // 1 window (plan-pinned in WinMagicSpec).
-    // One correlated AVG subquery (a sum+count pair would decorrelate
-    // into a second, COUNT-bug-guarded LeftOuter join-back, which is
-    // out of the rewrite's provable scope). Boundary exactness: the
+    // One correlated AVG subquery; the COUNT-bug LeftOuter variant is
+    // covered separately by sql_count_winmagic via the r15 null-mask
+    // rewrite. Boundary exactness: the
     // fixture quantities are integer-valued, so 0.2*avg(qty) can only
     // sit within rounding distance of an integer threshold when the
     // average is exact in both engines — the decimal-vs-double avg
@@ -382,6 +382,22 @@ object SparkEntry {
             (SELECT 0.2 * AVG(CAST(l2.l_quantity AS DECIMAL(18,2)))
              FROM lineitem l2 JOIN part p2 ON p2.p_partkey = l2.l_partkey
              WHERE p2.p_brand = 'Brand#23' AND l2.l_partkey = l.l_partkey)""")),
+    // the COUNT-bug WinMagic shape from raw SQL: a correlated count(*)
+    // threshold decorrelates into a LeftOuter join-back (count's
+    // zero-on-empty correction is not null-rejecting, so the outer
+    // join survives EliminateOuterJoin) over nullable parquet keys —
+    // the r15 null-mask rewrite collapses it to one scan + window
+    // (plan-pinned in WinMagicSpec); integer-vs-integer comparison, so
+    // the boundary hash-gates identically cross-engine
+    "sql_count_winmagic" -> ((s, d) => GraftSql.sql(s, d, """
+      SELECT l_returnflag, count(*) AS n_deep,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING)
+               AS revenue
+      FROM lineitem l
+      WHERE CAST(l_quantity AS BIGINT) >
+            (SELECT count(*) FROM lineitem l2
+             WHERE l2.l_partkey = l.l_partkey)
+      GROUP BY l_returnflag""")),
     "sql_dedup_exact" -> ((s, d) => GraftSql.sql(s, d, """
       SELECT doc_id, md5(text) AS content_md5,
              min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_doc_id,
@@ -973,6 +989,7 @@ object SparkEntry {
     "sql_q2_mincost" -> OracleSqlExt.q2MinCost,
     "sql_q17_below_avg" -> OracleSqlExt.q17SmallQty,
     "sql_q17_join_winmagic" -> OracleSqlExt.q17JoinCore,
+    "sql_count_winmagic" -> OracleSqlExt.countWinmagic,
     "sql_q18_in" -> OracleSqlExt.q18LargeOrders,
     "sql_events_funnel" -> OracleSqlExt.eventsFunnel,
     "sql_dedup_minhash" -> OracleSqlExt.dedupMinhash,

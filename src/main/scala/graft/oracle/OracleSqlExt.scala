@@ -244,6 +244,20 @@ FROM (
   JOIN stats st ON l.l_partkey = st.l_partkey
   WHERE CAST(l.l_quantity AS DECIMAL(18,2)) < 0.2 * st.avg_qty)"""
 
+  /** Mirror of sql_count_winmagic (the COUNT-bug WinMagic shape):
+    * rows whose integer quantity strictly exceeds their part's line
+    * count, grouped by return flag. DuckDB evaluates the correlated
+    * count subquery directly; the comparison is integer vs integer so
+    * the boundary is exact in both engines. */
+  val countWinmagic: String = """
+SELECT l_returnflag, count(*) AS n_deep,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+         AS revenue
+FROM lineitem l
+WHERE CAST(l_quantity AS BIGINT) >
+      (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+GROUP BY l_returnflag"""
+
   /** Mirror of Analytics.smallQuantityRevenue (TPC-H Q17 shape): the
     * same exact 5*qty*cnt < sum_qty boundary arithmetic. */
   val q17SmallQty: String = """

@@ -48,11 +48,13 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *    `sameResult` output mapping, `a` IS `g`'s image on the left —
   *    i.e. the join key and the grouping key are the same column of
   *    the same rows, the WinMagic correlation condition.
-  *  - nullable join keys: allowed for Inner (NULL-key rows are
-  *    dropped by the equality join, reproduced exactly by an
-  *    IsNotNull filter under the window); declined for LeftOuter
-  *    (which null-extends those rows, while a window would hand them
-  *    the NULL partition's own aggregates — a different answer).
+  *  - nullable join keys: Inner drops NULL-key rows (reproduced
+  *    exactly by an IsNotNull filter under the window); LeftOuter
+  *    null-EXTENDS them, reproduced by masking every right-side
+  *    output with If(anyKeyNull, NULL, value) — the COUNT-bug
+  *    decorrelation shape (a correlated count subquery becomes a
+  *    LeftOuter join-back whose null-extension the parent corrects
+  *    to zero), so that common SQL collapses to one scan too.
   *  - aggregates are non-DISTINCT, FILTER-free Sum/Count/Min/Max/
   *    Average (the frame-insensitive functions with window forms).
   *  - residual (non-equi) conjuncts are allowed for Inner joins and
@@ -275,7 +277,13 @@ object WinMagic extends Rule[LogicalPlan] with PredicateHelper {
       for {
         (rest, agg, acond, ahint) <- spliceAggBack(j)
         rotated = Join(rest, agg, Inner, Some(acond), ahint)
-        if rotated.missingInput.isEmpty
+        // STRUCTURAL validity, not just the top node: spliceAggBack
+        // rebuilds inner spine joins, and a rebuilt INNER node's
+        // condition could reference the spliced-out aggregate's output
+        // (e.g. a predicate like dim.x < agg.avg that pushdown merged
+        // into a spine join condition) — the top-level missingInput
+        // misses that dangling reference; sweep every rebuilt node
+        if !rotated.exists(_.missingInput.nonEmpty)
         r <- rewriteJoin(rotated)
       } yield Project(j.output.map(a => a: NamedExpression), r)
     case _ => None
@@ -336,14 +344,34 @@ object WinMagic extends Rule[LogicalPlan] with PredicateHelper {
     // that means null-key rows are DROPPED — reproduced exactly by an
     // IsNotNull filter under the window (the null partition's rows
     // vanish; no other partition's aggregate ever saw them). A
-    // LeftOuter join instead null-EXTENDS those rows while a window
-    // would hand them the null-partition aggregates — not expressible
-    // this way, so decline.
+    // LeftOuter join instead null-EXTENDS those rows — the window
+    // hands them the NULL partition's own aggregates, so every
+    // right-side output is MASKED to NULL when any key is null
+    // (`maskNulls` below). This is the COUNT-bug decorrelation shape:
+    // Spark rewrites a correlated `count(...)` scalar subquery into a
+    // LeftOuter join-back whose null-extension feeds a
+    // zero-on-empty-input correction above — the mask reproduces the
+    // null-extension exactly, and the correction is just a parent
+    // projection that passes through untouched.
     val nullableKeys = grouping.exists(g => g.nullable || toLeft(g).nullable)
-    if (nullableKeys && !inner) return None
+    val maskNulls = nullableKeys && !inner
 
     val partitionKeys: Seq[Expression] = grouping.map(toLeft(_))
     val spec = WindowSpecDefinition(partitionKeys, Nil, wholePartition)
+    // any-key-null ⇔ the LeftOuter join would null-extend this row:
+    // matching needs every key equality to hold, the aggregate ranges
+    // over the same rows (sameResult), so a match exists iff no key is
+    // null. Under maskNulls each right-side output becomes
+    // If(anyKeyNull, NULL, value) — including plain grouping-key
+    // passthroughs, where a PARTIALLY-null key tuple must null out the
+    // non-null components too.
+    lazy val anyKeyNull: Expression = partitionKeys
+      .map(org.apache.spark.sql.catalyst.expressions.IsNull(_))
+      .reduce(org.apache.spark.sql.catalyst.expressions.Or)
+    def mask(e: Expression): Expression =
+      if (!maskNulls) e
+      else org.apache.spark.sql.catalyst.expressions.If(anyKeyNull,
+        org.apache.spark.sql.catalyst.expressions.Literal(null, e.dataType), e)
 
     // distribute the peeled filter conditions:
     //  - shared by both sides → below the window (they shaped the
@@ -392,7 +420,7 @@ object WinMagic extends Rule[LogicalPlan] with PredicateHelper {
         case a: Attribute =>
           val m = toLeft.getOrElse(a, { ok = false; a })
           if (!ok) return None
-          Alias(m, a.name)(exprId = a.exprId)
+          Alias(mask(m), a.name)(exprId = a.exprId)
         case al @ Alias(child, name) =>
           // a non-deterministic aggregate output (e.g. sum(x)+rand())
           // evaluates once per GROUP in the join-back but once per ROW
@@ -401,17 +429,28 @@ object WinMagic extends Rule[LogicalPlan] with PredicateHelper {
           val mapped = mapExpr(child)
           if (!ok) return None
           // non-trivial window output rides the Window node; plain
-          // remapped grouping refs can alias directly in the Project
+          // remapped grouping refs can alias directly in the Project.
+          // Under maskNulls the Window computes the raw value under a
+          // FRESH id and the Project emits the masked form under the
+          // ORIGINAL id (two aliases may not share an exprId).
           if (mapped.exists(_.isInstanceOf[WindowExpression])) {
-            val wa = Alias(mapped, name)(exprId = al.exprId)
-            windowAliases += wa
-            wa.toAttribute
-          } else Alias(mapped, name)(exprId = al.exprId)
+            if (maskNulls) {
+              val wa = Alias(mapped, name)()
+              windowAliases += wa
+              Alias(mask(wa.toAttribute), name)(exprId = al.exprId)
+            } else {
+              val wa = Alias(mapped, name)(exprId = al.exprId)
+              windowAliases += wa
+              wa.toAttribute
+            }
+          } else Alias(mask(mapped), name)(exprId = al.exprId)
         case _ => return None
       }
     }
 
-    val belowConds = common ++ (if (nullableKeys)
+    // Inner drops null-key rows (the join's behavior); LeftOuter keeps
+    // them, masked above — so the IsNotNull drop is Inner-only
+    val belowConds = common ++ (if (nullableKeys && inner)
       partitionKeys.map(
         org.apache.spark.sql.catalyst.expressions.IsNotNull(_)) else Nil)
     val windowChild =

@@ -70,7 +70,7 @@ class WinMagicSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, 10.0), (2L, 5.0)))
   }
 
-  test("nullable keys: inner rewrites with a null-key drop, left outer declines") {
+  test("nullable keys: inner rewrites with a null-key drop, left outer with a null mask") {
     import spark.implicits._
     val f = Seq((Some(1L), 10.0), (Some(1L), 20.0), (None, 99.0))
       .toDF("k", "x")
@@ -82,8 +82,60 @@ class WinMagicSpec extends SparkSpec {
       .sortBy(t => (t._1, t._2))
     // the null-key row is dropped, exactly as the equality join drops it
     assert(rows.toSeq == Seq((1L, 10.0, 30.0), (1L, 20.0, 30.0)))
+    // LeftOuter NULL-EXTENDS the null-key row (NULL = NULL fails); the
+    // rewrite reproduces that by masking the window output to NULL for
+    // any-null-key rows — NOT by handing the row its own NULL
+    // partition's sum (99.0), which is what an unmasked window would do
     val louter = f.join(agg, Seq("k"), "left")
-    assert(joins(louter).nonEmpty, "left outer with nullable keys declines")
+    assert(joins(louter).isEmpty, "left outer with nullable keys rewrites via the mask")
+    assert(windows(louter).nonEmpty)
+    val lrows = louter.collect().map(r =>
+      (Option(r.getAs[java.lang.Long]("k")).map(_.toLong),
+        r.getAs[Double]("x"),
+        Option(r.getAs[java.lang.Double]("s")).map(_.toDouble)))
+      .sortBy(t => (t._1.getOrElse(Long.MinValue), t._2))
+    assert(lrows.toSeq == Seq(
+      (None, 99.0, None), // null-extended, not 99.0
+      (Some(1L), 10.0, Some(30.0)), (Some(1L), 20.0, Some(30.0))))
+  }
+
+  test("COUNT-bug shape: correlated count subquery collapses with zero-count semantics") {
+    // the decorrelated `WHERE x > (SELECT count(*) ... WHERE u.k = t.k)`
+    // becomes a LeftOuter join-back (count's zero-on-empty correction
+    // is NOT null-rejecting, so EliminateOuterJoin cannot convert it
+    // to Inner) over a nullable key — exactly the shape r14 declined.
+    // The null-key row's subquery count is 0 (NULL never equals), so
+    // `2.0 > 0` must KEEP it; group 1 has count 2 so only x=3.0 > 2
+    // survives; group 2's single row fails 0.0 > 1.
+    // SCAN-backed (parquet), not a LocalRelation: column pruning
+    // rewrites a LocalRelation's schema in place (no Project layer to
+    // peel), so the two cores could never compare sameResult there —
+    // a parquet core keeps its pruning as peelable Projects, which is
+    // also the only shape that exists at 100 TB
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("winmagic_cnt").toString
+    Seq((Some(1L), 1.0), (Some(1L), 3.0), (Some(2L), 0.0), (None, 2.0))
+      .toDF("k", "x").write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("wm_cnt")
+    def run() = spark.sql(
+      """SELECT k, x FROM wm_cnt t
+        |WHERE x > (SELECT count(*) FROM wm_cnt u WHERE u.k = t.k)""".stripMargin)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (Option(r.getAs[java.lang.Long]("k")).map(_.toLong),
+        r.getAs[Double]("x"))).toSet
+    val on = run()
+    assert(joins(on).isEmpty, "count join-back must collapse to a window")
+    assert(windows(on).nonEmpty)
+    val got = rows(on)
+    assert(got == Set((Some(1L), 3.0), (None, 2.0)), got.toString)
+    // kill-switch A/B: the un-rewritten LeftOuter plan agrees (the
+    // DataFrame is rebuilt — queryExecution is memoized per instance)
+    spark.conf.set("spark.graft.optimizer.winmagic", "false")
+    try {
+      val off = run()
+      assert(joins(off).nonEmpty, "kill switch must leave the join-back")
+      assert(rows(off) == got)
+    } finally spark.conf.unset("spark.graft.optimizer.winmagic")
   }
 
   test("declines: non-deterministic filters never move or collapse") {
@@ -290,6 +342,17 @@ class WinMagicSpec extends SparkSpec {
     val b = graft.ext.Analytics.smallQuantityRevenue(
       Tables.part(spark, dir), Tables.lineitem(spark, dir)).collect().head
     assert(a.toSeq == b.toSeq)
+  }
+
+  test("sql_count_winmagic: the COUNT-bug LeftOuter join-back collapses on real tables") {
+    // the oracle-gated query's plan pin: nullable parquet keys +
+    // LeftOuter (count's zero-correction blocks EliminateOuterJoin) —
+    // one lineitem scan, a window, no join
+    val d = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("sql_count_winmagic")(spark, d)
+    assert(joins(df).isEmpty, df.queryExecution.optimizedPlan.toString)
+    assert(windows(df).nonEmpty)
+    assert(df.collect().map(_.getAs[Long]("n_deep")).sum > 0)
   }
 
   test("kill switch: winmagic=false leaves the join in place") {
