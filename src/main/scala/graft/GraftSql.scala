@@ -38,6 +38,7 @@ object GraftSql {
         .selectExpr("user_id", "ts AS c_ts", "event_id AS c_eid")
         .createOrReplaceTempView("clicks_v")
       graft.plans.AsOfSql.register(spark)
+      graft.plans.RangeSql.register(spark)
       graft.functions.CosineSimilarity.register(spark)
       graft.functions.RollingMinHash.register(spark)
       graft.functions.SimHash32.register(spark)

@@ -224,6 +224,16 @@ object SparkEntry {
       .clickAsOfPurchaseNative(Tables.events(s, d), None,
         broadcastRight = true, "nearest")),
     "events_range" -> ((s, d) => TemporalJoins.clicksAfterPurchase(Tables.events(s, d))),
+    // the range join REACHED FROM SQL TEXT through the range_join TVF
+    // (plans/RangeSql.scala) — equi keys + band residual, never a
+    // cross product (plan-pinned in TemporalJoinsSpec); same oracle as
+    // events_range
+    "sql_range" -> ((s, d) => GraftSql.sql(s, d, """
+      SELECT user_id, event_id AS purchase_event_id,
+             c_eid AS click_event_id,
+             unix_micros(c_ts) - unix_micros(ts) AS gap_us
+      FROM range_join('purchases_v', 'clicks_v', 'user_id', 'ts', 'c_ts',
+                      0, 3600000000)""")),
     // explicit two-phase salted aggregation (result ≡ plain groupBy)
     "events_salted_counts" -> ((s, d) => ext.Skew.saltedTypeCounts(Tables.events(s, d))),
     // per-type z-score outliers from exact quantized moments
@@ -957,6 +967,7 @@ object SparkEntry {
     "events_asof_tolerance" -> OracleSqlExt.eventsAsofTolerance,
     "events_asof_fwd" -> OracleSqlExt.eventsAsofFwd,
     "events_asof_nearest" -> OracleSqlExt.eventsAsofNearest,
+    "sql_range" -> OracleSqlExt.eventsRange,
     "events_range" -> OracleSqlExt.eventsRange,
     "events_salted_counts" -> OracleSqlExt.eventsSaltedCounts,
     "events_anomalies" -> OracleSqlExt.eventsAnomalies,

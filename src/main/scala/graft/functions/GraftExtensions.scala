@@ -35,6 +35,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(graft.plans.AsOfSql.name),
       graft.plans.AsOfSql.info,
       graft.plans.AsOfSql.builder))
+    // SQL-text spelling of the range join (a TVF expanding to an
+    // equi+band inner join — never a cross product)
+    ext.injectTableFunction((
+      FunctionIdentifier(graft.plans.RangeSql.name),
+      graft.plans.RangeSql.info,
+      graft.plans.RangeSql.builder))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(

@@ -340,6 +340,35 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(self.collect().nonEmpty)
   }
 
+  test("range_join TVF plans an equi join with the band as residual, never a cross product") {
+    val d = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("sql_range")(spark, d)
+    val physical = df.queryExecution.executedPlan
+    // an equi join node must carry the key; no cartesian/BNLJ anywhere
+    val s = physical.toString
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s)
+    assert(s.contains("Join") && s.contains("user_id"), s)
+    // row-identical to the DataFrame range join (same oracle)
+    val sqlRows = df.collect().map(_.toSeq).toSet
+    val dfRows = SparkEntry.queries("events_range")(spark, d)
+      .collect().map(_.toSeq).toSet
+    assert(sqlRows.nonEmpty && sqlRows == dfRows)
+    // validation: a keyless band join is rejected loudly
+    graft.GraftSql.attach(spark, d)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM range_join('purchases_v', 'clicks_v', '', " +
+        "'ts', 'c_ts', 0, 10)").collect()
+    }
+    assert(e.getMessage.contains("equi key"), e.getMessage)
+    // an empty band is rejected too
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM range_join('purchases_v', 'clicks_v', " +
+        "'user_id', 'ts', 'c_ts', 10, 0)").collect()
+    }
+    assert(e2.getMessage.contains("empty band"), e2.getMessage)
+  }
+
   test("asof_join TVF direction argument reaches both non-default probes") {
     val d = "/root/testdata/sf0.001"
     graft.GraftSql.attach(spark, d)
