@@ -148,8 +148,20 @@ object Bench {
     // discount the run instead of misreading host noise as plan
     // regressions. Threshold/reference overridable by env; reference
     // default is the r13 quiet full-set warmup on this host class.
-    val quietWarmupRef = sys.env.getOrElse(
-      "SPARK_GRAFT_QUIET_WARMUP_SEC", "118").toDouble
+    // The 118 s default is calibrated to THIS host class (the artifact
+    // records the reference used, so a reader on different hardware can
+    // recalibrate); a malformed override falls back with a warning
+    // instead of killing the whole bench before any query ran.
+    val quietWarmupRef = sys.env.get("SPARK_GRAFT_QUIET_WARMUP_SEC") match {
+      case Some(s) => try s.trim.toDouble catch {
+        case _: NumberFormatException =>
+          System.err.println(s"[graft.bench] ignoring malformed " +
+            s"SPARK_GRAFT_QUIET_WARMUP_SEC='$s' (not a number); " +
+            "using the 118 s host-class default")
+          118.0
+      }
+      case None => 118.0
+    }
     // FULL runs only: the reference is a full-set number, and a small
     // GRAFT_BENCH_ONLY subset's warmup is dominated by the fixed
     // session-init + Janino cost the full set amortizes — scaling the
@@ -305,6 +317,8 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""warmup_sec":$warmupSec,"aqe_total_sec":$aqeTotal,""" +
         f""""host_contended":$hostContended,"quiet_warmup_ref_sec":$quietWarmupRef%.1f,""" +
+        s""""quiet_ref_note":"full-set sf0.001 warmup on this host class; """ +
+        s"""recalibrate via SPARK_GRAFT_QUIET_WARMUP_SEC on other hardware",""" +
         f""""load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,""" +
         s""""aqe_queries":$aqeQs,"sf":"$sfDir","iterations":$iterations,""" +
         s""""pass_wall_sec":${secArr(passes.map(_.wall))},""" +

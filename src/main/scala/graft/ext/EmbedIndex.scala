@@ -97,15 +97,21 @@ object EmbedIndex {
     * (atomic rename means a manifest file is complete or absent —
     * never torn). */
   def manifest(dir: String): Option[Manifest] =
-    if (!Files.exists(commitDir(dir))) None
+    committedGens(dir).lastOption.map(readManifest(dir, _))
+
+  /** Every committed manifest generation number, ascending — readable
+    * without parsing manifest bodies, so it works across format
+    * versions (the upgrade path in [[build]] needs the latest gen of
+    * an index it cannot otherwise read). */
+  private def committedGens(dir: String): Seq[Long] =
+    if (!Files.exists(commitDir(dir))) Nil
     else {
       import scala.jdk.CollectionConverters._
-      val gens = Files.list(commitDir(dir)).iterator().asScala
+      Files.list(commitDir(dir)).iterator().asScala
         .map(_.getFileName.toString)
         .collect { case s if s.startsWith("manifest-") =>
           s.stripPrefix("manifest-").toLong }
         .toSeq.sorted
-      gens.lastOption.map(readManifest(dir, _))
     }
 
   /** Manifest format version. v2 (r14) added `epoch` (rebuild
@@ -124,8 +130,10 @@ object EmbedIndex {
     val found = kv.get("format").map(_.toInt).getOrElse(1)
     if (found != FormatVersion) throw new IllegalStateException(
       s"index at $dir uses manifest format $found; this build reads " +
-        s"format $FormatVersion — rebuild the index (or read it with a " +
-        "matching library version)")
+        s"format $FormatVersion — run build() (it starts a fresh epoch " +
+        "beside the old data and publishes a readable generation; " +
+        "vacuum reclaims the old files), or read with a matching " +
+        "library version")
     Manifest(gen, kv("epoch").toLong, kv("high").toLong,
       kv("m").toInt, kv("dsub").toInt, kv("cents"), kv("sums"),
       kv("segs").split(",").filter(_.nonEmpty).toSeq)
@@ -164,9 +172,21 @@ object EmbedIndex {
     * Old-epoch data is reclaimed by [[vacuum]]. */
   def build(embeddings: DataFrame, dir: String, m: Int = 4,
       dsub: Int = 16, ksub: Int = 8): Unit = {
-    val prev = manifest(dir)
-    val gen = prev.map(_.gen + 1).getOrElse(0L)
-    val epoch = prev.map(_.epoch + 1).getOrElse(0L)
+    // UPGRADE PATH: an older-format manifest reads as "no committed
+    // index here that this build can extend" — NOT a dead end. The
+    // rebuild starts past the legacy generations (so the new manifest
+    // is the one readers pick up) under an epoch that cannot collide
+    // with legacy data names; the old files sit beside it until
+    // vacuum. Readers still fail loudly on the old format — only
+    // build() recovers, because rebuilding is the documented remedy.
+    val (prev, legacyLastGen) =
+      try (manifest(dir), None) catch {
+        case _: IllegalStateException =>
+          (None, committedGens(dir).lastOption)
+      }
+    val gen = prev.map(_.gen + 1)
+      .orElse(legacyLastGen.map(_ + 1)).getOrElse(0L)
+    val epoch = prev.map(_.epoch + 1).getOrElse(gen)
     val pq = EmbedOps.trainPq(embeddings, m, dsub, ksub)
     try {
       Files.createDirectories(Paths.get(dir))

@@ -128,8 +128,27 @@ object AsOfLadder {
       run(bcast(f)) // warm
       med(Vector.fill(passes)(run(bcast(f))))
     }
+    // CONTROL for the task probe: the identical repartition + aggregate
+    // with NO as-of in the plan. Whatever ratio the control shows at
+    // 512 vs 32 tasks is exchange-width + task-dispatch overhead (512
+    // shuffle partitions write/read more, smaller blocks, 16x the
+    // scheduling events on a sub-second job) — only the as-of ratio IN
+    // EXCESS of the control is attributable to the prober's per-task
+    // setup (the r14 open question).
+    def controlWall(parts: Int): Double = {
+      val f = facts(10).repartition(parts)
+      def one(): Double = {
+        val t0 = System.nanoTime()
+        f.agg(sum(col("ts")), count(lit(1))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      one() // warm
+      med(Vector.fill(passes)(one()))
+    }
     val w32 = taskWall(32)
     val w512 = taskWall(512)
+    val c32 = controlWall(32)
+    val c512 = controlWall(512)
     spark.stop()
 
     def fmt(d: Double) = f"$d%.3f"
@@ -163,10 +182,14 @@ object AsOfLadder {
   $body
   },
   "task_scaling_probe": {
-    "what": "broadcast form, fixed 10M facts, left repartitioned 32 vs 512 tasks — per-task index rebuild would scale the wall ~16x in build cost; the per-executor memo keeps it flat",
+    "what": "broadcast form, fixed 10M facts, left repartitioned 32 vs 512 tasks. NOT flat: the measured ratio bundles exchange-width + task-dispatch overhead with any per-task probe setup — the control row (same repartition + aggregate, no as-of) isolates the former, and only the EXCESS over the control is the prober's own per-task cost. A per-task index rebuild would instead scale the build work ~16x; the per-executor memo removes that term.",
     "wall_sec_32_tasks": ${fmt(w32)},
     "wall_sec_512_tasks": ${fmt(w512)},
-    "ratio": ${fmt(w512 / w32)}
+    "ratio": ${fmt(w512 / w32)},
+    "control_wall_sec_32_tasks": ${fmt(c32)},
+    "control_wall_sec_512_tasks": ${fmt(c512)},
+    "control_ratio": ${fmt(c512 / c32)},
+    "asof_excess_ratio_vs_control": ${fmt((w512 / w32) / (c512 / c32))}
   }
 }"""
     Option(Paths.get(outPath).getParent).foreach(Files.createDirectories(_))

@@ -36,6 +36,33 @@ class EmbedIndexSpec extends SparkSpec {
   private def searchSet(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(_.toSeq).toSet
 
+  test("an old-format manifest is upgradable THROUGH build(), not a dead end") {
+    // simulate a v1 (pre-epoch) index: a committed manifest without the
+    // current format key. Readers must fail loudly naming the remedy;
+    // build() must treat it as no-extendable-index and publish a fresh
+    // readable generation PAST the legacy ones (so readers pick it up)
+    // instead of throwing the same error its message recommends fixing
+    // with.
+    val dir = tmpDir("upgrade")
+    Files.createDirectories(Paths.get(s"$dir/_commits"))
+    Files.write(Paths.get(s"$dir/_commits/manifest-3"),
+      "high=0\nm=4\ndsub=16\ncents=cents\nsums=sums-0\nsegs=seg-0\n"
+        .getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      EmbedIndex.manifest(dir)
+    }
+    assert(e.getMessage.contains("format 1") &&
+      e.getMessage.contains("build()"), e.getMessage)
+    // the recommended remedy actually works
+    EmbedIndex.build(fixture, dir, m = 2, dsub = 2, ksub = 4)
+    val m = EmbedIndex.manifest(dir).get
+    assert(m.gen == 4L, s"fresh gen must pass the legacy ones: $m")
+    val queries = fixture.filter(
+      org.apache.spark.sql.functions.col("vec_id") === 0L)
+      .select("vec_id", "embedding")
+    assert(searchSet(EmbedIndex.search(spark, dir, queries)).nonEmpty)
+  }
+
   test("persisted search equals the in-session IVF-PQ on real data") {
     val d = "/root/testdata/sf0.001"
     val e = Tables.embeddings(spark, d)
