@@ -427,16 +427,24 @@ object TextOps {
     * the same closed-world framing as [[unigramSurprisal]]. Docs with
     * fewer than two tokens have no bigrams and emit no row.
     *
-    * Scale posture: one corpus explode folded immediately to per-doc
-    * bigram tf (map-side combinable — repeated pairs inside a doc
-    * collapse before any shuffle), a vocab-sized count frame derived
-    * from THAT aggregate (never a second corpus pass), the context
-    * frame c₁ derived from the pair frame (vocab-sized input), then
-    * two hash joins keyed by the pair/context token. The count frames
-    * broadcast while small; at web-corpus vocab they become shuffle
-    * joins whose Zipf-hot keys are pre-aggregated to one build row
-    * each, with AQE skew-split covering the probe side — the
-    * [[unigramSurprisal]] posture, one model order up. */
+    * Scale posture — NO corpus-wide exchange: the r14 form pre-folded
+    * raw occurrences to a per-(doc, pair) tf frame so both branches
+    * could share one exchange, but that fold IS a corpus-sized 3-key
+    * shuffle, and it is algebraically unnecessary (Σ tf·bits over
+    * folded pairs ≡ Σ bits over raw occurrences) — dropping it cut the
+    * 30× ladder wall ~27 → ~19 s (PLANS.md "text_perplexity — r15").
+    * Now: the pair counts c₁₂ aggregate straight off the raw explode
+    * (map-side combined — shuffle volume is per-partition-distinct
+    * pairs, vocab-shaped, not corpus-shaped), the context frame c₁
+    * folds into the pair frame first (vocab × vocab join, never a
+    * t1-keyed probe whose Zipf-hot context keys would skew), and the
+    * corpus side pays one join from RAW occurrences plus the per-doc
+    * aggregate whose map-side combine ships one row per doc. The
+    * explode runs twice (two scans of the token column) — cheaper
+    * than shuffling the corpus once, and at web-corpus vocab, where
+    * the pair frame stops broadcasting and the scoring join must
+    * shuffle the raw side by pair key, the worst case merely equals
+    * the old fold exchange it replaced. */
   def bigramSurprisal(documents: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val pairs = when(size(toks) >= 2,
@@ -444,28 +452,19 @@ object TextOps {
         i => struct(element_at(toks, i).as("t1"),
           element_at(toks, i + 1).as("t2"))))
       .otherwise(array().cast("array<struct<t1:string,t2:string>>"))
-    // the per-doc fold is ALSO the sharing point: dtf's aggregate
-    // exchange is canonical-identical under both consumers (the pair
-    // counts and the scoring join), so ReuseExchange materializes the
-    // corpus-shaped frame once in shuffle files — no block-manager pin
-    // of anything corpus-sized, unlike a raw-occurrence checkpoint
-    val dtf = documents.select(col("doc_id"), explode(pairs).as("p"))
-      .groupBy(col("doc_id"), col("p.t1").as("t1"), col("p.t2").as("t2"))
-      .agg(count(lit(1)).as("tf"))
-    val c12 = dtf.groupBy(col("t1"), col("t2")).agg(sum(col("tf")).as("c12"))
+    val raw = documents.select(col("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"), col("p.t1").as("t1"), col("p.t2").as("t2"))
+    val c12 = raw.groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).as("c12"))
     val c1 = c12.groupBy(col("t1")).agg(sum(col("c12")).as("c1"))
-    // fold the context counts into the PAIR frame first (vocab × vocab
-    // join between two aggregated frames), so the corpus-sized
-    // occurrence probe pays exactly ONE join — and never a t1-keyed
-    // one, whose Zipf-hot context keys would be the skewed probe side
     val pairBits = c12.join(c1, Seq("t1"))
       .select(col("t1"), col("t2"),
         (length(expr("bin(c1)")) - length(expr("bin(c12)")))
           .cast("long").as("pair_bits"))
-    dtf.join(pairBits, Seq("t1", "t2"))
+    raw.join(pairBits, Seq("t1", "t2"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("tf")).as("n_bigrams"),
-        sum(col("tf") * col("pair_bits")).as("total_bits"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("pair_bits")).as("total_bits"))
       .select(col("doc_id"), col("n_bigrams"), col("total_bits"),
         (col("total_bits").cast("double") / col("n_bigrams"))
           .as("bits_per_bigram"))
