@@ -92,21 +92,63 @@ object ScaleLadder {
     val samples = collection.mutable.Map
       .empty[(String, String), Vector[Double]]
     val rows = collection.mutable.Map.empty[(String, String), Long]
-    // warmup at the SMALLEST rung (JIT + codegen), then interleaved
-    // timed passes rung-major so repeated runs of one query never sit
-    // back to back on a warm page cache
+    // per-(pass, rung) wall clocks — the contention defense Bench has
+    // and r15's 100× runs showed this tool needs: the host exhibits
+    // sporadic multi-minute slow phases (threads runnable but
+    // descheduled), and with few passes a phase spanning one rung
+    // visit poisons that rung's median. Any (pass, rung) whose wall
+    // exceeds 2× the fastest visit of the SAME rung is marked
+    // contended and its samples are excluded from the medians (unless
+    // a rung only ever ran contended — then its own samples are all
+    // we have). The artifact carries the per-rung pass walls and the
+    // exclusion list so a reader can judge run quality directly.
+    val passWalls = collection.mutable.Map
+      .empty[String, Vector[Double]] // rung dir -> wall per pass
     for (n <- names) SparkEntry.queries(n)(spark, ladder.head._1).count()
-    for (_ <- 1 to passes; (dir, _) <- ladder; n <- names) {
-      val t0 = System.nanoTime()
-      val c = SparkEntry.queries(n)(spark, dir).count()
-      samples((n, dir)) =
-        samples.getOrElse((n, dir), Vector.empty) :+
-          (System.nanoTime() - t0) / 1e9
-      rows((n, dir)) = c
+    for (p <- 1 to passes; (dir, _) <- ladder) {
+      val tp0 = System.nanoTime()
+      for (n <- names) {
+        val t0 = System.nanoTime()
+        val c = SparkEntry.queries(n)(spark, dir).count()
+        samples((n, dir)) =
+          samples.getOrElse((n, dir), Vector.empty) :+
+            (System.nanoTime() - t0) / 1e9
+        rows((n, dir)) = c
+        // release the visit's pinned blocks before the next query:
+        // queries that localCheckpoint/cache (orders_basket, q18's
+        // lazy-checkpointed agg frames) leave block-manager-pinned
+        // RDDs behind until the driver's ContextCleaner happens to
+        // collect them — at the 100× rung those residuals are GBs,
+        // and r15 measured the NEXT query paying 12× its solo wall in
+        // spill pressure (q18: 76.7 s in-ladder vs 6.4 s solo). A
+        // measurement tool should attribute each wall to its own
+        // query, so the ladder drops the blocks eagerly.
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      passWalls(dir) =
+        passWalls.getOrElse(dir, Vector.empty) :+
+          (System.nanoTime() - tp0) / 1e9
     }
     spark.stop()
 
+    // contended (pass index per rung): wall > 2x the rung's fastest
+    val contended: Map[String, Set[Int]] = passWalls.map { case (dir, ws) =>
+      val floor = ws.min
+      dir -> ws.zipWithIndex.collect {
+        case (w, i) if w > 2.0 * floor => i }.toSet
+    }.toMap
+
     def med(xs: Vector[Double]): Double = graft.BenchStats.median(xs)
+    /** Median over the rung's non-contended samples (all samples when
+      * every pass of that rung was contended). */
+    def medAt(n: String, dir: String): Double = {
+      val xs = samples((n, dir))
+      val keep = xs.zipWithIndex
+        .collect { case (x, i) if !contended(dir).contains(i) => x }
+      med(if (keep.nonEmpty) keep else xs)
+    }
     def fmt(d: Double): String = f"$d%.3f"
 
     // least-squares slope of ln(wall) on ln(scale) over rungs >= 3x
@@ -121,7 +163,7 @@ object ScaleLadder {
     }
 
     val perQuery = names.map { n =>
-      val walls = ladder.map { case (dir, r) => (r, med(samples((n, dir)))) }
+      val walls = ladder.map { case (dir, r) => (r, medAt(n, dir)) }
       val rws = ladder.map { case (dir, _) => rows((n, dir)) }
       val a = alpha(walls)
       val topWall = walls.last._2
@@ -143,6 +185,11 @@ object ScaleLadder {
   "host": "local[$cpus], AQE on, $passes interleaved passes per rung, per-query medians",
   "rungs": [${ladder.map(_._2).mkString(",")}],
   "flag_rule": "alpha > $AlphaFlag and top-rung wall > $WallFloor s",
+  "contention_rule": "per-rung pass walls; a pass > 2x the rung's fastest is excluded from medians (the Bench whole-run guard's per-rung form)",
+  "pass_wall_sec_per_rung": {${ladder.map { case (dir, r) =>
+      s""""$r":[${passWalls(dir).map(fmt).mkString(",")}]""" }.mkString(",")}},
+  "contended_passes_per_rung": {${ladder.map { case (dir, r) =>
+      s""""$r":[${contended(dir).toSeq.sorted.mkString(",")}]""" }.mkString(",")}},
   "total_sec_per_rung": [${totals.map(fmt).mkString(",")}],
   "superlinear_wall_flags": [${flags.map("\"" + _ + "\"").mkString(",")}],
   "per_query": {

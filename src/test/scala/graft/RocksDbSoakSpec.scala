@@ -210,6 +210,235 @@ class RocksDbSoakSpec extends SparkSpec {
     assert(streamed.size == 100) // 2 purchases x 50 users
   }
 
+  /** Set the RocksDB provider around `body`, restore after — for the
+    * multi-query (restart) soaks that [[withRocks]]'s single-query
+    * harness can't wrap. */
+  private def withRocksConf[A](body: => A): A = {
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      RocksProvider)
+    try body finally prev match {
+      case Some(p) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  private def dirBytes(dirs: String*): Long = dirs.map { d =>
+    val p = java.nio.file.Paths.get(d)
+    if (!Files.exists(p)) 0L
+    else Files.walk(p).filter(Files.isRegularFile(_))
+      .mapToLong(Files.size(_)).sum()
+  }.sum
+
+  /** Record a soak row for a foreachBatch ingest pipeline whose state
+    * is EXTERNALIZED (parquet index dirs + TxnLog markers, provider-
+    * independent by design — there are no state-store operators to put
+    * on RocksDB; the soak exercises feed scale, mid-stream restart and
+    * replay instead, and `state_bytes` measures the on-disk index). */
+  private def recordExternalized(name: String,
+      progresses: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress],
+      stateDirs: Seq[String]): Unit =
+    soakStats(name) = Map(
+      "batches" -> progresses.length.toLong,
+      "max_batch_ms" ->
+        (if (progresses.isEmpty) 0L else progresses.map(_.batchDuration).max),
+      "state_rows" -> 0L, // externalized: no state-store rows
+      "state_bytes" -> dirBytes(stateDirs: _*))
+
+  test("near-dup ingest: 10x feed, mid-stream restart, externalized state") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // 50 bases (10x the unit fixture), disjoint per-base vocab so no
+    // cross-base shingle collisions. Per base: canonical (b*10), an
+    // exact dup (+1), an IN-batch near-dup (+2, last word changed:
+    // J=25/37≈0.68>0.5) and a CROSS-batch near-dup (+3, first word
+    // changed: J=30/32≈0.94) arriving after the restart.
+    def text(b: Int) = (0 until 36).map(i => s"w${i}_b$b").mkString(" ")
+    def lastChanged(b: Int) =
+      ((0 until 35).map(i => s"w${i}_b$b") :+ s"x_b$b").mkString(" ")
+    def firstChanged(b: Int) =
+      (s"y_b$b" +: (1 until 36).map(i => s"w${i}_b$b")).mkString(" ")
+    val corpusDir = Files.createTempDirectory("graft-soak-near").toString
+    val checkpoint = Files.createTempDirectory("graft-soak-near-ck").toString
+    val input = MemoryStream[(Long, String)]
+    def start() = graft.streaming.CorpusIngest.startNear(
+      input.toDF().toDF("doc_id", "text"), corpusDir, checkpoint)
+    withRocksConf {
+      val q1 = start()
+      val p1 = try {
+        input.addData((0 until 25).flatMap(b =>
+          Seq((b * 10L, text(b)), (b * 10L + 2, lastChanged(b)))): _*)
+        q1.processAllAvailable()
+        input.addData(((25 until 50).flatMap(b =>
+          Seq((b * 10L, text(b)), (b * 10L + 2, lastChanged(b)))) ++
+          (0 until 25).map(b => (b * 10L + 1, text(b)))): _*)
+        q1.processAllAvailable()
+        q1.recentProgress.toSeq
+      } finally q1.stop()
+      // RESTART from the same checkpoint: the band index persists on
+      // disk; cross-batch near-dups of docs ingested BEFORE the restart
+      // must still be suppressed by the stored-index probe
+      val q2 = start()
+      val p2 = try {
+        input.addData(((0 until 50).map(b => (b * 10L + 3, firstChanged(b))) ++
+          (25 until 50).map(b => (b * 10L + 1, text(b))) ++
+          (0 until 5).map(i => (9000L + i,
+            (0 until 36).map(j => s"n${j}_g$i").mkString(" ")))): _*)
+        q2.processAllAvailable()
+        q2.recentProgress.toSeq
+      } finally q2.stop()
+      val ids = spark.read.parquet(s"$corpusDir/data")
+        .select("doc_id").as[Long].collect().toSet
+      val expected = (0 until 50).map(_ * 10L).toSet ++
+        (0 until 5).map(9000L + _)
+      assert(ids == expected,
+        s"unexpected survivors: extra=${ids -- expected} missing=${expected -- ids}")
+      // the band index covers exactly the survivors
+      val bandDocs = spark.read.parquet(s"$corpusDir/bands")
+        .select("doc_id").distinct().as[Long].collect().toSet
+      assert(bandDocs == expected)
+      recordExternalized("corpus_ingest_near", p1 ++ p2,
+        Seq(s"$corpusDir/data", s"$corpusDir/bands", s"$corpusDir/_txn"))
+    }
+  }
+
+  test("semantic ingest: 10x feed, mid-stream restart, externalized state") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // 40 bases (13x the unit fixture) of 64-dim vectors with every
+    // coordinate EXACTLY on the 0.001 quantization grid; near-dups
+    // perturb one coordinate by 0.0004, which rounds to the SAME
+    // quantized vector — signature collision and cosine 1.0 are exact,
+    // so suppression is deterministic, while random base pairs in d=64
+    // concentrate near cos 0 (sd ≈ 0.125), far under the threshold.
+    val rnd = new scala.util.Random(1915L)
+    def base(b: Int): Array[Float] = {
+      val r = new scala.util.Random(7000L + b)
+      Array.fill(64)((r.nextInt(2001) - 1000) / 1000.0f)
+    }
+    require(rnd.nextInt(2) >= 0) // keep rnd used (seed documented)
+    def near(b: Int): Array[Float] = {
+      val v = base(b); v(0) = v(0) + 0.0004f; v
+    }
+    val indexDir = Files.createTempDirectory("graft-soak-sem").toString
+    val checkpoint = Files.createTempDirectory("graft-soak-sem-ck").toString
+    val input = MemoryStream[(Long, Array[Float])]
+    def start() = graft.streaming.CorpusIngest.startSemantic(
+      input.toDF().toDF("vec_id", "embedding"), indexDir, checkpoint)
+    withRocksConf {
+      val q1 = start()
+      val p1 = try {
+        // in-batch near-dups ride with their canonicals
+        input.addData((0 until 40).flatMap(b =>
+          Seq((b * 10L, base(b)), (b * 10L + 2, near(b)))): _*)
+        q1.processAllAvailable()
+        q1.recentProgress.toSeq
+      } finally q1.stop()
+      // restart; cross-batch near-dups probe the stored signature index
+      val q2 = start()
+      val p2 = try {
+        input.addData((0 until 40).map(b => (b * 10L + 3, near(b))): _*)
+        q2.processAllAvailable()
+        q2.recentProgress.toSeq
+      } finally q2.stop()
+      val ids = spark.read.parquet(s"$indexDir/data")
+        .select("vec_id").as[Long].collect().toSet
+      val expected = (0 until 40).map(_ * 10L).toSet
+      assert(ids == expected,
+        s"unexpected survivors: extra=${ids -- expected} missing=${expected -- ids}")
+      assert(spark.read.parquet(s"$indexDir/sigs")
+        .select("vec_id").distinct().as[Long].collect().toSet == expected)
+      recordExternalized("corpus_ingest_semantic", p1 ++ p2,
+        Seq(s"$indexDir/data", s"$indexDir/sigs", s"$indexDir/_txn"))
+    }
+  }
+
+  test("CCAS sink on RocksDB: 10x keys, mid-stream restart, batch-twin oracle") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // 2200 customer keys through the full fMGWS state machine + CAS
+    // sink (the EndToEndStreamSpec path at ~10x scale, on RocksDB,
+    // with the restart between the halves). Keys collide on the dedup
+    // key iff equal mod 550, so the second half is all cross-restart
+    // duplicates — only suppressed if the state store restored.
+    val phase1 = (1L to 1100L).map(k => (k, s"Customer#$k"))
+    val phase2 = (1101L to 2200L).map(k => (k, s"Customer#$k"))
+    val base = Files.createTempDirectory("graft-soak-ccas").toString
+    val input = MemoryStream[(Long, String)]
+    val envelope = graft.pipeline.MatchFixture.envelope(
+      input.toDF().toDF("c_custkey", "c_name"))
+    def start() = graft.streaming.StreamPipeline.casSinkTo(
+      graft.streaming.StreamPipeline.outcomesWithTtl(
+        envelope, ttlMs = 10_000_000_000L),
+      s"$base/ck", s"$base/jobs", s"$base/status")
+    withRocksConf {
+      val q1 = start()
+      val p1 = try {
+        phase1.grouped(275).foreach { chunk =>
+          input.addData(chunk: _*); q1.processAllAvailable()
+        }
+        q1.recentProgress.toSeq
+      } finally q1.stop()
+      val q2 = start()
+      val p2 = try {
+        phase2.grouped(275).foreach { chunk =>
+          input.addData(chunk: _*); q2.processAllAvailable()
+        }
+        q2.recentProgress.toSeq
+      } finally q2.stop()
+
+      // batch twin over the SAME records in one pass: the executable
+      // spec for every per-record action (trigger/dup/skip/error)
+      val twin = graft.streaming.StreamPipeline.outcomes(
+        graft.pipeline.MatchFixture.envelope(
+          (phase1 ++ phase2).toDF("c_custkey", "c_name")))
+        .select(col("recordId"), col("action"), col("eventId"), col("guestId"))
+        .collect()
+      val twinActions = twin.map(r =>
+        r.getString(0) -> r.getString(1)).toMap
+      val triggered = twin.filter(_.getString(1) == "email_triggered")
+      val dups = twin.filter(_.getString(1) == "duplicate_prevented")
+      assert(triggered.length > 100 && dups.length > 100, "fixture too thin")
+
+      // jobs: one per triggered record, dedup ids distinct
+      val jobs = spark.read.parquet(s"$base/jobs")
+      assert(jobs.count() == triggered.length.toLong)
+      assert(jobs.select("dedup_id").distinct().count() == triggered.length.toLong)
+      // status: CAS winners 'processing', duplicates 'delivered'
+      val status = graft.sink.StatusStore.read(spark, s"$base/status").get
+        .collect().map(r => r.getAs[String]("guest_id") ->
+          r.getAs[String]("delivery_status")).toMap
+      val expected =
+        triggered.map(r => r.getString(3) -> "processing").toMap ++
+          dups.map(r => r.getString(3) -> "delivered").toMap
+      assert(status == expected,
+        s"status drift: ${(status.toSet diff expected.toSet).take(5)} / " +
+          s"${(expected.toSet diff status.toSet).take(5)}")
+      // the restart proof: phase-2 records whose ONLY matching key sat
+      // in phase-1 state still dedup'd (any phase-2 duplicate whose
+      // trigger happened pre-restart needs the restored store)
+      val phase2Dups = dups.map(_.getString(0))
+        .count(_.stripPrefix("r").toLong > 1100L)
+      assert(phase2Dups > 100, s"only $phase2Dups cross-restart duplicates")
+      assert(twinActions.size == 2200)
+      soakStats("ccas_sink_restart") = Map(
+        "batches" -> (p1 ++ p2).count(_.stateOperators.nonEmpty).toLong,
+        "max_batch_ms" -> (p1 ++ p2).map(_.batchDuration).max,
+        "state_rows" -> (p1 ++ p2).filter(_.stateOperators.nonEmpty)
+          .lastOption.map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L),
+        "state_bytes" -> (p1 ++ p2).filter(_.stateOperators.nonEmpty)
+          .lastOption.map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L))
+      // RocksDB actually engaged for the stateful operator
+      val custom = (p1 ++ p2).flatMap(_.stateOperators)
+        .flatMap(_.customMetrics.keySet.toArray.map(_.toString))
+      assert(custom.exists(_.toLowerCase.contains("rocksdb")),
+        "CCAS soak did not run on RocksDB")
+    }
+  }
+
   override protected def afterAll(): Unit = {
     // commit the soak artifact: state size + batch durations per
     // pipeline, the numbers behind the "runs on RocksDB" claim
@@ -219,7 +448,7 @@ class RocksDbSoakSpec extends SparkSpec {
       }.mkString(",\n  ")
       val json =
         s"""{
-  "probe": "stream-equals-batch pins re-run on RocksDBStateStoreProvider with ~10x feeds; rocksdb custom metrics asserted present per query",
+  "probe": "stream-equals-batch pins re-run on RocksDBStateStoreProvider with ~10x feeds; rocksdb custom metrics asserted present for every state-store pipeline. corpus_ingest_* rows are the foreachBatch ingest layers whose state is EXTERNALIZED (parquet index + TxnLog, provider-independent): their soak exercises feed scale + mid-stream restart + replay, state_rows is 0 by construction and state_bytes is the on-disk index size",
   "pipelines": {
   $body
   }
