@@ -248,6 +248,10 @@ object SparkEntry {
     // KMV/theta sketch-intersection overlap between the corpus halves:
     // the join-free decontamination-rate estimate (+ exact eval cols)
     "sketch_kmv_overlap" -> ((s, d) => ext.Sketches.kmvShingleOverlap(docs(s, d))),
+    // deterministic bottom-k quantile sketch per event type (uniform
+    // hash of the unique event_id = reproducible random sample;
+    // percentile_disc rank rule over it) + exact eval columns
+    "sketch_quantiles" -> ((s, d) => ext.Sketches.quantileSketch(Tables.events(s, d))),
     // key-skew diagnostic: hottest keys + max/mean ratio for user_id
     "diag_key_skew" -> ((s, d) => ext.Skew.keySkewReport(Tables.events(s, d))),
     // one-pass dataset-card profile: nulls/cardinalities/ranges
@@ -975,6 +979,7 @@ object SparkEntry {
     "sketch_kmv" -> OracleSqlExt.sketchKmv,
     "sketch_countmin" -> OracleSqlExt.sketchCountMin,
     "sketch_kmv_overlap" -> OracleSqlExt.sketchKmvOverlap,
+    "sketch_quantiles" -> OracleSqlExt.sketchQuantiles,
     "diag_key_skew" -> OracleSqlExt.diagKeySkew,
     "diag_profile" -> OracleSqlExt.diagProfile,
     "diag_histogram" -> OracleSqlExt.diagHistogram,

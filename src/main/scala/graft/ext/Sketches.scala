@@ -137,6 +137,87 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }
 
+  /** Deterministic mergeable QUANTILE sketch per event type — the
+    * bottom-k row sample: keep the k rows whose md5-derived hash of
+    * the (unique) event_id is smallest. A uniform hash of a unique key
+    * is a uniform random order, so the kept rows are a simple random
+    * sample of size k — but unlike reservoir sampling / KLL / t-digest
+    * the selection is a PURE FUNCTION of the data: reproducible across
+    * runs, engines and partitionings, and mergeable exactly (bottom-k
+    * of A ∪ B = bottom-k of bottomK(A) ∪ bottomK(B), the same law as
+    * KMV — pinned in SketchesSpec). Quantile estimates are the
+    * percentile_disc rank rule (value at row ⌈p·m⌉ of the sample's
+    * value order, event_id tie-break) — one double multiply + ceil, so
+    * the whole row hash-gates against DuckDB, estimates included; the
+    * exact per-type quantiles alongside are the EVALUATION columns
+    * (same status as kmvDistinct's exact countDistinct; their per-type
+    * window sort is eval-only cost, not the sketch's).
+    *
+    * Scale posture: the per-type bottom-k is rank ≤ k over a window —
+    * Spark rewrites it to WindowGroupLimit (k ≤ 1000), so k rows per
+    * map task reach the exchange, never the event volume; estimates
+    * then run over ≤ k·|types| rows. Sketches from disjoint shards (or
+    * stream batches — [[graft.streaming.CorpusIngest
+    * .updateQuantileSketch]]) merge by union + re-take-k, so a
+    * monitoring pipeline answers "what is p99(value) per type over
+    * everything ever ingested" from k·|types| rows without a rescan. */
+  def quantileSketch(events: DataFrame, k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val est = quantileEstimatesFrom(quantileSample(events, k), k)
+    val ew = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val en = Window.partitionBy(col("event_type"))
+    def pickExact(p: Double, name: String) =
+      max(when(col("rn") ===
+        ceil(col("n").cast("double") * p).cast("bigint"), col("value")))
+        .as(name)
+    val exact = events.filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(ew))
+      .withColumn("n", count(lit(1)).over(en))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_exact"),
+        pickExact(0.5, "p50_exact"), pickExact(0.9, "p90_exact"),
+        pickExact(0.99, "p99_exact"))
+    est.join(exact, Seq("event_type"))
+  }
+
+  /** The bottom-k sample frame (event_type, event_id, value, hv) —
+    * the mergeable artifact, shared by [[quantileSketch]] and the
+    * streaming maintenance path so batch and stream sketches agree
+    * bit-for-bit. Null values/ids are excluded (a null value has no
+    * quantile; the hash needs the unique key). */
+  private[graft] def quantileSample(events: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    events.filter(col("value").isNotNull && col("event_id").isNotNull)
+      .select(col("event_type"), col("event_id"), col("value"),
+        h60(col("event_id").cast("string")).as("hv"))
+      .withColumn("srn", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("hv"), col("event_id"))))
+      .filter(col("srn") <= k)
+      .drop("srn")
+  }
+
+  /** Per-type percentile_disc estimates over a sample frame. */
+  private[graft] def quantileEstimatesFrom(sample: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sw = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    def pick(p: Double, name: String) =
+      max(when(col("rn") ===
+        ceil(col("m").cast("double") * p).cast("bigint"), col("value")))
+        .as(name)
+    sample
+      .withColumn("rn", row_number().over(sw))
+      .withColumn("m", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("m")).as("sample_k"),
+        pick(0.5, "p50_est"), pick(0.9, "p90_est"), pick(0.99, "p99_est"))
+  }
+
   /** KMV/theta-style OVERLAP estimate between the two corpus halves
     * (doc_id parity): how many `w`-token shingles the halves share,
     * estimated from two k-minimum-value sketches — the 100-TB

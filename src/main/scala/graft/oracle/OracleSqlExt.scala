@@ -2361,6 +2361,49 @@ SELECT a.k, a.vk,
        ex.n_distinct_exact
 FROM agg a, ex"""
 
+  /** Mirror of Sketches.quantileSketch(k=256): bottom-256 rows per
+    * type by the 60-bit md5 hash of the event_id string (event_id
+    * tie-break), percentile_disc rank rule (value at row ⌈p·m⌉, value
+    * order with event_id ties) over the sample; exact quantiles with
+    * the same rank rule over the full data as the eval columns. All
+    * picked values are raw parquet doubles — the whole row hash-gates. */
+  val sketchQuantiles: String = """
+WITH s AS (
+  SELECT event_type, event_id, value,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+samp AS (
+  SELECT event_type, event_id, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type
+                                 ORDER BY hv, event_id) AS srn
+    FROM s)
+  WHERE srn <= 256),
+est AS (
+  SELECT event_type, max(m) AS sample_k,
+         max(CASE WHEN rn = CAST(ceil(m * 0.5) AS BIGINT) THEN value END) AS p50_est,
+         max(CASE WHEN rn = CAST(ceil(m * 0.9) AS BIGINT) THEN value END) AS p90_est,
+         max(CASE WHEN rn = CAST(ceil(m * 0.99) AS BIGINT) THEN value END) AS p99_est
+  FROM (SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS m
+        FROM samp)
+  GROUP BY event_type),
+ex AS (
+  SELECT event_type, max(n) AS n_exact,
+         max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN value END) AS p50_exact,
+         max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN value END) AS p90_exact,
+         max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN value END) AS p99_exact
+  FROM (SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events WHERE value IS NOT NULL)
+  GROUP BY event_type)
+SELECT est.event_type, est.sample_k, est.p50_est, est.p90_est, est.p99_est,
+       ex.n_exact, ex.p50_exact, ex.p90_exact, ex.p99_exact
+FROM est JOIN ex ON est.event_type = ex.event_type"""
+
   /** Mirror of Sketches.countMinTypes(depth=4, width=1024): counter
     * build and point query share the md5 position formula; estimate =
     * min across the 4 rows. */

@@ -363,6 +363,46 @@ object CorpusIngest {
       }
     }
 
+  /** Streaming quantile-sketch maintenance: each micro-batch's
+    * bottom-k row sample ([[graft.ext.Sketches.quantileSample]] — the
+    * same build the batch query uses) merges with the stored one by
+    * union + per-type re-take-k, the bottom-k merge law SketchesSpec
+    * proves for shard sketches. The running sample answers per-type
+    * quantile point queries over the WHOLE ingested history from
+    * ≤ k·|types| rows — the distribution-drift monitor a training
+    * pipeline wants while data is still arriving. Same versioned
+    * publish + TxnLog commit as the KMV path; the merge is idempotent
+    * AND monotone (identical rows dedup on (type, event_id) before the
+    * re-take, so a torn rerun converges — the KMV `distinct` property,
+    * spelled out because bottom-k over a bag would double-count). */
+  def updateQuantileSketch(batch: DataFrame, batchId: Long,
+      sketchDir: String, k: Int = 256): Unit =
+    mergePublish(batch.sparkSession, sketchDir, "qsample", batchId) { prev =>
+      val cols = Seq("event_type", "event_id", "value")
+      val batchRows = batch.select(cols.head, cols.tail: _*)
+      val all = prev match {
+        case Some(p) => p.select(cols.head, cols.tail: _*)
+          .unionByName(batchRows)
+        case None => batchRows
+      }
+      graft.ext.Sketches.quantileSample(
+        all.dropDuplicates(Seq("event_type", "event_id")), k)
+    }
+
+  /** Current per-type quantile estimates from the stored sample —
+    * shares [[graft.ext.Sketches.quantileEstimatesFrom]] with the
+    * batch query. Empty (0-row) frame before the first commit. */
+  def quantileEstimate(spark: SparkSession, sketchDir: String,
+      k: Int = 256): DataFrame =
+    readLatest(spark, sketchDir, "qsample") match {
+      case Some(s) => graft.ext.Sketches.quantileEstimatesFrom(s, k)
+      case None => spark.range(0).select(
+        col("id").cast("string").as("event_type"), col("id").as("sample_k"),
+        col("id").cast("double").as("p50_est"),
+        col("id").cast("double").as("p90_est"),
+        col("id").cast("double").as("p99_est"))
+    }
+
   /** Point-query the stored counter sketch for `keys` (0-row frame
     * before the first commit; never-inserted keys estimate 0). */
   def cmsLookup(spark: SparkSession, sketchDir: String, keys: Seq[String],

@@ -230,6 +230,43 @@ class CorpusIngestSpec extends SparkSpec {
     assert(est.getAs[Long]("vk") == whole.max)
   }
 
+  test("streaming quantile sketch over batches equals the batch sketch over the whole stream") {
+    val sketchDir = Files.createTempDirectory("graft-qsk").toString
+    val k = 32
+    // 3 micro-batches x 60 events, 2 types, values interleaved so each
+    // batch alone has a different distribution than the whole
+    val batches = (0 until 3).map { b =>
+      (0 until 60).map { i =>
+        val id = b * 60L + i
+        (id, s"t${i % 2}", ((id * 13) % 97).toDouble)
+      }.toDF("event_id", "event_type", "value")
+    }
+    // before the first commit: empty estimate, no throw
+    assert(CorpusIngest.quantileEstimate(spark, sketchDir, k).count() == 0)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      CorpusIngest.updateQuantileSketch(b, i.toLong, sketchDir, k)
+    }
+    def estMap = CorpusIngest.quantileEstimate(spark, sketchDir, k)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("sample_k"), r.getAs[Double]("p50_est"),
+          r.getAs[Double]("p99_est"))).toMap
+    // batch reference: the sketch of the whole stream in one pass
+    val whole = graft.ext.Sketches
+      .quantileSketch(batches.reduce(_ unionByName _), k)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("sample_k"), r.getAs[Double]("p50_est"),
+          r.getAs[Double]("p99_est"))).toMap
+    val streamed = estMap
+    assert(streamed == whole) // stream-over-time ≡ batch-over-space
+    // txn-log replay of a committed batch id: no work, sketch unchanged
+    CorpusIngest.updateQuantileSketch(batches(1), 1L, sketchDir, k)
+    assert(estMap == whole)
+    // torn rerun (same data, NEW batch id): the (type, event_id) dedup
+    // inside the merge makes it idempotent — same sketch
+    CorpusIngest.updateQuantileSketch(batches(1), 99L, sketchDir, k)
+    assert(estMap == whole)
+  }
+
   test("a torn sketch write without its commit marker is invisible; its replay converges") {
     import org.apache.spark.sql.functions._
     val sketchDir = Files.createTempDirectory("graft-kmv-torn").toString

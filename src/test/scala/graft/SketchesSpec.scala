@@ -48,6 +48,48 @@ class SketchesSpec extends SparkSpec {
     assert(merged == whole)
   }
 
+  test("quantile sketch: below capacity the estimates are exact; shard sketches merge") {
+    import spark.implicits._
+    // 3 types x 400 events with a deterministic skewed value shape
+    val events = (0 until 1200).map { i =>
+      (i.toLong, s"t${i % 3}", ((i * 37) % 400).toDouble)
+    }.toDF("event_id", "event_type", "value")
+    // k = 1000 > per-type population: the sample IS the population,
+    // so est == exact at every percentile, per type
+    val full = Sketches.quantileSketch(events, k = 1000).collect()
+    assert(full.length == 3)
+    full.foreach { r =>
+      assert(r.getAs[Long]("sample_k") == 400L)
+      assert(r.getAs[Double]("p50_est") == r.getAs[Double]("p50_exact"))
+      assert(r.getAs[Double]("p90_est") == r.getAs[Double]("p90_exact"))
+      assert(r.getAs[Double]("p99_est") == r.getAs[Double]("p99_exact"))
+    }
+    // k = 64: estimates land inside the per-type value range and the
+    // sample really is 64 rows
+    val sub = Sketches.quantileSketch(events, k = 64).collect()
+    sub.foreach { r =>
+      assert(r.getAs[Long]("sample_k") == 64L)
+      assert(r.getAs[Double]("p50_est") >= 0.0 &&
+        r.getAs[Double]("p50_est") <= 399.0)
+      assert(r.getAs[Double]("p50_est") <= r.getAs[Double]("p90_est") &&
+        r.getAs[Double]("p90_est") <= r.getAs[Double]("p99_est"))
+    }
+    // MERGE LAW: bottom-k of (bottomK(A) ∪ bottomK(B)) == bottom-k of
+    // A ∪ B — the property that makes the stream maintenance exact
+    val a = events.filter(col("event_id") % 2 === 0)
+    val b = events.filter(col("event_id") % 2 === 1)
+    def sampleSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_type", "event_id", "value")
+        .collect().map(_.toSeq).toSet
+    val whole = sampleSet(Sketches.quantileSample(events, 64))
+    val merged = sampleSet(Sketches.quantileSample(
+      Sketches.quantileSample(a, 64).select("event_type", "event_id", "value")
+        .unionByName(
+          Sketches.quantileSample(b, 64).select("event_type", "event_id", "value")),
+      64))
+    assert(merged == whole)
+  }
+
   test("CMS never underestimates; exact at ample width, >= exact under forced collisions") {
     import spark.implicits._
     val events = (0 until 500).map { i =>
