@@ -90,6 +90,17 @@ class SketchesSpec extends SparkSpec {
     assert(merged == whole)
   }
 
+  test("quantile sample executes as WindowGroupLimit (partial bottom-k per task)") {
+    import spark.implicits._
+    val events = (0 until 300).map(i =>
+      (i.toLong, s"t${i % 3}", i.toDouble)).toDF("event_id", "event_type", "value")
+    val plan = Sketches.quantileSketch(events, k = 64)
+      .queryExecution.executedPlan.toString
+    // the rank <= k filter must rewrite to WindowGroupLimit so k rows
+    // per map task reach the exchange, never the event volume
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("CMS never underestimates; exact at ample width, >= exact under forced collisions") {
     import spark.implicits._
     val events = (0 until 500).map { i =>
