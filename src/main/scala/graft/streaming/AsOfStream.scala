@@ -14,8 +14,12 @@ case class AsOfEvent(userId: Long, side: Int, tsUs: Long, eid: Long,
 /** A buffered right-side (click) reference. */
 case class ClickRef(tsUs: Long, eid: Long)
 
-/** A buffered, not-yet-final left-side (purchase) reference. */
-case class PurchaseRef(tsUs: Long, eid: Long)
+/** A buffered, not-yet-final left-side (purchase) reference. `cand`
+  * is the forward/nearest directions' running successor candidate —
+  * the earliest eligible click at-or-after the purchase seen so far
+  * (lowest eid on ties); always None under backward. */
+case class PurchaseRef(tsUs: Long, eid: Long,
+    cand: Option[ClickRef] = None)
 
 /** Per-key as-of state. `best` is the ONE compacted click at-or-before
   * the watermark (the key's "current version" in Flink temporal-join
@@ -147,21 +151,156 @@ object AsOfStream extends Serializable {
     (nextBuf, emits, timer)
   }
 
+  /** The forward/nearest per-key transition — the directions' streaming
+    * semantics, as a pure function like [[step]].
+    *
+    * FORWARD finalization: a purchase's running candidate (earliest
+    * eligible click at-or-after it) is FINAL once the watermark
+    * strictly passes the candidate's event time — no click with an
+    * earlier time can still be admitted, so nothing can beat it. A
+    * candidateless purchase finalizes as NO MATCH once the watermark
+    * passes `p.ts + tolerance`: without the bound it could wait
+    * forever (a matching click may always be one batch away), which is
+    * why these directions REQUIRE a tolerance — the same boundedness
+    * reason [[graft.plans.AsOfPushdown]] derives no right time bound
+    * for nearest without one.
+    *
+    * NEAREST adds the backward compaction ([[step]]'s `best` machinery,
+    * identically lossless) and decides per purchase once the watermark
+    * passed it (backward match known) AND either the forward side is
+    * decided (final candidate, or the tolerance horizon passed) or an
+    * eligible backward match at distance d makes waiting pointless
+    * (wm ≥ p.ts + d ⇒ any future click has distance ≥ d and backward
+    * wins distance ties). Click buffers stay in-horizon-bounded: a
+    * click STRICTLY behind the watermark can never serve a future
+    * purchase's forward side (future p.ts ≥ wm > c.ts), and its
+    * backward role compacts into `best` exactly as in [[step]]. */
+  private[graft] def stepDir(direction: graft.plans.AsOfDirection,
+      buf: AsOfBuf, incoming: Seq[AsOfEvent],
+      wmUs: Long, tolUs: Long, idleTtlUs: Option[Long])
+      : (Option[AsOfBuf], Seq[AsOfRow], Option[Long]) = {
+    val nearest = direction == graft.plans.AsOfDirection.Nearest
+    val newClicks = incoming.filter(_.side == 0).map(e => ClickRef(e.tsUs, e.eid))
+    val newPurch = incoming.filter(_.side == 1).map(e => PurchaseRef(e.tsUs, e.eid))
+    val clicks = buf.clicks ++ newClicks
+
+    // candidate maintenance: pending purchases fold in the NEW clicks
+    // (older buffered ones were folded when they arrived); brand-new
+    // purchases fold the whole in-horizon buffer. Eligible = at-or-
+    // after within tolerance; better = earlier ts, then lower eid.
+    def fold(p: PurchaseRef, cs: Seq[ClickRef]): PurchaseRef =
+      cs.foldLeft(p) { (acc, c) =>
+        val eligible = c.tsUs >= acc.tsUs && c.tsUs - acc.tsUs <= tolUs
+        val better = acc.cand.forall(x =>
+          c.tsUs < x.tsUs || (c.tsUs == x.tsUs && c.eid < x.eid))
+        if (eligible && better) acc.copy(cand = Some(c)) else acc
+      }
+    val pending = buf.pending.map(fold(_, newClicks)) ++
+      newPurch.map(fold(_, clicks))
+
+    // finalize. Backward-side knowledge requires wm > p.ts (as in
+    // step); the forward side is decided when the candidate is final
+    // (wm > cand.ts) or the horizon passed (wm > p.ts + tol).
+    def backwardMatch(p: PurchaseRef): Option[ClickRef] =
+      (buf.best.toList ++ clicks.filter(_.tsUs <= p.tsUs)) match {
+        case Nil => None
+        case cs => Some(cs.maxBy(c => (c.tsUs, c.eid)))
+      }
+    def decided(p: PurchaseRef): Boolean = {
+      val fwdDecided = p.cand.exists(c => wmUs > c.tsUs) ||
+        wmUs > p.tsUs + tolUs
+      if (!nearest) fwdDecided
+      else wmUs > p.tsUs && (fwdDecided ||
+        backwardMatch(p).exists(b =>
+          p.tsUs - b.tsUs <= tolUs && wmUs >= p.tsUs + (p.tsUs - b.tsUs)))
+    }
+    val (done, keep) = pending.partition(decided)
+    val emits = done.sortBy(p => (p.tsUs, p.eid)).map { p =>
+      val f = p.cand // eligibility (within tolerance) enforced at fold
+      val m =
+        if (!nearest) f
+        else {
+          val b = backwardMatch(p).filter(b => p.tsUs - b.tsUs <= tolUs)
+          (b, f) match {
+            case (Some(bb), Some(ff)) =>
+              // distance tie → backward (the batch rule)
+              if (p.tsUs - bb.tsUs <= ff.tsUs - p.tsUs) Some(bb) else Some(ff)
+            case (bb, ff) => bb.orElse(ff)
+          }
+        }
+      AsOfRow(0L, p.eid, p.tsUs, m.map(_.eid), m.map(_.tsUs))
+    }
+
+    // buffer bound: clicks strictly behind the watermark can't serve a
+    // future purchase's forward side; for nearest their backward role
+    // compacts losslessly into best (pending purchases already folded
+    // them into candidates on arrival, and their backward matches are
+    // computed from best ∪ the still-buffered list at emit)
+    val (oldC, liveC) = clicks.partition(_.tsUs < wmUs)
+    val best =
+      if (!nearest) None
+      else (buf.best.toList ++ oldC) match {
+        case Nil => None
+        case cs => Some(cs.maxBy(c => (c.tsUs, c.eid)))
+      }
+    // nearest must NOT compact a click still at-or-ahead of a pending
+    // purchase's own time into oblivion — it can't: liveC keeps
+    // everything >= wm, and pending purchases have ts >= wm too, so
+    // any click between a pending purchase and the watermark... is
+    // impossible (clicks < wm are oldC; pending p.ts >= wm > oldC.ts,
+    // so oldC are strictly-before matches, exactly best's domain).
+
+    val lastSeen = (buf.lastSeenUs +: incoming.map(_.tsUs)).max
+    val idleCutoff = idleTtlUs.map(lastSeen + _)
+    val expired = idleCutoff.exists(_ <= wmUs)
+    val nextBuf =
+      if (expired || (keep.isEmpty && liveC.isEmpty && best.isEmpty &&
+          idleTtlUs.isEmpty)) None
+      else Some(AsOfBuf(best, liveC, keep, lastSeen))
+    // timer: per pending purchase the earliest instant its decision
+    // can flip — the candidate's ts (final once wm passes it), else
+    // its tolerance horizon; plus the earliest live click's ts (ages
+    // out of the buffer / into best); else the idle cutoff
+    val timer = nextBuf.flatMap { _ =>
+      val drains = keep.map(p =>
+        p.cand.map(_.tsUs).getOrElse(p.tsUs + tolUs))
+      val compact = liveC.map(_.tsUs)
+      (drains ++ compact).minOption.orElse(idleCutoff)
+    }
+    (nextBuf, emits, timer)
+  }
+
   /** Streaming twin of [[graft.ext.TemporalJoins.clickAsOfPurchase]]:
     * same output schema, same tie rules, rows emitted as their
-    * purchases finalize under the watermark. */
+    * purchases finalize under the watermark.
+    *
+    * `direction` mirrors the batch operator's
+    * [[graft.plans.AsOfDirection]]: forward (earliest click at-or-
+    * after, lowest eid on ties) and nearest (closer of prior/next,
+    * distance ties to prior) REQUIRE `toleranceUs` — a forward-waiting
+    * purchase with no bound could never finalize as a miss (the
+    * matching click may always be one batch away), the streaming face
+    * of the same unboundedness that stops [[graft.plans.AsOfPushdown]]
+    * from deriving right time bounds for nearest without a tolerance. */
   def clickAsOfPurchaseStream(events: DataFrame, lateness: String = "2 hours",
-      toleranceUs: Option[Long] = None, idleTtlUs: Option[Long] = None)
+      toleranceUs: Option[Long] = None, idleTtlUs: Option[Long] = None,
+      direction: String = "backward")
       : DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
+    val dir = graft.plans.AsOfDirection.parse(direction)
+    require(dir == graft.plans.AsOfDirection.Backward || toleranceUs.isDefined,
+      s"streaming as-of direction '${dir.name}' requires a tolerance " +
+        "(an unbounded forward wait can never finalize a miss)")
 
     def fn(key: Long, rows: Iterator[AsOfEvent],
         state: GroupState[AsOfBuf]): Iterator[AsOfRow] = {
       val wmUs = state.getCurrentWatermarkMs() * 1000L
       val buf = state.getOption.getOrElse(AsOfBuf(None, Nil, Nil, Long.MinValue))
       val (next, emits, timer) =
-        step(buf, rows.toSeq, wmUs, toleranceUs, idleTtlUs)
+        if (dir == graft.plans.AsOfDirection.Backward)
+          step(buf, rows.toSeq, wmUs, toleranceUs, idleTtlUs)
+        else stepDir(dir, buf, rows.toSeq, wmUs, toleranceUs.get, idleTtlUs)
       next match {
         case Some(b) =>
           state.update(b)

@@ -394,6 +394,120 @@ class StreamingWindowSpec extends SparkSpec {
     assert(t4.contains(400L))
   }
 
+  test("as-of stepDir: forward finalizes candidates under the watermark, misses at the horizon") {
+    import graft.streaming.{AsOfBuf, AsOfEvent, AsOfStream, ClickRef}
+    import graft.plans.AsOfDirection.{Forward, Nearest}
+    def click(us: Long, eid: Long) = AsOfEvent(1L, 0, us, eid, null)
+    def purchase(us: Long, eid: Long) = AsOfEvent(1L, 1, us, eid, null)
+    val empty = AsOfBuf(None, Nil, Nil, Long.MinValue)
+    // purchase at 500; clicks at 400 (before: ineligible), 700 and 700
+    // with two eids (tie → LOWEST), 600 arriving later (earlier ts must
+    // replace the 700 candidate while it is not yet final)
+    val (s1, e1, t1) = AsOfStream.stepDir(Forward, empty,
+      Seq(purchase(500L, 50), click(400L, 1), click(700L, 9), click(700L, 2)),
+      wmUs = 450L, tolUs = 1000L, idleTtlUs = None)
+    assert(e1.isEmpty) // candidate 700 not final: wm hasn't passed it
+    assert(s1.get.pending.head.cand.contains(ClickRef(700L, 2))) // low eid
+    // the 400 click is already behind wm=450 → dropped now (forward
+    // keeps no `best`); the timer waits on the candidate's own ts
+    assert(s1.get.clicks.map(_.tsUs).toSet == Set(700L))
+    assert(t1.contains(700L))
+    val (s2, e2, _) = AsOfStream.stepDir(Forward, s1.get,
+      Seq(click(600L, 3)), wmUs = 650L, tolUs = 1000L, idleTtlUs = None)
+    assert(e2.map(r => (r.purchase_event_id, r.click_event_id, r.click_ts_us)) ==
+      Seq((50L, Some(3L), Some(600L)))) // 600 replaced 700, wm > 600 → final
+    assert(s2.isEmpty || s2.get.pending.isEmpty)
+    // a candidateless purchase emits a MISS once wm passes ts + tol
+    val (_, e3, _) = AsOfStream.stepDir(Forward, empty,
+      Seq(purchase(100L, 60)), wmUs = 1200L, tolUs = 1000L, idleTtlUs = None)
+    assert(e3.map(r => (r.purchase_event_id, r.click_event_id)) ==
+      Seq((60L, None)))
+    // a click beyond the tolerance never becomes a candidate
+    val (_, e4, _) = AsOfStream.stepDir(Forward, empty,
+      Seq(purchase(100L, 61), click(1200L, 5)), wmUs = 1500L,
+      tolUs = 1000L, idleTtlUs = None)
+    assert(e4.map(r => (r.purchase_event_id, r.click_event_id)) ==
+      Seq((61L, None)))
+    // NEAREST: distance tie resolves backward, and an eligible backward
+    // match at distance d decides WITHOUT waiting out the tolerance
+    // horizon once wm >= p + d (any later click loses)
+    val (_, e5, _) = AsOfStream.stepDir(Nearest, empty,
+      Seq(click(400L, 7), purchase(500L, 70), click(600L, 8)),
+      wmUs = 650L, tolUs = 100000L, idleTtlUs = None)
+    // backward dist 100 vs forward dist 100 → tie → backward (eid 7)
+    assert(e5.map(r => (r.purchase_event_id, r.click_event_id)) ==
+      Seq((70L, Some(7L))))
+    val (s6, e6, _) = AsOfStream.stepDir(Nearest, empty,
+      Seq(click(450L, 9), purchase(500L, 71)),
+      wmUs = 560L, tolUs = 100000L, idleTtlUs = None)
+    // wm 560 >= p + d = 550: decided with the backward match — no
+    // waiting for the 100000-us horizon
+    assert(e6.map(r => (r.purchase_event_id, r.click_event_id)) ==
+      Seq((71L, Some(9L))))
+    assert(s6.forall(_.pending.isEmpty))
+    // forward candidate closer than the backward match wins
+    val (_, e7, _) = AsOfStream.stepDir(Nearest, empty,
+      Seq(click(100L, 10), purchase(500L, 72), click(520L, 11)),
+      wmUs = 600L, tolUs = 100000L, idleTtlUs = None)
+    assert(e7.map(r => (r.purchase_event_id, r.click_event_id)) ==
+      Seq((72L, Some(11L))))
+  }
+
+  test("streaming as-of forward/nearest match the batch native directions") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the same fixture as the backward stream≡batch pin (ties,
+    // no-prior-click, out-of-order late click), driven through both
+    // non-default directions with a 2h tolerance
+    val data = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, "click", 1L),
+      (ts("2024-01-01 10:00:10"), 1L, "click", 5L),
+      (ts("2024-01-01 10:00:10"), 1L, "click", 6L),
+      (ts("2024-01-01 10:00:10"), 1L, "purchase", 100L),
+      (ts("2024-01-01 10:05:00"), 1L, "purchase", 101L),
+      (ts("2024-01-01 10:02:00"), 2L, "purchase", 200L),
+      (ts("2024-01-01 10:30:00"), 2L, "click", 7L),
+      (ts("2024-01-01 10:31:00"), 2L, "purchase", 201L),
+      (ts("2024-01-01 10:20:00"), 3L, "purchase", 300L),
+      (ts("2024-01-01 10:10:00"), 3L, "click", 8L))
+    val tol = 7200000000L // 2h in micros
+    val cols = Seq("user_id", "purchase_event_id", "purchase_ts",
+      "click_event_id", "click_ts", "gap_us")
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.head, cols.tail: _*).collect()
+        .map(r => cols.indices.map(i =>
+          if (r.isNullAt(i)) null else r.get(i).toString)).toSet
+    for (dir <- Seq("forward", "nearest")) {
+      val input = MemoryStream[(Timestamp, Long, String, Long)]
+      val events = input.toDF().toDF("ts", "user_id", "event_type", "event_id")
+      val q = graft.streaming.AsOfStream.clickAsOfPurchaseStream(
+        events, toleranceUs = Some(tol), direction = dir)
+        .writeStream
+        .outputMode(OutputMode.Append).format("memory")
+        .queryName(s"asof_stream_$dir")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-ck").toString)
+        .start()
+      try {
+        data.grouped(4).foreach { chunk =>
+          input.addData(chunk: _*); q.processAllAvailable()
+        }
+        // sentinels: watermark past every purchase's horizon, then the
+        // timer-drain batch
+        input.addData((ts("2024-01-02 20:00:00"), 999L, "click", 900L))
+        q.processAllAvailable()
+        input.addData((ts("2024-01-02 21:00:00"), 999L, "click", 901L))
+        q.processAllAvailable()
+        val streamed = toSet(spark.table(s"asof_stream_$dir"))
+        val batch = toSet(graft.ext.TemporalJoins.clickAsOfPurchaseNative(
+          data.toDF("ts", "user_id", "event_type", "event_id"),
+          Some(tol), broadcastRight = false, dir))
+        assert(streamed == batch, s"dir=$dir\n streamed=$streamed\n batch=$batch")
+        assert(streamed.size == 5)
+      } finally q.stop()
+    }
+  }
+
   test("as-of step: tolerance rejects stale matches; idle TTL drops the key") {
     import graft.streaming.{AsOfBuf, AsOfEvent, AsOfStream, ClickRef}
     def purchase(us: Long, eid: Long) = AsOfEvent(1L, 1, us, eid, null)
