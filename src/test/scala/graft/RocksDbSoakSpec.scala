@@ -210,6 +210,55 @@ class RocksDbSoakSpec extends SparkSpec {
     assert(streamed.size == 100) // 2 purchases x 50 users
   }
 
+  test("streaming FORWARD as-of (r15 direction) on RocksDB: stream equals batch native") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // same interleaved 50-user feed as the backward soak, driven
+    // through the forward direction (tolerance-bounded successor
+    // search) — the candidate/miss timers exercise RocksDB timer scans
+    val data = (0 until 50).flatMap { u =>
+      def t(s: Long) = ts("2024-01-01 10:00:00", u * 3L + s)
+      Seq(
+        (t(0), u.toLong, "click", u * 10L + 1),
+        (t(120), u.toLong, "purchase", u * 10L + 5),
+        (t(60), u.toLong, "click", u * 10L + 2), // out of order
+        (t(300), u.toLong, "purchase", u * 10L + 6),
+        (t(240), u.toLong, "click", u * 10L + 3))
+    }
+    val tol = 3600000000L // 1h
+    val input = MemoryStream[(Timestamp, Long, String, Long)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type", "event_id")
+    val cols = Seq("user_id", "purchase_event_id", "purchase_ts",
+      "click_event_id", "click_ts", "gap_us")
+    def toSet(df: DataFrame) =
+      df.select(cols.head, cols.tail: _*).collect()
+        .map(r => cols.indices.map(i =>
+          if (r.isNullAt(i)) null else r.get(i).toString)).toSet
+    val streamed = withRocks("asof_fwd_tws") {
+      graft.streaming.AsOfStream.clickAsOfPurchaseStream(
+        events, toleranceUs = Some(tol), direction = "forward").writeStream
+        .outputMode(OutputMode.Append).format("memory")
+        .queryName("rocks_asof_fwd")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-rck").toString)
+        .start()
+    } { q =>
+      data.grouped(50).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      input.addData((ts("2024-01-02 20:00:00", 0), 999L, "click", 900L))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-02 21:00:00", 0), 999L, "click", 901L))
+      q.processAllAvailable()
+      toSet(spark.table("rocks_asof_fwd"))
+    }
+    val batch = toSet(graft.ext.TemporalJoins.clickAsOfPurchaseNative(
+      data.toDF("ts", "user_id", "event_type", "event_id"),
+      Some(tol), broadcastRight = false, "forward"))
+    assert(streamed == batch)
+    assert(streamed.size == 100) // 2 purchases x 50 users
+  }
+
   /** Set the RocksDB provider around `body`, restore after — for the
     * multi-query (restart) soaks that [[withRocks]]'s single-query
     * harness can't wrap. */
