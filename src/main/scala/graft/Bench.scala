@@ -31,15 +31,17 @@ object BenchStats {
 
   /** (per-query medians over non-contended passes, per-query error
     * message for queries with no successful sample, contended pass
-    * indices). A pass is CONTENDED when its wall time exceeds 2× the
-    * fastest pass — unless every pass would be (a uniformly loaded
+    * indices). A pass is CONTENDED when its wall time exceeds 1.5× the
+    * fastest pass (2× until r15, when a 1.80×-contended pass slipped
+    * into the medians and printed nine phantom per-query regressions
+    * on untouched plans) — unless every pass would be (a uniformly loaded
     * host is indistinguishable from a uniformly slow one, so nothing
     * is excluded). A query whose only samples sit inside contended
     * passes keeps those samples: degraded data beats no data, and the
     * pass indices in the artifact flag the quality.
     *
     * Sub-threshold contamination trim (the r11 blind spot): a pass at
-    * 1.67× the fastest clears the 2× cutoff yet inflated r11's
+    * 1.67× the fastest cleared the then-2× cutoff yet inflated r11's
     * committed static total ~12% above its final quiet pass. So after
     * pass-level exclusion, each query drops its single SLOWEST
     * surviving sample when ≥3 survive AND that sample is an actual
@@ -56,7 +58,7 @@ object BenchStats {
     if (passes.isEmpty) return (Map.empty, Map.empty, Vector.empty)
     val fastest = passes.map(_.wall).min
     val contended = passes.zipWithIndex
-      .collect { case (p, i) if p.wall > 2 * fastest => i }
+      .collect { case (p, i) if p.wall > 1.5 * fastest => i }
     val clean = passes.zipWithIndex
       .collect { case (p, i) if !contended.contains(i) => p }
     def trimmed(xs: Seq[Double]): Seq[Double] =
@@ -183,7 +185,7 @@ object Bench {
     // phase poisons at most one pass, and the median rejects that
     // outlier. Defense for a slow phase spanning MULTIPLE passes (the
     // r10 driver artifact: a host phase covered all three static
-    // passes): each pass records its own wall time, and any pass >2×
+    // passes): each pass records its own wall time, and any pass >1.5×
     // the fastest pass of the same mode is marked CONTENDED and its
     // samples excluded from the medians (unless a query only ever ran
     // inside contended passes, in which case its own samples are all we

@@ -174,17 +174,20 @@ object AsOfPushdown extends Rule[LogicalPlan] with PredicateHelper {
       val lit = Literal(v, rts.dataType)
       if (strict) GreaterThan(rts, lit) else GreaterThanOrEqual(rts, lit)
     }
-    // saturating shifts (Long.MinValue/MaxValue stand in for ±∞)
-    def minusT(v: Long, t: Long): Long =
-      if (v < Long.MinValue + t) Long.MinValue else v - t
-    def plusT(v: Long, t: Long): Long =
-      if (v > Long.MaxValue - t) Long.MaxValue else v + t
+    // overflowing shifts mean the bound is vacuous (±∞) — emit no
+    // predicate at all rather than a saturated literal, which would
+    // wrongly exclude a row whose timestamp IS Long.MaxValue/MinValue
+    def minusT(v: Long, t: Long): Option[Long] =
+      if (v < Long.MinValue + t) None else Some(v - t)
+    def plusT(v: Long, t: Long): Option[Long] =
+      if (v > Long.MaxValue - t) None else Some(v + t)
     // a pushed left UPPER bound lts ≤/< v → the right bound it implies
     def fromLeftUpper(l: Literal, strict: Boolean): Option[Expression] =
       long(l).flatMap { v =>
         a.direction match {
           case AsOfDirection.Backward => Some(mkUpper(v, strict))
-          case _ => a.toleranceUs.map(t => mkUpper(plusT(v, t), strict))
+          case _ => a.toleranceUs.flatMap(t =>
+            plusT(v, t).map(mkUpper(_, strict)))
         }
       }
     // a pushed left LOWER bound lts ≥/> v → the right bound it implies
@@ -192,7 +195,8 @@ object AsOfPushdown extends Rule[LogicalPlan] with PredicateHelper {
       long(l).flatMap { v =>
         a.direction match {
           case AsOfDirection.Forward => Some(mkLower(v, strict))
-          case _ => a.toleranceUs.map(t => mkLower(minusT(v, t), strict))
+          case _ => a.toleranceUs.flatMap(t =>
+            minusT(v, t).map(mkLower(_, strict)))
         }
       }
     pushed.flatMap {

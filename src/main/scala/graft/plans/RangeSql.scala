@@ -85,7 +85,9 @@ object RangeSql {
     val rts = str(4, "right timestamp column")
     val lo = long(5, "lo_us")
     val hi = long(6, "hi_us")
-    require(lo <= hi, s"range_join: empty band ($lo, $hi]")
+    // strict: the band (lo, hi] is empty when lo == hi — fail loudly at
+    // resolution time like every other bad argument
+    require(lo < hi, s"range_join: empty band ($lo, $hi]")
     def micros(df: DataFrame, n: String, side: String): Column = {
       val f = df.schema.fields.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(

@@ -259,11 +259,29 @@ object AsOfStream extends Serializable {
       else Some(AsOfBuf(best, liveC, keep, lastSeen))
     // timer: per pending purchase the earliest instant its decision
     // can flip — the candidate's ts (final once wm passes it), else
-    // its tolerance horizon; plus the earliest live click's ts (ages
-    // out of the buffer / into best); else the idle cutoff
+    // its tolerance horizon; for nearest ALSO the backward
+    // early-decide instant p.ts + backward-distance (decided()'s
+    // wm ≥ p.ts + d shortcut: a within-tolerance backward match at
+    // distance d beats any future click once the wm passes that
+    // mirror point — without this instant a purchase with a backward
+    // match but no forward candidate waits out the full tolerance
+    // horizon). decided()'s wm > p.ts gate needs no instant of its
+    // own: every drain above is ≥ p.ts by construction (forward
+    // candidates satisfy c.ts ≥ p.ts) and the timer is set strictly
+    // past the firing watermark, so the gate holds whenever a drain
+    // fires. Plus the earliest live click's ts (ages out of the
+    // buffer / into best); else the idle cutoff
     val timer = nextBuf.flatMap { _ =>
-      val drains = keep.map(p =>
-        p.cand.map(_.tsUs).getOrElse(p.tsUs + tolUs))
+      val drains = keep.map { p =>
+        val fwd = p.cand.map(_.tsUs).getOrElse(p.tsUs + tolUs)
+        if (!nearest) fwd
+        else {
+          val back = backwardMatch(p)
+            .filter(b => p.tsUs - b.tsUs <= tolUs)
+            .map(b => p.tsUs + (p.tsUs - b.tsUs))
+          (fwd +: back.toSeq).min
+        }
+      }
       val compact = liveC.map(_.tsUs)
       (drains ++ compact).minOption.orElse(idleCutoff)
     }

@@ -97,7 +97,7 @@ object ScaleLadder {
     // sporadic multi-minute slow phases (threads runnable but
     // descheduled), and with few passes a phase spanning one rung
     // visit poisons that rung's median. Any (pass, rung) whose wall
-    // exceeds 2× the fastest visit of the SAME rung is marked
+    // exceeds 1.5× the fastest visit of the SAME rung is marked
     // contended and its samples are excluded from the medians (unless
     // a rung only ever ran contended — then its own samples are all
     // we have). The artifact carries the per-rung pass walls and the
@@ -133,11 +133,13 @@ object ScaleLadder {
     }
     spark.stop()
 
-    // contended (pass index per rung): wall > 2x the rung's fastest
+    // contended (pass index per rung): wall > 1.5x the rung's fastest
+    // (2x until r16 — kept in lockstep with BenchStats.stats, whose
+    // r15 run let a 1.80x semi-contended pass reach the medians)
     val contended: Map[String, Set[Int]] = passWalls.map { case (dir, ws) =>
       val floor = ws.min
       dir -> ws.zipWithIndex.collect {
-        case (w, i) if w > 2.0 * floor => i }.toSet
+        case (w, i) if w > 1.5 * floor => i }.toSet
     }.toMap
 
     def med(xs: Vector[Double]): Double = graft.BenchStats.median(xs)
@@ -161,21 +163,34 @@ object ScaleLadder {
       val den = xs.map(x => (x - mx) * (x - mx)).sum
       num / den
     }
+    // last-segment α: ln(wall_N/wall_{N−1}) / ln(rung_N/rung_{N−1}).
+    // The full fit dilutes a knee at the top rung — four well-behaved
+    // rungs can mask a superlinear break at the fifth (r15's
+    // q18_large_orders fit α 0.87 while its 30×→100× segment ran
+    // α ≈ 1.8). The top segment is where a 100×-scale defect first
+    // shows, so it gets its own flag.
+    def segAlpha(points: Seq[(Int, Double)]): Double = {
+      val Seq((r0, w0), (r1, w1)) = points.takeRight(2)
+      math.log(math.max(w1, 1e-9) / math.max(w0, 1e-9)) /
+        math.log(r1.toDouble / r0.toDouble)
+    }
 
     val perQuery = names.map { n =>
       val walls = ladder.map { case (dir, r) => (r, medAt(n, dir)) }
       val rws = ladder.map { case (dir, _) => rows((n, dir)) }
       val a = alpha(walls)
+      val sa = segAlpha(walls)
       val topWall = walls.last._2
-      val flagged = a > AlphaFlag && topWall > WallFloor
-      (n, walls, rws, a, flagged)
+      val flagged = (a > AlphaFlag || sa > AlphaFlag) && topWall > WallFloor
+      (n, walls, rws, a, sa, flagged)
     }
 
-    val flags = perQuery.filter(_._5).map(_._1)
-    val body = perQuery.map { case (n, walls, rws, a, f) =>
+    val flags = perQuery.filter(_._6).map(_._1)
+    val body = perQuery.map { case (n, walls, rws, a, sa, f) =>
       s""""$n":{"wall_sec":[${walls.map(w => fmt(w._2)).mkString(",")}],""" +
         s""""rows":[${rws.mkString(",")}],""" +
-        s""""alpha":${fmt(a)},"superlinear_wall":$f}"""
+        s""""alpha":${fmt(a)},"last_segment_alpha":${fmt(sa)},""" +
+        s""""superlinear_wall":$f}"""
     }.mkString(",\n  ")
     val totals = ladder.indices.map(i =>
       perQuery.map(_._2(i)._2).sum)
@@ -184,8 +199,8 @@ object ScaleLadder {
   "probe": "scale ladder over structure-preserving ScaleGen replicas; alpha = least-squares slope of ln(wall) vs ln(scale) over the >=3x rungs (1x rung excluded from the fit: fixed per-query overhead flattens it)",
   "host": "local[$cpus], AQE on, $passes interleaved passes per rung, per-query medians",
   "rungs": [${ladder.map(_._2).mkString(",")}],
-  "flag_rule": "alpha > $AlphaFlag and top-rung wall > $WallFloor s",
-  "contention_rule": "per-rung pass walls; a pass > 2x the rung's fastest is excluded from medians (the Bench whole-run guard's per-rung form)",
+  "flag_rule": "(alpha > $AlphaFlag or last_segment_alpha > $AlphaFlag) and top-rung wall > $WallFloor s",
+  "contention_rule": "per-rung pass walls; a pass > 1.5x the rung's fastest is excluded from medians (the Bench whole-run guard's per-rung form)",
   "pass_wall_sec_per_rung": {${ladder.map { case (dir, r) =>
       s""""$r":[${passWalls(dir).map(fmt).mkString(",")}]""" }.mkString(",")}},
   "contended_passes_per_rung": {${ladder.map { case (dir, r) =>

@@ -125,6 +125,43 @@ class AsOfOptimizationsSpec extends SparkSpec {
     assert(!pf2.exists(s => s.contains("c_ts") && s.contains(">=")), finalPlan(noTol))
   }
 
+  test("an overflowing tolerance shift derives NO right bound — sentinel-extreme timestamps keep their matches") {
+    import spark.implicits._
+    // long-typed timestamps at the ends of the domain: a saturated
+    // literal bound (rts < Long.MaxValue) would wrongly exclude a
+    // right row whose timestamp IS Long.MaxValue; the correct
+    // derivation for an overflowing shift is no predicate at all
+    val ldir = java.nio.file.Files.createTempDirectory("asof_sat_l").toString
+    val rdir = java.nio.file.Files.createTempDirectory("asof_sat_r").toString
+    Seq((1L, Long.MaxValue - 1L, 100L), (1L, Long.MinValue + 1L, 101L))
+      .toDF("k", "lts", "lid").write.mode("overwrite").parquet(ldir)
+    Seq((1L, Long.MaxValue, 10L), (1L, Long.MinValue, 11L))
+      .toDF("k", "rts", "rid").write.mode("overwrite").parquet(rdir)
+    val left = spark.read.parquet(ldir)
+    val right = spark.read.parquet(rdir)
+    def run(direction: String, flt: org.apache.spark.sql.Column)
+        : Set[Seq[Any]] =
+      AsOfJoin.asOf(left, right, Seq("k"), "lts", "rts", Seq("rid"),
+        toleranceUs = Some(10L), broadcastRight = Some(false),
+        direction = direction)
+        .filter(flt).select(col("lid"), col("rid"))
+        .collect().map(_.toSeq).toSet
+    // forward upper bound: lts < MaxValue shifts up by tolerance →
+    // overflow; the MaxValue right row must still match lid=100 (gap 1)
+    val fwd = run("forward", col("lts") < lit(Long.MaxValue))
+    assert(fwd.contains(Seq(100L, 10L)), fwd)
+    // backward lower bound: lts > MinValue shifts down by tolerance →
+    // overflow; the MinValue right row must still match lid=101 (gap 1)
+    val bwd = run("backward", col("lts") > lit(Long.MinValue))
+    assert(bwd.contains(Seq(101L, 11L)), bwd)
+    // both identical to the kill-switched plan
+    spark.conf.set("spark.graft.optimizer.asofPushdown", "false")
+    try {
+      assert(run("forward", col("lts") < lit(Long.MaxValue)) == fwd)
+      assert(run("backward", col("lts") > lit(Long.MinValue)) == bwd)
+    } finally spark.conf.unset("spark.graft.optimizer.asofPushdown")
+  }
+
   test("pushdown rewrites are result-identical to the kill-switched plan") {
     def run(): Set[Seq[Any]] =
       asOfAll.filter(col("user_id") % 3 === 0)

@@ -10,7 +10,7 @@ class BenchStatsSpec extends AnyFunSuite {
 
   private val names = Seq("a", "b")
 
-  test("a pass slower than 2x the fastest is excluded from medians and reported") {
+  test("a pass slower than 1.5x the fastest is excluded from medians and reported") {
     val passes = Vector(
       Pass(10.0, Map("a" -> 1.0, "b" -> 2.0), Map.empty),
       Pass(50.0, Map("a" -> 9.0, "b" -> 9.0), Map.empty), // contended
@@ -27,25 +27,40 @@ class BenchStatsSpec extends AnyFunSuite {
       Pass(12.0, Map("a" -> 1.5), Map.empty),
       Pass(14.0, Map("a" -> 2.0), Map.empty))
     val (meds, _, contended) = stats(Seq("a"), passes)
-    assert(contended.isEmpty)
+    assert(contended.isEmpty) // 14 < 1.5 * 10
     // no pass excluded, but the per-query trim still drops the single
     // slowest of the 3 samples → median of the remaining two
     assert(meds("a") == median(Seq(1.0, 1.5)))
   }
 
-  test("r11 profile: a 1.67x pass under the 2x cutoff cannot inflate the median") {
+  test("r11 profile: a 1.67x pass is now excluded at the pass level") {
     // the round-11 static passes — pass 0 at 1.67x the fastest sat
-    // under the contention threshold and inflated committed medians
-    // ~12%; the per-query max-sample trim closes exactly this gap
+    // under the old 2x threshold (only the per-query trim saved the
+    // medians); under the 1.5x cutoff it is excluded outright
     val passes = Vector(
       Pass(112.47, Map("a" -> 1.90, "b" -> 3.03), Map.empty),
       Pass(77.75, Map("a" -> 1.25, "b" -> 1.20), Map.empty),
       Pass(67.19, Map("a" -> 1.20, "b" -> 1.17), Map.empty))
     val (meds, _, contended) = stats(names, passes)
-    assert(contended.isEmpty) // 112.47 < 2 * 67.19: no pass-level exclusion
+    assert(contended == Vector(0)) // 112.47 > 1.5 * 67.19
     // medians reflect only the two quiet passes
     assert(meds("a") == median(Seq(1.25, 1.20)))
     assert(meds("b") == median(Seq(1.20, 1.17)))
+  }
+
+  test("r15 profile: the 1.80x semi-contended pass no longer reaches the medians") {
+    // r15's static passes were [283.67, 117.28, 156.03, 86.46]; the
+    // 2x rule excluded only pass 0, and pass 2 at 1.80x printed nine
+    // phantom per-query regressions on untouched plans. 1.5x excludes
+    // both slow passes.
+    val passes = Vector(
+      Pass(283.67, Map("a" -> 3.0), Map.empty),
+      Pass(117.28, Map("a" -> 1.1), Map.empty),
+      Pass(156.03, Map("a" -> 1.6), Map.empty),
+      Pass(86.46, Map("a" -> 1.0), Map.empty))
+    val (meds, _, contended) = stats(Seq("a"), passes)
+    assert(contended == Vector(0, 2))
+    assert(meds("a") == median(Seq(1.1, 1.0)))
   }
 
   test("trim needs >= 3 samples: with 2 the max is kept (no optimistic bias)") {

@@ -451,6 +451,20 @@ class StreamingWindowSpec extends SparkSpec {
       wmUs = 600L, tolUs = 100000L, idleTtlUs = None)
     assert(e7.map(r => (r.purchase_event_id, r.click_event_id)) ==
       Seq((72L, Some(11L))))
+    // NEAREST timer: a purchase with an eligible backward match but no
+    // forward candidate drains at the early-decide instant p + d (here
+    // 500 + 60 = 560), NOT the 100000-us tolerance horizon — a large
+    // tolerance must not delay an already-decided emission
+    val (s8, e8, t8) = AsOfStream.stepDir(Nearest, empty,
+      Seq(click(440L, 12), purchase(500L, 73)),
+      wmUs = 510L, tolUs = 100000L, idleTtlUs = None)
+    assert(e8.isEmpty && s8.get.pending.map(_.eid) == Seq(73L))
+    assert(t8.contains(560L), t8)
+    // ...and once the watermark passes it, the backward match emits
+    val (_, e9, _) = AsOfStream.stepDir(Nearest, s8.get, Nil,
+      wmUs = 561L, tolUs = 100000L, idleTtlUs = None)
+    assert(e9.map(r => (r.purchase_event_id, r.click_event_id)) ==
+      Seq((73L, Some(12L))))
   }
 
   test("streaming as-of forward/nearest match the batch native directions") {

@@ -367,6 +367,13 @@ class TemporalJoinsSpec extends SparkSpec {
         "'user_id', 'ts', 'c_ts', 10, 0)").collect()
     }
     assert(e2.getMessage.contains("empty band"), e2.getMessage)
+    // lo == hi is the degenerate band (lo, hi] = ∅ — rejected loudly,
+    // not a silently empty join
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT * FROM range_join('purchases_v', 'clicks_v', " +
+        "'user_id', 'ts', 'c_ts', 10, 10)").collect()
+    }
+    assert(e3.getMessage.contains("empty band"), e3.getMessage)
   }
 
   test("asof_join TVF direction argument reaches both non-default probes") {
