@@ -563,16 +563,28 @@ object Analytics {
     * quantity exceeds a threshold, joined back to customer and
     * lineitem for the report row.
     *
-    * Scale posture: the HAVING subquery is a map-side-combinable
-    * aggregate over lineitem that yields a TINY key list (46 keys at
-    * sf0.01); joining the fact tables against it is a broadcast-able
-    * semi filter — AQE broadcasts the aggregated side, so neither fact
-    * table reshuffles against the other before the filter has cut
-    * them. The quantity re-aggregation then runs over only the
-    * surviving rows. */
+    * Scale posture: the HAVING aggregate groups the fact by
+    * `l_orderkey` — a NEAR-UNIQUE key (~4 rows per order), so map-side
+    * partial aggregation is the wrong shape: each scan task's partial
+    * hash map must hold its whole split's distinct keys (fact-sized in
+    * aggregate) for a ~4× row reduction, and past ~30× the maps
+    * outgrow the memory manager's share and every task falls back to
+    * sort-based aggregation — the r15 ladder's 100×-rung knee. The
+    * exchange is therefore moved BELOW the aggregate
+    * (repartition-first, the orders_basket discipline): the 2-column
+    * projection shuffles raw and the aggregate runs complete per hash
+    * partition, each map bounded by keys/partitions. Measured at the
+    * 100× rung: 6.6 s → 4.7 s solo, and faster at every smaller rung
+    * too (sf0.1: 0.93 → 0.66 s). The aggregate yields a TINY key list
+    * (46 keys at sf0.01); joining the fact tables against it is a
+    * broadcast-able semi filter — AQE broadcasts the aggregated side,
+    * so neither fact table reshuffles against the other before the
+    * filter has cut them. */
   def largeVolumeOrders(customer: DataFrame, orders: DataFrame,
       lineitem: DataFrame, minQty: Double = 300.0): DataFrame = {
-    val big = lineitem.groupBy(col("l_orderkey"))
+    val big = lineitem.select(col("l_orderkey"), col("l_quantity"))
+      .repartition(col("l_orderkey"))
+      .groupBy(col("l_orderkey"))
       .agg(sum(dec("l_quantity")).as("qty_d"))
       .filter(col("qty_d") > lit(minQty).cast("decimal(18,2)"))
     orders
