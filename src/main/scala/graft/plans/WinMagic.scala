@@ -114,6 +114,16 @@ object WinMagic extends Rule[LogicalPlan] with PredicateHelper {
   private val wholePartition =
     SpecifiedWindowFrame(RowFrame, UnboundedPreceding, UnboundedFollowing)
 
+  /** PERMANENT BOUNDARY — do not "fix": DISTINCT and FILTER-clause
+    * aggregates are declined because the rewrite target cannot exist,
+    * not because it is unimplemented. Spark's window operator rejects
+    * `ae.isDistinct` and `ae.filter` outright (WindowExec's frame
+    * buffer has no partial form that expresses per-partition DISTINCT
+    * dedup or per-row predicate gating), and mapping
+    * `count(DISTINCT x)` to `count(x) OVER (PARTITION BY k)` changes
+    * answers whenever a group repeats a value — the divergence fixture
+    * in WinMagicSpec ("declines: DISTINCT/FILTER aggregates") pins
+    * exactly that. */
   private def windowable(ae: AggregateExpression): Boolean =
     !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
       case _: Sum | _: Count | _: Min | _: Max | _: Average => true

@@ -338,6 +338,23 @@ class TemporalJoinsSpec extends SparkSpec {
       "SELECT * FROM asof_join('purchases_v', 'purchases_v', " +
         "'user_id', 'ts', 'ts')")
     assert(self.collect().nonEmpty)
+    // COMPOSABILITY: the name arguments resolve through spark.table,
+    // so ANY catalog-resolvable temp view works — including a DERIVED
+    // one a user registers over a filtered/projected subquery. Pin it:
+    // a filtered view through the TVF equals the DataFrame form over
+    // the same filtered frame.
+    val purchases = spark.table("purchases_v")
+      .filter(org.apache.spark.sql.functions.col("user_id") % 3 === 0)
+    purchases.createOrReplaceTempView("purchases_mod3_v")
+    val viaView = spark.sql(
+      "SELECT * FROM asof_join('purchases_mod3_v', 'clicks_v', " +
+        "'user_id', 'ts', 'c_ts')")
+    val viaDf = graft.plans.AsOfJoin.asOf(purchases,
+      spark.table("clicks_v"), Seq("user_id"), "ts", "c_ts")
+    assert(viaView.columns.toSeq == viaDf.columns.toSeq)
+    val vRows = viaView.collect().map(_.toSeq).toSet
+    assert(vRows.nonEmpty && vRows == viaDf.collect().map(_.toSeq).toSet)
+    spark.catalog.dropTempView("purchases_mod3_v")
   }
 
   test("range_join TVF plans an equi join with the band as residual, never a cross product") {

@@ -165,6 +165,35 @@ class WinMagicSpec extends SparkSpec {
       "a non-deterministic aggregate output must decline")
   }
 
+  test("declines: DISTINCT/FILTER aggregates — divergence fixture makes the boundary permanent") {
+    // THE BOUNDARY IS STRUCTURAL, NOT A MISSING FEATURE: Spark's
+    // window operator rejects DISTINCT and FILTER clauses in window
+    // aggregate expressions outright (there is no partial frame that
+    // expresses per-partition DISTINCT dedup or per-row predicate
+    // gating inside WindowExec's buffer), so the join-back→window
+    // rewrite is IMPOSSIBLE for these aggregates — not unimplemented.
+    // A future round must not "fix" this by mapping count(DISTINCT x)
+    // to count(x) over a partition: the fixture below has duplicate x
+    // within a group precisely so that unsound mapping would change
+    // the answer (k=1: count(x)=3, count(DISTINCT x)=2;
+    // sum FILTER x>1 = 5.0 vs unfiltered 7.0).
+    import spark.implicits._
+    val dup = Seq((1L, 1.0), (1L, 1.0), (1L, 5.0), (2L, 3.0))
+      .toDF("k", "x")
+    val dAgg2 = dup.groupBy("k").agg(countDistinct("x").as("d"))
+    val dJoined = dup.join(dAgg2, "k")
+    assert(joins(dJoined).nonEmpty, "DISTINCT must decline")
+    assert(dJoined.filter(col("k") === 1L).select("d").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L, 2L, 2L),
+      "count(DISTINCT x) is 2 for k=1 — count(x) over a window would say 3")
+    val fOnly = dup.join(
+      dup.groupBy("k").agg(expr("sum(x) FILTER (WHERE x > 1.0)").as("s")), "k")
+    assert(joins(fOnly).nonEmpty, "a FILTER-clause aggregate must decline")
+    assert(fOnly.filter(col("k") === 1L).select("s").distinct().collect()
+      .map(_.getDouble(0)).toSeq == Seq(5.0),
+      "sum(x) FILTER (x>1) is 5.0 for k=1 — an unfiltered window sum would say 7.0")
+  }
+
   test("declines: distinct aggregate, different join column, different source") {
     import spark.implicits._
     val f = fact()
