@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.{Analytics, DedupOps, EmbedIndex, EmbedOps, EventOps, MultiModal, TemporalJoins, TextOps}
+import graft.ext.{Analytics, DedupOps, EmbedIndex, EmbedOps, EventOps, MultiModal, TemporalJoins, TextOps, TokenizerStore}
 import graft.oracle.{OracleSql, OracleSqlExt}
 import graft.pipeline.{MatchFixture, MatchPipeline}
 
@@ -661,6 +661,14 @@ object SparkEntry {
     // the corpus side pays one explode + equi-join + grouped sum
     "text_bpe_encode" -> ((s, d) =>
       TextOps.bpeEncodeFrom(docs(s, d), shBpeMerges(s, d))),
+    // BPE through the PERSISTED tokenizer artifact: merges trained
+    // once and committed behind TokenizerStore's manifest-generation
+    // protocol (the EmbedIndex commit discipline); the encoder LOADS
+    // the frozen artifact instead of retraining — hash-equal to the
+    // in-memory path, same oracle as text_bpe_encode
+    "text_bpe_store" -> ((s, d) =>
+      TextOps.bpeEncodeFrom(docs(s, d),
+        TokenizerStore.merges(s, shTokStore(s, d)))),
     // bit-reproducible distributed training: integer batch perceptron
     "text_perceptron_train" -> ((s, d) => TextOps.perceptronTrain(docs(s, d))),
     // sparse tf-vector cosine near-dups via rare-term inverted-index
@@ -906,6 +914,17 @@ object SparkEntry {
   // the artifact to every encoder)
   private def shBpeMerges(s: SparkSession, d: String): DataFrame =
     Artifacts.frame(s, d, "text/bpe_merges")(TextOps.bpeTrainMerges(docs(s, d)))
+  private def tokRoot(d: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_tokenizer_v1/" +
+      java.lang.Integer.toHexString(d.hashCode)
+  // the PERSISTED tokenizer: trained + committed once per (session,
+  // dir), then every consumer loads the frozen artifact from disk
+  private def shTokStore(s: SparkSession, d: String): String =
+    Artifacts.obj(s, d, "text/bpe_store") {
+      val dir = tokRoot(d)
+      TokenizerStore.build(docs(s, d), dir)
+      dir
+    }
   private def shSixGrams(s: SparkSession, d: String): DataFrame =
     Artifacts.frame(s, d, "text/shingles6")(TextOps.sixGramShingles(docs(s, d)))
   // the incremental-dedup premise: the stored corpus's digest index is
@@ -1045,6 +1064,9 @@ object SparkEntry {
     "text_vocab_encode" -> OracleSqlExt.textVocabEncode,
     "text_bpe_train" -> OracleSqlExt.textBpeTrain,
     "text_bpe_encode" -> OracleSqlExt.textBpeEncode,
+    // the persisted-store path must reproduce the in-memory encode
+    // bit-for-bit — same oracle
+    "text_bpe_store" -> OracleSqlExt.textBpeEncode,
     "text_perceptron_train" -> OracleSqlExt.textPerceptronTrain,
     "text_sparse_neardup" -> OracleSqlExt.textSparseNeardup,
     "text_bm25" -> OracleSqlExt.textBm25,

@@ -1,0 +1,134 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions.col
+
+import graft.ext.{TextOps, TokenizerStore}
+
+/** The persisted BPE tokenizer artifact: load-path parity with the
+  * in-memory trained merges, deterministic vocabulary ids, and the
+  * manifest protocol's crash-atomicity / format-guard / retrain-epoch
+  * pins — mirroring EmbedIndexSpec, which shares the commit
+  * discipline. */
+class TokenizerStoreSpec extends SparkSpec {
+
+  private def tmpDir(tag: String): String = {
+    val d = Files.createTempDirectory(s"graft_tok_$tag")
+    d.toFile.deleteOnExit()
+    d.toString + "/tok"
+  }
+
+  /** A corpus whose 3-round merge sequence is unambiguous: "ab" wins
+    * round 1 (freq 6), then "abc" (4), then "de" (3). */
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      (1L, "abc abc abd"),
+      (2L, "abc abc de"),
+      (3L, "de de ab"))
+      .toDF("doc_id", "text")
+  }
+
+  test("loaded merges reproduce the in-memory training bit-for-bit") {
+    val dir = tmpDir("parity")
+    TokenizerStore.build(corpus, dir, rounds = 3)
+    val trained = TextOps.bpeTrainMerges(corpus, rounds = 3)
+      .collect().map(_.toSeq).toSet
+    val loaded = TokenizerStore.merges(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(loaded == trained && loaded.size == 3, loaded)
+  }
+
+  test("encode through the store equals the in-memory encode path") {
+    val dir = tmpDir("encode")
+    TokenizerStore.build(corpus, dir, rounds = 3)
+    val viaStore = TextOps.bpeEncodeFrom(corpus,
+      TokenizerStore.merges(spark, dir))
+      .collect().map(_.toSeq).toSet
+    val inMemory = TextOps.bpeEncodeFrom(corpus,
+      TextOps.bpeTrainMerges(corpus, rounds = 3))
+      .collect().map(_.toSeq).toSet
+    assert(viaStore == inMemory && viaStore.nonEmpty)
+  }
+
+  test("vocabulary: binary-sorted base alphabet then merges in rank order, ids dense") {
+    val dir = tmpDir("vocab")
+    TokenizerStore.build(corpus, dir, rounds = 3)
+    val v = TokenizerStore.vocab(spark, dir)
+      .orderBy(col("token_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // alphabet of the corpus: a b c d e
+    assert(v.take(5).toSeq == Seq(
+      (0L, "a", "base"), (1L, "b", "base"), (2L, "c", "base"),
+      (3L, "d", "base"), (4L, "e", "base")), v.toSeq)
+    assert(v.drop(5).map(t => (t._2, t._3)).toSeq ==
+      Seq(("ab", "merged"), ("abc", "merged"), ("de", "merged")), v.toSeq)
+    assert(v.map(_._1).toSeq == (0L until v.length.toLong), "dense ids")
+  }
+
+  test("a torn build (data dirs + manifest temp, no committed manifest) is invisible") {
+    val dir = tmpDir("torn")
+    TokenizerStore.build(corpus, dir, rounds = 2)
+    val before = TokenizerStore.merges(spark, dir)
+      .collect().map(_.toSeq).toSet
+    // torn writer: orphan data dirs no manifest references, plus an
+    // abandoned manifest temp (died before the atomic rename)
+    Files.createDirectories(Paths.get(dir, "e1-merges"))
+    Files.createDirectories(Paths.get(dir, "e1-vocab"))
+    Files.write(Paths.get(dir, "_commits", ".manifest-1.tmp"),
+      "format=1\nepoch=1\nrounds=2\nmerges=e1-merges\nvocab=e1-vocab\n"
+        .getBytes("UTF-8"))
+    val m = TokenizerStore.manifest(dir).get
+    assert(m.gen == 0L && m.merges == "e0-merges", m)
+    assert(TokenizerStore.merges(spark, dir)
+      .collect().map(_.toSeq).toSet == before)
+  }
+
+  test("a future-format manifest fails loudly instead of being reinterpreted") {
+    val dir = tmpDir("fmt")
+    Files.createDirectories(Paths.get(dir, "_commits"))
+    Files.write(Paths.get(dir, "_commits", "manifest-0"),
+      "format=99\nepoch=0\nrounds=3\nmerges=e0-merges\nvocab=e0-vocab\n"
+        .getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] { TokenizerStore.manifest(dir) }
+    assert(e.getMessage.contains("format 99") &&
+      e.getMessage.contains("build()"), e.getMessage)
+  }
+
+  test("an unversioned legacy manifest is upgradable THROUGH build(), not a dead end") {
+    val dir = tmpDir("upgrade")
+    Files.createDirectories(Paths.get(dir, "_commits"))
+    // no format key at all — reads as format 0, a loud error naming
+    // the remedy; build() must start PAST the legacy generations
+    Files.write(Paths.get(dir, "_commits", "manifest-3"),
+      "epoch=0\nrounds=3\nmerges=merges\nvocab=vocab\n".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] { TokenizerStore.manifest(dir) }
+    assert(e.getMessage.contains("format 0"), e.getMessage)
+    TokenizerStore.build(corpus, dir, rounds = 2)
+    val m = TokenizerStore.manifest(dir).get
+    assert(m.gen == 4L, s"fresh gen must pass the legacy ones: $m")
+    assert(TokenizerStore.merges(spark, dir).count() == 2L)
+  }
+
+  test("retrain publishes a new epoch; the old generation stays time-travel-able; vacuum reclaims") {
+    val dir = tmpDir("retrain")
+    TokenizerStore.build(corpus, dir, rounds = 2)
+    val gen0 = TokenizerStore.merges(spark, dir)
+      .collect().map(_.toSeq).toSet
+    TokenizerStore.build(corpus, dir, rounds = 3)
+    val m1 = TokenizerStore.manifest(dir).get
+    assert(m1.gen == 1L && m1.epoch == 1L && m1.rounds == 3, m1)
+    assert(TokenizerStore.merges(spark, dir).count() == 3L)
+    // time travel: generation 0 still reads as its historical snapshot
+    assert(TokenizerStore.mergesAt(spark, dir, 0L)
+      .collect().map(_.toSeq).toSet == gen0)
+    // vacuum keeps every dir a committed generation references (both
+    // epochs are still referenced), drops only orphans + temps
+    Files.createDirectories(Paths.get(dir, "e9-merges"))
+    TokenizerStore.vacuum(dir)
+    assert(!Files.exists(Paths.get(dir, "e9-merges")))
+    assert(TokenizerStore.mergesAt(spark, dir, 0L).count() == 2L)
+    assert(TokenizerStore.merges(spark, dir).count() == 3L)
+  }
+}
