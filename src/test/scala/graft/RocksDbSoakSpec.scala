@@ -288,14 +288,20 @@ class RocksDbSoakSpec extends SparkSpec {
     * on RocksDB; the soak exercises feed scale, mid-stream restart and
     * replay instead, and `state_bytes` measures the on-disk index). */
   private def recordExternalized(name: String,
-      progresses: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress],
-      stateDirs: Seq[String]): Unit =
+      pre: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress],
+      post: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress],
+      stateDirs: Seq[String]): Unit = {
+    val progresses = pre ++ post
     soakStats(name) = Map(
       "batches" -> progresses.length.toLong,
+      "pre_restart_batches" -> pre.length.toLong,
+      "post_restart_batches" -> post.length.toLong,
+      "restarts" -> 1L,
       "max_batch_ms" ->
         (if (progresses.isEmpty) 0L else progresses.map(_.batchDuration).max),
       "state_rows" -> 0L, // externalized: no state-store rows
       "state_bytes" -> dirBytes(stateDirs: _*))
+  }
 
   test("near-dup ingest: 10x feed, mid-stream restart, externalized state") {
     import spark.implicits._
@@ -316,14 +322,21 @@ class RocksDbSoakSpec extends SparkSpec {
     def start() = graft.streaming.CorpusIngest.startNear(
       input.toDF().toDF("doc_id", "text"), corpusDir, checkpoint)
     withRocksConf {
+      // DEPTH (r16): the feed arrives as 12 micro-batches — six before
+      // a mid-stream restart, six after — matching the other
+      // pipelines' soak depth instead of r15's 3 coarse batches. Every
+      // post-restart batch probes index state written by a DIFFERENT
+      // pre-restart batch, so replay/restore is exercised per batch.
       val q1 = start()
       val p1 = try {
-        input.addData((0 until 25).flatMap(b =>
-          Seq((b * 10L, text(b)), (b * 10L + 2, lastChanged(b)))): _*)
-        q1.processAllAvailable()
-        input.addData(((25 until 50).flatMap(b =>
-          Seq((b * 10L, text(b)), (b * 10L + 2, lastChanged(b)))) ++
-          (0 until 25).map(b => (b * 10L + 1, text(b)))): _*)
+        // batches 1-5: ten bases each, canonical + in-batch near-dup
+        for (g <- 0 until 5) {
+          input.addData((g * 10 until g * 10 + 10).flatMap(b =>
+            Seq((b * 10L, text(b)), (b * 10L + 2, lastChanged(b)))): _*)
+          q1.processAllAvailable()
+        }
+        // batch 6: cross-batch EXACT dups of the first half
+        input.addData((0 until 25).map(b => (b * 10L + 1, text(b))): _*)
         q1.processAllAvailable()
         q1.recentProgress.toSeq
       } finally q1.stop()
@@ -332,8 +345,14 @@ class RocksDbSoakSpec extends SparkSpec {
       // must still be suppressed by the stored-index probe
       val q2 = start()
       val p2 = try {
-        input.addData(((0 until 50).map(b => (b * 10L + 3, firstChanged(b))) ++
-          (25 until 50).map(b => (b * 10L + 1, text(b))) ++
+        // batches 7-11: cross-restart near-dups, ten bases each
+        for (g <- 0 until 5) {
+          input.addData((g * 10 until g * 10 + 10)
+            .map(b => (b * 10L + 3, firstChanged(b))): _*)
+          q2.processAllAvailable()
+        }
+        // batch 12: cross-restart exact dups + genuinely new docs
+        input.addData(((25 until 50).map(b => (b * 10L + 1, text(b))) ++
           (0 until 5).map(i => (9000L + i,
             (0 until 36).map(j => s"n${j}_g$i").mkString(" ")))): _*)
         q2.processAllAvailable()
@@ -349,7 +368,7 @@ class RocksDbSoakSpec extends SparkSpec {
       val bandDocs = spark.read.parquet(s"$corpusDir/bands")
         .select("doc_id").distinct().as[Long].collect().toSet
       assert(bandDocs == expected)
-      recordExternalized("corpus_ingest_near", p1 ++ p2,
+      recordExternalized("corpus_ingest_near", p1, p2,
         Seq(s"$corpusDir/data", s"$corpusDir/bands", s"$corpusDir/_txn"))
     }
   }
@@ -378,19 +397,29 @@ class RocksDbSoakSpec extends SparkSpec {
     def start() = graft.streaming.CorpusIngest.startSemantic(
       input.toDF().toDF("vec_id", "embedding"), indexDir, checkpoint)
     withRocksConf {
+      // DEPTH (r16): ten micro-batches — five before the restart, five
+      // after — so every post-restart batch probes signature state a
+      // different pre-restart batch committed (r15 soaked only 2)
       val q1 = start()
       val p1 = try {
-        // in-batch near-dups ride with their canonicals
-        input.addData((0 until 40).flatMap(b =>
-          Seq((b * 10L, base(b)), (b * 10L + 2, near(b)))): _*)
-        q1.processAllAvailable()
+        // batches 1-5: eight bases each; in-batch near-dups ride with
+        // their canonicals
+        for (g <- 0 until 5) {
+          input.addData((g * 8 until g * 8 + 8).flatMap(b =>
+            Seq((b * 10L, base(b)), (b * 10L + 2, near(b)))): _*)
+          q1.processAllAvailable()
+        }
         q1.recentProgress.toSeq
       } finally q1.stop()
       // restart; cross-batch near-dups probe the stored signature index
       val q2 = start()
       val p2 = try {
-        input.addData((0 until 40).map(b => (b * 10L + 3, near(b))): _*)
-        q2.processAllAvailable()
+        // batches 6-10: cross-restart near-dups, eight bases each
+        for (g <- 0 until 5) {
+          input.addData((g * 8 until g * 8 + 8)
+            .map(b => (b * 10L + 3, near(b))): _*)
+          q2.processAllAvailable()
+        }
         q2.recentProgress.toSeq
       } finally q2.stop()
       val ids = spark.read.parquet(s"$indexDir/data")
@@ -400,7 +429,7 @@ class RocksDbSoakSpec extends SparkSpec {
         s"unexpected survivors: extra=${ids -- expected} missing=${expected -- ids}")
       assert(spark.read.parquet(s"$indexDir/sigs")
         .select("vec_id").distinct().as[Long].collect().toSet == expected)
-      recordExternalized("corpus_ingest_semantic", p1 ++ p2,
+      recordExternalized("corpus_ingest_semantic", p1, p2,
         Seq(s"$indexDir/data", s"$indexDir/sigs", s"$indexDir/_txn"))
     }
   }
