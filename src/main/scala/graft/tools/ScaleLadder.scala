@@ -32,6 +32,37 @@ import graft.{GraftConf, SparkEntry}
   * Run: ScaleLadder [outPath] [names] [dir:replicas,dir:replicas,...]
   * Env: GRAFT_LADDER_PASSES (default 2 timed passes per rung).
   */
+/** The ladder's growth-exponent fits — pure functions, unit-testable
+  * (BenchStatsSpec pins them against the r15 profile that motivated
+  * the last-segment flag). */
+object ScaleLadderStats {
+
+  /** Least-squares slope of ln(wall) on ln(scale) over rungs ≥ 3×
+    * (the 1× rung is dominated by fixed per-query overhead). */
+  def alpha(points: Seq[(Int, Double)]): Double = {
+    val tail = points.filter(_._1 >= 3)
+    val xs = tail.map(p => math.log(p._1.toDouble))
+    val ys = tail.map(p => math.log(math.max(p._2, 1e-9)))
+    val mx = xs.sum / xs.size; val my = ys.sum / ys.size
+    val num = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val den = xs.map(x => (x - mx) * (x - mx)).sum
+    num / den
+  }
+
+  /** Last-segment α: ln(wall_N/wall_{N−1}) / ln(rung_N/rung_{N−1}).
+    * The full fit dilutes a knee at the top rung — four well-behaved
+    * rungs can mask a superlinear break at the fifth (r15's
+    * q18_large_orders fit α 0.87 while its 30×→100× segment ran
+    * α ≈ 1.8, masked by the then-full-fit-only flag rule). The top
+    * segment is where a 100×-scale defect first shows, so it carries
+    * its own flag. */
+  def segAlpha(points: Seq[(Int, Double)]): Double = {
+    val Seq((r0, w0), (r1, w1)) = points.takeRight(2)
+    math.log(math.max(w1, 1e-9) / math.max(w0, 1e-9)) /
+      math.log(r1.toDouble / r0.toDouble)
+  }
+}
+
 object ScaleLadder {
 
   /** Cross-family headline set: one representative per operator
@@ -153,27 +184,7 @@ object ScaleLadder {
     }
     def fmt(d: Double): String = f"$d%.3f"
 
-    // least-squares slope of ln(wall) on ln(scale) over rungs >= 3x
-    def alpha(points: Seq[(Int, Double)]): Double = {
-      val tail = points.filter(_._1 >= 3)
-      val xs = tail.map(p => math.log(p._1.toDouble))
-      val ys = tail.map(p => math.log(math.max(p._2, 1e-9)))
-      val mx = xs.sum / xs.size; val my = ys.sum / ys.size
-      val num = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
-      val den = xs.map(x => (x - mx) * (x - mx)).sum
-      num / den
-    }
-    // last-segment α: ln(wall_N/wall_{N−1}) / ln(rung_N/rung_{N−1}).
-    // The full fit dilutes a knee at the top rung — four well-behaved
-    // rungs can mask a superlinear break at the fifth (r15's
-    // q18_large_orders fit α 0.87 while its 30×→100× segment ran
-    // α ≈ 1.8). The top segment is where a 100×-scale defect first
-    // shows, so it gets its own flag.
-    def segAlpha(points: Seq[(Int, Double)]): Double = {
-      val Seq((r0, w0), (r1, w1)) = points.takeRight(2)
-      math.log(math.max(w1, 1e-9) / math.max(w0, 1e-9)) /
-        math.log(r1.toDouble / r0.toDouble)
-    }
+    import ScaleLadderStats.{alpha, segAlpha}
 
     val perQuery = names.map { n =>
       val walls = ladder.map { case (dir, r) => (r, medAt(n, dir)) }

@@ -112,6 +112,22 @@ class BenchStatsSpec extends AnyFunSuite {
     assert(meds("b") == median(Seq(6.0, 6.5))) // 9.0 trimmed
   }
 
+  test("ladder flag rule: the r15 q18 knee flags on last-segment alpha where the full fit masks it") {
+    import graft.tools.ScaleLadderStats.{alpha, segAlpha}
+    // r15's measured q18_large_orders rung walls (scale_ladder_100x):
+    // a 30x->100x knee the full least-squares fit dilutes to 0.87
+    val walls = Seq(1 -> 1.124, 3 -> 1.251, 10 -> 1.976,
+      30 -> 3.464, 100 -> 30.141)
+    val a = alpha(walls)
+    val sa = segAlpha(walls)
+    assert(a < 1.3, s"full fit masks the knee: $a") // the r15 blind spot
+    assert(sa > 1.3, s"last-segment alpha must catch it: $sa") // ~1.80
+    assert(math.abs(sa - 1.796) < 0.01, sa.toString)
+    // a genuinely linear curve flags on neither
+    val linear = Seq(1 -> 0.5, 3 -> 1.5, 10 -> 5.0, 30 -> 15.0, 100 -> 50.0)
+    assert(alpha(linear) <= 1.01 && segAlpha(linear) <= 1.01)
+  }
+
   test("a query sampled only inside contended passes keeps its degraded samples") {
     // "b" errored in the clean pass but succeeded in the contended one
     val passes = Vector(
