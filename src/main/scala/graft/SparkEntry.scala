@@ -328,7 +328,10 @@ object SparkEntry {
       ORDER BY order_priority""")),
     // IN over an aggregated subquery: the HAVING-semi-filter shape of
     // q18_large_orders as parsed SQL (RewritePredicateSubquery again,
-    // this time uncorrelated → semi join against the aggregate)
+    // this time uncorrelated → semi join against the aggregate).
+    // Decorrelation-path coverage, not the scale form — the 100×-proof
+    // shape is q18_large_orders' repartition-first aggregate
+    // (Analytics.largeVolumeOrders scaladoc has the knee analysis)
     "sql_q18_in" -> ((s, d) => GraftSql.sql(s, d, """
       SELECT c.c_name, c.c_custkey, o.o_orderkey,
              date_format(o.o_orderdate, 'yyyy-MM-dd') AS order_date,
