@@ -21,7 +21,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * The function is a MACRO over [[AsOfJoin.asOf]]: at resolution time
   * the builder looks the two table names up in the active session
-  * (temp views and catalog tables alike), applies asOf's full
+  * (temp views and catalog tables alike) — or, for an inline
+  * `TABLE(SELECT ...)` argument, analyzes the shipped subquery plan
+  * directly ([[TvfArgs.table]]) — applies asOf's full
   * validation (key arity/type agreement, float-key rejection,
   * timestamp typing, fresh right-side expr ids for self-joins), and
   * returns the ANALYZED native plan — the analyzer then treats it as
@@ -50,7 +52,8 @@ object AsOfSql {
       " equal keys selected by direction (backward: latest with" +
       " right_ts <= left_ts, the default; forward: earliest with" +
       " right_ts >= left_ts; nearest: the closer of the two, distance" +
-      " ties backward), within tolerance_us when given; table/column" +
+      " ties backward), within tolerance_us when given; table" +
+      " arguments are string-literal names or TABLE(subquery), column" +
       " arguments are string literals, keys/tie comma-separated")
 
   /** The TVF builder (`Seq[Expression] => LogicalPlan`): argument
@@ -84,8 +87,8 @@ object AsOfSql {
     val dir = if (args.lengthCompare(8) == 0) str(7, "direction")
       else "backward"
     AsOfJoin.asOf(
-      spark.table(str(0, "left table")),
-      spark.table(str(1, "right table")),
+      TvfArgs.table(spark, name, args, 0, "left table"),
+      TvfArgs.table(spark, name, args, 1, "right table"),
       csv(2, "key list"),
       str(3, "left timestamp column"),
       str(4, "right timestamp column"),

@@ -48,7 +48,8 @@ object RangeSql {
     RangeSql.getClass.getName, name,
     "range_join(left, right, keys, left_ts, right_ts, lo_us, hi_us)" +
       " - joins each left row to the right rows with equal keys and" +
-      " lo_us < right_ts - left_ts <= hi_us (microseconds); table/column" +
+      " lo_us < right_ts - left_ts <= hi_us (microseconds); table" +
+      " arguments are string-literal names or TABLE(subquery), column" +
       " arguments are string literals, keys comma-separated")
 
   /** The TVF builder: argument literals in, analyzed inner-join plan
@@ -72,8 +73,8 @@ object RangeSql {
           s"literal, got $other")
     }
     val spark = SparkSession.active
-    val left = spark.table(str(0, "left table"))
-    val right = spark.table(str(1, "right table"))
+    val left = TvfArgs.table(spark, name, args, 0, "left table")
+    val right = TvfArgs.table(spark, name, args, 1, "right table")
     // fresh exprIds on the right so self-joins don't alias attributes
     val rightFresh = right.select(right.columns.map(c =>
       org.apache.spark.sql.functions.col(c).as(c)): _*)

@@ -354,6 +354,21 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(viaView.columns.toSeq == viaDf.columns.toSeq)
     val vRows = viaView.collect().map(_.toSeq).toSet
     assert(vRows.nonEmpty && vRows == viaDf.collect().map(_.toSeq).toSet)
+    // ...and the same subquery INLINE via a TABLE(...) argument — no
+    // view registration needed (TvfArgs resolves the shipped plan)
+    val viaTable = spark.sql(
+      "SELECT * FROM asof_join(" +
+        "TABLE(SELECT * FROM purchases_v WHERE user_id % 3 = 0), " +
+        "'clicks_v', 'user_id', 'ts', 'c_ts')")
+    assert(viaTable.collect().map(_.toSeq).toSet == vRows)
+    // TABLE-clause decorations are rejected loudly, not ignored — a
+    // PARTITION BY the join wouldn't honor must not silently vanish
+    val ep = intercept[Exception] {
+      spark.sql("SELECT * FROM asof_join(" +
+        "TABLE(SELECT * FROM purchases_v) PARTITION BY user_id, " +
+        "'clicks_v', 'user_id', 'ts', 'c_ts')").collect()
+    }
+    assert(ep.getMessage.contains("PARTITION BY"), ep.getMessage)
     spark.catalog.dropTempView("purchases_mod3_v")
   }
 
@@ -391,6 +406,14 @@ class TemporalJoinsSpec extends SparkSpec {
         "'user_id', 'ts', 'c_ts', 10, 10)").collect()
     }
     assert(e3.getMessage.contains("empty band"), e3.getMessage)
+    // inline TABLE(subquery) arguments compose here too
+    val viaTable = spark.sql("SELECT * FROM range_join(" +
+      "TABLE(SELECT * FROM purchases_v), 'clicks_v', " +
+      "'user_id', 'ts', 'c_ts', 0, 3600000000)")
+    assert(viaTable.collect().map(_.toSeq).toSet ==
+      spark.sql("SELECT * FROM range_join('purchases_v', 'clicks_v', " +
+        "'user_id', 'ts', 'c_ts', 0, 3600000000)")
+        .collect().map(_.toSeq).toSet)
   }
 
   test("asof_join TVF direction argument reaches both non-default probes") {
