@@ -81,7 +81,9 @@ object ScaleLadder {
     "text_perplexity",       // bigram LM scoring
     "corpus_shards_global",  // distributed prefix sum
     "dedup_minhash",         // banded LSH self-join
-    "embed_ivf_topk")        // coarse-quantized ANN
+    "embed_ivf_topk",        // coarse-quantized ANN
+    "sketch_quantiles",      // bottom-k sample via WindowGroupLimit (r16)
+    "sql_count_winmagic")    // WinMagic join-back→window rewrite (r16)
 
   private val AlphaFlag = 1.3
   private val WallFloor = 2.0 // sec at the top rung; below is jitter
