@@ -672,6 +672,14 @@ object SparkEntry {
     "text_bpe_store" -> ((s, d) =>
       TextOps.bpeEncodeFrom(docs(s, d),
         TokenizerStore.merges(s, shTokStore(s, d)))),
+    // tokenize to TOKEN-ID sequences through the persisted tokenizer's
+    // merges + vocab — the step that feeds a trainer; per doc the
+    // token count and the md5 of the position-ordered id stream
+    "text_bpe_ids" -> ((s, d) => {
+      val store = shTokStore(s, d)
+      TextOps.bpeIdsFrom(docs(s, d),
+        TokenizerStore.merges(s, store), TokenizerStore.vocab(s, store))
+    }),
     // bit-reproducible distributed training: integer batch perceptron
     "text_perceptron_train" -> ((s, d) => TextOps.perceptronTrain(docs(s, d))),
     // sparse tf-vector cosine near-dups via rare-term inverted-index
@@ -1070,6 +1078,7 @@ object SparkEntry {
     // the persisted-store path must reproduce the in-memory encode
     // bit-for-bit — same oracle
     "text_bpe_store" -> OracleSqlExt.textBpeEncode,
+    "text_bpe_ids" -> OracleSqlExt.textBpeIds,
     "text_perceptron_train" -> OracleSqlExt.textPerceptronTrain,
     "text_sparse_neardup" -> OracleSqlExt.textSparseNeardup,
     "text_bm25" -> OracleSqlExt.textBm25,

@@ -1614,6 +1614,30 @@ object TextOps {
     * sequential fold with data-dependent rule skipping has no
     * bounded-depth Catalyst expression form. */
   def bpeEncodeFrom(documents: DataFrame, merges: DataFrame): DataFrame = {
+    val encoded = bpeEncodeVocab(documents, merges)
+    val dw = documents.select(col("doc_id"),
+      expr("filter(split(text, ' '), w -> w != '')").as("ws"))
+    val counts = dw
+      .select(col("doc_id"), explode(col("ws")).as("word"))
+      .join(encoded, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nw"), sum(size(col("toks"))).as("nt"))
+    dw.select(col("doc_id"), element_at(col("ws"), 1).as("word"))
+      .join(encoded, Seq("word"), "left")
+      .select(col("doc_id"), array_join(col("toks"), "|").as("head_tokens"))
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("head_tokens"),
+        coalesce(col("nt"), lit(0L)).as("n_bpe_tokens"),
+        coalesce(col("nw"), lit(0L)).as("n_words"))
+  }
+
+  /** The vocab-encode half of [[bpeEncodeFrom]], reusable on its own:
+    * every DISTINCT word of the corpus folded through the trained
+    * merge rules once → `(word, toks)`. Vocab-sized work that
+    * saturates as the corpus grows; the merge table collects to the
+    * driver (model-artifact-sized by contract) and applies inside ONE
+    * mapPartitions in rank order — O(1) plan depth at any rule count. */
+  def bpeEncodeVocab(documents: DataFrame, merges: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     val rules: Array[(String, String)] = merges
@@ -1625,7 +1649,7 @@ object TextOps {
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "").distinct()
       .as[String]
-    val encoded = vocab.mapPartitions { it =>
+    vocab.mapPartitions { it =>
       val rs = bcRules.value
       it.map { word =>
         // seed: one token per code point — same seeding as the
@@ -1662,19 +1686,52 @@ object TextOps {
         (word, toks.toSeq)
       }
     }.toDF("word", "toks")
+  }
+
+  /** Tokenize the corpus to BPE token-ID sequences — the step that
+    * actually feeds a trainer: per document, the total token count and
+    * the md5 of its position-ordered id sequence (the
+    * [[vocabEncodeFrom]] ids_md5 convention — value-dense proof of the
+    * exact id stream without shipping it).
+    *
+    * `merges` and `vocab` are the persisted tokenizer's two frames
+    * ([[TokenizerStore.merges]] / [[TokenizerStore.vocab]]). Ids
+    * resolve through the vocab with a min-id dedupe first: two
+    * different merges CAN concatenate to the same surface string
+    * ("ab"+"c" and "a"+"bc"), and a real tokenizer maps the string to
+    * its first id rather than emitting two.
+    *
+    * Scale posture — the [[bpeEncodeFrom]] discipline end-to-end:
+    * per-word id strings precompute at VOCAB scale (fold + posexplode
+    * + broadcast vocab probe + per-word collect, all saturating with
+    * vocabulary); the corpus side pays one word explode, one equi join
+    * against the word→ids frame, and one per-doc ordered collect —
+    * document-length bounded, the vocabEncodeFrom posture. */
+  def bpeIdsFrom(documents: DataFrame, merges: DataFrame,
+      vocab: DataFrame): DataFrame = {
+    val ids = vocab.groupBy(col("token"))
+      .agg(min(col("token_id")).as("token_id"))
+    val wordIds = bpeEncodeVocab(documents, merges)
+      .select(col("word"), posexplode(col("toks")).as(Seq("tpos", "token")))
+      .join(broadcast(ids), Seq("token"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n_toks"),
+        concat_ws(",", transform(
+          sort_array(collect_list(struct(col("tpos"), col("token_id")))),
+          e => e.getField("token_id").cast("string"))).as("ids_str"))
     val dw = documents.select(col("doc_id"),
       expr("filter(split(text, ' '), w -> w != '')").as("ws"))
-    val counts = dw
-      .select(col("doc_id"), explode(col("ws")).as("word"))
-      .join(encoded, Seq("word"))
+    val docIds = dw
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("wpos", "word")))
+      .join(wordIds, Seq("word"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("nw"), sum(size(col("toks"))).as("nt"))
-    dw.select(col("doc_id"), element_at(col("ws"), 1).as("word"))
-      .join(encoded, Seq("word"), "left")
-      .select(col("doc_id"), array_join(col("toks"), "|").as("head_tokens"))
-      .join(counts, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("head_tokens"),
+      .agg(sum(col("n_toks")).as("nt"),
+        concat_ws(",", transform(
+          sort_array(collect_list(struct(col("wpos"), col("ids_str")))),
+          e => e.getField("ids_str"))).as("ids"))
+    dw.select(col("doc_id")).join(docIds, Seq("doc_id"), "left")
+      .select(col("doc_id"),
         coalesce(col("nt"), lit(0L)).as("n_bpe_tokens"),
-        coalesce(col("nw"), lit(0L)).as("n_words"))
+        md5(coalesce(col("ids"), lit("")).cast("binary")).as("ids_md5"))
   }
 }

@@ -3220,8 +3220,10 @@ w0 AS (SELECT 0::BIGINT AS w0, 0::BIGINT AS w1, 0::BIGINT AS w2,
     * DISTINCT vocabulary with the same greedy list_reduce fold in rank
     * order, then aggregates per document — word count, total BPE token
     * count, and the first word's token sequence joined with '|'. */
-  val textBpeEncode: String = {
-    def trainRound(i: Int): String = s""",
+  /** One BPE training round as DuckDB CTEs (shared by textBpeEncode /
+    * textBpeIds): pair counts over w{i-1}, the round's winning pair
+    * b$i, and the merged word-frequency frame w$i. */
+  private def bpeTrainRound(i: Int): String = s""",
 p$i AS (
   SELECT pair, SUM(freq)::BIGINT AS pair_count FROM (
     SELECT unnest(list_transform(range(1, len(toks)),
@@ -3238,7 +3240,9 @@ w$i AS (
                          THEN acc[1:len(acc)-1] || [b.bp_a || b.bp_b]
                          ELSE acc || x END) AS toks, freq
   FROM w${i - 1}, b$i b)"""
-    def encodeRound(i: Int): String = s""",
+
+  /** One vocab-encode round (e$i from e{i-1} via round i's winner). */
+  private def bpeEncodeRound(i: Int): String = s""",
 e$i AS (
   SELECT word, list_reduce(list_transform(toks, t -> [t]),
            (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.bp_a
@@ -3246,6 +3250,10 @@ e$i AS (
                          THEN acc[1:len(acc)-1] || [b.bp_a || b.bp_b]
                          ELSE acc || x END) AS toks
   FROM e${i - 1}, b$i b)"""
+
+  val textBpeEncode: String = {
+    def trainRound(i: Int): String = bpeTrainRound(i)
+    def encodeRound(i: Int): String = bpeEncodeRound(i)
     """
 WITH w0 AS (
   SELECT string_split(word, '') AS toks, count(*)::BIGINT AS freq
@@ -3274,6 +3282,67 @@ SELECT d.doc_id,
 FROM dw d
 LEFT JOIN e3 e ON e.word = d.ws[1]
 LEFT JOIN cnt c USING (doc_id)"""
+  }
+
+  /** Mirror of TextOps.bpeIdsFrom: the same 3-round re-derivation of
+    * the merge rules + vocab encode as [[textBpeEncode]] (CTEs w0..w3,
+    * e0..e3), then the TokenizerStore vocabulary reconstructed exactly
+    * as build() writes it — binary-sorted base alphabet ids 0..B-1,
+    * merged tokens B..B+2 in rank order, min-id dedupe — and each
+    * document's position-ordered token-id stream md5'd (the
+    * textVocabEncode ids_md5 convention). Determinism notes: the
+    * alphabet ROW_NUMBER orders by the bare token (binary collation,
+    * same as Scala's sorted on String); md5('') covers the empty-text
+    * document exactly like the Spark coalesce. */
+  val textBpeIds: String = {
+    """
+WITH w0 AS (
+  SELECT string_split(word, '') AS toks, count(*)::BIGINT AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) u
+  WHERE word <> ''
+  GROUP BY word)""" +
+      (1 to 3).map(bpeTrainRound).mkString + """,
+e0 AS (
+  SELECT DISTINCT word, string_split(word, '') AS toks
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) u
+  WHERE word <> '')""" +
+      (1 to 3).map(bpeEncodeRound).mkString + """,
+alpha_ids AS (
+  SELECT token,
+         (ROW_NUMBER() OVER (ORDER BY token) - 1)::BIGINT AS token_id
+  FROM (SELECT DISTINCT unnest(string_split(word, '')) AS token
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents) u
+        WHERE word <> '')),
+bc AS (SELECT COUNT(*)::BIGINT AS b FROM alpha_ids),
+vocab AS (
+  SELECT token, MIN(token_id)::BIGINT AS token_id FROM (
+    SELECT token, token_id FROM alpha_ids
+    UNION ALL SELECT b1.bp_a || b1.bp_b, bc.b + 0 FROM b1, bc
+    UNION ALL SELECT b2.bp_a || b2.bp_b, bc.b + 1 FROM b2, bc
+    UNION ALL SELECT b3.bp_a || b3.bp_b, bc.b + 2 FROM b3, bc)
+  GROUP BY token),
+word_ids AS (
+  SELECT word, COUNT(*)::BIGINT AS n_toks,
+         string_agg(v.token_id::VARCHAR, ',' ORDER BY tp.tpos) AS ids_str
+  FROM (SELECT word, i AS tpos, toks[i] AS tok
+        FROM e3, UNNEST(range(1, len(toks) + 1)) u(i)) tp
+  JOIN vocab v ON v.token = tp.tok
+  GROUP BY word),
+dw AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+  FROM documents),
+doc_ids AS (
+  SELECT doc_id, SUM(wi.n_toks)::BIGINT AS nt,
+         string_agg(wi.ids_str, ',' ORDER BY dp.wpos) AS ids
+  FROM (SELECT doc_id, i AS wpos, ws[i] AS word
+        FROM dw, UNNEST(range(1, len(ws) + 1)) u(i)) dp
+  JOIN word_ids wi ON wi.word = dp.word
+  GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(di.nt, 0)::BIGINT AS n_bpe_tokens,
+       md5(COALESCE(di.ids, '')) AS ids_md5
+FROM documents d LEFT JOIN doc_ids di USING (doc_id)"""
   }
 
   /** Mirror of TextOps.bpeTrainMerges: 3 unrolled BPE rounds. Each

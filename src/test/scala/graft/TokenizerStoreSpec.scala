@@ -111,6 +111,23 @@ class TokenizerStoreSpec extends SparkSpec {
     assert(TokenizerStore.merges(spark, dir).count() == 2L)
   }
 
+  test("bpeIdsFrom: hand-computed id streams through the stored merges + vocab") {
+    val dir = tmpDir("ids")
+    TokenizerStore.build(corpus, dir, rounds = 3)
+    // vocab: a..e = 0..4, ab = 5, abc = 6, de = 7. Encodings:
+    //   abc -> [abc] = [6]; abd -> [ab, d] = [5,3]; de -> [7]; ab -> [5]
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = graft.ext.TextOps.bpeIdsFrom(corpus,
+      TokenizerStore.merges(spark, dir), TokenizerStore.vocab(spark, dir))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2))).toMap
+    assert(got(1L) == (4L, md5hex("6,6,5,3"))) // abc abc abd
+    assert(got(2L) == (3L, md5hex("6,6,7")))   // abc abc de
+    assert(got(3L) == (3L, md5hex("7,7,5")))   // de de ab
+  }
+
   test("retrain publishes a new epoch; the old generation stays time-travel-able; vacuum reclaims") {
     val dir = tmpDir("retrain")
     TokenizerStore.build(corpus, dir, rounds = 2)
