@@ -1622,7 +1622,10 @@ object TextOps {
       .join(encoded, Seq("word"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("nw"), sum(size(col("toks"))).as("nt"))
-    dw.select(col("doc_id"), element_at(col("ws"), 1).as("word"))
+    // try_element_at: ANSI element_at THROWS on the empty array an
+    // empty-text document produces (caught by BpePropertySpec's
+    // empty-doc case; the null word left-joins to null head_tokens)
+    dw.select(col("doc_id"), try_element_at(col("ws"), lit(1)).as("word"))
       .join(encoded, Seq("word"), "left")
       .select(col("doc_id"), array_join(col("toks"), "|").as("head_tokens"))
       .join(counts, Seq("doc_id"), "left")
