@@ -680,6 +680,14 @@ object SparkEntry {
       TextOps.bpeIdsFrom(docs(s, d),
         TokenizerStore.merges(s, store), TokenizerStore.vocab(s, store))
     }),
+    // shard packing by the EXACT tokenizer counts (what the trainer
+    // will actually see), not the regex estimate — the production
+    // pairing of the persisted tokenizer with the corpus_shards op
+    "corpus_shards_bpe" -> ((s, d) => {
+      val store = shTokStore(s, d)
+      TextOps.tokenShardsExact(docs(s, d), TextOps.bpeIdsFrom(docs(s, d),
+        TokenizerStore.merges(s, store), TokenizerStore.vocab(s, store)))
+    }),
     // bit-reproducible distributed training: integer batch perceptron
     "text_perceptron_train" -> ((s, d) => TextOps.perceptronTrain(docs(s, d))),
     // sparse tf-vector cosine near-dups via rare-term inverted-index
@@ -1079,6 +1087,7 @@ object SparkEntry {
     // bit-for-bit — same oracle
     "text_bpe_store" -> OracleSqlExt.textBpeEncode,
     "text_bpe_ids" -> OracleSqlExt.textBpeIds,
+    "corpus_shards_bpe" -> OracleSqlExt.corpusShardsBpe,
     "text_perceptron_train" -> OracleSqlExt.textPerceptronTrain,
     "text_sparse_neardup" -> OracleSqlExt.textSparseNeardup,
     "text_bm25" -> OracleSqlExt.textBm25,

@@ -268,6 +268,23 @@ object TextOps {
         expr(s"(sum(n_tokens) over (partition by lang order by doc_id " +
           s"rows between unbounded preceding and current row) - n_tokens) div $budget"))
 
+  /** [[tokenShards]] packing with EXACT tokenizer counts: `counts` is
+    * a per-doc (doc_id, n_bpe_tokens) frame — [[bpeIdsFrom]] output,
+    * or any stored count table — so shards hold ≈`budget` of the
+    * tokens the TRAINER will actually see, not the regex estimate
+    * (the estimate drifts with vocabulary; shard sizes built from it
+    * drift with it). Same deterministic per-lang doc_id packing order
+    * and running-sum window as [[tokenShards]]; zero-token documents
+    * ride in a shard but consume no budget. */
+  def tokenShardsExact(documents: DataFrame, counts: DataFrame,
+      budget: Long = 2048L): DataFrame =
+    documents.select(col("doc_id"), col("lang"))
+      .join(counts.select(col("doc_id"),
+        col("n_bpe_tokens").as("n_tokens")), Seq("doc_id"))
+      .withColumn("shard_id",
+        expr(s"(sum(n_tokens) over (partition by lang order by doc_id " +
+          s"rows between unbounded preceding and current row) - n_tokens) div $budget"))
+
   /** BPE-estimated token count of the `text` column — the same
     * per-word ceil(len/4) estimate [[tokenCounts]]/[[tokenShards]]
     * use, shared by the packing operators below. */

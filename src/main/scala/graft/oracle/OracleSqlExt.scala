@@ -3294,7 +3294,10 @@ LEFT JOIN cnt c USING (doc_id)"""
     * alphabet ROW_NUMBER orders by the bare token (binary collation,
     * same as Scala's sorted on String); md5('') covers the empty-text
     * document exactly like the Spark coalesce. */
-  val textBpeIds: String = {
+  /** The shared WITH-chain of the tokenizer-id oracles: 3 training
+    * rounds, vocab encode, alphabet/vocab ids, per-word id strings,
+    * and the per-doc (nt, ids) frame `doc_ids`. */
+  private val bpeIdsChain: String = {
     """
 WITH w0 AS (
   SELECT string_split(word, '') AS toks, count(*)::BIGINT AS freq
@@ -3338,12 +3341,27 @@ doc_ids AS (
   FROM (SELECT doc_id, i AS wpos, ws[i] AS word
         FROM dw, UNNEST(range(1, len(ws) + 1)) u(i)) dp
   JOIN word_ids wi ON wi.word = dp.word
-  GROUP BY doc_id)
+  GROUP BY doc_id)"""
+  }
+
+  val textBpeIds: String = bpeIdsChain + """
 SELECT d.doc_id,
        COALESCE(di.nt, 0)::BIGINT AS n_bpe_tokens,
        md5(COALESCE(di.ids, '')) AS ids_md5
 FROM documents d LEFT JOIN doc_ids di USING (doc_id)"""
-  }
+
+  /** Mirror of TextOps.tokenShardsExact over bpeIdsFrom counts: the
+    * per-doc exact token counts re-derived through the same chain,
+    * then the per-lang doc_id-ordered running-sum shard window —
+    * shard_id = (running total before this doc) div 2048. */
+  val corpusShardsBpe: String = bpeIdsChain + """
+SELECT d.doc_id, d.lang,
+       COALESCE(di.nt, 0)::BIGINT AS n_tokens,
+       CAST((SUM(COALESCE(di.nt, 0)) OVER (PARTITION BY d.lang
+          ORDER BY d.doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - COALESCE(di.nt, 0)) // 2048 AS BIGINT) AS shard_id
+FROM documents d LEFT JOIN doc_ids di USING (doc_id)"""
 
   /** Mirror of TextOps.bpeTrainMerges: 3 unrolled BPE rounds. Each
     * round: adjacent-pair counts weighted by word frequency, top-1 by
