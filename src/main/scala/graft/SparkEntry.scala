@@ -252,6 +252,10 @@ object SparkEntry {
     // hash of the unique event_id = reproducible random sample;
     // percentile_disc rank rule over it) + exact eval columns
     "sketch_quantiles" -> ((s, d) => ext.Sketches.quantileSketch(Tables.events(s, d))),
+    // deterministic HyperLogLog distinct-user estimate per event type
+    // (md5-derived registers, exact-integer harmonic sum, register-MAX
+    // merge law) + exact eval column
+    "sketch_hll" -> ((s, d) => ext.Sketches.hllDistinct(Tables.events(s, d))),
     // key-skew diagnostic: hottest keys + max/mean ratio for user_id
     "diag_key_skew" -> ((s, d) => ext.Skew.keySkewReport(Tables.events(s, d))),
     // one-pass dataset-card profile: nulls/cardinalities/ranges
@@ -680,6 +684,14 @@ object SparkEntry {
       TextOps.bpeIdsFrom(docs(s, d),
         TokenizerStore.merges(s, store), TokenizerStore.vocab(s, store))
     }),
+    // DETOKENIZE: decode the id sequences back through the persisted
+    // vocabulary and prove losslessness — the reassembled text must
+    // equal the whitespace-normalized original, per document
+    "text_bpe_roundtrip" -> ((s, d) => {
+      val store = shTokStore(s, d)
+      TextOps.bpeDecodeRoundtrip(docs(s, d),
+        TokenizerStore.merges(s, store), TokenizerStore.vocab(s, store))
+    }),
     // shard packing by the EXACT tokenizer counts (what the trainer
     // will actually see), not the regex estimate — the production
     // pairing of the persisted tokenizer with the corpus_shards op
@@ -1018,6 +1030,7 @@ object SparkEntry {
     "sketch_countmin" -> OracleSqlExt.sketchCountMin,
     "sketch_kmv_overlap" -> OracleSqlExt.sketchKmvOverlap,
     "sketch_quantiles" -> OracleSqlExt.sketchQuantiles,
+    "sketch_hll" -> OracleSqlExt.sketchHll,
     "diag_key_skew" -> OracleSqlExt.diagKeySkew,
     "diag_profile" -> OracleSqlExt.diagProfile,
     "diag_histogram" -> OracleSqlExt.diagHistogram,
@@ -1087,6 +1100,7 @@ object SparkEntry {
     // bit-for-bit — same oracle
     "text_bpe_store" -> OracleSqlExt.textBpeEncode,
     "text_bpe_ids" -> OracleSqlExt.textBpeIds,
+    "text_bpe_roundtrip" -> OracleSqlExt.textBpeRoundtrip,
     "corpus_shards_bpe" -> OracleSqlExt.corpusShardsBpe,
     "text_perceptron_train" -> OracleSqlExt.textPerceptronTrain,
     "text_sparse_neardup" -> OracleSqlExt.textSparseNeardup,

@@ -64,6 +64,95 @@ object Sketches {
             * lit(1152921504606846976L).cast("double") / col("vk"))
           .as("n_distinct_est"))
 
+  /** HLL bucket-count exponent (m = 2⁴ = 16 registers per group) —
+    * small on purpose: the gate data (150/1500 distinct users per type
+    * at sf0.01/0.1) must sit in the raw-estimator regime (raw > 2.5m,
+    * no empty buckets) so the whole row is a pure function of the data
+    * and hash-gates; a production caller would raise b. */
+  private[graft] val HllB = 4
+  private[graft] val HllM = 1 << HllB // 16
+  private val HllWBits = 60 - HllB // rank field width
+  private val HllRankCap = HllWBits + 1 // rank of an all-zero field
+  /** α₁₆·m²·2⁵⁷ as ONE double literal (α₁₆ = 0.673, Flajolet et al.
+    * 2007), precomputed so Spark and the DuckDB oracle parse the
+    * identical IEEE value instead of each folding 0.673·256·2⁵⁷. */
+  private val HllC = 2.482931752321306e19
+
+  /** Deterministic HyperLogLog distinct-user estimate per event type —
+    * the third mergeable sketch family, with the third merge law:
+    * registers merge by position-wise MAX (KMV: union + re-take-k;
+    * CMS: position-wise SUM). Unlike Spark's `approx_count_distinct`
+    * (whose HLL++ register bytes are engine-specific and can only gate
+    * rows-only), every piece here is a pure function of the data: the
+    * 60-bit md5 hash splits into a 4-bit bucket and a 56-bit rank
+    * field, the register is max(leading-zeros+1), and the harmonic
+    * denominator Σ 2^(−M_j) is kept as the EXACT integer Σ 2^(57−M_j)
+    * (≤ 16·2⁵⁷ = 2⁶¹, inside bigint), so the estimate is one double
+    * divide of exact integers — the whole row hash-gates against
+    * DuckDB, estimate included. The small-range linear-counting branch
+    * (raw ≤ 2.5m ∧ empty buckets) uses ln and is therefore NOT
+    * hash-portable bit-for-bit — it is dormant at every gated SF
+    * (raw = 135/1481 at sf0.01/0.1, z_empty = 0) and pinned against a
+    * plain-Scala reference in SketchesSpec instead.
+    *
+    * Scale posture: registers are a map-side-combined
+    * groupBy(type, bucket).max — ≤ m rows per (type, partition) reach
+    * the shuffle regardless of event volume, and the estimate runs
+    * over ≤ m·|types| rows. Register frames from disjoint shards (or
+    * stream batches — [[graft.streaming.CorpusIngest.updateHllSketch]])
+    * merge by the same groupBy-max, so "how many distinct users has
+    * each type ever seen" is answerable from m·|types| rows without a
+    * rescan. The exact countDistinct alongside is the EVALUATION
+    * column, same status as kmvDistinct's. */
+  def hllDistinct(events: DataFrame): DataFrame = {
+    val est = hllEstimateFrom(hllRegisters(events))
+    val exact = events.filter(col("user_id").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_distinct_exact"))
+    est.join(exact, Seq("event_type"))
+  }
+
+  /** The per-(type, bucket) max-rank register frame — the mergeable
+    * artifact, shared by [[hllDistinct]] and the streaming maintenance
+    * path so batch and stream registers agree bit-for-bit. Rank =
+    * leading zeros of the 56-bit field + 1, computed integrally as
+    * 57 − bitlength(w) (`bin` renders without leading zeros in both
+    * engines; the w = 0 case is the cap, 57). */
+  private[graft] def hllRegisters(events: DataFrame): DataFrame = {
+    val w = col("hv").bitwiseAND(lit((1L << HllWBits) - 1))
+    events.filter(col("user_id").isNotNull)
+      .select(col("event_type"),
+        h60(col("user_id").cast("string")).as("hv"))
+      .select(col("event_type"),
+        shiftright(col("hv"), HllWBits).as("bucket"),
+        when(w === 0L, lit(HllRankCap))
+          .otherwise(lit(HllRankCap) - length(bin(w))).as("rank"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rank")).as("mreg"))
+  }
+
+  /** (z_empty, s_scaled, raw_est, hll_est) per type over a register
+    * frame. s_scaled = Σ 2^(57−M_j) with empty buckets contributing
+    * 2⁵⁷ — exact; raw_est = α·m²·2⁵⁷ / s_scaled — one divide. */
+  private[graft] def hllEstimateFrom(regs: DataFrame): DataFrame = {
+    val m = HllM.toLong
+    val raw = lit(HllC) / col("s_scaled")
+    regs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllRankCap - mreg)"))
+          .as("s_obs"))
+      .select(col("event_type"),
+        (lit(m) - col("n_obs")).as("z_empty"),
+        (col("s_obs") + (lit(m) - col("n_obs")) * lit(1L << HllRankCap))
+          .as("s_scaled"))
+      .select(col("event_type"), col("z_empty"), col("s_scaled"),
+        raw.as("raw_est"),
+        when(raw <= lit(2.5 * HllM) && col("z_empty") > 0L,
+          lit(HllM.toDouble)
+            * log(lit(HllM.toDouble) / col("z_empty").cast("double")))
+          .otherwise(raw).as("hll_est"))
+  }
+
   /** Count-min sketch over event types: `depth` independent hash rows
     * of `width` counters; each occurrence increments one counter per
     * row, a point query reads the MINIMUM across rows — never an

@@ -1754,4 +1754,66 @@ object TextOps {
         coalesce(col("nt"), lit(0L)).as("n_bpe_tokens"),
         md5(coalesce(col("ids"), lit("")).cast("binary")).as("ids_md5"))
   }
+
+  /** DETOKENIZE — decode the per-word token-id sequences back through
+    * the persisted vocabulary and prove the tokenizer is lossless:
+    * per document, the reassembled text must equal the
+    * whitespace-normalized original (BPE merges only concatenate
+    * adjacent tokens and the seeding is one token per code point, so
+    * concat(tokens(w)) = w for every word; the oracle asserts exactly
+    * this theorem, so a decode bug — id collision, ordering slip,
+    * dropped token — breaks the hash). Ids resolve through the same
+    * min-id surface dedupe as [[bpeIdsFrom]]; the id→token direction
+    * stays injective because the dedupe only DROPS duplicate-surface
+    * rows, it never aliases two surfaces to one id.
+    *
+    * The decode rides the word-positioned id frame rather than the
+    * flat per-doc id stream deliberately: this tokenizer has no
+    * word-boundary marker (no '</w>' suffix / 'Ġ' prefix), so the flat
+    * stream is not boundary-recoverable — the scheme a production
+    * tokenizer would add; documented here as the boundary of the
+    * surface, not hidden.
+    *
+    * Scale posture — the [[bpeEncodeFrom]] discipline: encode AND
+    * decode both run at VOCAB scale (fold, id probe, id→token probe —
+    * all saturating with vocabulary); the corpus side pays one word
+    * explode, one equi join against the decoded-word frame, and one
+    * per-doc ordered reassembly. */
+  def bpeDecodeRoundtrip(documents: DataFrame, merges: DataFrame,
+      vocab: DataFrame): DataFrame = {
+    val ids = vocab.groupBy(col("token"))
+      .agg(min(col("token_id")).as("token_id"))
+    // word → ordered id sequence (the bpeIdsFrom frame, ids kept live)
+    val wordIds = bpeEncodeVocab(documents, merges)
+      .select(col("word"), posexplode(col("toks")).as(Seq("tpos", "token")))
+      .join(broadcast(ids), Seq("token"))
+      .select(col("word"), col("tpos"), col("token_id"))
+    // DECODE: ids back to surfaces, reassembled in token order
+    val decoded = wordIds
+      .join(broadcast(ids.select(col("token_id"), col("token"))),
+        Seq("token_id"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n_toks"),
+        concat_ws("", transform(
+          sort_array(collect_list(struct(col("tpos"), col("token")))),
+          e => e.getField("token"))).as("decoded_word"))
+    val dw = documents.select(col("doc_id"),
+      expr("filter(split(text, ' '), w -> w != '')").as("ws"))
+    val docDec = dw
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("wpos", "word")))
+      .join(decoded, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_toks")).as("nt"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("wpos"), col("decoded_word")))),
+          e => e.getField("decoded_word"))).as("decoded"))
+    dw.select(col("doc_id"), array_join(col("ws"), " ").as("norm"))
+      .join(docDec, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nt"), lit(0L)).as("n_bpe_tokens"),
+        md5(coalesce(col("decoded"), lit("")).cast("binary"))
+          .as("decoded_md5"),
+        (coalesce(col("decoded"), lit("")) === col("norm"))
+          .as("roundtrip_ok"))
+  }
 }

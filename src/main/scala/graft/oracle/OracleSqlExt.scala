@@ -2424,6 +2424,47 @@ SELECT tk.event_type, tk.n_exact, CAST(MIN(c.cnt) AS BIGINT) AS cms_est
 FROM tk JOIN counters c ON c.j = tk.j AND c.pos = tk.pos
 GROUP BY tk.event_type, tk.n_exact"""
 
+  /** Mirror of Sketches.hllDistinct (b=4, m=16): bucket = top 4 bits
+    * of the 60-bit md5 hash, rank = 57 − bitlength of the low-56-bit
+    * field (bin renders without leading zeros in both engines), the
+    * harmonic denominator kept as the exact integer Σ 2^(57−M_j), and
+    * the estimate one double divide by the shared α₁₆·m²·2⁵⁷ literal.
+    * The ln-bearing linear-counting branch is dormant at gated SFs
+    * (raw_est = 135/1481 at sf0.01/0.1, z_empty = 0). */
+  val sketchHll: String = """
+WITH hv AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events WHERE user_id IS NOT NULL),
+rw AS (
+  SELECT event_type, hv >> 56 AS bucket,
+         CASE WHEN (hv & 72057594037927935) = 0 THEN 57
+              ELSE 57 - length(bin(hv & 72057594037927935)) END AS rank
+  FROM hv),
+regs AS (SELECT event_type, bucket, MAX(rank) AS mreg
+         FROM rw GROUP BY event_type, bucket),
+agg AS (
+  SELECT event_type, COUNT(*) AS n_obs,
+         CAST(SUM(1::BIGINT << (57 - mreg)) AS BIGINT) AS s_obs
+  FROM regs GROUP BY event_type),
+est AS (
+  SELECT event_type,
+         CAST(16 - n_obs AS BIGINT) AS z_empty,
+         CAST(s_obs + (16 - n_obs) * (1::BIGINT << 57) AS BIGINT) AS s_scaled
+  FROM agg),
+ex AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_exact
+  FROM events WHERE user_id IS NOT NULL GROUP BY event_type)
+SELECT est.event_type, est.z_empty, est.s_scaled,
+       CAST(2.482931752321306e19 AS DOUBLE) / est.s_scaled AS raw_est,
+       CASE WHEN CAST(2.482931752321306e19 AS DOUBLE) / est.s_scaled <= 40.0
+                 AND est.z_empty > 0
+            THEN 16.0 * ln(16.0 / est.z_empty)
+            ELSE CAST(2.482931752321306e19 AS DOUBLE) / est.s_scaled END
+         AS hll_est,
+       ex.n_distinct_exact
+FROM est JOIN ex ON est.event_type = ex.event_type"""
+
   // ----------------------------------------------------------- embeddings
 
   private val quantCte: String = """
@@ -3348,6 +3389,21 @@ doc_ids AS (
 SELECT d.doc_id,
        COALESCE(di.nt, 0)::BIGINT AS n_bpe_tokens,
        md5(COALESCE(di.ids, '')) AS ids_md5
+FROM documents d LEFT JOIN doc_ids di USING (doc_id)"""
+
+  /** Mirror of TextOps.bpeDecodeRoundtrip: the oracle asserts the
+    * LOSSLESSNESS THEOREM — decoding the id stream must reproduce the
+    * whitespace-normalized original (BPE merges only concatenate, so
+    * concat(tokens(w)) = w), with the token count re-derived through
+    * the shared chain. The engine genuinely decodes ids → surfaces →
+    * document; any id collision, ordering slip, or dropped token lands
+    * on decoded_md5 / roundtrip_ok and breaks the hash. */
+  val textBpeRoundtrip: String = bpeIdsChain + """
+SELECT d.doc_id,
+       COALESCE(di.nt, 0)::BIGINT AS n_bpe_tokens,
+       md5(array_to_string(list_filter(string_split(d.text, ' '),
+             w -> w <> ''), ' ')) AS decoded_md5,
+       TRUE AS roundtrip_ok
 FROM documents d LEFT JOIN doc_ids di USING (doc_id)"""
 
   /** Mirror of TextOps.tokenShardsExact over bpeIdsFrom counts: the

@@ -363,6 +363,42 @@ object CorpusIngest {
       }
     }
 
+  /** Streaming HLL register maintenance: each micro-batch's
+    * per-(type, bucket) max-rank register frame
+    * ([[graft.ext.Sketches.hllRegisters]] — the same build the batch
+    * query uses) merges into the stored one by position-wise MAX, the
+    * register merge law SketchesSpec proves for shard sketches. The
+    * running registers answer "how many distinct users has each type
+    * ever seen" from m·|types| rows without a rescan. Same versioned
+    * publish + TxnLog commit as the KMV path; like KMV (and unlike
+    * CMS's sum), the max-merge is idempotent AND monotone, so even a
+    * torn rerun converges to the same registers. */
+  def updateHllSketch(batch: DataFrame, batchId: Long,
+      sketchDir: String): Unit =
+    mergePublish(batch.sparkSession, sketchDir, "hllregs", batchId) { prev =>
+      val br = graft.ext.Sketches.hllRegisters(batch)
+      prev match {
+        case Some(p) =>
+          p.select(col("event_type"), col("bucket"), col("mreg").as("rank"))
+            .unionByName(br.withColumnRenamed("mreg", "rank"))
+            .groupBy(col("event_type"), col("bucket"))
+            .agg(max(col("rank")).as("mreg"))
+        case None => br
+      }
+    }
+
+  /** Current per-type HLL estimates from the stored registers — shares
+    * [[graft.ext.Sketches.hllEstimateFrom]] with the batch query.
+    * Empty (0-row) frame before the first commit. */
+  def hllEstimate(spark: SparkSession, sketchDir: String): DataFrame =
+    readLatest(spark, sketchDir, "hllregs") match {
+      case Some(regs) => graft.ext.Sketches.hllEstimateFrom(regs)
+      case None => spark.range(0).select(
+        col("id").cast("string").as("event_type"), col("id").as("z_empty"),
+        col("id").as("s_scaled"), col("id").cast("double").as("raw_est"),
+        col("id").cast("double").as("hll_est"))
+    }
+
   /** Streaming quantile-sketch maintenance: each micro-batch's
     * bottom-k row sample ([[graft.ext.Sketches.quantileSample]] — the
     * same build the batch query uses) merges with the stored one by

@@ -154,6 +154,20 @@ class BpePropertySpec extends SparkSpec {
           s"seed=$seed doc=$id ids mismatch")
       }
       assert(ids(rows.last._1) == ((0L, md5hex(""))), "empty doc: 0 tokens")
+
+      // ROUNDTRIP: decoding the id streams reproduces the normalized
+      // original on every doc (the losslessness theorem), with the
+      // same token counts as the ids path
+      val rt = TextOps.bpeDecodeRoundtrip(docs, merges, vocabDf).collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getString(2), r.getBoolean(3))).toMap
+      for ((id, text) <- rows) {
+        val ws = text.split(" ").filter(_.nonEmpty).toSeq
+        val norm = ws.mkString(" ")
+        val nToks = ws.map(refEncode(_, refMerges).length).sum.toLong
+        assert(rt(id) == ((nToks, md5hex(norm), true)),
+          s"seed=$seed doc=$id roundtrip mismatch: got=${rt(id)}")
+      }
     }
   }
 }

@@ -230,6 +230,41 @@ class CorpusIngestSpec extends SparkSpec {
     assert(est.getAs[Long]("vk") == whole.max)
   }
 
+  test("streaming HLL registers over batches equal the batch registers over the whole stream") {
+    import org.apache.spark.sql.functions._
+    val sketchDir = Files.createTempDirectory("graft-hll").toString
+    // 3 micro-batches, 2 types, with cross-batch duplicate users
+    val batches = (0 until 3).map { b =>
+      (0 until 60).map { i =>
+        val u = if (i % 4 == 0) i / 4L else b * 1000L + i // cross-batch dups
+        (b * 60L + i, s"t${i % 2}", u)
+      }.toDF("event_id", "event_type", "user_id")
+    }
+    // before the first commit: empty estimate, no throw
+    assert(CorpusIngest.hllEstimate(spark, sketchDir).count() == 0)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      CorpusIngest.updateHllSketch(b, i.toLong, sketchDir)
+    }
+    def streamed = CorpusIngest.hllEstimate(spark, sketchDir)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("z_empty"), r.getAs[Long]("s_scaled"),
+          r.getAs[Double]("hll_est"))).toMap
+    // batch reference: registers of the FULL stream in one pass
+    val whole = graft.ext.Sketches
+      .hllDistinct(batches.reduce(_ unionByName _))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("z_empty"), r.getAs[Long]("s_scaled"),
+          r.getAs[Double]("hll_est"))).toMap
+    assert(streamed == whole) // stream-over-time ≡ batch-over-space
+    // txn-log replay of a committed batch id: no work, registers unchanged
+    CorpusIngest.updateHllSketch(batches(1), 1L, sketchDir)
+    assert(streamed == whole)
+    // torn rerun (same data, NEW batch id): max-merge is idempotent
+    // and monotone — registers converge to the same value
+    CorpusIngest.updateHllSketch(batches(1), 99L, sketchDir)
+    assert(streamed == whole)
+  }
+
   test("streaming quantile sketch over batches equals the batch sketch over the whole stream") {
     val sketchDir = Files.createTempDirectory("graft-qsk").toString
     val k = 32

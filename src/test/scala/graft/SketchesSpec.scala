@@ -142,6 +142,84 @@ class SketchesSpec extends SparkSpec {
     assert(summed == whole)
   }
 
+  // ------------------------------------------------------------- HLL
+
+  private def userEvents(n: Int, types: Int = 3, dup: Int = 0) = {
+    import spark.implicits._
+    // n distinct users per type + `dup` repeat rows of user 0
+    ((0 until n * types).map(i =>
+      (i.toLong, s"t${i % types}", (i / types).toLong)) ++
+      (0 until dup).map(i =>
+        (n * types + i.toLong, s"t${i % types}", 0L)))
+      .toDF("event_id", "event_type", "user_id")
+  }
+
+  /** Plain-Scala HLL reference: md5 → 60-bit hash → top-4-bit bucket,
+    * rank = 57 − bitlength of the low 56 bits — independent of every
+    * Spark expression under test (bin/shiftright/bitwiseAND). */
+  private def refRegisters(rows: Seq[(String, Long)]): Map[(String, Long), Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foldLeft(Map.empty[(String, Long), Int]) { case (acc, (t, u)) =>
+      val hex = md.digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val hv = java.lang.Long.parseLong(hex, 16)
+      val bucket = hv >>> 56
+      val w = hv & ((1L << 56) - 1)
+      val rank =
+        if (w == 0L) 57
+        else 57 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      val k = (t, bucket)
+      acc.updated(k, math.max(acc.getOrElse(k, 0), rank))
+    }
+  }
+
+  test("HLL registers are bit-identical to a plain-Scala md5 reference") {
+    val df = userEvents(500, types = 3, dup = 40)
+    val engine = Sketches.hllRegisters(df).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("bucket")) ->
+        r.getAs[Int]("mreg")).toMap
+    val rows = df.select(col("event_type"), col("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(engine == refRegisters(rows))
+  }
+
+  test("HLL estimates distinct users within the m=16 error regime; duplicates don't move registers") {
+    val rs = Sketches.hllDistinct(userEvents(500, dup = 200)).collect()
+    assert(rs.length == 3)
+    rs.foreach { r =>
+      assert(r.getAs[Long]("n_distinct_exact") == 500L)
+      assert(r.getAs[Long]("z_empty") == 0L)
+      // branch dormant: hll_est IS raw_est when no bucket is empty
+      assert(r.getAs[Double]("hll_est") == r.getAs[Double]("raw_est"))
+      // stddev ≈ 1.04/√16 = 26%; allow ~3 sigma
+      assert(math.abs(r.getAs[Double]("hll_est") - 500.0) < 400.0,
+        s"estimate ${r.getAs[Double]("hll_est")}")
+    }
+  }
+
+  test("HLL small-range branch: linear counting replaces the biased-low raw estimate") {
+    val r = Sketches.hllDistinct(userEvents(4, types = 1)).head
+    val z = r.getAs[Long]("z_empty")
+    assert(z >= 12L && z < 16L) // 4 users fill at most 4 of 16 buckets
+    val expected = 16.0 * math.log(16.0 / z.toDouble)
+    assert(r.getAs[Double]("hll_est") == expected) // same JVM Math.log
+    assert(r.getAs[Double]("hll_est") != r.getAs[Double]("raw_est"))
+    assert(math.abs(expected - 4.0) < 2.0) // linear counting is accurate here
+  }
+
+  test("HLL register frames from disjoint shards merge by position-wise max") {
+    val df = userEvents(300)
+    val whole = Sketches.hllRegisters(df).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val a = Sketches.hllRegisters(df.filter(col("user_id") % 2 === 0))
+    val b = Sketches.hllRegisters(df.filter(col("user_id") % 2 === 1))
+    val merged = a.unionByName(b)
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("mreg")).as("mreg")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(merged == whole)
+  }
+
   // 10-token texts → 3 stride-1 8-token shingles per doc; per-doc
   // unique vocab keeps shingle sets disjoint unless texts are copied.
   private def halfDocs(shared: Int, perHalf: Int = 30) = {
