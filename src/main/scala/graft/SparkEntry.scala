@@ -624,6 +624,9 @@ object SparkEntry {
     "text_entropy" -> ((s, d) => TextOps.unigramEntropyFrom(shTf(s, d), docs(s, d))),
     // per-lang percentile quality gating (keep the top 75% by score)
     "corpus_quality_gate" -> ((s, d) => TextOps.qualityGate(docs(s, d))),
+    // per-source document caps (the web-pipeline domain-cap policy):
+    // keep each source's top-quality slice, at most 16 docs
+    "corpus_source_caps" -> ((s, d) => TextOps.sourceCaps(docs(s, d))),
     // PII detection + in-place scrubbing (email/phone/IP), zero-shuffle
     "text_pii_scrub" -> ((s, d) => TextOps.piiScrub(docs(s, d))),
     // unigram-LM surprisal quality score in integer bits
@@ -1081,6 +1084,7 @@ object SparkEntry {
     "text_pmi" -> OracleSqlExt.textPmi,
     "text_entropy" -> OracleSqlExt.textEntropy,
     "corpus_quality_gate" -> OracleSqlExt.corpusQualityGate,
+    "corpus_source_caps" -> OracleSqlExt.corpusSourceCaps,
     "text_pii_scrub" -> OracleSqlExt.textPiiScrub,
     "text_surprisal" -> OracleSqlExt.textSurprisal,
     "text_perplexity" -> OracleSqlExt.textPerplexity,

@@ -124,6 +124,35 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("weight"), col("priority"))
   }
 
+  /** Per-source document caps — the domain-cap policy of web-corpus
+    * pipelines (CCNet / RefinedWeb style): no single source may
+    * contribute more than `cap` documents, and the kept set is the
+    * source's TOP-quality slice, not an arbitrary one — the standard
+    * defense against one crawler-friendly domain flooding the training
+    * mix. Ranking is the [[qualityScore]] signal (already
+    * oracle-exact) descending with a doc_id tie-break, so the kept set
+    * is a pure function of the data.
+    *
+    * Scale posture: rank ≤ cap over a per-source window rewrites to
+    * WindowGroupLimit (cap ≤ 1000), so at most `cap` rows per map task
+    * reach the exchange per source — the same bounded-output posture
+    * as the top-k samplers; no corpus-wide sort anywhere. The
+    * quality expression is a codegen'd per-row projection. */
+  def sourceCaps(documents: DataFrame, cap: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokenCount(col("text"))
+    val q = least(lit(1.0), toks.cast("double") / 100) * 0.4 +
+      size(array_distinct(tokens(col("text")))).cast("double") / toks * 0.4 +
+      least(lit(1.0), (occurrences(col("text"), "the ")
+        + occurrences(col("text"), "a ")).cast("double") / 5) * 0.2
+    documents
+      .select(col("doc_id"), col("source"), q.as("quality_score"))
+      .withColumn("src_rank", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("quality_score").desc_nulls_last, col("doc_id"))))
+      .filter(col("src_rank") <= cap)
+  }
+
   /** Feature hashing (the "hashing trick", Weinberger et al., ICML
     * 2009): each document becomes a sparse `dim`-bucket term-frequency
     * vector with the vocabulary REPLACED by a hash — the featurizer

@@ -1267,6 +1267,26 @@ SELECT doc_id,
          AS quality_score
 FROM documents"""
 
+  /** Mirror of TextOps.sourceCaps(cap=16): the textQuality expression
+    * verbatim, ranked per source (DESC NULLS LAST + doc_id tie-break,
+    * Spark's desc_nulls_last spelled out), kept through rank ≤ 16. */
+  val corpusSourceCaps: String = s"""
+WITH q AS (
+  SELECT doc_id, source,
+         least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100) * 0.4
+         + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) * 0.4
+         + least(1.0, CAST(${occ("the ", 4)} + ${occ("a ", 2)} AS DOUBLE) / 5) * 0.2
+           AS quality_score
+  FROM documents)
+SELECT doc_id, source, quality_score, src_rank FROM (
+  SELECT doc_id, source, quality_score,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY quality_score DESC NULLS LAST, doc_id)
+           AS src_rank
+  FROM q)
+WHERE src_rank <= 16"""
+
   val textLangId: String = s"""
 WITH s AS (
   SELECT doc_id, lang,

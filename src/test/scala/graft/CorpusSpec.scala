@@ -339,4 +339,36 @@ class CorpusSpec extends SparkSpec {
       assert(ids == ids.sorted)
     }
   }
+
+  test("sourceCaps keeps each source's top-quality slice, bounded by WindowGroupLimit") {
+    // 3 sources × 8 docs; quality rises with token count (length score
+    // dominates below 100 tokens), so the kept set per source is the
+    // longest docs; doc_id breaks exact-quality ties
+    val docs = (0 until 24).map { i =>
+      val src = s"s${i % 3}"
+      val n = 5 + (i / 3) * 7 // token counts 5,12,19,...,54 per source
+      (i.toLong, src, (1 to n).map(j => s"w${i}x$j").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val df = TextOps.sourceCaps(docs, cap = 4)
+    val got = df.collect()
+    assert(got.length == 12) // 4 kept per source
+    got.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      assert(rows.length == 4)
+      assert(rows.map(_.getInt(3)).sorted.toSeq == Seq(1, 2, 3, 4))
+      // kept = highest quality first; ranks follow quality descending
+      val byRank = rows.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+      assert(byRank == byRank.sorted.reverse)
+    }
+    // every source's kept minimum beats (or equals) its dropped maximum
+    val all = TextOps.sourceCaps(docs, cap = 1000).collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getInt(3)))
+    all.groupBy(_._1).foreach { case (_, rs) =>
+      val kept = rs.filter(_._3 <= 4).map(_._2)
+      val dropped = rs.filter(_._3 > 4).map(_._2)
+      assert(dropped.isEmpty || kept.min >= dropped.max)
+    }
+    // the rank filter must rewrite to WindowGroupLimit: `cap` rows per
+    // map task reach the exchange, never the corpus
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
 }
