@@ -39,6 +39,7 @@ object GraftSql {
         .createOrReplaceTempView("clicks_v")
       graft.plans.AsOfSql.register(spark)
       graft.plans.RangeSql.register(spark)
+      graft.plans.KnnSql.register(spark)
       graft.functions.CosineSimilarity.register(spark)
       graft.functions.RollingMinHash.register(spark)
       graft.functions.SimHash32.register(spark)

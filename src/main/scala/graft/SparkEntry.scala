@@ -234,6 +234,13 @@ object SparkEntry {
              unix_micros(c_ts) - unix_micros(ts) AS gap_us
       FROM range_join('purchases_v', 'clicks_v', 'user_id', 'ts', 'c_ts',
                       0, 3600000000)""")),
+    // similarity search REACHED FROM SQL TEXT through the knn_join TVF
+    // (plans/KnnSql.scala): inline TABLE(subquery) query set, corpus by
+    // name, quantized-cosine top-5 per query (self-match ranks first)
+    "sql_knn" -> ((s, d) => GraftSql.sql(s, d, """
+      SELECT * FROM knn_join(TABLE(SELECT vec_id, embedding
+                                   FROM embeddings WHERE vec_id % 97 = 0),
+                             'embeddings', 'vec_id', 'embedding', 5)""")),
     // explicit two-phase salted aggregation (result ≡ plain groupBy)
     "events_salted_counts" -> ((s, d) => ext.Skew.saltedTypeCounts(Tables.events(s, d))),
     // per-type z-score outliers from exact quantized moments
@@ -1025,6 +1032,7 @@ object SparkEntry {
     "events_asof_fwd" -> OracleSqlExt.eventsAsofFwd,
     "events_asof_nearest" -> OracleSqlExt.eventsAsofNearest,
     "sql_range" -> OracleSqlExt.eventsRange,
+    "sql_knn" -> OracleSqlExt.sqlKnn,
     "events_range" -> OracleSqlExt.eventsRange,
     "events_salted_counts" -> OracleSqlExt.eventsSaltedCounts,
     "events_anomalies" -> OracleSqlExt.eventsAnomalies,

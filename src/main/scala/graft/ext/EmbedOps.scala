@@ -67,6 +67,43 @@ object EmbedOps {
         col("cosine"))
   }
 
+  /** Generic kNN JOIN — each row of `left` (the query set) joined to
+    * its `k` nearest rows of `right` (the corpus) by quantized cosine,
+    * ties broken on neighbor id: the relational form of
+    * [[bruteForceTopK]] with caller-supplied sides, and the engine
+    * behind the `knn_join` SQL TVF ([[graft.plans.KnnSql]]). Both
+    * sides expose the same id/vector column names; output is
+    * (query_id, rank, neighbor_id, cosine). Self-matches are NOT
+    * excluded — a corpus row that is also a query row ranks first at
+    * cosine 1.0; callers joining a table to itself filter
+    * `query_id != neighbor_id` if they want strict neighbors.
+    *
+    * Scale posture: the LEFT side is broadcast by contract (a query
+    * set, not a second corpus — the same asymmetry every ANN serving
+    * path assumes); the corpus side streams through one scan, and the
+    * per-query rank ≤ k rewrites to WindowGroupLimit so only k rows
+    * per (query, task) reach the exchange. Quantized integer
+    * dot/norms keep the score engine-exact (the hash-gated family),
+    * one IEEE sqrt + divide at the end. */
+  def knnJoin(left: DataFrame, right: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = left.select(col(idCol).as("query_id"),
+      quantized(col(vecCol)).as("qq"))
+      .withColumn("n2q", qnorm2(col("qq")))
+    val c = right.select(col(idCol).as("neighbor_id"),
+      quantized(col(vecCol)).as("qn"))
+      .withColumn("n2n", qnorm2(col("qn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .withColumn("cosine",
+        cosineFromParts(qdot(col("qq"), col("qn")), col("n2q"), col("n2n")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cosine"))
+  }
+
   /** Max-inner-product top-k (MIPS) — the RECOMMENDER retrieval
     * objective, distinct from cosine: dot product rewards magnitude
     * (a popular item with a long vector wins ties a unit-normalized

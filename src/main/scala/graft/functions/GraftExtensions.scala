@@ -41,6 +41,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(graft.plans.RangeSql.name),
       graft.plans.RangeSql.info,
       graft.plans.RangeSql.builder))
+    // SQL-text spelling of the kNN similarity join (a TVF expanding to
+    // the broadcast-queries × corpus-scan top-k — left side broadcast
+    // by contract, per-query rank bounded by WindowGroupLimit)
+    ext.injectTableFunction((
+      FunctionIdentifier(graft.plans.KnnSql.name),
+      graft.plans.KnnSql.info,
+      graft.plans.KnnSql.builder))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(

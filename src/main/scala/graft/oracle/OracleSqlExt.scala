@@ -2514,6 +2514,20 @@ ranked AS (
   FROM scored)
 SELECT query_id, rank, vec_id AS neighbor_id, cosine FROM ranked WHERE rank <= 5"""
 
+  /** Mirror of the knn_join TVF query: embedTopK without the
+    * self-exclusion (the generic join keeps self-matches — each query
+    * row ranks itself first at cosine 1.0). */
+  val sqlKnn: String = quantCte + s""",
+qs AS (SELECT vec_id AS query_id, qv AS qq FROM q WHERE vec_id % 97 = 0),
+scored AS (
+  SELECT qs.query_id, q.vec_id, ${cosineSql("qs.qq", "q.qv")} AS cosine
+  FROM q, qs),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, rank, vec_id AS neighbor_id, cosine FROM ranked WHERE rank <= 5"""
+
   /** Mirror of EmbedOps.mipsTopK: pure integer quantized dot product,
     * rank by (dot DESC, vec_id) — no float anywhere. */
   val embedMipsTopk: String = quantCte + """,
