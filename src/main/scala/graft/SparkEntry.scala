@@ -656,6 +656,15 @@ object SparkEntry {
     "corpus_mixture" -> ((s, d) => TextOps.mixtureWeights(docs(s, d))),
     // frozen 80/10/10 split assignment (key-pure hash; append-stable)
     "sample_splits" -> ((s, d) => TextOps.datasetSplits(docs(s, d))),
+    // leakage-safe split: residue keyed on the near-dup cluster rep,
+    // so no near-duplicate pair ever straddles train/valid/test
+    "sample_splits_safe" -> ((s, d) =>
+      TextOps.leakageSafeSplits(docs(s, d), shClusters(s, d, 0.5))),
+    // contamination audit: cross-split near-dup pairs under the naive
+    // doc-keyed policy vs the cluster-keyed one (provably zero)
+    "sample_split_leakage" -> ((s, d) =>
+      TextOps.splitLeakage(docs(s, d), shPairs(s, d, 0.5),
+        shClusters(s, d, 0.5))),
     "sample_hash" -> ((s, d) => TextOps.hashSample(docs(s, d))),
     "sample_stratified" -> ((s, d) => TextOps.stratifiedSample(docs(s, d))),
     // fixed-budget weighted sample: integerized bottom-k priorities
@@ -1103,6 +1112,8 @@ object SparkEntry {
     "corpus_mixture" -> OracleSqlExt.corpusMixture,
     "sample_hash" -> OracleSqlExt.textHashSample,
     "sample_splits" -> OracleSqlExt.sampleSplits,
+    "sample_splits_safe" -> OracleSqlExt.sampleSplitsSafe,
+    "sample_split_leakage" -> OracleSqlExt.sampleSplitLeakage,
     "sample_mixture" -> OracleSqlExt.corpusMixtureSample,
     "text_tfidf" -> OracleSqlExt.textTfidf,
     "text_vocab_encode" -> OracleSqlExt.textVocabEncode,

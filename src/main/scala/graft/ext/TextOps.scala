@@ -71,6 +71,76 @@ object TextOps {
         max(col("res")).as("max_residue"))
   }
 
+  /** Leakage-SAFE train/valid/test split: the residue is hashed from
+    * the near-dup CLUSTER REPRESENTATIVE, not the doc_id, so every
+    * member of a near-duplicate cluster lands in the same split by
+    * construction. The doc-keyed [[datasetSplits]] silently leaks: a
+    * near-dup pair whose two doc_ids hash across the 80/90 cuts puts a
+    * paraphrase of a training document into the test set — the classic
+    * eval-contamination bug that inflates held-out metrics. Splitting
+    * on the cluster id (min doc_id of the component, from
+    * [[DedupOps.nearDupClustersFrom]]) removes that failure mode while
+    * keeping every property of the doc-keyed split: key-pure,
+    * append-stable (a new doc joining an existing cluster inherits the
+    * cluster's frozen split), engine-reproducible.
+    *
+    * Scale posture: one equi join of the corpus to the doc-universe
+    *-sized label frame on doc_id, then a 3-group aggregate. The
+    * cluster labels are the dedup pipeline's existing output — a real
+    * pipeline materializes them once and reuses them here for free. */
+  def leakageSafeSplits(documents: DataFrame,
+      clusters: DataFrame): DataFrame = {
+    val res = conv(substring(
+      md5(col("cluster_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("bigint") % 100
+    documents.select(col("doc_id"), col("n_chars"))
+      .join(clusters.select(col("doc_id"), col("cluster_id")), Seq("doc_id"))
+      .withColumn("res", res)
+      .withColumn("split",
+        when(col("res") < 80, "train")
+          .otherwise(when(col("res") < 90, "valid").otherwise("test")))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"),
+        sum(col("n_chars")).as("n_chars"))
+  }
+
+  /** Split-leakage audit: over the verified near-dup pair graph, count
+    * pairs whose two documents land in DIFFERENT splits under (a) the
+    * naive doc_id-keyed policy of [[datasetSplits]] and (b) the
+    * cluster-keyed policy of [[leakageSafeSplits]]. One row:
+    * `n_pairs`, `leaked_naive` (the contamination the naive split
+    * ships — nonzero whenever any cluster straddles a hash cut),
+    * `leaked_safe` (zero BY CONSTRUCTION — both endpoints of a pair
+    * share a component, hence a cluster_id, hence a split; the audit
+    * proves the construction end-to-end rather than asserting it).
+    *
+    * Scale posture: the pair frame is LSH-block-bounded, the label
+    * join is two equi joins on doc ids, the result is one global row. */
+  def splitLeakage(documents: DataFrame, pairs: DataFrame,
+      clusters: DataFrame): DataFrame = {
+    def residue(c: Column): Column = conv(substring(
+      md5(c.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("bigint") % 100
+    def splitOf(r: Column): Column =
+      when(r < 80, "train").otherwise(when(r < 90, "valid").otherwise("test"))
+    val lab = documents.select(col("doc_id"))
+      .join(clusters.select(col("doc_id"), col("cluster_id")), Seq("doc_id"))
+      .select(col("doc_id"),
+        splitOf(residue(col("doc_id"))).as("naive_split"),
+        splitOf(residue(col("cluster_id"))).as("safe_split"))
+    pairs.select(col("doc_a"), col("doc_b"))
+      .join(lab.select(col("doc_id").as("doc_a"),
+        col("naive_split").as("na"), col("safe_split").as("sa")), Seq("doc_a"))
+      .join(lab.select(col("doc_id").as("doc_b"),
+        col("naive_split").as("nb"), col("safe_split").as("sb")), Seq("doc_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("na") =!= col("nb"), 1L).otherwise(0L))
+          .as("leaked_naive"),
+        sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L))
+          .as("leaked_safe"))
+  }
+
   /** Stratified deterministic sampling: a per-language keep rate (the
     * usual rebalancing move when one language dominates a crawl),
     * decided by the same key-pure hash as [[hashSample]] — so each

@@ -1559,6 +1559,51 @@ SELECT doc_id, cluster_id,
        doc_id = cluster_id AS is_canonical
 FROM lab"""
 
+  /** Mirror of TextOps.leakageSafeSplits: the sampleSplits residue
+    * formula applied to the near-dup cluster representative (the
+    * `lab` CTE's cluster_id) instead of the doc_id, per-split doc /
+    * distinct-cluster / char totals. */
+  val sampleSplitsSafe: String = clusterLabCtes + """
+SELECT split, COUNT(*)::BIGINT AS n_docs,
+       COUNT(DISTINCT cluster_id)::BIGINT AS n_clusters,
+       SUM(n_chars)::BIGINT AS n_chars
+FROM (
+  SELECT l.cluster_id, d.n_chars,
+         ('0x' || substr(md5(CAST(l.cluster_id AS VARCHAR)), 1, 8))::BIGINT
+           % 100 AS res
+  FROM lab l JOIN documents d ON d.doc_id = l.doc_id) t
+CROSS JOIN LATERAL (SELECT CASE WHEN res < 80 THEN 'train'
+                                WHEN res < 90 THEN 'valid'
+                                ELSE 'test' END AS split) s
+GROUP BY split"""
+
+  /** Mirror of TextOps.splitLeakage: both split policies re-derived
+    * over `lab`, cross-split pair counts over the verified near-dup
+    * `pairs` edge list. leaked_safe must come out 0 — the oracle
+    * recomputes it rather than asserting it. */
+  val sampleSplitLeakage: String = clusterLabCtes + """,
+sp AS (
+  SELECT doc_id,
+         CASE WHEN nd < 80 THEN 'train' WHEN nd < 90 THEN 'valid'
+              ELSE 'test' END AS naive_split,
+         CASE WHEN nc < 80 THEN 'train' WHEN nc < 90 THEN 'valid'
+              ELSE 'test' END AS safe_split
+  FROM (
+    SELECT doc_id, cluster_id,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             % 100 AS nd,
+           ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT
+             % 100 AS nc
+    FROM lab) t)
+SELECT COUNT(*)::BIGINT AS n_pairs,
+       SUM(CASE WHEN a.naive_split <> b.naive_split THEN 1 ELSE 0 END)::BIGINT
+         AS leaked_naive,
+       SUM(CASE WHEN a.safe_split <> b.safe_split THEN 1 ELSE 0 END)::BIGINT
+         AS leaked_safe
+FROM pairs p
+JOIN sp a ON a.doc_id = p.doc_a
+JOIN sp b ON b.doc_id = p.doc_b"""
+
   /** The minhash verified-pair CTE chain alone (threshold 0.5) — the
     * edge list the graph-statistic oracles build on. */
   private val pairsCtes: String = shingleCtes + minhashSigCtes(8) + minhashBandCtes + """,

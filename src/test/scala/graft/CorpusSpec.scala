@@ -371,4 +371,42 @@ class CorpusSpec extends SparkSpec {
     // map task reach the exchange, never the corpus
     assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
   }
+
+  // the split residue formula, recomputed JVM-side so the fixture can
+  // PLACE a near-dup pair across the naive 80/90 cuts by construction
+  private def splitResidue(id: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16) % 100
+  }
+
+  test("leakageSafeSplits keeps near-dup clusters whole; splitLeakage proves it") {
+    val rich = "the quick brown fox jumps over a lazy dog and then " +
+      "the fox runs far away to a quiet den where it rests until dawn " +
+      "and a new day begins with the sun rising over a calm valley"
+    // engineer the contamination: a near-dup pair whose doc_ids hash to
+    // train and test under the naive doc-keyed policy
+    val a = (1L to 99L).find(splitResidue(_) < 80).get
+    val b = (1L to 99L).find(splitResidue(_) >= 90).get
+    val docs = (Seq(
+      (a, "en", rich),
+      (b, "en", rich.replace("calm valley", "calm meadow"))
+    ) ++ fillerDocs(20)).toDF("doc_id", "lang", "text")
+      .withColumn("n_chars", length($"text").cast("long"))
+    val pairs = DedupOps.minhashNearDups(docs, 0.5)
+    val clusters = DedupOps.nearDupClusters(docs, 0.5)
+
+    val splits = TextOps.leakageSafeSplits(docs, clusters).collect()
+    assert(splits.map(_.getAs[Long]("n_docs")).sum == 22)
+    // clusters never straddle splits, so per-split distinct-cluster
+    // counts add up to the global cluster count exactly
+    val nClusters = clusters.select($"cluster_id").distinct().count()
+    assert(splits.map(_.getAs[Long]("n_clusters")).sum == nClusters)
+
+    val leak = TextOps.splitLeakage(docs, pairs, clusters).collect()(0)
+    assert(leak.getAs[Long]("n_pairs") >= 1)          // the a-b pair verified
+    assert(leak.getAs[Long]("leaked_naive") >= 1)     // naive policy leaks it
+    assert(leak.getAs[Long]("leaked_safe") == 0)      // safe policy cannot
+  }
 }
