@@ -40,6 +40,7 @@ object GraftSql {
       graft.plans.AsOfSql.register(spark)
       graft.plans.RangeSql.register(spark)
       graft.plans.KnnSql.register(spark)
+      graft.plans.NearDupSql.register(spark)
       graft.functions.CosineSimilarity.register(spark)
       graft.functions.RollingMinHash.register(spark)
       graft.functions.SimHash32.register(spark)

@@ -241,6 +241,10 @@ object SparkEntry {
       SELECT * FROM knn_join(TABLE(SELECT vec_id, embedding
                                    FROM embeddings WHERE vec_id % 97 = 0),
                              'embeddings', 'vec_id', 'embedding', 5)""")),
+    // the LSH dedup pipeline from SQL text — the FOURTH table function
+    // (plans/NearDupSql.scala): same plan as dedup_minhash, same oracle
+    "sql_neardup" -> ((s, d) => GraftSql.sql(s, d,
+      "SELECT * FROM neardup_pairs('documents', 'doc_id', 'text', 0.5)")),
     // explicit two-phase salted aggregation (result ≡ plain groupBy)
     "events_salted_counts" -> ((s, d) => ext.Skew.saltedTypeCounts(Tables.events(s, d))),
     // per-type z-score outliers from exact quantized moments
@@ -1042,6 +1046,7 @@ object SparkEntry {
     "events_asof_nearest" -> OracleSqlExt.eventsAsofNearest,
     "sql_range" -> OracleSqlExt.eventsRange,
     "sql_knn" -> OracleSqlExt.sqlKnn,
+    "sql_neardup" -> OracleSqlExt.dedupMinhash,
     "events_range" -> OracleSqlExt.eventsRange,
     "events_salted_counts" -> OracleSqlExt.eventsSaltedCounts,
     "events_anomalies" -> OracleSqlExt.eventsAnomalies,

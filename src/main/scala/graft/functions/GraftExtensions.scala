@@ -48,6 +48,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(graft.plans.KnnSql.name),
       graft.plans.KnnSql.info,
       graft.plans.KnnSql.builder))
+    // SQL-text spelling of MinHash-LSH near-duplicate pairs (a TVF
+    // expanding to the banded LSH self-join + exact-Jaccard verify —
+    // block-bounded, never all-pairs)
+    ext.injectTableFunction((
+      FunctionIdentifier(graft.plans.NearDupSql.name),
+      graft.plans.NearDupSql.info,
+      graft.plans.NearDupSql.builder))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(
