@@ -611,6 +611,8 @@ object SparkEntry {
     // models the many-shard layout a real corpus has.
     "text_stats" -> ((s, d) => TextOps.stats(docs(s, d))),
     "text_quality" -> ((s, d) => TextOps.qualityScore(docs(s, d))),
+    // the published Gopher rule suite as auditable per-rule booleans
+    "text_gopher_gate" -> ((s, d) => TextOps.gopherGate(docs(s, d))),
     "text_langid" -> ((s, d) => TextOps.langId(docs(s, d))),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprints(docs(s, d))),
     "text_rolling_fingerprint" -> ((s, d) => TextOps.rollingFingerprints(docs(s, d))),
@@ -1092,6 +1094,7 @@ object SparkEntry {
 
     "text_stats" -> OracleSqlExt.textStats,
     "text_quality" -> OracleSqlExt.textQuality,
+    "text_gopher_gate" -> OracleSqlExt.textGopherGate,
     "text_langid" -> OracleSqlExt.textLangId,
     "text_fingerprint" -> OracleSqlExt.textFingerprint,
     "text_rolling_fingerprint" -> OracleSqlExt.textRollingFingerprint,

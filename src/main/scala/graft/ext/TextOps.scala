@@ -307,6 +307,56 @@ object TextOps {
         .as("quality_score"))
   }
 
+  /** Gopher-style RULE gate (Rae et al. 2021, "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", App. A1.1) —
+    * the published heuristic filter suite real web-corpus pipelines
+    * run, as per-rule boolean columns plus the AND'd keep flag, so a
+    * pipeline can audit WHICH rule dropped a document (the published
+    * practice) rather than just that one did:
+    *
+    *   r_wc     word count within bounds (floor adapted 50 → 20: the
+    *            synthetic corpus tops out at ~100 words, the published
+    *            floor would reject half of it; the SHAPE is the rule)
+    *   r_mwl    mean word length in [3, 10] characters
+    *   r_sym    symbol-to-word ratio (# and ellipsis) ≤ 0.1
+    *   r_alpha  ≥ 80% of words contain an alphabetic character
+    *   r_stop   ≥ 2 distinct members of the stopword probe list
+    *
+    * All measurements are integer-exact (milli-ratios via floor
+    * division on non-negative operands, word-boundary hits on the
+    * space-padded text) so every column hash-gates against the SQL
+    * oracle — no IEEE ratio ever compares against a threshold.
+    * Scale posture: embarrassingly parallel corpus scan, one
+    * projection, no shuffle. */
+  def gopherGate(documents: DataFrame): DataFrame = {
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val stopDistinct = Seq("the", "and", "a", "of", "to", "in")
+      .map(w => when(locate(s" $w ", padded) > 0, 1).otherwise(0))
+      .reduce(_ + _)
+    val sym = occurrences(col("text"), "#") + occurrences(col("text"), "...")
+    documents
+      .select(col("doc_id"), col("lang"), col("text"),
+        tokenCount(col("text")).cast("bigint").as("wc"),
+        sym.cast("bigint").as("sym"),
+        size(expr("filter(split(text, ' '), x -> x rlike '[a-z]')"))
+          .cast("bigint").as("alpha_words"),
+        stopDistinct.cast("bigint").as("stop_distinct"))
+      .select(col("doc_id"), col("lang"), col("wc"),
+        expr("((cast(length(text) AS bigint) - (wc - 1)) * 1000) div wc")
+          .as("mwl_milli"),
+        expr("(sym * 1000) div wc").as("sym_milli"),
+        expr("(alpha_words * 1000) div wc").as("alpha_milli"),
+        col("stop_distinct"))
+      .withColumn("r_wc", col("wc") >= 20 && col("wc") <= 100000)
+      .withColumn("r_mwl",
+        col("mwl_milli") >= 3000 && col("mwl_milli") <= 10000)
+      .withColumn("r_sym", col("sym_milli") <= 100)
+      .withColumn("r_alpha", col("alpha_milli") >= 800)
+      .withColumn("r_stop", col("stop_distinct") >= 2)
+      .withColumn("keep", col("r_wc") && col("r_mwl") && col("r_sym") &&
+        col("r_alpha") && col("r_stop"))
+  }
+
   /** Language-ID by stopword-profile scoring: count hits of a tiny
     * per-language marker lexicon, predict the argmax (deterministic
     * first-wins tie-break in a fixed language order). The driver corpus

@@ -1267,6 +1267,49 @@ SELECT doc_id,
          AS quality_score
 FROM documents"""
 
+  /** Mirror of TextOps.gopherGate: same integer milli-ratios (floor
+    * division on non-negative operands), same space-padded word-
+    * boundary stopword probes, same rule thresholds and AND'd keep. */
+  val textGopherGate: String = """
+SELECT doc_id, lang, wc,
+       mwl_milli::BIGINT AS mwl_milli, sym_milli::BIGINT AS sym_milli,
+       alpha_milli::BIGINT AS alpha_milli, stop_distinct,
+       wc >= 20 AND wc <= 100000 AS r_wc,
+       mwl_milli >= 3000 AND mwl_milli <= 10000 AS r_mwl,
+       sym_milli <= 100 AS r_sym,
+       alpha_milli >= 800 AS r_alpha,
+       stop_distinct >= 2 AS r_stop,
+       (wc >= 20 AND wc <= 100000) AND mwl_milli >= 3000
+         AND mwl_milli <= 10000 AND sym_milli <= 100
+         AND alpha_milli >= 800 AND stop_distinct >= 2 AS keep
+FROM (
+  SELECT doc_id, lang, wc,
+         ((length(text) - (wc - 1)) * 1000) // wc AS mwl_milli,
+         (sym * 1000) // wc AS sym_milli,
+         (alpha_words * 1000) // wc AS alpha_milli,
+         stop_distinct
+  FROM (
+    SELECT doc_id, lang, text,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS wc,
+           CAST((length(text) - length(replace(text, '#', '')))
+             + (length(text) - length(replace(text, '...', ''))) // 3
+             AS BIGINT) AS sym,
+           CAST(len(list_filter(string_split(text, ' '),
+             x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_words,
+           CAST((CASE WHEN position(' the ' IN ' ' || text || ' ') > 0
+                      THEN 1 ELSE 0 END)
+              + (CASE WHEN position(' and ' IN ' ' || text || ' ') > 0
+                      THEN 1 ELSE 0 END)
+              + (CASE WHEN position(' a ' IN ' ' || text || ' ') > 0
+                      THEN 1 ELSE 0 END)
+              + (CASE WHEN position(' of ' IN ' ' || text || ' ') > 0
+                      THEN 1 ELSE 0 END)
+              + (CASE WHEN position(' to ' IN ' ' || text || ' ') > 0
+                      THEN 1 ELSE 0 END)
+              + (CASE WHEN position(' in ' IN ' ' || text || ' ') > 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS stop_distinct
+    FROM documents) a) b"""
+
   /** Mirror of TextOps.sourceCaps(cap=16): the textQuality expression
     * verbatim, ranked per source (DESC NULLS LAST + doc_id tie-break,
     * Spark's desc_nulls_last spelled out), kept through rank ≤ 16. */

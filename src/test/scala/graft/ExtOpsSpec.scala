@@ -1135,4 +1135,38 @@ class ExtOpsSpec extends SparkSpec {
     assert(TextOps.weightedSample(d, k = 50).collect()
       .map(_.getAs[Long]("doc_id")).toSeq == exp.map(_._1))
   }
+
+  test("gopherGate: each rule fires on its engineered violator; keep is the AND") {
+    import spark.implicits._
+    // each doc violates EXACTLY one rule (stopword/length budgets are
+    // balanced so no violation bleeds into a second rule)
+    val good = "the quick brown fox and lazy dog of note " +
+      (1 to 12).map(i => s"word$i").mkString(" ")        // 21 words, all rules pass
+    val short = "the data of " + (1 to 7).map(i => s"word$i").mkString(" ") // 10 words
+    val skinny = ("a " * 23).trim + " the of"            // 25 words, mwl 28000/25 = 1120
+    val symbolic = (1 to 18).map(_ => "abc#").mkString(" ") + " the of"  // sym 18/20
+    val numeric = (1 to 18).map(_ => "12345").mkString(" ") + " the of"  // alpha 2/20
+    val nostop = (1 to 20).map(i => s"token$i").mkString(" ")            // 0 stopwords
+    val d = Seq((1L, good), (2L, short), (3L, skinny), (4L, symbolic),
+      (5L, numeric), (6L, nostop)).toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+    val got = TextOps.gopherGate(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def rules(id: Long): (Boolean, Boolean, Boolean, Boolean, Boolean, Boolean) = {
+      val r = got(id)
+      (r.getAs[Boolean]("r_wc"), r.getAs[Boolean]("r_mwl"),
+        r.getAs[Boolean]("r_sym"), r.getAs[Boolean]("r_alpha"),
+        r.getAs[Boolean]("r_stop"), r.getAs[Boolean]("keep"))
+    }
+    assert(rules(1L) == ((true, true, true, true, true, true)))
+    assert(rules(2L) == ((false, true, true, true, true, false)))
+    assert(rules(3L) == ((true, false, true, true, true, false)))
+    assert(rules(4L) == ((true, true, false, true, true, false)))
+    assert(rules(5L) == ((true, true, true, false, true, false)))
+    assert(rules(6L) == ((true, true, true, true, false, false)))
+    // spot-check the integer milli arithmetic by hand
+    assert(got(3L).getAs[Long]("mwl_milli") == 1120)   // 28 chars over 25 words
+    assert(got(4L).getAs[Long]("sym_milli") == 900)    // 18 symbols over 20 words
+    assert(got(5L).getAs[Long]("alpha_milli") == 100)  // 2 alpha words over 20
+  }
 }
