@@ -675,6 +675,8 @@ object SparkEntry {
     "sample_stratified" -> ((s, d) => TextOps.stratifiedSample(docs(s, d))),
     // fixed-budget weighted sample: integerized bottom-k priorities
     "sample_weighted" -> ((s, d) => TextOps.weightedSample(docs(s, d))),
+    // DSIR importance resampling toward the src0/src1 target slice
+    "sample_dsir" -> ((s, d) => TextOps.dsirResample(docs(s, d))),
     // hashing-trick featurization: vocab-free sparse tf vectors
     "text_hash_features" -> ((s, d) => TextOps.hashFeatures(docs(s, d))),
     // materialized temperature mixture: per-source hash sample at the
@@ -1143,6 +1145,7 @@ object SparkEntry {
     "text_quality_model" -> OracleSqlExt.textQualityModel,
     "sample_stratified" -> OracleSqlExt.sampleStratified,
     "sample_weighted" -> OracleSqlExt.sampleWeighted,
+    "sample_dsir" -> OracleSqlExt.sampleDsir,
     "text_hash_features" -> OracleSqlExt.textHashFeatures,
 
     "dedup_exact" -> OracleSqlExt.dedupExact,

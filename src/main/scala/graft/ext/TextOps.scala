@@ -307,6 +307,64 @@ object TextOps {
         .as("quality_score"))
   }
 
+  /** DSIR-style importance RESAMPLING (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling") — the published
+    * data-selection method that reweights a raw crawl toward a clean
+    * target domain using hashed n-gram features, reduced here to
+    * unigram hash buckets and integer-bit logs so every value
+    * hash-gates:
+    *
+    *   1. every token maps to one of `buckets` md5 hash buckets;
+    *   2. bucket counts are taken separately over the TARGET slice
+    *      (here: the `targetSources` sources — the stand-in for the
+    *      paper's Wikipedia+books reference) and the RAW remainder,
+    *      add-1 smoothed over the fixed bucket universe;
+    *   3. each bucket's importance is the quantized log likelihood
+    *      ratio log₂(P̂_target(b) / P̂_raw(b)), as integer bits via the
+    *      same length(bin(x)) ⌊log₂⌋ idiom as [[unigramSurprisalFrom]]
+    *      (the corpus-total term is a per-corpus constant, kept so the
+    *      weights center correctly);
+    *   4. each raw document scores the sum of its tokens' bucket bits
+    *      (token multiplicity counts, as in the paper's bag model);
+    *   5. the "sample" is the deterministic top-k by (weight, doc_id)
+    *      — the key-pure stand-in for the paper's Gumbel draw, same
+    *      posture as [[weightedSample]]'s integerized bottom-k.
+    *
+    * Scale posture: one corpus explode feeds both the bucket-stat
+    * aggregate (output bounded at `buckets` rows) and the per-doc
+    * scoring join; the bits table is a broadcast by construction;
+    * the final top-k plans as TakeOrdered. No corpus-wide sort, no
+    * second explode. */
+  def dsirResample(documents: DataFrame,
+      targetSources: Seq[String] = Seq("src0", "src1"),
+      buckets: Int = 1024, k: Int = 200): DataFrame = {
+    val isTarget = col("source").isin(targetSources: _*)
+    val tokBuckets = documents
+      .select(col("doc_id"), col("source"),
+        explode(tokens(col("text"))).as("tok"))
+      .withColumn("bucket",
+        conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10)
+          .cast("bigint") % buckets)
+    val stats = tokBuckets.groupBy(col("bucket"))
+      .agg(sum(when(isTarget, 1L).otherwise(0L)).as("ct"),
+        sum(when(isTarget, 0L).otherwise(1L)).as("cr"))
+    // totals over the FIXED bucket universe: Σ counts + 1 per bucket
+    val totals = stats.agg(
+      (sum(col("ct")) + buckets).as("nt"),
+      (sum(col("cr")) + buckets).as("nr"))
+    val bits = stats.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        ((length(expr("bin(ct + 1)")) - length(expr("bin(cr + 1)"))) -
+          (length(expr("bin(nt)")) - length(expr("bin(nr)"))))
+          .cast("long").as("bits"))
+    tokBuckets.filter(!isTarget)
+      .join(broadcast(bits), Seq("bucket"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("weight_bits"))
+      .orderBy(col("weight_bits").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Gopher-style RULE gate (Rae et al. 2021, "Scaling Language Models:
     * Methods, Analysis & Insights from Training Gopher", App. A1.1) —
     * the published heuristic filter suite real web-corpus pipelines

@@ -1267,6 +1267,35 @@ SELECT doc_id,
          AS quality_score
 FROM documents"""
 
+  /** Mirror of TextOps.dsirResample: same md5 unigram buckets, add-1
+    * smoothed target/raw counts over the fixed 1024-bucket universe,
+    * integer-bit log ratio per bucket, per-raw-doc token-multiplicity
+    * bit sums, deterministic top-200 by (weight DESC, doc_id). */
+  val sampleDsir: String = """
+WITH tb AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS bucket
+  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        FROM documents)),
+stats AS (
+  SELECT bucket,
+         SUM(CASE WHEN source IN ('src0','src1') THEN 1 ELSE 0 END) AS ct,
+         SUM(CASE WHEN source IN ('src0','src1') THEN 0 ELSE 1 END) AS cr
+  FROM tb GROUP BY bucket),
+tot AS (SELECT SUM(ct) + 1024 AS nt, SUM(cr) + 1024 AS nr FROM stats),
+bits AS (
+  SELECT bucket,
+         CAST((length(bin(ct + 1)) - length(bin(cr + 1)))
+            - (length(bin(nt)) - length(bin(nr))) AS BIGINT) AS bits
+  FROM stats CROSS JOIN tot)
+SELECT doc_id, source, COUNT(*)::BIGINT AS n_tokens,
+       SUM(bits)::BIGINT AS weight_bits
+FROM tb JOIN bits USING (bucket)
+WHERE source NOT IN ('src0','src1')
+GROUP BY doc_id, source
+ORDER BY weight_bits DESC, doc_id
+LIMIT 200"""
+
   /** Mirror of TextOps.gopherGate: same integer milli-ratios (floor
     * division on non-negative operands), same space-padded word-
     * boundary stopword probes, same rule thresholds and AND'd keep. */

@@ -1136,6 +1136,29 @@ class ExtOpsSpec extends SparkSpec {
       .map(_.getAs[Long]("doc_id")).toSeq == exp.map(_._1))
   }
 
+  test("dsirResample ranks target-like raw docs above off-target ones, excludes the target slice") {
+    import spark.implicits._
+    val targetText = "alpha beta gamma delta alpha beta gamma delta"
+    val offText = "zeta eta theta iota zeta eta theta iota"
+    val d = ((1L to 5L).map(i => (i, "t", targetText)) ++
+      (10L to 14L).map(i => (i, "r", targetText)) ++
+      (20L to 24L).map(i => (i, "r", offText)))
+      .toDF("doc_id", "source", "text")
+    val got = TextOps.dsirResample(d, targetSources = Seq("t"), k = 10)
+      .collect()
+    assert(got.length == 10)                      // every raw doc, no target doc
+    assert(got.forall(_.getAs[String]("source") == "r"))
+    val w = got.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("weight_bits")).toMap
+    val likeTarget = (10L to 14L).map(w)
+    val offTarget = (20L to 24L).map(w)
+    assert(likeTarget.min > offTarget.max,
+      s"target-like $likeTarget vs off-target $offTarget")
+    // deterministic: a second run returns the identical ranking
+    assert(TextOps.dsirResample(d, targetSources = Seq("t"), k = 10)
+      .collect().map(_.toSeq).toSeq == got.map(_.toSeq).toSeq)
+  }
+
   test("gopherGate: each rule fires on its engineered violator; keep is the AND") {
     import spark.implicits._
     // each doc violates EXACTLY one rule (stopword/length budgets are
