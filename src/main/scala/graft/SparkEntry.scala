@@ -711,6 +711,11 @@ object SparkEntry {
       TextOps.bpeIdsFrom(docs(s, d),
         TokenizerStore.merges(s, store), TokenizerStore.vocab(s, store))
     }),
+    // per-language fertility / compression of the persisted tokenizer
+    "text_tokenizer_fertility" -> ((s, d) => {
+      val store = shTokStore(s, d)
+      TextOps.tokenizerFertility(docs(s, d), TokenizerStore.merges(s, store))
+    }),
     // DETOKENIZE: decode the id sequences back through the persisted
     // vocabulary and prove losslessness — the reassembled text must
     // equal the whitespace-normalized original, per document
@@ -1133,6 +1138,7 @@ object SparkEntry {
     // bit-for-bit — same oracle
     "text_bpe_store" -> OracleSqlExt.textBpeEncode,
     "text_bpe_ids" -> OracleSqlExt.textBpeIds,
+    "text_tokenizer_fertility" -> OracleSqlExt.textTokenizerFertility,
     "text_bpe_roundtrip" -> OracleSqlExt.textBpeRoundtrip,
     "corpus_shards_bpe" -> OracleSqlExt.corpusShardsBpe,
     "text_perceptron_train" -> OracleSqlExt.textPerceptronTrain,

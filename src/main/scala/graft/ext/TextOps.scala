@@ -1962,6 +1962,41 @@ object TextOps {
         md5(coalesce(col("ids"), lit("")).cast("binary")).as("ids_md5"))
   }
 
+  /** Tokenizer FERTILITY evaluation — the standard multilingual
+    * tokenizer health metric (tokens per word, a.k.a. fertility, and
+    * its inverse compression in characters per token), per language,
+    * computed through the SAME trained merge table the corpus ships
+    * with. A tokenizer trained on an English-heavy mix fragments other
+    * languages into more tokens per word; this table is how a pipeline
+    * SEES that before a trainer pays for it (the metric reported by
+    * every multilingual tokenizer study since mBERT).
+    *
+    * Integer milli-ratios via floor division (non-negative operands)
+    * so every column hash-gates. Scale posture: the encode runs on the
+    * DISTINCT vocabulary ([[bpeEncodeVocab]] — vocab-sized, shared
+    * with the encode/ids queries); the corpus side pays one explode +
+    * equi join + a per-language aggregate. */
+  def tokenizerFertility(documents: DataFrame,
+      merges: DataFrame): DataFrame = {
+    val wordToks = bpeEncodeVocab(documents, merges)
+      .select(col("word"), size(col("toks")).cast("bigint").as("n_toks"),
+        length(col("word")).cast("bigint").as("n_chars_w"))
+    documents
+      .select(col("doc_id"), col("lang"),
+        explode(expr("filter(split(text, ' '), w -> w != '')")).as("word"))
+      .join(wordToks, Seq("word"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(col("n_toks")).as("n_bpe_tokens"),
+        sum(col("n_chars_w")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_bpe_tokens"), col("n_chars"),
+        expr("(n_bpe_tokens * 1000) div n_words").as("fertility_milli"),
+        expr("(n_chars * 1000) div n_bpe_tokens")
+          .as("chars_per_token_milli"))
+  }
+
   /** DETOKENIZE — decode the per-word token-id sequences back through
     * the persisted vocabulary and prove the tokenizer is lossless:
     * per document, the reassembled text must equal the

@@ -3542,6 +3542,23 @@ SELECT d.doc_id,
        md5(COALESCE(di.ids, '')) AS ids_md5
 FROM documents d LEFT JOIN doc_ids di USING (doc_id)"""
 
+  /** Mirror of TextOps.tokenizerFertility: per-language token/word/char
+    * totals through the shared encode chain's word_ids, integer milli
+    * fertility and chars-per-token via floor division. */
+  val textTokenizerFertility: String = bpeIdsChain + """
+SELECT lang, COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+       COUNT(*)::BIGINT AS n_words,
+       SUM(wi.n_toks)::BIGINT AS n_bpe_tokens,
+       SUM(length(word))::BIGINT AS n_chars,
+       ((SUM(wi.n_toks) * 1000) // COUNT(*))::BIGINT AS fertility_milli,
+       ((SUM(length(word)) * 1000) // SUM(wi.n_toks))::BIGINT
+         AS chars_per_token_milli
+FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+      FROM documents) u
+JOIN word_ids wi USING (word)
+WHERE word <> ''
+GROUP BY lang"""
+
   /** Mirror of TextOps.bpeDecodeRoundtrip: the oracle asserts the
     * LOSSLESSNESS THEOREM — decoding the id stream must reproduce the
     * whitespace-normalized original (BPE merges only concatenate, so

@@ -148,4 +148,32 @@ class TokenizerStoreSpec extends SparkSpec {
     assert(TokenizerStore.mergesAt(spark, dir, 0L).count() == 2L)
     assert(TokenizerStore.merges(spark, dir).count() == 3L)
   }
+
+  test("tokenizerFertility: hand-computed per-language fertility; consistent with bpeIdsFrom") {
+    import spark.implicits._
+    val dir = tmpDir("fertility")
+    // lang-tagged twin of the fixture: merges ab, abc, de
+    val d = Seq(
+      (1L, "en", "abc abc abd"),  // abc=1 tok, abc=1, abd=[ab,d]=2
+      (2L, "en", "abc abc de"),   // 1 + 1 + de=1
+      (3L, "fr", "de de ab"))     // 1 + 1 + ab=1
+      .toDF("doc_id", "lang", "text")
+    TokenizerStore.build(d, dir, rounds = 3)
+    val merges = TokenizerStore.merges(spark, dir)
+    val got = TextOps.tokenizerFertility(d, merges).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_words"),
+          r.getAs[Long]("n_bpe_tokens"), r.getAs[Long]("n_chars"),
+          r.getAs[Long]("fertility_milli"),
+          r.getAs[Long]("chars_per_token_milli"))).toMap
+    assert(got("en") == ((2L, 6L, 7L, 17L, 7000L / 6, 17000L / 7)))
+    assert(got("fr") == ((1L, 3L, 3L, 6L, 1000L, 2000L)))
+    // consistency law: per-lang token totals equal the per-doc id
+    // stream's counts summed over the language
+    val perDoc = TextOps.bpeIdsFrom(d, merges, TokenizerStore.vocab(spark, dir))
+      .collect().map(r =>
+        r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bpe_tokens")).toMap
+    assert(perDoc(1L) + perDoc(2L) == got("en")._3)
+    assert(perDoc(3L) == got("fr")._3)
+  }
 }
