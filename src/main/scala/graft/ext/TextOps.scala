@@ -337,17 +337,31 @@ object TextOps {
     * second explode. */
   def dsirResample(documents: DataFrame,
       targetSources: Seq[String] = Seq("src0", "src1"),
-      buckets: Int = 1024, k: Int = 200): DataFrame = {
+      buckets: Int = 1024, k: Int = 200): DataFrame =
+    dsirResampleFrom(
+      documents.filter(!col("source").isin(targetSources: _*)),
+      dsirBucketStats(documents, targetSources, buckets), buckets, k)
+
+  /** The (bucket, ct, cr) target/raw token-count frame step 2 builds —
+    * public and MERGEABLE (two shards' stats merge by position-wise
+    * sum, the CMS merge law), which is what lets
+    * [[graft.streaming.CorpusIngest.updateDsirStats]] maintain the
+    * same frame incrementally as the corpus streams in. */
+  def dsirBucketStats(documents: DataFrame,
+      targetSources: Seq[String] = Seq("src0", "src1"),
+      buckets: Int = 1024): DataFrame = {
     val isTarget = col("source").isin(targetSources: _*)
-    val tokBuckets = documents
-      .select(col("doc_id"), col("source"),
-        explode(tokens(col("text"))).as("tok"))
-      .withColumn("bucket",
-        conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10)
-          .cast("bigint") % buckets)
-    val stats = tokBuckets.groupBy(col("bucket"))
+    dsirTokenBuckets(documents, buckets)
+      .groupBy(col("bucket"))
       .agg(sum(when(isTarget, 1L).otherwise(0L)).as("ct"),
         sum(when(isTarget, 0L).otherwise(1L)).as("cr"))
+  }
+
+  /** Score + deterministic top-k of `rawDocs` against a (possibly
+    * streaming-maintained) bucket-stat frame — steps 3–5 of
+    * [[dsirResample]]. `buckets` must match the stats build. */
+  def dsirResampleFrom(rawDocs: DataFrame, stats: DataFrame,
+      buckets: Int = 1024, k: Int = 200): DataFrame = {
     // totals over the FIXED bucket universe: Σ counts + 1 per bucket
     val totals = stats.agg(
       (sum(col("ct")) + buckets).as("nt"),
@@ -357,13 +371,22 @@ object TextOps {
         ((length(expr("bin(ct + 1)")) - length(expr("bin(cr + 1)"))) -
           (length(expr("bin(nt)")) - length(expr("bin(nr)"))))
           .cast("long").as("bits"))
-    tokBuckets.filter(!isTarget)
+    dsirTokenBuckets(rawDocs, buckets)
       .join(broadcast(bits), Seq("bucket"))
       .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("weight_bits"))
       .orderBy(col("weight_bits").desc, col("doc_id"))
       .limit(k)
   }
+
+  private def dsirTokenBuckets(documents: DataFrame,
+      buckets: Int): DataFrame =
+    documents
+      .select(col("doc_id"), col("source"),
+        explode(tokens(col("text"))).as("tok"))
+      .withColumn("bucket",
+        conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10)
+          .cast("bigint") % buckets)
 
   /** Gopher-style RULE gate (Rae et al. 2021, "Scaling Language Models:
     * Methods, Analysis & Insights from Training Gopher", App. A1.1) —

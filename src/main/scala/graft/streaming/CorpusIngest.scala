@@ -425,6 +425,46 @@ object CorpusIngest {
         all.dropDuplicates(Seq("event_type", "event_id")), k)
     }
 
+  /** Streaming DSIR bucket-stat maintenance: each micro-batch's
+    * (bucket, ct, cr) target/raw token counts
+    * ([[graft.ext.TextOps.dsirBucketStats]] — the same build the batch
+    * query uses) merge into the stored frame by position-wise SUM —
+    * the CMS merge law, replay-safe through the batch-id guard and,
+    * like CMS, NOT idempotent by itself (a re-sum double-counts; the
+    * guard is load-bearing). The running stats let the pipeline score
+    * any candidate slice against the FULL ingested history via
+    * [[dsirScore]] while data is still arriving — importance weights
+    * that sharpen as the reference corpus grows, without a rescan. */
+  def updateDsirStats(batch: DataFrame, batchId: Long, statsDir: String,
+      targetSources: Seq[String] = Seq("src0", "src1"),
+      buckets: Int = 1024): Unit =
+    mergePublish(batch.sparkSession, statsDir, "dsirstats", batchId) { prev =>
+      val bs = graft.ext.TextOps.dsirBucketStats(batch, targetSources, buckets)
+      prev match {
+        case Some(p) => p.select(col("bucket"), col("ct"), col("cr"))
+          .union(bs).groupBy(col("bucket"))
+          .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr"))
+        case None => bs
+      }
+    }
+
+  /** Deterministic DSIR top-k of `rawDocs` against the stored stats —
+    * shares [[graft.ext.TextOps.dsirResampleFrom]] with the batch
+    * query (`buckets` must match the maintenance calls). Tokens in
+    * buckets the stats have never seen drop out of the score — the
+    * inner-join semantics of the batch path, acceptable because a
+    * maintained reference corpus has populated every bucket raw
+    * candidates hit. Empty (0-row) frame before the first commit. */
+  def dsirScore(spark: SparkSession, statsDir: String, rawDocs: DataFrame,
+      buckets: Int = 1024, k: Int = 200): DataFrame =
+    readLatest(spark, statsDir, "dsirstats") match {
+      case Some(stats) =>
+        graft.ext.TextOps.dsirResampleFrom(rawDocs, stats, buckets, k)
+      case None => spark.range(0).select(
+        col("id").as("doc_id"), col("id").cast("string").as("source"),
+        col("id").as("n_tokens"), col("id").as("weight_bits"))
+    }
+
   /** Current per-type quantile estimates from the stored sample —
     * shares [[graft.ext.Sketches.quantileEstimatesFrom]] with the
     * batch query. Empty (0-row) frame before the first commit. */

@@ -401,4 +401,33 @@ class CorpusIngestSpec extends SparkSpec {
       .distinct().orderBy("hv").limit(k).as[Long].collect().toSeq
     assert(sketchBefore == whole)
   }
+
+  test("streaming DSIR stats: stream-over-time equals batch-over-space; replay is a no-op") {
+    val statsDir = Files.createTempDirectory("graft-dsir").toString
+    val targetText = "alpha beta gamma delta"
+    val offText = "zeta eta theta iota"
+    val batches = Seq(
+      Seq((1L, "t", targetText), (10L, "r", targetText), (20L, "r", offText)),
+      Seq((2L, "t", targetText), (11L, "r", targetText), (21L, "r", offText)),
+      Seq((3L, "t", targetText), (12L, "r", offText)))
+      .map(_.toDF("doc_id", "source", "text"))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      CorpusIngest.updateDsirStats(b, i.toLong, statsDir, Seq("t"), 64)
+    }
+    val all = batches.reduce(_ unionByName _)
+    val raw = all.filter($"source" === "r")
+    def streamed = CorpusIngest.dsirScore(spark, statsDir, raw, 64, 10)
+      .collect().map(_.toSeq).toSeq
+    // batch reference: the resample over the whole corpus in one pass
+    val whole = graft.ext.TextOps.dsirResample(all, Seq("t"), 64, 10)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == whole && whole.nonEmpty)
+    // target-like raw docs outrank off-target ones through the stored stats
+    val ranked = streamed.map(_(0).asInstanceOf[Long])
+    assert(Set(10L, 11L).subsetOf(ranked.take(2).toSet), ranked)
+    // txn-log replay of a committed batch id: the position-wise sum
+    // would double-count, so the guard is load-bearing — no-op
+    CorpusIngest.updateDsirStats(batches(1), 1L, statsDir, Seq("t"), 64)
+    assert(streamed == whole)
+  }
 }
