@@ -83,7 +83,9 @@ object ScaleLadder {
     "dedup_minhash",         // banded LSH self-join
     "embed_ivf_topk",        // coarse-quantized ANN
     "sketch_quantiles",      // bottom-k sample via WindowGroupLimit (r16)
-    "sql_count_winmagic")    // WinMagic join-back→window rewrite (r16)
+    "sql_count_winmagic",    // WinMagic join-back→window rewrite (r16)
+    "sample_dsir",           // corpus explode → bounded stats + TakeOrdered (r16)
+    "text_gopher_gate")      // pure codegen'd projection baseline (r16)
 
   private val AlphaFlag = 1.3
   private val WallFloor = 2.0 // sec at the top rung; below is jitter
@@ -102,7 +104,12 @@ object ScaleLadder {
         "/tmp/graft_sf3" -> 3,
         "/tmp/graft_sf1" -> 10,
         "/tmp/graft_sf30" -> 30))
-    val passes = sys.env.getOrElse("GRAFT_LADDER_PASSES", "2").toInt
+    // 3 passes by default: with 2, the median of a rung visit IS the
+    // mean, so a single semi-contended pass sitting just under the
+    // 1.5× exclusion cutoff (measured: 1.49× in an r16 run) pollutes
+    // every median of that rung; a third quiet pass restores a true
+    // median (the same lesson as Bench's pass-count)
+    val passes = sys.env.getOrElse("GRAFT_LADDER_PASSES", "3").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val unknown = names.filterNot(SparkEntry.queries.contains)
