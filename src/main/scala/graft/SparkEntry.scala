@@ -677,6 +677,8 @@ object SparkEntry {
     "sample_weighted" -> ((s, d) => TextOps.weightedSample(docs(s, d))),
     // DSIR importance resampling toward the src0/src1 target slice
     "sample_dsir" -> ((s, d) => TextOps.dsirResample(docs(s, d))),
+    // per-epoch deterministic shuffle manifest (shard + position)
+    "corpus_epoch_order" -> ((s, d) => ext.Corpus.epochOrder(docs(s, d))),
     // hashing-trick featurization: vocab-free sparse tf vectors
     "text_hash_features" -> ((s, d) => TextOps.hashFeatures(docs(s, d))),
     // materialized temperature mixture: per-source hash sample at the
@@ -1129,6 +1131,7 @@ object SparkEntry {
     "sample_splits" -> OracleSqlExt.sampleSplits,
     "sample_splits_safe" -> OracleSqlExt.sampleSplitsSafe,
     "sample_split_leakage" -> OracleSqlExt.sampleSplitLeakage,
+    "corpus_epoch_order" -> OracleSqlExt.corpusEpochOrder,
     "sample_mixture" -> OracleSqlExt.corpusMixtureSample,
     "text_tfidf" -> OracleSqlExt.textTfidf,
     "text_vocab_encode" -> OracleSqlExt.textVocabEncode,

@@ -203,6 +203,46 @@ object Corpus {
     * real MERGE pays — with the window frames bounded by versions-per-
     * key (≤ 2); a lakehouse implementation adds file-level pruning on
     * top, but the row-level plan is exactly this. */
+  /** Deterministic PER-EPOCH shuffle ordering — the trainer-facing
+    * permutation primitive: each epoch e assigns every document a
+    * shard and an intra-shard position from an epoch-salted key-pure
+    * hash (md5 of "doc_id:e"), so
+    *
+    *   - every epoch is a complete permutation of the corpus (nothing
+    *     dropped, nothing duplicated — the positions within each
+    *     (epoch, shard) are dense 1..n by construction);
+    *   - epochs are DIFFERENT permutations (the salt moves every
+    *     hash), which is what epoch reshuffling buys a trainer
+    *     without ever rewriting corpus bytes — readers just consume
+    *     shards in (shard, pos) order for their epoch;
+    *   - the ordering is reproducible across runs, engines,
+    *     partitionings and retries, unlike an `orderBy(rand())`
+    *     shuffle, and append-stable per epoch (a new doc inserts at
+    *     its hash position without moving others' relative order).
+    *
+    * Scale posture: one projection plus, per epoch, a window
+    * partitioned by the shard key — each window partition is
+    * corpus/shards rows, never the corpus, and the rank feeds no
+    * filter so no WindowGroupLimit is needed or wanted. Epochs are
+    * unrolled as columns (a trainer materializes this manifest once
+    * per run; a 3-epoch manifest is 3 windows over bounded
+    * partitions). */
+  def epochOrder(documents: DataFrame, epochs: Int = 2,
+      shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    (0 until epochs).foldLeft(documents.select(col("doc_id"))) { (df, e) =>
+      val h = conv(substring(
+        md5(concat(col("doc_id").cast("string"), lit(s":$e"))
+          .cast("binary")), 1, 8), 16, 10).cast("bigint")
+      df.withColumn(s"h$e", h)
+        .withColumn(s"shard_e$e", col(s"h$e") % shards)
+        .withColumn(s"pos_e$e", row_number().over(
+          Window.partitionBy(col(s"shard_e$e"))
+            .orderBy(col(s"h$e"), col("doc_id"))).cast("bigint"))
+        .drop(s"h$e")
+    }
+  }
+
   def upsertMerge(documents: DataFrame): DataFrame = {
     val snapshot = documents
       .select(col("doc_id"), col("text"), lit(1L).as("version"))

@@ -1267,6 +1267,23 @@ SELECT doc_id,
          AS quality_score
 FROM documents"""
 
+  /** Mirror of Corpus.epochOrder(epochs=2, shards=8): epoch-salted
+    * md5 shard assignment + intra-shard (hash, doc_id) rank per
+    * epoch. */
+  val corpusEpochOrder: String = """
+SELECT doc_id,
+       h0 % 8 AS shard_e0,
+       (ROW_NUMBER() OVER (PARTITION BY h0 % 8 ORDER BY h0, doc_id))::BIGINT
+         AS pos_e0,
+       h1 % 8 AS shard_e1,
+       (ROW_NUMBER() OVER (PARTITION BY h1 % 8 ORDER BY h1, doc_id))::BIGINT
+         AS pos_e1
+FROM (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 8))::BIGINT AS h0,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':1'), 1, 8))::BIGINT AS h1
+  FROM documents) t"""
+
   /** Mirror of TextOps.dsirResample: same md5 unigram buckets, add-1
     * smoothed target/raw counts over the fixed 1024-bucket universe,
     * integer-bit log ratio per bucket, per-raw-doc token-multiplicity

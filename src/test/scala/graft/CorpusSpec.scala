@@ -372,6 +372,29 @@ class CorpusSpec extends SparkSpec {
     assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
   }
 
+  test("epochOrder: each epoch is a complete dense permutation; epochs differ") {
+    val docs = (1L to 64L).map(i => (i, "en", s"doc $i")).toDF("doc_id", "lang", "text")
+    val got = Corpus.epochOrder(docs, epochs = 2, shards = 8).collect()
+    assert(got.length == 64)
+    // dense positions 1..n within every (epoch, shard)
+    for (e <- 0 to 1) {
+      val byShard = got.groupBy(_.getAs[Long](s"shard_e$e"))
+      assert(byShard.keySet.subsetOf((0L until 8L).toSet))
+      byShard.foreach { case (_, rs) =>
+        assert(rs.map(_.getAs[Long](s"pos_e$e")).sorted.toSeq ==
+          (1L to rs.length).toSeq)
+      }
+    }
+    // the two epochs are different permutations: some doc moves shard
+    // or position (64 docs — a hash collision across ALL of them is
+    // astronomically unlikely and deterministically absent here)
+    assert(got.exists(r => r.getAs[Long]("shard_e0") != r.getAs[Long]("shard_e1")
+      || r.getAs[Long]("pos_e0") != r.getAs[Long]("pos_e1")))
+    // determinism: a second run is identical
+    val again = Corpus.epochOrder(docs, epochs = 2, shards = 8).collect()
+    assert(again.map(_.toSeq).toSet == got.map(_.toSeq).toSet)
+  }
+
   // the split residue formula, recomputed JVM-side so the fixture can
   // PLACE a near-dup pair across the naive 80/90 cuts by construction
   private def splitResidue(id: Long): Long = {
