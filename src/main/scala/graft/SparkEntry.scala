@@ -840,6 +840,9 @@ object SparkEntry {
     // ONE training per (session, dir) feeds both the assignment query
     // and the balanced sample
     "embed_kmeans" -> ((s, d) => shKmeans(s, d)),
+    // SemDeDup: within-kmeans-cluster semantic dups, keep the outlier
+    "embed_semdedup" -> ((s, d) =>
+      EmbedOps.semDedupFrom(emb(s, d), shKmeans(s, d))),
     "sample_balanced" -> ((s, d) => EmbedOps.balancedSampleFrom(shKmeans(s, d))),
     // product quantization: train-once codebooks (shared PqModel) →
     // codes → ADC top-k
@@ -1191,6 +1194,7 @@ object SparkEntry {
     "embed_neardup_topk" -> OracleSqlExt.embedNearDupTopk,
     "embed_clusters" -> OracleSqlExt.embedClusters,
     "embed_kmeans" -> OracleSqlExt.embedKmeans,
+    "embed_semdedup" -> OracleSqlExt.embedSemdedup,
     "sample_balanced" -> OracleSqlExt.embedBalancedSample,
     "embed_pq_topk" -> OracleSqlExt.embedPqTopK,
     "embed_ivfpq_topk" -> OracleSqlExt.embedIvfPqTopK,

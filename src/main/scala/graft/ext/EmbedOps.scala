@@ -469,6 +469,64 @@ object EmbedOps {
     assignStep(base, cents).select(col("vec_id"), col("centroid_id"), col("d2"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication") — semantic
+    * duplicate KEEP/DROP decisions over the k-means geometry:
+    *
+    *   1. candidate pairs form only WITHIN a k-means cluster (the
+    *      paper's blocking move — pair search is block-bounded, never
+    *      corpus²);
+    *   2. a pair is a semantic duplicate when integer-quantized
+    *      cosine ≥ threshold (the repo's engine-exact cosine);
+    *   3. duplicates group by connected components (min-id group
+    *      label, [[Graph.connectedComponents]]);
+    *   4. each group KEEPS exactly one member — the one FARTHEST from
+    *      its centroid (max d2, tie-break min vec_id), the paper's
+    *      "keep low centroid-similarity" rule (the outlier carries
+    *      the most information; the near-centroid copies are the
+    *      redundant ones).
+    *
+    * Output per vector: (vec_id, centroid_id, group_id, group_size,
+    * keep) — singletons are their own group and always keep.
+    *
+    * Scale posture: the pair join is equi on centroid_id (cluster-
+    * bounded); CC is the bounded-round pointer-jumping loop; the keep
+    * rank and group size are windows over GROUP-bounded partitions.
+    * `assignments` is [[kmeansAssignments]]' output, shared with the
+    * kmeans/balanced-sample queries via the session artifact. */
+  def semDedupFrom(embeddings: DataFrame, assignments: DataFrame,
+      threshold: Double = Double.NaN): DataFrame = {
+    val thr = resolvedThreshold(embeddings, threshold)
+    val base = embeddings
+      .select(col("vec_id"), quantized(col("embedding")).as("q"))
+      .withColumn("n2", qnorm2(col("q")))
+      .join(assignments.select(col("vec_id"), col("centroid_id")),
+        Seq("vec_id"))
+    val a = base.select(col("centroid_id"), col("vec_id").as("vec_a"),
+      col("q").as("qa"), col("n2").as("n2a"))
+    val b = base.select(col("centroid_id"), col("vec_id").as("vec_b"),
+      col("q").as("qb"), col("n2").as("n2b"))
+    val pairs = a.join(b, Seq("centroid_id"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        cosineFromParts(qdot(col("qa"), col("qb")), col("n2a"), col("n2b")))
+      .filter(col("cosine") >= thr)
+      .select(col("vec_a"), col("vec_b"))
+    val labels = Graph.connectedComponents(
+        embeddings.select(col("vec_id")), pairs)
+      .select(col("id").as("vec_id"), col("label").as("group_id"))
+    val keepW = Window.partitionBy(col("group_id"))
+      .orderBy(col("d2").desc, col("vec_id"))
+    assignments.select(col("vec_id"), col("centroid_id"), col("d2"))
+      .join(labels, Seq("vec_id"))
+      .withColumn("keep", row_number().over(keepW) === 1)
+      .withColumn("group_size",
+        count(lit(1)).over(Window.partitionBy(col("group_id")))
+          .cast("bigint"))
+      .select(col("vec_id"), col("centroid_id"), col("group_id"),
+        col("group_size"), col("keep"))
+  }
+
   /** Cluster-balanced (diversity) sampling — the curation move that
     * keeps a training mix from being dominated by one dense region of
     * embedding space: cap each k-means cluster at `perCluster` members,

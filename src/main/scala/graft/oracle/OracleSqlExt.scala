@@ -2897,6 +2897,36 @@ SELECT centroid_id, vec_id, d2, rk FROM (
   FROM a2)
 WHERE rk <= 20"""
 
+  /** Mirror of EmbedOps.semDedupFrom over the shared k-means chain:
+    * within-centroid quantized-cosine pairs at the default threshold,
+    * recursive-CTE connected components (min-id group), keep = the
+    * group member farthest from its centroid (d2 DESC, vec_id). */
+  val embedSemdedup: String =
+    kmeansCtes.replaceFirst("WITH q", "WITH RECURSIVE q") + s""",
+a2 AS (${kmeansAssignSql("c2")}),
+sp AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM a2 a
+  JOIN a2 b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  JOIN q qa ON qa.vec_id = a.vec_id
+  JOIN q qb ON qb.vec_id = b.vec_id
+  WHERE ${cosineSql("qa.qv", "qb.qv")} >= ${graft.GraftConf.DefaultCosineThreshold}),
+edges AS (SELECT va AS a, vb AS b FROM sp UNION ALL SELECT vb, va FROM sp),
+reach AS (
+  SELECT a AS src, a AS dst FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+comp AS (SELECT src AS vec_id, min(dst) AS group_id FROM reach GROUP BY src),
+lab AS (
+  SELECT a.vec_id, a.centroid_id, a.d2,
+         COALESCE(c.group_id, a.vec_id) AS group_id
+  FROM a2 a LEFT JOIN comp c ON c.vec_id = a.vec_id)
+SELECT vec_id, centroid_id, group_id,
+       (count(*) OVER (PARTITION BY group_id))::BIGINT AS group_size,
+       row_number() OVER (PARTITION BY group_id ORDER BY d2 DESC, vec_id) = 1
+         AS keep
+FROM lab"""
+
   /** 16-dim integer squared L2 between two subvector lists. */
   private def pqD2Sql(s: String, c: String): String =
     s"CAST(list_sum(list_transform(range(1, 17), i -> ($s[i] - $c[i]) * ($s[i] - $c[i]))) AS BIGINT)"

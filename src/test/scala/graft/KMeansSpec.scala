@@ -183,4 +183,33 @@ class KMeansSpec extends SparkSpec {
     assert(EmbedOps.adaptivePlanes(20000) == 17) // the 10x rehearsal corpus
     assert(EmbedOps.adaptivePlanes(1L << 40) == 24) // capped: banded/IVF territory
   }
+
+  test("semDedupFrom: within-cluster groups, keep the member farthest from its centroid") {
+    import spark.implicits._
+    // hand-written geometry: {1,2,3} near-parallel (one semantic
+    // group), {4,5} parallel (second group), 6 orthogonal (singleton)
+    val docs = emb(
+      1L -> Array(1f, 0f, 0f, 0f),
+      2L -> Array(0.999f, 0.01f, 0f, 0f),
+      3L -> Array(0.9f, 0.1f, 0f, 0f),
+      4L -> Array(0f, 1f, 0f, 0f),
+      5L -> Array(0f, 0.95f, 0f, 0f),
+      6L -> Array(0f, 0f, 0f, 1f))
+    // hand-written assignments pin the blocking and the keep rule:
+    // cluster 1 = {1,2,3} with d2 5/3/9, cluster 2 = {4,5} tied at 4,
+    // cluster 3 = {6}
+    val asg = Seq((1L, 1L, 5L), (2L, 1L, 3L), (3L, 1L, 9L),
+      (4L, 2L, 4L), (5L, 2L, 4L), (6L, 3L, 0L))
+      .toDF("vec_id", "centroid_id", "d2")
+    val got = EmbedOps.semDedupFrom(docs, asg, 0.35).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("group_id"), r.getAs[Long]("group_size"),
+          r.getAs[Boolean]("keep")))).toMap
+    assert(got(1L) == ((1L, 3L, false)))
+    assert(got(2L) == ((1L, 3L, false)))
+    assert(got(3L) == ((1L, 3L, true)))   // farthest from centroid (d2 9)
+    assert(got(4L) == ((4L, 2L, true)))   // d2 tie → min vec_id keeps
+    assert(got(5L) == ((4L, 2L, false)))
+    assert(got(6L) == ((6L, 1L, true)))   // singleton always keeps
+  }
 }
