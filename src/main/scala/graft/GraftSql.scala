@@ -41,6 +41,7 @@ object GraftSql {
       graft.plans.RangeSql.register(spark)
       graft.plans.KnnSql.register(spark)
       graft.plans.NearDupSql.register(spark)
+      graft.plans.DsirSql.register(spark)
       graft.functions.CosineSimilarity.register(spark)
       graft.functions.RollingMinHash.register(spark)
       graft.functions.SimHash32.register(spark)

@@ -245,6 +245,10 @@ object SparkEntry {
     // (plans/NearDupSql.scala): same plan as dedup_minhash, same oracle
     "sql_neardup" -> ((s, d) => GraftSql.sql(s, d,
       "SELECT * FROM neardup_pairs('documents', 'doc_id', 'text', 0.5)")),
+    // DSIR from SQL text — the FIFTH table function (plans/DsirSql
+    // .scala): same plan as sample_dsir, same oracle
+    "sql_dsir" -> ((s, d) => GraftSql.sql(s, d,
+      "SELECT * FROM dsir_sample('documents', 'src0,src1', 200)")),
     // explicit two-phase salted aggregation (result ≡ plain groupBy)
     "events_salted_counts" -> ((s, d) => ext.Skew.saltedTypeCounts(Tables.events(s, d))),
     // per-type z-score outliers from exact quantized moments
@@ -1061,6 +1065,7 @@ object SparkEntry {
     "sql_range" -> OracleSqlExt.eventsRange,
     "sql_knn" -> OracleSqlExt.sqlKnn,
     "sql_neardup" -> OracleSqlExt.dedupMinhash,
+    "sql_dsir" -> OracleSqlExt.sampleDsir,
     "events_range" -> OracleSqlExt.eventsRange,
     "events_salted_counts" -> OracleSqlExt.eventsSaltedCounts,
     "events_anomalies" -> OracleSqlExt.eventsAnomalies,

@@ -55,6 +55,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(graft.plans.NearDupSql.name),
       graft.plans.NearDupSql.info,
       graft.plans.NearDupSql.builder))
+    // SQL-text spelling of DSIR importance resampling (a TVF expanding
+    // to the bounded-bucket-stats + broadcast-bits + TakeOrdered plan)
+    ext.injectTableFunction((
+      FunctionIdentifier(graft.plans.DsirSql.name),
+      graft.plans.DsirSql.info,
+      graft.plans.DsirSql.builder))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(
