@@ -506,12 +506,20 @@ object EmbedOps {
       col("q").as("qa"), col("n2").as("n2a"))
     val b = base.select(col("centroid_id"), col("vec_id").as("vec_b"),
       col("q").as("qb"), col("n2").as("n2b"))
+    // localCheckpoint (eager) before CC: the verified dup edges are a
+    // tiny frame, but as a LAZY plan its size statistic is the
+    // quadratic candidate join's estimate, so with AQE off every CC
+    // round plans shuffled sort-merge joins against it (measured 2-6×
+    // the whole query). Materializing gives CC accurate stats
+    // (broadcast-sized rounds) and truncates the scoring lineage the
+    // loop would otherwise re-analyze per round.
     val pairs = a.join(b, Seq("centroid_id"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cosine",
         cosineFromParts(qdot(col("qa"), col("qb")), col("n2a"), col("n2b")))
       .filter(col("cosine") >= thr)
       .select(col("vec_a"), col("vec_b"))
+      .localCheckpoint()
     val labels = Graph.connectedComponents(
         embeddings.select(col("vec_id")), pairs)
       .select(col("id").as("vec_id"), col("label").as("group_id"))
