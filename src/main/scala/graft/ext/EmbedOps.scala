@@ -435,9 +435,9 @@ object EmbedOps {
     * aggregate, NOT a window sort over N×k rows. The update is
     * posexplode → partial per-(centroid, dim) sums, so the shuffle
     * carries k×64 rows per partition regardless of corpus size.
-    * Centroids are localCheckpoint'ed each round (k rows) — the same
-    * iterative-lineage control as [[Graph.connectedComponents]]; swap
-    * for reliable checkpoint() on a cluster. */
+    * Centroids are eagerly cache-pinned each round (k rows — see
+    * [[pinned]] for why cache, not localCheckpoint); swap for
+    * reliable checkpoint() on a cluster. */
   /** Deterministic hash-spread seed order: a multiplicative (Knuth)
     * hash with one xor-fold of the high half — enough avalanche that
     * CONSECUTIVE ids (appended shards, where id order correlates with
@@ -453,6 +453,24 @@ object EmbedOps {
     expr(s"($h) ^ (($h) div 65536)")
   }
 
+  /** Eagerly materialized cache — the pinning idiom for the k-row
+    * centroid frames the iterative trainers thread through long-lived
+    * artifact plans. cache+count rather than localCheckpoint: a
+    * checkpointed block evicted under memory pressure is
+    * UNRECOVERABLE (lineage truncated —
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND, hit when a multi-rung ladder
+    * run evicted an artifact-held centroid frame), while an evicted
+    * cache block recomputes from its retained lineage — which is
+    * bit-deterministic here (integer-exact Lloyd rounds). Lineage
+    * depth stays bounded because the loops run a FIXED small round
+    * count (2 Lloyd rounds, 1 PQ round); an unbounded loop must keep
+    * truncating (see [[Graph.connectedComponents]]). */
+  private def pinned(df: DataFrame): DataFrame = {
+    val c = df.cache()
+    c.count()
+    c
+  }
+
   def kmeansAssignments(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
     // cache lifetime is CALLER-MANAGED (same policy as lshNearDups'
     // sigs cache): the returned plan still references it, so this
@@ -461,11 +479,10 @@ object EmbedOps {
     // spark.catalog.clearCache() between rounds.
     val base = embeddings.select(
       col("vec_id"), quantized(col("embedding")).as("q")).cache()
-    var cents = base.orderBy(seedSpread, col("vec_id")).limit(k)
-      .select(col("vec_id").as("centroid_id"), col("q").as("cv"))
-      .localCheckpoint(true)
+    var cents = pinned(base.orderBy(seedSpread, col("vec_id")).limit(k)
+      .select(col("vec_id").as("centroid_id"), col("q").as("cv")))
     for (_ <- 1 to iters)
-      cents = lloydUpdate(assignStep(base, cents), cents).localCheckpoint(true)
+      cents = pinned(lloydUpdate(assignStep(base, cents), cents))
     assignStep(base, cents).select(col("vec_id"), col("centroid_id"), col("d2"))
   }
 
@@ -493,7 +510,16 @@ object EmbedOps {
     * bounded); CC is the bounded-round pointer-jumping loop; the keep
     * rank and group size are windows over GROUP-bounded partitions.
     * `assignments` is [[kmeansAssignments]]' output, shared with the
-    * kmeans/balanced-sample queries via the session artifact. */
+    * kmeans/balanced-sample queries via the session artifact.
+    *
+    * THE scale knob is k, the cluster count: candidate pairs grow as
+    * N²/k, so at FIXED k the within-cluster scan is quadratic (the
+    * 1×/3×/10× ladder measures segment α → 1.1 already at 20k
+    * vectors — `bench_results/semdedup_ladder.json`). The paper's
+    * deployment scales k with N (k ≈ N/⟨block⟩ for a constant
+    * expected block size), which keeps the scan linear; callers at
+    * corpus scale must pass the scaled k's assignments, not the
+    * 8-cluster demo default. */
   def semDedupFrom(embeddings: DataFrame, assignments: DataFrame,
       threshold: Double = Double.NaN): DataFrame = {
     val thr = resolvedThreshold(embeddings, threshold)
@@ -506,20 +532,24 @@ object EmbedOps {
       col("q").as("qa"), col("n2").as("n2a"))
     val b = base.select(col("centroid_id"), col("vec_id").as("vec_b"),
       col("q").as("qb"), col("n2").as("n2b"))
-    // localCheckpoint (eager) before CC: the verified dup edges are a
-    // tiny frame, but as a LAZY plan its size statistic is the
+    // Materialize (eager cache) before CC: the verified dup edges are
+    // a tiny frame, but as a LAZY plan its size statistic is the
     // quadratic candidate join's estimate, so with AQE off every CC
     // round plans shuffled sort-merge joins against it (measured 2-6×
-    // the whole query). Materializing gives CC accurate stats
-    // (broadcast-sized rounds) and truncates the scoring lineage the
-    // loop would otherwise re-analyze per round.
+    // the whole query). Once materialized, InMemoryRelation reports
+    // the REAL byte size and CC's rounds plan broadcast-sized joins.
+    // cache+count rather than localCheckpoint: a checkpointed block
+    // evicted under memory pressure is UNRECOVERABLE (lineage
+    // truncated — CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND, hit at the 10×
+    // ladder rung), while an evicted cache block just recomputes.
     val pairs = a.join(b, Seq("centroid_id"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cosine",
         cosineFromParts(qdot(col("qa"), col("qb")), col("n2a"), col("n2b")))
       .filter(col("cosine") >= thr)
       .select(col("vec_a"), col("vec_b"))
-      .localCheckpoint()
+      .cache()
+    pairs.count()
     val labels = Graph.connectedComponents(
         embeddings.select(col("vec_id")), pairs)
       .select(col("id").as("vec_id"), col("label").as("group_id"))
@@ -680,12 +710,11 @@ object EmbedOps {
     val subs = pqSubvectors(embeddings, m, dsub).cache()
     val seedIds = base.orderBy(col("vec_id")).limit(ksub)
       .select(col("vec_id").as("centroid_id"))
-    val seeds = subs.join(broadcast(seedIds),
+    val seeds = pinned(subs.join(broadcast(seedIds),
       subs("vec_id") === seedIds("centroid_id"))
-      .select(col("sub"), col("centroid_id"), col("q").as("cv"))
-      .localCheckpoint(true)
-    val cents = lloydUpdate(assignStep(subs, seeds, Seq("sub")), seeds, Seq("sub"))
-      .localCheckpoint(true)
+      .select(col("sub"), col("centroid_id"), col("q").as("cv")))
+    val cents = pinned(
+      lloydUpdate(assignStep(subs, seeds, Seq("sub")), seeds, Seq("sub")))
     val codes = assignStep(subs, cents, Seq("sub"))
       .select(col("vec_id"), col("sub"), col("centroid_id"))
       .cache()
