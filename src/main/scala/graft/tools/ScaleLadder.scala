@@ -56,11 +56,14 @@ object ScaleLadderStats {
     * α ≈ 1.8, masked by the then-full-fit-only flag rule). The top
     * segment is where a 100×-scale defect first shows, so it carries
     * its own flag. */
-  def segAlpha(points: Seq[(Int, Double)]): Double = {
-    val Seq((r0, w0), (r1, w1)) = points.takeRight(2)
-    math.log(math.max(w1, 1e-9) / math.max(w0, 1e-9)) /
-      math.log(r1.toDouble / r0.toDouble)
-  }
+  def segAlpha(points: Seq[(Int, Double)]): Double =
+    points.takeRight(2) match {
+      case Seq((r0, w0), (r1, w1)) =>
+        math.log(math.max(w1, 1e-9) / math.max(w0, 1e-9)) /
+          math.log(r1.toDouble / r0.toDouble)
+      // a single-rung run has no segment — NaN, like the full fit
+      case _ => Double.NaN
+    }
 }
 
 object ScaleLadder {
