@@ -939,8 +939,14 @@ object SparkEntry {
     Artifacts.frame(s, d, "embed/brute_topk")(EmbedOps.bruteForceTopK(emb(s, d)))
   private def shPq(s: SparkSession, d: String): EmbedOps.PqModel =
     Artifacts.obj(s, d, "embed/pq_model")(EmbedOps.trainPq(emb(s, d)))
+  // scale-aware k (max(8, ceil(N/1024)) — EmbedOps.scaledK): at the
+  // gate/bench corpora (≤ 8192 vectors) this IS the historical k = 8
+  // geometry the DuckDB oracle re-derives; at ladder/corpus scale k
+  // grows with N so semDedupFrom's within-cluster pair join stays
+  // linear instead of N²/8
   private def shKmeans(s: SparkSession, d: String): DataFrame =
-    Artifacts.frame(s, d, "embed/kmeans_asg")(EmbedOps.kmeansAssignments(emb(s, d)))
+    Artifacts.frame(s, d, "embed/kmeans_asg")(
+      EmbedOps.kmeansAssignmentsScaled(emb(s, d)))
   // the IVF coarse quantizer is part of the persisted index in a real
   // deployment — built with the codes, loaded by every searcher
   private def shCoarse(s: SparkSession, d: String): DataFrame =

@@ -471,6 +471,46 @@ object EmbedOps {
     c
   }
 
+  /** Scale-aware cluster count: k grows with the corpus so the
+    * EXPECTED cluster size stays fixed at `targetBlock`. This is what
+    * keeps [[semDedupFrom]]'s within-cluster pair join linear — with
+    * balanced clusters the candidate count is Σ n_c² ≈ N²/k, so at
+    * FIXED k it is quadratic in the corpus (the SemDeDup paper's
+    * blocking only bounds the scan because their k scales with N:
+    * tens of thousands of clusters for billions of embeddings), while
+    * at k = N/targetBlock it is N·targetBlock — linear with a
+    * tunable constant. The floor of 8 keeps small/demo corpora on the
+    * historical 8-cluster geometry; the 2²⁰ cap bounds the broadcast
+    * centroid frame (64 longs × 1M rows ≈ 0.5 GB, the broadcast
+    * limit's neighborhood — beyond that the assignment itself needs
+    * an ANN coarse quantizer, which is [[coarseCentroids]]' IVF
+    * territory).
+    *
+    * The TRADE this buys: Lloyd assignment is O(N·k·iters) =
+    * O(N²/targetBlock) — also quadratic, but with a 1/1024 constant
+    * and a codegen'd integer inner loop, it crosses the pair join's
+    * cost only far beyond the broadcast cap; corpora near the cap
+    * should train centroids on a bounded [[TextOps.hashSample]]-style
+    * subsample and assign the full corpus once (one O(N·k) pass is
+    * the irreducible exact-assignment cost — the paper's deployment
+    * pays it on GPUs). */
+  def scaledK(n: Long, targetBlock: Int = 1024): Int = {
+    // division-form ceil: the additive form n + targetBlock - 1
+    // overflows Long for n near Long.MaxValue and would wrap the k
+    // floor back to 8 — exactly the silent-truncation class the TVF
+    // guards reject loudly
+    val k = n / targetBlock + (if (n % targetBlock == 0L) 0L else 1L)
+    math.min(math.max(8L, k), 1L << 20).toInt
+  }
+
+  /** [[kmeansAssignments]] at the [[scaledK]] cluster count — the
+    * corpus-scale entry point ([[semDedupFrom]]'s intended partner).
+    * The count() is one COUNT(*) job (metadata-only on parquet). */
+  def kmeansAssignmentsScaled(embeddings: DataFrame,
+      targetBlock: Int = 1024, iters: Int = 2): DataFrame =
+    kmeansAssignments(embeddings,
+      scaledK(embeddings.count(), targetBlock), iters)
+
   def kmeansAssignments(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
     // cache lifetime is CALLER-MANAGED (same policy as lshNearDups'
     // sigs cache): the returned plan still references it, so this
@@ -501,7 +541,14 @@ object EmbedOps {
     *      its centroid (max d2, tie-break min vec_id), the paper's
     *      "keep low centroid-similarity" rule (the outlier carries
     *      the most information; the near-centroid copies are the
-    *      redundant ones).
+    *      redundant ones). NOTE: max-L2-from-centroid coincides with
+    *      min-cosine-to-centroid only for (near-)constant-norm
+    *      embeddings — the paper's setting (unit-normalized CLIP
+    *      embeddings) and this corpus's. For unnormalized vectors the
+    *      d2 rank can pick a different member than a cosine rank
+    *      would (a long vector pointing AT the centroid out-distances
+    *      a short one pointing away); normalize upstream, or rank by
+    *      cosine-to-centroid, if that regime is in scope.
     *
     * Output per vector: (vec_id, centroid_id, group_id, group_size,
     * keep) — singletons are their own group and always keep.
@@ -514,12 +561,13 @@ object EmbedOps {
     *
     * THE scale knob is k, the cluster count: candidate pairs grow as
     * N²/k, so at FIXED k the within-cluster scan is quadratic (the
-    * 1×/3×/10× ladder measures segment α → 1.1 already at 20k
-    * vectors — `bench_results/semdedup_ladder.json`). The paper's
-    * deployment scales k with N (k ≈ N/⟨block⟩ for a constant
-    * expected block size), which keeps the scan linear; callers at
-    * corpus scale must pass the scaled k's assignments, not the
-    * 8-cluster demo default. */
+    * r16 1×/3×/10× ladder measured segment α → 1.1 already at 20k
+    * vectors). The shipped posture is [[kmeansAssignmentsScaled]] —
+    * k = max(8, ⌈N/1024⌉) per [[scaledK]] — under which the pair
+    * count saturates at N·targetBlock/2 (linear); the r17 re-ladder
+    * to 30× measures the drop (`bench_results/semdedup_ladder.json`).
+    * Callers passing their own assignments at corpus scale must use
+    * the scaled k, not the 8-cluster demo default. */
   def semDedupFrom(embeddings: DataFrame, assignments: DataFrame,
       threshold: Double = Double.NaN): DataFrame = {
     val thr = resolvedThreshold(embeddings, threshold)
@@ -550,13 +598,24 @@ object EmbedOps {
       .select(col("vec_a"), col("vec_b"))
       .cache()
     pairs.count()
-    val labels = Graph.connectedComponents(
-        embeddings.select(col("vec_id")), pairs)
+    // CC runs over the EDGE ENDPOINTS only, not the corpus: every
+    // vertex without a dup edge is its own singleton component, so
+    // labeling it through the iterative rounds is pure waste — the
+    // left join + coalesce below gives it label = own id for free.
+    // The endpoint frame is duplicate-bounded (tiny next to N), so
+    // every CC round's joins stay broadcast-sized even when the
+    // corpus itself is not. The DuckDB oracle mirrors this exact
+    // shape (components over edges, COALESCE(group_id, vec_id)).
+    val endpoints = pairs.select(col("vec_a").as("vec_id"))
+      .unionByName(pairs.select(col("vec_b").as("vec_id")))
+      .distinct()
+    val labels = Graph.connectedComponents(endpoints, pairs)
       .select(col("id").as("vec_id"), col("label").as("group_id"))
     val keepW = Window.partitionBy(col("group_id"))
       .orderBy(col("d2").desc, col("vec_id"))
     assignments.select(col("vec_id"), col("centroid_id"), col("d2"))
-      .join(labels, Seq("vec_id"))
+      .join(labels, Seq("vec_id"), "left")
+      .withColumn("group_id", coalesce(col("group_id"), col("vec_id")))
       .withColumn("keep", row_number().over(keepW) === 1)
       .withColumn("group_size",
         count(lit(1)).over(Window.partitionBy(col("group_id")))

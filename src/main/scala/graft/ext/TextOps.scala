@@ -80,9 +80,16 @@ object TextOps {
     * eval-contamination bug that inflates held-out metrics. Splitting
     * on the cluster id (min doc_id of the component, from
     * [[DedupOps.nearDupClustersFrom]]) removes that failure mode while
-    * keeping every property of the doc-keyed split: key-pure,
-    * append-stable (a new doc joining an existing cluster inherits the
-    * cluster's frozen split), engine-reproducible.
+    * staying key-pure and engine-reproducible. Append-stability is
+    * WEAKER than the doc-keyed split's, though: a new doc joining an
+    * existing cluster inherits the cluster's frozen split, but an
+    * append that CHANGES a cluster's representative — a member with a
+    * smaller doc_id than the current min, or a doc that bridges two
+    * clusters into one — re-hashes the merged cluster's residue and
+    * can move its existing members between splits. That is the price
+    * of the leakage guarantee (the bridged clusters MUST co-locate,
+    * and they can't both keep their old splits); pipelines that need
+    * hard doc-level stability freeze the label frame at split time.
     *
     * Scale posture: one equi join of the corpus to the doc-universe
     *-sized label frame on doc_id, then a 3-group aggregate. The

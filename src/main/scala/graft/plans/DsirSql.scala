@@ -54,23 +54,28 @@ object DsirSql {
       .filter(_.nonEmpty).toSeq
     require(targets.nonEmpty,
       s"$name: target source list must name at least one source")
-    val k = args(2) match {
-      case Literal(v: Int, IntegerType) => v
-      case Literal(v: Long, LongType) => v.toInt
+    // range-check in Long space BEFORE any narrowing: a BIGINT literal
+    // like 4294967297 must be rejected loudly, not wrapped by toInt
+    // into an in-range value that silently passes
+    val kLong = args(2) match {
+      case Literal(v: Int, IntegerType) => v.toLong
+      case Literal(v: Long, LongType) => v
       case other => throw new IllegalArgumentException(
         s"$name: k (argument 3) must be an integer literal, got $other")
     }
-    require(k >= 1 && k <= 100000,
-      s"$name: k must be in [1, 100000] (got $k) — the result is a" +
+    require(kLong >= 1L && kLong <= 100000L,
+      s"$name: k must be in [1, 100000] (got $kLong) — the result is a" +
         " driver-merged TakeOrdered sample, not a corpus sort")
+    val k = kLong.toInt
     val spark = SparkSession.active
     val docs = TvfArgs.table(spark, name, args, 0, "docs table")
-    Seq("doc_id", "source", "text").foreach { c =>
-      require(docs.columns.contains(c),
-        s"$name: column $c not found in the docs table " +
-          s"(${docs.columns.mkString(",")})")
-    }
-    graft.ext.TextOps.dsirResample(docs, targets, k = k)
+    val shaped = docs.select(
+      Seq("doc_id", "source", "text").map { c =>
+        org.apache.spark.sql.functions
+          .col(TvfArgs.resolveColumn(spark, name, docs, c, s"column $c"))
+          .as(c)
+      }: _*)
+    graft.ext.TextOps.dsirResample(shaped, targets, k = k)
       .queryExecution.analyzed
   }
 

@@ -77,15 +77,15 @@ object NearDupSql {
         " it never collides, so the result would be silently incomplete")
     val spark = SparkSession.active
     val docs = TvfArgs.table(spark, name, args, 0, "docs table")
-    val idCol = str(1, "id column")
-    val textCol = str(2, "text column")
+    // resolve with the analyzer's resolver (case-insensitive unless
+    // spark.sql.caseSensitive) so 'DOC_ID' finds doc_id exactly where
+    // a plain SQL reference would
+    val idCol = TvfArgs.resolveColumn(spark, name, docs,
+      str(1, "id column"), "id column")
+    val textCol = TvfArgs.resolveColumn(spark, name, docs,
+      str(2, "text column"), "text column")
     require(idCol != textCol,
       s"$name: id and text columns must differ (both $idCol)")
-    Seq(idCol -> "id", textCol -> "text").foreach { case (c, what) =>
-      require(docs.columns.contains(c),
-        s"$name: $what column $c not found in the docs table " +
-          s"(${docs.columns.mkString(",")})")
-    }
     val tf = docs.schema.fields.find(_.name == textCol).get
     require(tf.dataType == StringType,
       s"$name: text column $textCol must be string, got ${tf.dataType}")

@@ -45,4 +45,26 @@ object TvfArgs {
       s"$fn: $what (argument ${i + 1}) must be a string-literal table " +
         s"name or TABLE(subquery), got $other")
   }
+
+  /** Resolve a user-supplied column name against `df` with the SAME
+    * resolver the analyzer uses (case-insensitive unless
+    * `spark.sql.caseSensitive` is set), returning the ACTUAL column
+    * name — so `neardup_pairs('documents', 'DOC_ID', ...)` resolves
+    * exactly where a plain SQL reference would, instead of failing a
+    * case-sensitive `columns.contains`. Ambiguity (two columns equal
+    * under the resolver) is rejected loudly, matching the analyzer's
+    * AMBIGUOUS_REFERENCE behavior. */
+  def resolveColumn(spark: SparkSession, fn: String, df: DataFrame,
+      name: String, what: String): String = {
+    val resolver = spark.sessionState.analyzer.resolver
+    df.columns.filter(resolver(_, name)) match {
+      case Array(one) => one
+      case Array() => throw new IllegalArgumentException(
+        s"$fn: $what '$name' not found in the table " +
+          s"(${df.columns.mkString(",")})")
+      case many => throw new IllegalArgumentException(
+        s"$fn: $what '$name' is ambiguous in the table " +
+          s"(matches ${many.mkString(",")})")
+    }
+  }
 }

@@ -52,5 +52,31 @@ class DsirSqlSpec extends SparkSpec {
       spark.sql("SELECT * FROM dsir_sample('documents', 'src0')").collect()
     }
     assert(eArity.getMessage.contains("3 arguments"), eArity.getMessage)
+    // a BIGINT k beyond Int.MaxValue must be rejected on its REAL
+    // value, not silently wrapped by toInt into an in-range one
+    // (4294967297 ≡ 1 mod 2³²)
+    val eWrap = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM dsir_sample('documents', 'src0', 4294967297)").collect()
+    }
+    assert(eWrap.getMessage.contains("4294967297"), eWrap.getMessage)
+  }
+
+  test("dsir_sample resolves columns case-insensitively, like SQL") {
+    import spark.implicits._
+    graft.GraftSql.attach(spark, d)
+    // upper-cased column NAMES in the table resolve for the TVF's
+    // fixed (doc_id, source, text) contract exactly where a plain
+    // SQL reference would
+    spark.sql("SELECT doc_id AS DOC_ID, source AS Source, text AS TEXT " +
+      "FROM documents").createOrReplaceTempView("upper_docs_v")
+    val viaUpper = spark.sql(
+      "SELECT * FROM dsir_sample('upper_docs_v', 'src0', 50)")
+      .collect().map(_.toSeq).toSeq
+    val viaDf = TextOps.dsirResample(
+      Tables.documents(spark, d), Seq("src0"), k = 50)
+      .collect().map(_.toSeq).toSeq
+    assert(viaUpper == viaDf && viaUpper.nonEmpty)
+    spark.catalog.dropTempView("upper_docs_v")
   }
 }

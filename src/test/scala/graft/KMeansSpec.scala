@@ -212,4 +212,20 @@ class KMeansSpec extends SparkSpec {
     assert(got(5L) == ((4L, 2L, false)))
     assert(got(6L) == ((6L, 1L, true)))   // singleton always keeps
   }
+
+  test("scaledK: fixed expected block size, floor 8, broadcast-bounded cap") {
+    import graft.ext.EmbedOps.scaledK
+    // ≤ 8·1024 vectors stay on the historical 8-cluster geometry —
+    // the gate/bench corpora (500/2000 vectors) are bit-identical to
+    // the pre-scaling engine
+    assert(scaledK(500) == 8 && scaledK(2000) == 8 && scaledK(8192) == 8)
+    // past the floor, k tracks ceil(N / targetBlock): the semdedup
+    // pair join saturates at N·targetBlock/2 instead of N²/8
+    assert(scaledK(8193) == 9)
+    assert(scaledK(1048576) == 1024)
+    assert(scaledK(60000) == 59)
+    assert(scaledK(60000, targetBlock = 512) == 118)
+    // the 2²⁰ cap bounds the broadcast centroid frame
+    assert(scaledK(Long.MaxValue) == (1 << 20))
+  }
 }

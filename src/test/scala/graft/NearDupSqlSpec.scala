@@ -74,4 +74,28 @@ class NearDupSqlSpec extends SparkSpec {
     }
     assert(eSame.getMessage.contains("differ"), eSame.getMessage)
   }
+
+  test("neardup_pairs resolves column arguments case-insensitively, like SQL") {
+    graft.GraftSql.attach(spark, d)
+    // 'DOC_ID'/'TEXT' must resolve against doc_id/text exactly where a
+    // plain SQL reference would (analyzer resolver, not a
+    // case-sensitive columns.contains)
+    val viaUpper = spark.sql(
+      "SELECT * FROM neardup_pairs('documents', 'DOC_ID', 'TEXT', 0.5)")
+      .collect().map(_.toSeq).toSet
+    val viaExact = spark.sql(
+      "SELECT * FROM neardup_pairs('documents', 'doc_id', 'text', 0.5)")
+      .collect().map(_.toSeq).toSet
+    assert(viaUpper == viaExact && viaUpper.nonEmpty)
+    // ambiguity under the resolver is rejected loudly
+    spark.sql("SELECT doc_id, text, text AS TEXT FROM documents")
+      .createOrReplaceTempView("ambig_docs_v")
+    val eAmbig = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM neardup_pairs('ambig_docs_v', 'doc_id', 'Text', 0.5)")
+        .collect()
+    }
+    assert(eAmbig.getMessage.contains("ambiguous"), eAmbig.getMessage)
+    spark.catalog.dropTempView("ambig_docs_v")
+  }
 }

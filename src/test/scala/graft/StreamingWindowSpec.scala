@@ -549,6 +549,47 @@ class StreamingWindowSpec extends SparkSpec {
     assert(alive.nonEmpty && timer.contains(1100L))
   }
 
+  test("nearest early-decide: emission once wm passes p.ts + d, far below the tolerance horizon") {
+    // end-to-end twin of the step-level t8 pin: a purchase with a
+    // backward match at distance d (60 s) but NO forward candidate
+    // must drain through the REAL query's timer once the watermark
+    // passes p.ts + d — with a 2 h tolerance, an implementation that
+    // waited out the horizon would emit nothing here, because the
+    // sentinels only push the watermark ~90 s past the purchase
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Long)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type", "event_id")
+    val q = graft.streaming.AsOfStream.clickAsOfPurchaseStream(
+      events, lateness = "1 minute",
+      toleranceUs = Some(7200000000L), direction = "nearest")
+      .writeStream
+      .outputMode(OutputMode.Append).format("memory")
+      .queryName("asof_nearest_early")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "click", 1L),
+        (ts("2024-01-01 10:01:00"), 1L, "purchase", 100L))
+      q.processAllAvailable()
+      assert(spark.table("asof_nearest_early").count() == 0)
+      // early-decide instant = 10:01:00 + 60 s = 10:02:00; sentinels
+      // lift the watermark to 10:02:30/31 (max ts − 1 min) — past the
+      // instant, 2 h short of the 12:01:00 horizon
+      input.addData((ts("2024-01-01 10:03:30"), 999L, "click", 900L))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 10:03:31"), 999L, "click", 901L))
+      q.processAllAvailable()
+      val rows = spark.table("asof_nearest_early")
+        .select("purchase_event_id", "click_event_id", "gap_us").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString.toLong),
+          Option(r.get(2)).map(_.toString.toLong)))
+      assert(rows.toSeq == Seq((100L, Some(1L), Some(60000000L))), rows.toSeq)
+    } finally q.stop()
+  }
+
   test("typed top-K aggregator keeps K best with deterministic ties") {
     import spark.implicits._
     val ds = Seq(
