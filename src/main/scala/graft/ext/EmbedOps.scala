@@ -554,8 +554,10 @@ object EmbedOps {
     * keep) — singletons are their own group and always keep.
     *
     * Scale posture: the pair join is equi on centroid_id (cluster-
-    * bounded); CC is the bounded-round pointer-jumping loop; the keep
-    * rank and group size are windows over GROUP-bounded partitions.
+    * bounded); CC is a single-shuffle per-cluster union-find (exact —
+    * the blocking means no component spans a cluster, and the
+    * per-group state is [[scaledK]]-bounded); the keep rank and group
+    * size are windows over GROUP-bounded partitions.
     * `assignments` is [[kmeansAssignments]]' output, shared with the
     * kmeans/balanced-sample queries via the session artifact.
     *
@@ -595,22 +597,46 @@ object EmbedOps {
       .withColumn("cosine",
         cosineFromParts(qdot(col("qa"), col("qb")), col("n2a"), col("n2b")))
       .filter(col("cosine") >= thr)
-      .select(col("vec_a"), col("vec_b"))
+      .select(col("centroid_id"), col("vec_a"), col("vec_b"))
       .cache()
     pairs.count()
-    // CC runs over the EDGE ENDPOINTS only, not the corpus: every
-    // vertex without a dup edge is its own singleton component, so
-    // labeling it through the iterative rounds is pure waste — the
-    // left join + coalesce below gives it label = own id for free.
-    // The endpoint frame is duplicate-bounded (tiny next to N), so
-    // every CC round's joins stay broadcast-sized even when the
-    // corpus itself is not. The DuckDB oracle mirrors this exact
-    // shape (components over edges, COALESCE(group_id, vec_id)).
-    val endpoints = pairs.select(col("vec_a").as("vec_id"))
-      .unionByName(pairs.select(col("vec_b").as("vec_id")))
-      .distinct()
-    val labels = Graph.connectedComponents(endpoints, pairs)
-      .select(col("id").as("vec_id"), col("label").as("group_id"))
+    // Connected components are GROUP-LOCAL here by construction:
+    // every dup edge is within one k-means cluster, so no component
+    // ever spans clusters — which makes the generic iterative CC
+    // ([[Graph.connectedComponents]]: measured 12 pointer-jumping
+    // rounds ≈ 36 shuffle stages on this graph) the wrong plan. One
+    // groupByKey(centroid_id) + an in-JVM union-find per cluster is
+    // exact, one shuffle of the (tiny, verified) edge frame, and its
+    // per-group state is bounded by the cluster size [[scaledK]]
+    // pins at ~targetBlock — the imperative-per-bounded-group case
+    // mapGroups exists for. Union-by-min-id keeps each tree's root
+    // the component minimum, so labels match the iterative CC (and
+    // the oracle's recursive CTE) bit-for-bit. Singletons are
+    // restored by the left join + coalesce below (the oracle's
+    // COALESCE(group_id, vec_id) shape).
+    import embeddings.sparkSession.implicits._
+    val labels = pairs.as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, edges) =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        edges.foreach { case (_, va, vb) =>
+          parent.getOrElseUpdate(va, va)
+          parent.getOrElseUpdate(vb, vb)
+          val ra = find(va); val rb = find(vb)
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        parent.keysIterator.map(v => (v, find(v))).toSeq
+      }
+      .toDF("vec_id", "group_id")
     val keepW = Window.partitionBy(col("group_id"))
       .orderBy(col("d2").desc, col("vec_id"))
     assignments.select(col("vec_id"), col("centroid_id"), col("d2"))
