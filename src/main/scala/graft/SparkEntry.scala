@@ -753,6 +753,13 @@ object SparkEntry {
     // Gopher duplicate-line/char fractions over within-doc segments
     "text_dup_segments" -> ((s, d) => TextOps.dupSegments(docs(s, d))),
     "text_dup_spans" -> ((s, d) => TextOps.dupSpans(docs(s, d))),
+    // UNBOUNDED exact-substring dedup (r17): maximal duplicated
+    // substrings of any length >= w via the diagonal island merge,
+    // and their per-doc interval-merged coverage
+    "text_dup_maximal_spans" -> ((s, d) =>
+      TextOps.maximalDupSpans(docs(s, d))),
+    "text_dup_islands" -> ((s, d) =>
+      TextOps.maximalDupIslands(docs(s, d))),
     // hashed-bigram linear quality model inference (zero-shuffle scan)
     "text_quality_model" -> ((s, d) => TextOps.qualityModelScore(docs(s, d))),
 
@@ -1165,6 +1172,8 @@ object SparkEntry {
     "text_paragraph_dedup" -> OracleSqlExt.textParagraphDedup,
     "text_dup_segments" -> OracleSqlExt.textDupSegments,
     "text_dup_spans" -> OracleSqlExt.textDupSpans,
+    "text_dup_maximal_spans" -> OracleSqlExt.textDupMaximalSpans,
+    "text_dup_islands" -> OracleSqlExt.textDupIslands,
     "text_quality_model" -> OracleSqlExt.textQualityModel,
     "sample_stratified" -> OracleSqlExt.sampleStratified,
     "sample_weighted" -> OracleSqlExt.sampleWeighted,

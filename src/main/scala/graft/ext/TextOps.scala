@@ -1604,6 +1604,118 @@ object TextOps {
           .as("dup_token_frac"))
   }
 
+  /** UNBOUNDED exact-substring dedup (the rest of the Lee et al.
+    * family): maximal duplicated substrings of ANY length ≥ `w`
+    * tokens per document pair — the "find the 6,000-token duplicated
+    * boilerplate block" case [[dupSpans]]'s fixed-width windows only
+    * report as w-sized fragments. The relational recovery is the
+    * DIAGONAL island merge: a substring of length L shared by docs
+    * a and b at offsets (sa, sb) puts equal w-token windows at
+    * (sa+i, sb+i) for every i ≤ L−w — all on one diagonal
+    * d = pos_b − pos_a — so grouping window matches by
+    * (doc_a, doc_b, d) and merging CONSECUTIVE pos_a runs (the
+    * lag-gap machinery of [[decontaminateSpansFrom]], generalized
+    * doc×doc) reconstructs each maximal shared substring as a unit:
+    * start/end in both docs, length = run + w − 1. Positions are
+    * 0-based token offsets, end inclusive.
+    *
+    * `occCap` bounds the blocked self-join: a window hash occurring
+    * n times corpus-wide fans out to ≤ n² matches, so hashes with
+    * more than `occCap` occurrences — corpus-pervasive boilerplate —
+    * are EXCLUDED here (their pair set is quadratic by nature; the
+    * corpus-survivor path for them is [[paragraphDedup]]'s canonical
+    * pick, which never enumerates pairs). The cap is a recall bound,
+    * not a correctness bound, and is stated per query.
+    *
+    * Scale posture: the only self-join is equi on the 16-byte uniform
+    * window hash with per-key fan-out ≤ occCap² — blocked by
+    * construction, never corpus²; the island windows partition by
+    * (doc_a, doc_b, diag) — pair-bounded groups; every value is an
+    * integer so the oracle hashes exactly. */
+  def maximalDupSpans(documents: DataFrame, w: Int = 8,
+      occCap: Int = 64): DataFrame = {
+    val toks = tokens(col("text"))
+    val wins = when(size(toks) >= w,
+        transform(sequence(lit(1), size(toks) - (w - 1)),
+          i => md5(concat_ws(" ", slice(toks, i, lit(w))).cast("binary"))))
+      .otherwise(array().cast("array<string>"))
+    val occ = documents
+      .select(col("doc_id"), posexplode(wins).as(Seq("pos", "h")))
+    val eligible = occ.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"),
+        count(lit(1)).as("nocc"))
+      .filter(col("ndocs") >= 2 && col("nocc") <= occCap)
+      .select(col("h"))
+    // the lambda-bearing window explode would otherwise run twice
+    // (both join sides) — share one computed RDD, the paragraphDedup
+    // pattern
+    val hits = occ.join(eligible, Seq("h")).localCheckpoint(false)
+    val matches = hits.select(col("h"), col("doc_id").as("doc_a"),
+        col("pos").as("pos_a"))
+      .join(hits.select(col("h"), col("doc_id").as("doc_b"),
+        col("pos").as("pos_b")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("pos_b") - col("pos_a")).as("diag"), col("pos_a"))
+    val wDiag = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    matches
+      .withColumn("brk",
+        when(col("pos_a") - lag(col("pos_a"), 1).over(wDiag) === 1, 0L)
+          .otherwise(1L))
+      .withColumn("island", sum(col("brk")).over(
+        wDiag.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("island"))
+      .agg(min(col("pos_a")).as("start_a"),
+        max(col("pos_a")).as("last_w"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_a"), col("doc_b"),
+        col("start_a").cast("long").as("start_a"),
+        (col("last_w") + (w - 1)).cast("long").as("end_a"),
+        (col("start_a") + col("diag")).cast("long").as("start_b"),
+        (col("last_w") + col("diag") + (w - 1)).cast("long").as("end_b"),
+        (col("last_w") - col("start_a") + w).cast("long").as("span_tokens"),
+        col("n_windows"))
+  }
+
+  /** Per-document MAXIMAL duplicated intervals — [[maximalDupSpans]]'
+    * pair spans projected onto each document and interval-merged
+    * (overlapping or token-adjacent spans from ANY partner coalesce),
+    * so each output row is one maximal run of tokens covered by
+    * cross-document duplication: the removal unit an excision pass
+    * would cut. The merge is the classic running-max window: a new
+    * island starts where start > max(end so far) + 1, islands close
+    * over overlap AND adjacency. `n_sources` counts the pair spans
+    * the island absorbed (≥ 2 means multiple partners or multiple
+    * alignments fused).
+    *
+    * Scale posture: inherits [[maximalDupSpans]]' blocked joins; the
+    * merge windows partition by doc_id — document-bounded, and only
+    * DUPLICATED intervals enter them. */
+  def maximalDupIslands(documents: DataFrame, w: Int = 8,
+      occCap: Int = 64): DataFrame = {
+    val spans = maximalDupSpans(documents, w, occCap)
+    val ivals = spans.select(col("doc_a").as("doc_id"),
+        col("start_a").as("s"), col("end_a").as("e"))
+      .unionAll(spans.select(col("doc_b"), col("start_b"), col("end_b")))
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("s"), col("e"))
+    ivals
+      .withColumn("prev_max", max(col("e")).over(
+        wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("s") <= coalesce(col("prev_max"), lit(-1L)) + 1, 0L)
+          .otherwise(1L))
+      .withColumn("island", sum(col("brk")).over(
+        wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("start_tok"), max(col("e")).as("end_tok"),
+        count(lit(1)).as("n_sources"))
+      .select(col("doc_id"), col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok") + 1).as("span_tokens"),
+        col("n_sources"))
+  }
+
   /** Hashed-n-gram linear quality model — the fastText-classifier
     * INFERENCE shape: each bigram hashes into one of `buckets` feature
     * slots, each slot carries an integer weight, and the document score

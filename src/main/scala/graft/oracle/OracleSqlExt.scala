@@ -3253,6 +3253,75 @@ FROM toks d
 LEFT JOIN span_agg a ON d.doc_id = a.doc_id
 LEFT JOIN covered c ON d.doc_id = c.doc_id"""
 
+  /** Shared CTE chain for the UNBOUNDED exact-substring dedup mirror
+    * (TextOps.maximalDupSpans, w=8, occCap=64): stride-1 window
+    * hashes, shared-and-capped hash filter, blocked self-join, then
+    * the DIAGONAL island merge — consecutive pos_a runs per
+    * (doc_a, doc_b, diag) reconstruct each maximal shared substring.
+    * Frames are explicit ROWS (DuckDB's ORDER BY default is RANGE,
+    * which treats ties as peers — Spark's rowsBetween does not). */
+  private def maximalSpanCtes: String = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+occ AS (
+  SELECT doc_id, i - 1 AS pos, md5(array_to_string(t[i:i+7], ' ')) AS h
+  FROM toks, UNNEST(range(1, greatest(n - 7, 0) + 1)) u(i)),
+eligible AS (
+  SELECT h FROM (
+    SELECT h, COUNT(DISTINCT doc_id) AS ndocs, COUNT(*) AS nocc
+    FROM occ GROUP BY h)
+  WHERE ndocs >= 2 AND nocc <= 64),
+hits AS (SELECT o.doc_id, o.pos, o.h FROM occ o JOIN eligible e ON o.h = e.h),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         b.pos - a.pos AS diag, a.pos AS pos_a
+  FROM hits a JOIN hits b ON a.h = b.h AND a.doc_id < b.doc_id),
+isl AS (
+  SELECT doc_a, doc_b, diag, pos_a,
+         SUM(CASE WHEN pos_a - lag_pos = 1 THEN 0 ELSE 1 END)
+           OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM (SELECT m.*, lag(pos_a) OVER (PARTITION BY doc_a, doc_b, diag
+          ORDER BY pos_a) AS lag_pos FROM m)),
+spans AS (
+  SELECT doc_a, doc_b,
+         CAST(MIN(pos_a) AS BIGINT) AS start_a,
+         CAST(MAX(pos_a) + 7 AS BIGINT) AS end_a,
+         CAST(MIN(pos_a) + diag AS BIGINT) AS start_b,
+         CAST(MAX(pos_a) + diag + 7 AS BIGINT) AS end_b,
+         CAST(MAX(pos_a) - MIN(pos_a) + 8 AS BIGINT) AS span_tokens,
+         COUNT(*) AS n_windows
+  FROM isl GROUP BY doc_a, doc_b, diag, island)"""
+
+  /** Mirror of TextOps.maximalDupSpans(w=8, occCap=64). */
+  val textDupMaximalSpans: String = maximalSpanCtes + """
+SELECT doc_a, doc_b, start_a, end_a, start_b, end_b, span_tokens,
+       n_windows
+FROM spans"""
+
+  /** Mirror of TextOps.maximalDupIslands(w=8, occCap=64): both sides'
+    * intervals, per-doc running-max interval merge over overlap and
+    * token adjacency. */
+  val textDupIslands: String = maximalSpanCtes + """,
+ivals AS (
+  SELECT doc_a AS doc_id, start_a AS s, end_a AS e FROM spans
+  UNION ALL
+  SELECT doc_b, start_b, end_b FROM spans),
+mk AS (
+  SELECT doc_id, s, e,
+         SUM(CASE WHEN s <= COALESCE(prev_max, -1) + 1 THEN 0 ELSE 1 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM (SELECT doc_id, s, e,
+          MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        FROM ivals))
+SELECT doc_id, MIN(s) AS start_tok, MAX(e) AS end_tok,
+       MAX(e) - MIN(s) + 1 AS span_tokens, COUNT(*) AS n_sources
+FROM mk GROUP BY doc_id, island"""
+
   /** Mirror of TextOps.qualityModelScore: hashed-bigram buckets
     * (md5-derived, 4096 slots), Knuth-hash pseudo-weights in
     * [-1000, 1000], integer sum, one final mean division. */
