@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.{Analytics, DedupOps, EmbedIndex, EmbedOps, EventOps, MultiModal, TemporalJoins, TextOps, TokenizerStore}
+import graft.ext.{Analytics, CentroidStore, DedupOps, EmbedIndex, EmbedOps, EventOps, MultiModal, TemporalJoins, TextOps, TokenizerStore}
 import graft.oracle.{OracleSql, OracleSqlExt}
 import graft.pipeline.{MatchFixture, MatchPipeline}
 
@@ -854,6 +854,15 @@ object SparkEntry {
     // SemDeDup: within-kmeans-cluster semantic dups, keep the outlier
     "embed_semdedup" -> ((s, d) =>
       EmbedOps.semDedupFrom(emb(s, d), shKmeans(s, d))),
+    // assignment THROUGH THE PERSISTED CentroidStore artifact (r17):
+    // train+commit once, then assign against the loaded frozen
+    // centroid frame — hash-equal to the session-shared kmeans chain
+    // (same seeding, rounds, and integer argmin), which is exactly
+    // the frozen-geometry contract the incremental semantic-dedup
+    // ingest relies on
+    "embed_assign_persisted" -> ((s, d) =>
+      EmbedOps.assignAgainst(emb(s, d),
+        CentroidStore.centroids(s, shCentroidStore(s, d)))),
     "sample_balanced" -> ((s, d) => EmbedOps.balancedSampleFrom(shKmeans(s, d))),
     // product quantization: train-once codebooks (shared PqModel) →
     // codes → ADC top-k
@@ -990,6 +999,19 @@ object SparkEntry {
       val vid = org.apache.spark.sql.functions.col("vec_id")
       EmbedIndex.build(emb(s, d).filter(vid % 5 =!= 0), dir)
       EmbedIndex.append(emb(s, d).filter(vid % 5 === 0), dir)
+      dir
+    }
+  // the PERSISTED clustering geometry: trained + committed once per
+  // (session, dir), then assignment loads the frozen centroid frame
+  // from disk — the incremental-semantic-dedup contract (consumers:
+  // embed_assign_persisted, CorpusIngest.ingestBatchSemanticCentroid)
+  private def centroidRoot(d: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_centroids_v1/" +
+      java.lang.Integer.toHexString(d.hashCode)
+  private def shCentroidStore(s: SparkSession, d: String): String =
+    Artifacts.obj(s, d, "embed/centroid_store") {
+      val dir = centroidRoot(d)
+      CentroidStore.build(emb(s, d), dir)
       dir
     }
   private def shTf(s: SparkSession, d: String): DataFrame =
@@ -1214,6 +1236,9 @@ object SparkEntry {
     "embed_neardup_topk" -> OracleSqlExt.embedNearDupTopk,
     "embed_clusters" -> OracleSqlExt.embedClusters,
     "embed_kmeans" -> OracleSqlExt.embedKmeans,
+    // the persisted-artifact path must land on the SAME geometry the
+    // session-shared chain derives — one oracle, two engine routes
+    "embed_assign_persisted" -> OracleSqlExt.embedKmeans,
     "embed_semdedup" -> OracleSqlExt.embedSemdedup,
     "sample_balanced" -> OracleSqlExt.embedBalancedSample,
     "embed_pq_topk" -> OracleSqlExt.embedPqTopK,

@@ -1,0 +1,156 @@
+package graft.ext
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** PERSISTED k-means centroids — the frozen clustering geometry behind
+  * semantic dedup, published once and loaded by every consumer:
+  * [[EmbedOps.assignAgainst]] assigns new vectors without
+  * re-clustering the corpus, and
+  * [[graft.streaming.CorpusIngest.ingestBatchSemanticCentroid]] runs
+  * incremental SemDeDup against the SAME geometry the batch
+  * `embed_semdedup` query uses (replacing the hyperplane-signature
+  * stand-in, which approximated cosine neighborhoods with random
+  * projections unrelated to the batch clustering).
+  *
+  * On-disk layout (one parquet dir per epoch + tiny manifests):
+  * {{{
+  *   e<E>-centroids/         (centroid_id, cv: array<long>) — FROZEN
+  *   _commits/manifest-<gen> the commit: which dir is live, k, iters
+  * }}}
+  *
+  * Commit protocol — MANIFEST GENERATIONS, the [[EmbedIndex]] /
+  * [[TokenizerStore]] single-file-atomicity contract verbatim: data
+  * dirs are immutable and carry no authority, the highest-generation
+  * manifest is the only truth, every publish is write-temp + atomic
+  * rename. A writer dying mid-train leaves orphan dirs and no
+  * manifest; a torn manifest temp is invisible to readers.
+  *
+  * Like the tokenizer (and PQ codebooks), centroids are train-time
+  * FROZEN: there are no streaming appends, because moving a centroid
+  * re-labels history — half-updated geometry would change which
+  * cluster an already-ingested vector deduped into. The only mutation
+  * is a RETRAIN, published as a fresh epoch beside the committed one
+  * (old generations stay readable as time travel until [[vacuum]]).
+  */
+object CentroidStore {
+
+  /** One committed generation: the live centroid dir + the training
+    * shape (k, iters) a consumer can sanity-check. */
+  final case class Manifest(gen: Long, epoch: Long, k: Int, iters: Int,
+      centroids: String)
+
+  private def commitDir(dir: String) = Paths.get(dir, "_commits")
+
+  /** The current committed manifest, if any generation has published. */
+  def manifest(dir: String): Option[Manifest] =
+    committedGens(dir).lastOption.map(readManifest(dir, _))
+
+  private def committedGens(dir: String): Seq[Long] =
+    if (!Files.exists(commitDir(dir))) Nil
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.list(commitDir(dir)).iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("manifest-") =>
+          s.stripPrefix("manifest-").toLong }
+        .toSeq.sorted
+    }
+
+  /** Manifest format version — a mismatch errors LOUDLY for readers;
+    * only [[build]] recovers (retrain as a fresh epoch). */
+  private val FormatVersion = 1
+
+  private def readManifest(dir: String, gen: Long): Manifest = {
+    val kv = new String(Files.readAllBytes(
+      commitDir(dir).resolve(s"manifest-$gen")), "UTF-8")
+      .linesIterator.filter(_.contains("="))
+      .map { l => val Array(k, v) = l.split("=", 2); k -> v.trim }
+      .toMap
+    val found = kv.get("format").map(_.toInt).getOrElse(0)
+    if (found != FormatVersion) throw new IllegalStateException(
+      s"centroid store at $dir uses manifest format $found; this " +
+        s"build reads format $FormatVersion — run build() (it starts " +
+        "a fresh epoch beside the old data and publishes a readable " +
+        "generation; vacuum reclaims the old files), or read with a " +
+        "matching library version")
+    Manifest(gen, kv("epoch").toLong, kv("k").toInt, kv("iters").toInt,
+      kv("centroids"))
+  }
+
+  private def publish(dir: String, m: Manifest): Unit = {
+    Files.createDirectories(commitDir(dir))
+    val body = s"format=$FormatVersion\nepoch=${m.epoch}\nk=${m.k}\n" +
+      s"iters=${m.iters}\ncentroids=${m.centroids}\n"
+    val tmp = commitDir(dir).resolve(s".manifest-${m.gen}.tmp")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    Files.move(tmp, commitDir(dir).resolve(s"manifest-${m.gen}"),
+      StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  /** Train at the [[EmbedOps.scaledK]] cluster count and publish the
+    * centroid frame as the next generation at `dir`. A first build
+    * commits generation 0; a retrain writes under a fresh epoch
+    * prefix beside the committed data and swaps the manifest last. An
+    * old-format manifest reads as "no committed store this build can
+    * extend": the rebuild starts past the legacy generations under a
+    * non-colliding epoch (the [[EmbedIndex]] upgrade path). */
+  def build(embeddings: DataFrame, dir: String,
+      targetBlock: Int = 1024, iters: Int = 2): Unit = {
+    val (prev, legacyLastGen) =
+      try (manifest(dir), None) catch {
+        case _: IllegalStateException =>
+          (None, committedGens(dir).lastOption)
+      }
+    val gen = prev.map(_.gen + 1)
+      .orElse(legacyLastGen.map(_ + 1)).getOrElse(0L)
+    val epoch = prev.map(_.epoch + 1).getOrElse(gen)
+    val k = EmbedOps.scaledK(embeddings.count(), targetBlock)
+    Files.createDirectories(Paths.get(dir))
+    // mode=overwrite: a crashed build retried before any publish
+    // recomputes the same epoch and overwrites its own torn dirs
+    EmbedOps.kmeansCentroids(embeddings, k, iters)
+      .write.mode("overwrite").parquet(s"$dir/e$epoch-centroids")
+    publish(dir, Manifest(gen = gen, epoch = epoch, k = k,
+      iters = iters, centroids = s"e$epoch-centroids"))
+  }
+
+  /** The committed centroid frame — [[EmbedOps.assignAgainst]] takes
+    * exactly this. */
+  def centroids(spark: SparkSession, dir: String): DataFrame =
+    centroidsAt(spark, dir, manifest(dir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed centroid store at $dir")).gen)
+
+  /** Time travel: the centroid frame of a retained generation. */
+  def centroidsAt(spark: SparkSession, dir: String, gen: Long): DataFrame = {
+    require(committedGens(dir).contains(gen),
+      s"generation $gen is not committed at $dir")
+    val man = readManifest(dir, gen)
+    spark.read.parquet(s"$dir/${man.centroids}")
+  }
+
+  /** Reclaim data dirs no manifest generation references and abandoned
+    * manifest temps — the only destructive step in the protocol. */
+  def vacuum(dir: String): Unit = {
+    val live: Set[String] = committedGens(dir)
+      .map(readManifest(dir, _)).map(_.centroids).toSet
+    import scala.jdk.CollectionConverters._
+    Files.list(Paths.get(dir)).iterator().asScala.toList.foreach { p =>
+      val n = p.getFileName.toString
+      if (n != "_commits" && !live.contains(n)) wipe(p)
+    }
+    if (Files.exists(commitDir(dir)))
+      Files.list(commitDir(dir)).iterator().asScala.toList
+        .filter(_.getFileName.toString.startsWith("."))
+        .foreach(p => { Files.deleteIfExists(p); () })
+  }
+
+  private def wipe(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => { Files.deleteIfExists(q); () })
+    }
+}

@@ -519,12 +519,40 @@ object EmbedOps {
     // spark.catalog.clearCache() between rounds.
     val base = embeddings.select(
       col("vec_id"), quantized(col("embedding")).as("q")).cache()
+    assignStep(base, trainCentroids(base, k, iters))
+      .select(col("vec_id"), col("centroid_id"), col("d2"))
+  }
+
+  /** The TRAINED centroid frame itself — (centroid_id, cv), k rows —
+    * which is what [[CentroidStore]] persists so later sessions (and
+    * the streaming semantic-dedup path) assign against the frozen
+    * geometry instead of re-clustering the corpus. Same seeding and
+    * Lloyd rounds as [[kmeansAssignments]]; in fact that method IS
+    * one [[assignAgainst]] over this frame. */
+  def kmeansCentroids(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val base = embeddings.select(
+      col("vec_id"), quantized(col("embedding")).as("q")).cache()
+    trainCentroids(base, k, iters)
+  }
+
+  private def trainCentroids(base: DataFrame, k: Int, iters: Int): DataFrame = {
     var cents = pinned(base.orderBy(seedSpread, col("vec_id")).limit(k)
       .select(col("vec_id").as("centroid_id"), col("q").as("cv")))
     for (_ <- 1 to iters)
       cents = pinned(lloydUpdate(assignStep(base, cents), cents))
-    assignStep(base, cents).select(col("vec_id"), col("centroid_id"), col("d2"))
+    cents
   }
+
+  /** Nearest-centroid assignment against a PRECOMPUTED (usually
+    * loaded-from-[[CentroidStore]]) centroid frame — the frozen-
+    * geometry contract: (vec_id, centroid_id, d2), broadcast-argmin,
+    * integer-exact, bit-equal to [[kmeansAssignments]]' final step
+    * when `centroids` is that fit's own [[kmeansCentroids]] frame. */
+  def assignAgainst(embeddings: DataFrame, centroids: DataFrame): DataFrame =
+    assignStep(
+      embeddings.select(col("vec_id"), quantized(col("embedding")).as("q")),
+      centroids.select(col("centroid_id"), col("cv")))
+      .select(col("vec_id"), col("centroid_id"), col("d2"))
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     * at web-scale through semantic deduplication") — semantic

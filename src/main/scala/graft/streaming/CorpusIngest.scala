@@ -208,6 +208,91 @@ object CorpusIngest {
     appended
   }
 
+  /** Semantic ingestion against a PERSISTED
+    * [[graft.ext.CentroidStore]] — incremental SemDeDup: the batch
+    * `embed_semdedup` query's EXACT geometry (frozen k-means
+    * centroids, quantized cosine, semDedupFrom's keep rule) applied
+    * per micro-batch, replacing [[ingestBatchSemantic]]'s
+    * hyperplane-signature stand-in whose random projections are
+    * unrelated to the clustering the batch query dedups within.
+    * Per micro-batch:
+    *
+    *   1. assign incoming vectors to the frozen centroids
+    *      ([[graft.ext.EmbedOps.assignAgainst]] — broadcast argmin,
+    *      no re-clustering, ever);
+    *   2. in-batch semantic dedup via
+    *      [[graft.ext.EmbedOps.semDedupFrom]] over those assignments
+    *      — keep exactly the member the batch query would keep;
+    *   3. suppress survivors whose stored SAME-CLUSTER corpus
+    *      neighbor verifies at cosine ≥ threshold (the stored frame
+    *      carries centroid_id from its own ingest, so the probe is an
+    *      equi join on centroid_id — cluster-blocked, never a corpus
+    *      rescan);
+    *   4. append survivors (with centroid_id) to data/.
+    *
+    * Same effectively-once layering as every ingest path: TxnLog
+    * batch marker for replay skip, and the stored-corpus probe
+    * re-suppresses previously appended content even without it.
+    *
+    * Scale posture: the only non-broadcast join is equi on
+    * centroid_id with [[graft.ext.EmbedOps.scaledK]]-bounded cluster
+    * sizes; cosine verification pays only for candidate pairs. */
+  def ingestBatchSemanticCentroid(batch: DataFrame, batchId: Long,
+      indexDir: String, centroidDir: String,
+      threshold: Double = Double.NaN): Long = {
+    val spark = batch.sparkSession
+    val thr = if (threshold.isNaN)
+      graft.GraftConf.cosineThreshold(spark) else threshold
+    val dataDir = s"$indexDir/data"
+    val logDir = s"$indexDir/_txn"
+    var appended = 0L
+    TxnLog.runOnce(logDir, batchId) {
+      val cents = graft.ext.CentroidStore.centroids(spark, centroidDir)
+      val asg = graft.ext.EmbedOps.assignAgainst(batch, cents)
+      val keepIds = graft.ext.EmbedOps.semDedupFrom(batch, asg, thr)
+        .filter(col("keep")).select(col("vec_id"))
+      val canon = batch.join(keepIds, Seq("vec_id"), "left_semi")
+        .join(asg.select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+        .cache()
+      // localCheckpoint pins the decision before the append (the same
+      // read-your-own-write hazard as the other ingest layers)
+      val fresh = (readIfAny(spark, dataDir) match {
+        case Some(stored) =>
+          val cand = canon
+            .select(col("centroid_id"), col("vec_id").as("vec_a"))
+            .join(stored.select(col("centroid_id"),
+              col("vec_id").as("vec_b")), Seq("centroid_id"))
+            .select(col("vec_a"), col("vec_b"))
+          val dupIds = graft.ext.EmbedOps.verifyCosinePairs(
+              cand,
+              canon.select(col("vec_id"), col("embedding"))
+                .unionByName(
+                  stored.select(col("vec_id"), col("embedding"))),
+              thr)
+            .select(col("vec_a").as("vec_id")).distinct()
+          canon.join(dupIds, Seq("vec_id"), "left_anti")
+        case None => canon
+      }).localCheckpoint()
+      appended = fresh.count()
+      if (appended > 0)
+        fresh.write.mode(SaveMode.Append).parquet(dataDir)
+      canon.unpersist()
+    }
+    appended
+  }
+
+  /** Streaming entry for the persisted-centroid semantic path. */
+  def startSemanticCentroid(vectors: DataFrame, indexDir: String,
+      centroidDir: String, checkpointDir: String,
+      threshold: Double = Double.NaN): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatchSemanticCentroid(
+          batch, batchId, indexDir, centroidDir, threshold); ()
+      }
+      .start()
+
   /** Streaming entry for the semantic path. */
   def startSemantic(vectors: DataFrame, indexDir: String, checkpointDir: String,
       threshold: Double = Double.NaN): StreamingQuery =

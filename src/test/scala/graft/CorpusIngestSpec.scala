@@ -100,6 +100,72 @@ class CorpusIngestSpec extends SparkSpec {
     assert(CorpusIngest.ingestBatchSemantic(b1, 1L, indexDir) == 0L)
   }
 
+  test("centroid-path semantic ingestion: frozen-geometry dedup in-batch and cross-batch; stream equals batch") {
+    val centDir = Files.createTempDirectory("graft-cent-store").toString + "/c"
+    val idxBatch = Files.createTempDirectory("graft-cent-ingest-b").toString
+    val idxStream = Files.createTempDirectory("graft-cent-ingest-s").toString
+    // frozen geometry trained ONCE on a separate corpus — incoming
+    // batches assign against it, never re-cluster
+    val training = (0 until 12).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f, 1.0f, 0.0f)
+      else Array(0.0f, 1.0f, 0.0f, -1.0f)
+      (100L + i, base.map(_ + i * 0.001f))
+    }.toDF("vec_id", "embedding")
+    graft.ext.CentroidStore.build(training, centDir)
+    // batch 0: v1 ≈ v2 (in-batch semantic dup), v3 in the other group
+    val b0 = Seq(
+      (1L, Array(1.0f, 0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.99f, 0.0f, 1.01f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, -1.0f))).toDF("vec_id", "embedding")
+    val kept0 = CorpusIngest.ingestBatchSemanticCentroid(
+      b0, 0L, idxBatch, centDir)
+    assert(kept0 == 2L)
+    val stored0 = spark.read.parquet(s"$idxBatch/data")
+    // survivors carry their frozen-centroid assignment
+    assert(stored0.columns.contains("centroid_id"))
+    // the in-batch keep decision IS semDedupFrom's over the same
+    // frozen assignments — the batch-query geometry, not a separate
+    // signature heuristic
+    val expectKeep = graft.ext.EmbedOps.semDedupFrom(
+        b0, graft.ext.EmbedOps.assignAgainst(
+          b0, graft.ext.CentroidStore.centroids(spark, centDir)))
+      .filter("keep").select("vec_id").as[Long].collect().toSet
+    assert(stored0.select("vec_id").as[Long].collect().toSet == expectKeep)
+    // batch 1: v4 ≈ a stored batch-0 survivor in the same cluster
+    // (suppressed by the stored-corpus probe), v5 genuinely new
+    val b1 = Seq(
+      (4L, Array(1.0f, 0.01f, 0.99f, 0.0f)),
+      (5L, Array(1.0f, 1.0f, -1.0f, 1.0f))).toDF("vec_id", "embedding")
+    assert(CorpusIngest.ingestBatchSemanticCentroid(
+      b1, 1L, idxBatch, centDir) == 1L)
+    val afterB1 = spark.read.parquet(s"$idxBatch/data")
+      .select("vec_id").as[Long].collect().toSet
+    assert(afterB1 == expectKeep + 5L, afterB1)
+    // replay of batch 1 is a txn-log no-op
+    assert(CorpusIngest.ingestBatchSemanticCentroid(
+      b1, 1L, idxBatch, centDir) == 0L)
+    // STREAM ≡ BATCH: the same two batches through the streaming
+    // entry land the identical corpus (vec_id + centroid_id rows)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Float])]
+    val ck = Files.createTempDirectory("graft-cent-ck").toString
+    val q = CorpusIngest.startSemanticCentroid(
+      input.toDF().toDF("vec_id", "embedding"), idxStream, centDir, ck)
+    try {
+      input.addData((1L, Array(1.0f, 0.0f, 1.0f, 0.0f)),
+        (2L, Array(0.99f, 0.0f, 1.01f, 0.0f)),
+        (3L, Array(0.0f, 1.0f, 0.0f, -1.0f)))
+      q.processAllAvailable()
+      input.addData((4L, Array(1.0f, 0.01f, 0.99f, 0.0f)),
+        (5L, Array(1.0f, 1.0f, -1.0f, 1.0f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    def rows(dir: String) = spark.read.parquet(s"$dir/data")
+      .select("vec_id", "centroid_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(idxStream) == rows(idxBatch))
+  }
+
   test("near ingestion survives a stream restart from checkpoint") {
     implicit val sqlCtx = spark.sqlContext
     val corpusDir = Files.createTempDirectory("graft-near-restart").toString
