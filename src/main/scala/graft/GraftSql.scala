@@ -42,6 +42,7 @@ object GraftSql {
       graft.plans.KnnSql.register(spark)
       graft.plans.NearDupSql.register(spark)
       graft.plans.DsirSql.register(spark)
+      graft.plans.SemDedupSql.register(spark)
       graft.functions.CosineSimilarity.register(spark)
       graft.functions.RollingMinHash.register(spark)
       graft.functions.SimHash32.register(spark)

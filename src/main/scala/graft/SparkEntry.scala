@@ -249,6 +249,13 @@ object SparkEntry {
     // .scala): same plan as sample_dsir, same oracle
     "sql_dsir" -> ((s, d) => GraftSql.sql(s, d,
       "SELECT * FROM dsir_sample('documents', 'src0,src1', 200)")),
+    // SemDeDup from SQL text — the SIXTH table function
+    // (plans/SemDedupSql.scala): same plan as embed_semdedup (k = the
+    // gate corpora's scaledK, threshold = the engine default), same
+    // oracle
+    "sql_semdedup" -> ((s, d) => GraftSql.sql(s, d,
+      s"SELECT * FROM semdedup('embeddings', 8, " +
+        s"${GraftConf.DefaultCosineThreshold})")),
     // explicit two-phase salted aggregation (result ≡ plain groupBy)
     "events_salted_counts" -> ((s, d) => ext.Skew.saltedTypeCounts(Tables.events(s, d))),
     // per-type z-score outliers from exact quantized moments
@@ -1101,6 +1108,7 @@ object SparkEntry {
     "sql_knn" -> OracleSqlExt.sqlKnn,
     "sql_neardup" -> OracleSqlExt.dedupMinhash,
     "sql_dsir" -> OracleSqlExt.sampleDsir,
+    "sql_semdedup" -> OracleSqlExt.embedSemdedup,
     "events_range" -> OracleSqlExt.eventsRange,
     "events_salted_counts" -> OracleSqlExt.eventsSaltedCounts,
     "events_anomalies" -> OracleSqlExt.eventsAnomalies,

@@ -61,6 +61,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(graft.plans.DsirSql.name),
       graft.plans.DsirSql.info,
       graft.plans.DsirSql.builder))
+    // SQL-text spelling of SemDeDup (a TVF expanding to the k-means
+    // blocked pair join + per-cluster union-find + keep windows;
+    // resolution materializes the centroid fit, by contract)
+    ext.injectTableFunction((
+      FunctionIdentifier(graft.plans.SemDedupSql.name),
+      graft.plans.SemDedupSql.info,
+      graft.plans.SemDedupSql.builder))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(

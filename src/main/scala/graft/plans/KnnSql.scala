@@ -60,16 +60,20 @@ object KnnSql {
         s"knn_join: $what (argument ${i + 1}) must be a string literal, " +
           s"got $other")
     }
-    val k = args(4) match {
-      case Literal(v: Int, IntegerType) => v
-      case Literal(v: Long, LongType) => v.toInt
+    // range-check in Long space BEFORE narrowing (the DsirSql rule:
+    // a BIGINT literal like 4294967297 must be rejected on its real
+    // value, never wrapped by toInt into an in-range one)
+    val kLong = args(4) match {
+      case Literal(v: Int, IntegerType) => v.toLong
+      case Literal(v: Long, LongType) => v
       case other => throw new IllegalArgumentException(
         s"knn_join: k (argument 5) must be an integer literal, got $other")
     }
-    require(k >= 1 && k <= 1000,
-      s"knn_join: k must be in [1, 1000] (got $k) — above 1000 the" +
+    require(kLong >= 1L && kLong <= 1000L,
+      s"knn_join: k must be in [1, 1000] (got $kLong) — above 1000 the" +
         " per-query rank loses its WindowGroupLimit rewrite and the" +
         " join's bounded-output scale posture with it")
+    val k = kLong.toInt
     val spark = SparkSession.active
     val left = TvfArgs.table(spark, name, args, 0, "queries table")
     val right = TvfArgs.table(spark, name, args, 1, "corpus table")
