@@ -767,6 +767,8 @@ object SparkEntry {
       TextOps.maximalDupSpans(docs(s, d))),
     "text_dup_islands" -> ((s, d) =>
       TextOps.maximalDupIslands(docs(s, d))),
+    // the occCap recall bound, measured (no silent caps)
+    "text_dup_span_audit" -> ((s, d) => TextOps.dupSpanAudit(docs(s, d))),
     // hashed-bigram linear quality model inference (zero-shuffle scan)
     "text_quality_model" -> ((s, d) => TextOps.qualityModelScore(docs(s, d))),
 
@@ -870,6 +872,12 @@ object SparkEntry {
     "embed_assign_persisted" -> ((s, d) =>
       EmbedOps.assignAgainst(emb(s, d),
         CentroidStore.centroids(s, shCentroidStore(s, d)))),
+    // SUBSAMPLE-trained centroids + one full-corpus assignment pass
+    // (r17): the corpus-scale fit — training is O(cap·k), the single
+    // O(N·k) assignAgainst is the irreducible exact-assignment cost
+    "embed_kmeans_sampled" -> ((s, d) =>
+      EmbedOps.assignAgainst(emb(s, d),
+        EmbedOps.kmeansCentroidsSampled(emb(s, d), sampleCap = 256))),
     "sample_balanced" -> ((s, d) => EmbedOps.balancedSampleFrom(shKmeans(s, d))),
     // product quantization: train-once codebooks (shared PqModel) →
     // codes → ADC top-k
@@ -1204,6 +1212,7 @@ object SparkEntry {
     "text_dup_spans" -> OracleSqlExt.textDupSpans,
     "text_dup_maximal_spans" -> OracleSqlExt.textDupMaximalSpans,
     "text_dup_islands" -> OracleSqlExt.textDupIslands,
+    "text_dup_span_audit" -> OracleSqlExt.textDupSpanAudit,
     "text_quality_model" -> OracleSqlExt.textQualityModel,
     "sample_stratified" -> OracleSqlExt.sampleStratified,
     "sample_weighted" -> OracleSqlExt.sampleWeighted,
@@ -1247,6 +1256,7 @@ object SparkEntry {
     // the persisted-artifact path must land on the SAME geometry the
     // session-shared chain derives — one oracle, two engine routes
     "embed_assign_persisted" -> OracleSqlExt.embedKmeans,
+    "embed_kmeans_sampled" -> OracleSqlExt.embedKmeansSampled,
     "embed_semdedup" -> OracleSqlExt.embedSemdedup,
     "sample_balanced" -> OracleSqlExt.embedBalancedSample,
     "embed_pq_topk" -> OracleSqlExt.embedPqTopK,

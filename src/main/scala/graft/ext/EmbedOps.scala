@@ -535,6 +535,28 @@ object EmbedOps {
     trainCentroids(base, k, iters)
   }
 
+  /** [[kmeansCentroids]] trained on a BOUNDED deterministic subsample
+    * — the corpus-scale mitigation [[scaledK]]'s docstring promises:
+    * Lloyd training is O(|train|·k·iters), so capping the training
+    * set makes the fit corpus-size-independent while the one full
+    * [[assignAgainst]] pass stays the irreducible exact-assignment
+    * cost. The sample is the key-pure md5 order of
+    * [[TextOps.hashSample]] (reproducible across runs/retries/
+    * partitionings, no rand()), taken as a TakeOrdered — cap-bounded
+    * driver merge, never a corpus sort. Centroid QUALITY degrades
+    * gracefully (a uniform subsample preserves cluster structure —
+    * the standard minibatch/subsample k-means argument); centroid
+    * IDENTITY changes vs the full fit, so a pipeline must pick one
+    * route and persist it ([[CentroidStore]] takes either). */
+  def kmeansCentroidsSampled(embeddings: DataFrame, sampleCap: Int = 65536,
+      k: Int = 8, iters: Int = 2): DataFrame = {
+    val hk = conv(substring(
+      md5(col("vec_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("bigint")
+    kmeansCentroids(embeddings.orderBy(hk, col("vec_id")).limit(sampleCap),
+      k, iters)
+  }
+
   private def trainCentroids(base: DataFrame, k: Int, iters: Int): DataFrame = {
     var cents = pinned(base.orderBy(seedSpread, col("vec_id")).limit(k)
       .select(col("vec_id").as("centroid_id"), col("q").as("cv")))

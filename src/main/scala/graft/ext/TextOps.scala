@@ -1634,13 +1634,7 @@ object TextOps {
     * integer so the oracle hashes exactly. */
   def maximalDupSpans(documents: DataFrame, w: Int = 8,
       occCap: Int = 64): DataFrame = {
-    val toks = tokens(col("text"))
-    val wins = when(size(toks) >= w,
-        transform(sequence(lit(1), size(toks) - (w - 1)),
-          i => md5(concat_ws(" ", slice(toks, i, lit(w))).cast("binary"))))
-      .otherwise(array().cast("array<string>"))
-    val occ = documents
-      .select(col("doc_id"), posexplode(wins).as(Seq("pos", "h")))
+    val occ = winOcc(documents, w)
     val eligible = occ.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("ndocs"),
         count(lit(1)).as("nocc"))
@@ -1677,6 +1671,45 @@ object TextOps {
         (col("last_w") - col("start_a") + w).cast("long").as("span_tokens"),
         col("n_windows"))
   }
+
+  /** (doc_id, pos, h): every stride-1 w-token window's md5, 0-based
+    * start position — the occurrence frame [[maximalDupSpans]] and
+    * [[dupSpanAudit]] share. */
+  private def winOcc(documents: DataFrame, w: Int): DataFrame = {
+    val toks = tokens(col("text"))
+    val wins = when(size(toks) >= w,
+        transform(sequence(lit(1), size(toks) - (w - 1)),
+          i => md5(concat_ws(" ", slice(toks, i, lit(w))).cast("binary"))))
+      .otherwise(array().cast("array<string>"))
+    documents.select(col("doc_id"), posexplode(wins).as(Seq("pos", "h")))
+  }
+
+  /** The occCap recall bound of [[maximalDupSpans]], MEASURED instead
+    * of silent: one row counting the shared window hashes the span
+    * recovery saw (`n_hashes_shared`), how many it EXCLUDED for
+    * exceeding the occurrence cap (`n_hashes_capped`) and the
+    * occurrences inside them (`n_occ_capped`) — nonzero means
+    * corpus-pervasive boilerplate exists that the pair path skipped
+    * and [[paragraphDedup]]'s canonical-survivor pass should handle.
+    * A pipeline gates on this row before trusting the span report.
+    *
+    * Scale posture: the shared [[winOcc]] scan, one hash-keyed
+    * aggregate (16-byte uniform key), one global 1-row reduce. */
+  def dupSpanAudit(documents: DataFrame, w: Int = 8,
+      occCap: Int = 64): DataFrame =
+    winOcc(documents, w)
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"),
+        count(lit(1)).as("nocc"))
+      .filter(col("ndocs") >= 2)
+      .agg(count(lit(1)).as("n_hashes_shared"),
+        sum(when(col("nocc") > occCap, 1L).otherwise(0L))
+          .as("n_hashes_capped"),
+        sum(when(col("nocc") > occCap, col("nocc")).otherwise(0L))
+          .as("n_occ_capped"))
+      .select(col("n_hashes_shared"),
+        coalesce(col("n_hashes_capped"), lit(0L)).as("n_hashes_capped"),
+        coalesce(col("n_occ_capped"), lit(0L)).as("n_occ_capped"))
 
   /** Per-document MAXIMAL duplicated intervals — [[maximalDupSpans]]'
     * pair spans projected onto each document and interval-merged

@@ -2840,25 +2840,28 @@ FULL JOIN (SELECT vec_a, vec_b FROM ($embedLshNearDups) WHERE cosine >= ${graft.
   ON s.vec_a = l.doc_a AND s.vec_b = l.doc_b"""
 
   /** Assignment CTE body: nearest of the centroids in `cents` for every
-    * vector, integer squared L2, ties to the lowest centroid id. */
-  private def kmeansAssignSql(cents: String): String = s"""
+    * vector of `src` (the full corpus by default; the bounded training
+    * sample for the sampled-fit mirror), integer squared L2, ties to
+    * the lowest centroid id. */
+  private def kmeansAssignSql(cents: String, src: String = "q"): String = s"""
   SELECT vec_id, centroid_id, d2 FROM (
     SELECT vec_id, centroid_id, d2,
            row_number() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
     FROM (SELECT q.vec_id, c.centroid_id,
                  CAST(list_sum(list_transform(range(1, 65),
                    i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS BIGINT) AS d2
-          FROM q, $cents c))
+          FROM $src q, $cents c))
   WHERE rn = 1"""
 
   /** Lloyd update CTEs: per-(centroid, dim) integer sums from the
-    * assignment `a`, floor division (s − ((s%n)+n)%n)/n — exact, the
-    * dividend is made divisible — and COALESCE keeps the previous
-    * centroid for emptied clusters. */
-  private def kmeansUpdateSql(a: String, prev: String, out: String): String = s"""
+    * assignment `a` over the vectors of `src`, floor division
+    * (s − ((s%n)+n)%n)/n — exact, the dividend is made divisible —
+    * and COALESCE keeps the previous centroid for emptied clusters. */
+  private def kmeansUpdateSql(a: String, prev: String, out: String,
+      src: String = "q"): String = s"""
 s_$out AS (
   SELECT a.centroid_id, t.i, SUM(q.qv[t.i]) AS s, COUNT(*) AS n
-  FROM $a a JOIN q ON q.vec_id = a.vec_id, UNNEST(range(1, 65)) t(i)
+  FROM $a a JOIN $src q ON q.vec_id = a.vec_id, UNNEST(range(1, 65)) t(i)
   GROUP BY a.centroid_id, t.i),
 p_$out AS (
   SELECT centroid_id,
@@ -2882,6 +2885,24 @@ a0 AS (${kmeansAssignSql("c0")}),${kmeansUpdateSql("a0", "c0", "c1")},
 a1 AS (${kmeansAssignSql("c1")}),${kmeansUpdateSql("a1", "c1", "c2")}"""
 
   val embedKmeans: String = kmeansCtes + "\n" + kmeansAssignSql("c2")
+
+  /** Mirror of EmbedOps.assignAgainst over
+    * kmeansCentroidsSampled(sampleCap=256, k=8, iters=2): the fit —
+    * seeds AND both Lloyd rounds — sees only the 256-row key-pure
+    * md5-ordered sample (`qs`); the final assignment covers the FULL
+    * corpus. Every value 64-bit integer. */
+  val embedKmeansSampled: String = quantCte + s""",
+qs AS (SELECT vec_id, qv FROM q
+       ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                vec_id
+       LIMIT 256),
+c0 AS (SELECT vec_id AS centroid_id, qv AS cv FROM (
+  SELECT vec_id, qv,
+         ((vec_id % 4194304 + 99991) * 2654435761) % 4294967296 AS h
+  FROM qs) ORDER BY xor(h, h // 65536), vec_id LIMIT 8),
+a0 AS (${kmeansAssignSql("c0", "qs")}),${kmeansUpdateSql("a0", "c0", "c1", "qs")},
+a1 AS (${kmeansAssignSql("c1", "qs")}),${kmeansUpdateSql("a1", "c1", "c2", "qs")}
+""" + kmeansAssignSql("c2")
 
   /** Mirror of EmbedOps.balancedSample(k=8, iters=2, perCluster=20):
     * the final k-means assignment, then per-cluster row_number in the
@@ -3300,6 +3321,26 @@ spans AS (
 SELECT doc_a, doc_b, start_a, end_a, start_b, end_b, span_tokens,
        n_windows
 FROM spans"""
+
+  /** Mirror of TextOps.dupSpanAudit(w=8, occCap=64): the measured
+    * recall bound — shared hashes seen vs excluded by the cap. */
+  val textDupSpanAudit: String = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+occ AS (
+  SELECT doc_id, i - 1 AS pos, md5(array_to_string(t[i:i+7], ' ')) AS h
+  FROM toks, UNNEST(range(1, greatest(n - 7, 0) + 1)) u(i)),
+byh AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS ndocs, COUNT(*) AS nocc
+  FROM occ GROUP BY h)
+SELECT COUNT(*) AS n_hashes_shared,
+       COALESCE(CAST(SUM(CASE WHEN nocc > 64 THEN 1 ELSE 0 END) AS BIGINT),
+                0) AS n_hashes_capped,
+       COALESCE(CAST(SUM(CASE WHEN nocc > 64 THEN nocc ELSE 0 END) AS BIGINT),
+                0) AS n_occ_capped
+FROM byh WHERE ndocs >= 2"""
 
   /** Mirror of TextOps.maximalDupIslands(w=8, occCap=64): both sides'
     * intervals, per-doc running-max interval merge over overlap and

@@ -228,4 +228,31 @@ class KMeansSpec extends SparkSpec {
     // the 2²⁰ cap bounds the broadcast centroid frame
     assert(scaledK(Long.MaxValue) == (1 << 20))
   }
+
+  test("sampled fit: centroids come from the bounded md5-ordered sample, assignment covers the corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val emb = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(10.0f, 0.0f) else Array(0.0f, -10.0f)
+      (i.toLong, base.map(_ + i * 0.01f))
+    }.toDF("vec_id", "embedding")
+    // the sampled trainer == the full trainer run on exactly the
+    // md5-ordered cap-sized subset (sampling composes, it doesn't
+    // change the fit machinery)
+    val hk = conv(substring(
+      md5(col("vec_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("bigint")
+    val sample = emb.orderBy(hk, col("vec_id")).limit(16)
+    val viaSampled = graft.ext.EmbedOps
+      .kmeansCentroidsSampled(emb, sampleCap = 16, k = 4, iters = 2)
+      .collect().map(_.toSeq).toSet
+    val viaDirect = graft.ext.EmbedOps.kmeansCentroids(sample, k = 4, iters = 2)
+      .collect().map(_.toSeq).toSet
+    assert(viaSampled == viaDirect && viaSampled.size == 4)
+    // every corpus vector gets an assignment, sampled or not
+    val asg = graft.ext.EmbedOps.assignAgainst(emb,
+      graft.ext.EmbedOps.kmeansCentroidsSampled(emb, 16, 4, 2))
+    assert(asg.count() == 40L)
+    assert(asg.select("vec_id").distinct().count() == 40L)
+  }
 }

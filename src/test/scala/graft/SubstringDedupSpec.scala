@@ -81,5 +81,18 @@ class SubstringDedupSpec extends SparkSpec {
     val full = TextOps.maximalDupSpans(docs, w = 4).collect()
     assert(full.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
       .toSet == Set((1L, 2L), (1L, 4L), (2L, 4L), (4L, 5L)))
+    // the audit MEASURES what the cap dropped: block windows (7 of
+    // them, 3 occurrences each) capped at occCap=2, straddle windows
+    // (3, 2 occurrences) kept
+    val audit = TextOps.dupSpanAudit(docs, w = 4, occCap = 2).collect()
+    assert(audit.length == 1)
+    val a = audit.head
+    assert(a.getAs[Long]("n_hashes_shared") == 10L, a)
+    assert(a.getAs[Long]("n_hashes_capped") == 7L, a)
+    assert(a.getAs[Long]("n_occ_capped") == 21L, a)
+    // at the default cap nothing is excluded
+    val clean = TextOps.dupSpanAudit(docs, w = 4).collect().head
+    assert(clean.getAs[Long]("n_hashes_capped") == 0L &&
+      clean.getAs[Long]("n_occ_capped") == 0L)
   }
 }
