@@ -256,6 +256,14 @@ object SparkEntry {
     "sql_semdedup" -> ((s, d) => GraftSql.sql(s, d,
       s"SELECT * FROM semdedup('embeddings', 8, " +
         s"${GraftConf.DefaultCosineThreshold})")),
+    // persisted-index ANN search from SQL text — the SEVENTH table
+    // function (plans/IndexSearchSql.scala), the sub-corpus-scan
+    // scale path knn_join's contract defers to: same committed store
+    // and query set as embed_index_persisted, same oracle
+    "sql_index_search" -> ((s, d) => GraftSql.sql(s, d,
+      s"SELECT * FROM index_search('${shIndexFull(s, d)}', " +
+        "TABLE(SELECT vec_id, embedding FROM embeddings " +
+        "WHERE vec_id % 97 = 0), 5, 2)")),
     // explicit two-phase salted aggregation (result ≡ plain groupBy)
     "events_salted_counts" -> ((s, d) => ext.Skew.saltedTypeCounts(Tables.events(s, d))),
     // per-type z-score outliers from exact quantized moments
@@ -1117,6 +1125,7 @@ object SparkEntry {
     "sql_neardup" -> OracleSqlExt.dedupMinhash,
     "sql_dsir" -> OracleSqlExt.sampleDsir,
     "sql_semdedup" -> OracleSqlExt.embedSemdedup,
+    "sql_index_search" -> OracleSqlExt.embedIvfPqTopK,
     "events_range" -> OracleSqlExt.eventsRange,
     "events_salted_counts" -> OracleSqlExt.eventsSaltedCounts,
     "events_anomalies" -> OracleSqlExt.eventsAnomalies,

@@ -68,6 +68,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(graft.plans.SemDedupSql.name),
       graft.plans.SemDedupSql.info,
       graft.plans.SemDedupSql.builder))
+    // SQL-text spelling of persisted-index similarity search (a TVF
+    // expanding to the loaded IVF-PQ codes + broadcast-codebook ADC
+    // join — the sub-corpus-scan scale path knn_join defers to)
+    ext.injectTableFunction((
+      FunctionIdentifier(graft.plans.IndexSearchSql.name),
+      graft.plans.IndexSearchSql.info,
+      graft.plans.IndexSearchSql.builder))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(

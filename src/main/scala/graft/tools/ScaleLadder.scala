@@ -88,7 +88,9 @@ object ScaleLadder {
     "sketch_quantiles",      // bottom-k sample via WindowGroupLimit (r16)
     "sql_count_winmagic",    // WinMagic join-back→window rewrite (r16)
     "sample_dsir",           // corpus explode → bounded stats + TakeOrdered (r16)
-    "text_gopher_gate")      // pure codegen'd projection baseline (r16)
+    "text_gopher_gate",      // pure codegen'd projection baseline (r16)
+    "text_dup_islands",      // hash-blocked span self-join + island windows (r17)
+    "embed_semdedup")        // scaled-k blocked pairs + grouped union-find (r17)
 
   private val AlphaFlag = 1.3
   private val WallFloor = 2.0 // sec at the top rung; below is jitter
