@@ -149,20 +149,24 @@ object Bench {
     // and downstream readers (BENCH_TREND, the regression diff) can
     // discount the run instead of misreading host noise as plan
     // regressions. Threshold/reference overridable by env; reference
-    // default is the r13 quiet full-set warmup on this host class.
-    // The 118 s default is calibrated to THIS host class (the artifact
-    // records the reference used, so a reader on different hardware can
-    // recalibrate); a malformed override falls back with a warning
+    // default is the latest quiet full-set warmup on this host class —
+    // it must be RECALIBRATED when the query set grows, or the flag
+    // false-positives on quiet runs: the r13-era 118 s reference met
+    // r17's measured quiet warmups of 164.4 / 183.4 s (207 queries,
+    // load_avg_start 0.17 / 1.0) with only 177 s of 1.5× headroom.
+    // 165 s = the quieter r17 measurement; the artifact records the
+    // reference used, so a reader on different hardware can
+    // recalibrate; a malformed override falls back with a warning
     // instead of killing the whole bench before any query ran.
     val quietWarmupRef = sys.env.get("SPARK_GRAFT_QUIET_WARMUP_SEC") match {
       case Some(s) => try s.trim.toDouble catch {
         case _: NumberFormatException =>
           System.err.println(s"[graft.bench] ignoring malformed " +
             s"SPARK_GRAFT_QUIET_WARMUP_SEC='$s' (not a number); " +
-            "using the 118 s host-class default")
-          118.0
+            "using the 165 s host-class default")
+          165.0
       }
-      case None => 118.0
+      case None => 165.0
     }
     // FULL runs only: the reference is a full-set number, and a small
     // GRAFT_BENCH_ONLY subset's warmup is dominated by the fixed
