@@ -777,6 +777,9 @@ object SparkEntry {
       TextOps.maximalDupIslands(docs(s, d))),
     // the occCap recall bound, measured (no silent caps)
     "text_dup_span_audit" -> ((s, d) => TextOps.dupSpanAudit(docs(s, d))),
+    // Lee et al.'s removal step: keep the first occurrence, excise
+    // the duplicated block from every later doc, rebuild the text
+    "text_dedup_excise" -> ((s, d) => TextOps.dedupExcise(docs(s, d))),
     // hashed-bigram linear quality model inference (zero-shuffle scan)
     "text_quality_model" -> ((s, d) => TextOps.qualityModelScore(docs(s, d))),
 
@@ -886,6 +889,13 @@ object SparkEntry {
     "embed_kmeans_sampled" -> ((s, d) =>
       EmbedOps.assignAgainst(emb(s, d),
         EmbedOps.kmeansCentroidsSampled(emb(s, d), sampleCap = 256))),
+    // the paper-literal keep rule for varying-norm regimes: same dup
+    // groups, keeper = LOWEST cosine to own centroid; the centroid
+    // frame comes from the persisted artifact (same geometry as the
+    // session chain — CentroidStoreSpec pins the parity)
+    "embed_semdedup_cosine" -> ((s, d) =>
+      EmbedOps.semDedupByCosineFrom(emb(s, d), shKmeans(s, d),
+        CentroidStore.centroids(s, shCentroidStore(s, d)))),
     "sample_balanced" -> ((s, d) => EmbedOps.balancedSampleFrom(shKmeans(s, d))),
     // product quantization: train-once codebooks (shared PqModel) →
     // codes → ADC top-k
@@ -1222,6 +1232,7 @@ object SparkEntry {
     "text_dup_maximal_spans" -> OracleSqlExt.textDupMaximalSpans,
     "text_dup_islands" -> OracleSqlExt.textDupIslands,
     "text_dup_span_audit" -> OracleSqlExt.textDupSpanAudit,
+    "text_dedup_excise" -> OracleSqlExt.textDedupExcise,
     "text_quality_model" -> OracleSqlExt.textQualityModel,
     "sample_stratified" -> OracleSqlExt.sampleStratified,
     "sample_weighted" -> OracleSqlExt.sampleWeighted,
@@ -1266,6 +1277,7 @@ object SparkEntry {
     // session-shared chain derives — one oracle, two engine routes
     "embed_assign_persisted" -> OracleSqlExt.embedKmeans,
     "embed_kmeans_sampled" -> OracleSqlExt.embedKmeansSampled,
+    "embed_semdedup_cosine" -> OracleSqlExt.embedSemdedupCosine,
     "embed_semdedup" -> OracleSqlExt.embedSemdedup,
     "sample_balanced" -> OracleSqlExt.embedBalancedSample,
     "embed_pq_topk" -> OracleSqlExt.embedPqTopK,

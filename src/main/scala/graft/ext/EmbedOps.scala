@@ -622,7 +622,60 @@ object EmbedOps {
     * the scaled k, not the 8-cluster demo default. */
   def semDedupFrom(embeddings: DataFrame, assignments: DataFrame,
       threshold: Double = Double.NaN): DataFrame = {
-    val thr = resolvedThreshold(embeddings, threshold)
+    val labeled = semDedupLabeled(embeddings, assignments,
+      resolvedThreshold(embeddings, threshold))
+    val keepW = Window.partitionBy(col("group_id"))
+      .orderBy(col("d2").desc, col("vec_id"))
+    labeled
+      .withColumn("keep", row_number().over(keepW) === 1)
+      .withColumn("group_size",
+        count(lit(1)).over(Window.partitionBy(col("group_id")))
+          .cast("bigint"))
+      .select(col("vec_id"), col("centroid_id"), col("group_id"),
+        col("group_size"), col("keep"))
+  }
+
+  /** [[semDedupFrom]] with the keep rank on QUANTIZED COSINE to the
+    * own centroid (ascending — keep the member LEAST similar to its
+    * centroid), the paper's literal rule for regimes where vector
+    * norms vary: max-L2-from-centroid and min-cosine-to-centroid
+    * coincide only for (near-)constant-norm embeddings, and for
+    * unnormalized vectors a long vector pointing AT the centroid can
+    * out-distance a short one pointing away (the d2 rank would keep
+    * the wrong member). Takes the centroid frame (the assignments
+    * don't carry cv) — [[kmeansCentroids]] or a loaded
+    * [[CentroidStore]] epoch; the duplicate groups are identical to
+    * [[semDedupFrom]]'s, only the keeper can differ. Output adds the
+    * audit column `centroid_cosine`. */
+  def semDedupByCosineFrom(embeddings: DataFrame, assignments: DataFrame,
+      centroids: DataFrame, threshold: Double = Double.NaN): DataFrame = {
+    val labeled = semDedupLabeled(embeddings, assignments,
+      resolvedThreshold(embeddings, threshold))
+    val withCos = labeled
+      .join(embeddings.select(col("vec_id"),
+          quantized(col("embedding")).as("q"))
+        .withColumn("n2q", qnorm2(col("q"))), Seq("vec_id"))
+      .join(broadcast(centroids.select(col("centroid_id"), col("cv"))),
+        Seq("centroid_id"))
+      .withColumn("centroid_cosine",
+        cosineFromParts(qdot(col("q"), col("cv")), col("n2q"),
+          qnorm2(col("cv"))))
+    val keepW = Window.partitionBy(col("group_id"))
+      .orderBy(col("centroid_cosine").asc, col("vec_id"))
+    withCos
+      .withColumn("keep", row_number().over(keepW) === 1)
+      .withColumn("group_size",
+        count(lit(1)).over(Window.partitionBy(col("group_id")))
+          .cast("bigint"))
+      .select(col("vec_id"), col("centroid_id"), col("group_id"),
+        col("group_size"), col("centroid_cosine"), col("keep"))
+  }
+
+  /** Shared label derivation for the semDedup keep-rule variants:
+    * (vec_id, centroid_id, d2, group_id) — the pair join, the
+    * per-cluster union-find, and the singleton restore. */
+  private def semDedupLabeled(embeddings: DataFrame,
+      assignments: DataFrame, thr: Double): DataFrame = {
     val base = embeddings
       .select(col("vec_id"), quantized(col("embedding")).as("q"))
       .withColumn("n2", qnorm2(col("q")))
@@ -687,17 +740,9 @@ object EmbedOps {
         parent.keysIterator.map(v => (v, find(v))).toSeq
       }
       .toDF("vec_id", "group_id")
-    val keepW = Window.partitionBy(col("group_id"))
-      .orderBy(col("d2").desc, col("vec_id"))
     assignments.select(col("vec_id"), col("centroid_id"), col("d2"))
       .join(labels, Seq("vec_id"), "left")
       .withColumn("group_id", coalesce(col("group_id"), col("vec_id")))
-      .withColumn("keep", row_number().over(keepW) === 1)
-      .withColumn("group_size",
-        count(lit(1)).over(Window.partitionBy(col("group_id")))
-          .cast("bigint"))
-      .select(col("vec_id"), col("centroid_id"), col("group_id"),
-        col("group_size"), col("keep"))
   }
 
   /** Cluster-balanced (diversity) sampling — the curation move that

@@ -1728,9 +1728,21 @@ object TextOps {
   def maximalDupIslands(documents: DataFrame, w: Int = 8,
       occCap: Int = 64): DataFrame = {
     val spans = maximalDupSpans(documents, w, occCap)
-    val ivals = spans.select(col("doc_a").as("doc_id"),
-        col("start_a").as("s"), col("end_a").as("e"))
-      .unionAll(spans.select(col("doc_b"), col("start_b"), col("end_b")))
+    mergeIntervals(
+      spans.select(col("doc_a").as("doc_id"),
+          col("start_a").as("s"), col("end_a").as("e"))
+        .unionAll(spans.select(col("doc_b"), col("start_b"), col("end_b"))))
+      .select(col("doc_id"), col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok") + 1).as("span_tokens"),
+        col("n_sources"))
+  }
+
+  /** Classic per-key interval merge (running-max window): coalesce
+    * (doc_id, s, e) rows overlapping or token-adjacent into maximal
+    * (doc_id, start_tok, end_tok, n_sources) islands. Shared by
+    * [[maximalDupIslands]] and [[dedupExcise]]; partitions are
+    * doc-bounded and only duplicated intervals enter them. */
+  private def mergeIntervals(ivals: DataFrame): DataFrame = {
     val wDoc = Window.partitionBy(col("doc_id"))
       .orderBy(col("s"), col("e"))
     ivals
@@ -1744,9 +1756,40 @@ object TextOps {
       .groupBy(col("doc_id"), col("island"))
       .agg(min(col("s")).as("start_tok"), max(col("e")).as("end_tok"),
         count(lit(1)).as("n_sources"))
-      .select(col("doc_id"), col("start_tok"), col("end_tok"),
-        (col("end_tok") - col("start_tok") + 1).as("span_tokens"),
-        col("n_sources"))
+  }
+
+  /** Lee et al.'s REMOVAL step over the maximal-span recovery: every
+    * duplicated substring keeps its FIRST occurrence (the lower
+    * doc_id of each pair — `doc_a < doc_b` by construction) and is
+    * EXCISED from every later one, so the corpus retains exactly one
+    * copy of each recovered block. Output per document: original
+    * token count, tokens removed, the rebuilt text (byte-identical
+    * pass-through for untouched docs) and its md5 — the same
+    * excision surface as [[decontaminateExciseAgainst]], driven by
+    * the dedup pair spans instead of a benchmark.
+    *
+    * Scale posture: inherits [[maximalDupSpans]]' blocked joins; the
+    * cut table is collect_list'd per doc (bounded by doc length) and
+    * the rebuild is one codegen'd filter HOF over the token array —
+    * clean docs never explode. */
+  def dedupExcise(documents: DataFrame, w: Int = 8,
+      occCap: Int = 64): DataFrame = {
+    val spans = maximalDupSpans(documents, w, occCap)
+    val cuts = mergeIntervals(
+        spans.select(col("doc_b").as("doc_id"),
+          col("start_b").as("s"), col("end_b").as("e")))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("start_tok"), col("end_tok")))
+        .as("cut"))
+    val toks = tokens(col("text"))
+    val kept = when(col("cut").isNull, toks).otherwise(
+      filter(toks, (_, i) => !exists(col("cut"), c =>
+        i >= c.getField("start_tok") && i <= c.getField("end_tok"))))
+    documents.join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+        (size(toks) - size(kept)).cast("long").as("n_removed"),
+        concat_ws(" ", kept).as("clean_text"))
+      .withColumn("clean_md5", md5(col("clean_text").cast("binary")))
   }
 
   /** Hashed-n-gram linear quality model — the fastText-classifier

@@ -2918,11 +2918,11 @@ SELECT centroid_id, vec_id, d2, rk FROM (
   FROM a2)
 WHERE rk <= 20"""
 
-  /** Mirror of EmbedOps.semDedupFrom over the shared k-means chain:
-    * within-centroid quantized-cosine pairs at the default threshold,
-    * recursive-CTE connected components (min-id group), keep = the
-    * group member farthest from its centroid (d2 DESC, vec_id). */
-  val embedSemdedup: String =
+  /** Shared CTE chain for the semDedup keep-rule variants: the full
+    * k-means fit, within-centroid quantized-cosine pairs at the
+    * default threshold, recursive-CTE connected components (min-id
+    * group), singleton restore — everything up to the keep rank. */
+  private def semdedupLabCtes: String =
     kmeansCtes.replaceFirst("WITH q", "WITH RECURSIVE q") + s""",
 a2 AS (${kmeansAssignSql("c2")}),
 sp AS (
@@ -2941,12 +2941,33 @@ comp AS (SELECT src AS vec_id, min(dst) AS group_id FROM reach GROUP BY src),
 lab AS (
   SELECT a.vec_id, a.centroid_id, a.d2,
          COALESCE(c.group_id, a.vec_id) AS group_id
-  FROM a2 a LEFT JOIN comp c ON c.vec_id = a.vec_id)
+  FROM a2 a LEFT JOIN comp c ON c.vec_id = a.vec_id)"""
+
+  /** Mirror of EmbedOps.semDedupFrom over the shared k-means chain:
+    * keep = the group member farthest from its centroid (d2 DESC,
+    * vec_id). */
+  val embedSemdedup: String = semdedupLabCtes + """
 SELECT vec_id, centroid_id, group_id,
        (count(*) OVER (PARTITION BY group_id))::BIGINT AS group_size,
        row_number() OVER (PARTITION BY group_id ORDER BY d2 DESC, vec_id) = 1
          AS keep
 FROM lab"""
+
+  /** Mirror of EmbedOps.semDedupByCosineFrom: same groups, keep = the
+    * member with the LOWEST quantized cosine to its own centroid (the
+    * paper's literal rule for varying-norm regimes). */
+  val embedSemdedupCosine: String = semdedupLabCtes + s""",
+labc AS (
+  SELECT l.vec_id, l.centroid_id, l.group_id,
+         ${cosineSql("q.qv", "c.cv")} AS centroid_cosine
+  FROM lab l JOIN q ON q.vec_id = l.vec_id
+             JOIN c2 c ON c.centroid_id = l.centroid_id)
+SELECT vec_id, centroid_id, group_id,
+       (count(*) OVER (PARTITION BY group_id))::BIGINT AS group_size,
+       centroid_cosine,
+       row_number() OVER (PARTITION BY group_id
+         ORDER BY centroid_cosine ASC, vec_id) = 1 AS keep
+FROM labc"""
 
   /** 16-dim integer squared L2 between two subvector lists. */
   private def pqD2Sql(s: String, c: String): String =
@@ -3283,7 +3304,7 @@ LEFT JOIN covered c ON d.doc_id = c.doc_id"""
     * which treats ties as peers — Spark's rowsBetween does not). */
   private def maximalSpanCtes: String = """
 WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS t,
+  SELECT doc_id, text, string_split(text, ' ') AS t,
          len(string_split(text, ' ')) AS n
   FROM documents),
 occ AS (
@@ -3321,6 +3342,46 @@ spans AS (
 SELECT doc_a, doc_b, start_a, end_a, start_b, end_b, span_tokens,
        n_windows
 FROM spans"""
+
+  /** Mirror of TextOps.dedupExcise(w=8, occCap=64): keep the FIRST
+    * occurrence (doc_a side), excise the merged duplicated intervals
+    * from every doc_b; rebuilt text via ordered token re-aggregation
+    * over the uncovered positions (the corpusDecontamExcise idiom),
+    * byte-identical pass-through for untouched docs. */
+  val textDedupExcise: String = maximalSpanCtes + """,
+bi AS (SELECT doc_b AS doc_id, start_b AS s, end_b AS e FROM spans),
+mg AS (
+  SELECT doc_id, MIN(s) AS cs, MAX(e) AS ce FROM (
+    SELECT doc_id, s, e,
+           SUM(CASE WHEN s <= COALESCE(prev_max, -1) + 1 THEN 0 ELSE 1 END)
+             OVER (PARTITION BY doc_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM (SELECT doc_id, s, e,
+            MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+          FROM bi))
+  GROUP BY doc_id, island),
+ncut AS (SELECT doc_id, COUNT(*) AS n_cuts FROM mg GROUP BY doc_id),
+ptok AS (
+  SELECT tk.doc_id, u.i AS pos, tk.t[u.i] AS tok
+  FROM toks tk JOIN ncut USING (doc_id), UNNEST(range(1, tk.n + 1)) u(i)),
+keep AS (
+  SELECT p.doc_id, p.pos, p.tok FROM ptok p
+  WHERE NOT EXISTS (SELECT 1 FROM mg m WHERE m.doc_id = p.doc_id
+                    AND p.pos - 1 BETWEEN m.cs AND m.ce)),
+rebuilt AS (
+  SELECT nc.doc_id, COALESCE(k.kept, 0) AS kept,
+         COALESCE(k.ct, '') AS clean_text
+  FROM ncut nc LEFT JOIN (
+    SELECT doc_id, COUNT(*) AS kept,
+           string_agg(tok, ' ' ORDER BY pos) AS ct
+    FROM keep GROUP BY doc_id) k USING (doc_id))
+SELECT tk.doc_id, CAST(tk.n AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN r.doc_id IS NULL THEN 0 ELSE tk.n - r.kept END
+            AS BIGINT) AS n_removed,
+       COALESCE(r.clean_text, tk.text) AS clean_text,
+       md5(COALESCE(r.clean_text, tk.text)) AS clean_md5
+FROM toks tk LEFT JOIN rebuilt r USING (doc_id)"""
 
   /** Mirror of TextOps.dupSpanAudit(w=8, occCap=64): the measured
     * recall bound — shared hashes seen vs excluded by the cap. */

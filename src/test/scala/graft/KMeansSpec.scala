@@ -229,6 +229,37 @@ class KMeansSpec extends SparkSpec {
     assert(scaledK(Long.MaxValue) == (1 << 20))
   }
 
+  test("cosine keep rule diverges from d2 where norms vary, as the docstring warns") {
+    import spark.implicits._
+    // centroid at (10, 0); A = (30, 0) points AT it (cosine 1.0) but
+    // far in L2 (d2 4e8); B = (8, 6) is L2-close (4e7) but angularly
+    // off (cosine 0.8). d2-keep picks A; the paper's cosine rule
+    // picks B. cos(A, B) = 0.8 ≥ the default threshold → one group.
+    val emb = Seq(
+      (1L, Array(30.0f, 0.0f)),
+      (2L, Array(8.0f, 6.0f)),
+      (3L, Array(0.0f, -5.0f))).toDF("vec_id", "embedding")
+    val asg = Seq(
+      (1L, 100L, 400000000L), (2L, 100L, 40000000L), (3L, 200L, 0L))
+      .toDF("vec_id", "centroid_id", "d2")
+    val cents = Seq(
+      (100L, Seq(10000L, 0L)), (200L, Seq(0L, -5000L)))
+      .toDF("centroid_id", "cv")
+    def keeps(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.filter("keep").select("vec_id").as[Long].collect().toSet
+    val byD2 = graft.ext.EmbedOps.semDedupFrom(emb, asg)
+    val byCos = graft.ext.EmbedOps.semDedupByCosineFrom(emb, asg, cents)
+    assert(keeps(byD2) == Set(1L, 3L))   // farthest-in-L2 keeps A
+    assert(keeps(byCos) == Set(2L, 3L))  // least-centroid-cosine keeps B
+    // identical groups either way — only the keeper moves
+    def groups(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "group_id").as[(Long, Long)].collect().toSet
+    assert(groups(byD2) == groups(byCos))
+    val cos = byCos.filter("vec_id = 2")
+      .select("centroid_cosine").as[Double].head()
+    assert(math.abs(cos - 0.8) < 1e-12, cos)
+  }
+
   test("sampled fit: centroids come from the bounded md5-ordered sample, assignment covers the corpus") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

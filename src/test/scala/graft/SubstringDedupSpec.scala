@@ -46,6 +46,21 @@ class SubstringDedupSpec extends SparkSpec {
     assert(isl == Set((0L, 9L), (11L, 20L)))
   }
 
+  test("dedupExcise keeps the first occurrence and cuts the block from the later doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, s"p1 p2 p3 $block s1 s2"), // first occurrence — kept whole
+      (2L, s"q1 $block r1 r2 r3"),    // later doc — block excised
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")).toDF("doc_id", "text")
+    val out = TextOps.dedupExcise(docs, w = 4).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(out(1L) == ((15L, 0L, s"p1 p2 p3 $block s1 s2")))
+    assert(out(2L) == ((14L, 10L, "q1 r1 r2 r3")))
+    assert(out(3L) == ((10L, 0L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")))
+  }
+
   test("per-doc islands merge overlapping coverage from different partners") {
     import spark.implicits._
     val cTail = (1 to 10).map(i => s"c$i").mkString(" ")
