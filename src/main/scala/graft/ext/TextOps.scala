@@ -1644,16 +1644,41 @@ object TextOps {
     // (both join sides) — share one computed RDD, the paragraphDedup
     // pattern
     val hits = occ.join(eligible, Seq("h")).localCheckpoint(false)
-    val matches = hits.select(col("h"), col("doc_id").as("doc_a"),
+    islandize(hits.select(col("h"), col("doc_id").as("doc_a"),
         col("pos").as("pos_a"))
       .join(hits.select(col("h"), col("doc_id").as("doc_b"),
         col("pos").as("pos_b")), Seq("h"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("pos_b") - col("pos_a")).as("diag"), col("pos_a"))
+      .filter(col("doc_a") < col("doc_b")), w)
+  }
+
+  /** Maximal duplicated spans BETWEEN two window-occurrence frames
+    * (both in [[winOcc]]'s (doc_id, pos, h) shape) — the cross-corpus
+    * form of [[maximalDupSpans]] the streaming substring-dedup ingest
+    * probes a STORED window index with: occA is the first-occurrence
+    * side (kept), occB the later side (excised). Per-side occCap
+    * bounds the per-hash fan-out at occCap² exactly like the batch
+    * form; no doc-id ordering is applied — the caller's frame split
+    * IS the keep policy. */
+  private[graft] def crossDupSpans(occA: DataFrame, occB: DataFrame,
+      w: Int = 8, occCap: Int = 64): DataFrame = {
+    def capped(occ: DataFrame) = occ.join(
+      occ.groupBy(col("h")).agg(count(lit(1)).as("nocc"))
+        .filter(col("nocc") <= occCap).select(col("h")), Seq("h"))
+    islandize(capped(occA).select(col("h"), col("doc_id").as("doc_a"),
+        col("pos").as("pos_a"))
+      .join(capped(occB).select(col("h"), col("doc_id").as("doc_b"),
+        col("pos").as("pos_b")), Seq("h")), w)
+  }
+
+  /** The diagonal island merge shared by [[maximalDupSpans]] and
+    * [[crossDupSpans]]: (h, doc_a, pos_a, doc_b, pos_b) window
+    * matches in, maximal per-pair spans out. */
+  private def islandize(matched: DataFrame, w: Int): DataFrame = {
     val wDiag = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
       .orderBy(col("pos_a"))
-    matches
+    matched
+      .select(col("doc_a"), col("doc_b"),
+        (col("pos_b") - col("pos_a")).as("diag"), col("pos_a"))
       .withColumn("brk",
         when(col("pos_a") - lag(col("pos_a"), 1).over(wDiag) === 1, 0L)
           .otherwise(1L))
@@ -1673,9 +1698,10 @@ object TextOps {
   }
 
   /** (doc_id, pos, h): every stride-1 w-token window's md5, 0-based
-    * start position — the occurrence frame [[maximalDupSpans]] and
-    * [[dupSpanAudit]] share. */
-  private def winOcc(documents: DataFrame, w: Int): DataFrame = {
+    * start position — the occurrence frame [[maximalDupSpans]],
+    * [[dupSpanAudit]] and the streaming substring-dedup ingest's
+    * stored index share. */
+  private[graft] def winOcc(documents: DataFrame, w: Int): DataFrame = {
     val toks = tokens(col("text"))
     val wins = when(size(toks) >= w,
         transform(sequence(lit(1), size(toks) - (w - 1)),
@@ -1775,9 +1801,18 @@ object TextOps {
   def dedupExcise(documents: DataFrame, w: Int = 8,
       occCap: Int = 64): DataFrame = {
     val spans = maximalDupSpans(documents, w, occCap)
-    val cuts = mergeIntervals(
-        spans.select(col("doc_b").as("doc_id"),
-          col("start_b").as("s"), col("end_b").as("e")))
+    exciseIntervals(documents,
+      spans.select(col("doc_b").as("doc_id"),
+        col("start_b").as("s"), col("end_b").as("e")))
+  }
+
+  /** Cut the (merged) `ivals` (doc_id, s, e) token intervals out of
+    * each document — the rebuild stage [[dedupExcise]] and the
+    * streaming substring ingest share: one codegen'd filter HOF per
+    * doc, untouched docs byte-identical pass-through. */
+  private[graft] def exciseIntervals(documents: DataFrame,
+      ivals: DataFrame): DataFrame = {
+    val cuts = mergeIntervals(ivals)
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("start_tok"), col("end_tok")))
         .as("cut"))

@@ -281,6 +281,77 @@ object CorpusIngest {
     appended
   }
 
+  /** SUBSTRING-dedup ingestion — the incremental form of
+    * [[graft.ext.TextOps.dedupExcise]] (Lee et al.'s removal step):
+    * the corpus keeps a WINDOW INDEX (the stride-1 w-token hashes of
+    * every stored doc's FINAL text), and each micro-batch
+    *
+    *   1. probes it with its own windows ([[graft.ext.TextOps
+    *      .crossDupSpans]] — equi on the 16-byte hash, per-hash
+    *      fan-out occCap²-bounded), recovering every maximal block
+    *      the batch shares with ALREADY-STORED text and excising it
+    *      from the incoming doc (history is the first occurrence, by
+    *      arrival order);
+    *   2. runs the batch-local [[graft.ext.TextOps.dedupExcise]] over
+    *      the phase-1-cleaned docs (first occurrence WITHIN the batch
+    *      keeps, by doc_id);
+    *   3. appends the final cleaned docs to data/ and THEIR windows
+    *      (post-excision — the index always reflects what the corpus
+    *      actually stores) to wins/.
+    *
+    * Same effectively-once layering as every ingest path: TxnLog
+    * marker for replay skip, and the stored-index probe re-excises
+    * a replayed block to an already-stored copy even without it.
+    * Batch contract: (doc_id, text); returns docs appended.
+    *
+    * Scale posture: the probe is an equi join on a uniform hash with
+    * capped fan-out; the index is |corpus tokens| 16-byte rows — at
+    * 100 TB a compacted table, same dataflow. */
+  def ingestBatchSubstring(batch: DataFrame, batchId: Long,
+      corpusDir: String, w: Int = 8, occCap: Int = 64): Long = {
+    val spark = batch.sparkSession
+    val dataDir = s"$corpusDir/data"
+    val winsDir = s"$corpusDir/wins"
+    val logDir = s"$corpusDir/_txn"
+    var appended = 0L
+    TxnLog.runOnce(logDir, batchId) {
+      val incoming = batch.select(col("doc_id"), col("text"))
+      val phase1 = readIfAny(spark, winsDir) match {
+        case Some(storedWins) =>
+          val spans = graft.ext.TextOps.crossDupSpans(
+            storedWins, graft.ext.TextOps.winOcc(incoming, w), w, occCap)
+          graft.ext.TextOps.exciseIntervals(incoming,
+            spans.select(col("doc_b").as("doc_id"),
+              col("start_b").as("s"), col("end_b").as("e")))
+            .select(col("doc_id"), col("clean_text").as("text"))
+        case None => incoming
+      }
+      // phase 2 over the cleaned text, then pin the decision before
+      // the two appends (the read-your-own-write hazard all ingest
+      // layers share)
+      val cleaned = graft.ext.TextOps.dedupExcise(phase1, w, occCap)
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .localCheckpoint()
+      appended = cleaned.count()
+      if (appended > 0) {
+        cleaned.write.mode(SaveMode.Append).parquet(dataDir)
+        graft.ext.TextOps.winOcc(cleaned, w)
+          .write.mode(SaveMode.Append).parquet(winsDir)
+      }
+    }
+    appended
+  }
+
+  /** Streaming entry for the substring-dedup path. */
+  def startSubstring(docs: DataFrame, corpusDir: String,
+      checkpointDir: String, w: Int = 8, occCap: Int = 64): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatchSubstring(batch, batchId, corpusDir, w, occCap); ()
+      }
+      .start()
+
   /** Streaming entry for the persisted-centroid semantic path. */
   def startSemanticCentroid(vectors: DataFrame, indexDir: String,
       centroidDir: String, checkpointDir: String,

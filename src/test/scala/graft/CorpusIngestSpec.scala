@@ -166,6 +166,39 @@ class CorpusIngestSpec extends SparkSpec {
     assert(rows(idxStream) == rows(idxBatch))
   }
 
+  test("substring ingestion excises duplicated blocks in-batch, cross-batch, and skips replays") {
+    val dir = Files.createTempDirectory("graft-substr-ingest").toString
+    val block = (1 to 10).map(i => s"b$i").mkString(" ")
+    // batch 0: doc 1 carries the block first; doc 2 repeats it —
+    // the in-batch pass (phase 2) excises doc 2's copy
+    val b0 = Seq(
+      (1L, s"p1 p2 p3 $block s1 s2"),
+      (2L, s"q1 $block r1 r2 r3")).toDF("doc_id", "text")
+    assert(CorpusIngest.ingestBatchSubstring(b0, 0L, dir, w = 4) == 2L)
+    def stored() = spark.read.parquet(s"$dir/data")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(stored() == Map(
+      1L -> s"p1 p2 p3 $block s1 s2", 2L -> "q1 r1 r2 r3"))
+    // batch 1: doc 3 brings the block AGAIN — the stored window
+    // index (phase 1) excises it against history; doc 4 is all-new
+    val b1 = Seq(
+      (3L, s"$block z1 z2 z3"),
+      (4L, "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10")).toDF("doc_id", "text")
+    assert(CorpusIngest.ingestBatchSubstring(b1, 1L, dir, w = 4) == 2L)
+    assert(stored()(3L) == "z1 z2 z3")
+    assert(stored()(4L) == "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10")
+    // the index holds the windows of what the corpus ACTUALLY stores:
+    // the block's windows appear exactly once (doc 1's copy)
+    val wins = spark.read.parquet(s"$dir/wins")
+    val blockWin = java.security.MessageDigest.getInstance("MD5")
+      .digest("b1 b2 b3 b4".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(wins.filter($"h" === blockWin).count() == 1L)
+    // replay of batch 1 is a txn-log no-op
+    assert(CorpusIngest.ingestBatchSubstring(b1, 1L, dir, w = 4) == 0L)
+    assert(stored().size == 4)
+  }
+
   test("near ingestion survives a stream restart from checkpoint") {
     implicit val sqlCtx = spark.sqlContext
     val corpusDir = Files.createTempDirectory("graft-near-restart").toString

@@ -69,7 +69,16 @@ class PlanShapeSpec extends SparkSpec {
       "HashAggregate" -> 4),
     "embed_ivf_topk" -> Map("BroadcastExchange" -> 1,
       "BroadcastHashJoin" -> 1, "Exchange" -> 3, "WindowGroupLimit" -> 2),
-    "dedup_exact" -> Map("Exchange" -> 2))
+    "dedup_exact" -> Map("Exchange" -> 2),
+    // r17 substring-dedup family: the ONLY join is the hash-blocked
+    // eligible-window probe (broadcast at this SF; the self-join rides
+    // the shared localCheckpoint'd hits frame), islands/merges are
+    // window + aggregate over pair-bounded partitions
+    "text_dup_maximal_spans" -> Map("BroadcastHashJoin" -> 1,
+      "BroadcastExchange" -> 1, "Exchange" -> 1, "HashAggregate" -> 2),
+    "text_dedup_excise" -> Map("BroadcastHashJoin" -> 1,
+      "BroadcastExchange" -> 1, "SortMergeJoin" -> 1, "Exchange" -> 4,
+      "HashAggregate" -> 4))
 
   test("headline static plan shapes match the golden operator counts") {
     val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
