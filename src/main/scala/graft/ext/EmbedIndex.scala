@@ -107,11 +107,15 @@ object EmbedIndex {
     if (!Files.exists(commitDir(dir))) Nil
     else {
       import scala.jdk.CollectionConverters._
-      Files.list(commitDir(dir)).iterator().asScala
+      // close the directory stream — an unclosed Files.list leaks an
+      // fd per call on reader hot paths
+      val s = Files.list(commitDir(dir))
+      try s.iterator().asScala
         .map(_.getFileName.toString)
-        .collect { case s if s.startsWith("manifest-") =>
-          s.stripPrefix("manifest-").toLong }
-        .toSeq.sorted
+        .collect { case n if n.startsWith("manifest-") =>
+          n.stripPrefix("manifest-").toLong }
+        .toList.sorted
+      finally s.close()
     }
 
   /** Manifest format version. v2 (r14) added `epoch` (rebuild
@@ -314,11 +318,13 @@ object EmbedIndex {
     manifest(dir).foreach { man =>
       import scala.jdk.CollectionConverters._
       val live = man.segs.toSet ++ Set(man.sums, man.cents, "_commits")
-      Files.list(Paths.get(dir)).iterator().asScala.toList
-        .filterNot(p => live.contains(p.getFileName.toString))
+      val top = Files.list(Paths.get(dir))
+      val entries = try top.iterator().asScala.toList finally top.close()
+      entries.filterNot(p => live.contains(p.getFileName.toString))
         .foreach(p => wipe(p.toString))
-      Files.list(commitDir(dir)).iterator().asScala.toList
-        .filter(_.getFileName.toString != s"manifest-${man.gen}")
+      val cs = Files.list(commitDir(dir))
+      val manifests = try cs.iterator().asScala.toList finally cs.close()
+      manifests.filter(_.getFileName.toString != s"manifest-${man.gen}")
         .foreach(p => { Files.deleteIfExists(p); () })
     }
   }

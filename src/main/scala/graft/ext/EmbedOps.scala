@@ -622,7 +622,7 @@ object EmbedOps {
     * the scaled k, not the 8-cluster demo default. */
   def semDedupFrom(embeddings: DataFrame, assignments: DataFrame,
       threshold: Double = Double.NaN): DataFrame = {
-    val labeled = semDedupLabeled(embeddings, assignments,
+    val (labeled, _) = semDedupLabeled(embeddings, assignments,
       resolvedThreshold(embeddings, threshold))
     val keepW = Window.partitionBy(col("group_id"))
       .orderBy(col("d2").desc, col("vec_id"))
@@ -633,6 +633,30 @@ object EmbedOps {
           .cast("bigint"))
       .select(col("vec_id"), col("centroid_id"), col("group_id"),
         col("group_size"), col("keep"))
+  }
+
+  /** [[semDedupFrom]]'s keep DECISION with a BOUNDED cache lifetime —
+    * the per-micro-batch form ([[graft.streaming.CorpusIngest
+    * .ingestBatchSemanticCentroid]]'s): the internal verified-pair
+    * cache is unpersisted before returning (a long-running stream
+    * calling [[semDedupFrom]] would leave one dead cached frame per
+    * batch in the registry), and the (vec_id) keep set comes back
+    * eagerly pinned (localCheckpoint — consumed within the batch,
+    * the ingest layers' idiom). Long-lived batch sessions use
+    * [[semDedupFrom]], whose cache lifetime is caller-managed. */
+  def semDedupKeepIds(embeddings: DataFrame, assignments: DataFrame,
+      threshold: Double = Double.NaN): DataFrame = {
+    val (labeled, pairs) = semDedupLabeled(embeddings, assignments,
+      resolvedThreshold(embeddings, threshold))
+    val keepW = Window.partitionBy(col("group_id"))
+      .orderBy(col("d2").desc, col("vec_id"))
+    val out = labeled
+      .withColumn("rn", row_number().over(keepW))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"))
+      .localCheckpoint()
+    pairs.unpersist()
+    out
   }
 
   /** [[semDedupFrom]] with the keep rank on QUANTIZED COSINE to the
@@ -649,17 +673,30 @@ object EmbedOps {
     * audit column `centroid_cosine`. */
   def semDedupByCosineFrom(embeddings: DataFrame, assignments: DataFrame,
       centroids: DataFrame, threshold: Double = Double.NaN): DataFrame = {
-    val labeled = semDedupLabeled(embeddings, assignments,
+    val (labeled, _) = semDedupLabeled(embeddings, assignments,
       resolvedThreshold(embeddings, threshold))
+    // LEFT joins + assert_true, not inner: a centroids frame from a
+    // DIFFERENT fit/epoch than the assignments (or an embeddings
+    // subset missing assigned ids) would otherwise drop whole vectors
+    // silently — undercounting group_size and moving keepers. The
+    // guard raises at execution naming the mismatch.
     val withCos = labeled
       .join(embeddings.select(col("vec_id"),
           quantized(col("embedding")).as("q"))
-        .withColumn("n2q", qnorm2(col("q"))), Seq("vec_id"))
+        .withColumn("n2q", qnorm2(col("q"))), Seq("vec_id"), "left")
       .join(broadcast(centroids.select(col("centroid_id"), col("cv"))),
-        Seq("centroid_id"))
+        Seq("centroid_id"), "left")
+      .withColumn("_chk", assert_true(
+        col("q").isNotNull && col("cv").isNotNull,
+        concat(lit("semDedupByCosineFrom: vec_id "), col("vec_id"),
+          lit(" / centroid_id "), col("centroid_id"),
+          lit(" missing from the embeddings/centroids frames — " +
+            "assignments and centroids must come from the SAME " +
+            "fit (epoch)"))))
       .withColumn("centroid_cosine",
         cosineFromParts(qdot(col("q"), col("cv")), col("n2q"),
           qnorm2(col("cv"))))
+      .drop("_chk")
     val keepW = Window.partitionBy(col("group_id"))
       .orderBy(col("centroid_cosine").asc, col("vec_id"))
     withCos
@@ -673,9 +710,12 @@ object EmbedOps {
 
   /** Shared label derivation for the semDedup keep-rule variants:
     * (vec_id, centroid_id, d2, group_id) — the pair join, the
-    * per-cluster union-find, and the singleton restore. */
+    * per-cluster union-find, and the singleton restore. Also returns
+    * the CACHED pair frame so bounded-lifetime callers
+    * ([[semDedupKeepIds]]) can unpersist it; the plain variants
+    * leave it caller-managed (the returned plan references it). */
   private def semDedupLabeled(embeddings: DataFrame,
-      assignments: DataFrame, thr: Double): DataFrame = {
+      assignments: DataFrame, thr: Double): (DataFrame, DataFrame) = {
     val base = embeddings
       .select(col("vec_id"), quantized(col("embedding")).as("q"))
       .withColumn("n2", qnorm2(col("q")))
@@ -740,9 +780,10 @@ object EmbedOps {
         parent.keysIterator.map(v => (v, find(v))).toSeq
       }
       .toDF("vec_id", "group_id")
-    assignments.select(col("vec_id"), col("centroid_id"), col("d2"))
+    (assignments.select(col("vec_id"), col("centroid_id"), col("d2"))
       .join(labels, Seq("vec_id"), "left")
-      .withColumn("group_id", coalesce(col("group_id"), col("vec_id")))
+      .withColumn("group_id", coalesce(col("group_id"), col("vec_id"))),
+      pairs)
   }
 
   /** Cluster-balanced (diversity) sampling — the curation move that

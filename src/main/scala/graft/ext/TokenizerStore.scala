@@ -61,11 +61,15 @@ object TokenizerStore {
     if (!Files.exists(commitDir(dir))) Nil
     else {
       import scala.jdk.CollectionConverters._
-      Files.list(commitDir(dir)).iterator().asScala
+      // close the directory stream — an unclosed Files.list leaks an
+      // fd per call (the CentroidStore lesson, applied store-wide)
+      val s = Files.list(commitDir(dir))
+      try s.iterator().asScala
         .map(_.getFileName.toString)
-        .collect { case s if s.startsWith("manifest-") =>
-          s.stripPrefix("manifest-").toLong }
-        .toSeq.sorted
+        .collect { case n if n.startsWith("manifest-") =>
+          n.stripPrefix("manifest-").toLong }
+        .toList.sorted
+      finally s.close()
     }
 
   /** Manifest format version. Bumped on any incompatible layout
@@ -184,14 +188,18 @@ object TokenizerStore {
       .map(readManifest(dir, _))
       .flatMap(m => Seq(m.merges, m.vocab)).toSet
     import scala.jdk.CollectionConverters._
-    Files.list(Paths.get(dir)).iterator().asScala.toList.foreach { p =>
+    val top = Files.list(Paths.get(dir))
+    val entries = try top.iterator().asScala.toList finally top.close()
+    entries.foreach { p =>
       val n = p.getFileName.toString
       if (n != "_commits" && !live.contains(n)) wipe(p)
     }
-    if (Files.exists(commitDir(dir)))
-      Files.list(commitDir(dir)).iterator().asScala.toList
-        .filter(_.getFileName.toString.startsWith("."))
+    if (Files.exists(commitDir(dir))) {
+      val cs = Files.list(commitDir(dir))
+      val temps = try cs.iterator().asScala.toList finally cs.close()
+      temps.filter(_.getFileName.toString.startsWith("."))
         .foreach(p => { Files.deleteIfExists(p); () })
+    }
   }
 
   private def wipe(p: java.nio.file.Path): Unit =

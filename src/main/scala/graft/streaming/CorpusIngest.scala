@@ -63,10 +63,16 @@ object CorpusIngest {
     readIfAny(spark, dataDir).map(_.select(col("content_md5")).distinct())
 
   private def readIfAny(spark: SparkSession, dir: String): Option[DataFrame] =
-    if (Files.exists(Paths.get(dir)) &&
-        Files.list(Paths.get(dir)).findFirst().isPresent)
+    if (Files.exists(Paths.get(dir)) && nonEmptyDir(dir))
       Some(spark.read.parquet(dir))
     else None
+
+  // findFirst on an unclosed Files.list leaks the directory stream —
+  // and this runs (several times) on EVERY micro-batch
+  private def nonEmptyDir(dir: String): Boolean = {
+    val s = Files.list(Paths.get(dir))
+    try s.findFirst().isPresent finally s.close()
+  }
 
   /** [[ingestBatch]] plus a NEAR-dup layer: after exact suppression,
     * the batch dedups against ITSELF at the near level (one canonical
@@ -249,8 +255,9 @@ object CorpusIngest {
     TxnLog.runOnce(logDir, batchId) {
       val cents = graft.ext.CentroidStore.centroids(spark, centroidDir)
       val asg = graft.ext.EmbedOps.assignAgainst(batch, cents)
-      val keepIds = graft.ext.EmbedOps.semDedupFrom(batch, asg, thr)
-        .filter(col("keep")).select(col("vec_id"))
+      // the bounded-lifetime form: semDedupFrom's internal pair cache
+      // would otherwise accumulate one dead frame per micro-batch
+      val keepIds = graft.ext.EmbedOps.semDedupKeepIds(batch, asg, thr)
       val canon = batch.join(keepIds, Seq("vec_id"), "left_semi")
         .join(asg.select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
         .cache()
@@ -313,10 +320,31 @@ object CorpusIngest {
     val dataDir = s"$corpusDir/data"
     val winsDir = s"$corpusDir/wins"
     val logDir = s"$corpusDir/_txn"
+    // the window index is only meaningful at ONE window width: a
+    // restart with a different w would probe 4-token hashes against
+    // 8-token hashes and silently match nothing — reject loudly (the
+    // CentroidStore manifest discipline, minimally)
+    requireSubstringMeta(corpusDir, w, occCap)
     var appended = 0L
     TxnLog.runOnce(logDir, batchId) {
-      val incoming = batch.select(col("doc_id"), col("text"))
-      val phase1 = readIfAny(spark, winsDir) match {
+      // doc-id replay drain: a crash BETWEEN the append and the txn
+      // marker leaves the docs stored but the batch unmarked; on
+      // replay the excision path would re-admit them (an already-
+      // stored doc excises against its own windows to an empty row,
+      // and a short doc has no windows at all), so the layer every
+      // other ingest path gets from digest/cosine suppression is an
+      // anti-join on the append-only corpus's doc ids here
+      val incoming0 = batch.select(col("doc_id"), col("text"))
+      val incoming = readIfAny(spark, dataDir) match {
+        case Some(stored) =>
+          incoming0.join(stored.select(col("doc_id")),
+            Seq("doc_id"), "left_anti")
+        case None => incoming0
+      }
+      // phase 1 pinned: dedupExcise's plan references its input three
+      // times (eligible agg, hits join, rebuild join) — unpinned, the
+      // stored-index probe would re-run for each
+      val phase1 = (readIfAny(spark, winsDir) match {
         case Some(storedWins) =>
           val spans = graft.ext.TextOps.crossDupSpans(
             storedWins, graft.ext.TextOps.winOcc(incoming, w), w, occCap)
@@ -325,7 +353,7 @@ object CorpusIngest {
               col("start_b").as("s"), col("end_b").as("e")))
             .select(col("doc_id"), col("clean_text").as("text"))
         case None => incoming
-      }
+      }).localCheckpoint()
       // phase 2 over the cleaned text, then pin the decision before
       // the two appends (the read-your-own-write hazard all ingest
       // layers share)
@@ -340,6 +368,34 @@ object CorpusIngest {
       }
     }
     appended
+  }
+
+  /** First ingest stamps (w, occCap) into `_meta` (write-temp +
+    * atomic rename); every later one validates against it. */
+  private def requireSubstringMeta(corpusDir: String, w: Int,
+      occCap: Int): Unit = {
+    val meta = Paths.get(corpusDir, "_meta")
+    if (Files.exists(meta)) {
+      val kv = new String(Files.readAllBytes(meta), "UTF-8")
+        .linesIterator.filter(_.contains("="))
+        .map { l => val Array(k, v) = l.split("=", 2); k -> v.trim }
+        .toMap
+      require(kv.get("w").contains(w.toString) &&
+        kv.get("occ_cap").contains(occCap.toString),
+        s"substring corpus at $corpusDir was built with " +
+          s"w=${kv.getOrElse("w", "?")} occ_cap=" +
+          s"${kv.getOrElse("occ_cap", "?")}; this ingest was started " +
+          s"with w=$w occ_cap=$occCap — the stored window index only " +
+          "matches at its own parameters (restart with them, or " +
+          "rebuild the corpus)")
+    } else {
+      Files.createDirectories(Paths.get(corpusDir))
+      val tmp = Paths.get(corpusDir, s".meta.tmp")
+      Files.write(tmp, s"w=$w\nocc_cap=$occCap\n".getBytes("UTF-8"))
+      Files.move(tmp, meta,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      ()
+    }
   }
 
   /** Streaming entry for the substring-dedup path. */
@@ -693,12 +749,14 @@ object CorpusIngest {
     if (!Files.exists(log)) Seq.empty
     else {
       import scala.jdk.CollectionConverters._
-      Files.list(log).iterator().asScala
+      val s = Files.list(log)
+      try s.iterator().asScala
         .map(_.getFileName.toString)
-        .collect { case s if s.startsWith("batch-") =>
-          s.stripPrefix("batch-").toLong }
+        .collect { case n if n.startsWith("batch-") =>
+          n.stripPrefix("batch-").toLong }
         .filter(id => Files.exists(Paths.get(s"$sketchDir/$prefix-$id")))
-        .toSeq
+        .toList
+      finally s.close()
     }
   }
 

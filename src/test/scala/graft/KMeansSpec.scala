@@ -229,6 +229,21 @@ class KMeansSpec extends SparkSpec {
     assert(scaledK(Long.MaxValue) == (1 << 20))
   }
 
+  test("gate fixtures sit below the scaledK floor the k=8 oracle literals assume") {
+    // shKmeans trains at scaledK(N) while embedKmeans / embedSemdedup
+    // / embedSemdedupCosine / embedBalancedSample / sql_semdedup all
+    // hard-code LIMIT 8 — they coincide only while every gate corpus
+    // stays at or under 8 * 1024 vectors. If a fixture ever grows past
+    // the floor, this breaks FIRST and names the remedy.
+    for (sf <- Seq("0.001", "0.01", "0.1")) {
+      val n = spark.read
+        .parquet(s"/root/testdata/sf$sf/embeddings.parquet").count()
+      assert(n <= 8192,
+        s"sf$sf holds $n embeddings: scaledK(n) > 8 diverges from " +
+          "every k=8-literal oracle — re-derive them at scaledK(n)")
+    }
+  }
+
   test("cosine keep rule diverges from d2 where norms vary, as the docstring warns") {
     import spark.implicits._
     // centroid at (10, 0); A = (30, 0) points AT it (cosine 1.0) but
