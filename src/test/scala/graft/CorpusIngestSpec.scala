@@ -197,6 +197,20 @@ class CorpusIngestSpec extends SparkSpec {
     // replay of batch 1 is a txn-log no-op
     assert(CorpusIngest.ingestBatchSubstring(b1, 1L, dir, w = 4) == 0L)
     assert(stored().size == 4)
+    // crash WINDOW replay: the append landed but the txn marker
+    // didn't (delete it to simulate) — the doc-id drain must re-admit
+    // NOTHING: without it, stored docs would re-append as empty rows
+    // (excised against their own windows) or verbatim (short docs)
+    Files.delete(java.nio.file.Paths.get(dir, "_txn", "batch-1"))
+    assert(CorpusIngest.ingestBatchSubstring(b1, 1L, dir, w = 4) == 0L)
+    assert(stored().size == 4)
+    assert(stored()(3L) == "z1 z2 z3")
+    // parameter drift is rejected loudly, naming both shapes
+    val eW = intercept[IllegalArgumentException] {
+      CorpusIngest.ingestBatchSubstring(b1, 9L, dir, w = 6)
+    }
+    assert(eW.getMessage.contains("w=4") &&
+      eW.getMessage.contains("w=6"), eW.getMessage)
   }
 
   test("near ingestion survives a stream restart from checkpoint") {
