@@ -48,20 +48,7 @@ object CentroidStore {
     committedGens(dir).lastOption.map(readManifest(dir, _))
 
   private def committedGens(dir: String): Seq[Long] =
-    if (!Files.exists(commitDir(dir))) Nil
-    else {
-      import scala.jdk.CollectionConverters._
-      // close the directory stream (this runs on EVERY micro-batch of
-      // the streaming consumer — an unclosed Files.list leaks one fd
-      // per call until finalization)
-      val s = Files.list(commitDir(dir))
-      try s.iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case n if n.startsWith("manifest-") =>
-          n.stripPrefix("manifest-").toLong }
-        .toList.sorted
-      finally s.close()
-    }
+    graft.DirIO.numberedEntries(commitDir(dir), "manifest-")
 
   /** Manifest format version — a mismatch errors LOUDLY for readers;
     * only [[build]] recovers (retrain as a fresh epoch). */
@@ -142,19 +129,14 @@ object CentroidStore {
   def vacuum(dir: String): Unit = {
     val live: Set[String] = committedGens(dir)
       .map(readManifest(dir, _)).map(_.centroids).toSet
-    import scala.jdk.CollectionConverters._
-    val top = Files.list(Paths.get(dir))
-    val entries = try top.iterator().asScala.toList finally top.close()
-    entries.foreach { p =>
+    graft.DirIO.listPaths(Paths.get(dir)).foreach { p =>
       val n = p.getFileName.toString
       if (n != "_commits" && !live.contains(n)) wipe(p)
     }
-    if (Files.exists(commitDir(dir))) {
-      val cs = Files.list(commitDir(dir))
-      val temps = try cs.iterator().asScala.toList finally cs.close()
-      temps.filter(_.getFileName.toString.startsWith("."))
+    if (Files.exists(commitDir(dir)))
+      graft.DirIO.listPaths(commitDir(dir))
+        .filter(_.getFileName.toString.startsWith("."))
         .foreach(p => { Files.deleteIfExists(p); () })
-    }
   }
 
   private def wipe(p: java.nio.file.Path): Unit =

@@ -104,19 +104,7 @@ object EmbedIndex {
     * versions (the upgrade path in [[build]] needs the latest gen of
     * an index it cannot otherwise read). */
   private def committedGens(dir: String): Seq[Long] =
-    if (!Files.exists(commitDir(dir))) Nil
-    else {
-      import scala.jdk.CollectionConverters._
-      // close the directory stream — an unclosed Files.list leaks an
-      // fd per call on reader hot paths
-      val s = Files.list(commitDir(dir))
-      try s.iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case n if n.startsWith("manifest-") =>
-          n.stripPrefix("manifest-").toLong }
-        .toList.sorted
-      finally s.close()
-    }
+    graft.DirIO.numberedEntries(commitDir(dir), "manifest-")
 
   /** Manifest format version. v2 (r14) added `epoch` (rebuild
     * namespacing), inlined the PQ geometry, and moved segment/sums/
@@ -316,15 +304,12 @@ object EmbedIndex {
     * the protocol. */
   def vacuum(dir: String): Unit = {
     manifest(dir).foreach { man =>
-      import scala.jdk.CollectionConverters._
       val live = man.segs.toSet ++ Set(man.sums, man.cents, "_commits")
-      val top = Files.list(Paths.get(dir))
-      val entries = try top.iterator().asScala.toList finally top.close()
-      entries.filterNot(p => live.contains(p.getFileName.toString))
+      graft.DirIO.listPaths(Paths.get(dir))
+        .filterNot(p => live.contains(p.getFileName.toString))
         .foreach(p => wipe(p.toString))
-      val cs = Files.list(commitDir(dir))
-      val manifests = try cs.iterator().asScala.toList finally cs.close()
-      manifests.filter(_.getFileName.toString != s"manifest-${man.gen}")
+      graft.DirIO.listPaths(commitDir(dir))
+        .filter(_.getFileName.toString != s"manifest-${man.gen}")
         .foreach(p => { Files.deleteIfExists(p); () })
     }
   }

@@ -675,28 +675,32 @@ object EmbedOps {
       centroids: DataFrame, threshold: Double = Double.NaN): DataFrame = {
     val (labeled, _) = semDedupLabeled(embeddings, assignments,
       resolvedThreshold(embeddings, threshold))
-    // LEFT joins + assert_true, not inner: a centroids frame from a
-    // DIFFERENT fit/epoch than the assignments (or an embeddings
-    // subset missing assigned ids) would otherwise drop whole vectors
-    // silently — undercounting group_size and moving keepers. The
-    // guard raises at execution naming the mismatch.
+    // LEFT joins + a raise_error branch INSIDE the retained cosine
+    // expression, not inner joins: a centroids frame from a DIFFERENT
+    // fit/epoch than the assignments (or an embeddings subset missing
+    // assigned ids) would otherwise drop whole vectors silently —
+    // undercounting group_size and moving keepers. The guard must
+    // live in a column the plan KEEPS: an assert_true in a
+    // subsequently-dropped column is pruned by Catalyst and never
+    // fires (measured on this Spark build), and null cosines would
+    // sort FIRST in the ascending keep rank — the mismatched vector
+    // would silently win.
     val withCos = labeled
       .join(embeddings.select(col("vec_id"),
           quantized(col("embedding")).as("q"))
         .withColumn("n2q", qnorm2(col("q"))), Seq("vec_id"), "left")
       .join(broadcast(centroids.select(col("centroid_id"), col("cv"))),
         Seq("centroid_id"), "left")
-      .withColumn("_chk", assert_true(
-        col("q").isNotNull && col("cv").isNotNull,
-        concat(lit("semDedupByCosineFrom: vec_id "), col("vec_id"),
-          lit(" / centroid_id "), col("centroid_id"),
-          lit(" missing from the embeddings/centroids frames — " +
-            "assignments and centroids must come from the SAME " +
-            "fit (epoch)"))))
       .withColumn("centroid_cosine",
-        cosineFromParts(qdot(col("q"), col("cv")), col("n2q"),
-          qnorm2(col("cv"))))
-      .drop("_chk")
+        when(col("q").isNotNull && col("cv").isNotNull,
+          cosineFromParts(qdot(col("q"), col("cv")), col("n2q"),
+            qnorm2(col("cv"))))
+          .otherwise(raise_error(
+            concat(lit("semDedupByCosineFrom: vec_id "), col("vec_id"),
+              lit(" / centroid_id "), col("centroid_id"),
+              lit(" missing from the embeddings/centroids frames — " +
+                "assignments and centroids must come from the SAME " +
+                "fit (epoch)")))))
     val keepW = Window.partitionBy(col("group_id"))
       .orderBy(col("centroid_cosine").asc, col("vec_id"))
     withCos
@@ -712,8 +716,12 @@ object EmbedOps {
     * (vec_id, centroid_id, d2, group_id) — the pair join, the
     * per-cluster union-find, and the singleton restore. Also returns
     * the CACHED pair frame so bounded-lifetime callers
-    * ([[semDedupKeepIds]]) can unpersist it; the plain variants
-    * leave it caller-managed (the returned plan references it). */
+    * ([[semDedupKeepIds]]) can unpersist it. The plain variants
+    * discard the handle: their returned plan references the cache,
+    * so it lives until Spark's LRU evicts it — a long-lived session
+    * issuing MANY fits should run spark.catalog.clearCache() between
+    * rounds (the [[kmeansAssignments]] cache policy), or use
+    * [[semDedupKeepIds]] where only the keep set is needed. */
   private def semDedupLabeled(embeddings: DataFrame,
       assignments: DataFrame, thr: Double): (DataFrame, DataFrame) = {
     val base = embeddings

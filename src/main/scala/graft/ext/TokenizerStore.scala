@@ -58,19 +58,7 @@ object TokenizerStore {
     * parsing manifest bodies (the upgrade path in [[build]] needs the
     * latest gen of a store it cannot otherwise read). */
   private def committedGens(dir: String): Seq[Long] =
-    if (!Files.exists(commitDir(dir))) Nil
-    else {
-      import scala.jdk.CollectionConverters._
-      // close the directory stream — an unclosed Files.list leaks an
-      // fd per call (the CentroidStore lesson, applied store-wide)
-      val s = Files.list(commitDir(dir))
-      try s.iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case n if n.startsWith("manifest-") =>
-          n.stripPrefix("manifest-").toLong }
-        .toList.sorted
-      finally s.close()
-    }
+    graft.DirIO.numberedEntries(commitDir(dir), "manifest-")
 
   /** Manifest format version. Bumped on any incompatible layout
     * change; a version mismatch is a LOUD error for readers, never a
@@ -187,19 +175,14 @@ object TokenizerStore {
     val live: Set[String] = committedGens(dir)
       .map(readManifest(dir, _))
       .flatMap(m => Seq(m.merges, m.vocab)).toSet
-    import scala.jdk.CollectionConverters._
-    val top = Files.list(Paths.get(dir))
-    val entries = try top.iterator().asScala.toList finally top.close()
-    entries.foreach { p =>
+    graft.DirIO.listPaths(Paths.get(dir)).foreach { p =>
       val n = p.getFileName.toString
       if (n != "_commits" && !live.contains(n)) wipe(p)
     }
-    if (Files.exists(commitDir(dir))) {
-      val cs = Files.list(commitDir(dir))
-      val temps = try cs.iterator().asScala.toList finally cs.close()
-      temps.filter(_.getFileName.toString.startsWith("."))
+    if (Files.exists(commitDir(dir)))
+      graft.DirIO.listPaths(commitDir(dir))
+        .filter(_.getFileName.toString.startsWith("."))
         .foreach(p => { Files.deleteIfExists(p); () })
-    }
   }
 
   private def wipe(p: java.nio.file.Path): Unit =

@@ -25,15 +25,8 @@ object EmailJobSink {
 
   private def readIfExists(spark: org.apache.spark.sql.SparkSession,
       dir: String): Option[DataFrame] =
-    if (Files.exists(Paths.get(dir)) && nonEmptyDir(dir))
-      Some(spark.read.parquet(dir))
+    if (graft.DirIO.nonEmpty(dir)) Some(spark.read.parquet(dir))
     else None
-
-  // findFirst on an unclosed Files.list leaks the directory stream
-  private def nonEmptyDir(dir: String): Boolean = {
-    val s = Files.list(Paths.get(dir))
-    try s.findFirst().isPresent finally s.close()
-  }
 
   /** Idempotent append: only jobs whose dedup_id is not yet in the sink
     * are written. Returns the number of newly written rows. */
@@ -114,15 +107,7 @@ object EmailJobSink {
       val log = Paths.get(logDir)
       if (!Files.exists(log)) Seq.empty
       else {
-        import scala.jdk.CollectionConverters._
-        // close the directory stream — this runs once per micro-batch
-        val s = Files.list(log)
-        try s.iterator().asScala
-          .map(_.getFileName.toString)
-          .collect { case n if n.startsWith("batch-") =>
-            n.stripPrefix("batch-").toLong }
-          .toList
-        finally s.close()
+        graft.DirIO.numberedEntries(log, "batch-")
       }
     }
 

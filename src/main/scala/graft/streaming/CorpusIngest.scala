@@ -63,16 +63,8 @@ object CorpusIngest {
     readIfAny(spark, dataDir).map(_.select(col("content_md5")).distinct())
 
   private def readIfAny(spark: SparkSession, dir: String): Option[DataFrame] =
-    if (Files.exists(Paths.get(dir)) && nonEmptyDir(dir))
-      Some(spark.read.parquet(dir))
+    if (graft.DirIO.nonEmpty(dir)) Some(spark.read.parquet(dir))
     else None
-
-  // findFirst on an unclosed Files.list leaks the directory stream —
-  // and this runs (several times) on EVERY micro-batch
-  private def nonEmptyDir(dir: String): Boolean = {
-    val s = Files.list(Paths.get(dir))
-    try s.findFirst().isPresent finally s.close()
-  }
 
   /** [[ingestBatch]] plus a NEAR-dup layer: after exact suppression,
     * the batch dedups against ITSELF at the near level (one canonical
@@ -323,22 +315,50 @@ object CorpusIngest {
     // the window index is only meaningful at ONE window width: a
     // restart with a different w would probe 4-token hashes against
     // 8-token hashes and silently match nothing — reject loudly (the
-    // CentroidStore manifest discipline, minimally)
-    requireSubstringMeta(corpusDir, w, occCap)
+    // CentroidStore manifest discipline, minimally). Validation only;
+    // the stamp lands inside the first SUCCESSFUL batch below, so a
+    // misconfigured run that never ingested anything doesn't lock an
+    // empty corpus to the wrong parameters.
+    validateSubstringMeta(corpusDir, w, occCap)
     var appended = 0L
     TxnLog.runOnce(logDir, batchId) {
-      // doc-id replay drain: a crash BETWEEN the append and the txn
-      // marker leaves the docs stored but the batch unmarked; on
+      // doc-id replay drain: a crash BETWEEN the data append and the
+      // txn marker leaves the docs stored but the batch unmarked; on
       // replay the excision path would re-admit them (an already-
       // stored doc excises against its own windows to an empty row,
       // and a short doc has no windows at all), so the layer every
       // other ingest path gets from digest/cosine suppression is an
-      // anti-join on the append-only corpus's doc ids here
+      // anti-join on the append-only corpus's doc ids. CONTRACT:
+      // doc_id is the IMMUTABLE identity — a re-send with changed
+      // text is a replay here and is dropped; revision streams must
+      // mint new doc ids (or run the corpus-upsert path), the same
+      // identity rule as the digest-keyed layers.
       val incoming0 = batch.select(col("doc_id"), col("text"))
       val incoming = readIfAny(spark, dataDir) match {
         case Some(stored) =>
-          incoming0.join(stored.select(col("doc_id")),
-            Seq("doc_id"), "left_anti")
+          val already = incoming0
+            .join(stored.select(col("doc_id")), Seq("doc_id"), "left_semi")
+            .select(col("doc_id")).localCheckpoint()
+          if (already.count() > 0) {
+            // replay evidence — HEAL the other crash window: data
+            // appended but the wins append lost. Without this, those
+            // docs' windows would be missing from the index forever
+            // and future batches would silently stop excising text
+            // duplicated from them. Windows come from the STORED
+            // (cleaned) text, never the raw resend.
+            val missing = readIfAny(spark, winsDir) match {
+              case Some(ws) => already.join(
+                ws.select(col("doc_id")).distinct(),
+                Seq("doc_id"), "left_anti")
+              case None => already
+            }
+            val heal = graft.ext.TextOps.winOcc(
+              stored.join(missing, Seq("doc_id"), "left_semi"), w)
+              .localCheckpoint()
+            if (heal.count() > 0)
+              heal.write.mode(SaveMode.Append).parquet(winsDir)
+          }
+          incoming0.join(already, Seq("doc_id"), "left_anti")
         case None => incoming0
       }
       // phase 1 pinned: dedupExcise's plan references its input three
@@ -362,6 +382,10 @@ object CorpusIngest {
         .localCheckpoint()
       appended = cleaned.count()
       if (appended > 0) {
+        // parameters committed WITH the first data (batch-id-keyed
+        // temp: two racing first writers each move their own file,
+        // last atomic rename wins and both then validate against it)
+        stampSubstringMeta(corpusDir, w, occCap, batchId)
         cleaned.write.mode(SaveMode.Append).parquet(dataDir)
         graft.ext.TextOps.winOcc(cleaned, w)
           .write.mode(SaveMode.Append).parquet(winsDir)
@@ -370,9 +394,10 @@ object CorpusIngest {
     appended
   }
 
-  /** First ingest stamps (w, occCap) into `_meta` (write-temp +
-    * atomic rename); every later one validates against it. */
-  private def requireSubstringMeta(corpusDir: String, w: Int,
+  /** Reject an ingest whose (w, occCap) disagree with the stamped
+    * `_meta` — the stored window index only matches at its own
+    * parameters. No-op until a first successful batch stamps it. */
+  private def validateSubstringMeta(corpusDir: String, w: Int,
       occCap: Int): Unit = {
     val meta = Paths.get(corpusDir, "_meta")
     if (Files.exists(meta)) {
@@ -388,12 +413,19 @@ object CorpusIngest {
           s"with w=$w occ_cap=$occCap — the stored window index only " +
           "matches at its own parameters (restart with them, or " +
           "rebuild the corpus)")
-    } else {
+    }
+  }
+
+  private def stampSubstringMeta(corpusDir: String, w: Int, occCap: Int,
+      batchId: Long): Unit = {
+    val meta = Paths.get(corpusDir, "_meta")
+    if (!Files.exists(meta)) {
       Files.createDirectories(Paths.get(corpusDir))
-      val tmp = Paths.get(corpusDir, s".meta.tmp")
+      val tmp = Paths.get(corpusDir, s".meta.$batchId.tmp")
       Files.write(tmp, s"w=$w\nocc_cap=$occCap\n".getBytes("UTF-8"))
       Files.move(tmp, meta,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       ()
     }
   }
@@ -748,15 +780,8 @@ object CorpusIngest {
     val log = Paths.get(s"$sketchDir/_txn")
     if (!Files.exists(log)) Seq.empty
     else {
-      import scala.jdk.CollectionConverters._
-      val s = Files.list(log)
-      try s.iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case n if n.startsWith("batch-") =>
-          n.stripPrefix("batch-").toLong }
+      graft.DirIO.numberedEntries(log, "batch-")
         .filter(id => Files.exists(Paths.get(s"$sketchDir/$prefix-$id")))
-        .toList
-      finally s.close()
     }
   }
 

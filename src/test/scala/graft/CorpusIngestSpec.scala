@@ -213,6 +213,35 @@ class CorpusIngestSpec extends SparkSpec {
       eW.getMessage.contains("w=6"), eW.getMessage)
   }
 
+  test("substring ingestion heals a wins append lost in the crash window") {
+    import org.apache.spark.sql.SaveMode
+    val dir = Files.createTempDirectory("graft-substr-heal").toString
+    val b0 = Seq((1L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10")).toDF("doc_id", "text")
+    assert(CorpusIngest.ingestBatchSubstring(b0, 0L, dir, w = 4) == 1L)
+    // simulate the crash BETWEEN the data append and the wins append
+    // of batch 1: the doc landed in data/, its windows and the txn
+    // marker did not
+    val crashedText = "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10"
+    Seq((5L, crashedText)).toDF("doc_id", "text")
+      .write.mode(SaveMode.Append).parquet(s"$dir/data")
+    assert(spark.read.parquet(s"$dir/wins")
+      .filter($"doc_id" === 5L).count() == 0L)
+    // the replay drains the doc (0 appended) AND heals its windows
+    // from the STORED text
+    assert(CorpusIngest.ingestBatchSubstring(
+      Seq((5L, crashedText)).toDF("doc_id", "text"), 1L, dir, w = 4) == 0L)
+    assert(spark.read.parquet(s"$dir/wins")
+      .filter($"doc_id" === 5L).count() == 7L) // 10 - 4 + 1 windows
+    // and the healed index actually dedups: a later doc repeating the
+    // crashed doc's text is excised against it
+    assert(CorpusIngest.ingestBatchSubstring(
+      Seq((6L, s"x0 $crashedText")).toDF("doc_id", "text"),
+      2L, dir, w = 4) == 1L)
+    val doc6 = spark.read.parquet(s"$dir/data")
+      .filter($"doc_id" === 6L).select("text").as[String].head()
+    assert(doc6 == "x0", doc6)
+  }
+
   test("near ingestion survives a stream restart from checkpoint") {
     implicit val sqlCtx = spark.sqlContext
     val corpusDir = Files.createTempDirectory("graft-near-restart").toString
