@@ -44,6 +44,7 @@ object GraftSql {
       graft.plans.DsirSql.register(spark)
       graft.plans.SemDedupSql.register(spark)
       graft.plans.IndexSearchSql.register(spark)
+      graft.plans.DupSpansSql.register(spark)
       graft.functions.CosineSimilarity.register(spark)
       graft.functions.RollingMinHash.register(spark)
       graft.functions.SimHash32.register(spark)

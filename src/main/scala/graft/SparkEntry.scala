@@ -264,6 +264,34 @@ object SparkEntry {
       s"SELECT * FROM index_search('${shIndexFull(s, d)}', " +
         "TABLE(SELECT vec_id, embedding FROM embeddings " +
         "WHERE vec_id % 97 = 0), 5, 2)")),
+    // the SERVING-CONTRACT shapes (r18): similarity search with a
+    // FIXED query set against a growing corpus — the 100-TB posture,
+    // where queries arrive from outside and |Q| does not scale with
+    // the data. The vec_id < 2000 bound covers every gate corpus
+    // whole (sf0.01 max id 499, sf0.1 max id 1999 — the predicate is
+    // a no-op there, so the oracle shares sql_knn's result shape),
+    // while on ScaleGen ladder rungs (ids offset per replica) it pins
+    // |Q| to the 1× replica's 21 queries: the scale ladder measures
+    // per-corpus-size cost at FIXED load, not |Q|·N growth
+    // (ladder_100x_r17's sql_knn flag measured exactly that contract
+    // violation)
+    "sql_knn_serving" -> ((s, d) => GraftSql.sql(s, d, """
+      SELECT * FROM knn_join(TABLE(SELECT vec_id, embedding
+                                   FROM embeddings
+                                   WHERE vec_id % 97 = 0
+                                     AND vec_id < 2000),
+                             'embeddings', 'vec_id', 'embedding', 5)""")),
+    "sql_index_search_serving" -> ((s, d) => GraftSql.sql(s, d,
+      s"SELECT * FROM index_search('${shIndexFull(s, d)}', " +
+        "TABLE(SELECT vec_id, embedding FROM embeddings " +
+        "WHERE vec_id % 97 = 0 AND vec_id < 2000), 5, 2)")),
+    // substring dedup from SQL text — the EIGHTH and NINTH table
+    // functions (plans/DupSpansSql.scala): same plans as
+    // text_dup_maximal_spans / text_dedup_excise, same oracles
+    "sql_dup_spans" -> ((s, d) => GraftSql.sql(s, d,
+      "SELECT * FROM dup_spans('documents', 'doc_id', 'text', 8, 64)")),
+    "sql_excise" -> ((s, d) => GraftSql.sql(s, d,
+      "SELECT * FROM dedup_excise('documents', 'doc_id', 'text', 8, 64)")),
     // explicit two-phase salted aggregation (result ≡ plain groupBy)
     "events_salted_counts" -> ((s, d) => ext.Skew.saltedTypeCounts(Tables.events(s, d))),
     // per-type z-score outliers from exact quantized moments
@@ -1045,6 +1073,11 @@ object SparkEntry {
     Artifacts.obj(s, d, "embed/centroid_store") {
       val dir = centroidRoot(d)
       CentroidStore.build(emb(s, d), dir)
+      // the root persists across sessions and each session trains one
+      // fresh generation — without retention the store accumulates a
+      // full centroid epoch per session forever; this session only
+      // ever reads the generation it just committed
+      CentroidStore.vacuum(dir)
       dir
     }
   private def shTf(s: SparkSession, d: String): DataFrame =
@@ -1136,6 +1169,10 @@ object SparkEntry {
     "sql_dsir" -> OracleSqlExt.sampleDsir,
     "sql_semdedup" -> OracleSqlExt.embedSemdedup,
     "sql_index_search" -> OracleSqlExt.embedIvfPqTopK,
+    "sql_knn_serving" -> OracleSqlExt.sqlKnnServing,
+    "sql_index_search_serving" -> OracleSqlExt.embedIvfPqTopKServing,
+    "sql_dup_spans" -> OracleSqlExt.textDupMaximalSpans,
+    "sql_excise" -> OracleSqlExt.textDedupExcise,
     "events_range" -> OracleSqlExt.eventsRange,
     "events_salted_counts" -> OracleSqlExt.eventsSaltedCounts,
     "events_anomalies" -> OracleSqlExt.eventsAnomalies,

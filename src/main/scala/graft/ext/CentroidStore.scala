@@ -71,14 +71,30 @@ object CentroidStore {
       kv("centroids"))
   }
 
-  private def publish(dir: String, m: Manifest): Unit = {
+  /** Commit a manifest generation FIRST WRITER WINS: full content to
+    * a temp, then an atomic hard link (link(2) — complete content,
+    * EEXIST for every linker but the first; a rename-based move would
+    * silently REPLACE on POSIX, letting a racing builder clobber a
+    * committed generation). The loser errors loudly — its data dir is
+    * an orphan [[vacuum]] reclaims. */
+  private[graft] def publish(dir: String, m: Manifest): Unit = {
     Files.createDirectories(commitDir(dir))
     val body = s"format=$FormatVersion\nepoch=${m.epoch}\nk=${m.k}\n" +
       s"iters=${m.iters}\ncentroids=${m.centroids}\n"
-    val tmp = commitDir(dir).resolve(s".manifest-${m.gen}.tmp")
+    val tmp = commitDir(dir).resolve(s".manifest-${m.gen}.tmp-${m.centroids}")
     Files.write(tmp, body.getBytes("UTF-8"))
-    Files.move(tmp, commitDir(dir).resolve(s"manifest-${m.gen}"),
-      StandardCopyOption.ATOMIC_MOVE)
+    try Files.createLink(commitDir(dir).resolve(s"manifest-${m.gen}"), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"centroid store at $dir: generation ${m.gen} was committed " +
+            "by a concurrent builder — this build's centroids " +
+            s"(${m.centroids}) are NOT published; re-run build() to " +
+            "train the next generation (vacuum reclaims the orphan)")
+    } finally {
+      Files.deleteIfExists(tmp)
+      ()
+    }
     ()
   }
 
@@ -88,7 +104,15 @@ object CentroidStore {
     * prefix beside the committed data and swaps the manifest last. An
     * old-format manifest reads as "no committed store this build can
     * extend": the rebuild starts past the legacy generations under a
-    * non-colliding epoch (the [[EmbedIndex]] upgrade path). */
+    * non-colliding epoch (the [[EmbedIndex]] upgrade path).
+    *
+    * CONCURRENCY: each attempt trains into its OWN nonce-suffixed dir
+    * (recorded in the manifest), so a published generation can never
+    * reference a directory another writer touched; the manifest link
+    * is first-writer-wins, so two racing builders that computed the
+    * same generation number publish exactly one of them and the loser
+    * fails loudly. A crashed build leaves an orphan dir and no
+    * manifest — invisible to readers, reclaimed by [[vacuum]]. */
   def build(embeddings: DataFrame, dir: String,
       targetBlock: Int = 1024, iters: Int = 2): Unit = {
     val (prev, legacyLastGen) =
@@ -101,12 +125,13 @@ object CentroidStore {
     val epoch = prev.map(_.epoch + 1).getOrElse(gen)
     val k = EmbedOps.scaledK(embeddings.count(), targetBlock)
     Files.createDirectories(Paths.get(dir))
-    // mode=overwrite: a crashed build retried before any publish
-    // recomputes the same epoch and overwrites its own torn dirs
+    val nonce = java.lang.Long.toHexString(
+      ProcessHandle.current().pid() ^ (System.nanoTime() << 16))
+    val dataName = s"e$epoch-centroids-$nonce"
     EmbedOps.kmeansCentroids(embeddings, k, iters)
-      .write.mode("overwrite").parquet(s"$dir/e$epoch-centroids")
+      .write.mode("overwrite").parquet(s"$dir/$dataName")
     publish(dir, Manifest(gen = gen, epoch = epoch, k = k,
-      iters = iters, centroids = s"e$epoch-centroids"))
+      iters = iters, centroids = dataName))
   }
 
   /** The committed centroid frame — [[EmbedOps.assignAgainst]] takes
@@ -124,18 +149,33 @@ object CentroidStore {
     spark.read.parquet(s"$dir/${man.centroids}")
   }
 
-  /** Reclaim data dirs no manifest generation references and abandoned
-    * manifest temps — the only destructive step in the protocol. */
-  def vacuum(dir: String): Unit = {
-    val live: Set[String] = committedGens(dir)
-      .map(readManifest(dir, _)).map(_.centroids).toSet
+  /** Reclaim superseded generations (their manifests AND the data
+    * dirs only they reference), orphan data dirs no manifest
+    * references, and abandoned manifest temps — the only destructive
+    * step in the protocol. Keeps the newest `keepGenerations`
+    * manifests readable as time travel (default 1 — the
+    * [[EmbedIndex.vacuum]] posture: only the latest survives);
+    * generations older than that are GONE after this, so a session
+    * that rebuilds per run without bounding the store should vacuum
+    * after each commit ([[graft.SparkEntry]]'s store helper does). */
+  def vacuum(dir: String, keepGenerations: Int = 1): Unit = {
+    require(keepGenerations >= 1,
+      s"keepGenerations must be >= 1 (got $keepGenerations)")
+    val keep = committedGens(dir).takeRight(keepGenerations)
+    val live: Set[String] =
+      keep.map(readManifest(dir, _)).map(_.centroids).toSet
     graft.DirIO.listPaths(Paths.get(dir)).foreach { p =>
       val n = p.getFileName.toString
       if (n != "_commits" && !live.contains(n)) wipe(p)
     }
     if (Files.exists(commitDir(dir)))
       graft.DirIO.listPaths(commitDir(dir))
-        .filter(_.getFileName.toString.startsWith("."))
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith(".") ||
+            (n.startsWith("manifest-") &&
+              !keep.contains(n.stripPrefix("manifest-").toLong))
+        }
         .foreach(p => { Files.deleteIfExists(p); () })
   }
 

@@ -722,8 +722,17 @@ object EmbedOps {
     * issuing MANY fits should run spark.catalog.clearCache() between
     * rounds (the [[kmeansAssignments]] cache policy), or use
     * [[semDedupKeepIds]] where only the keep set is needed. */
-  private def semDedupLabeled(embeddings: DataFrame,
-      assignments: DataFrame, thr: Double): (DataFrame, DataFrame) = {
+  /** Per-task vertex-map bound for [[semDedupLabeled]]'s per-cluster
+    * union-find: a cluster whose 2·edges exceed this falls back to the
+    * distributed CC. 2¹⁶ map entries ≈ a few MB per task — 64× the
+    * [[scaledK]] targetBlock, far above any scaled assignment and far
+    * below executor-heap danger. */
+  private[graft] val DegenerateClusterVertexBound: Long = 1L << 16
+
+  private[graft] def semDedupLabeled(embeddings: DataFrame,
+      assignments: DataFrame, thr: Double,
+      ufBound: Long = DegenerateClusterVertexBound)
+      : (DataFrame, DataFrame) = {
     val base = embeddings
       .select(col("vec_id"), quantized(col("embedding")).as("q"))
       .withColumn("n2", qnorm2(col("q")))
@@ -765,8 +774,32 @@ object EmbedOps {
     // the oracle's recursive CTE) bit-for-bit. Singletons are
     // restored by the left join + coalesce below (the oracle's
     // COALESCE(group_id, vec_id) shape).
+    // Degenerate-k guard (the union-find's memory contract): one task
+    // holds one map entry per vertex that appears in a cluster's edge
+    // set — ≤ 2·edges(cluster), which under scaledK assignments is
+    // ~targetBlock. But the public entries accept ANY k (semDedupFrom's
+    // demo default is 8, the TVF allows k=1), where one cluster's edge
+    // set can approach N²/2 and the per-task map becomes an executor-
+    // memory bomb. The edge frame is already materialized (cached +
+    // counted above), so the per-cluster max is one cheap aggregate;
+    // past the bound, fall back to the distributed iterative CC —
+    // O(log diameter) shuffle rounds instead of one, but memory-
+    // bounded. Labels are IDENTICAL on both paths (union-by-min-id ==
+    // min-label propagation: both converge to the component minimum),
+    // so the fallback changes cost, never answers — SemDedupGuardSpec
+    // pins the equality across the boundary.
+    val maxClusterEdges =
+      Option(pairs.groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("n")).agg(max(col("n"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
     import embeddings.sparkSession.implicits._
-    val labels = pairs.as[(Long, Long, Long)]
+    val labels = if (2L * maxClusterEdges > ufBound) {
+      val verts = pairs.select(col("vec_a").as("vec_id"))
+        .unionByName(pairs.select(col("vec_b").as("vec_id"))).distinct()
+      Graph.connectedComponents(verts,
+          pairs.select(col("vec_a"), col("vec_b")))
+        .select(col("id").as("vec_id"), col("label").as("group_id"))
+    } else pairs.as[(Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroups { (_, edges) =>
         val parent = scala.collection.mutable.HashMap.empty[Long, Long]

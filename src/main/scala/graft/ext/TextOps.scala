@@ -1660,13 +1660,32 @@ object TextOps {
     * form; no doc-id ordering is applied — the caller's frame split
     * IS the keep policy. */
   private[graft] def crossDupSpans(occA: DataFrame, occB: DataFrame,
-      w: Int = 8, occCap: Int = 64): DataFrame = {
-    def capped(occ: DataFrame) = occ.join(
-      occ.groupBy(col("h")).agg(count(lit(1)).as("nocc"))
+      w: Int = 8, occCap: Int = 64): DataFrame =
+    crossDupSpansWithCounts(occA,
+      occA.groupBy(col("h")).agg(count(lit(1)).as("nocc")),
+      occB, w, occCap)
+
+  /** [[crossDupSpans]] with the A-side per-hash occurrence counts
+    * PRECOMPUTED — the streaming substring ingest maintains them
+    * incrementally (`wincnt/`), so the stored-side cap filter reads a
+    * pre-aggregated table instead of re-counting every stored window
+    * occurrence per micro-batch. `cntA` is (h, nocc); the cap is
+    * applied as an ANTI join on hashes KNOWN to exceed it, so a hash
+    * absent from (or lagging in) the maintained counts stays eligible
+    * — the maintained table can only undercount (its append trails
+    * the wins append), and undercounting must widen the probe, never
+    * silently drop recall. */
+  private[graft] def crossDupSpansWithCounts(occA: DataFrame,
+      cntA: DataFrame, occB: DataFrame, w: Int, occCap: Int): DataFrame = {
+    val cappedA = occA.join(
+      cntA.filter(col("nocc") > occCap).select(col("h")),
+      Seq("h"), "left_anti")
+    val cappedB = occB.join(
+      occB.groupBy(col("h")).agg(count(lit(1)).as("nocc"))
         .filter(col("nocc") <= occCap).select(col("h")), Seq("h"))
-    islandize(capped(occA).select(col("h"), col("doc_id").as("doc_a"),
+    islandize(cappedA.select(col("h"), col("doc_id").as("doc_a"),
         col("pos").as("pos_a"))
-      .join(capped(occB).select(col("h"), col("doc_id").as("doc_b"),
+      .join(cappedB.select(col("h"), col("doc_id").as("doc_b"),
         col("pos").as("pos_b")), Seq("h")), w)
   }
 

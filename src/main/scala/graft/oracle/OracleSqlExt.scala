@@ -2651,8 +2651,8 @@ SELECT query_id, rank, vec_id AS neighbor_id, cosine FROM ranked WHERE rank <= 5
   /** Mirror of the knn_join TVF query: embedTopK without the
     * self-exclusion (the generic join keeps self-matches — each query
     * row ranks itself first at cosine 1.0). */
-  val sqlKnn: String = quantCte + s""",
-qs AS (SELECT vec_id AS query_id, qv AS qq FROM q WHERE vec_id % 97 = 0),
+  private def sqlKnnWhere(qWhere: String): String = quantCte + s""",
+qs AS (SELECT vec_id AS query_id, qv AS qq FROM q WHERE $qWhere),
 scored AS (
   SELECT qs.query_id, q.vec_id, ${cosineSql("qs.qq", "q.qv")} AS cosine
   FROM q, qs),
@@ -2661,6 +2661,14 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
   FROM scored)
 SELECT query_id, rank, vec_id AS neighbor_id, cosine FROM ranked WHERE rank <= 5"""
+
+  val sqlKnn: String = sqlKnnWhere("vec_id % 97 = 0")
+
+  /** The SERVING-CONTRACT spelling: a FIXED query set (the vec_id <
+    * 2000 ceiling covers every gate corpus whole — a no-op there —
+    * and pins |Q| to the 1× replica on ScaleGen ladder rungs). */
+  val sqlKnnServing: String =
+    sqlKnnWhere("vec_id % 97 = 0 AND vec_id < 2000")
 
   /** Mirror of EmbedOps.mipsTopK: pure integer quantized dot product,
     * rank by (dot DESC, vec_id) — no float anywhere. */
@@ -3084,10 +3092,17 @@ FROM n GROUP BY label"""
   def embedIvfPqTopKAt(nprobe: Int): String =
     quantCte + pqTrainCtes + ivfPqSearchTail(nprobe)
 
+  /** [[embedIvfPqTopK]] restricted to the SERVING-CONTRACT fixed
+    * query set (vec_id < 2000 — a no-op on the gate corpora, a fixed
+    * |Q| on ScaleGen ladder rungs). */
+  val embedIvfPqTopKServing: String =
+    quantCte + pqTrainCtes + ivfPqSearchTail(2, servingCeil = Some(2000L))
+
   /** The IVF-PQ search tail shared by the in-session and persisted-
     * index oracles: coarse floor-mean centroids over the FULL corpus,
     * nprobe nearest lists per query, ADC inside probed lists, top-5. */
-  private def ivfPqSearchTail(nprobe: Int): String = s""",
+  private def ivfPqSearchTail(nprobe: Int,
+      servingCeil: Option[Long] = None): String = s""",
 coarse AS (
   SELECT label, list(CAST((s - ((s % n) + n) % n) // n AS BIGINT) ORDER BY i) AS ccv
   FROM (SELECT label, t.i, SUM(qv[t.i]) AS s, COUNT(*) AS n
@@ -3100,13 +3115,13 @@ probes AS (
            row_number() OVER (PARTITION BY qq.vec_id
              ORDER BY ${coarseD2Sql("qq.qv", "c.ccv")}, c.label) AS pr
     FROM q qq CROSS JOIN coarse c
-    WHERE qq.vec_id % 97 = 0)
+    WHERE qq.vec_id % 97 = 0${servingCeil.map(c => s" AND qq.vec_id < $c").getOrElse("")})
   WHERE pr <= $nprobe),
 dt AS (
   SELECT s.vec_id AS query_id, s.sub, c.centroid_id,
          ${pqD2Sql("s.sq", "c.cv")} AS dt
   FROM subs s JOIN c1 c ON c.sub = s.sub
-  WHERE s.vec_id % 97 = 0),
+  WHERE s.vec_id % 97 = 0${servingCeil.map(c => s" AND s.vec_id < $c").getOrElse("")}),
 ad AS (
   SELECT d.query_id, ql.label, co.vec_id, CAST(SUM(d.dt) AS BIGINT) AS adist
   FROM codes co

@@ -215,69 +215,197 @@ object CorpusIngest {
     * unrelated to the clustering the batch query dedups within.
     * Per micro-batch:
     *
-    *   1. assign incoming vectors to the frozen centroids
+    *   1. replay-drain against the append-only corpus's vec ids
+    *      (vec_id is the IMMUTABLE identity, the same contract as
+    *      [[ingestBatchSubstring]]'s doc_id drain) — a crash between
+    *      the data append and the txn marker must not re-admit; on
+    *      replay evidence the reps append lost in the second crash
+    *      window is HEALED from stored state;
+    *   2. assign incoming vectors to the frozen centroids
     *      ([[graft.ext.EmbedOps.assignAgainst]] — broadcast argmin,
     *      no re-clustering, ever);
-    *   2. in-batch semantic dedup via
-    *      [[graft.ext.EmbedOps.semDedupFrom]] over those assignments
-    *      — keep exactly the member the batch query would keep;
-    *   3. suppress survivors whose stored SAME-CLUSTER corpus
-    *      neighbor verifies at cosine ≥ threshold (the stored frame
-    *      carries centroid_id from its own ingest, so the probe is an
-    *      equi join on centroid_id — cluster-blocked, never a corpus
-    *      rescan);
-    *   4. append survivors (with centroid_id) to data/.
+    *   3. in-batch semantic dedup via
+    *      [[graft.ext.EmbedOps.semDedupKeepIds]] over those
+    *      assignments — keep exactly the member the batch query
+    *      would keep;
+    *   4. suppress survivors that cosine-verify (≥ threshold)
+    *      against their cluster's BOUNDED representative set
+    *      (reps/ — at most `repCap` stored vectors per centroid, in
+    *      admission order);
+    *   5. append survivors (with centroid_id) to data/ and admit
+    *      them to reps/ up to each cluster's remaining capacity.
+    *
+    * WHY the probe is bounded: centroids are train-time FROZEN (the
+    * [[graft.ext.CentroidStore]] contract — moving one re-labels
+    * history), so [[graft.ext.EmbedOps.scaledK]] bounds cluster
+    * occupancy at TRAIN time only; as the stream appends past the
+    * training corpus, stored rows per centroid grow without bound,
+    * and a probe against the FULL stored cluster (the pre-r18 form)
+    * costs Σ_c batch_c × stored_c per batch — linear in everything
+    * ever ingested, a per-batch scale-killer over a long stream. The
+    * reps cap makes the probe's candidate set ≤ |batch| × repCap by
+    * construction, so per-batch wall is flat in corpus lifetime
+    * (measured: `bench_results/ingest_growth.json`).
+    *
+    * The TRADE: suppression is exact (identical keep set to a
+    * full-corpus probe — CorpusIngestSpec pins it) while every
+    * cluster holds ≤ repCap stored vectors; past the cap, a new
+    * vector is probed against the first repCap arrivals only, so a
+    * duplicate of a LATER-arrived member can slip through — the
+    * recall trade is MEASURED, never silent ([[semanticProbeAudit]]:
+    * saturated-cluster and unrepresented-row counts), and the
+    * backstop is the retrain EPOCH: a fresh [[graft.ext
+    * .CentroidStore.build]] re-buckets the grown corpus at its own
+    * scaledK, restoring ~targetBlock occupancy so repCap ≥
+    * targetBlock again covers whole clusters. The default repCap =
+    * 1024 is exactly scaledK's targetBlock.
     *
     * Same effectively-once layering as every ingest path: TxnLog
-    * batch marker for replay skip, and the stored-corpus probe
-    * re-suppresses previously appended content even without it.
+    * batch marker for replay skip, the vec_id drain re-suppresses a
+    * replayed batch even without it, and the reps heal closes the
+    * two-append crash window.
     *
-    * Scale posture: the only non-broadcast join is equi on
-    * centroid_id with [[graft.ext.EmbedOps.scaledK]]-bounded cluster
-    * sizes; cosine verification pays only for candidate pairs. */
+    * Scale posture: the only corpus-sized read is the vec_id drain
+    * (column-pruned 8-byte-per-row scan — at 100 TB a compacted id
+    * index, same join); the probe joins the batch against the
+    * k×repCap-bounded reps table; cosine verification pays only for
+    * candidate pairs. */
   def ingestBatchSemanticCentroid(batch: DataFrame, batchId: Long,
       indexDir: String, centroidDir: String,
-      threshold: Double = Double.NaN): Long = {
+      threshold: Double = Double.NaN, repCap: Int = 1024): Long = {
+    require(repCap >= 1, s"repCap must be >= 1 (got $repCap)")
     val spark = batch.sparkSession
     val thr = if (threshold.isNaN)
       graft.GraftConf.cosineThreshold(spark) else threshold
     val dataDir = s"$indexDir/data"
+    val repsDir = s"$indexDir/reps"
     val logDir = s"$indexDir/_txn"
     var appended = 0L
     TxnLog.runOnce(logDir, batchId) {
       val cents = graft.ext.CentroidStore.centroids(spark, centroidDir)
-      val asg = graft.ext.EmbedOps.assignAgainst(batch, cents)
+      // replay drain + reps heal (crash window 2: data appended, reps
+      // append lost). Also bootstraps reps/ for a corpus written
+      // before the bounded-probe layout existed: a data dir with no
+      // reps would otherwise probe against nothing.
+      val incoming = readIfAny(spark, dataDir) match {
+        case Some(stored) =>
+          val already = batch
+            .join(stored.select(col("vec_id")), Seq("vec_id"), "left_semi")
+            .select(col("vec_id")).localCheckpoint()
+          val replayed = already.count() > 0
+          val repsEmpty = !graft.DirIO.nonEmpty(repsDir)
+          if (replayed || repsEmpty) {
+            // heal scope: on replay, the replayed ids; on an
+            // unrepresented legacy/torn store, everything stored
+            val scope =
+              if (repsEmpty) stored
+              else stored.join(already, Seq("vec_id"), "left_semi")
+            val missing = readIfAny(spark, repsDir) match {
+              case Some(r) => scope.join(
+                r.select(col("vec_id")), Seq("vec_id"), "left_anti")
+              case None => scope
+            }
+            admitReps(spark, missing.select(col("centroid_id"),
+              col("vec_id"), col("embedding")), repsDir, repCap)
+          }
+          batch.join(already, Seq("vec_id"), "left_anti")
+        case None => batch
+      }
+      val asg = graft.ext.EmbedOps.assignAgainst(incoming, cents)
       // the bounded-lifetime form: semDedupFrom's internal pair cache
       // would otherwise accumulate one dead frame per micro-batch
-      val keepIds = graft.ext.EmbedOps.semDedupKeepIds(batch, asg, thr)
-      val canon = batch.join(keepIds, Seq("vec_id"), "left_semi")
+      val keepIds = graft.ext.EmbedOps.semDedupKeepIds(incoming, asg, thr)
+      val canon = incoming.join(keepIds, Seq("vec_id"), "left_semi")
         .join(asg.select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
         .cache()
-      // localCheckpoint pins the decision before the append (the same
+      // localCheckpoint pins the decision before the appends (the same
       // read-your-own-write hazard as the other ingest layers)
-      val fresh = (readIfAny(spark, dataDir) match {
-        case Some(stored) =>
+      val fresh = (readIfAny(spark, repsDir) match {
+        case Some(reps) =>
           val cand = canon
             .select(col("centroid_id"), col("vec_id").as("vec_a"))
-            .join(stored.select(col("centroid_id"),
+            .join(reps.select(col("centroid_id"),
               col("vec_id").as("vec_b")), Seq("centroid_id"))
             .select(col("vec_a"), col("vec_b"))
           val dupIds = graft.ext.EmbedOps.verifyCosinePairs(
               cand,
               canon.select(col("vec_id"), col("embedding"))
                 .unionByName(
-                  stored.select(col("vec_id"), col("embedding"))),
+                  reps.select(col("vec_id"), col("embedding"))),
               thr)
             .select(col("vec_a").as("vec_id")).distinct()
           canon.join(dupIds, Seq("vec_id"), "left_anti")
         case None => canon
       }).localCheckpoint()
       appended = fresh.count()
-      if (appended > 0)
+      if (appended > 0) {
+        // order matters for the crash windows: data first (the drain
+        // key), then reps (healed from data on replay evidence)
         fresh.write.mode(SaveMode.Append).parquet(dataDir)
+        admitReps(spark, fresh.select(col("centroid_id"), col("vec_id"),
+          col("embedding")), repsDir, repCap)
+      }
       canon.unpersist()
     }
     appended
+  }
+
+  /** Admit `cands` (centroid_id, vec_id, embedding) to the bounded
+    * representative set: each cluster takes candidates in vec_id
+    * order up to its remaining capacity (repCap − already-admitted).
+    * Reading reps/ for the occupancy counts is bounded by k×repCap
+    * rows. */
+  private def admitReps(spark: SparkSession, cands: DataFrame,
+      repsDir: String, repCap: Int): Unit = {
+    val have = readIfAny(spark, repsDir) match {
+      case Some(r) => r.groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("have"))
+      case None => null
+    }
+    val ranked = cands
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("centroid_id")).orderBy(col("vec_id"))))
+    val admit = (if (have == null) ranked.withColumn("have", lit(0L))
+      else ranked.join(have, Seq("centroid_id"), "left")
+        .withColumn("have", coalesce(col("have"), lit(0L))))
+      .filter(col("rn") <= lit(repCap.toLong) - col("have"))
+      .select(col("centroid_id"), col("vec_id"), col("embedding"))
+      .localCheckpoint()
+    if (admit.count() > 0)
+      admit.write.mode(SaveMode.Append).parquet(repsDir)
+  }
+
+  /** The bounded probe's recall exposure, MEASURED instead of silent
+    * (the [[graft.ext.TextOps.dupSpanAudit]] posture): one row over
+    * the semantic-centroid store — stored rows, representative rows,
+    * clusters, clusters AT the cap (whose later arrivals are no
+    * longer probed against), and stored rows not represented. A
+    * nonzero `n_unrepresented` quantifies the duplicate mass the
+    * bounded probe can no longer see; a pipeline gates the retrain-
+    * epoch cadence on this row. */
+  def semanticProbeAudit(spark: SparkSession, indexDir: String,
+      repCap: Int = 1024): DataFrame = {
+    val stored = readIfAny(spark, s"$indexDir/data")
+      .map(_.select(col("centroid_id"), col("vec_id")))
+      .getOrElse(spark.range(0).select(col("id").as("centroid_id"),
+        col("id").as("vec_id")))
+    val reps = readIfAny(spark, s"$indexDir/reps")
+      .map(_.select(col("centroid_id"), col("vec_id")))
+      .getOrElse(spark.range(0).select(col("id").as("centroid_id"),
+        col("id").as("vec_id")))
+    val perCluster = stored.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_stored"))
+      .join(reps.groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("n_reps")), Seq("centroid_id"), "left")
+      .withColumn("n_reps", coalesce(col("n_reps"), lit(0L)))
+    perCluster.agg(
+      coalesce(sum(col("n_stored")), lit(0L)).as("n_stored"),
+      coalesce(sum(col("n_reps")), lit(0L)).as("n_reps"),
+      count(lit(1)).as("n_clusters"),
+      coalesce(sum(when(col("n_reps") >= repCap, 1L).otherwise(0L)),
+        lit(0L)).as("n_saturated_clusters"),
+      coalesce(sum(col("n_stored") - col("n_reps")), lit(0L))
+        .as("n_unrepresented"))
   }
 
   /** SUBSTRING-dedup ingestion — the incremental form of
@@ -294,9 +422,13 @@ object CorpusIngest {
     *   2. runs the batch-local [[graft.ext.TextOps.dedupExcise]] over
     *      the phase-1-cleaned docs (first occurrence WITHIN the batch
     *      keeps, by doc_id);
-    *   3. appends the final cleaned docs to data/ and THEIR windows
+    *   3. appends the final cleaned docs to data/, THEIR windows
     *      (post-excision — the index always reflects what the corpus
-    *      actually stores) to wins/.
+    *      actually stores) to wins/, and the windows' per-hash counts
+    *      to wincnt/ — the incrementally-maintained table the next
+    *      batch's occCap filter reads instead of re-aggregating the
+    *      whole index ([[substringIndexAudit]] measures its drift and
+    *      the cap's standing exposure).
     *
     * Same effectively-once layering as every ingest path: TxnLog
     * marker for replay skip, and the stored-index probe re-excises
@@ -304,13 +436,16 @@ object CorpusIngest {
     * Batch contract: (doc_id, text); returns docs appended.
     *
     * Scale posture: the probe is an equi join on a uniform hash with
-    * capped fan-out; the index is |corpus tokens| 16-byte rows — at
-    * 100 TB a compacted table, same dataflow. */
+    * capped fan-out, its stored-side cap filter a sum over the
+    * pre-aggregated count deltas; the index is |corpus tokens|
+    * 16-byte rows — at 100 TB a compacted, hash-bucketed table whose
+    * probe touches only matching buckets, same dataflow. */
   def ingestBatchSubstring(batch: DataFrame, batchId: Long,
       corpusDir: String, w: Int = 8, occCap: Int = 64): Long = {
     val spark = batch.sparkSession
     val dataDir = s"$corpusDir/data"
     val winsDir = s"$corpusDir/wins"
+    val cntDir = s"$corpusDir/wincnt"
     val logDir = s"$corpusDir/_txn"
     // the window index is only meaningful at ONE window width: a
     // restart with a different w would probe 4-token hashes against
@@ -355,8 +490,12 @@ object CorpusIngest {
             val heal = graft.ext.TextOps.winOcc(
               stored.join(missing, Seq("doc_id"), "left_semi"), w)
               .localCheckpoint()
-            if (heal.count() > 0)
+            if (heal.count() > 0) {
               heal.write.mode(SaveMode.Append).parquet(winsDir)
+              // keep the count table in step with the healed windows
+              heal.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+                .write.mode(SaveMode.Append).parquet(cntDir)
+            }
           }
           incoming0.join(already, Seq("doc_id"), "left_anti")
         case None => incoming0
@@ -366,8 +505,29 @@ object CorpusIngest {
       // stored-index probe would re-run for each
       val phase1 = (readIfAny(spark, winsDir) match {
         case Some(storedWins) =>
-          val spans = graft.ext.TextOps.crossDupSpans(
-            storedWins, graft.ext.TextOps.winOcc(incoming, w), w, occCap)
+          // the stored side's occCap filter comes from the MAINTAINED
+          // per-hash count table (pre-aggregated (h, cnt) deltas, one
+          // row per (append, hash), summed here), not a per-batch
+          // re-aggregation of every stored window OCCURRENCE — the
+          // pre-r18 form's groupBy(h) over the whole index re-paid the
+          // corpus's token count every batch. Counts can only UNDER-
+          // count (the cnt append follows the wins append, so its
+          // crash window leaves a hash eligible longer — extra probe
+          // work, never a recall hole); drift is measured, not silent:
+          // [[substringIndexAudit]]. A legacy/pre-count corpus
+          // bootstraps the table from a one-time recount.
+          val storedCnt = readIfAny(spark, cntDir) match {
+            case Some(c) => c.groupBy(col("h"))
+              .agg(sum(col("cnt")).as("nocc"))
+            case None =>
+              val init = storedWins.groupBy(col("h"))
+                .agg(count(lit(1)).as("cnt")).localCheckpoint()
+              init.write.mode(SaveMode.Append).parquet(cntDir)
+              init.select(col("h"), col("cnt").as("nocc"))
+          }
+          val spans = graft.ext.TextOps.crossDupSpansWithCounts(
+            storedWins, storedCnt,
+            graft.ext.TextOps.winOcc(incoming, w), w, occCap)
           graft.ext.TextOps.exciseIntervals(incoming,
             spans.select(col("doc_b").as("doc_id"),
               col("start_b").as("s"), col("end_b").as("e")))
@@ -382,22 +542,68 @@ object CorpusIngest {
         .localCheckpoint()
       appended = cleaned.count()
       if (appended > 0) {
-        // parameters committed WITH the first data (batch-id-keyed
-        // temp: two racing first writers each move their own file,
-        // last atomic rename wins and both then validate against it)
+        // parameters committed BEFORE the first data lands, FIRST
+        // WRITER WINS (hard-link create — atomic, complete content,
+        // EEXIST for the loser), then re-validated against the
+        // COMMITTED stamp: of two racing first-batch writers with
+        // different (w, occCap), the loser fails HERE — before its
+        // wrong-width windows could land in wins/ where they would
+        // silently match nothing forever (and before its docs could
+        // be admitted unexcised at the surviving parameters)
         stampSubstringMeta(corpusDir, w, occCap, batchId)
+        validateSubstringMeta(corpusDir, w, occCap)
         cleaned.write.mode(SaveMode.Append).parquet(dataDir)
-        graft.ext.TextOps.winOcc(cleaned, w)
-          .write.mode(SaveMode.Append).parquet(winsDir)
+        val ws = graft.ext.TextOps.winOcc(cleaned, w).localCheckpoint()
+        ws.write.mode(SaveMode.Append).parquet(winsDir)
+        ws.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+          .write.mode(SaveMode.Append).parquet(cntDir)
       }
     }
     appended
   }
 
+  /** The maintained count table's drift vs the ground truth, MEASURED
+    * instead of silent (the [[semanticProbeAudit]] /
+    * [[graft.ext.TextOps.dupSpanAudit]] posture): one row comparing a
+    * RECOUNT of wins/ against the summed wincnt/ deltas —
+    * `n_hashes_drifted` > 0 means a cnt append was lost in its crash
+    * window (benign direction: the probe over-includes, never
+    * under-recalls) — plus the cap's standing exposure on the TRUE
+    * counts: hashes at/over occCap (`n_hashes_capped`) and the
+    * occurrences inside them (`n_occ_capped`) — the boilerplate mass
+    * the stored-side probe no longer excises as naturally common
+    * phrases accumulate. A pipeline gates re-compaction (or an occCap
+    * retune + corpus rebuild) on this row. */
+  def substringIndexAudit(spark: SparkSession, corpusDir: String,
+      occCap: Int = 64): DataFrame = {
+    val empty = spark.range(0).select(
+      col("id").cast("string").as("h"), col("id").as("n"))
+    val truth = readIfAny(spark, s"$corpusDir/wins")
+      .map(_.groupBy(col("h")).agg(count(lit(1)).as("n")))
+      .getOrElse(empty)
+    val maintained = readIfAny(spark, s"$corpusDir/wincnt")
+      .map(_.groupBy(col("h")).agg(sum(col("cnt")).as("n")))
+      .getOrElse(empty)
+    truth.select(col("h"), col("n").as("n_true"))
+      .join(maintained.select(col("h"), col("n").as("n_kept")),
+        Seq("h"), "full")
+      .select(coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .agg(count(lit(1)).as("n_hashes"),
+        coalesce(sum(when(col("n_true") =!= col("n_kept"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_hashes_drifted"),
+        coalesce(max(col("n_true") - col("n_kept")), lit(0L))
+          .as("max_undercount"),
+        coalesce(sum(when(col("n_true") > occCap, 1L).otherwise(0L)),
+          lit(0L)).as("n_hashes_capped"),
+        coalesce(sum(when(col("n_true") > occCap, col("n_true"))
+          .otherwise(0L)), lit(0L)).as("n_occ_capped"))
+  }
+
   /** Reject an ingest whose (w, occCap) disagree with the stamped
     * `_meta` — the stored window index only matches at its own
     * parameters. No-op until a first successful batch stamps it. */
-  private def validateSubstringMeta(corpusDir: String, w: Int,
+  private[graft] def validateSubstringMeta(corpusDir: String, w: Int,
       occCap: Int): Unit = {
     val meta = Paths.get(corpusDir, "_meta")
     if (Files.exists(meta)) {
@@ -416,16 +622,27 @@ object CorpusIngest {
     }
   }
 
-  private def stampSubstringMeta(corpusDir: String, w: Int, occCap: Int,
+  /** Commit the (w, occCap) stamp FIRST WRITER WINS: the content is
+    * written to a batch-keyed temp, then HARD-LINKED to `_meta` —
+    * link(2) is atomic, carries complete content (unlike a bare
+    * CREATE_NEW write, whose partial flush a concurrent reader could
+    * see), and fails with EEXIST for every writer but the first. A
+    * losing racer returns normally; the caller's re-validation
+    * against the committed stamp is what fails its batch. */
+  private[graft] def stampSubstringMeta(corpusDir: String, w: Int, occCap: Int,
       batchId: Long): Unit = {
     val meta = Paths.get(corpusDir, "_meta")
     if (!Files.exists(meta)) {
       Files.createDirectories(Paths.get(corpusDir))
       val tmp = Paths.get(corpusDir, s".meta.$batchId.tmp")
       Files.write(tmp, s"w=$w\nocc_cap=$occCap\n".getBytes("UTF-8"))
-      Files.move(tmp, meta,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      try Files.createLink(meta, tmp)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      } finally {
+        Files.deleteIfExists(tmp)
+        ()
+      }
       ()
     }
   }
@@ -443,12 +660,12 @@ object CorpusIngest {
   /** Streaming entry for the persisted-centroid semantic path. */
   def startSemanticCentroid(vectors: DataFrame, indexDir: String,
       centroidDir: String, checkpointDir: String,
-      threshold: Double = Double.NaN): StreamingQuery =
+      threshold: Double = Double.NaN, repCap: Int = 1024): StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatchSemanticCentroid(
-          batch, batchId, indexDir, centroidDir, threshold); ()
+          batch, batchId, indexDir, centroidDir, threshold, repCap); ()
       }
       .start()
 

@@ -149,6 +149,32 @@ class BenchStatsSpec extends AnyFunSuite {
     assert(errs("b") == "first failure")
   }
 
+  test("r17 profile: a whole-run drift's regression flag is adjudicated environmental by its quiet re-probe") {
+    // BENCH_r17: text_perplexity committed prior 1.75 s, drifted main
+    // median 38.48 s (every pass slow — pass-level exclusion blind);
+    // the judge's quiet re-measure read 1.56-1.76 s. The adjudication
+    // rule must clear the flag from the quiet estimate...
+    assert(BenchStats.regressed(1.75, 38.48))
+    assert(BenchStats.environmental(1.75, 1.66))
+    // ...and a REAL regression (slow on every run incl. the re-probe)
+    // must survive
+    assert(!BenchStats.environmental(1.75, 38.0))
+    // boundary: the clearing rule is EXACTLY the flagging rule
+    assert(BenchStats.environmental(1.75, 1.75 * 1.5))
+    assert(!BenchStats.environmental(1.75, 1.75 * 1.5 + 0.26))
+    // small-absolute drift never flags (the 0.25 s floor)
+    assert(!BenchStats.regressed(0.05, 0.12))
+    assert(BenchStats.environmental(0.05, 0.12))
+  }
+
+  test("dispersion: max over median of the surviving samples") {
+    assert(BenchStats.dispersion(Seq(1.0, 1.1, 22.0)) > 2.0)
+    assert(BenchStats.dispersion(Seq(1.0, 1.1, 1.2)) < 1.3)
+    // one sample (or none) can't disagree with itself
+    assert(BenchStats.dispersion(Seq(5.0)) == 1.0)
+    assert(BenchStats.dispersion(Nil) == 1.0)
+  }
+
   test("median of even and odd sample counts") {
     assert(median(Seq(3.0)) == 3.0)
     assert(median(Seq(1.0, 2.0)) == 1.5)

@@ -58,7 +58,7 @@ class CentroidStoreSpec extends SparkSpec {
       "format=1\nepoch=1\nk=8\niters=2\ncentroids=e1-centroids\n"
         .getBytes("UTF-8"))
     val m = CentroidStore.manifest(dir).get
-    assert(m.gen == 0L && m.centroids == "e0-centroids", m)
+    assert(m.gen == 0L && m.centroids.startsWith("e0-centroids-"), m)
     assert(CentroidStore.centroids(spark, dir)
       .collect().map(_.toSeq).toSet == before)
   }
@@ -74,22 +74,49 @@ class CentroidStoreSpec extends SparkSpec {
       e.getMessage.contains("build()"), e.getMessage)
   }
 
-  test("retrain publishes a new epoch; old generation time-travels; vacuum reclaims dead dirs") {
+  test("retrain publishes a new epoch; old generation time-travels; vacuum retention reclaims it") {
     val dir = tmpDir("retrain")
     CentroidStore.build(vecs, dir)
+    val m0 = CentroidStore.manifest(dir).get
     val gen0 = CentroidStore.centroids(spark, dir)
       .collect().map(_.toSeq).toSet
     CentroidStore.build(vecs, dir, iters = 1)
     val m1 = CentroidStore.manifest(dir).get
     assert(m1.gen == 1L && m1.epoch == 1L && m1.iters == 1, m1)
+    // nonce-suffixed attempt dirs: no two builds can share a data dir
+    assert(m0.centroids != m1.centroids &&
+      m1.centroids.startsWith("e1-centroids-"), s"$m0 / $m1")
     // time travel: generation 0 still reads its historical snapshot
     assert(CentroidStore.centroidsAt(spark, dir, 0L)
       .collect().map(_.toSeq).toSet == gen0)
-    // drop gen 0's manifest, vacuum: its data dir is reclaimed, the
-    // live epoch survives
-    Files.delete(Paths.get(dir, "_commits", "manifest-0"))
+    // retention (the r17 ADVICE hole: vacuum kept EVERY manifested
+    // generation, so a build-per-session store grew one epoch per
+    // session forever): default keepGenerations=1 drops gen 0's
+    // manifest AND its data dir; the live epoch survives
     CentroidStore.vacuum(dir)
-    assert(!Files.exists(Paths.get(dir, "e0-centroids")))
+    assert(!Files.exists(Paths.get(dir, m0.centroids)))
+    assert(!Files.exists(Paths.get(dir, "_commits", "manifest-0")))
     assert(CentroidStore.centroids(spark, dir).count() == 8L)
+    intercept[IllegalArgumentException] {
+      CentroidStore.centroidsAt(spark, dir, 0L)
+    }
+  }
+
+  test("a racing publish of an already-committed generation fails loudly and cannot clobber it") {
+    val dir = tmpDir("race")
+    CentroidStore.build(vecs, dir)
+    val m0 = CentroidStore.manifest(dir).get
+    // a concurrent builder that computed the SAME generation number
+    // loses the hard-link race: its manifest must NOT replace the
+    // committed one (a rename-based publish would), and it errors
+    // loudly so the losing stream never believes it published
+    val e = intercept[IllegalStateException] {
+      CentroidStore.publish(dir, CentroidStore.Manifest(
+        gen = 0L, epoch = 0L, k = 8, iters = 2,
+        centroids = "e0-centroids-deadbeef"))
+    }
+    assert(e.getMessage.contains("concurrent builder"), e.getMessage)
+    val after = CentroidStore.manifest(dir).get
+    assert(after == m0, s"committed manifest changed: $m0 -> $after")
   }
 }

@@ -242,6 +242,190 @@ class CorpusIngestSpec extends SparkSpec {
     assert(doc6 == "x0", doc6)
   }
 
+  test("centroid-path bounded probe: keep set equals the full-scan probe at gate scale; audit reads clean") {
+    // the r17 weak: the stored-corpus probe joined each batch against
+    // the FULL stored cluster — unbounded under frozen centroids. The
+    // r18 probe is bounded by the per-cluster representative set;
+    // repCap = Int.MaxValue makes EVERY stored row a representative,
+    // i.e. the probe IS the full scan — so feeding the same batches at
+    // the default cap and at MaxValue pins bounded ≡ full-scan while
+    // clusters sit under the cap (every gate corpus).
+    val centDir = Files.createTempDirectory("graft-cent-eq").toString + "/c"
+    val training = (0 until 12).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f, 1.0f, 0.0f)
+      else Array(0.0f, 1.0f, 0.0f, -1.0f)
+      (100L + i, base.map(_ + i * 0.001f))
+    }.toDF("vec_id", "embedding")
+    graft.ext.CentroidStore.build(training, centDir)
+    val bounded = Files.createTempDirectory("graft-cent-bnd").toString
+    val fullScan = Files.createTempDirectory("graft-cent-full").toString
+    val batches = Seq(
+      Seq((1L, Array(1.0f, 0.0f, 1.0f, 0.0f)),
+        (2L, Array(0.99f, 0.0f, 1.01f, 0.0f)),
+        (3L, Array(0.0f, 1.0f, 0.0f, -1.0f))),
+      Seq((4L, Array(1.0f, 0.01f, 0.99f, 0.0f)),
+        (5L, Array(1.0f, 1.0f, -1.0f, 1.0f))),
+      Seq((6L, Array(0.0f, 0.99f, 0.01f, -1.0f)),
+        (7L, Array(-1.0f, 0.5f, 0.5f, 0.0f))))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val df = b.toDF("vec_id", "embedding")
+      val kb = CorpusIngest.ingestBatchSemanticCentroid(
+        df, i.toLong, bounded, centDir)
+      val kf = CorpusIngest.ingestBatchSemanticCentroid(
+        df, i.toLong, fullScan, centDir, repCap = Int.MaxValue)
+      assert(kb == kf, s"batch $i: bounded kept $kb, full-scan kept $kf")
+    }
+    def ids(dir: String) = spark.read.parquet(s"$dir/data")
+      .select("vec_id").as[Long].collect().toSet
+    assert(ids(bounded) == ids(fullScan) && ids(bounded).nonEmpty)
+    // under-cap store: every stored row represented, nothing saturated
+    val audit = CorpusIngest.semanticProbeAudit(spark, bounded).head()
+    assert(audit.getAs[Long]("n_stored") == audit.getAs[Long]("n_reps"))
+    assert(audit.getAs[Long]("n_saturated_clusters") == 0L)
+    assert(audit.getAs[Long]("n_unrepresented") == 0L)
+  }
+
+  test("centroid-path cap saturation: the recall trade is measured by the audit, not silent") {
+    val centDir = Files.createTempDirectory("graft-cent-sat").toString + "/c"
+    // duplicate-pattern training: identical copies per group make the
+    // duplicate centroids IDENTICAL, so every same-pattern test vector
+    // tie-breaks to the same (lowest-id) centroid — the assignment is
+    // robust by construction, not by numeric accident
+    val training = (0 until 12).map { i =>
+      val base = if (i < 6) Array(1.0f, 0.0f, 1.0f, 0.0f)
+      else Array(0.0f, 1.0f, 0.0f, -1.0f)
+      (100L + i, base)
+    }.toDF("vec_id", "embedding")
+    graft.ext.CentroidStore.build(training, centDir)
+    val dir = Files.createTempDirectory("graft-cent-cap1").toString
+    // repCap = 1: batch 0 stores two same-cluster members whose mutual
+    // cosine sits BELOW the dup threshold (1 vs 8: cos 0.235 < 0.35 —
+    // distinct content sharing a coarse bucket); only the first (min
+    // vec_id) becomes the representative
+    val b0 = Seq(
+      (1L, Array(1.0f, 0.0f, 1.0f, 0.0f)),
+      (8L, Array(1.0f, 0.0f, -0.6f, 0.3f))).toDF("vec_id", "embedding")
+    assert(CorpusIngest.ingestBatchSemanticCentroid(
+      b0, 0L, dir, centDir, repCap = 1) == 2L)
+    // batch 1: a near-dup of NON-representative 8 (cos ≈ 1.0 to 8,
+    // 0.24 to rep 1) slips through — the documented recall trade past
+    // the cap...
+    val b1 = Seq((9L, Array(1.0f, 0.01f, -0.59f, 0.3f)))
+      .toDF("vec_id", "embedding")
+    assert(CorpusIngest.ingestBatchSemanticCentroid(
+      b1, 1L, dir, centDir, repCap = 1) == 1L)
+    // ...and the audit REPORTS the exposure: saturated cluster(s),
+    // unrepresented stored rows > 0 — the retrain-epoch gate signal
+    val audit = CorpusIngest.semanticProbeAudit(spark, dir, repCap = 1)
+      .head()
+    assert(audit.getAs[Long]("n_saturated_clusters") >= 1L)
+    assert(audit.getAs[Long]("n_unrepresented") >= 1L)
+    // while a near-dup of the REPRESENTATIVE is still suppressed
+    val b2 = Seq((10L, Array(1.0f, 0.001f, 0.999f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    assert(CorpusIngest.ingestBatchSemanticCentroid(
+      b2, 2L, dir, centDir, repCap = 1) == 0L)
+  }
+
+  test("centroid-path replay drains on vec_id and heals a reps append lost in the crash window") {
+    import org.apache.spark.sql.SaveMode
+    val centDir = Files.createTempDirectory("graft-cent-heal").toString + "/c"
+    val training = (0 until 12).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f, 1.0f, 0.0f)
+      else Array(0.0f, 1.0f, 0.0f, -1.0f)
+      (100L + i, base.map(_ + i * 0.001f))
+    }.toDF("vec_id", "embedding")
+    graft.ext.CentroidStore.build(training, centDir)
+    val dir = Files.createTempDirectory("graft-cent-heal-ix").toString
+    val b0 = Seq((1L, Array(1.0f, 0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    assert(CorpusIngest.ingestBatchSemanticCentroid(
+      b0, 0L, dir, centDir) == 1L)
+    // simulate the crash BETWEEN the data append and the reps append
+    // of batch 1: the vector landed in data/ (with its assignment),
+    // its representative row and the txn marker did not
+    val crashed = Seq((5L, Array(0.0f, 1.0f, 0.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val asg5 = graft.ext.EmbedOps.assignAgainst(
+      crashed, graft.ext.CentroidStore.centroids(spark, centDir))
+    crashed.join(asg5.select($"vec_id", $"centroid_id"), Seq("vec_id"))
+      .write.mode(SaveMode.Append).parquet(s"$dir/data")
+    assert(spark.read.parquet(s"$dir/reps")
+      .filter($"vec_id" === 5L).count() == 0L)
+    // the replay drains the vector (0 appended) AND heals its rep row
+    assert(CorpusIngest.ingestBatchSemanticCentroid(
+      crashed, 1L, dir, centDir) == 0L)
+    assert(spark.read.parquet(s"$dir/reps")
+      .filter($"vec_id" === 5L).count() == 1L)
+    // and the healed rep actually dedups: a later near-dup of the
+    // crashed vector is suppressed by the bounded probe
+    val b2 = Seq((6L, Array(0.0f, 0.99f, 0.01f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    assert(CorpusIngest.ingestBatchSemanticCentroid(
+      b2, 2L, dir, centDir) == 0L)
+  }
+
+  test("substring wincnt counts track the index; drift is measured, undercount only widens the probe") {
+    val dir = Files.createTempDirectory("graft-substr-cnt").toString
+    val block = (1 to 10).map(i => s"c$i").mkString(" ")
+    val b0 = Seq((1L, s"p1 p2 p3 $block s1 s2")).toDF("doc_id", "text")
+    assert(CorpusIngest.ingestBatchSubstring(b0, 0L, dir, w = 4) == 1L)
+    val b1 = Seq((2L, "k1 k2 k3 k4 k5 k6 k7 k8")).toDF("doc_id", "text")
+    assert(CorpusIngest.ingestBatchSubstring(b1, 1L, dir, w = 4) == 1L)
+    // maintained counts == a recount of the stored windows, zero drift
+    val a0 = CorpusIngest.substringIndexAudit(spark, dir, occCap = 64).head()
+    assert(a0.getAs[Long]("n_hashes") > 0L)
+    assert(a0.getAs[Long]("n_hashes_drifted") == 0L)
+    assert(a0.getAs[Long]("max_undercount") == 0L)
+    // simulate the cnt append lost in ITS crash window (wins landed,
+    // wincnt did not): wipe the count table — the audit must REPORT
+    // the undercount...
+    graft.DirIO.listPaths(java.nio.file.Paths.get(dir, "wincnt"))
+      .foreach(p => {
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+      })
+    val a1 = CorpusIngest.substringIndexAudit(spark, dir, occCap = 64).head()
+    assert(a1.getAs[Long]("n_hashes_drifted") > 0L)
+    assert(a1.getAs[Long]("max_undercount") > 0L)
+    // ...and the probe still EXCISES (undercount = a hash stays
+    // eligible; recall is never lost in this direction): a later doc
+    // repeating the stored block is still cut against history
+    assert(CorpusIngest.ingestBatchSubstring(
+      Seq((3L, s"$block z1 z2 z3")).toDF("doc_id", "text"),
+      2L, dir, w = 4) == 1L)
+    val doc3 = spark.read.parquet(s"$dir/data")
+      .filter($"doc_id" === 3L).select("text").as[String].head()
+    assert(doc3 == "z1 z2 z3", doc3)
+  }
+
+  test("substring meta stamp: first writer wins and the loser's parameters are rejected before any append") {
+    val dir = Files.createTempDirectory("graft-substr-race").toString
+    // the r17 ADVICE race: two concurrent FIRST-batch writers with
+    // different (w, occCap) both pass the top-of-batch validation (no
+    // _meta yet); the stamp primitive must admit exactly one, and the
+    // loser must fail its re-validation BEFORE its wrong-width windows
+    // land. Drive the primitives in the losing order:
+    CorpusIngest.stampSubstringMeta(dir, w = 4, occCap = 64, batchId = 0L)
+    CorpusIngest.stampSubstringMeta(dir, w = 6, occCap = 32, batchId = 1L)
+    // first stamp survives (hard-link create, EEXIST for the loser)
+    CorpusIngest.validateSubstringMeta(dir, 4, 64) // winner passes
+    val e = intercept[IllegalArgumentException] {
+      CorpusIngest.validateSubstringMeta(dir, 6, 32)
+    }
+    assert(e.getMessage.contains("w=4") && e.getMessage.contains("w=6"),
+      e.getMessage)
+    // and the losing INGEST therefore lands nothing: its batch fails
+    // loudly at the re-validation inside the append section
+    val loser = Seq((1L, "a1 a2 a3 a4 a5 a6 a7 a8")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      CorpusIngest.ingestBatchSubstring(loser, 2L, dir, w = 6, occCap = 32)
+    }
+    assert(!graft.DirIO.nonEmpty(s"$dir/data"))
+    assert(!graft.DirIO.nonEmpty(s"$dir/wins"))
+  }
+
   test("near ingestion survives a stream restart from checkpoint") {
     implicit val sqlCtx = spark.sqlContext
     val corpusDir = Files.createTempDirectory("graft-near-restart").toString

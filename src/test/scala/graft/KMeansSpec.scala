@@ -213,6 +213,41 @@ class KMeansSpec extends SparkSpec {
     assert(got(6L) == ((6L, 1L, true)))   // singleton always keeps
   }
 
+  test("degenerate-k guard: past the edge bound the distributed CC takes over with identical labels") {
+    import spark.implicits._
+    // the r17 ADVICE hole: the per-cluster union-find concentrates one
+    // cluster's vertex map in a single task — bounded only when the
+    // caller used scaledK; semDedupFrom's demo default (k=8) and the
+    // TVF (k=1) permit ~N/k vertices in one task. The guard falls back
+    // to Graph.connectedComponents past the bound; labels must be
+    // IDENTICAL on both paths (union-by-min-id == min-label CC), so
+    // the fallback changes cost, never answers.
+    val docs = emb(
+      1L -> Array(1f, 0f, 0f, 0f),
+      2L -> Array(0.999f, 0.01f, 0f, 0f),
+      3L -> Array(0.9f, 0.1f, 0f, 0f),
+      4L -> Array(0f, 1f, 0f, 0f),
+      5L -> Array(0f, 0.95f, 0f, 0f),
+      6L -> Array(0f, 0f, 0f, 1f))
+    val asg = Seq((1L, 1L, 5L), (2L, 1L, 3L), (3L, 1L, 9L),
+      (4L, 2L, 4L), (5L, 2L, 4L), (6L, 3L, 0L))
+      .toDF("vec_id", "centroid_id", "d2")
+    def labelsAt(bound: Long) = {
+      val (labeled, pairs) =
+        EmbedOps.semDedupLabeled(docs, asg, 0.35, ufBound = bound)
+      val out = labeled.collect().map(r =>
+        r.getAs[Long]("vec_id") -> r.getAs[Long]("group_id")).toMap
+      pairs.unpersist()
+      out
+    }
+    val viaUnionFind = labelsAt(EmbedOps.DegenerateClusterVertexBound)
+    val viaFallback = labelsAt(0L) // every cluster trips the guard
+    assert(viaUnionFind == viaFallback && viaUnionFind.size == 6)
+    // and the labels are the component minima either way
+    assert(viaUnionFind(1L) == 1L && viaUnionFind(3L) == 1L &&
+      viaUnionFind(4L) == 4L && viaUnionFind(6L) == 6L)
+  }
+
   test("scaledK: fixed expected block size, floor 8, broadcast-bounded cap") {
     import graft.ext.EmbedOps.scaledK
     // ≤ 8·1024 vectors stay on the historical 8-cluster geometry —

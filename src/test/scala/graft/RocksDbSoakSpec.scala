@@ -434,6 +434,146 @@ class RocksDbSoakSpec extends SparkSpec {
     }
   }
 
+  test("substring ingest: 12 batches, mid-stream restart, cross-restart excision, externalized state") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // 30 bases, disjoint per-base vocab (no cross-base window
+    // collisions). Per base: a 10-token boilerplate block; the
+    // canonical doc (b*10) carries it first with a unique prefix; an
+    // IN-batch repeat (b*10+2) rides in the same batch (phase-2
+    // excision); a CROSS-RESTART repeat (b*10+3) arrives after the
+    // restart and must be excised against the STORED window index.
+    def block(b: Int) = (0 until 10).map(i => s"d${i}_b$b").mkString(" ")
+    def pre(b: Int) =
+      (0 until 6).map(i => s"u${i}_b$b").mkString(" ") + " " + block(b)
+    def inBatch(b: Int) =
+      block(b) + " " + (0 until 6).map(i => s"q${i}_b$b").mkString(" ")
+    def post(b: Int) =
+      block(b) + " " + (0 until 6).map(i => s"z${i}_b$b").mkString(" ")
+    val corpusDir = Files.createTempDirectory("graft-soak-substr").toString
+    val checkpoint = Files.createTempDirectory("graft-soak-substr-ck").toString
+    val input = MemoryStream[(Long, String)]
+    def start() = graft.streaming.CorpusIngest.startSubstring(
+      input.toDF().toDF("doc_id", "text"), corpusDir, checkpoint)
+    withRocksConf {
+      // six pre-restart batches: five bases each, canonical + in-batch
+      // block repeat
+      val q1 = start()
+      val p1 = try {
+        for (g <- 0 until 6) {
+          input.addData((g * 5 until g * 5 + 5).flatMap(b =>
+            Seq((b * 10L, pre(b)), (b * 10L + 2, inBatch(b)))): _*)
+          q1.processAllAvailable()
+        }
+        q1.recentProgress.toSeq
+      } finally q1.stop()
+      // RESTART from the same checkpoint: the window index persists on
+      // disk; post-restart repeats of blocks stored BEFORE the restart
+      // must still be excised by the stored-index probe
+      val q2 = start()
+      val p2 = try {
+        for (g <- 0 until 6) {
+          input.addData((g * 5 until g * 5 + 5)
+            .map(b => (b * 10L + 3, post(b))): _*)
+          q2.processAllAvailable()
+        }
+        q2.recentProgress.toSeq
+      } finally q2.stop()
+      val stored = spark.read.parquet(s"$corpusDir/data")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      (0 until 30).foreach { b =>
+        assert(stored(b * 10L) == pre(b), s"canonical $b mutated")
+        assert(stored(b * 10L + 2) ==
+          (0 until 6).map(i => s"q${i}_b$b").mkString(" "),
+          s"in-batch repeat $b not excised: ${stored(b * 10L + 2)}")
+        assert(stored(b * 10L + 3) ==
+          (0 until 6).map(i => s"z${i}_b$b").mkString(" "),
+          s"cross-restart repeat $b not excised: ${stored(b * 10L + 3)}")
+      }
+      // the maintained count table tracks the index with zero drift
+      val audit = graft.streaming.CorpusIngest
+        .substringIndexAudit(spark, corpusDir).head()
+      assert(audit.getAs[Long]("n_hashes_drifted") == 0L)
+      recordExternalized("corpus_ingest_substring", p1, p2,
+        Seq(s"$corpusDir/data", s"$corpusDir/wins", s"$corpusDir/wincnt",
+          s"$corpusDir/_txn"))
+    }
+  }
+
+  test("semantic-centroid ingest: 10 batches, mid-stream restart, bounded-probe suppression, externalized state") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the same grid-exact 64-dim construction as the signature soak:
+    // near() perturbs one coordinate by 0.0004, which QUANTIZES to the
+    // same vector — same frozen-centroid assignment and cosine exactly
+    // 1.0, so suppression through the bounded representative probe is
+    // deterministic. Centroids are trained ONCE on the 40 bases and
+    // FROZEN (the CentroidStore contract).
+    def base(b: Int): Array[Float] = {
+      val r = new scala.util.Random(9100L + b)
+      Array.fill(64)((r.nextInt(2001) - 1000) / 1000.0f)
+    }
+    def near(b: Int): Array[Float] = {
+      val v = base(b); v(0) = v(0) + 0.0004f; v
+    }
+    val centDir = Files.createTempDirectory("graft-soak-cent-store")
+      .toString + "/c"
+    graft.ext.CentroidStore.build(
+      (0 until 40).map(b => (100000L + b, base(b)))
+        .toDF("vec_id", "embedding"), centDir)
+    val indexDir = Files.createTempDirectory("graft-soak-centing").toString
+    val checkpoint = Files.createTempDirectory("graft-soak-centing-ck").toString
+    val input = MemoryStream[(Long, Array[Float])]
+    // threshold 0.8, not the 0.35 conf default: the within-cluster
+    // probe is brute-force over same-centroid pairs, and random d=64
+    // pairs sit at N(0, 1/64) — 0.35 is only 2.8σ, where ~780 base
+    // pairs would expectedly yield a false merge or two; dups here are
+    // at cosine EXACTLY 1.0, so 0.8 (6.4σ) separates signal from noise
+    // deterministically
+    def start() = graft.streaming.CorpusIngest.startSemanticCentroid(
+      input.toDF().toDF("vec_id", "embedding"), indexDir, centDir,
+      checkpoint, threshold = 0.8)
+    withRocksConf {
+      // five pre-restart batches: eight bases each, canonical + an
+      // in-batch semantic dup (suppressed by semDedupKeepIds over the
+      // frozen assignments)
+      val q1 = start()
+      val p1 = try {
+        for (g <- 0 until 5) {
+          input.addData((g * 8 until g * 8 + 8).flatMap(b =>
+            Seq((b * 10L, base(b)), (b * 10L + 2, near(b)))): _*)
+          q1.processAllAvailable()
+        }
+        q1.recentProgress.toSeq
+      } finally q1.stop()
+      // RESTART: cross-restart semantic dups probe the persisted
+      // representative set written by pre-restart batches
+      val q2 = start()
+      val p2 = try {
+        for (g <- 0 until 5) {
+          input.addData((g * 8 until g * 8 + 8)
+            .map(b => (b * 10L + 3, near(b))): _*)
+          q2.processAllAvailable()
+        }
+        q2.recentProgress.toSeq
+      } finally q2.stop()
+      val ids = spark.read.parquet(s"$indexDir/data")
+        .select("vec_id").as[Long].collect().toSet
+      val expected = (0 until 40).map(_ * 10L).toSet
+      assert(ids == expected,
+        s"unexpected survivors: extra=${ids -- expected} missing=${expected -- ids}")
+      // under-cap store: every survivor is its cluster's representative
+      assert(spark.read.parquet(s"$indexDir/reps")
+        .select("vec_id").as[Long].collect().toSet == expected)
+      val audit = graft.streaming.CorpusIngest
+        .semanticProbeAudit(spark, indexDir).head()
+      assert(audit.getAs[Long]("n_unrepresented") == 0L)
+      assert(audit.getAs[Long]("n_saturated_clusters") == 0L)
+      recordExternalized("corpus_ingest_semantic_centroid", p1, p2,
+        Seq(s"$indexDir/data", s"$indexDir/reps", s"$indexDir/_txn"))
+    }
+  }
+
   test("CCAS sink on RocksDB: 10x keys, mid-stream restart, batch-twin oracle") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
