@@ -181,7 +181,8 @@ object Bench {
     // false-positives on quiet runs: the r13-era 118 s reference met
     // r17's measured quiet warmups of 164.4 / 183.4 s (207 queries,
     // load_avg_start 0.17 / 1.0) with only 177 s of 1.5× headroom.
-    // 165 s = the quieter r17 measurement; the artifact records the
+    // 175 s = the r17 165 s reference + the four r18 additions'
+    // measured warmup share (213-query set); the artifact records the
     // reference used, so a reader on different hardware can
     // recalibrate; a malformed override falls back with a warning
     // instead of killing the whole bench before any query ran.
@@ -190,10 +191,10 @@ object Bench {
         case _: NumberFormatException =>
           System.err.println(s"[graft.bench] ignoring malformed " +
             s"SPARK_GRAFT_QUIET_WARMUP_SEC='$s' (not a number); " +
-            "using the 165 s host-class default")
-          165.0
+            "using the 175 s host-class default")
+          175.0
       }
-      case None => 165.0
+      case None => 175.0
     }
     // FULL runs only: the reference is a full-set number, and a small
     // GRAFT_BENCH_ONLY subset's warmup is dominated by the fixed

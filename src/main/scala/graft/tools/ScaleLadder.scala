@@ -149,7 +149,17 @@ object ScaleLadder {
     // exclusion list so a reader can judge run quality directly.
     val passWalls = collection.mutable.Map
       .empty[String, Vector[Double]] // rung dir -> wall per pass
-    for (n <- names) SparkEntry.queries(n)(spark, ladder.head._1).count()
+    // warm up EVERY rung, not just the 1× head (r18): a query backed
+    // by a per-dir persisted artifact (the IVF-PQ index behind
+    // sql_index_search_*) BUILDS that artifact on its first call per
+    // (session, dir) — head-only warmup left the build inside pass 1
+    // of every other rung, which the per-rung contention exclusion
+    // then had to throw away
+    for ((dir, _) <- ladder; n <- names)
+      SparkEntry.queries(n)(spark, dir).count()
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
     for (p <- 1 to passes; (dir, _) <- ladder) {
       val tp0 = System.nanoTime()
       for (n <- names) {
