@@ -45,6 +45,7 @@ object GraftSql {
       graft.plans.SemDedupSql.register(spark)
       graft.plans.IndexSearchSql.register(spark)
       graft.plans.DupSpansSql.register(spark)
+      graft.plans.CentroidAssignSql.register(spark)
       graft.functions.CosineSimilarity.register(spark)
       graft.functions.RollingMinHash.register(spark)
       graft.functions.SimHash32.register(spark)

@@ -288,10 +288,26 @@ object SparkEntry {
     // substring dedup from SQL text — the EIGHTH and NINTH table
     // functions (plans/DupSpansSql.scala): same plans as
     // text_dup_maximal_spans / text_dedup_excise, same oracles
+    // the REPARTITION hint inside TABLE(...) is the SQL spelling of
+    // the docs() helper's repartition(32): the raw sf0.1 parquet
+    // splits to ~4 input partitions, and the window-hash explode is
+    // CPU-bound — without the hint the TVF pays the same plan on an
+    // eighth of the cores (measured 5.5 s vs 1.1 s); on a real
+    // cluster file splits provide the parallelism and the hint is
+    // harmless
     "sql_dup_spans" -> ((s, d) => GraftSql.sql(s, d,
-      "SELECT * FROM dup_spans('documents', 'doc_id', 'text', 8, 64)")),
+      "SELECT * FROM dup_spans(TABLE(SELECT /*+ REPARTITION(32) */ " +
+        "doc_id, text FROM documents), 'doc_id', 'text', 8, 64)")),
     "sql_excise" -> ((s, d) => GraftSql.sql(s, d,
-      "SELECT * FROM dedup_excise('documents', 'doc_id', 'text', 8, 64)")),
+      "SELECT * FROM dedup_excise(TABLE(SELECT /*+ REPARTITION(32) */ " +
+        "doc_id, text FROM documents), 'doc_id', 'text', 8, 64)")),
+    // frozen-geometry assignment from SQL text — the TENTH table
+    // function (plans/CentroidAssignSql.scala), the assign-side twin
+    // of index_search: same committed store and result as
+    // embed_assign_persisted, same oracle
+    "sql_centroid_assign" -> ((s, d) => GraftSql.sql(s, d,
+      s"SELECT * FROM centroid_assign('${shCentroidStore(s, d)}', " +
+        "'embeddings')")),
     // explicit two-phase salted aggregation (result ≡ plain groupBy)
     "events_salted_counts" -> ((s, d) => ext.Skew.saltedTypeCounts(Tables.events(s, d))),
     // per-type z-score outliers from exact quantized moments
@@ -1173,6 +1189,7 @@ object SparkEntry {
     "sql_index_search_serving" -> OracleSqlExt.embedIvfPqTopKServing,
     "sql_dup_spans" -> OracleSqlExt.textDupMaximalSpans,
     "sql_excise" -> OracleSqlExt.textDedupExcise,
+    "sql_centroid_assign" -> OracleSqlExt.embedKmeans,
     "events_range" -> OracleSqlExt.eventsRange,
     "events_salted_counts" -> OracleSqlExt.eventsSaltedCounts,
     "events_anomalies" -> OracleSqlExt.eventsAnomalies,
