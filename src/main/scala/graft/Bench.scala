@@ -181,20 +181,24 @@ object Bench {
     // false-positives on quiet runs: the r13-era 118 s reference met
     // r17's measured quiet warmups of 164.4 / 183.4 s (207 queries,
     // load_avg_start 0.17 / 1.0) with only 177 s of 1.5× headroom.
-    // 175 s = the r17 165 s reference + the four r18 additions'
-    // measured warmup share (213-query set); the artifact records the
-    // reference used, so a reader on different hardware can
-    // recalibrate; a malformed override falls back with a warning
-    // instead of killing the whole bench before any query ran.
+    // 200 s = recalibrated for the 214-query r18 set, whose warmup
+    // now also trains the persisted centroid store behind the two
+    // assignment queries (measured quiet warmups 197.8 s at load 1.4
+    // and 242.6 s at load 2.2; the 1.5× cutoff of 300 s still trips
+    // on the r17 drift class, whose warmups read 305–426 s). The
+    // artifact records the reference used, so a reader on different
+    // hardware can recalibrate; a malformed override falls back with
+    // a warning instead of killing the whole bench before any query
+    // ran.
     val quietWarmupRef = sys.env.get("SPARK_GRAFT_QUIET_WARMUP_SEC") match {
       case Some(s) => try s.trim.toDouble catch {
         case _: NumberFormatException =>
           System.err.println(s"[graft.bench] ignoring malformed " +
             s"SPARK_GRAFT_QUIET_WARMUP_SEC='$s' (not a number); " +
-            "using the 175 s host-class default")
-          175.0
+            "using the 200 s host-class default")
+          200.0
       }
-      case None => 175.0
+      case None => 200.0
     }
     // FULL runs only: the reference is a full-set number, and a small
     // GRAFT_BENCH_ONLY subset's warmup is dominated by the fixed
@@ -376,18 +380,30 @@ object Bench {
         }
       }
     }.toMap
-    // quiet estimate: fastest sample ever observed this run
+    // quiet estimate FOR THE DECISION: fastest sample ever observed
+    // this run — max-robust to drift (contention only adds time)
     def quietEst(n: String): Double =
       (passes.flatMap(_.samples.get(n)) ++
         reprobeSamples.getOrElse(n, Nil)).min
+    // committed VALUE for an adjudicated query: the MEDIAN of its
+    // re-probe samples, not the min — the min is the right decision
+    // statistic but a biased-low prior (the first self-adjudicated
+    // run committed a fluke-fast 1.10 s min for a ~1.5 s steady-state
+    // query, and the NEXT run's normal median then read as a phantom
+    // 1.5× regression against it); the re-probe median is the
+    // steady-state representative
+    def quietVal(n: String): Double = {
+      val rs = reprobeSamples.getOrElse(n, Nil)
+      if (rs.nonEmpty) BenchStats.median(rs) else quietEst(n)
+    }
     // adjudicated per-query values: environmental flags and unstable
-    // measurements take their quiet estimate; surviving flags keep the
+    // measurements take their quiet value; surviving flags keep the
     // (regressed) main median — the artifact must show the regression
     val adjudicated: Map[String, Double] = results.map { case (n, v) =>
       n -> (if (reprobeSamples.get(n).exists(_.nonEmpty)) {
         prior.get(n) match {
           case Some(p) if !BenchStats.environmental(p, quietEst(n)) => v
-          case _ => quietEst(n)
+          case _ => math.min(v, quietVal(n))
         }
       } else v)
     }
@@ -410,8 +426,10 @@ object Bench {
     }.mkString("[", ",", "]")
     val reprobeJson = toReprobe.map { n =>
       val rs = reprobeSamples.getOrElse(n, Nil)
+      val has = rs.nonEmpty || results.contains(n)
       f""""$n":{"main_median":${results.getOrElse(n, -1.0)}%.3f,""" +
-        f""""quiet_min":${if (rs.nonEmpty || results.contains(n)) quietEst(n) else -1.0}%.3f,""" +
+        f""""quiet_min":${if (has) quietEst(n) else -1.0}%.3f,""" +
+        f""""quiet_med":${if (has) quietVal(n) else -1.0}%.3f,""" +
         s""""reprobe_n":${rs.size}}"""
     }.mkString("{", ",", "}")
     def secArr(xs: Seq[Double]) = xs.map(w => f"$w%.2f").mkString("[", ",", "]")

@@ -90,7 +90,8 @@ object ScaleLadder {
     "sample_dsir",           // corpus explode → bounded stats + TakeOrdered (r16)
     "text_gopher_gate",      // pure codegen'd projection baseline (r16)
     "text_dup_islands",      // hash-blocked span self-join + island windows (r17)
-    "embed_semdedup")        // scaled-k blocked pairs + grouped union-find (r17)
+    "embed_semdedup",        // scaled-k blocked pairs + grouped union-find (r17)
+    "sql_index_search_serving") // persisted-index ANN serving path, fixed |Q| (r18)
 
   private val AlphaFlag = 1.3
   private val WallFloor = 2.0 // sec at the top rung; below is jitter
