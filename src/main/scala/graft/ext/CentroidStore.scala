@@ -91,6 +91,15 @@ object CentroidStore {
             "by a concurrent builder — this build's centroids " +
             s"(${m.centroids}) are NOT published; re-run build() to " +
             "train the next generation (vacuum reclaims the orphan)")
+      case _: UnsupportedOperationException =>
+        // filesystem without hard links (exFAT, some NFS/object-store
+        // mounts): fall back to the rename commit — atomic, but
+        // last-writer-wins rather than first (rename REPLACES on
+        // POSIX), i.e. the single-writer contract is on the operator
+        // there; stated rather than silently unsupported
+        Files.move(tmp, commitDir(dir).resolve(s"manifest-${m.gen}"),
+          StandardCopyOption.ATOMIC_MOVE)
+        ()
     } finally {
       Files.deleteIfExists(tmp)
       ()
@@ -157,17 +166,23 @@ object CentroidStore {
     * [[EmbedIndex.vacuum]] posture: only the latest survives);
     * generations older than that are GONE after this, so a session
     * that rebuilds per run without bounding the store should vacuum
-    * after each commit ([[graft.SparkEntry]]'s store helper does). */
-  def vacuum(dir: String, keepGenerations: Int = 1): Unit = {
+    * after each commit ([[graft.SparkEntry]]'s store helper does).
+    * Non-live dirs touched within `graceMs` are spared: they may be a
+    * concurrent builder's un-published attempt or a generation a live
+    * reader still scans (shared store roots); `graceMs = 0` is the
+    * single-writer teardown form. */
+  def vacuum(dir: String, keepGenerations: Int = 1,
+      graceMs: Long = 15 * 60 * 1000L): Unit = {
     require(keepGenerations >= 1,
       s"keepGenerations must be >= 1 (got $keepGenerations)")
     val keep = committedGens(dir).takeRight(keepGenerations)
     val live: Set[String] =
       keep.map(readManifest(dir, _)).map(_.centroids).toSet
-    graft.DirIO.listPaths(Paths.get(dir)).foreach { p =>
-      val n = p.getFileName.toString
-      if (n != "_commits" && !live.contains(n)) wipe(p)
-    }
+    // ORDER: retire superseded manifests FIRST, data dirs second — a
+    // crash (or a concurrent time-travel reader listing generations)
+    // between the phases then sees a manifest-less orphan dir (benign,
+    // re-vacuumable) instead of a committed manifest pointing at a
+    // wiped dir (a loud require beats a parquet path-not-found)
     if (Files.exists(commitDir(dir)))
       graft.DirIO.listPaths(commitDir(dir))
         .filter { p =>
@@ -177,6 +192,19 @@ object CentroidStore {
               !keep.contains(n.stripPrefix("manifest-").toLong))
         }
         .foreach(p => { Files.deleteIfExists(p); () })
+    // grace window: a non-live dir modified within graceMs may be a
+    // CONCURRENT builder's in-flight attempt (nonce dirs have no
+    // manifest until publish) — wiping it would let that builder
+    // publish a manifest referencing a vanished dir. Recently-touched
+    // orphans are left for the next vacuum; pass graceMs = 0 for the
+    // single-writer teardown case.
+    val cutoff = System.currentTimeMillis() - graceMs
+    graft.DirIO.listPaths(Paths.get(dir)).foreach { p =>
+      val n = p.getFileName.toString
+      val old = scala.util.Try(
+        Files.getLastModifiedTime(p).toMillis <= cutoff).getOrElse(false)
+      if (n != "_commits" && !live.contains(n) && old) wipe(p)
+    }
   }
 
   private def wipe(p: java.nio.file.Path): Unit =

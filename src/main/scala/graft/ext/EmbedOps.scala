@@ -786,8 +786,8 @@ object EmbedOps {
     // O(log diameter) shuffle rounds instead of one, but memory-
     // bounded. Labels are IDENTICAL on both paths (union-by-min-id ==
     // min-label propagation: both converge to the component minimum),
-    // so the fallback changes cost, never answers — SemDedupGuardSpec
-    // pins the equality across the boundary.
+    // so the fallback changes cost, never answers — KMeansSpec's
+    // degenerate-k guard test pins the equality across the boundary.
     val maxClusterEdges =
       Option(pairs.groupBy(col("centroid_id"))
         .agg(count(lit(1)).as("n")).agg(max(col("n"))).head().get(0))

@@ -520,9 +520,26 @@ object CorpusIngest {
             case Some(c) => c.groupBy(col("h"))
               .agg(sum(col("cnt")).as("nocc"))
             case None =>
+              // legacy/pre-count corpus bootstrap, FIRST WRITER WINS:
+              // the recount may only be PERSISTED once — two
+              // concurrent bootstrappers both appending it would
+              // double every count, and doubled counts OVERCOUNT,
+              // the one drift direction that silently drops recall
+              // (a hash at occCap/2 true occurrences reads as
+              // capped). The atomic marker create admits exactly one
+              // persister; losers (and a winner that crashed between
+              // marker and append — permanent benign undercount,
+              // visible in substringIndexAudit) still USE the
+              // in-flight recount for this batch's filter.
               val init = storedWins.groupBy(col("h"))
                 .agg(count(lit(1)).as("cnt")).localCheckpoint()
-              init.write.mode(SaveMode.Append).parquet(cntDir)
+              val marker = Paths.get(corpusDir, ".wincnt_bootstrap")
+              val won =
+                try { Files.createFile(marker); true }
+                catch {
+                  case _: java.nio.file.FileAlreadyExistsException => false
+                }
+              if (won) init.write.mode(SaveMode.Append).parquet(cntDir)
               init.select(col("h"), col("cnt").as("nocc"))
           }
           val spans = graft.ext.TextOps.crossDupSpansWithCounts(
@@ -639,6 +656,16 @@ object CorpusIngest {
       try Files.createLink(meta, tmp)
       catch {
         case _: java.nio.file.FileAlreadyExistsException => ()
+        case _: UnsupportedOperationException =>
+          // no hard links on this filesystem (exFAT, some NFS/object
+          // mounts): rename commit — atomic but last-writer-wins, so
+          // the first-batch race protection degrades to the caller's
+          // re-validation catching a mismatch on the NEXT batch;
+          // single-writer deployments (the documented contract) are
+          // unaffected
+          Files.move(tmp, meta,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          ()
       } finally {
         Files.deleteIfExists(tmp)
         ()

@@ -89,13 +89,18 @@ class CentroidStoreSpec extends SparkSpec {
     // time travel: generation 0 still reads its historical snapshot
     assert(CentroidStore.centroidsAt(spark, dir, 0L)
       .collect().map(_.toSeq).toSet == gen0)
+    // the in-flight grace: with the default window, a recently-touched
+    // non-live dir is NOT wiped (it may be a concurrent builder's
+    // un-published attempt), though its superseded manifest retires
+    CentroidStore.vacuum(dir)
+    assert(Files.exists(Paths.get(dir, m0.centroids)))
+    assert(!Files.exists(Paths.get(dir, "_commits", "manifest-0")))
     // retention (the r17 ADVICE hole: vacuum kept EVERY manifested
     // generation, so a build-per-session store grew one epoch per
-    // session forever): default keepGenerations=1 drops gen 0's
-    // manifest AND its data dir; the live epoch survives
-    CentroidStore.vacuum(dir)
+    // session forever): keepGenerations=1 with no grace drops gen 0's
+    // data dir too; the live epoch survives
+    CentroidStore.vacuum(dir, graceMs = 0L)
     assert(!Files.exists(Paths.get(dir, m0.centroids)))
-    assert(!Files.exists(Paths.get(dir, "_commits", "manifest-0")))
     assert(CentroidStore.centroids(spark, dir).count() == 8L)
     intercept[IllegalArgumentException] {
       CentroidStore.centroidsAt(spark, dir, 0L)
