@@ -301,6 +301,9 @@ object SparkEntry {
     "sql_excise" -> ((s, d) => GraftSql.sql(s, d,
       "SELECT * FROM dedup_excise(TABLE(SELECT /*+ REPARTITION(32) */ " +
         "doc_id, text FROM documents), 'doc_id', 'text', 8, 64)")),
+    "sql_dup_islands" -> ((s, d) => GraftSql.sql(s, d,
+      "SELECT * FROM dup_islands(TABLE(SELECT /*+ REPARTITION(32) */ " +
+        "doc_id, text FROM documents), 'doc_id', 'text', 8, 64)")),
     // frozen-geometry assignment from SQL text — the TENTH table
     // function (plans/CentroidAssignSql.scala), the assign-side twin
     // of index_search: same committed store and result as
@@ -1189,6 +1192,7 @@ object SparkEntry {
     "sql_index_search_serving" -> OracleSqlExt.embedIvfPqTopKServing,
     "sql_dup_spans" -> OracleSqlExt.textDupMaximalSpans,
     "sql_excise" -> OracleSqlExt.textDedupExcise,
+    "sql_dup_islands" -> OracleSqlExt.textDupIslands,
     "sql_centroid_assign" -> OracleSqlExt.embedKmeans,
     "events_range" -> OracleSqlExt.eventsRange,
     "events_salted_counts" -> OracleSqlExt.eventsSaltedCounts,

@@ -302,15 +302,27 @@ object EmbedIndex {
     * deployment can impose a grace period for readers still scanning
     * an older generation — deletion is the only non-reversible step in
     * the protocol. */
-  def vacuum(dir: String): Unit = {
+  def vacuum(dir: String, graceMs: Long = 15 * 60 * 1000L): Unit = {
     manifest(dir).foreach { man =>
       val live = man.segs.toSet ++ Set(man.sums, man.cents, "_commits")
-      graft.DirIO.listPaths(Paths.get(dir))
-        .filterNot(p => live.contains(p.getFileName.toString))
-        .foreach(p => wipe(p.toString))
+      // ORDER: retire superseded manifests FIRST, data second — a
+      // crash between the phases leaves a manifest-less orphan
+      // (benign, re-vacuumable), never a committed manifest pointing
+      // at a wiped dir (the CentroidStore.vacuum discipline)
       graft.DirIO.listPaths(commitDir(dir))
         .filter(_.getFileName.toString != s"manifest-${man.gen}")
         .foreach(p => { Files.deleteIfExists(p); () })
+      // grace window: a non-live path touched within graceMs may be a
+      // concurrent appender/compactor's un-published segment on a
+      // shared index root — spare it for the next vacuum; graceMs = 0
+      // is the single-writer teardown form
+      val cutoff = System.currentTimeMillis() - graceMs
+      graft.DirIO.listPaths(Paths.get(dir))
+        .filterNot(p => live.contains(p.getFileName.toString))
+        .filter(p => scala.util.Try(
+          Files.getLastModifiedTime(p).toMillis <= cutoff)
+          .getOrElse(false))
+        .foreach(p => wipe(p.toString))
     }
   }
 

@@ -8,10 +8,12 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL-text spellings for the UNBOUNDED exact-substring dedup family
-  * (Lee et al.) — the eighth and ninth table-valued functions on the
-  * [[AsOfSql]] / [[RangeSql]] / [[KnnSql]] / [[NearDupSql]] /
-  * [[DsirSql]] / [[SemDedupSql]] / [[IndexSearchSql]] pattern, closing
-  * the r17 gap where [[graft.ext.TextOps.maximalDupSpans]] and
+  * (Lee et al.) — the eighth, ninth and eleventh table-valued
+  * functions on the [[AsOfSql]] / [[RangeSql]] / [[KnnSql]] /
+  * [[NearDupSql]] / [[DsirSql]] / [[SemDedupSql]] /
+  * [[IndexSearchSql]] pattern, closing the r17 gap where
+  * [[graft.ext.TextOps.maximalDupSpans]],
+  * [[graft.ext.TextOps.maximalDupIslands]] and
   * [[graft.ext.TextOps.dedupExcise]] were engine-only:
   *
   * {{{
@@ -92,6 +94,7 @@ object DupSpansSql {
   }
 
   val spansName = "dup_spans"
+  val islandsName = "dup_islands"
   val exciseName = "dedup_excise"
 
   def spansInfo: ExpressionInfo = new ExpressionInfo(
@@ -104,6 +107,15 @@ object DupSpansSql {
       " literal in [2, 4096], occ_cap an integer literal in" +
       " [2, 1048576] (the per-hash pair fan-out bound - a recall cap," +
       " audited by dupSpanAudit)")
+
+  def islandsInfo: ExpressionInfo = new ExpressionInfo(
+    DupSpansSql.getClass.getName, islandsName,
+    "dup_islands(docs, id_col, text_col, w, occ_cap) - per-document" +
+      " MAXIMAL duplicated intervals: dup_spans' pair spans projected" +
+      " onto each document and interval-merged (overlap/adjacency from" +
+      " ANY partner coalesces), the removal unit an excision pass cuts:" +
+      " (doc_id, start_tok, end_tok, span_tokens, n_sources); same" +
+      " arguments and bounds as dup_spans")
 
   def exciseInfo: ExpressionInfo = new ExpressionInfo(
     DupSpansSql.getClass.getName, exciseName,
@@ -119,6 +131,12 @@ object DupSpansSql {
       .queryExecution.analyzed
   }
 
+  val islandsBuilder: Seq[Expression] => LogicalPlan = { args =>
+    val (docs, w, occCap) = decode(islandsName, args)
+    graft.ext.TextOps.maximalDupIslands(docs, w, occCap)
+      .queryExecution.analyzed
+  }
+
   val exciseBuilder: Seq[Expression] => LogicalPlan = { args =>
     val (docs, w, occCap) = decode(exciseName, args)
     graft.ext.TextOps.dedupExcise(docs, w, occCap)
@@ -130,6 +148,8 @@ object DupSpansSql {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier(spansName), spansInfo, spansBuilder)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier(islandsName), islandsInfo, islandsBuilder)
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier(exciseName), exciseInfo, exciseBuilder)
   }

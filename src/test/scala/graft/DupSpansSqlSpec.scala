@@ -18,6 +18,14 @@ class DupSpansSqlSpec extends SparkSpec {
     assert(rows == viaDf && rows.nonEmpty)
   }
 
+  test("dup_islands TVF is row-identical to the engine call") {
+    val rows = SparkEntry.queries("sql_dup_islands")(spark, d)
+      .collect().map(_.toSeq).toSet
+    val viaDf = TextOps.maximalDupIslands(Tables.documents(spark, d))
+      .collect().map(_.toSeq).toSet
+    assert(rows == viaDf && rows.nonEmpty)
+  }
+
   test("dedup_excise TVF is row-identical to the engine call") {
     val rows = SparkEntry.queries("sql_excise")(spark, d)
       .collect().map(_.toSeq).toSet

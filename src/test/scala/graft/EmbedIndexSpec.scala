@@ -140,7 +140,7 @@ class EmbedIndexSpec extends SparkSpec {
     // is untouched (compaction must never consume append segment ids)
     assert(manC.segs == Seq("e0-cseg-3") && manC.high == 2L)
     assert(searchSet(EmbedIndex.search(spark, dir, queries)) == before)
-    EmbedIndex.vacuum(dir)
+    EmbedIndex.vacuum(dir, graceMs = 0L)
     assert(!Files.exists(Paths.get(dir, "e0-seg-0")) &&
       !Files.exists(Paths.get(dir, "e0-seg-1")) &&
       !Files.exists(Paths.get(dir, "e0-seg-2")))
@@ -203,7 +203,7 @@ class EmbedIndexSpec extends SparkSpec {
     EmbedIndex.appendBatch(all.filter(col("vec_id") >= 30), dir, batchId = 0)
     assert(EmbedIndex.manifest(dir).get.high == 1L)
     // vacuum reclaims the superseded epoch; gen 0 then fails loudly
-    EmbedIndex.vacuum(dir)
+    EmbedIndex.vacuum(dir, graceMs = 0L)
     assert(!Files.exists(Paths.get(dir, "e0-seg-0")) &&
       !Files.exists(Paths.get(dir, "e0-cents")))
     intercept[IllegalArgumentException] {
@@ -234,7 +234,7 @@ class EmbedIndexSpec extends SparkSpec {
     assert(EmbedIndex.load(spark, dir).codes
       .select("vec_id").distinct().count() == 40)
     // vacuum retains only the current generation; gen 0 now fails loudly
-    EmbedIndex.vacuum(dir)
+    EmbedIndex.vacuum(dir, graceMs = 0L)
     intercept[IllegalArgumentException] {
       EmbedIndex.loadAt(spark, dir, gen = 0)
     }
