@@ -280,6 +280,19 @@ object CorpusIngest {
     val dataDir = s"$indexDir/data"
     val repsDir = s"$indexDir/reps"
     val logDir = s"$indexDir/_txn"
+    // the stored centroid_id column is only meaningful under ONE
+    // frozen geometry: after a RETRAIN (a fresh CentroidStore epoch),
+    // new batches would assign against epoch E+1 while stored rows
+    // carry epoch-E buckets — the equi probe would silently compare
+    // unrelated cluster ids (no false suppression, cosine still
+    // verifies, but true neighbors stop colliding: a silent recall
+    // hole, the substring path's mixed-width-window class). Reject
+    // loudly; the migration is [[rebucketSemanticCentroid]] into a
+    // fresh dir (retrain-as-epoch, serving dirs included).
+    val epoch = graft.ext.CentroidStore.manifest(centroidDir)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed centroid store at $centroidDir")).epoch
+    validateCentroidEpoch(indexDir, epoch)
     var appended = 0L
     TxnLog.runOnce(logDir, batchId) {
       val cents = graft.ext.CentroidStore.centroids(spark, centroidDir)
@@ -339,6 +352,11 @@ object CorpusIngest {
       }).localCheckpoint()
       appended = fresh.count()
       if (appended > 0) {
+        // epoch committed BEFORE the first data lands, first writer
+        // wins, then re-validated — the substring path's (w, occCap)
+        // stamp discipline applied to the clustering geometry
+        stampCentroidEpoch(indexDir, epoch, batchId)
+        validateCentroidEpoch(indexDir, epoch)
         // order matters for the crash windows: data first (the drain
         // key), then reps (healed from data on replay evidence)
         fresh.write.mode(SaveMode.Append).parquet(dataDir)
@@ -348,6 +366,100 @@ object CorpusIngest {
       canon.unpersist()
     }
     appended
+  }
+
+  /** Reject an ingest whose centroid epoch disagrees with the stamped
+    * `_meta` — the stored centroid_id buckets only match their own
+    * geometry. No-op until a first successful batch stamps it. */
+  private[graft] def validateCentroidEpoch(indexDir: String,
+      epoch: Long): Unit = {
+    val meta = Paths.get(indexDir, "_meta")
+    if (Files.exists(meta)) {
+      val kv = new String(Files.readAllBytes(meta), "UTF-8")
+        .linesIterator.filter(_.contains("="))
+        .map { l => val Array(k, v) = l.split("=", 2); k -> v.trim }
+        .toMap
+      require(kv.get("centroid_epoch").contains(epoch.toString),
+        s"semantic-centroid corpus at $indexDir was bucketed under " +
+          s"centroid epoch ${kv.getOrElse("centroid_epoch", "?")}; the " +
+          s"store now serves epoch $epoch — stored centroid_ids only " +
+          "match their own geometry, so this ingest would silently " +
+          "stop colliding with history (migrate with " +
+          "rebucketSemanticCentroid into a fresh dir, or point the " +
+          "stream back at the old generation)")
+    }
+  }
+
+  /** First-writer-wins epoch stamp (the [[stampSubstringMeta]]
+    * primitive for the clustering geometry). */
+  private[graft] def stampCentroidEpoch(indexDir: String, epoch: Long,
+      batchId: Long): Unit = {
+    val meta = Paths.get(indexDir, "_meta")
+    if (!Files.exists(meta)) {
+      Files.createDirectories(Paths.get(indexDir))
+      val tmp = Paths.get(indexDir, s".meta.$batchId.tmp")
+      Files.write(tmp, s"centroid_epoch=$epoch\n".getBytes("UTF-8"))
+      try Files.createLink(meta, tmp)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => ()
+        case _: UnsupportedOperationException =>
+          Files.move(tmp, meta,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          ()
+      } finally {
+        Files.deleteIfExists(tmp)
+        ()
+      }
+      ()
+    }
+  }
+
+  /** RETRAIN MIGRATION — the documented backstop made executable:
+    * re-bucket a semantic-centroid corpus under the CURRENT committed
+    * geometry into a FRESH dir. Reads the old dir's stored vectors,
+    * re-assigns them against the new epoch's centroids, writes
+    * data/ + a repCap-bounded reps/ (admission in vec_id order — the
+    * deterministic rule, since original arrival order is gone) and
+    * stamps the new epoch. Crash-safe by construction: the old dir is
+    * never touched, and a torn destination is re-run with the same
+    * arguments (mode Overwrite). Single-writer contract: stop the
+    * stream, rebucket, restart it against `newIndexDir`.
+    *
+    * Scale posture: one assignment pass over the stored corpus
+    * (broadcast argmin — the irreducible exact-assignment cost of a
+    * retrain) + one bounded rep admission; no pair work. Returns rows
+    * migrated. */
+  def rebucketSemanticCentroid(spark: SparkSession, oldIndexDir: String,
+      newIndexDir: String, centroidDir: String,
+      repCap: Int = 1024): Long = {
+    require(java.nio.file.Paths.get(oldIndexDir).toAbsolutePath !=
+      java.nio.file.Paths.get(newIndexDir).toAbsolutePath,
+      "rebucket must target a FRESH dir (the old dir stays readable " +
+        "until the stream has switched over)")
+    val man = graft.ext.CentroidStore.manifest(centroidDir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed centroid store at $centroidDir"))
+    val storedOpt = readIfAny(spark, s"$oldIndexDir/data")
+    if (storedOpt.isEmpty) return 0L
+    val stored = storedOpt.get.drop("centroid_id")
+    val cents = graft.ext.CentroidStore.centroids(spark, centroidDir)
+    val rebucketed = stored.join(
+      graft.ext.EmbedOps.assignAgainst(stored, cents)
+        .select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+      .localCheckpoint()
+    val n = rebucketed.count()
+    rebucketed.write.mode(SaveMode.Overwrite)
+      .parquet(s"$newIndexDir/data")
+    rebucketed
+      .select(col("centroid_id"), col("vec_id"), col("embedding"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("centroid_id")).orderBy(col("vec_id"))))
+      .filter(col("rn") <= repCap)
+      .drop("rn")
+      .write.mode(SaveMode.Overwrite).parquet(s"$newIndexDir/reps")
+    Files.deleteIfExists(Paths.get(newIndexDir, "_meta"))
+    stampCentroidEpoch(newIndexDir, man.epoch, batchId = -1L)
+    n
   }
 
   /** Admit `cands` (centroid_id, vec_id, embedding) to the bounded

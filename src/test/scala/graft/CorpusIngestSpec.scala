@@ -365,6 +365,55 @@ class CorpusIngestSpec extends SparkSpec {
       b2, 2L, dir, centDir) == 0L)
   }
 
+  test("centroid-path epoch guard: a retrain is rejected loudly; rebucket migrates the corpus to the new geometry") {
+    val centDir = Files.createTempDirectory("graft-cent-epoch").toString + "/c"
+    def training(n: Int) = (0 until n).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f, 1.0f, 0.0f)
+      else Array(0.0f, 1.0f, 0.0f, -1.0f)
+      (100L + i, base.map(_ + i * 0.001f))
+    }.toDF("vec_id", "embedding")
+    graft.ext.CentroidStore.build(training(12), centDir)
+    val dir = Files.createTempDirectory("graft-cent-epoch-ix").toString
+    val b0 = Seq(
+      (1L, Array(1.0f, 0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, -1.0f))).toDF("vec_id", "embedding")
+    assert(CorpusIngest.ingestBatchSemanticCentroid(
+      b0, 0L, dir, centDir) == 2L)
+    // RETRAIN: a fresh epoch re-labels the geometry — stored
+    // centroid_ids no longer mean what new assignments mean, so the
+    // next ingest must fail LOUDLY naming both epochs (the silent
+    // alternative: true neighbors stop colliding, recall evaporates)
+    graft.ext.CentroidStore.build(training(10), centDir)
+    val e = intercept[IllegalArgumentException] {
+      CorpusIngest.ingestBatchSemanticCentroid(
+        Seq((5L, Array(1.0f, 0.01f, 0.99f, 0.0f)))
+          .toDF("vec_id", "embedding"), 1L, dir, centDir)
+    }
+    assert(e.getMessage.contains("epoch 0") &&
+      e.getMessage.contains("epoch 1") &&
+      e.getMessage.contains("rebucket"), e.getMessage)
+    // the executable backstop: re-bucket into a FRESH dir under the
+    // new geometry (old dir untouched)
+    val dir2 = Files.createTempDirectory("graft-cent-epoch-ix2").toString
+    assert(CorpusIngest.rebucketSemanticCentroid(
+      spark, dir, dir2, centDir) == 2L)
+    assert(spark.read.parquet(s"$dir/data").count() == 2L) // untouched
+    // suppression works against the MIGRATED corpus under the new
+    // epoch: a near-dup of an old doc is dropped, new content lands
+    assert(CorpusIngest.ingestBatchSemanticCentroid(
+      Seq((5L, Array(1.0f, 0.001f, 0.999f, 0.0f)))
+        .toDF("vec_id", "embedding"), 0L, dir2, centDir) == 0L)
+    assert(CorpusIngest.ingestBatchSemanticCentroid(
+      Seq((6L, Array(1.0f, 1.0f, -1.0f, 1.0f)))
+        .toDF("vec_id", "embedding"), 1L, dir2, centDir) == 1L)
+    assert(spark.read.parquet(s"$dir2/data")
+      .select("vec_id").as[Long].collect().toSet == Set(1L, 3L, 6L))
+    // a same-dir rebucket is refused (the old dir must stay readable)
+    intercept[IllegalArgumentException] {
+      CorpusIngest.rebucketSemanticCentroid(spark, dir2, dir2, centDir)
+    }
+  }
+
   test("substring wincnt counts track the index; drift is measured, undercount only widens the probe") {
     val dir = Files.createTempDirectory("graft-substr-cnt").toString
     val block = (1 to 10).map(i => s"c$i").mkString(" ")

@@ -659,8 +659,27 @@ class RocksDbSoakSpec extends SparkSpec {
 
   override protected def afterAll(): Unit = {
     // commit the soak artifact: state size + batch durations per
-    // pipeline, the numbers behind the "runs on RocksDB" claim
+    // pipeline, the numbers behind the "runs on RocksDB" claim.
+    // MERGE with rows already on disk: a filtered run (testOnly -z)
+    // must refresh only the pipelines it exercised, not clobber the
+    // full committed artifact down to its own subset
     if (soakStats.nonEmpty) {
+      val existing = java.nio.file.Paths.get("bench_results/rocksdb_soak.json")
+      if (Files.exists(existing)) {
+        val txt = new String(Files.readAllBytes(existing), "UTF-8")
+        val row = """"(\w+)":\{([^}]*)\}""".r
+        for (m <- row.findAllMatchIn(txt)
+             if !soakStats.contains(m.group(1)) && m.group(1) != "pipelines") {
+          val fields = m.group(2).split(",").flatMap { f =>
+            f.split(":") match {
+              case Array(k, v) => scala.util.Try(
+                k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toLong).toOption
+              case _ => None
+            }
+          }.toMap
+          if (fields.nonEmpty) soakStats(m.group(1)) = fields
+        }
+      }
       val body = soakStats.map { case (n, m) =>
         s""""$n":{${m.map { case (k, v) => s""""$k":$v""" }.mkString(",")}}"""
       }.mkString(",\n  ")
