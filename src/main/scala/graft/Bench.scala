@@ -46,6 +46,19 @@ object BenchStats {
   def regressed(prev: Double, now: Double): Boolean =
     now > prev * 1.5 && now - prev > 0.25
 
+  /** Band-aware flag rule (the r18 phantom-flag fix): the committed
+    * prior carries its own cross-sample dispersion (`query_spread` in
+    * the artifact = max−min of the samples behind the committed
+    * median), and a flag additionally requires `now` to clear the
+    * prior's own band — a point estimate from one exceptionally quiet
+    * run stops flagging every normal-host run, while a genuinely
+    * stable prior (spread ≈ 0) keeps exactly the classic rule. Spread
+    * 0.0 (or an artifact without the field) degrades to
+    * [[regressed]]. */
+  def regressedBand(prevMed: Double, prevSpread: Double,
+      now: Double): Boolean =
+    regressed(prevMed, now) && now > prevMed + 2.0 * prevSpread
+
   /** Adjudicate one flagged query from its quiet estimate (the
     * FASTEST sample ever observed for it this run — main passes or
     * re-probe): host contention is strictly additive noise, so the
@@ -291,9 +304,6 @@ object Bench {
       ps
     } else Vector.empty[Pass]
     val (aqeResults, aqeErrors, aqeContendedIdx) = stats(names, aqePasses)
-    val aqeQs = names.flatMap(n => aqeResults.get(n).map(v => s"\"" + n + "\":" + v))
-      .mkString("{", ",", "}")
-    val aqeTotal = aqeResults.values.sum
 
     // ---- complete per-query artifact file + regression diff ----------
     // The driver stores only a ~2000-char stdout tail, which cannot hold
@@ -319,22 +329,34 @@ object Bench {
         case None => "bench_results/bench_latest.json"
       })
     val outFile = new java.io.File(outPath).getAbsoluteFile
-    val prior: Map[String, Double] =
+    // prior = (median, spread) per query and per mode: the committed
+    // artifact carries query_spread/aqe_query_spread (max−min of the
+    // samples behind each committed value) so the flag rule can demand
+    // the new measurement clear the prior's OWN band, not just a fixed
+    // ratio off a point estimate (regressedBand above). Absent fields
+    // (older artifacts) degrade to spread 0 = the classic rule.
+    val (prior, priorSpread, aqePrior, aqePriorSpread) =
       if (outFile.isFile) {
         try {
           import org.json4s._
           val root = org.json4s.jackson.JsonMethods.parse(
             new String(java.nio.file.Files.readAllBytes(outFile.toPath),
               java.nio.charset.StandardCharsets.UTF_8))
-          (root \ "queries") match {
-            case JObject(fields) => fields.collect {
-              case (k, JDouble(v)) => k -> v
-              case (k, JInt(v)) => k -> v.toDouble
-            }.toMap
-            case _ => Map.empty
-          }
-        } catch { case _: Throwable => Map.empty[String, Double] }
-      } else Map.empty
+          def numMap(field: String): Map[String, Double] =
+            (root \ field) match {
+              case JObject(fields) => fields.collect {
+                case (k, JDouble(v)) => k -> v
+                case (k, JInt(v)) => k -> v.toDouble
+              }.toMap
+              case _ => Map.empty
+            }
+          (numMap("queries"), numMap("query_spread"),
+            numMap("aqe_queries"), numMap("aqe_query_spread"))
+        } catch { case _: Throwable =>
+          (Map.empty[String, Double], Map.empty[String, Double],
+            Map.empty[String, Double], Map.empty[String, Double]) }
+      } else (Map.empty[String, Double], Map.empty[String, Double],
+        Map.empty[String, Double], Map.empty[String, Double])
     // ---- quiet re-probe + self-adjudication (the r17 blind spot) -----
     // BENCH_r17 carried 17 regression flags including a 22× that
     // re-measured at 1.0× on a quiet host: the whole run drifted, so
@@ -356,91 +378,160 @@ object Bench {
     // becomes the quiet estimate — so the artifact self-corrects and
     // the next round's prior stays trustworthy. Both raw and
     // adjudicated numbers are recorded.
-    val mainFlagged = names.filter { n =>
-      results.get(n).exists(c => prior.get(n).exists(p =>
-        BenchStats.regressed(p, c)))
-    }
-    val cleanPasses = passes.zipWithIndex
-      .collect { case (p, i) if !contendedIdx.contains(i) => p }
-    val unstable = names.filter { n =>
-      val xs = (if (cleanPasses.nonEmpty) cleanPasses else passes)
-        .flatMap(_.samples.get(n))
-      xs.size >= 2 && BenchStats.dispersion(xs) > 2.0 &&
-        xs.max - BenchStats.median(xs) > 0.25
-    }
+    // Both columns (static AND AQE) run the same adjudication — r18's
+    // driver artifact had a fully-contended AQE column with no way to
+    // prove it environmental because only the static half re-probed.
+    // Two r19 rule changes: (a) flags are raised/cleared by the
+    // BAND-aware rule (regressedBand — the prior carries its own
+    // spread, see the prior parse above); (b) a flag is environmental
+    // only when its quiet MIN **and** its re-probe MEDIAN both clear
+    // the rule — the min alone runs back-to-back in a fully-warmed
+    // session, so an intermittent real regression that runs fast once
+    // was cleared, excluded, and its prior rewritten downward, hiding
+    // it from the next run too. With the median rule a flag that is
+    // only *sometimes* fast survives, keeps its regressed main median
+    // as the committed value, and stays visible.
     val reprobeIters = sys.env.getOrElse("SPARK_GRAFT_REPROBE_ITERS", "3").toInt
-    val toReprobe =
-      if (reprobeIters > 0) (mainFlagged ++ unstable).distinct.sorted
-      else Vector.empty
-    val reprobeSamples: Map[String, Seq[Double]] = toReprobe.map { n =>
-      n -> (1 to reprobeIters).flatMap { _ =>
+    final case class Adj(
+        adjudicated: Map[String, Double],
+        spreads: Map[String, Double],
+        regressions: Vector[(String, Double, Double)],
+        envRegs: Vector[(String, Double, Double, Double)],
+        unstable: Seq[String],
+        toReprobe: Seq[String],
+        regJson: String, envRegJson: String, reprobeJson: String,
+        spreadJson: String)
+    def adjudicate(results: Map[String, Double], passes: Vector[Pass],
+        contendedIdx: Vector[Int], priorMed: Map[String, Double],
+        priorSpr: Map[String, Double],
+        reprobeOne: String => Seq[Double]): Adj = {
+      def band(n: String, v: Double): Boolean =
+        priorMed.get(n).exists(p => BenchStats.regressedBand(
+          p, priorSpr.getOrElse(n, 0.0), v))
+      val mainFlagged = names.filter(n => results.get(n).exists(band(n, _)))
+      val cleanPasses = passes.zipWithIndex
+        .collect { case (p, i) if !contendedIdx.contains(i) => p }
+      val unstable = names.filter { n =>
+        val xs = (if (cleanPasses.nonEmpty) cleanPasses else passes)
+          .flatMap(_.samples.get(n))
+        xs.size >= 2 && BenchStats.dispersion(xs) > 2.0 &&
+          xs.max - BenchStats.median(xs) > 0.25
+      }
+      val toReprobe =
+        if (reprobeIters > 0) (mainFlagged ++ unstable).distinct.sorted
+        else Vector.empty
+      val reprobeSamples: Map[String, Seq[Double]] =
+        toReprobe.map(n => n -> reprobeOne(n)).toMap
+      // quiet estimate FOR THE DECISION: fastest sample ever observed
+      // this run — max-robust to drift (contention only adds time)
+      def quietEst(n: String): Double =
+        (passes.flatMap(_.samples.get(n)) ++
+          reprobeSamples.getOrElse(n, Nil)).min
+      // committed VALUE for an adjudicated query: the MEDIAN of its
+      // re-probe samples, not the min — the min is a biased-low prior
+      // (a fluke-fast committed min makes the next run's normal
+      // median a phantom flag); the re-probe median is the
+      // steady-state representative
+      def quietVal(n: String): Double = {
+        val rs = reprobeSamples.getOrElse(n, Nil)
+        if (rs.nonEmpty) BenchStats.median(rs) else quietEst(n)
+      }
+      // environmental = BOTH the quiet min and the re-probe median
+      // clear the band rule that raised the flag; the decision owns
+      // flag membership end-to-end (an environmental query never also
+      // appears in `regressions` — the reader sees all three numbers
+      // under environmental_regressions/reprobe instead of a
+      // self-contradicting double report)
+      val envSet: Set[String] = mainFlagged.filter { n =>
+        reprobeSamples.get(n).exists(_.nonEmpty) &&
+          !band(n, quietEst(n)) && !band(n, quietVal(n))
+      }.toSet
+      // adjudicated per-query values: environmental flags and unstable
+      // measurements take their quiet value; surviving flags keep the
+      // (regressed) main median — the artifact must show the regression
+      val adjudicated: Map[String, Double] = results.map { case (n, v) =>
+        n -> (if (reprobeSamples.get(n).exists(_.nonEmpty)) {
+          if (mainFlagged.contains(n) && !envSet.contains(n)) v
+          else math.min(v, quietVal(n))
+        } else v)
+      }
+      // committed spread per query: the dispersion of the samples
+      // behind the committed value (re-probe samples for adjudicated
+      // queries, surviving main samples otherwise) — next run's band
+      val spreads: Map[String, Double] = names.flatMap { n =>
+        val rs = reprobeSamples.getOrElse(n, Nil)
+        val adjUsed = rs.nonEmpty &&
+          !(mainFlagged.contains(n) && !envSet.contains(n))
+        val xs =
+          if (adjUsed) rs
+          else {
+            val cs = cleanPasses.flatMap(_.samples.get(n))
+            if (cs.nonEmpty) cs else passes.flatMap(_.samples.get(n))
+          }
+        if (xs.isEmpty) None else Some(n -> (xs.max - xs.min))
+      }.toMap
+      val regressions = names.flatMap { n =>
+        for (c <- adjudicated.get(n); p <- priorMed.get(n)
+             if band(n, c) && !envSet.contains(n)) yield (n, p, c)
+      }
+      val envRegs = names.flatMap { n =>
+        for (m <- results.get(n); p <- priorMed.get(n)
+             if envSet.contains(n)) yield (n, p, m, quietEst(n))
+      }
+      val regJson = regressions.map { case (n, p, c) =>
+        f"""{"query":"$n","prev":$p%.3f,"now":$c%.3f,"ratio":${c / p}%.2f}"""
+      }.mkString("[", ",", "]")
+      val envRegJson = envRegs.map { case (n, p, m, q) =>
+        f"""{"query":"$n","prev":$p%.3f,"main":$m%.3f,""" +
+          f""""quiet":$q%.3f}"""
+      }.mkString("[", ",", "]")
+      val reprobeJson = toReprobe.map { n =>
+        val rs = reprobeSamples.getOrElse(n, Nil)
+        val has = rs.nonEmpty || results.contains(n)
+        f""""$n":{"main_median":${results.getOrElse(n, -1.0)}%.3f,""" +
+          f""""quiet_min":${if (has) quietEst(n) else -1.0}%.3f,""" +
+          f""""quiet_med":${if (has) quietVal(n) else -1.0}%.3f,""" +
+          s""""reprobe_n":${rs.size}}"""
+      }.mkString("{", ",", "}")
+      val spreadJson = names.flatMap(n => spreads.get(n).map(v =>
+        f""""$n":$v%.3f""")).mkString("{", ",", "}")
+      Adj(adjudicated, spreads, regressions, envRegs, unstable,
+        toReprobe, regJson, envRegJson, reprobeJson, spreadJson)
+    }
+    def reprobeRun(n: String): Seq[Double] =
+      (1 to reprobeIters).flatMap { _ =>
         timed(SparkEntry.queries(n)) match {
           case (t, None) => Some(t)
           case _ => None
         }
       }
-    }.toMap
-    // quiet estimate FOR THE DECISION: fastest sample ever observed
-    // this run — max-robust to drift (contention only adds time)
-    def quietEst(n: String): Double =
-      (passes.flatMap(_.samples.get(n)) ++
-        reprobeSamples.getOrElse(n, Nil)).min
-    // committed VALUE for an adjudicated query: the MEDIAN of its
-    // re-probe samples, not the min — the min is the right decision
-    // statistic but a biased-low prior (the first self-adjudicated
-    // run committed a fluke-fast 1.10 s min for a ~1.5 s steady-state
-    // query, and the NEXT run's normal median then read as a phantom
-    // 1.5× regression against it); the re-probe median is the
-    // steady-state representative
-    def quietVal(n: String): Double = {
-      val rs = reprobeSamples.getOrElse(n, Nil)
-      if (rs.nonEmpty) BenchStats.median(rs) else quietEst(n)
-    }
-    // the environmental DECISION is made once, on quietEst, and owns
-    // flag membership end-to-end: a query whose quiet estimate cleared
-    // the rule is environmental PERIOD — it can never also appear in
-    // `regressions`, even when its committed steady-state median still
-    // sits above the prior's flag line (the reader sees all three
-    // numbers under environmental_regressions/reprobe instead of a
-    // self-contradicting double report)
-    val envSet: Set[String] = mainFlagged.filter { n =>
-      reprobeSamples.get(n).exists(_.nonEmpty) &&
-        prior.get(n).exists(p => BenchStats.environmental(p, quietEst(n)))
-    }.toSet
-    // adjudicated per-query values: environmental flags and unstable
-    // measurements take their quiet value; surviving flags keep the
-    // (regressed) main median — the artifact must show the regression
-    val adjudicated: Map[String, Double] = results.map { case (n, v) =>
-      n -> (if (reprobeSamples.get(n).exists(_.nonEmpty)) {
-        if (mainFlagged.contains(n) && !envSet.contains(n)) v
-        else math.min(v, quietVal(n))
-      } else v)
-    }
+    val adj = adjudicate(results, passes, contendedIdx, prior,
+      priorSpread, reprobeRun)
+    // AQE adjudication: the re-probe must measure the SAME plans the
+    // AQE passes measured, so adaptive is re-enabled around it
+    val aqeAdj =
+      if (aqePasses.nonEmpty) {
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        val a = adjudicate(aqeResults, aqePasses, aqeContendedIdx,
+          aqePrior, aqePriorSpread, reprobeRun)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        a
+      } else adjudicate(aqeResults, aqePasses, aqeContendedIdx,
+        aqePrior, aqePriorSpread, _ => Nil)
+    val adjudicated = adj.adjudicated
+    val regressions = adj.regressions
+    val envRegs = adj.envRegs
+    val unstable = adj.unstable
+    val toReprobe = adj.toReprobe
     val adjTotal = adjudicated.values.sum
-    val regressions = names.flatMap { n =>
-      for (c <- adjudicated.get(n); p <- prior.get(n)
-           if BenchStats.regressed(p, c) && !envSet.contains(n))
-        yield (n, p, c)
-    }
-    val envRegs = names.flatMap { n =>
-      for (m <- results.get(n); p <- prior.get(n)
-           if envSet.contains(n)) yield (n, p, m)
-    }
-    val regJson = regressions.map { case (n, p, c) =>
-      f"""{"query":"$n","prev":$p%.3f,"now":$c%.3f,"ratio":${c / p}%.2f}"""
-    }.mkString("[", ",", "]")
-    val envRegJson = envRegs.map { case (n, p, m) =>
-      f"""{"query":"$n","prev":$p%.3f,"main":$m%.3f,""" +
-        f""""quiet":${quietEst(n)}%.3f}"""
-    }.mkString("[", ",", "]")
-    val reprobeJson = toReprobe.map { n =>
-      val rs = reprobeSamples.getOrElse(n, Nil)
-      val has = rs.nonEmpty || results.contains(n)
-      f""""$n":{"main_median":${results.getOrElse(n, -1.0)}%.3f,""" +
-        f""""quiet_min":${if (has) quietEst(n) else -1.0}%.3f,""" +
-        f""""quiet_med":${if (has) quietVal(n) else -1.0}%.3f,""" +
-        s""""reprobe_n":${rs.size}}"""
-    }.mkString("{", ",", "}")
+    val regJson = adj.regJson
+    val envRegJson = adj.envRegJson
+    val reprobeJson = adj.reprobeJson
+    // AQE column: the committed values/total are the adjudicated ones,
+    // same as the static column
+    val aqeQs = names.flatMap(n => aqeAdj.adjudicated.get(n)
+      .map(v => s"\"" + n + "\":" + v)).mkString("{", ",", "}")
+    val aqeTotal = aqeAdj.adjudicated.values.sum
     def secArr(xs: Seq[Double]) = xs.map(w => f"$w%.2f").mkString("[", ",", "]")
     def idxArr(xs: Seq[Int]) = xs.mkString("[", ",", "]")
     val errJson = (errors ++ aqeErrors.map { case (k, v) => s"aqe:$k" -> v })
@@ -466,15 +557,24 @@ object Bench {
         s""""aqe_pass_wall_sec":${secArr(aqePasses.map(_.wall))},""" +
         s""""aqe_contended_passes":${idxArr(aqeContendedIdx)},""" +
         s""""errors":$errJson,"error_count":${errors.size + aqeErrors.size},""" +
-        s""""adjudication_note":"every regression-flagged or unstable """ +
-        s"""query was re-probed after the main passes; quiet_min = fastest """ +
-        s"""sample observed (contention is additive noise) and decides """ +
-        s"""environmental; environmental/unstable queries commit """ +
-        s"""min(main median, re-probe median) - the steady-state value, """ +
-        s"""not the optimistic min; surviving flags keep the regressed """ +
-        s"""median","reprobe":$reprobeJson,""" +
+        s""""adjudication_note":"flags use the band rule (prior median """ +
+        s"""+ 2x its committed query_spread, AND the classic 1.5x/0.25s """ +
+        s"""floor); every flagged or unstable query re-probes after the """ +
+        s"""main passes (AQE flags re-probe with adaptive ON); """ +
+        s"""environmental requires BOTH quiet_min and the re-probe """ +
+        s"""MEDIAN to clear the band - an intermittently-fast real """ +
+        s"""regression survives; environmental/unstable queries commit """ +
+        s"""min(main median, re-probe median); surviving flags keep the """ +
+        s"""regressed median","reprobe":$reprobeJson,""" +
+        s""""query_spread":${adj.spreadJson},""" +
         s""""unstable_queries":${unstable.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""environmental_regressions":$envRegJson,""" +
+        s""""aqe_query_spread":${aqeAdj.spreadJson},""" +
+        s""""aqe_reprobe":${aqeAdj.reprobeJson},""" +
+        s""""aqe_unstable_queries":${aqeAdj.unstable.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""aqe_environmental_regressions":${aqeAdj.envRegJson},""" +
+        s""""aqe_regressions":${aqeAdj.regJson},""" +
+        s""""aqe_prior_total_sec":${aqePrior.values.sum},""" +
         s""""prior_total_sec":${prior.values.sum},"regressions":$regJson}"""
     Option(outFile.getParentFile).foreach(_.mkdirs())
     java.nio.file.Files.write(outFile.toPath,
@@ -488,7 +588,7 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_sec":$warmupSec,"aqe_total_sec":$aqeTotal,"aqe_queries":$aqeQs,"sf":"$sfDir"}""")
     val top5 = adjudicated.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${names.size},"slowest":$top5,"aqe_total_sec":$aqeTotal%.2f,"warmup_sec":$warmupSec%.1f,"host_contended":$hostContended,"load_avg":$loadStart%.1f,"regression_count":${regressions.size},"environmental_regression_count":${envRegs.size},"reprobed":${toReprobe.size},"error_count":${errors.size + aqeErrors.size},"pass_wall_sec":${secArr(passes.map(_.wall))},"contended_passes":${idxArr(contendedIdx)},"aqe_contended_passes":${idxArr(aqeContendedIdx)},"detail":"$outPath","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${names.size},"slowest":$top5,"aqe_total_sec":$aqeTotal%.2f,"warmup_sec":$warmupSec%.1f,"host_contended":$hostContended,"load_avg":$loadStart%.1f,"regression_count":${regressions.size},"environmental_regression_count":${envRegs.size},"aqe_regression_count":${aqeAdj.regressions.size},"aqe_environmental_regression_count":${aqeAdj.envRegs.size},"reprobed":${toReprobe.size},"aqe_reprobed":${aqeAdj.toReprobe.size},"error_count":${errors.size + aqeErrors.size},"pass_wall_sec":${secArr(passes.map(_.wall))},"contended_passes":${idxArr(contendedIdx)},"aqe_contended_passes":${idxArr(aqeContendedIdx)},"detail":"$outPath","sf":"$sfDir"}""")
     if (regressions.nonEmpty)
       System.err.println(s"[graft.bench] ${regressions.size} regression(s) vs prior run " +
         "(survived their own quiet re-probe): " +
@@ -496,8 +596,8 @@ object Bench {
     if (envRegs.nonEmpty)
       System.err.println(s"[graft.bench] ${envRegs.size} flag(s) adjudicated " +
         "ENVIRONMENTAL by re-probe: " +
-        envRegs.map { case (n, p, m) =>
-          f"$n $p%.2f→$m%.2f (quiet ${quietEst(n)}%.2f)" }.mkString(", "))
+        envRegs.map { case (n, p, m, q) =>
+          f"$n $p%.2f→$m%.2f (quiet $q%.2f)" }.mkString(", "))
     if (errors.nonEmpty || aqeErrors.nonEmpty)
       System.err.println(s"[graft.bench] ${errors.size + aqeErrors.size} query error(s): " +
         (errors ++ aqeErrors.map { case (k, v) => s"aqe:$k" -> v })

@@ -75,6 +75,13 @@ object SparkEntry {
     "pipe_status_updates" -> ((s, d) => MatchPipeline.statusUpdates(decided(s, d))),
     "pipe_batch_failures" -> ((s, d) => MatchPipeline.batchFailures(decided(s, d))),
     "pipe_metrics" -> ((s, d) => MatchPipeline.metrics(decided(s, d))),
+    // r19: full AttributeValue type surface — every standard DynamoDB
+    // tag (S/N/BOOL/NULL/B/SS/NS/BS/L/M + L-of-M-of-N nesting)
+    // round-tripped through the wire encoding and decoded with the
+    // generic combinators; the oracle recomputes the decoded values
+    // from base arithmetic without modeling the wire format
+    "pipe_decode_attrs" -> ((s, d) => graft.decode.DynamoDecode
+      .decodeAttrItems(MatchFixture.attrItems(Tables.customer(s, d)))),
     "pipe_sqs_attrs" -> ((s, d) => pipeline.EmailJobs.sqsEnvelope(
       decided(s, d).filter(org.apache.spark.sql.functions.col("action") === "email_triggered"),
       org.apache.spark.sql.functions.lit("2024-01-20T00:00:00.000Z"),
@@ -1135,6 +1142,7 @@ object SparkEntry {
     "pipe_batch_failures" -> OracleSql.pipeBatchFailures,
     "pipe_metrics" -> OracleSql.pipeMetrics,
     "pipe_sqs_attrs" -> OracleSql.pipeSqsAttrs,
+    "pipe_decode_attrs" -> OracleSql.pipeDecodeAttrs,
 
     "q1_pricing" -> OracleSqlExt.q1Pricing,
     "q3_shipping" -> OracleSqlExt.q3Shipping,

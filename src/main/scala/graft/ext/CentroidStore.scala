@@ -176,20 +176,35 @@ object CentroidStore {
     require(keepGenerations >= 1,
       s"keepGenerations must be >= 1 (got $keepGenerations)")
     val keep = committedGens(dir).takeRight(keepGenerations)
+    val snapMaxGen = keep.lastOption.getOrElse(Long.MinValue)
     val live: Set[String] =
       keep.map(readManifest(dir, _)).map(_.centroids).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    def graced(p: java.nio.file.Path): Boolean = scala.util.Try(
+      Files.getLastModifiedTime(p).toMillis <= cutoff).getOrElse(false)
     // ORDER: retire superseded manifests FIRST, data dirs second — a
     // crash (or a concurrent time-travel reader listing generations)
     // between the phases then sees a manifest-less orphan dir (benign,
     // re-vacuumable) instead of a committed manifest pointing at a
-    // wiped dir (a loud require beats a parquet path-not-found)
+    // wiped dir (a loud require beats a parquet path-not-found).
+    // Two concurrent-publisher guards on the _commits pass itself:
+    // (1) only a manifest whose gen sits STRICTLY BELOW the snapshot's
+    // newest gen is "superseded" — a generation published between the
+    // keep snapshot and this delete pass has gen > snapMaxGen and is
+    // never touched (deleting it would silently un-publish a commit
+    // whose publish() succeeded); (2) the graceMs window applies to
+    // _commits entries too — a .manifest-*.tmp is a publisher mid-link
+    // and even a superseded manifest may still be under a concurrent
+    // time-travel reader's feet, so only entries older than the grace
+    // cutoff are retired.
     if (Files.exists(commitDir(dir)))
       graft.DirIO.listPaths(commitDir(dir))
         .filter { p =>
           val n = p.getFileName.toString
-          n.startsWith(".") ||
+          graced(p) && (n.startsWith(".") ||
             (n.startsWith("manifest-") &&
-              !keep.contains(n.stripPrefix("manifest-").toLong))
+              scala.util.Try(n.stripPrefix("manifest-").toLong).toOption
+                .exists(g => !keep.contains(g) && g < snapMaxGen)))
         }
         .foreach(p => { Files.deleteIfExists(p); () })
     // grace window: a non-live dir modified within graceMs may be a
@@ -198,7 +213,6 @@ object CentroidStore {
     // publish a manifest referencing a vanished dir. Recently-touched
     // orphans are left for the next vacuum; pass graceMs = 0 for the
     // single-writer teardown case.
-    val cutoff = System.currentTimeMillis() - graceMs
     graft.DirIO.listPaths(Paths.get(dir)).foreach { p =>
       val n = p.getFileName.toString
       val old = scala.util.Try(

@@ -305,18 +305,33 @@ object EmbedIndex {
   def vacuum(dir: String, graceMs: Long = 15 * 60 * 1000L): Unit = {
     manifest(dir).foreach { man =>
       val live = man.segs.toSet ++ Set(man.sums, man.cents, "_commits")
+      val cutoff = System.currentTimeMillis() - graceMs
+      def graced(p: java.nio.file.Path): Boolean = scala.util.Try(
+        Files.getLastModifiedTime(p).toMillis <= cutoff).getOrElse(false)
       // ORDER: retire superseded manifests FIRST, data second — a
       // crash between the phases leaves a manifest-less orphan
       // (benign, re-vacuumable), never a committed manifest pointing
-      // at a wiped dir (the CentroidStore.vacuum discipline)
+      // at a wiped dir (the CentroidStore.vacuum discipline).
+      // Concurrent-publisher guards (the CentroidStore.vacuum rules):
+      // only a manifest with gen STRICTLY BELOW the snapshot's gen is
+      // superseded — one published between the manifest(dir) snapshot
+      // and this pass has a higher gen and is never touched — and the
+      // graceMs window applies here too (.manifest-*.tmp is a
+      // publisher mid-move; a fresh superseded manifest may still be
+      // under a time-travel reader's feet).
       graft.DirIO.listPaths(commitDir(dir))
-        .filter(_.getFileName.toString != s"manifest-${man.gen}")
+        .filter { p =>
+          val n = p.getFileName.toString
+          graced(p) && (n.startsWith(".") ||
+            (n.startsWith("manifest-") &&
+              scala.util.Try(n.stripPrefix("manifest-").toLong).toOption
+                .exists(_ < man.gen)))
+        }
         .foreach(p => { Files.deleteIfExists(p); () })
       // grace window: a non-live path touched within graceMs may be a
       // concurrent appender/compactor's un-published segment on a
       // shared index root — spare it for the next vacuum; graceMs = 0
       // is the single-writer teardown form
-      val cutoff = System.currentTimeMillis() - graceMs
       graft.DirIO.listPaths(Paths.get(dir))
         .filterNot(p => live.contains(p.getFileName.toString))
         .filter(p => scala.util.Try(

@@ -214,6 +214,36 @@ SELECT 'email_' || event_id || '_' || guest_id || '_1705708800000' AS id,
        event_id || '-' || lower(guest_email) AS dedup_id
 FROM d WHERE action = 'email_triggered'"""
 
+  /** Full-AttributeValue decode (r19 extension): the Spark side round-
+    * trips every standard DynamoDB tag through the wire encoding
+    * (MatchFixture.attrItems → DynamoDecode.decodeAttrItems); the
+    * oracle computes the decoded values straight from `c_custkey`
+    * arithmetic, never touching the wire format — any mis-decode of
+    * S/N/BOOL/NULL/B/SS/NS/BS/L/M (or the L-of-M-of-N nesting)
+    * diverges the hash. */
+  val pipeDecodeAttrs: String = """
+SELECT 'a' || CAST(c_custkey AS VARCHAR) AS rid,
+       CASE WHEN c_custkey % 9 = 4 THEN 'absent'
+            ELSE 'guest ' || CAST(c_custkey % 50 AS VARCHAR) END AS name_s,
+       CAST(18 + c_custkey % 60 AS INT) AS age_n,
+       (c_custkey % 3 = 0) AS vip_b,
+       (c_custkey % 7 = 2) AS note_isnull,
+       md5('av' || CAST(c_custkey AS VARCHAR)) AS avatar_md5,
+       CAST(length('av' || CAST(c_custkey AS VARCHAR)) AS INT) AS avatar_len,
+       't' || CAST(c_custkey % 5 AS VARCHAR) || ',u' ||
+         CAST(c_custkey % 7 AS VARCHAR) AS tags_cat,
+       CAST(c_custkey % 10 + c_custkey % 13 + c_custkey % 17 AS INT) AS scores_sum,
+       md5('p' || CAST(c_custkey AS VARCHAR) ||
+           'q' || CAST(c_custkey AS VARCHAR)) AS blobs_md5,
+       CAST(c_custkey % 4 AS INT) AS gallery_n,
+       CASE WHEN c_custkey % 4 >= 1
+            THEN 'g/' || CAST(c_custkey AS VARCHAR) || '/1'
+            ELSE 'none' END AS gallery_first,
+       'c' || CAST(c_custkey % 20 AS VARCHAR) AS city_s,
+       CAST(10000 + c_custkey % 100 AS INT) AS zip_n,
+       CAST((c_custkey % 7) + ((c_custkey * 2) % 7) AS INT) AS nested_sum
+FROM customer"""
+
   val pipeMetrics: String = fixtureCte + """
 SELECT CAST(count(*) AS BIGINT) AS total_records,
        CAST(SUM(CASE WHEN action <> 'error' THEN 1 ELSE 0 END) AS BIGINT) AS processed_records,

@@ -27,6 +27,58 @@ object MatchFixture {
   private def avN(c: Column): Column = struct(c.cast("string").as("N"))
   private def avB(c: Column): Column = struct(c.cast("boolean").as("BOOL"))
 
+  /** Full-AttributeValue fixture (r19): one `item` per customer
+    * carrying EVERY standard DynamoDB tag — S, N, BOOL, NULL, B, SS,
+    * NS, BS, L, M, plus an L-of-M-of-N nesting — again pure integer/
+    * string arithmetic on `c_custkey` so the DuckDB oracle
+    * ([[graft.oracle.OracleSql.pipeDecodeAttrs]]) reproduces the
+    * decoded values without modeling the wire format at all: if
+    * [[graft.decode.DynamoDecode.decodeAttrItems]] mis-decodes any
+    * tag, the hashes diverge. Absence discipline mirrors the envelope
+    * fixture: `name` is a null struct on k%9==4 rows (absent
+    * attribute), `note` is a typed NULL on k%7==2 rows. */
+  def attrItems(customer: DataFrame): DataFrame = {
+    val k = col("c_custkey")
+    def av(tag: String, c: Column): Column = struct(c.as(tag))
+    val nGallery = (k % 4).cast("int")
+    val item = struct(
+      when(k % 9 =!= 4,
+        av("S", concat(lit("guest "), (k % 50).cast("string"))))
+        .as("name"),
+      av("N", (k % 60 + 18).cast("string")).as("age"),
+      av("BOOL", k % 3 === 0).as("vip"),
+      when(k % 7 === 2, av("NULL", lit(true))).as("note"),
+      av("B", base64(concat(lit("av"), k.cast("string")).cast("binary")))
+        .as("avatar"),
+      av("SS", array(
+        concat(lit("t"), (k % 5).cast("string")),
+        concat(lit("u"), (k % 7).cast("string")))).as("tags"),
+      av("NS", array((k % 10).cast("string"), (k % 13).cast("string"),
+        (k % 17).cast("string"))).as("scores"),
+      av("BS", array(
+        base64(concat(lit("p"), k.cast("string")).cast("binary")),
+        base64(concat(lit("q"), k.cast("string")).cast("binary"))))
+        .as("blobs"),
+      av("L", when(nGallery >= 1,
+        transform(sequence(lit(1), nGallery), i => struct(
+          concat(lit("g/"), k.cast("string"), lit("/"),
+            i.cast("string")).as("S"))))
+        .otherwise(array().cast("array<struct<S:string>>"))).as("gallery"),
+      av("M", map(
+        lit("city"), struct(
+          concat(lit("c"), (k % 20).cast("string")).as("S"),
+          lit(null).cast("string").as("N")),
+        lit("zip"), struct(
+          lit(null).cast("string").as("S"),
+          (k % 100 + 10000).cast("string").as("N")))).as("profile"),
+      av("L", transform(sequence(lit(1), lit(2)), i => struct(
+        map(lit("v"), struct(
+          ((k * i) % 7).cast("string").as("N"))).as("M"))))
+        .as("nested"))
+    customer.select(
+      concat(lit("a"), k.cast("string")).as("rid"), item.as("item"))
+  }
+
   /** Build the stream-record envelope DataFrame from `customer`. */
   def envelope(customer: DataFrame): DataFrame = {
     val k = col("c_custkey")

@@ -391,11 +391,29 @@ object CorpusIngest {
   }
 
   /** First-writer-wins epoch stamp (the [[stampSubstringMeta]]
-    * primitive for the clustering geometry). */
+    * primitive for the clustering geometry).
+    *
+    * A dir that already holds data/ rows but carries NO stamp is
+    * REFUSED (unless `dirHoldsRebucketedData`, the
+    * [[rebucketSemanticCentroid]] path, which just re-assigned every
+    * stored row under the current geometry): those rows were bucketed
+    * under an unknown — in practice older — centroid geometry, and
+    * stamping the store's CURRENT epoch onto them would grandfather a
+    * mixed-geometry corpus into exactly the silent-recall-hole state
+    * [[validateCentroidEpoch]] exists to reject loudly. */
   private[graft] def stampCentroidEpoch(indexDir: String, epoch: Long,
-      batchId: Long): Unit = {
+      batchId: Long, dirHoldsRebucketedData: Boolean = false): Unit = {
     val meta = Paths.get(indexDir, "_meta")
     if (!Files.exists(meta)) {
+      require(dirHoldsRebucketedData ||
+        !graft.DirIO.nonEmpty(s"$indexDir/data"),
+        s"semantic-centroid corpus at $indexDir holds data/ rows but " +
+          "no _meta epoch stamp — its rows were bucketed under an " +
+          s"unknown (likely pre-stamp) geometry, and stamping epoch " +
+          s"$epoch onto them would silently mix geometries (stored " +
+          "centroid_ids stop colliding with new arrivals: a recall " +
+          "hole). Migrate with rebucketSemanticCentroid into a fresh " +
+          "dir, or restore the dir's original _meta")
       Files.createDirectories(Paths.get(indexDir))
       val tmp = Paths.get(indexDir, s".meta.$batchId.tmp")
       Files.write(tmp, s"centroid_epoch=$epoch\n".getBytes("UTF-8"))
@@ -432,8 +450,16 @@ object CorpusIngest {
   def rebucketSemanticCentroid(spark: SparkSession, oldIndexDir: String,
       newIndexDir: String, centroidDir: String,
       repCap: Int = 1024): Long = {
-    require(java.nio.file.Paths.get(oldIndexDir).toAbsolutePath !=
-      java.nio.file.Paths.get(newIndexDir).toAbsolutePath,
+    // canonical compare: normalize() collapses '.'/'..' segments and
+    // toRealPath() (when the dir exists) resolves symlink aliases —
+    // toAbsolutePath alone let '/x/./a' vs '/x/a' (or a symlink twin)
+    // slip past the guard and the Overwrite below clobber the source
+    // dir the doc promises stays readable
+    def canonical(p: String): java.nio.file.Path = {
+      val a = java.nio.file.Paths.get(p).toAbsolutePath.normalize
+      try a.toRealPath() catch { case _: java.io.IOException => a }
+    }
+    require(canonical(oldIndexDir) != canonical(newIndexDir),
       "rebucket must target a FRESH dir (the old dir stays readable " +
         "until the stream has switched over)")
     val man = graft.ext.CentroidStore.manifest(centroidDir).getOrElse(
@@ -458,7 +484,8 @@ object CorpusIngest {
       .drop("rn")
       .write.mode(SaveMode.Overwrite).parquet(s"$newIndexDir/reps")
     Files.deleteIfExists(Paths.get(newIndexDir, "_meta"))
-    stampCentroidEpoch(newIndexDir, man.epoch, batchId = -1L)
+    stampCentroidEpoch(newIndexDir, man.epoch, batchId = -1L,
+      dirHoldsRebucketedData = true)
     n
   }
 

@@ -167,6 +167,49 @@ class BenchStatsSpec extends AnyFunSuite {
     assert(BenchStats.environmental(0.05, 0.12))
   }
 
+  test("r19 band rule: a noisy prior's spread widens the flag line; a stable prior keeps the classic rule") {
+    // r18 profile: 14+7 environmental flags, all sub-second queries
+    // flagged against a point prior from one exceptionally quiet run.
+    // The committed prior now carries its own spread (max−min of the
+    // samples behind the median) and a flag must ALSO clear
+    // prior + 2×spread.
+    // prior 0.50 s committed from a quiet run whose samples spanned
+    // 0.45–0.95 s (spread 0.50): a 0.94 s re-measure is inside the
+    // prior's own band — not a flag
+    assert(BenchStats.regressed(0.50, 0.94))         // classic rule fires
+    assert(!BenchStats.regressedBand(0.50, 0.50, 0.94)) // band absorbs it
+    // a genuine 3× jump clears the band too and still flags
+    assert(BenchStats.regressedBand(0.50, 0.50, 1.60))
+    // spread 0 (or an artifact without the field) = exactly the
+    // classic rule, both directions
+    assert(BenchStats.regressedBand(0.50, 0.0, 0.94) ==
+      BenchStats.regressed(0.50, 0.94))
+    assert(BenchStats.regressedBand(1.75, 0.0, 1.75 * 1.5) ==
+      BenchStats.regressed(1.75, 1.75 * 1.5))
+    // the 0.25 s absolute floor survives the band form
+    assert(!BenchStats.regressedBand(0.05, 0.0, 0.12))
+  }
+
+  test("r19 environmental rule: the re-probe median must clear too (intermittently-fast real regressions survive)") {
+    // ADVICE r18: quietEst = the single fastest sample ever observed,
+    // and the re-probe runs in a fully-warmed session — a regression
+    // that runs fast ONCE was cleared and its prior rewritten
+    // downward. The decision now requires BOTH the quiet min and the
+    // re-probe MEDIAN to clear the band rule. Modelled here directly
+    // on the rule the Bench.adjudicate closure applies:
+    def env(prior: Double, spread: Double, quietMin: Double,
+        reprobeMed: Double): Boolean =
+      !BenchStats.regressedBand(prior, spread, quietMin) &&
+        !BenchStats.regressedBand(prior, spread, reprobeMed)
+    // truly environmental: both statistics back at the prior
+    assert(env(1.75, 0.0, 1.66, 1.80))
+    // intermittent real regression: one fluke-fast sample, median
+    // still 2.5× the prior → SURVIVES (was cleared by the min rule)
+    assert(!env(1.75, 0.0, 1.66, 4.40))
+    // steady real regression survives on both statistics
+    assert(!env(1.75, 0.0, 4.20, 4.40))
+  }
+
   test("dispersion: max over median of the surviving samples") {
     assert(BenchStats.dispersion(Seq(1.0, 1.1, 22.0)) > 2.0)
     assert(BenchStats.dispersion(Seq(1.0, 1.1, 1.2)) < 1.3)

@@ -91,16 +91,30 @@ class CentroidStoreSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet == gen0)
     // the in-flight grace: with the default window, a recently-touched
     // non-live dir is NOT wiped (it may be a concurrent builder's
-    // un-published attempt), though its superseded manifest retires
+    // un-published attempt) — and since r19 the same window covers
+    // _commits entries: a fresh superseded manifest stays readable
+    // (time travel keeps working within grace, and a generation
+    // published concurrently with the vacuum can never be
+    // un-published) and a publisher's mid-link .tmp is never yanked
+    // from under it
+    val midLink = Paths.get(dir, "_commits", ".manifest-9.tmp-racer")
+    Files.write(midLink, "v1\n".getBytes("UTF-8"))
     CentroidStore.vacuum(dir)
     assert(Files.exists(Paths.get(dir, m0.centroids)))
-    assert(!Files.exists(Paths.get(dir, "_commits", "manifest-0")))
+    assert(Files.exists(Paths.get(dir, "_commits", "manifest-0")))
+    assert(Files.exists(midLink))
+    assert(CentroidStore.centroidsAt(spark, dir, 0L)
+      .collect().map(_.toSeq).toSet == gen0) // time travel intact
     // retention (the r17 ADVICE hole: vacuum kept EVERY manifested
     // generation, so a build-per-session store grew one epoch per
     // session forever): keepGenerations=1 with no grace drops gen 0's
-    // data dir too; the live epoch survives
+    // manifest, its data dir, and the abandoned temp; the live epoch
+    // is NEVER retired (its gen is the snapshot max, not below it)
     CentroidStore.vacuum(dir, graceMs = 0L)
     assert(!Files.exists(Paths.get(dir, m0.centroids)))
+    assert(!Files.exists(Paths.get(dir, "_commits", "manifest-0")))
+    assert(!Files.exists(midLink))
+    assert(Files.exists(Paths.get(dir, "_commits", s"manifest-${m1.gen}")))
     assert(CentroidStore.centroids(spark, dir).count() == 8L)
     intercept[IllegalArgumentException] {
       CentroidStore.centroidsAt(spark, dir, 0L)

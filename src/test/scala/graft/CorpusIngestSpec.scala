@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
@@ -412,6 +412,41 @@ class CorpusIngestSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       CorpusIngest.rebucketSemanticCentroid(spark, dir2, dir2, centDir)
     }
+    // ...including an ALIASED same-dir spelling: '/x/./a' and a
+    // symlink twin both canonicalize to dir2, and passing either would
+    // let the Overwrite clobber the source (r19 ADVICE pin)
+    val aliased = dir2.reverse.replaceFirst("/", "/./".reverse).reverse
+    assert(aliased != dir2)
+    intercept[IllegalArgumentException] {
+      CorpusIngest.rebucketSemanticCentroid(spark, dir2, aliased, centDir)
+    }
+    val link = Files.createTempDirectory("graft-cent-epoch-ln")
+      .resolve("twin")
+    Files.createSymbolicLink(link, Paths.get(dir2))
+    intercept[IllegalArgumentException] {
+      CorpusIngest.rebucketSemanticCentroid(
+        spark, dir2, link.toString, centDir)
+    }
+    // an unstamped dir that already holds data/ is NEVER grandfathered
+    // into the current epoch (r19 ADVICE pin): pre-stamp rows were
+    // bucketed under an unknown geometry — stamping the store's
+    // current epoch onto them would silently mix geometries, so the
+    // ingest refuses and directs to rebucketSemanticCentroid
+    Files.delete(Paths.get(dir2, "_meta"))
+    val g = intercept[IllegalArgumentException] {
+      CorpusIngest.ingestBatchSemanticCentroid(
+        // orthogonal to every stored vector (cos = 0 to all three) so
+        // the batch genuinely tries to append under ANY threshold —
+        // the guard sits on the pre-append stamp, which only a
+        // non-empty append reaches
+        Seq((9L, Array(-1.0f, 1.0f, 1.0f, 1.0f)))
+          .toDF("vec_id", "embedding"), 2L, dir2, centDir)
+    }
+    assert(g.getMessage.contains("no _meta epoch stamp") &&
+      g.getMessage.contains("rebucketSemanticCentroid"), g.getMessage)
+    // nothing was appended by the refused batch
+    assert(spark.read.parquet(s"$dir2/data")
+      .select("vec_id").as[Long].collect().toSet == Set(1L, 3L, 6L))
   }
 
   test("substring wincnt counts track the index; drift is measured, undercount only widens the probe") {
