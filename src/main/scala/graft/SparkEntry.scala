@@ -75,6 +75,12 @@ object SparkEntry {
     "pipe_status_updates" -> ((s, d) => MatchPipeline.statusUpdates(decided(s, d))),
     "pipe_batch_failures" -> ((s, d) => MatchPipeline.batchFailures(decided(s, d))),
     "pipe_metrics" -> ((s, d) => MatchPipeline.metrics(decided(s, d))),
+    // r19: REMOVE-event tombstone extension — the delete path the
+    // reference drops (index.js:146-153), as per-record decisions
+    // with the cascade's explainable-reason discipline; the status
+    // CAS + corpus excision halves are pinned by TombstonesSpec
+    "pipe_tombstones" -> ((s, d) => pipeline.Tombstones.decisions(
+      decided(s, d))),
     // r19: full AttributeValue type surface — every standard DynamoDB
     // tag (S/N/BOOL/NULL/B/SS/NS/BS/L/M + L-of-M-of-N nesting)
     // round-tripped through the wire encoding and decoded with the
@@ -1143,6 +1149,7 @@ object SparkEntry {
     "pipe_metrics" -> OracleSql.pipeMetrics,
     "pipe_sqs_attrs" -> OracleSql.pipeSqsAttrs,
     "pipe_decode_attrs" -> OracleSql.pipeDecodeAttrs,
+    "pipe_tombstones" -> OracleSql.pipeTombstones,
 
     "q1_pricing" -> OracleSqlExt.q1Pricing,
     "q3_shipping" -> OracleSqlExt.q3Shipping,

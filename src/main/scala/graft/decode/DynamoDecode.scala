@@ -65,13 +65,19 @@ object DynamoDecode {
       .as(prefix + "parse_error"),
     s(img, "match_statistics").as(prefix + "match_statistics"))
 
-  /** Old-image fields needed by the CDC compare (O6): only the four the
-    * reference reads from OldImage (index.js:191-212). */
+  /** Old-image fields needed by the CDC compare (O6): the four the
+    * reference reads from OldImage (index.js:191-212), plus the key
+    * triple the r19 tombstone extension falls back to (a real
+    * DynamoDB REMOVE carries only OldImage —
+    * [[graft.pipeline.Tombstones]]). */
   def decodeOldImage(img: Column): Seq[Column] = Seq(
     s(img, "email_status").as("old_email_status"),
     b(img, "email_sent").as("old_email_sent"),
     s(img, "delivery_status").as("old_delivery_status"),
-    n(img, "total_matches", "int", lit(0)).as("old_total_matches"))
+    n(img, "total_matches", "int", lit(0)).as("old_total_matches"),
+    s(img, "eventId").as("old_event_id"),
+    s(img, "guestId").as("old_guest_id"),
+    s(img, "guest_email").as("old_guest_email"))
 
   // ------------------------------------------------------------------
   // Full AttributeValue type surface (the r18 "missing #1" extension).

@@ -244,6 +244,20 @@ SELECT 'a' || CAST(c_custkey AS VARCHAR) AS rid,
        CAST((c_custkey % 7) + ((c_custkey * 2) % 7) AS INT) AS nested_sum
 FROM customer"""
 
+  /** r19 tombstone extension: REMOVE rows → (action, reason) decisions.
+    * The fixture's REMOVE rows carry NewImage (a real stream's carry
+    * OldImage; the engine coalesces), so the oracle reads f's decoded
+    * fields directly. */
+  val pipeTombstones: String = fixtureCte + """
+SELECT record_id, event_id, guest_id,
+       lower(guest_email) AS guest_email,
+       CASE WHEN event_id IS NOT NULL AND guest_id IS NOT NULL
+            THEN 'tombstoned' ELSE 'tombstone_skipped' END AS action,
+       CASE WHEN event_id IS NOT NULL AND guest_id IS NOT NULL
+            THEN 'Record deleted upstream - tombstone propagated'
+            ELSE 'No key data on REMOVE image' END AS reason
+FROM f WHERE event_name = 'REMOVE'"""
+
   val pipeMetrics: String = fixtureCte + """
 SELECT CAST(count(*) AS BIGINT) AS total_records,
        CAST(SUM(CASE WHEN action <> 'error' THEN 1 ELSE 0 END) AS BIGINT) AS processed_records,

@@ -194,6 +194,17 @@ object StatusStore {
       lit("delivered").as("new_status"),
       lit(null).cast("string").as("error_at"))
 
+  /** r19 tombstone extension ([[graft.pipeline.Tombstones]]): a
+    * REMOVE propagates delivery_status 'deleted', unconditional like
+    * the duplicate marker — an upstream delete wins over any
+    * in-flight trigger state, and the CAS protocol still serializes
+    * it against concurrent markers. */
+  def markDeleted(keys: DataFrame): DataFrame =
+    keys.select(col("event_id"), col("guest_id"),
+      lit(null).cast("string").as("expected_status"),
+      lit("deleted").as("new_status"),
+      lit(null).cast("string").as("error_at"))
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]())

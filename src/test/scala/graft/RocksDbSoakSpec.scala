@@ -574,6 +574,129 @@ class RocksDbSoakSpec extends SparkSpec {
     }
   }
 
+  test("ingest→index→serve: stream appends to the persisted IVF-PQ index while search serves between batches; per-batch recall vs full-scan") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // The end-to-end artifact the pieces individually pin: a stream
+    // appending segments to the persisted index (EmbedIndex
+    // .startAppend) WHILE the serving path (EmbedIndex.search — the
+    // index_search TVF's engine) answers between micro-batches, with
+    // recall vs an exact full-scan asserted after EVERY batch and one
+    // mid-stream restart. DETERMINISM: 4 far-apart clusters, one
+    // distinct point per cluster in each PQ subspace (ksub=4 fits
+    // them exactly) and members that are EXACT duplicates of their
+    // center — both the exact full-scan and the ADC ranking then
+    // tie-break on vec_id, so recall@5 is 4×5/5 by construction, not
+    // a statistical floor.
+    val v = Array(10f, 20f, 30f, 40f)
+    val w = Array(40f, 30f, 20f, 10f)
+    val centers = (0 until 4).map(c => Array(v(c), 0f, w(c), 0f)).toArray
+    def clusterLabel(c: Int) = c / 2 // 2 IVF coarse cells
+    val indexDir =
+      Files.createTempDirectory("graft-soak-serve").toString + "/idx"
+    val ck = Files.createTempDirectory("graft-soak-serve-ck").toString
+    // ids interleave clusters (id % 4 = cluster): trainPq seeds the
+    // per-subspace codebooks from the FIRST ksub vec_ids, so the four
+    // seeds must hit the four distinct points — five ids from one
+    // cluster would seed four identical centroids and the codebook
+    // degenerates
+    val initial = (0 until 5).flatMap(j => (0 until 4).map(c =>
+      (j * 4L + c, clusterLabel(c), centers(c))))
+    graft.ext.EmbedIndex.build(
+      initial.toDF("vec_id", "label", "embedding"), indexDir,
+      m = 2, dsub = 2, ksub = 4)
+    val queries = (0 until 4).map(c => (90000L + c, centers(c)))
+      .toDF("vec_id", "embedding")
+    // driver-side corpus mirror: the exact full-scan baseline
+    val corpus =
+      collection.mutable.ArrayBuffer.empty[(Long, Int, Array[Float])]
+    corpus ++= initial
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => ((x - y) * (x - y)).toDouble }.sum
+    var serveProbes = 0L
+    def assertServing(): Unit = {
+      // (a) recall@5 vs the exact full-scan under the shared
+      //     (distance, vec_id) tie-break
+      val ann = graft.ext.EmbedIndex
+        .search(spark, indexDir, queries, k = 5, nprobe = 2).collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rs) =>
+          q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+      for (c <- 0 until 4) {
+        val exact = corpus.sortBy { case (id, _, emb) =>
+          (l2(emb, centers(c)), id) }.take(5).map(_._1).toSet
+        assert(ann(90000L + c) == exact,
+          s"recall@5 break, cluster $c: ann=${ann(90000L + c)} exact=$exact")
+        serveProbes += 1
+      }
+    }
+    def clusterOf(id: Long): Int =
+      if (id < 1000L) (id % 4L).toInt else (id % 10L).toInt
+    // the segment each batch committed must be immediately visible: a
+    // whole-cluster search returns the batch's new ids too
+    def assertVisible(newIds: Set[Long]): Unit = {
+      val perCluster = corpus.map(t => clusterOf(t._1)).groupBy(identity)
+        .map { case (c, xs) => c -> xs.size }
+      val kMax = perCluster.values.max
+      val full = graft.ext.EmbedIndex
+        .search(spark, indexDir, queries, k = kMax, nprobe = 2).collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rs) =>
+          q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+      for (c <- 0 until 4) {
+        val want = corpus.collect {
+          case (id, _, _) if clusterOf(id) == c => id }.toSet
+        assert(full(90000L + c) == want,
+          s"cluster $c full-serve drift: got=${full(90000L + c)} want=$want")
+      }
+      assert(newIds.forall(id =>
+        full(90000L + clusterOf(id)).contains(id)),
+        s"batch ids $newIds not served immediately after commit")
+    }
+    val input = MemoryStream[(Long, Int, Array[Float])]
+    def start() = graft.ext.EmbedIndex.startAppend(
+      input.toDF().toDF("vec_id", "label", "embedding"), indexDir, ck)
+    withRocksConf {
+      val q1 = start()
+      val p1 = try {
+        for (b <- 1 to 6) {
+          val rows = (0 until 4).map(c =>
+            (1000L * b + c, clusterLabel(c), centers(c)))
+          input.addData(rows: _*)
+          q1.processAllAvailable()
+          corpus ++= rows
+          assertServing()
+          assertVisible(rows.map(_._1).toSet)
+        }
+        q1.recentProgress.toSeq
+      } finally q1.stop()
+      // RESTART mid-stream: the next batch must land in segment
+      // high+1 off the restored checkpoint, and serving must keep
+      // answering across the boundary
+      val q2 = start()
+      val p2 = try {
+        for (b <- 7 to 11) {
+          val rows = (0 until 4).map(c =>
+            (1000L * b + c, clusterLabel(c), centers(c)))
+          input.addData(rows: _*)
+          q2.processAllAvailable()
+          corpus ++= rows
+          assertServing()
+          assertVisible(rows.map(_._1).toSet)
+        }
+        q2.recentProgress.toSeq
+      } finally q2.stop()
+      // 11 appended segments + the build → one committed manifest chain
+      val man = graft.ext.EmbedIndex.manifest(indexDir).get
+      assert(man.high == 11L, s"expected 11 stream segments: $man")
+      recordExternalized("corpus_ingest_index_serve", p1, p2,
+        Seq(indexDir))
+      soakStats("corpus_ingest_index_serve") =
+        soakStats("corpus_ingest_index_serve") +
+          ("serve_probes" -> serveProbes) + ("recall_pct" -> 100L)
+    }
+  }
+
   test("CCAS sink on RocksDB: 10x keys, mid-stream restart, batch-twin oracle") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
