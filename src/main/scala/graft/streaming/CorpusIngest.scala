@@ -62,6 +62,61 @@ object CorpusIngest {
   private def seenDigests(spark: SparkSession, dataDir: String): Option[DataFrame] =
     readIfAny(spark, dataDir).map(_.select(col("content_md5")).distinct())
 
+  // ------------------------------------------------------------------
+  // REMOVE-event excision (r19 — [[graft.pipeline.Tombstones]]'s
+  // corpus half). Deletes are LOGICAL: excision markers append to a
+  // small `tombs/` table and every read anti-joins it — the standard
+  // tombstone design at 100 TB (an in-place rewrite of an append-only
+  // corpus per delete would be a full-corpus write amplification; a
+  // tombstone is one tiny append + a broadcast-sized anti-join at
+  // read time, and the PHYSICAL rewrite happens once, on the
+  // operator's schedule, exactly like the retrain migrations: stop
+  // the stream, re-ingest [[activeCorpus]] into a fresh dir, point
+  // the stream at it). Works uniformly over any ingest layer whose
+  // data/ carries `doc_id`.
+  // ------------------------------------------------------------------
+
+  /** Append excision markers (any frame with a `doc_id` column — the
+    * [[graft.pipeline.Tombstones.excisionMarkers]] shape) to the
+    * corpus's tombstone table. Effectively-once like every ingest
+    * append: TxnLog marker for replay skip, PLUS a doc_id drain so a
+    * replayed batch without its marker converges (appends nothing
+    * already tombstoned). Returns markers appended. */
+  def tombstoneDocs(markers: DataFrame, batchId: Long,
+      corpusDir: String): Long = {
+    val spark = markers.sparkSession
+    val tombsDir = s"$corpusDir/tombs"
+    val logDir = s"$corpusDir/_txn_tombs"
+    var appended = 0L
+    TxnLog.runOnce(logDir, batchId) {
+      val ids = markers.select(col("doc_id")).distinct()
+      val fresh = (readIfAny(spark, tombsDir) match {
+        case Some(t) => ids.join(t, Seq("doc_id"), "left_anti")
+        case None => ids
+      }).localCheckpoint()
+      appended = fresh.count()
+      if (appended > 0)
+        fresh.write.mode(SaveMode.Append).parquet(tombsDir)
+    }
+    appended
+  }
+
+  /** The live view of a corpus under logical excision: data/ minus
+    * tombs/. Without tombstones this IS the data frame (no join in
+    * the plan). The tombstone side is deletes-are-rare small —
+    * broadcast-anti-join territory; at worst a shuffle on the same
+    * doc_id key every other probe uses. */
+  def activeCorpus(spark: SparkSession, corpusDir: String): DataFrame = {
+    val data = readIfAny(spark, s"$corpusDir/data").getOrElse(
+      throw new IllegalArgumentException(s"no corpus at $corpusDir/data"))
+    readIfAny(spark, s"$corpusDir/tombs") match {
+      case Some(t) =>
+        data.join(broadcast(t.select(col("doc_id")).distinct()),
+          Seq("doc_id"), "left_anti")
+      case None => data
+    }
+  }
+
   private def readIfAny(spark: SparkSession, dir: String): Option[DataFrame] =
     if (graft.DirIO.nonEmpty(dir)) Some(spark.read.parquet(dir))
     else None

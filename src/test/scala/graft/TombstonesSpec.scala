@@ -79,6 +79,38 @@ class TombstonesSpec extends SparkSpec {
     assert(m.head.getAs[String]("guest_email") == "guest7@hapzea.com")
   }
 
+  test("corpus excision: markers tombstone the ingest corpus logically; the active view excludes them; replays converge") {
+    import graft.streaming.CorpusIngest
+    val dir = Files.createTempDirectory("graft-tomb-corpus").toString
+    val docs = Seq(
+      ("ev1-g1", "alpha text one"),
+      ("ev2-g2", "beta text two"),
+      ("ev3-g3", "gamma text three")).toDF("doc_id", "text")
+    assert(CorpusIngest.ingestBatch(docs, 0L, dir) == 3L)
+    // the Tombstones.excisionMarkers shape feeds straight in
+    val markers = Seq(("ev2-g2", "g2@x.yy")).toDF("doc_id", "guest_email")
+    assert(CorpusIngest.tombstoneDocs(markers, 0L, dir) == 1L)
+    assert(CorpusIngest.activeCorpus(spark, dir)
+      .select("doc_id").as[String].collect().toSet ==
+      Set("ev1-g1", "ev3-g3"))
+    // data/ is untouched (logical delete, no write amplification)
+    assert(spark.read.parquet(s"$dir/data").count() == 3L)
+    // replayed marker batch: skipped by its txn marker AND drained by
+    // doc_id even without it
+    assert(CorpusIngest.tombstoneDocs(markers, 0L, dir) == 0L)
+    assert(CorpusIngest.tombstoneDocs(markers, 1L, dir) == 0L)
+    assert(spark.read.parquet(s"$dir/tombs").count() == 1L)
+    // a second, different excision composes
+    assert(CorpusIngest.tombstoneDocs(
+      Seq(("ev1-g1", "g1@x.yy")).toDF("doc_id", "guest_email"), 2L, dir) == 1L)
+    assert(CorpusIngest.activeCorpus(spark, dir)
+      .select("doc_id").as[String].collect().toSet == Set("ev3-g3"))
+    // a corpus with no tombstones reads straight through
+    val dir2 = Files.createTempDirectory("graft-tomb-corpus2").toString
+    assert(CorpusIngest.ingestBatch(docs, 0L, dir2) == 3L)
+    assert(CorpusIngest.activeCorpus(spark, dir2).count() == 3L)
+  }
+
   test("stream equals batch: tombstones CAS-applied per micro-batch converge to the batch application") {
     implicit val sqlCtx = spark.sqlContext
     val ks = Seq(9L, 19L, 29L, 39L, 139L, 28L, 59L)
