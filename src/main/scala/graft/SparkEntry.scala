@@ -758,6 +758,15 @@ object SparkEntry {
     "sample_dsir" -> ((s, d) => TextOps.dsirResample(docs(s, d))),
     // per-epoch deterministic shuffle manifest (shard + position)
     "corpus_epoch_order" -> ((s, d) => ext.Corpus.epochOrder(docs(s, d))),
+    // r19 REMOVE-excision serving path: the exact-dedup ingest corpus
+    // under logical tombstones — activeCorpus = data anti-join tombs/
+    // (broadcast; deletes-are-rare small). The oracle recomputes the
+    // ingest's keep rule (first doc per content digest) and the
+    // tombstone rule independently
+    "corpus_tombstone_active" -> ((s, d) =>
+      graft.streaming.CorpusIngest.activeCorpus(s, shTombCorpus(s, d))
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("content_md5"))),
     // hashing-trick featurization: vocab-free sparse tf vectors
     "text_hash_features" -> ((s, d) => TextOps.hashFeatures(docs(s, d))),
     // materialized temperature mixture: per-source hash sample at the
@@ -1130,6 +1139,27 @@ object SparkEntry {
       TokenizerStore.build(docs(s, d), dir)
       dir
     }
+  // the tombstoned exact-dedup corpus behind corpus_tombstone_active:
+  // built once per (session, dir) in a stable per-dataset tmp root —
+  // batch-0 markers make re-entry (same session or a later one
+  // reusing the root) a TxnLog replay no-op, and the doc_id drain
+  // converges even a marker-less crash replay
+  private def tombRoot(d: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_tombcorpus_v1/" +
+      java.lang.Integer.toHexString(d.hashCode)
+  private def shTombCorpus(s: SparkSession, d: String): String =
+    Artifacts.obj(s, d, "corpus/tombstoned") {
+      val dir = tombRoot(d)
+      graft.streaming.CorpusIngest.ingestBatch(
+        docs(s, d).select(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text")), 0L, dir)
+      graft.streaming.CorpusIngest.tombstoneDocs(
+        docs(s, d).filter(
+          org.apache.spark.sql.functions.col("n_chars") % 7 === 3)
+          .select(org.apache.spark.sql.functions.col("doc_id")), 0L, dir)
+      dir
+    }
   private def shSixGrams(s: SparkSession, d: String): DataFrame =
     Artifacts.frame(s, d, "text/shingles6")(TextOps.sixGramShingles(docs(s, d)))
   // the incremental-dedup premise: the stored corpus's digest index is
@@ -1283,6 +1313,7 @@ object SparkEntry {
     "sample_splits_safe" -> OracleSqlExt.sampleSplitsSafe,
     "sample_split_leakage" -> OracleSqlExt.sampleSplitLeakage,
     "corpus_epoch_order" -> OracleSqlExt.corpusEpochOrder,
+    "corpus_tombstone_active" -> OracleSqlExt.corpusTombstoneActive,
     "sample_mixture" -> OracleSqlExt.corpusMixtureSample,
     "text_tfidf" -> OracleSqlExt.textTfidf,
     "text_vocab_encode" -> OracleSqlExt.textVocabEncode,

@@ -1270,6 +1270,22 @@ FROM documents"""
   /** Mirror of Corpus.epochOrder(epochs=2, shards=8): epoch-salted
     * md5 shard assignment + intra-shard (hash, doc_id) rank per
     * epoch. */
+  /** r19 tombstone-excision serving path: the engine ingests documents
+    * through the exact-dedup layer (keep = first doc_id per content
+    * digest), tombstones every doc with n_chars % 7 = 3, and serves
+    * the active view (data anti-join tombs). The oracle recomputes
+    * both rules straight off the documents table. */
+  val corpusTombstoneActive: String = """
+WITH canon AS (
+  SELECT doc_id, md5(text) AS content_md5,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, content_md5
+FROM canon
+WHERE rn = 1
+  AND doc_id NOT IN (SELECT doc_id FROM documents WHERE n_chars % 7 = 3)"""
+
   val corpusEpochOrder: String = """
 SELECT doc_id,
        h0 % 8 AS shard_e0,
