@@ -13,8 +13,13 @@ object PlanDump {
     val out = args.headOption.getOrElse("/tmp/plans.txt")
     val only = args.drop(1).headOption.filter(_.nonEmpty).map(_.split(",").toSet)
     val dir = args.drop(2).headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    // match the Bench session's geometry (core count = shuffle
+    // partitions from SPARK_GRAFT_CPUS) so dumped plans are the plans
+    // the bench actually executes — size estimates, and with them
+    // broadcast decisions, depend on the data dir passed as arg 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
