@@ -369,11 +369,20 @@ object TextOps {
     * [[dsirResample]]. `buckets` must match the stats build. */
   def dsirResampleFrom(rawDocs: DataFrame, stats: DataFrame,
       buckets: Int = 1024, k: Int = 200): DataFrame = {
+    // pin the bucket-stat frame (≤ `buckets` rows): it feeds TWO
+    // broadcast subtrees (`totals` and `bits`), and unpinned each
+    // subtree re-ran the corpus token explode + per-token hash behind
+    // it — measured as two ~1.7 s-CPU duplicate stages in sample_dsir's
+    // profile. The lazy localCheckpoint computes the explode once and
+    // both broadcasts read the bucket-sized blocks; the "one corpus
+    // explode feeds the stats" scale claim in [[dsirResample]]'s doc
+    // now actually holds in the executed plan.
+    val pinnedStats = stats.localCheckpoint(false)
     // totals over the FIXED bucket universe: Σ counts + 1 per bucket
-    val totals = stats.agg(
+    val totals = pinnedStats.agg(
       (sum(col("ct")) + buckets).as("nt"),
       (sum(col("cr")) + buckets).as("nr"))
-    val bits = stats.crossJoin(broadcast(totals))
+    val bits = pinnedStats.crossJoin(broadcast(totals))
       .select(col("bucket"),
         ((length(expr("bin(ct + 1)")) - length(expr("bin(cr + 1)"))) -
           (length(expr("bin(nt)")) - length(expr("bin(nr)"))))

@@ -68,7 +68,7 @@ object DsirSql {
         " driver-merged TakeOrdered sample, not a corpus sort")
     val k = kLong.toInt
     val spark = SparkSession.active
-    val docs = TvfArgs.table(spark, name, args, 0, "docs table")
+    val docs = TvfArgs.spreadTable(spark, name, args, 0, "docs table")
     val shaped = docs.select(
       Seq("doc_id", "source", "text").map { c =>
         org.apache.spark.sql.functions

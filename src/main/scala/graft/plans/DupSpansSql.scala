@@ -77,7 +77,7 @@ object DupSpansSql {
     val w = intArg(3, "window width w", 2L, 4096L)
     val occCap = intArg(4, "occ_cap", 2L, 1L << 20)
     val spark = SparkSession.active
-    val docs = TvfArgs.table(spark, name, args, 0, "docs table")
+    val docs = TvfArgs.spreadTable(spark, name, args, 0, "docs table")
     val idCol = TvfArgs.resolveColumn(spark, name, docs,
       str(1, "id column"), "id column")
     val textCol = TvfArgs.resolveColumn(spark, name, docs,

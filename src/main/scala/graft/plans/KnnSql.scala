@@ -76,7 +76,7 @@ object KnnSql {
     val k = kLong.toInt
     val spark = SparkSession.active
     val left = TvfArgs.table(spark, name, args, 0, "queries table")
-    val right = TvfArgs.table(spark, name, args, 1, "corpus table")
+    val right = TvfArgs.spreadTable(spark, name, args, 1, "corpus table")
     // fresh exprIds on the right so self-joins don't alias attributes
     val rightFresh = right.select(right.columns.map(c =>
       org.apache.spark.sql.functions.col(c).as(c)): _*)

@@ -27,6 +27,33 @@ import org.apache.spark.unsafe.types.UTF8String
   * out of scope for a join macro. */
 object TvfArgs {
 
+  /** [[table]] for the CORPUS argument of the compute-heavy TVFs
+    * (dsir_sample, neardup_pairs, semdedup, knn_join, centroid_assign,
+    * dup_spans family): a STRING-NAMED table is spread to the session's
+    * parallelism when its scan has fewer partitions — the TVF macros
+    * promise "identical plan and scale posture to the engine call",
+    * and the engine entry points all feed a spread corpus
+    * (SparkEntry's docs()/emb() repartition), while a raw single-file
+    * fixture scan would run the whole fan-out stage on ONE task
+    * (measured: dsir_sample('documents') spent ~0.9 s in three serial
+    * single-task stages that the spread runs 32-wide). The condition
+    * keeps the 100-TB posture: a production table with many splits
+    * already exceeds the parallelism floor and is passed through
+    * untouched — no extra exchange. TABLE(subquery) arguments are the
+    * user's shape and are never rewritten (REPARTITION hints inside
+    * them compose, as the dup_spans gate queries do). */
+  def spreadTable(spark: SparkSession, fn: String, args: Seq[Expression],
+      i: Int, what: String): DataFrame = {
+    val t = table(spark, fn, args, i, what)
+    args(i) match {
+      case Literal(_: UTF8String, StringType) =>
+        val p = spark.sparkContext.defaultParallelism
+        // getNumPartitions plans (never runs) the scan; leaf-cheap
+        if (t.rdd.getNumPartitions < p) t.repartition(p) else t
+      case _ => t
+    }
+  }
+
   def table(spark: SparkSession, fn: String, args: Seq[Expression],
       i: Int, what: String): DataFrame = args(i) match {
     case f: FunctionTableSubqueryArgumentExpression =>
