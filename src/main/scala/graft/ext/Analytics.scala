@@ -730,14 +730,34 @@ object Analytics {
       orders: DataFrame, lineitem: DataFrame,
       nationA: String = "NATION_1", nationB: String = "NATION_2"): DataFrame = {
     val pair = Seq(nationA, nationB)
-    val nat = nation.filter(col("n_name").isin(pair: _*))
+    // Attach the two nation names by FILTER + literal map rather than
+    // a dim join: nation is a catalog-constant ~25-row dim, so the
+    // two (key, name) pairs collect to the driver in one tiny job —
+    // the same data movement a broadcast(nat) pays. What the join
+    // spelling cost: Spark's size-only estimator scores a join output
+    // as the PRODUCT of the child estimates, so (customer ⋈ nat) and
+    // (supplier ⋈ nat) blew past autoBroadcastJoinThreshold and the
+    // fact chain planned BOTH attach joins as SortMergeJoin at every
+    // SF (plans/r19/q7_nation_trade_before.txt, ops 23/35; AQE
+    // converted them at runtime — static 1.33 s vs AQE 0.74 s). With
+    // filter + map the sides keep their SCAN estimates, so small
+    // corpora broadcast and genuinely large ones sort-merge — chosen
+    // by estimation, as the scale rule demands.
+    val keyName: Seq[(Int, String)] = nation
+      .filter(col("n_name").isin(pair: _*))
       .select(col("n_nationkey"), col("n_name"))
+      .collect().toSeq.map(r => (r.getInt(0), r.getString(1)))
+    val nameOf = map(keyName.flatMap { case (k, v) =>
+      Seq(lit(k), lit(v)) }: _*)
+    val keys = keyName.map(_._1)
     val cust = customer
-      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
-      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      .filter(col("c_nationkey").isin(keys: _*))
+      .select(col("c_custkey"),
+        element_at(nameOf, col("c_nationkey")).as("cust_nation"))
     val supp = supplier
-      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
-      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      .filter(col("s_nationkey").isin(keys: _*))
+      .select(col("s_suppkey"),
+        element_at(nameOf, col("s_nationkey")).as("supp_nation"))
     lineitem
       .join(orders.select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
@@ -762,12 +782,21 @@ object Analytics {
       supplier: DataFrame, orders: DataFrame, lineitem: DataFrame, part: DataFrame,
       regionName: String = "EUROPE", supplierNation: String = "NATION_3",
       partType: String = "STANDARD"): DataFrame = {
-    val custNat = broadcast(
-      nation.join(broadcast(region.filter(col("r_name") === regionName)),
+    // region ⋈ nation are catalog-constant dims: collect the region's
+    // nation keys (one tiny driver job — the same bytes the broadcast
+    // shipped) and filter customer directly. The join spelling scored
+    // (customer ⋈ custNat) as the PRODUCT of the child estimates, so
+    // the fact-chain attach planned as SortMergeJoin at every SF
+    // (plans/r19/q8_market_share_before.txt op 37); the filter keeps
+    // customer's scan estimate, so the attach broadcasts while it
+    // fits and sort-merges once it doesn't — by estimation.
+    val custKeys: Seq[Int] = nation
+      .join(broadcast(region.filter(col("r_name") === regionName)),
         col("n_regionkey") === col("r_regionkey"))
-        .select(col("n_nationkey")))
+      .select(col("n_nationkey"))
+      .collect().toSeq.map(_.getInt(0))
     val cust = customer
-      .join(custNat, col("c_nationkey") === col("n_nationkey"))
+      .filter(col("c_nationkey").isin(custKeys: _*))
       .select(col("c_custkey"))
     val suppNatKey = nation.filter(col("n_name") === supplierNation)
       .select(col("n_nationkey").as("target_nk"))

@@ -1643,15 +1643,21 @@ object TextOps {
     * integer so the oracle hashes exactly. */
   def maximalDupSpans(documents: DataFrame, w: Int = 8,
       occCap: Int = 64): DataFrame = {
-    val occ = winOcc(documents, w)
+    // pin the window-occurrence frame: it feeds BOTH the eligibility
+    // aggregate and the hits join, and unpinned the stride-1 explode +
+    // per-window md5 ran twice per execution (measured as two ~5 s-CPU
+    // duplicate stages in text_dup_islands' profile — the single most
+    // expensive subtree of the whole substring family). The lazy
+    // localCheckpoint computes it once; both consumers read the blocks.
+    val occ = winOcc(documents, w).localCheckpoint(false)
     val eligible = occ.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("ndocs"),
         count(lit(1)).as("nocc"))
       .filter(col("ndocs") >= 2 && col("nocc") <= occCap)
       .select(col("h"))
-    // the lambda-bearing window explode would otherwise run twice
-    // (both join sides) — share one computed RDD, the paragraphDedup
-    // pattern
+    // hits stays pinned too: it feeds both sides of the pair self-join
+    // below, and its blocks are far smaller than occ's (eligible
+    // windows only) — the paragraphDedup pattern
     val hits = occ.join(eligible, Seq("h")).localCheckpoint(false)
     islandize(hits.select(col("h"), col("doc_id").as("doc_a"),
         col("pos").as("pos_a"))
