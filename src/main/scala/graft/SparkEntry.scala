@@ -28,7 +28,7 @@ object SparkEntry {
       // spreading it across the cores first keeps the (cached) fixture and
       // everything downstream parallel, as a real multi-shard stream
       // source would be.
-      Tables.customer(s, dir).repartition(32)).cache()
+      Tables.customer(s, dir).repartition(spread(s))).cache()
 
   /** The decide()d frame all five pipeline queries project from. Cached
     * and memoized: the decode → dedup-join → cascade stage is one large
@@ -309,13 +309,13 @@ object SparkEntry {
     // cluster file splits provide the parallelism and the hint is
     // harmless
     "sql_dup_spans" -> ((s, d) => GraftSql.sql(s, d,
-      "SELECT * FROM dup_spans(TABLE(SELECT /*+ REPARTITION(32) */ " +
+      s"SELECT * FROM dup_spans(TABLE(SELECT /*+ REPARTITION(${spread(s)}) */ " +
         "doc_id, text FROM documents), 'doc_id', 'text', 8, 64)")),
     "sql_excise" -> ((s, d) => GraftSql.sql(s, d,
-      "SELECT * FROM dedup_excise(TABLE(SELECT /*+ REPARTITION(32) */ " +
+      s"SELECT * FROM dedup_excise(TABLE(SELECT /*+ REPARTITION(${spread(s)}) */ " +
         "doc_id, text FROM documents), 'doc_id', 'text', 8, 64)")),
     "sql_dup_islands" -> ((s, d) => GraftSql.sql(s, d,
-      "SELECT * FROM dup_islands(TABLE(SELECT /*+ REPARTITION(32) */ " +
+      s"SELECT * FROM dup_islands(TABLE(SELECT /*+ REPARTITION(${spread(s)}) */ " +
         "doc_id, text FROM documents), 'doc_id', 'text', 8, 64)")),
     // frozen-geometry assignment from SQL text — the TENTH table
     // function (plans/CentroidAssignSql.scala), the assign-side twin
@@ -1025,10 +1025,18 @@ object SparkEntry {
     "mm_frames_mjpeg" -> ((s, d) => MultiModal.frameStatsMjpeg(docs(s, d)))
   )
 
+  /** The single-file fixture tables cannot split (one parquet row
+    * group), so the corpus entry points spread them explicitly. Sized
+    * to the SESSION's parallelism rather than the historical constant
+    * 32: identical plans at the 32-core driver bench, and at the
+    * driver's lower-core scaling run the partition count tracks the
+    * cores (32 partitions on 16 cores ran every stage in two waves). */
+  private def spread(s: SparkSession): Int =
+    s.sparkContext.defaultParallelism
   private def docs(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).repartition(32)
+    Tables.documents(s, d).repartition(spread(s))
   private def emb(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d).repartition(32)
+    Tables.embeddings(s, d).repartition(spread(s))
 
   // ---- suite-shared derived artifacts (graft.Artifacts memo) ----------
   // One signature/pair/codebook build per (session, dir) feeds every
