@@ -475,7 +475,14 @@ object SparkEntry {
     // dim join ABOVE the join-back — WinMagic's r14 inner-join
     // rotation re-normalizes that shape and the multi-relation peel
     // collapses it to ONE pass: 4 scans + 3 joins → 2 scans + 1 join +
-    // 1 window (plan-pinned in WinMagicSpec).
+    // 1 window (plan-pinned in WinMagicSpec). Deployed here per-query
+    // via rewriteOptimizedDf (r19): the join-back only exists after
+    // decorrelation, so the analyzed-layer rewriteDf can't see it, and
+    // the bench/verify sessions deliberately do NOT inject the rule
+    // session-wide (it would also rewrite catalog-cardinality and
+    // Zipf-keyed join-backs — p_type, term, lang — into skewed
+    // windows; OPTIMIZATION_r19.md has the measured blast radius).
+    // The window partitions by l_partkey — scale-growing key, sound.
     // One correlated AVG subquery; the COUNT-bug LeftOuter variant is
     // covered separately by sql_count_winmagic via the r15 null-mask
     // rewrite. Boundary exactness: the
@@ -483,7 +490,8 @@ object SparkEntry {
     // sit within rounding distance of an integer threshold when the
     // average is exact in both engines — the decimal-vs-double avg
     // difference cannot flip any row (gap ≥ 1/(5·cnt) ≫ rounding).
-    "sql_q17_join_winmagic" -> ((s, d) => GraftSql.sql(s, d, """
+    "sql_q17_join_winmagic" -> ((s, d) =>
+      graft.plans.WinMagic.rewriteOptimizedDf(GraftSql.sql(s, d, """
       SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS STRING)
                AS below_avg_revenue,
              count(*) AS n_lines
@@ -492,15 +500,19 @@ object SparkEntry {
         AND CAST(l.l_quantity AS DECIMAL(18,2)) <
             (SELECT 0.2 * AVG(CAST(l2.l_quantity AS DECIMAL(18,2)))
              FROM lineitem l2 JOIN part p2 ON p2.p_partkey = l2.l_partkey
-             WHERE p2.p_brand = 'Brand#23' AND l2.l_partkey = l.l_partkey)""")),
+             WHERE p2.p_brand = 'Brand#23' AND l2.l_partkey = l.l_partkey)"""))),
     // the COUNT-bug WinMagic shape from raw SQL: a correlated count(*)
     // threshold decorrelates into a LeftOuter join-back (count's
     // zero-on-empty correction is not null-rejecting, so the outer
     // join survives EliminateOuterJoin) over nullable parquet keys —
     // the r15 null-mask rewrite collapses it to one scan + window
     // (plan-pinned in WinMagicSpec); integer-vs-integer comparison, so
-    // the boundary hash-gates identically cross-engine
-    "sql_count_winmagic" -> ((s, d) => GraftSql.sql(s, d, """
+    // the boundary hash-gates identically cross-engine. Deployed via
+    // rewriteOptimizedDf like sql_q17_join_winmagic above (r19):
+    // 2 lineitem scans + LeftOuter join-back → 1 scan + 1 l_partkey
+    // window.
+    "sql_count_winmagic" -> ((s, d) =>
+      graft.plans.WinMagic.rewriteOptimizedDf(GraftSql.sql(s, d, """
       SELECT l_returnflag, count(*) AS n_deep,
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING)
                AS revenue
@@ -508,7 +520,7 @@ object SparkEntry {
       WHERE CAST(l_quantity AS BIGINT) >
             (SELECT count(*) FROM lineitem l2
              WHERE l2.l_partkey = l.l_partkey)
-      GROUP BY l_returnflag""")),
+      GROUP BY l_returnflag"""))),
     "sql_dedup_exact" -> ((s, d) => GraftSql.sql(s, d, """
       SELECT doc_id, md5(text) AS content_md5,
              min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_doc_id,

@@ -111,6 +111,29 @@ object WinMagic extends Rule[LogicalPlan] with PredicateHelper {
     else org.apache.spark.sql.GraftPlanBridge.ofRows(df.sparkSession, rewritten)
   }
 
+  /** [[rewriteDf]]'s twin at the OPTIMIZED layer, for shapes that do
+    * not exist until the optimizer creates them: a correlated scalar
+    * subquery in SQL text only becomes the join-back
+    * (`RewriteCorrelatedScalarSubquery`'s LeftOuter aggregate join)
+    * during optimization, so the analyzed-layer rewrite can never see
+    * it. Applying the rule to the final optimized plan and re-wrapping
+    * re-runs the (idempotent) optimizer on the rewritten tree, which
+    * re-pushes the redistributed filter conjuncts into the scans —
+    * the same post-rewrite fixed point the injected deployment gets.
+    * Per-query opt-in by construction: callers choose exactly which
+    * query pays a window where a join-back stood, which is how this
+    * library scopes the rewrite to scale-sound partition keys (the
+    * session-wide injected form would also rewrite catalog-cardinality
+    * and Zipf-skewed keys — p_type, natural-language term — into
+    * windows whose hottest partition grows with the corpus). */
+  def rewriteOptimizedDf(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val optimized = df.queryExecution.optimizedPlan
+    val rewritten = apply(optimized)
+    if (rewritten eq optimized) df
+    else org.apache.spark.sql.GraftPlanBridge.ofRows(df.sparkSession, rewritten)
+  }
+
   private val wholePartition =
     SpecifiedWindowFrame(RowFrame, UnboundedPreceding, UnboundedFollowing)
 

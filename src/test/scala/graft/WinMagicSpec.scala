@@ -309,10 +309,27 @@ class WinMagicSpec extends SparkSpec {
       .filter(_.nodeName.toLowerCase.contains("relation"))
     assert(scans.length == 2, s"expected 2 scans, got ${scans.length}")
     val got = q.collect().head
+    // naive contrast: the gate kills the INJECTED rule only — the
+    // SparkEntry query's explicit rewriteOptimizedDf opt-in (r19) is
+    // deliberately not conf-gated, so the un-rewritten plan comes from
+    // the raw SQL text instead
     spark.conf.set("spark.graft.optimizer.winmagic", "false")
     try {
-      val off = run()
-      assert(joins(off).length == 3, "kill switch must restore the join-back")
+      val stillOn = run()
+      assert(joins(stillOn).length == 1,
+        "explicit rewriteOptimizedDf deployment must ignore the gate")
+      GraftSql.attach(spark, d)
+      val off = spark.sql("""
+        SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS STRING)
+                 AS below_avg_revenue,
+               count(*) AS n_lines
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#23'
+          AND CAST(l.l_quantity AS DECIMAL(18,2)) <
+              (SELECT 0.2 * AVG(CAST(l2.l_quantity AS DECIMAL(18,2)))
+               FROM lineitem l2 JOIN part p2 ON p2.p_partkey = l2.l_partkey
+               WHERE p2.p_brand = 'Brand#23' AND l2.l_partkey = l.l_partkey)""")
+      assert(joins(off).length == 3, "gate off: raw SQL keeps the join-back")
       // DECIMAL sum → exact string equality across the two plans
       assert(got.toSeq == off.collect().head.toSeq && !got.isNullAt(0))
     } finally spark.conf.unset("spark.graft.optimizer.winmagic")
@@ -382,6 +399,44 @@ class WinMagicSpec extends SparkSpec {
     assert(joins(df).isEmpty, df.queryExecution.optimizedPlan.toString)
     assert(windows(df).nonEmpty)
     assert(df.collect().map(_.getAs[Long]("n_deep")).sum > 0)
+  }
+
+  test("rewriteOptimizedDf: correlated SQL collapses WITHOUT the injected rule") {
+    // the bench/verify sessions do not inject WinMagic (a session-wide
+    // rule would also rewrite catalog-cardinality / Zipf-keyed
+    // join-backs into skewed windows — OPTIMIZATION_r19.md's blast
+    // radius), so sql_count_winmagic / sql_q17_join_winmagic deploy the
+    // rewrite per-query at the OPTIMIZED layer, where the decorrelated
+    // join-back first exists. Pin that path with this suite's injected
+    // gate switched OFF: the naive optimized plan must still hold the
+    // join-back, rewriteOptimizedDf alone must collapse it to one scan
+    // + window, and the answers must match the naive plan's exactly.
+    spark.conf.set("spark.graft.optimizer.winmagic", "false")
+    try {
+      val d = "/root/testdata/sf0.001"
+      GraftSql.attach(spark, d)
+      val naive = spark.sql("""
+        SELECT l_returnflag, count(*) AS n_deep,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING)
+                 AS revenue
+        FROM lineitem l
+        WHERE CAST(l_quantity AS BIGINT) >
+              (SELECT count(*) FROM lineitem l2
+               WHERE l2.l_partkey = l.l_partkey)
+        GROUP BY l_returnflag""")
+      assert(joins(naive).nonEmpty,
+        "gate off: the decorrelated join-back must survive optimization")
+      val rewritten = graft.plans.WinMagic.rewriteOptimizedDf(naive)
+      assert(joins(rewritten).isEmpty,
+        rewritten.queryExecution.optimizedPlan.toString)
+      assert(windows(rewritten).nonEmpty)
+      val rels = rewritten.queryExecution.optimizedPlan.collectLeaves()
+        .filter(_.nodeName.toLowerCase.contains("relation"))
+      assert(rels.length == 1,
+        s"expected ONE lineitem read after the rewrite, got ${rels.length}")
+      assert(rewritten.collect().sortBy(_.getString(0)).map(_.toSeq).toSeq ==
+        naive.collect().sortBy(_.getString(0)).map(_.toSeq).toSeq)
+    } finally spark.conf.unset("spark.graft.optimizer.winmagic")
   }
 
   test("kill switch: winmagic=false leaves the join in place") {
